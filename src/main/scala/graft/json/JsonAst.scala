@@ -1,0 +1,140 @@
+package graft.json
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonParser => JacksonParser, JsonToken}
+
+/** Minimal ordered JSON AST.
+  *
+  * The reference pipeline (0xdefendA/defenda-data-lake) operates on arbitrary
+  * nested Python dicts (`lambdas/utils/dotdict.py`, `lambdas/utils/dict_helpers.py`);
+  * plugins freely restructure events, so the in-flight representation must be a
+  * dynamic JSON tree, not a fixed Spark schema. Only the post-pipeline event
+  * shell is strongly typed (see [[graft.pipeline.Event]]).
+  *
+  * `JObject` preserves key insertion order (Python 3.7+ dict semantics).
+  */
+sealed trait JValue extends Serializable
+
+case object JNull extends JValue
+final case class JBool(value: Boolean) extends JValue
+final case class JLong(value: Long) extends JValue
+final case class JDouble(value: Double) extends JValue
+final case class JString(value: String) extends JValue
+final case class JArray(items: Vector[JValue]) extends JValue
+
+final case class JObject(fields: Vector[(String, JValue)]) extends JValue {
+  def get(key: String): Option[JValue] = {
+    // last occurrence wins, matching dict semantics on duplicate keys
+    var found: Option[JValue] = None
+    fields.foreach { case (k, v) => if (k == key) found = Some(v) }
+    found
+  }
+  def contains(key: String): Boolean = fields.exists(_._1 == key)
+  def apply(key: String): JValue = get(key).getOrElse(
+    throw new NoSuchElementException(s"key not found: $key"))
+  /** Set key, preserving its existing position; append if new (dict update). */
+  def updated(key: String, value: JValue): JObject =
+    if (contains(key)) JObject(fields.map { case (k, v) => if (k == key) (k, value) else (k, v) })
+    else JObject(fields :+ (key -> value))
+  def removed(key: String): JObject = JObject(fields.filterNot(_._1 == key))
+  def keys: Vector[String] = fields.map(_._1)
+}
+
+object JObject {
+  val empty: JObject = JObject(Vector.empty)
+  def apply(fields: (String, JValue)*): JObject = JObject(fields.toVector)
+}
+
+object JArray {
+  val empty: JArray = JArray(Vector.empty)
+}
+
+/** Parse / render via jackson-core streaming (ships with Spark). */
+object Json {
+  private val factory = new JsonFactory()
+
+  /** Strict parse of a complete JSON document. Throws on malformed input. */
+  def parse(s: String): JValue = {
+    val p = factory.createParser(s)
+    try {
+      p.nextToken()
+      val v = readValue(p)
+      // reject trailing garbage: "{"a":1} x" must fail like json.loads
+      if (p.nextToken() != null) throw new IllegalArgumentException("trailing content after JSON document")
+      v
+    } finally p.close()
+  }
+
+  def parseOpt(s: String): Option[JValue] =
+    try Some(parse(s)) catch { case _: Exception => None }
+
+  private def readValue(p: JacksonParser): JValue = p.currentToken() match {
+    case JsonToken.START_OBJECT =>
+      val buf = Vector.newBuilder[(String, JValue)]
+      while (p.nextToken() != JsonToken.END_OBJECT) {
+        val name = p.currentName()
+        p.nextToken()
+        buf += (name -> readValue(p))
+      }
+      JObject(buf.result())
+    case JsonToken.START_ARRAY =>
+      val buf = Vector.newBuilder[JValue]
+      while (p.nextToken() != JsonToken.END_ARRAY) buf += readValue(p)
+      JArray(buf.result())
+    case JsonToken.VALUE_STRING => JString(p.getText)
+    case JsonToken.VALUE_NUMBER_INT =>
+      try JLong(p.getLongValue)
+      catch { case _: Exception => JDouble(p.getDoubleValue) } // > Long.MaxValue
+    case JsonToken.VALUE_NUMBER_FLOAT => JDouble(p.getDoubleValue)
+    case JsonToken.VALUE_TRUE => JBool(true)
+    case JsonToken.VALUE_FALSE => JBool(false)
+    case JsonToken.VALUE_NULL => JNull
+    case t => throw new IllegalArgumentException(s"unexpected token $t")
+  }
+
+  /** Compact render (like json.dumps with separators=(',', ':')). */
+  def render(v: JValue): String = {
+    val sb = new StringBuilder
+    write(v, sb)
+    sb.toString
+  }
+
+  private def write(v: JValue, sb: StringBuilder): Unit = v match {
+    case JNull => sb.append("null")
+    case JBool(b) => sb.append(if (b) "true" else "false")
+    case JLong(n) => sb.append(n)
+    case JDouble(d) =>
+      if (d.isNaN || d.isInfinite) sb.append("null")
+      else if (d == d.toLong && math.abs(d) < 1e15) { sb.append(d.toLong); sb.append(".0") }
+      else sb.append(d)
+    case JString(s) => writeString(s, sb)
+    case JArray(items) =>
+      sb.append('[')
+      var first = true
+      items.foreach { it => if (!first) sb.append(','); first = false; write(it, sb) }
+      sb.append(']')
+    case JObject(fields) =>
+      sb.append('{')
+      var first = true
+      fields.foreach { case (k, x) =>
+        if (!first) sb.append(','); first = false
+        writeString(k, sb); sb.append(':'); write(x, sb)
+      }
+      sb.append('}')
+  }
+
+  private def writeString(s: String, sb: StringBuilder): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+  }
+}
