@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify first
+(sbt "runMain graft.Verify <sfdir> <outdir>"), then this script compares each
+<outdir>/<name> parquet against the DuckDB oracle in <outdir>/oracle_sql.json.
+
+Usage: python3 scripts/check_correctness.py [sfdir] [outdir]
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+results = {}
+for name in sorted(os.listdir(outdir)):
+    path = os.path.join(outdir, name)
+    if not os.path.isdir(path):
+        continue
+    try:
+        spark_df = pd.read_parquet(path)
+    except Exception as e:
+        results[name] = f"SPARK-READ-FAIL {e}"
+        continue
+    if name not in oracle:
+        results[name] = f"rows-only: {len(spark_df)} rows"
+        continue
+    try:
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        results[name] = f"ORACLE-FAIL {type(e).__name__}: {e}"
+        continue
+    s = spark_df[sorted(spark_df.columns)]
+    d = duck_df[sorted(duck_df.columns)]
+    if list(s.columns) != list(d.columns):
+        results[name] = f"SCHEMA-MISMATCH spark={list(s.columns)} duck={list(d.columns)}"
+        continue
+    if len(s) != len(d):
+        results[name] = f"ROWCOUNT-MISMATCH spark={len(s)} duck={len(d)}"
+        continue
+    # normalize: timestamps to naive strings, floats exact (both rounded)
+    bad = None
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if str(sv.dtype).startswith("datetime") or str(dv.dtype).startswith("datetime"):
+            sv = pd.to_datetime(sv).dt.tz_localize(None) if getattr(sv.dtype, "tz", None) else pd.to_datetime(sv)
+            dv = pd.to_datetime(dv).dt.tz_localize(None) if getattr(dv.dtype, "tz", None) else pd.to_datetime(dv)
+            sv, dv = sv.astype(str), dv.astype(str)
+        try:
+            eq = (sv.values == dv.values) | (pd.isna(sv.values) & pd.isna(dv.values))
+        except Exception:
+            eq = sv.astype(str).values == dv.astype(str).values
+        if not eq.all():
+            i = int((~eq).argmax())
+            bad = f"VALUE-MISMATCH col={c} row={i} spark={sv.iloc[i]!r} duck={dv.iloc[i]!r} (dtypes {sv.dtype}/{dv.dtype})"
+            break
+    results[name] = bad or "OK"
+
+n_ok = sum(1 for v in results.values() if v == "OK")
+n_rows_only = sum(1 for v in results.values() if str(v).startswith("rows-only"))
+for k, v in results.items():
+    flag = "PASS" if v == "OK" else ("INFO" if str(v).startswith("rows-only") else "FAIL")
+    print(f"[{flag}] {k}: {v}")
+print(f"\n{n_ok} oracle-matched, {n_rows_only} rows-only, "
+      f"{len(results) - n_ok - n_rows_only} failed, of {len(results)}")

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Tables.t
+
+/** Queries over the `events` table: JSON extraction (the reference's defining
+  * query surface — README.md:112-116 queries `details` with
+  * `json_extract_scalar`), event-time windowing (the batch twin of the
+  * streaming path), and dedup.
+  */
+object EventsQueries {
+
+  /** The events parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects by default; read nanos as long and convert to a proper
+    * timestamp (micros) ourselves. Conversion happens once at scan, so every
+    * downstream operator still sees a plain TimestampType column. */
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** json_extract_scalar ≅ get_json_object; stays inside whole-stage codegen
+    * (Jackson-based JsonPath evaluation per row, no UDF). */
+  private val jsonExtract = Q(
+    "q_events_json",
+    (s, d) =>
+      ev(s, d)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Tumbling event-time window in batch — the same `window()` construct the
+    * streaming path uses with a watermark; one shuffle on (window, type). */
+  private val hourlyWindow = Q(
+    "q_events_hourly",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_start"),
+          col("event_type"), col("n"), col("sum_v"))
+        .orderBy("hour_start", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_start,
+        event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+      FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""))
+
+  private val distinctRows = Q(
+    "q_events_distinct",
+    (s, d) =>
+      ev(s, d)
+        .select(col("event_type"), (col("user_id") % 10).as("bucket"))
+        .distinct()
+        .orderBy("event_type", "bucket"),
+    Some("""SELECT DISTINCT event_type, user_id % 10 AS bucket FROM events
+      ORDER BY event_type, bucket"""))
+
+  /** Per-user sessionization-lite: first/last event + count, a groupBy that at
+    * 100 TB shuffles once on user_id (high cardinality, AQE handles skew). */
+  private val perUser = Q(
+    "q_events_per_user",
+    (s, d) =>
+      ev(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id, count(*) AS n_events,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        round(sum(value), 2) AS total_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser)
+}

@@ -1,0 +1,439 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables.t
+
+/** SURVEY.md §2B relational corpus over the TPC-H-ish testdata.
+  *
+  * The reference delegates its entire query surface to Athena/Presto
+  * (/root/reference/README.md:116 "any valid Presto SQL"); here each operator
+  * class is declared as an idiomatic DataFrame/Catalyst query and verified
+  * against the DuckDB oracle. Scale notes are inline per query: every join
+  * states its expected physical strategy at 100 TB.
+  */
+object Relational {
+
+  // -- projection / filter ---------------------------------------------------
+
+  private val projFilter = Q(
+    "q_proj_filter",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .filter(
+          col("l_returnflag") === "R" &&
+            (col("l_linestatus") === "F" || col("l_quantity") > 45) &&
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz") &&
+            col("l_linenumber").isin(1, 2, 3))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // order by every output column so row order is deterministic (any
+        // remaining ties are fully identical rows).
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND (l_quantity > 45 OR l_linestatus = 'F')
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        AND l_linenumber IN (1, 2, 3)
+      ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""))
+
+  // -- aggregation -----------------------------------------------------------
+
+  /** TPC-H Q1 shape: hash aggregate with map-side partial agg (free in
+    * Catalyst); at 100 TB this is one shuffle on 2 low-cardinality keys. */
+  private val aggGroup = Q(
+    "q_agg_group",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(avg(l_discount), 6) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  private val aggDistinct = Q(
+    "q_agg_distinct",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct("l_partkey").as("distinct_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  private val aggFilteredHaving = Q(
+    "q_agg_filtered_having",
+    (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+          round(max("o_totalprice"), 2).as("max_price"))
+        .filter(col("n_orders") > 10)
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(*) AS n_orders,
+        count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        round(max(o_totalprice), 2) AS max_price
+      FROM orders GROUP BY o_orderpriority HAVING count(*) > 10
+      ORDER BY o_orderpriority"""))
+
+  private val aggRollup = Q(
+    "q_agg_rollup",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  private val aggApproxDistinct = Q(
+    // approx_count_distinct (HLL) is nondeterministic across engines, so the
+    // declared check is the HLL estimate's contract: within 5% of exact.
+    // Expressed as a boolean so the oracle can assert the same property.
+    "q_agg_approx_distinct",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .agg(
+          countDistinct("l_partkey").as("exact_parts"),
+          approx_count_distinct("l_partkey").as("approx_raw"))
+        .select(
+          col("exact_parts"),
+          (abs(col("approx_raw") - col("exact_parts")) <
+            col("exact_parts") * 0.05).as("within_5pct")),
+    Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
+        abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+          < count(DISTINCT l_partkey) * 0.05 AS within_5pct
+      FROM lineitem"""))
+
+  // -- joins -----------------------------------------------------------------
+
+  /** orders⋈customer is the big shuffle join (both sides large at 100 TB,
+    * sort-merge w/ AQE); nation is tiny → explicit broadcast. */
+  private val joinInner = Q(
+    "q_join_inner",
+    (s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("n_name"),
+    Some("""SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  private val joinLeft = Q(
+    "q_join_left",
+    (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spend"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+        round(coalesce(sum(o_totalprice), 0), 2) AS spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  private val joinSemi = Q(
+    "q_join_semi",
+    (s, d) =>
+      t(s, d, "orders")
+        .join(
+          t(s, d, "lineitem").filter(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"),
+          "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      ORDER BY o_orderkey"""))
+
+  private val joinAnti = Q(
+    "q_join_anti",
+    (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** Non-equi (theta) join; both sides tiny → broadcast nested loop is the
+    * right plan and the only one Spark can pick here. */
+  private val joinTheta = Q(
+    "q_join_theta",
+    (s, d) =>
+      t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") < col("r_regionkey"))
+        .select("r_regionkey", "n_nationkey")
+        .orderBy("r_regionkey", "n_nationkey"),
+    Some("""SELECT r_regionkey, n_nationkey FROM region
+      JOIN nation ON n_regionkey < r_regionkey
+      ORDER BY r_regionkey, n_nationkey"""))
+
+  // -- window functions --------------------------------------------------------
+
+  private val windowTopkPerGroup = Q(
+    "q_window_topk",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders) sub
+      WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  private val windowLagRunsum = Q(
+    "q_window_lag",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+          round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("run_sum"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+        round(lag(o_totalprice) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+        round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+      FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  // -- sort / limit / top-k ----------------------------------------------------
+
+  /** Global top-k: Catalyst plans TakeOrderedAndProject — per-partition heap
+    * + driver merge of k rows, no full sort at any scale. */
+  private val sortTopk = Q(
+    "q_sort_topk",
+    (s, d) =>
+      t(s, d, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  // -- set operations ----------------------------------------------------------
+
+  private val setUnion = Q(
+    "q_set_union",
+    (s, d) => {
+      val c = t(s, d, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .union(c.filter(col("c_acctbal") > 9000).select("c_custkey"))
+        .distinct()
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000) sub
+      ORDER BY c_custkey"""))
+
+  private val setIntersect = Q(
+    "q_set_intersect",
+    (s, d) => {
+      val c = t(s, d, "customer")
+      c.filter(col("c_acctbal") > 5000).select("c_custkey")
+        .intersect(c.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY') sub
+      ORDER BY c_custkey"""))
+
+  private val setExcept = Q(
+    "q_set_except",
+    (s, d) => {
+      val c = t(s, d, "customer")
+      c.filter(col("c_acctbal") > 5000).select("c_custkey")
+        .except(c.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY') sub
+      ORDER BY c_custkey"""))
+
+  // -- scalar function families -------------------------------------------------
+
+  private val stringFns = Q(
+    "q_string_fns",
+    (s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 5).as("prefix5"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_replace(col("p_type"), " ", "_").as("type_us"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          when(col("p_name").like("small%"), 1).otherwise(0).as("is_small"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+        upper(p_name) AS uname,
+        substr(p_name, 1, 5) AS prefix5,
+        CAST(length(p_name) AS BIGINT) AS name_len,
+        replace(p_type, ' ', '_') AS type_us,
+        trim(concat('  ', p_name, '  ')) AS trimmed,
+        regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END AS is_small
+      FROM part ORDER BY p_partkey"""))
+
+  private val dateFns = Q(
+    "q_date_fns",
+    (s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          unix_timestamp(col("o_orderdate").cast("timestamp")).as("epoch_s"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        CAST(month(o_orderdate) AS BIGINT) AS mo,
+        CAST(day(o_orderdate) AS BIGINT) AS dom,
+        strftime(o_orderdate, '%Y-%m-%d') AS ds,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+      FROM orders ORDER BY o_orderkey"""))
+
+  private val mathFns = Q(
+    "q_math_fns",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          // round(double,2) half-boundary behavior differs between engines
+          // (Java shortest-repr HALF_UP vs C-style on the raw binary value);
+          // going through decimal(24,6) first makes both engines round the
+          // same decimal value, deterministically.
+          round((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .cast("decimal(24,6)"), 2).cast("double").as("charge"),
+          round(abs(col("l_discount") - 0.05).cast("decimal(24,6)"), 4).cast("double").as("absd"),
+          ceil(col("l_quantity") / 7.0).as("q7"),
+          floor(log10(col("l_extendedprice") + 1)).as("price_mag"),
+          (col("l_quantity").cast("long") % 5).as("qmod"))
+        .orderBy("l_orderkey", "l_linenumber", "charge", "absd"),
+    Some("""SELECT l_orderkey, l_linenumber,
+        CAST(round(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6)), 2) AS DOUBLE) AS charge,
+        CAST(round(CAST(abs(l_discount - 0.05) AS DECIMAL(24,6)), 4) AS DOUBLE) AS absd,
+        CAST(ceil(l_quantity / 7.0) AS BIGINT) AS q7,
+        CAST(floor(log10(l_extendedprice + 1)) AS BIGINT) AS price_mag,
+        CAST(l_quantity AS BIGINT) % 5 AS qmod
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, charge, absd"""))
+
+  private val arrayFns = Q(
+    "q_array_fns",
+    (s, d) =>
+      t(s, d, "part")
+        .withColumn("words", split(col("p_name"), " "))
+        .select(
+          col("p_partkey"),
+          size(col("words")).cast("long").as("n_words"),
+          element_at(col("words"), 1).as("w1"),
+          array_contains(col("words"), "green").as("has_green"),
+          array_join(array_sort(array_distinct(col("words"))), ",").as("uniq_sorted"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+        CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+        string_split(p_name, ' ')[1] AS w1,
+        list_contains(string_split(p_name, ' '), 'green') AS has_green,
+        array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS uniq_sorted
+      FROM part ORDER BY p_partkey"""))
+
+  private val explodeFn = Q(
+    "q_explode",
+    (s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
+        .orderBy("p_partkey", "word"),
+    Some("""SELECT p_partkey, word FROM (
+        SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part) sub
+      ORDER BY p_partkey, word"""))
+
+  // -- subqueries (via spark.sql so Catalyst does the decorrelation) -----------
+
+  private val subqueryIn = Q(
+    "q_subquery_in",
+    (s, d) => {
+      Tables.views(s, d, "orders", "customer")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                   WHERE c_mktsegment = 'AUTOMOBILE')
+               ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'AUTOMOBILE')
+      ORDER BY o_orderkey"""))
+
+  private val subqueryScalar = Q(
+    "q_subquery_scalar",
+    (s, d) => {
+      Tables.views(s, d, "lineitem")
+      s.sql("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+               WHERE l_quantity > (SELECT avg(l_quantity) + 20 FROM lineitem)
+               ORDER BY l_orderkey, l_linenumber, l_quantity""")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_quantity > (SELECT avg(l_quantity) + 20 FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+
+  val all: Seq[Q] = Seq(
+    projFilter,
+    aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggApproxDistinct,
+    joinInner, joinLeft, joinSemi, joinAnti, joinTheta,
+    windowTopkPerGroup, windowLagRunsum,
+    sortTopk,
+    setUnion, setIntersect, setExcept,
+    stringFns, dateFns, mathFns, arrayFns, explodeFn,
+    subqueryIn, subqueryScalar)
+}

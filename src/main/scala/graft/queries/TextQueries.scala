@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Tables.t
+
+/** Text-analysis operators over the `documents` table — the building blocks
+  * of a training-data pipeline (quality scoring, token counting, language ID,
+  * fingerprinting). All are narrow per-row transforms: no shuffle except the
+  * final aggregations, so they scale linearly with input splits at 100 TB.
+  * Everything stays in whole-stage codegen (built-in + higher-order
+  * functions, no UDFs).
+  */
+object TextQueries {
+
+  private val stopEn = Seq("the", "a", "and", "of", "to")
+  private val stopEnSql = stopEn.map("'" + _ + "'").mkString(", ")
+
+  /** Quality scoring: char/word counts, stopword ratio, punctuation count. */
+  private val quality = Q(
+    "q_text_quality",
+    (s, d) =>
+      t(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_txt"),
+          size(col("words")).cast("long").as("n_words"),
+          round(
+            size(filter(col("words"), w => w.isin(stopEn.map(x => x: Any): _*)))
+              .cast("double") / size(col("words")),
+            4).as("stopword_ratio"),
+          size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long").as("n_punct"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars_txt,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        round(CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ($stopEnSql))) AS DOUBLE)
+              / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct
+      FROM documents ORDER BY doc_id"""))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (runs-of-letters | runs-of-digits | single other char). */
+  private val tokenCount = Q(
+    "q_token_count",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("lang"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .cast("long").as("bpe_tokens"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("ws_tokens").as("ws_tokens"),
+          sum("bpe_tokens").as("bpe_tokens"))
+        .orderBy("lang"),
+    Some("""SELECT lang, count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Language ID, n-gram/stopword-hit heuristic: score each candidate
+    * language by its stopword hits, argmax with a deterministic tiebreak.
+    * (The documents' `lang` column is synthetic metadata, not ground truth —
+    * the declared contract is the deterministic heuristic itself.) */
+  private val langId = Q(
+    "q_text_lang_id",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val en = size(filter(words, w => w.isin("the", "a", "and", "of")))
+      val es = size(filter(words, w => w.isin("el", "la", "de", "y")))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          en.cast("long").as("en_hits"),
+          es.cast("long").as("es_hits"),
+          when(en >= es && en > 0, "en").when(es > en, "es").otherwise("und").as("pred_lang"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of'))) AS BIGINT) AS en_hits,
+        CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','y'))) AS BIGINT) AS es_hits,
+        CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of')))
+                  >= len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','y')))
+              AND len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of'))) > 0
+             THEN 'en'
+             WHEN len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','y')))
+                  > len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of')))
+             THEN 'es' ELSE 'und' END AS pred_lang
+      FROM documents ORDER BY doc_id"""))
+
+  /** Document fingerprint: order-sensitive rolling hash over word tokens —
+    * fold the running hash with each token through xxhash64 (a polynomial
+    * `acc*P + h(w)` would overflow Long under ANSI mode; the hash-chain is
+    * equally deterministic and cannot overflow). Codegen'd higher-order
+    * `aggregate`; no DuckDB twin, so rows-only check + ScalaTest pin. */
+  private val fingerprint = Q(
+    "q_text_fingerprint",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          aggregate(
+            split(col("text"), " "),
+            lit(0L),
+            (acc, w) => xxhash64(acc, w)).as("fingerprint"))
+        .orderBy("doc_id"),
+    None)
+
+  /** Exact dedup: group identical text, keep the smallest doc_id. At 100 TB
+    * group by a 64-bit content hash instead of the full text to shrink
+    * shuffle payload (the text column never needs to move). */
+  private val dedupExact = Q(
+    "q_dedup_exact",
+    (s, d) =>
+      t(s, d, "documents")
+        // shuffle carries (hash, doc_id) only; text stays behind the hash.
+        .select(xxhash64(col("text")).as("th"), col("doc_id"))
+        .groupBy("th")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id"),
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keep_id"""))
+
+  val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact)
+}
