@@ -69,13 +69,15 @@ object Json {
 
   private def readValue(p: JacksonParser): JValue = p.currentToken() match {
     case JsonToken.START_OBJECT =>
-      val buf = Vector.newBuilder[(String, JValue)]
+      // duplicate keys collapse last-wins at the first occurrence's position,
+      // matching json.loads building a dict by successive assignment
+      val m = new scala.collection.mutable.LinkedHashMap[String, JValue]
       while (p.nextToken() != JsonToken.END_OBJECT) {
         val name = p.currentName()
         p.nextToken()
-        buf += (name -> readValue(p))
+        m.update(name, readValue(p))
       }
-      JObject(buf.result())
+      JObject(m.toVector)
     case JsonToken.START_ARRAY =>
       val buf = Vector.newBuilder[JValue]
       while (p.nextToken() != JsonToken.END_ARRAY) buf += readValue(p)

@@ -147,10 +147,16 @@ object JsonOps {
   }
 
   /** Recursively lowercase every object key, through arrays
-    * (lowercase_keys.py:12-25). */
+    * (lowercase_keys.py:12-25). Case-colliding keys collapse last-wins at
+    * the first occurrence's position — Python dict assignment semantics
+    * (out_dict[key.lower()] = ...). */
   def lowercaseKeys(v: JValue): JValue = v match {
     case JObject(fields) =>
-      JObject(fields.map { case (k, x) => (k.toLowerCase(java.util.Locale.ROOT), lowercaseKeys(x)) })
+      val m = new scala.collection.mutable.LinkedHashMap[String, JValue]
+      fields.foreach { case (k, x) =>
+        m.update(k.toLowerCase(java.util.Locale.ROOT), lowercaseKeys(x))
+      }
+      JObject(m.toVector)
     case JArray(items) => JArray(items.map(lowercaseKeys))
     case other => other
   }
