@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The client surface: what pyathena + the Athena/Glue table were to the
+  * reference (`/root/reference/lambdas/utils/athena.py`, `README.md:141-185`),
+  * `spark.sql` over a registered `events` view is to this engine. The whole
+  * start-query/poll/fetch-CSV client layer collapses into one call that
+  * returns a DataFrame (A23); partition registration (A22,
+  * `generate_partitions.py`) collapses into parquet partition discovery.
+  */
+object Engine {
+
+  /** Session tuned for the target deployment shape: AQE re-plans skew and
+    * partition counts at runtime; 64 MB broadcast threshold catches dimension
+    * tables; shuffle partitions sized to the local harness (a real cluster
+    * overrides via spark.sql.adaptive.coalescePartitions). */
+  def createSession(appName: String = "graft", master: String = "local[32]"): SparkSession =
+    SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .getOrCreate()
+
+  /** Register the ingested events table for SQL access. Partition discovery
+    * happens at read; no ALTER TABLE cron needed. */
+  def registerEvents(spark: SparkSession, eventsDir: String, viewName: String = "events"): Unit =
+    spark.read.parquet(eventsDir).createOrReplaceTempView(viewName)
+
+  /** "Queries can be any valid Presto SQL" (README.md:116) -> any valid
+    * Spark SQL, parsed/optimized/executed by Catalyst. */
+  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+}

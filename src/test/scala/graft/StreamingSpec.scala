@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths}
+import graft.streaming.StreamingIngest
+
+/** Streaming path: landing dir -> pipeline -> checkpointed partitioned
+  * parquet, with replay dedup (SURVEY §7 step 5). Uses AvailableNow triggers
+  * to drain deterministically. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    base = Files.createTempDirectory("graft_stream").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def write(dir: String, name: String, content: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, name), content)
+  }
+
+  test("streaming ingest: samples land as partitioned shell events, replay dedups") {
+    val landing = s"$base/landing"
+    val out = s"$base/events"
+    val ckpt = s"$base/ckpt"
+
+    // two events carrying their own eventid (the replay-dedup key) and one without
+    write(landing, "a.json", """{"eventid": "fixed-001", "msg": "first", "eventtime": "2020-01-01T10:00:00Z"}""")
+    write(landing, "b.json", """{"eventid": "fixed-002", "msg": "second", "eventtime": "2020-01-01T11:00:00Z"}""")
+
+    val q1 = StreamingIngest.start(spark, landing, out, ckpt, Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+
+    val first = spark.read.parquet(out)
+    assert(first.count() == 2)
+    // shell conformance + partition columns from the directory layout
+    val cols = first.columns.toSet
+    Seq("eventid", "utctimestamp", "severity", "summary", "category", "source",
+      "tags", "plugins", "details", "year", "month", "day", "hour")
+      .foreach(c => assert(cols.contains(c), s"missing $c"))
+    // timestamps plugin picked up eventtime
+    assert(first.filter(org.apache.spark.sql.functions.col("utctimestamp") ===
+      "2020-01-01T10:00:00+00:00").count() == 1)
+    // producer eventid was moved into details and a uuid assigned (reference
+    // event_shell + ensure_eventid behavior)
+    assert(first.filter(org.apache.spark.sql.functions
+      .get_json_object(org.apache.spark.sql.functions.col("details"), "$.eventid") === "fixed-001")
+      .count() == 1)
+
+    // replay: identical raw content re-delivered in a new file within the
+    // watermark -> dropped by the content-hash dedup
+    write(landing, "a_replay.json", """{"eventid": "fixed-001", "msg": "first", "eventtime": "2020-01-01T10:00:00Z"}""")
+    val q2 = StreamingIngest.start(spark, landing, out, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    val after = spark.read.parquet(out)
+    assert(after.filter(org.apache.spark.sql.functions
+      .get_json_object(org.apache.spark.sql.functions.col("details"), "$.eventid") === "fixed-001")
+      .count() == 1)
+    assert(after.count() == 2)
+  }
+
+  test("streaming hourly window counts with watermark") {
+    val landing = s"$base/landing2"
+    write(landing, "ev.json",
+      """[{"eventtime": "2020-01-01T10:05:00Z"}, {"eventtime": "2020-01-01T10:55:00Z"}, {"eventtime": "2020-01-01T11:05:00Z"}]""")
+
+    val counts = StreamingIngest.hourlyCounts(
+      StreamingIngest.eventsStream(spark, landing))
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("hourly")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // append mode only emits closed windows; re-reading the state via a
+    // complete-mode memory sink is simpler for a drain test
+    val q2 = StreamingIngest.hourlyCounts(
+      StreamingIngest.eventsStream(spark, landing))
+      .writeStream.format("memory").queryName("hourly_c")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val rows = spark.sql("SELECT hour_start, n FROM hourly_c ORDER BY hour_start").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 1L))
+  }
+}
