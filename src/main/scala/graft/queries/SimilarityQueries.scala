@@ -17,14 +17,17 @@ import Tables.t
   */
 object SimilarityQueries {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  import graft.functions.VectorFunctions.{dot, l2Normalize}
 
   private def embeddings(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  /** Vectors L2-normalized ONCE at scan, so cosine of a candidate pair is a
+    * single codegen'd dot-product kernel call (graft.functions.DotProduct)
+    * instead of dot + two norms per pair — the difference between 1 and 3
+    * array passes on every one of the O(n*k) or O(n^2) candidate pairs. */
+  private def normalizedEmbeddings(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), l2Normalize(col("emb")).as("emb"))
 
   /** Brute-force cosine top-10 for 5 query vectors: broadcast the tiny query
     * side, one pass over the corpus, per-query ranking. At 1000 executors
@@ -34,14 +37,13 @@ object SimilarityQueries {
   private val cosineTopk = Q(
     "q_sim_cosine_topk",
     (s, d) => {
-      val e = embeddings(s, d)
+      val e = normalizedEmbeddings(s, d)
       val q = broadcast(
         e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("emb").as("qemb")))
       val scored = e.join(q, col("vec_id") =!= col("query_id"))
         .select(
           col("query_id"), col("vec_id").as("neighbor_id"),
-          round(dot(col("emb"), col("qemb")) / (norm(col("emb")) * norm(col("qemb"))), 6)
-            .as("cos_sim"))
+          round(dot(col("emb"), col("qemb")), 6).as("cos_sim"))
       val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
       scored
         .withColumn("rn", row_number().over(w).cast("long"))
@@ -68,14 +70,13 @@ object SimilarityQueries {
   private val neardupPairs = Q(
     "q_sim_neardup_pairs",
     (s, d) => {
-      val e = embeddings(s, d)
+      val e = normalizedEmbeddings(s, d)
       val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
       val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
       a.join(b, col("id_a") < col("id_b"))
         .select(
           col("id_a"), col("id_b"),
-          round(dot(col("emb_a"), col("emb_b")) / (norm(col("emb_a")) * norm(col("emb_b"))), 6)
-            .as("cos_sim"))
+          round(dot(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
         .limit(20)
     },
@@ -104,15 +105,15 @@ object SimilarityQueries {
           (acc, i) =>
             acc + when(dot(emb, element_at(planesCol, (i + 1).cast("int"))) > 0,
               call_function("shiftleft", lit(1L), i)).otherwise(0L))
-      val e = embeddings(s, d).withColumn("bucket", bucket(col("emb")))
+      val e = normalizedEmbeddings(s, d).withColumn("bucket", bucket(col("emb")))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("bucket"))
-      val scored = e.join(q, Seq("bucket"))
+      // broadcast the tiny query side: the corpus never shuffles on bucket
+      val scored = e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(
           col("query_id"), col("vec_id").as("neighbor_id"),
-          round(dot(col("emb"), col("qemb")) / (norm(col("emb")) * norm(col("qemb"))), 6)
-            .as("cos_sim"))
+          round(dot(col("emb"), col("qemb")), 6).as("cos_sim"))
       val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
       scored
         .withColumn("rn", row_number().over(w).cast("long"))

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import graft.functions.{VectorFunctions, VectorOps}
+
+/** Kernel correctness (DotProduct / BitmapJaccard) + dedup recall pins. */
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("VectorOps.dot and norm (pure JVM)") {
+    val a = ArrayData.toArrayData(Array(1.0, 2.0, 3.0))
+    val b = ArrayData.toArrayData(Array(4.0, 5.0, 6.0))
+    assert(VectorOps.dot(a, b) == 32.0)
+    assert(math.abs(VectorOps.norm(a) - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("VectorOps.bitmapJaccard (pure JVM)") {
+    // A = {0, 65}, B = {0, 64} -> intersect {0}, union {0, 64, 65} -> 1/3
+    val a = ArrayData.toArrayData(Array(1L, 2L))
+    val b = ArrayData.toArrayData(Array(1L, 1L))
+    assert(math.abs(VectorOps.bitmapJaccard(a, b) - 1.0 / 3) < 1e-12)
+    // different lengths: missing words are zero
+    val c = ArrayData.toArrayData(Array(1L))
+    assert(math.abs(VectorOps.bitmapJaccard(a, c) - 0.5) < 1e-12) // {0,65} vs {0}
+    assert(VectorOps.bitmapJaccard(c, c) == 1.0)
+  }
+
+  test("DotProduct expression equals the declarative HOF form in a DataFrame") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -1.0, 2.5), Array(-2.0, 0.25, 4.0))).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("kernel"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        .as("hof")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("minhash keep-list: word-set-identical planted pairs canonicalize together") {
+    val d = "/root/testdata/sf0.001"
+    // brute-force ground truth: pairs with identical distinct-word sets
+    val ws = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("wskey"))
+    val truth = ws.as("x").join(ws.as("y"),
+        col("x.wskey") === col("y.wskey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(truth.nonEmpty, "testdata should contain planted word-set duplicates")
+
+    val result = SparkEntry.queries("q_dedup_minhash")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical sets collide in every band -> always candidates -> the later
+    // doc's canonical must be <= the earlier doc of the pair
+    truth.foreach { case (a, b) =>
+      assert(result(b) <= a, s"pair ($a,$b): canonical(${b})=${result(b)}")
+      assert(result(b) < b)
+    }
+  }
+
+  test("bitmap ngram jaccard matches brute-force array jaccard") {
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .withColumn("words", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        array_distinct(
+          transform(
+            sequence(lit(0), size(col("words")) - 2),
+            i => concat_ws(" ", element_at(col("words"), i + 1), element_at(col("words"), i + 2))))
+          .as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.25)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val bitmap = SparkEntry.queries("q_dedup_ngram")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(bitmap == brute)
+  }
+}
