@@ -8,7 +8,8 @@ object SparkEntry {
 
   private val corpus: Seq[Q] =
     Relational.all ++ EventsQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ PipelineQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ PipelineQueries.all ++
+      SinkQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

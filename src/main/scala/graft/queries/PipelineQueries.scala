@@ -27,10 +27,12 @@ object PipelineQueries {
     if (ingested.compareAndSet(false, true))
       Ingest.ingestBatch(s, SamplesGlob, EventsDir)
 
-  private def events(s: SparkSession): DataFrame = {
+  /** The ingested events table (runs the sample ingest on first use). */
+  private[queries] def eventsFrame(s: SparkSession): DataFrame = {
     ensureIngested(s)
     Ingest.eventsTable(s, EventsDir)
   }
+  private def events(s: SparkSession): DataFrame = eventsFrame(s)
 
   /** Whole-pipeline smoke over all 5 samples: shell fields + JSON-extracted
     * details, deterministic output only. */

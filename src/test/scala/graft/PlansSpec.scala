@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan pins: the optimizations the 100 TB design depends on must
+  * actually appear in the plans — predicate pushdown to the parquet scan,
+  * partition pruning, broadcast joins for small dims, TakeOrderedAndProject
+  * for global top-k, and whole-stage codegen coverage. A plan regression
+  * here is a scale bug even when results stay correct. */
+class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q_proj_filter: predicates and projection reach the parquet scan") {
+    val p = plan("q_proj_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_returnflag"), "filter on l_returnflag should be pushed")
+    // column pruning: the scan must not read all 16 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"), s"unpruned scan: $readSchema")
+  }
+
+  test("q_join_inner: small dimension joins broadcast, no shuffle for nation") {
+    val p = plan("q_join_inner")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_join_semi / q_join_anti: planned as semi/anti joins, not inner+dedup") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("q_sort_topk: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_sort_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_agg_group: partial (map-side) aggregation before the shuffle") {
+    val p = plan("q_agg_group")
+    assert(p.contains("HashAggregate"), p)
+    // partial agg appears below the exchange: two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_scan_partition_prune: partition filter prunes at the scan") {
+    val p = plan("q_scan_partition_prune")
+    assert(p.contains("PartitionFilters"), p)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("year"), s"year filter not in partition filters: $pf")
+  }
+
+  test("kernel expressions participate in whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("a"))
+    val df = e.select(graft.functions.VectorFunctions.dot(col("a"), col("a")).as("d"))
+      .filter(col("d") > 0)
+    // formatted mode marks codegen'd operators with `*` / "codegen id"
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("codegen id"), p)
+    assert(p.contains("* Filter"), p)
+    assert(df.count() > 0)
+  }
+}
