@@ -117,13 +117,29 @@ object Ingest {
     }
   }
 
-  /** One file through cascade + pipeline; plugin failures drop the record
-    * (the errors-sink analogue of Firehose's ProcessingFailed). */
-  def processFile(fileName: String, content: String): Seq[Event] =
-    rawRecords(fileName, content).flatMap { raw =>
-      try Pipeline.process(raw).map(Pipeline.toEvent(_))
-      catch { case _: Exception => None }
+  /** One failed record, preserved for the errors sink: the raw payload plus
+    * the failure, mirroring Firehose's ProcessingFailed records landing under
+    * the `errors` prefix (`/root/reference/main.tf:618`, processor.py:60-76). */
+  final case class FailedRecord(raw: String, error: String, file: String)
+
+  /** One file through cascade + pipeline: events out on the left, plugin
+    * failures out on the right (records a plugin DROPPED by returning None
+    * are not failures — they disappear by design). */
+  def processFileEither(fileName: String, content: String): (Seq[Event], Seq[FailedRecord]) = {
+    val events = Vector.newBuilder[Event]
+    val failures = Vector.newBuilder[FailedRecord]
+    rawRecords(fileName, content).foreach { raw =>
+      try Pipeline.process(raw).foreach(sh => events += Pipeline.toEvent(sh))
+      catch {
+        case e: Exception =>
+          failures += FailedRecord(Json.render(raw), s"${e.getClass.getSimpleName}: ${e.getMessage}", fileName)
+      }
     }
+    (events.result(), failures.result())
+  }
+
+  def processFile(fileName: String, content: String): Seq[Event] =
+    processFileEither(fileName, content)._1
 
   /** Batch ingest: landing files -> partitioned parquet events table.
     * wholetext read keeps the cascade's whole-file semantics (A3/A4);
@@ -139,6 +155,26 @@ object Ingest {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("year", "month", "day", "hour")
       .parquet(outDir)
+  }
+
+  /** Batch ingest with an errors sink: events to partitioned parquet, failed
+    * records to NDJSON under `errDir` (the Firehose `error_output_prefix`
+    * analogue). Two passes over the (re-read, not cached) input keep both
+    * writes single-purpose file scans — inputs are immutable landing files. */
+  def ingestBatchWithErrors(spark: SparkSession, inputGlob: String, outDir: String, errDir: String): Unit = {
+    import spark.implicits._
+    def files = spark.read.option("wholetext", "true").text(inputGlob)
+      .select(input_file_name().as("path"), col("value"))
+      .as[(String, String)]
+    files
+      .flatMap { case (path, content) => processFileEither(path, content)._1 }
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("year", "month", "day", "hour")
+      .parquet(outDir)
+    files
+      .flatMap { case (path, content) => processFileEither(path, content)._2 }
+      .write.mode(SaveMode.Overwrite)
+      .json(errDir)
   }
 
   /** Read the ingested events table back (partition discovery replaces the

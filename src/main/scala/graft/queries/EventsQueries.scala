@@ -80,5 +80,26 @@ object EventsQueries {
         round(sum(value), 2) AS total_value
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
-  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser)
+  /** Multi-path extraction: json_tuple (one parse, many paths) and from_json
+    * to a typed struct — the Spark twins of Presto json_extract variants
+    * (SURVEY §2B JSON row; VERDICT r1 next-steps #6). */
+  private val jsonTuple = Q(
+    "q_events_json_tuple",
+    (s, d) =>
+      ev(s, d)
+        .select(
+          col("event_id"),
+          json_tuple(col("props"), "k").as("k_str"),
+          from_json(col("props"), "k LONG", Map.empty[String, String]).getField("k").as("k_struct"))
+        .select(
+          col("event_id"),
+          col("k_str").cast("long").as("k_str"),
+          col("k_struct"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_str,
+        CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct
+      FROM events ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, jsonTuple)
 }

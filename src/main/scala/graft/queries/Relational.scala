@@ -427,8 +427,27 @@ object Relational {
       WHERE l_quantity > (SELECT avg(l_quantity) + 20 FROM lineitem)
       ORDER BY l_orderkey, l_linenumber, l_quantity"""))
 
+  // -- interval arithmetic -----------------------------------------------------
+
+  private val dateIntervals = Q(
+    "q_date_intervals",
+    (s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_3mo"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus_30d"),
+          date_format(col("o_orderdate") - expr("INTERVAL 1 WEEK"), "yyyy-MM-dd").as("minus_1w"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo,
+        strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+        strftime(o_orderdate - INTERVAL 1 WEEK, '%Y-%m-%d') AS minus_1w
+      FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     projFilter,
+    dateIntervals,
     aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggApproxDistinct,
     joinInner, joinLeft, joinSemi, joinAnti, joinTheta,
     windowTopkPerGroup, windowLagRunsum,

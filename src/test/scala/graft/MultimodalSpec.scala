@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.pipeline.Ingest
+
+/** Multimodal mapPartitions plumbing + errors-sink ingest. */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("extractFeatures: L1-normalized byte histogram") {
+    val f = Multimodal.extractFeatures("aaap".getBytes("UTF-8"))
+    assert(f.length == Multimodal.featureDim)
+    assert(math.abs(f(6) - 0.75f) < 1e-6)  // 'a' (0x61) x3 -> bin 6
+    assert(math.abs(f(7) - 0.25f) < 1e-6)  // 'p' (0x70) -> bin 7
+    assert(math.abs(f.sum - 1.0f) < 1e-5)
+    assert(Multimodal.extractFeatures(Array.empty[Byte]).forall(_ == 0f))
+  }
+
+  test("frameSample: stride sampling shape") {
+    val bytes = (0 until 100).map(_.toByte).toArray
+    val frames = Multimodal.frameSample(bytes, stride = 7, maxFrames = 32)
+    assert(frames.length == 15) // ceil(100/7)
+    assert(frames(0) == 0 && frames(1) == 7)
+    assert(Multimodal.frameSample(bytes, 1, 32).length == 32) // capped
+  }
+
+  test("processMedia: schema, determinism, partition independence") {
+    val d = "/root/testdata/sf0.001"
+    val once = Multimodal.processMedia(Multimodal.documentsAsMedia(spark, d))
+    assert(once.schema == Multimodal.mediaSchema)
+    val rows1 = once.orderBy("doc_id").collect()
+    // repartitioning must not change any per-row result (narrow stage)
+    val rows2 = Multimodal.processMedia(Multimodal.documentsAsMedia(spark, d).repartition(7))
+      .orderBy("doc_id").collect()
+    assert(rows1.map(_.toString).toSeq == rows2.map(_.toString).toSeq)
+    // byte_len matches the source text length (identity decode stub)
+    val src = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows1.foreach(r => assert(r.getLong(2) == src(r.getLong(0))))
+  }
+
+  test("ingest errors sink: failed records land as NDJSON with raw + error") {
+    val base = java.nio.file.Files.createTempDirectory("graft_err").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/bad.json"),
+      """{"details": "notanobject", "extra": 1}
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/good.json"),
+      """{"msg": "fine", "eventtime": "2020-01-01T00:00:00Z"}""")
+    Ingest.ingestBatchWithErrors(spark, s"$base/*.json", s"$base/out", s"$base/errors")
+    val events = spark.read.parquet(s"$base/out")
+    assert(events.count() == 1)
+    val errors = spark.read.json(s"$base/errors")
+    assert(errors.count() == 1)
+    val err = errors.collect().head
+    assert(err.getAs[String]("raw").contains("notanobject"))
+    assert(err.getAs[String]("error").nonEmpty)
+    assert(err.getAs[String]("file").endsWith("bad.json"))
+  }
+}
