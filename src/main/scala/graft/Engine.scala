@@ -26,9 +26,10 @@ object Engine {
       .getOrCreate()
 
   /** Register the ingested events table for SQL access. Partition discovery
-    * happens at read; no ALTER TABLE cron needed. */
+    * happens at read (no ALTER TABLE cron); partition columns stay strings
+    * per the reference DDL. */
   def registerEvents(spark: SparkSession, eventsDir: String, viewName: String = "events"): Unit =
-    spark.read.parquet(eventsDir).createOrReplaceTempView(viewName)
+    graft.pipeline.Ingest.eventsTable(spark, eventsDir).createOrReplaceTempView(viewName)
 
   /** "Queries can be any valid Presto SQL" (README.md:116) -> any valid
     * Spark SQL, parsed/optimized/executed by Catalyst. */

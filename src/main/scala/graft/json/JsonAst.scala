@@ -17,6 +17,9 @@ sealed trait JValue extends Serializable
 case object JNull extends JValue
 final case class JBool(value: Boolean) extends JValue
 final case class JLong(value: Long) extends JValue
+/** Integers beyond Long range keep exact arbitrary precision, matching
+  * Python json.loads (ADVICE r1: a double fallback silently lost digits). */
+final case class JBigInt(value: BigInt) extends JValue
 final case class JDouble(value: Double) extends JValue
 final case class JString(value: String) extends JValue
 final case class JArray(items: Vector[JValue]) extends JValue
@@ -85,7 +88,7 @@ object Json {
     case JsonToken.VALUE_STRING => JString(p.getText)
     case JsonToken.VALUE_NUMBER_INT =>
       try JLong(p.getLongValue)
-      catch { case _: Exception => JDouble(p.getDoubleValue) } // > Long.MaxValue
+      catch { case _: Exception => JBigInt(BigInt(p.getBigIntegerValue)) } // beyond Long range
     case JsonToken.VALUE_NUMBER_FLOAT => JDouble(p.getDoubleValue)
     case JsonToken.VALUE_TRUE => JBool(true)
     case JsonToken.VALUE_FALSE => JBool(false)
@@ -104,6 +107,7 @@ object Json {
     case JNull => sb.append("null")
     case JBool(b) => sb.append(if (b) "true" else "false")
     case JLong(n) => sb.append(n)
+    case JBigInt(n) => sb.append(n.toString)
     case JDouble(d) =>
       if (d.isNaN || d.isInfinite) sb.append("null")
       else if (d == d.toLong && math.abs(d) < 1e15) { sb.append(d.toLong); sb.append(".0") }

@@ -81,6 +81,10 @@ object JsonOps {
   def pyEquals(a: JValue, b: JValue): Boolean = (a, b) match {
     case (JLong(x), JDouble(y)) => x.toDouble == y
     case (JDouble(x), JLong(y)) => x == y.toDouble
+    case (JBigInt(x), JLong(y)) => x == BigInt(y)
+    case (JLong(x), JBigInt(y)) => BigInt(x) == y
+    case (JBigInt(x), JDouble(y)) => x.toDouble == y
+    case (JDouble(x), JBigInt(y)) => x == y.toDouble
     case (JBool(x), JLong(y)) => (if (x) 1L else 0L) == y
     case (JLong(x), JBool(y)) => x == (if (y) 1L else 0L)
     case (JBool(x), JDouble(y)) => (if (x) 1.0 else 0.0) == y
@@ -140,6 +144,7 @@ object JsonOps {
     case JNull => false
     case JBool(b) => b
     case JLong(n) => n != 0L
+    case JBigInt(n) => n != 0
     case JDouble(d) => d != 0.0
     case JString(s) => s.nonEmpty
     case JArray(items) => items.nonEmpty
@@ -166,6 +171,7 @@ object JsonOps {
   def pyStr(v: JValue): String = v match {
     case JString(s) => s
     case JLong(n) => n.toString
+    case JBigInt(n) => n.toString
     case JDouble(d) => if (d == d.toLong && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
     case JBool(b) => if (b) "True" else "False"
     case JNull => "None"

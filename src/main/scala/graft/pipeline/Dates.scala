@@ -74,6 +74,12 @@ object Dates {
         val divisor = math.pow(10, n.toString.length % 10)
         fromEpochSeconds(n / divisor)
       }
+    case JBigInt(n) => // Python ints are arbitrary precision; same digit-length divisor rule
+      if (n <= 0) localize(epochNaive)
+      else {
+        val divisor = math.pow(10, n.toString.length % 10)
+        fromEpochSeconds(n.toDouble / divisor)
+      }
     case JString(s) => toUTC(s)
     case other => throw new IllegalArgumentException(s"cannot convert $other to a date")
   }

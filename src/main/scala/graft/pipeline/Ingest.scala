@@ -178,7 +178,12 @@ object Ingest {
   }
 
   /** Read the ingested events table back (partition discovery replaces the
-    * reference's ALTER TABLE ADD PARTITION cron, generate_partitions.py). */
-  def eventsTable(spark: SparkSession, outDir: String): DataFrame =
+    * reference's ALTER TABLE ADD PARTITION cron, generate_partitions.py).
+    * Partition columns stay strings — the Glue DDL declares year/month/day/
+    * hour as string (main.tf:214-232), and zero-padded values ("08") must
+    * not collapse to ints. */
+  def eventsTable(spark: SparkSession, outDir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     spark.read.parquet(outDir)
+  }
 }

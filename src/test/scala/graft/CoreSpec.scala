@@ -177,6 +177,14 @@ class CoreSpec extends AnyFunSuite {
     assert(Json.parse("""{"a": 1, "a": 2}""") == JObject("a" -> JLong(2)))
   }
 
+  test("integers beyond Long range keep exact precision (JBigInt)") {
+    val big = "123456789012345678901234567890"
+    assert(Json.parse(s"""{"id": $big}""") == JObject("id" -> JBigInt(BigInt(big))))
+    assert(Json.render(Json.parse(s"""{"id": $big}""")) == s"""{"id":$big}""")
+    assert(pyEquals(JBigInt(BigInt(5)), JLong(5)))
+    assert(truthy(JBigInt(BigInt(1))) && !truthy(JBigInt(BigInt(0))))
+  }
+
   test("brace-balanced block scanner (helpers.py:14-33)") {
     val text = """{"a": 1}{"b": {"c": 2}}  {"d": 3}"""
     // like the original generator, inter-block characters yield empty
