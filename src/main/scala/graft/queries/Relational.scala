@@ -102,6 +102,20 @@ object Relational {
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
+  private val aggCube = Q(
+    "q_agg_cube",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), grouping("l_returnflag").cast("long").as("g_rf"))
+        .orderBy(
+          asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
+          asc("n")),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(grouping(l_returnflag) AS BIGINT) AS g_rf
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n"""))
+
   private val aggApproxDistinct = Q(
     // approx_count_distinct (HLL) is nondeterministic across engines, so the
     // declared check is the HLL estimate's contract: within 5% of exact.
@@ -448,7 +462,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     projFilter,
     dateIntervals,
-    aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggApproxDistinct,
+    aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggApproxDistinct,
     joinInner, joinLeft, joinSemi, joinAnti, joinTheta,
     windowTopkPerGroup, windowLagRunsum,
     sortTopk,
