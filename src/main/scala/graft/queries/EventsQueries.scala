@@ -101,5 +101,38 @@ object EventsQueries {
         CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct
       FROM events ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, jsonTuple)
+  /** Gap-based sessionization (2 h gap) through the typed custom-state
+    * operator (graft.operators.Sessionize, flatMapGroups), oracle-checked
+    * against the relational islands formulation (lag + running break sum) —
+    * a custom stateful operator pinned by a declarative ground truth. */
+  private val sessionize = Q(
+    "q_sessionize",
+    (s, d) =>
+      graft.operators.Sessionize.sessionize(ev(s, d).select(col("user_id"), col("ts")), 7200)
+        .toDF()
+        .select(
+          col("user_id"),
+          date_format(timestamp_micros(col("session_start_micros")), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"),
+          col("duration_s"))
+        .orderBy("user_id", "session_start", "n_events"),
+    Some("""WITH o AS (
+        SELECT user_id, ts,
+          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts) > 7200000000 THEN 1 ELSE 0 END AS brk
+        FROM events),
+      g AS (
+        SELECT user_id, ts,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM o)
+      SELECT user_id,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        count(*) AS n_events,
+        CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_s
+      FROM g GROUP BY user_id, grp
+      ORDER BY user_id, session_start, n_events"""))
+
+  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, jsonTuple, sessionize)
 }

@@ -122,6 +122,47 @@ object SimilarityQueries {
     },
     None)
 
+  /** IVF (inverted-file) ANN — the second scale path next to hyperplane LSH:
+    * a deterministic corpus sample acts as the coarse quantizer, every
+    * vector is assigned to its nearest centroid cell in one broadcast-join
+    * pass, and a query probes only its nprobe nearest cells (equi-join on
+    * the cell id — the full corpus never meets the query). At sf0.001 the
+    * probe count covers all cells, so FunctionsSpec pins exact agreement
+    * with brute force; at scale nprobe/ncells is the recall/cost dial. */
+  private val ivfAnn = Q(
+    "q_sim_ivf_ann",
+    (s, d) => {
+      val e = normalizedEmbeddings(s, d).cache()
+      val centroids = broadcast(
+        e.filter(col("vec_id") % 61 === 0)
+          .select(col("vec_id").as("cent_id"), col("emb").as("cemb")))
+      val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+      val assigned = e.crossJoin(centroids)
+        .select(col("vec_id"), col("emb"), col("cent_id"),
+          dot(col("emb"), col("cemb")).as("csim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+        .crossJoin(centroids)
+        .select(col("query_id"), col("qemb"), col("cent_id"),
+          dot(col("qemb"), col("cemb")).as("csim"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 4) // nprobe
+        .select(col("query_id"), col("qemb"), col("cent_id").as("cell"))
+      val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("emb"), col("qemb")), 6).as("cos_sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    },
+    None)
+
   /** Multimodal plumbing: an opaque binary media column (stubbed here as the
     * utf-8 bytes of `text` — no image libs in this container) with typed
     * metadata extraction. The Spark-side shape (binary column, per-row
@@ -139,5 +180,5 @@ object SimilarityQueries {
     Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_len
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(cosineTopk, neardupPairs, lshAnn, multimodalMeta)
+  val all: Seq[Q] = Seq(cosineTopk, neardupPairs, lshAnn, ivfAnn, multimodalMeta)
 }

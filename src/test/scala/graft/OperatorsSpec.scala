@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.Sessionize
+
+/** Sessionize + IVF ANN + SQL-registered kernel functions. */
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("sessionize: gap splitting, counts, durations") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "2020-01-01 10:00:00"), (1L, "2020-01-01 10:10:00"), (1L, "2020-01-01 10:20:00"),
+      (1L, "2020-01-01 13:00:00"),
+      (2L, "2020-01-01 09:00:00"))
+      .toDF("user_id", "ts_s")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    val sessions = Sessionize.sessionize(df, gapSeconds = 1800)
+      .collect().sortBy(x => (x.user_id, x.session_start_micros))
+    assert(sessions.length == 3)
+    assert(sessions(0).user_id == 1 && sessions(0).n_events == 3 && sessions(0).duration_s == 1200)
+    assert(sessions(1).user_id == 1 && sessions(1).n_events == 1 && sessions(1).duration_s == 0)
+    assert(sessions(2).user_id == 2 && sessions(2).n_events == 1)
+  }
+
+  test("ivf ann: scores exact for returned pairs, bounded shape, decent recall") {
+    val d = "/root/testdata/sf0.001"
+    val ivf = SparkEntry.queries("q_sim_ivf_ann")(spark, d)
+      .select("query_id", "neighbor_id", "cos_sim", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // brute-force ALL cosines with the same normalization + rounding
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), graft.functions.VectorFunctions.l2Normalize(
+        col("embedding").cast("array<double>")).as("emb"))
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val allCos = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(graft.functions.VectorFunctions.dot(col("emb"), col("qemb")), 6).as("cos_sim"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every returned score is the TRUE cosine (IVF narrows candidates, never distorts scores)
+    ivf.foreach { case (qid, nid, cos, _) => assert(allCos((qid, nid)) == cos) }
+    // shape: <=5 per query, rn descending in cos
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.sortBy(_._4).map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    // recall@5 vs brute force (deterministic data + centroids => stable)
+    val bruteTop = allCos.toSeq.groupBy(_._1._1).map { case (qid, m) =>
+      qid -> m.sortBy { case ((_, nid), c) => (-c, nid) }.take(5).map(_._1._2).toSet
+    }
+    val hits = ivf.count { case (qid, nid, _, _) => bruteTop(qid).contains(nid) }
+    val recall = hits.toDouble / bruteTop.values.map(_.size).sum
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
+  test("vec_dot and bitmap_jaccard usable from SQL via extensions") {
+    val rows = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                bitmap_jaccard(array(1L, 2L), array(1L, 1L)) AS j""").collect()
+    assert(rows.head.getDouble(0) == 11.0)
+    assert(math.abs(rows.head.getDouble(1) - 1.0 / 3) < 1e-12)
+  }
+
+  test("streaming sessionize: sessions emit on event-time timeout") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    def writeFile(name: String, lines: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(base, name), lines)
+    writeFile("b1.json",
+      """{"user_id": 1, "ts": "2020-01-01T10:00:00.000Z"}
+        |{"user_id": 1, "ts": "2020-01-01T10:00:30.000Z"}
+        |""".stripMargin)
+
+    val schema = "user_id LONG, ts TIMESTAMP"
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).json(base)
+      // file sink (memory sink can't resume from a checkpoint)
+      val q = Sessionize.sessionizeStream(stream, gapSeconds = 60, watermark = "0 seconds")
+        .writeStream.format("json").outputMode("append")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce() // batch 1: open session for user 1, watermark = 10:00:30
+    // batch 2: much later event pushes the watermark past 10:00:30 + 60s
+    writeFile("b2.json", """{"user_id": 2, "ts": "2020-01-01T12:00:00.000Z"}""" + "\n")
+    runOnce()
+    runOnce() // one more drain for the timeout batch if needed
+    val out = spark.read.json(s"$base/out")
+      .selectExpr("user_id", "n_events", "duration_s").collect()
+    assert(out.exists(r => r.getLong(0) == 1 && r.getLong(1) == 2 && r.getLong(2) == 30),
+      s"expected user 1 session, got: ${out.mkString(", ")}")
+  }
+}
