@@ -195,6 +195,37 @@ object Relational {
       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       ORDER BY c_custkey"""))
 
+  /** Bucketed co-located join (SURVEY §2B joins row, the pre-partitioning
+    * scale technique): both sides written bucketed+sorted on the join key,
+    * so the sort-merge join reads co-located buckets with NO shuffle on
+    * either side — at 100 TB this is the difference between a full-table
+    * exchange and none. PlansSpec pins the exchange count against the
+    * unbucketed twin. The merge hint keeps the demo honest (broadcast would
+    * otherwise win at this scale factor). */
+  private val joinBucketed = Q(
+    "q_join_bucketed",
+    (s, d) => {
+      val tag = d.replaceAll("[^a-z0-9]", "_")
+      val ob = s"orders_b_$tag"
+      val lb = s"lineitem_b_$tag"
+      if (!s.catalog.tableExists(ob)) {
+        t(s, d, "orders").write.mode("overwrite")
+          .option("path", s"/tmp/graft_bucketed/$ob")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ob)
+        t(s, d, "lineitem").write.mode("overwrite")
+          .option("path", s"/tmp/graft_bucketed/$lb")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lb)
+      }
+      s.table(ob).hint("merge")
+        .join(s.table(lb), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum("l_extendedprice"), 2).as("rev"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, round(sum(l_extendedprice), 2) AS rev, count(*) AS n
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   /** Non-equi (theta) join; both sides tiny → broadcast nested loop is the
     * right plan and the only one Spark can pick here. */
   private val joinTheta = Q(
@@ -463,7 +494,7 @@ object Relational {
     projFilter,
     dateIntervals,
     aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggApproxDistinct,
-    joinInner, joinLeft, joinSemi, joinAnti, joinTheta,
+    joinInner, joinLeft, joinSemi, joinAnti, joinTheta, joinBucketed,
     windowTopkPerGroup, windowLagRunsum,
     sortTopk,
     setUnion, setIntersect, setExcept,

@@ -70,6 +70,22 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pf.contains("year"), s"year filter not in partition filters: $pf")
   }
 
+  test("q_join_bucketed: co-located buckets eliminate the join shuffle") {
+    val bucketed = plan("q_join_bucketed")
+    assert(bucketed.contains("SortMergeJoin"), bucketed)
+    assert(bucketed.contains("Bucketed: true"), bucketed)
+    // unbucketed twin of the same join, same hint
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"$sf/orders.parquet").hint("merge")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).size
+    assert(exchanges(bucketed) < exchanges(raw),
+      s"bucketed=${exchanges(bucketed)} raw=${exchanges(raw)}")
+  }
+
   test("kernel expressions participate in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
