@@ -103,15 +103,68 @@ object Json {
     sb.toString
   }
 
+  /** Python repr()/json.dumps float formatting: positional for decimal
+    * exponents in [-4, 16), else scientific with lowercase 'e', signed
+    * 2-digit-minimum exponent; "-0.0" keeps its sign; always at least one
+    * fractional digit in positional form. Digits come from Java's shortest
+    * round-trip rendering (JDK 17's is not shortest for a handful of
+    * pathological values — documented residual divergence). */
+  def pyFloatRepr(d: Double): String = {
+    if (d.isNaN) return "nan"
+    if (d.isInfinite) return if (d > 0) "inf" else "-inf"
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    val neg = d < 0
+    val a = math.abs(d)
+    // shortest round-tripping digit string, like Python repr (Gay/Ryu): at
+    // each precision the winner need not be the correctly-rounded string —
+    // any p-digit decimal inside the double's rounding interval qualifies —
+    // so consider the rounded form and its +-1-ulp neighbors, closest first.
+    // (JDK 17's Double.toString alone is not shortest for some values.)
+    val exact = new java.math.BigDecimal(a)
+    var chosen: java.math.BigDecimal = null
+    var prec = 1
+    while (chosen == null && prec <= 17) {
+      val rounded = new java.math.BigDecimal(
+        String.format(java.util.Locale.ROOT, s"%.${prec - 1}e", Double.box(a)))
+      val ulp = rounded.ulp
+      val candidates = Seq(rounded, rounded.add(ulp), rounded.subtract(ulp))
+        .filter(_.signum > 0)
+        .filter(_.doubleValue() == a)
+      if (candidates.nonEmpty)
+        chosen = candidates.minBy(_.subtract(exact).abs)
+      prec += 1
+    }
+    val stripped = chosen.stripTrailingZeros
+    val digits0 = stripped.unscaledValue.abs.toString
+    val decExp = stripped.precision - 1 - stripped.scale
+    val sign = if (neg) "-" else ""
+    if (decExp >= -4 && decExp < 16) {
+      if (decExp >= 0) {
+        val intPart =
+          if (digits0.length > decExp + 1) digits0.take(decExp + 1)
+          else digits0 + "0" * (decExp + 1 - digits0.length)
+        val frac = if (digits0.length > decExp + 1) digits0.drop(decExp + 1) else "0"
+        s"$sign$intPart.$frac"
+      } else {
+        s"${sign}0." + "0" * (-decExp - 1) + digits0
+      }
+    } else {
+      val mantStr =
+        if (digits0.length == 1) digits0
+        else digits0.take(1) + "." + digits0.drop(1)
+      val expStr = f"${math.abs(decExp)}%02d"
+      s"$sign${mantStr}e${if (decExp < 0) "-" else "+"}$expStr"
+    }
+  }
+
   private def write(v: JValue, sb: StringBuilder): Unit = v match {
     case JNull => sb.append("null")
     case JBool(b) => sb.append(if (b) "true" else "false")
     case JLong(n) => sb.append(n)
     case JBigInt(n) => sb.append(n.toString)
     case JDouble(d) =>
-      if (d.isNaN || d.isInfinite) sb.append("null")
-      else if (d == d.toLong && math.abs(d) < 1e15) { sb.append(d.toLong); sb.append(".0") }
-      else sb.append(d)
+      if (d.isNaN || d.isInfinite) sb.append("null") // json.dumps would raise; emit null
+      else sb.append(pyFloatRepr(d))
     case JString(s) => writeString(s, sb)
     case JArray(items) =>
       sb.append('[')

@@ -172,7 +172,7 @@ object JsonOps {
     case JString(s) => s
     case JLong(n) => n.toString
     case JBigInt(n) => n.toString
-    case JDouble(d) => if (d == d.toLong && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
+    case JDouble(d) => Json.pyFloatRepr(d)
     case JBool(b) => if (b) "True" else "False"
     case JNull => "None"
     case other => Json.render(other)

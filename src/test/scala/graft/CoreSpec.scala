@@ -177,6 +177,19 @@ class CoreSpec extends AnyFunSuite {
     assert(Json.parse("""{"a": 1, "a": 2}""") == JObject("a" -> JLong(2)))
   }
 
+  test("pyFloatRepr matches Python repr/json.dumps formatting") {
+    val cases = Seq(
+      0.1 -> "0.1", 1.0 -> "1.0", -2.5 -> "-2.5",
+      1e15 -> "1000000000000000.0", 1e16 -> "1e+16", 1e22 -> "1e+22",
+      1.5e23 -> "1.5e+23", 0.0001 -> "0.0001", 1e-5 -> "1e-05",
+      1.5e-5 -> "1.5e-05", 123456.789 -> "123456.789",
+      0.0 -> "0.0", -0.0 -> "-0.0", 250.25 -> "250.25")
+    cases.foreach { case (d, expect) =>
+      assert(Json.pyFloatRepr(d) == expect, s"$d")
+    }
+    assert(Json.render(JObject("x" -> JDouble(1e22))) == """{"x":1e+22}""")
+  }
+
   test("integers beyond Long range keep exact precision (JBigInt)") {
     val big = "123456789012345678901234567890"
     assert(Json.parse(s"""{"id": $big}""") == JObject("id" -> JBigInt(BigInt(big))))
