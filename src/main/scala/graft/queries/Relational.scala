@@ -293,6 +293,27 @@ object Relational {
     Some("""SELECT o_orderkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
 
+  /** Multi-key sort with explicit NULLS ordering + OFFSET pagination
+    * (lag introduces genuine nulls; both engines agree on NULLS LAST). */
+  private val sortNullsOffset = Q(
+    "q_sort_nulls_offset",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, d, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"))
+        .orderBy(desc_nulls_last("prev_price"), asc("o_orderkey"))
+        .offset(10)
+        .limit(50)
+    },
+    Some("""SELECT o_custkey, o_orderkey, prev_price FROM (
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price
+        FROM orders) sub
+      ORDER BY prev_price DESC NULLS LAST, o_orderkey
+      LIMIT 50 OFFSET 10"""))
+
   // -- set operations ----------------------------------------------------------
 
   private val setUnion = Q(
@@ -309,6 +330,21 @@ object Relational {
         UNION
         SELECT c_custkey FROM customer WHERE c_acctbal > 9000) sub
       ORDER BY c_custkey"""))
+
+  private val setUnionAll = Q(
+    "q_set_union_all",
+    (s, d) => {
+      val c = t(s, d, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .union(c.filter(col("c_acctbal") > 9000).select("c_custkey"))
+        .groupBy("c_custkey").agg(count(lit(1)).as("n")) // counts expose the ALL semantics
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, count(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000) sub
+      GROUP BY c_custkey ORDER BY c_custkey"""))
 
   private val setIntersect = Q(
     "q_set_intersect",
@@ -496,8 +532,8 @@ object Relational {
     aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggApproxDistinct,
     joinInner, joinLeft, joinSemi, joinAnti, joinTheta, joinBucketed,
     windowTopkPerGroup, windowLagRunsum,
-    sortTopk,
-    setUnion, setIntersect, setExcept,
+    sortTopk, sortNullsOffset,
+    setUnion, setUnionAll, setIntersect, setExcept,
     stringFns, dateFns, mathFns, arrayFns, explodeFn,
     subqueryIn, subqueryScalar)
 }
