@@ -88,7 +88,12 @@ object Dates {
     if (s.nonEmpty && s.forall(_.isDigit))
       // the original's isdigit branch raises TypeError for strings (str/int)
       throw new IllegalArgumentException(s"digit-string '$s' is unsupported (mirrors dates.py:63)")
-    val asFloat = try Some(s.trim.toDouble) catch { case _: NumberFormatException => None }
+    // cheap shape guard before the exception-driven float parse: a thrown
+    // NumberFormatException per row would dominate a hot scan, and any
+    // string with date separators can't be a Python float anyway
+    val t = s.trim
+    val floatish = t.nonEmpty && t.forall(c => c.isDigit || c == '+' || c == '-' || c == '.' || c == 'e' || c == 'E')
+    val asFloat = if (floatish) (try Some(t.toDouble) catch { case _: NumberFormatException => None }) else None
     asFloat match {
       case Some(f) if f <= 0 => localize(epochNaive)
       case _ => fuzzyParse(s)

@@ -134,5 +134,26 @@ object EventsQueries {
       FROM g GROUP BY user_id, grp
       ORDER BY user_id, session_start, n_events"""))
 
-  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, jsonTuple, sessionize)
+  /** Salted two-phase aggregation over a skew-prone low-cardinality key:
+    * phase 1 aggregates (key, salt) so each hot key spreads over 16 reducers,
+    * phase 2 folds the partials. Same result as the direct groupBy (the
+    * oracle proves it); the technique is the manual fallback where AQE skew
+    * handling doesn't reach (aggregations, not joins). For avg under
+    * salting, sum/count partials fold correctly where avg-of-avgs wouldn't. */
+  private val saltedAgg = Q(
+    "q_agg_salted",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("salt", (col("user_id") % 16).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
+        .groupBy("event_type")
+        .agg(
+          sum("pn").as("n"),
+          round(sum("psum") / sum("pn"), 4).as("avg_value"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, jsonTuple, sessionize, saltedAgg)
 }
