@@ -126,5 +126,49 @@ object TextQueries {
     Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY text ORDER BY keep_id"""))
 
-  val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact)
+  /** The training-data-prep chain composed end-to-end: quality gate ->
+    * exact-dedup keep-list -> per-language corpus stats. Each stage is an
+    * operator verified on its own elsewhere; this entry proves they compose
+    * (and the whole chain still hash-matches a single declarative oracle).
+    * At 100 TB: the quality gate is a narrow filter at scan, the keep-list
+    * join carries only (hash, doc_id), and the final agg is low-cardinality. */
+  private val trainPrep = Q(
+    "q_text_train_prep",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_words", size(col("words")).cast("long"))
+        .withColumn(
+          "stop_ratio",
+          size(filter(col("words"), w => w.isin(stopEn.map(x => x: Any): _*)))
+            .cast("double") / col("n_words"))
+        // quality gate: plausible natural text only
+        .filter(col("n_words") >= 20 && col("stop_ratio") < 0.4)
+      // exact-dedup keep-list: smallest doc_id per identical text survives
+      val keep = docs
+        .select(xxhash64(col("text")).as("th"), col("doc_id"))
+        .groupBy("th").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      docs.join(keep, "doc_id")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_words").as("total_tokens"),
+          round(avg("n_words"), 4).as("avg_tokens"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH scored AS (
+        SELECT doc_id, lang, text,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopEnSql))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents),
+      gated AS (SELECT * FROM scored WHERE n_words >= 20 AND stop_ratio < 0.4),
+      keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
+      SELECT lang, count(*) AS n_docs, sum(n_words) AS total_tokens,
+             round(avg(n_words), 4) AS avg_tokens
+      FROM gated JOIN keep USING (doc_id)
+      GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep)
 }

@@ -86,6 +86,19 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucketed=${exchanges(bucketed)} raw=${exchanges(raw)}")
   }
 
+  test("near-dup/similarity candidate generation joins on keys, never cross joins") {
+    // minhash: candidates meet ONLY through the (band, bh) equi-join
+    val minhash = plan("q_dedup_minhash")
+    assert(!minhash.contains("CartesianProduct"), minhash)
+    // lsh ann: bucket equi-join with the query side broadcast
+    val lsh = plan("q_sim_lsh_ann")
+    assert(!lsh.contains("CartesianProduct"), lsh)
+    assert(lsh.contains("BroadcastHashJoin"), lsh)
+    // cosine top-k: query side broadcast, corpus streamed once
+    val topk = plan("q_sim_cosine_topk")
+    assert(topk.contains("BroadcastNestedLoopJoin") || topk.contains("BroadcastHashJoin"), topk)
+  }
+
   test("kernel expressions participate in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
