@@ -111,6 +111,9 @@ object Dates {
 
   private val isoDateTime = """(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?(Z|[+-]\d{2}:?\d{2})?""".r
   private val isoDate = """(\d{4})-(\d{2})-(\d{2})""".r
+  // dateutil's default month-first reading of slash dates: M/D/Y (Y 4-digit
+  // or 2-digit with the 50-pivot), or Y/M/D when the first field is 4-digit
+  private val slashDate = """(\d{1,4})/(\d{1,2})/(\d{1,4})""".r
   private val timeRe = """(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?""".r
   private val ampmFused = """(?i)(\d{1,2})(?::(\d{2}))?(am|pm)""".r
   private val offsetRe = """([+-])(\d{2}):?(\d{2})""".r
@@ -155,6 +158,10 @@ object Dates {
       val lower = tok.toLowerCase(java.util.Locale.ROOT)
       tok match {
         case isoDate(y, mo, d) => year = y.toInt; month = mo.toInt; day = d.toInt
+        case slashDate(a, b, c) if year < 0 && month < 0 =>
+          def pivot(y: Int) = if (y >= 100) y else if (y >= 50) 1900 + y else 2000 + y
+          if (a.length == 4) { year = a.toInt; month = b.toInt; day = c.toInt }
+          else { month = a.toInt; day = b.toInt; year = pivot(c.toInt) }
         case _ if monthNames.contains(lower.take(3)) && lower.length <= 9 && month < 0 =>
           month = monthNames(lower.take(3))
         case ampmFused(h, mi, ap) =>

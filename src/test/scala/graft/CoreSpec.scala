@@ -63,6 +63,13 @@ class CoreSpec extends AnyFunSuite {
     assert(Dates.isoformat(Dates.toUTC("-5")) == "1970-01-01T00:00:00+00:00")
   }
 
+  test("toUTC: slash dates (dateutil month-first)") {
+    assert(Dates.isoformat(Dates.toUTC("09/04/2019 17:54:59")) == "2019-09-04T17:54:59+00:00")
+    assert(Dates.isoformat(Dates.toUTC("2019/09/04")) == "2019-09-04T00:00:00+00:00")
+    assert(Dates.isoformat(Dates.toUTC("9/4/19")) == "2019-09-04T00:00:00+00:00")
+    assert(Dates.isoformat(Dates.toUTC("September 4 2019 5:54pm UTC")) == "2019-09-04T17:54:00+00:00")
+  }
+
   test("toUTC failures: garbage and digit-strings throw") {
     assertThrows[Exception](Dates.toUTC("nada"))
     // digit-only strings hit the original's str/int TypeError (dates.py:63)
