@@ -83,8 +83,15 @@ object JsonOps {
     case (JDouble(x), JLong(y)) => x == y.toDouble
     case (JBigInt(x), JLong(y)) => x == BigInt(y)
     case (JLong(x), JBigInt(y)) => BigInt(x) == y
-    case (JBigInt(x), JDouble(y)) => x.toDouble == y
-    case (JDouble(x), JBigInt(y)) => x == y.toDouble
+    // Python int==float compares exactly; toDouble would round the BigInt.
+    // java BigDecimal(double) is the EXACT binary value (Scala's uses the
+    // shortest repr, which would be wrong here); compareTo ignores scale.
+    case (JBigInt(x), JDouble(y)) =>
+      !y.isNaN && !y.isInfinite &&
+        new java.math.BigDecimal(x.bigInteger).compareTo(new java.math.BigDecimal(y)) == 0
+    case (JDouble(x), JBigInt(y)) =>
+      !x.isNaN && !x.isInfinite &&
+        new java.math.BigDecimal(y.bigInteger).compareTo(new java.math.BigDecimal(x)) == 0
     case (JBool(x), JLong(y)) => (if (x) 1L else 0L) == y
     case (JLong(x), JBool(y)) => x == (if (y) 1L else 0L)
     case (JBool(x), JDouble(y)) => (if (x) 1.0 else 0.0) == y

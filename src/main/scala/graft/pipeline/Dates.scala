@@ -61,8 +61,13 @@ object Dates {
   def toUTC(v: JValue): OffsetDateTime = v match {
     case JDouble(d) =>
       if (d <= 0) localize(epochNaive)
+      else if (d < 1)
+        // Python: math.log10(int(d)) = log10(0) raises ValueError
+        throw new IllegalArgumentException(s"float $d below 1 second (dates.py:53 ValueError)")
       else {
-        val magnitude = math.log10(d.toLong.toDouble).toInt
+        // magnitude of int(d); computed on the double directly so values
+        // beyond Long range don't clamp (floor(d) >= 10^k iff d >= 10^k)
+        val magnitude = math.floor(math.log10(d)).toInt
         val scaled = if (magnitude > 9) d / math.pow(10, magnitude - 9) else d
         fromEpochSeconds(scaled)
       }
@@ -75,7 +80,8 @@ object Dates {
         fromEpochSeconds(n / divisor)
       }
     case JBigInt(n) => // Python ints are arbitrary precision; same digit-length divisor rule
-      if (n <= 0) localize(epochNaive)
+      if (n < 0) throw new IllegalArgumentException(s"negative epoch $n") // like JLong: ValueError path
+      else if (n == 0) localize(epochNaive)
       else {
         val divisor = math.pow(10, n.toString.length % 10)
         fromEpochSeconds(n.toDouble / divisor)
@@ -85,9 +91,13 @@ object Dates {
   }
 
   def toUTC(s: String): OffsetDateTime = {
-    if (s.nonEmpty && s.forall(_.isDigit))
-      // the original's isdigit branch raises TypeError for strings (str/int)
+    if (s.nonEmpty && s.forall(_.isDigit)) {
+      // the original's isdigit branch: value <= 0 maps to the epoch FIRST
+      // (dates.py:59-60); only positive digit strings reach the str/int
+      // TypeError at dates.py:63
+      if (BigInt(s) <= 0) return localize(epochNaive)
       throw new IllegalArgumentException(s"digit-string '$s' is unsupported (mirrors dates.py:63)")
+    }
     // cheap shape guard before the exception-driven float parse: a thrown
     // NumberFormatException per row would dominate a hot scan, and any
     // string with date separators can't be a Python float anyway
@@ -161,6 +171,7 @@ object Dates {
         case slashDate(a, b, c) if year < 0 && month < 0 =>
           def pivot(y: Int) = if (y >= 100) y else if (y >= 50) 1900 + y else 2000 + y
           if (a.length == 4) { year = a.toInt; month = b.toInt; day = c.toInt }
+          else if (a.toInt > 12) { day = a.toInt; month = b.toInt; year = pivot(c.toInt) } // dateutil day-first fallback
           else { month = a.toInt; day = b.toInt; year = pivot(c.toInt) }
         case _ if monthNames.contains(lower.take(3)) && lower.length <= 9 && month < 0 =>
           month = monthNames(lower.take(3))

@@ -155,8 +155,10 @@ object IpAddresses extends Plugin {
         for (raw <- findKeys(result, field) if !found) {
           raw match {
             case JString(s0) =>
-              // x-forwarded-for style lists: first entry wins
-              val s = if (s0.contains(",")) s0.split(",")(0).trim else s0
+              // x-forwarded-for style lists: first entry wins; split with
+              // limit -1 so a value of just "," yields "" like Python's
+              // split (Scala's default strips trailing empties -> AIOOBE)
+              val s = if (s0.contains(",")) s0.split(",", -1)(0).trim else s0
               if (Net.isIp(s)) { setDetail("sourceipaddress", JString(s)); found = true }
             case _ => () // non-string candidates never validate (is_ip returns False)
           }

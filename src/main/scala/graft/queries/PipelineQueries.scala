@@ -21,11 +21,17 @@ object PipelineQueries {
   private val SamplesGlob = "/root/reference/lambdas/tests/samples/*.json"
   private val EventsDir = "/tmp/graft_events"
 
-  // once per JVM: Verify/Bench run many queries over the same ingest output
-  private val ingested = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def ensureIngested(s: SparkSession): Unit =
-    if (ingested.compareAndSet(false, true))
+  // once per JVM: Verify/Bench run many queries over the same ingest output.
+  // Synchronized, and marked done only AFTER a successful write — a CAS
+  // flipped before the write would let a concurrent reader see a missing or
+  // partial table, and a failed ingest would poison every later query.
+  private var ingested = false
+  private def ensureIngested(s: SparkSession): Unit = synchronized {
+    if (!ingested) {
       Ingest.ingestBatch(s, SamplesGlob, EventsDir)
+      ingested = true
+    }
+  }
 
   /** The ingested events table (runs the sample ingest on first use). */
   private[queries] def eventsFrame(s: SparkSession): DataFrame = {

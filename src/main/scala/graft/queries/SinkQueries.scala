@@ -15,18 +15,22 @@ object SinkQueries {
 
   private val NdjsonDir = "/tmp/graft_events_ndjson"
 
-  private val written = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private var written = false
+  private def ensureWritten(events: org.apache.spark.sql.DataFrame): Unit = synchronized {
+    if (!written) {
+      events
+        .select("eventid", "utctimestamp", "severity", "summary", "category", "source", "details")
+        .write.mode("overwrite").option("compression", "gzip").json(NdjsonDir)
+      written = true // only after a successful write
+    }
+  }
 
   /** gzip NDJSON round-trip: events -> .json.gz -> schema-on-read scan.
     * Hadoop codecs handle the gzip on both write and read (A2). */
   private val ndjsonSink = Q(
     "q_sink_ndjson",
     (s, d) => {
-      val events = PipelineQueries.eventsFrame(s)
-      if (written.compareAndSet(false, true))
-        events
-          .select("eventid", "utctimestamp", "severity", "summary", "category", "source", "details")
-          .write.mode("overwrite").option("compression", "gzip").json(NdjsonDir)
+      ensureWritten(PipelineQueries.eventsFrame(s))
       s.read.json(NdjsonDir) // schema-on-read over the gzip NDJSON
         .select(
           col("source"), col("category"), col("severity"),

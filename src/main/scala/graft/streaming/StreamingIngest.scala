@@ -42,11 +42,22 @@ object StreamingIngest {
       .as[(String, String)]
       .flatMap { case (path, content) =>
         graft.pipeline.Ingest.rawRecords(path, content).flatMap { raw =>
-          val key = graft.json.Json.render(raw).hashCode.toLong << 32 |
-            (graft.json.Json.render(raw).length.toLong & 0xffffffffL)
+          // 128->64-bit content hash: a 32-bit String.hashCode would collide
+          // and silently drop legitimate events as "replays"
+          val rendered = graft.json.Json.render(raw)
+          val key = com.google.common.hash.Hashing.murmur3_128()
+            .hashString(rendered, java.nio.charset.StandardCharsets.UTF_8).asLong()
           try graft.pipeline.Pipeline.process(raw)
             .map(sh => (graft.pipeline.Pipeline.toEvent(sh), key))
-          catch { case _: Exception => None }
+          catch {
+            case e: Exception =>
+              // the batch path lands these in the errors sink; streaming has
+              // a single sink, so surface the drop to the operator log (a
+              // production deployment would dual-write via foreachBatch)
+              org.slf4j.LoggerFactory.getLogger("graft.streaming")
+                .warn(s"dropping failed record from $path: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              None
+          }
         }
       }
       .select(col("_1.*"), col("_2").as("dedup_key"))

@@ -70,10 +70,26 @@ class CoreSpec extends AnyFunSuite {
     assert(Dates.isoformat(Dates.toUTC("September 4 2019 5:54pm UTC")) == "2019-09-04T17:54:00+00:00")
   }
 
-  test("toUTC failures: garbage and digit-strings throw") {
+  test("toUTC failures: garbage and positive digit-strings throw") {
     assertThrows[Exception](Dates.toUTC("nada"))
-    // digit-only strings hit the original's str/int TypeError (dates.py:63)
+    // POSITIVE digit-only strings hit the original's str/int TypeError
+    // (dates.py:63); value <= 0 short-circuits to the epoch first (:59-60)
     assertThrows[Exception](Dates.toUTC("1577836800"))
+    assert(Dates.isoformat(Dates.toUTC("0")) == "1970-01-01T00:00:00+00:00")
+    assert(Dates.isoformat(Dates.toUTC("000")) == "1970-01-01T00:00:00+00:00")
+    // floats below 1 second: log10(int(d)) raises in the original
+    assertThrows[Exception](Dates.toUTC(JDouble(0.5)))
+    // negative ints raise at any precision
+    assertThrows[Exception](Dates.toUTC(JLong(-5)))
+    assertThrows[Exception](Dates.toUTC(JBigInt(BigInt("-100000000000000000000"))))
+  }
+
+  test("toUTC: day-first slash fallback and huge float epochs") {
+    // dateutil swaps to day-first when the first field exceeds 12
+    assert(Dates.isoformat(Dates.toUTC("25/12/2020")) == "2020-12-25T00:00:00+00:00")
+    // float ns epoch beyond Long range must not clamp (1.6e18 ns ~ 2020)
+    assert(Dates.toUTC(JDouble(1.6e18)).getYear == 2020)
+    assert(Dates.toUTC(JDouble(1.6e19)).getYear == 2020) // 10^19 band scales by 10^10
   }
 
   // test_get_date_parts (:68-70)
@@ -173,6 +189,10 @@ class CoreSpec extends AnyFunSuite {
     assert(pyEquals(JBool(true), JLong(1)))
     assert(!pyEquals(JBool(true), JLong(2)))
     assert(!pyEquals(JString("1"), JLong(1)))
+    // int==float is EXACT in Python: 2^64+1 != float(2^64)
+    val big = BigInt("18446744073709551617") // 2^64 + 1
+    assert(!pyEquals(JBigInt(big), JDouble(1.8446744073709552e19)))
+    assert(pyEquals(JBigInt(BigInt("18446744073709551616")), JDouble(1.8446744073709552e19)))
   }
 
   test("lowercase_keys collapses case-colliding duplicates last-wins") {

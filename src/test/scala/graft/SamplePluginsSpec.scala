@@ -155,6 +155,13 @@ class SamplePluginsSpec extends AnyFunSuite {
     assert(details(r2)("_ipaddresses").asInstanceOf[JArray].items.contains(JString("192.0.2.1")))
   }
 
+  test("ip_addresses: comma-only x-forwarded-for value is skipped, not a crash") {
+    val ev = normalized("sample_cloudfront_wordpress_probe.json")
+    val noCip = ev.updated("details", details(ev).removed("c-ip").updated("x-forwarded-for", JString(",")))
+    val (Some(result), _) = IpAddresses.onMessage(noCip, meta): @unchecked
+    assert(!details(result).contains("sourceipaddress"))
+  }
+
   // ---- gsuite_login (test_plugin_gsuite_logins.py) -------------------------
 
   test("gsuite: no change on the raw (un-normalized) event") {
