@@ -75,25 +75,24 @@ object DedupQueries {
     "q_dedup_minhash",
     (s, d) => {
       val docs = docWordSets(s, d).cache()
-      val banded = docs
-        .select(col("doc_id"), posexplode(bandHashes(minhashSig(col("ws")))))
-        .toDF("doc_id", "band", "bh")
+      // bitmap travels WITH the band rows (it is a few machine words), so
+      // verification is an in-place codegen filter on the self-join output —
+      // the dense candidate set (millions of rows here) is never shuffled
+      // again to look bitmaps up by doc_id.
+      val packed = packBitmaps(docs, "ws", 4)
+      val banded = docs.join(packed, "doc_id")
+        .select(col("doc_id"), col("bitmap"), posexplode(bandHashes(minhashSig(col("ws")))))
+        .toDF("doc_id", "bitmap", "band", "bh")
+        .cache()
       // no distinct: a pair colliding in k bands is verified k times, but
       // the popcount verify is ~free and the keep-list groupBy/min absorbs
       // duplicates — cheaper than shuffling millions of candidates to dedup
-      val cand = banded.as("x")
+      val verified = banded.as("x")
         .join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
+        .filter(graft.functions.VectorFunctions.bitmapJaccard(col("x.bitmap"), col("y.bitmap")) >= 0.9)
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      // exact-Jaccard verify on BITMAP word sets: candidate volume is dense
-      // here, and the popcount kernel makes each verification ~free.
-      val packed = packBitmaps(docs, "ws", 4).cache()
-      val verified = cand
-        .join(packed.select(col("doc_id").as("doc_a"), col("bitmap").as("bm_a")), "doc_a")
-        .join(packed.select(col("doc_id").as("doc_b"), col("bitmap").as("bm_b")), "doc_b")
-        .filter(graft.functions.VectorFunctions.bitmapJaccard(col("bm_a"), col("bm_b")) >= 0.9)
-        .select("doc_a", "doc_b")
       val sym = verified.union(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       docs.select(col("doc_id"))
         .join(sym.groupBy(col("doc_a").as("doc_id")).agg(min("doc_b").as("min_nb")), Seq("doc_id"), "left")
