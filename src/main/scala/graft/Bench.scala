@@ -28,6 +28,10 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") }
     }
     val results = ordered.map { case (name, fn) =>
+      // caches are per-query working sets; dropping them between queries
+      // keeps the block manager from filling up and adding eviction/GC
+      // noise to later measurements
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
