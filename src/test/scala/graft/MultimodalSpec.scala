@@ -57,6 +57,21 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows1.foreach(r => assert(r.getLong(2) == src(r.getLong(0))))
   }
 
+  test("gzip input decompresses transparently through the ingest cascade (A2)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_gz").toString
+    val content = """{"msg": "zipped", "eventtime": "2021-05-01T10:00:00Z"}"""
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$base/123_cloudtrail_test.json.gz"))
+    gz.write(content.getBytes("UTF-8")); gz.close()
+    Ingest.ingestBatch(spark, s"$base/*.json.gz", s"$base/out")
+    val events = spark.read.parquet(s"$base/out")
+    assert(events.count() == 1)
+    val row = events.select("source", "utctimestamp").collect().head
+    // cloudtrail-ish file name classifies the source (A7) after gunzip
+    assert(row.getString(0) == "cloudtrail")
+    assert(row.getString(1) == "2021-05-01T10:00:00+00:00")
+  }
+
   test("ingest errors sink: failed records land as NDJSON with raw + error") {
     val base = java.nio.file.Files.createTempDirectory("graft_err").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/bad.json"),
