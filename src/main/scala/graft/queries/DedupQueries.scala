@@ -182,7 +182,18 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.25)
         .orderBy("doc_a", "doc_b")
     },
-    None)
+    // exact semantics => full DuckDB oracle (the bitmap packing is an
+    // implementation detail the oracle never sees)
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      d AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS sh
+            FROM w)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        FROM d a JOIN d b ON a.doc_id < b.doc_id) sub
+      WHERE jaccard >= 0.25 ORDER BY doc_a, doc_b"""))
 
   val all: Seq[Q] = Seq(minhashLsh, simhash, ngramJaccard)
 }
