@@ -76,6 +76,21 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("text fingerprint is order-sensitive and deterministic") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    def fp(frame: org.apache.spark.sql.DataFrame) = frame.select(
+      col("doc_id"),
+      aggregate(split(col("text"), " "), lit(0L), (acc, w) => xxhash64(acc, w)).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = fp(df)
+    assert(m(1) == m(3), "identical text => identical fingerprint")
+    assert(m(1) != m(2), "permuted tokens => different fingerprint (order-sensitive)")
+    assert(fp(df) == m, "deterministic across evaluations")
+  }
+
   test("bitmap ngram jaccard matches brute-force array jaccard") {
     val d = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$d/documents.parquet")
