@@ -155,5 +155,25 @@ object EventsQueries {
     Some("""SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, jsonTuple, sessionize, saltedAgg)
+  /** Spark-4 VARIANT path for schemaless JSON (SURVEY §1.2 named VariantType
+    * as the modern alternative to string + get_json_object): parse once into
+    * a binary variant, extract with variant_get — faster than repeated
+    * JSON-path string parsing when several fields are pulled per row. */
+  private val variantExtract = Q(
+    "q_events_variant",
+    (s, d) =>
+      ev(s, d)
+        .select(
+          col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, jsonTuple,
+    sessionize, saltedAgg, variantExtract)
 }
