@@ -116,6 +116,22 @@ object Relational {
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n"""))
 
+  private val aggPercentile = Q(
+    "q_agg_percentile",
+    (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.5)).cast("decimal(24,6)"), 2)
+            .cast("double").as("median_price"),
+          round(percentile(col("o_totalprice"), lit(0.9)).cast("decimal(24,6)"), 2)
+            .cast("double").as("p90_price"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+        CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(24,6)), 2) AS DOUBLE) AS median_price,
+        CAST(round(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(24,6)), 2) AS DOUBLE) AS p90_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   private val aggApproxDistinct = Q(
     // approx_count_distinct (HLL) is nondeterministic across engines, so the
     // declared check is the HLL estimate's contract: within 5% of exact.
@@ -529,7 +545,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     projFilter,
     dateIntervals,
-    aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggApproxDistinct,
+    aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggPercentile, aggApproxDistinct,
     joinInner, joinLeft, joinSemi, joinAnti, joinTheta, joinBucketed,
     windowTopkPerGroup, windowLagRunsum,
     sortTopk, sortNullsOffset,
