@@ -30,6 +30,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("driver smoke: SparkEntry.entry returns rows on a vanilla session") {
+    // the driver calls entry with its own session and only checks rows > 0
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("README query 1: json_extract_scalar equality predicates + LIMIT") {
     // /root/reference/README.md:89-109, Presto -> Spark SQL translation
     val rows = Engine.sql(spark,
