@@ -73,6 +73,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("lsh ann: scores exact for returned pairs, bounded shape") {
+    val d = "/root/testdata/sf0.001"
+    val lsh = SparkEntry.queries("q_sim_lsh_ann")(spark, d)
+      .select("query_id", "neighbor_id", "cos_sim", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(lsh.nonEmpty)
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), graft.functions.VectorFunctions.l2Normalize(
+        col("embedding").cast("array<double>")).as("emb"))
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val allCos = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(graft.functions.VectorFunctions.dot(col("emb"), col("qemb")), 6).as("cos_sim"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    lsh.foreach { case (qid, nid, cos, _) => assert(allCos((qid, nid)) == cos) }
+    lsh.groupBy(_._1).foreach { case (_, rows) => assert(rows.length <= 5) }
+  }
+
   test("vec_dot and bitmap_jaccard usable from SQL via extensions") {
     val rows = spark.sql(
       """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,

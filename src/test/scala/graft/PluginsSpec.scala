@@ -106,6 +106,32 @@ class PluginsSpec extends AnyFunSuite {
     assert(!laterRan)
   }
 
+  test("timestamps: @timestamp field recognized (second in priority order)") {
+    val event = obj("""{"details": {"@timestamp": "2021-03-04T05:06:07Z"}}""")
+    val (Some(result), _) = Timestamps.onMessage(event, meta): @unchecked
+    assert(result("utctimestamp") == JString("2021-03-04T05:06:07+00:00"))
+  }
+
+  test("timestamps: 'timestamp' field outranks 'start' regardless of nesting") {
+    val event = obj(
+      """{"details": {"start": "2020-01-01T00:00:00Z", "timestamp": "2021-01-01T00:00:00Z"}}""")
+    val (Some(result), _) = Timestamps.onMessage(event, meta): @unchecked
+    assert(result("utctimestamp") == JString("2021-01-01T00:00:00+00:00"))
+  }
+
+  test("dispatch: non-string tags never match registration, string ones do") {
+    var ran = 0
+    val p = new Plugin {
+      val name = "bytag"; val registration = Seq("42")
+      def onMessage(m: JObject, md: JObject) = { ran += 1; (Some(m), md) }
+    }
+    // numeric tag 42 is not the string "42" (Python set intersection semantics)
+    val (r1, _) = PluginDispatch.send(obj("""{"tags": [42]}"""), meta, Seq(p))
+    assert(ran == 0 && r1.isDefined)
+    val (r2, _) = PluginDispatch.send(obj("""{"tags": ["42"]}"""), meta, Seq(p))
+    assert(ran == 1 && r2.isDefined)
+  }
+
   test("dispatch: plugins field appends to an existing list") {
     val p = new Plugin {
       val name = "p"; val registration = Seq("*")
