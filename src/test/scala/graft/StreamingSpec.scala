@@ -74,6 +74,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.count() == 2)
   }
 
+  test("streaming ingest of the five reference samples matches batch goldens") {
+    val landing = s"$base/landing_samples"
+    Files.createDirectories(Paths.get(landing))
+    val samples = new java.io.File("/root/reference/lambdas/tests/samples").listFiles()
+    samples.foreach(f => Files.copy(f.toPath, Paths.get(landing, f.getName)))
+    val q = StreamingIngest.start(spark, landing, s"$base/events_samples", s"$base/ckpt_samples",
+      Trigger.AvailableNow())
+    q.awaitTermination(180000)
+    val out = spark.read.parquet(s"$base/events_samples")
+    assert(out.count() == 5)
+    import org.apache.spark.sql.functions._
+    val byIp = out.select(
+      get_json_object(col("details"), "$.sourceipaddress").as("ip"),
+      col("utctimestamp"), col("source")).collect()
+      .map(r => Option(r.getString(0)) -> (r.getString(1), r.getString(2))).toMap
+    // golden values from the plugin test files (test_plugin_*.py)
+    assert(byIp(Some("54.21.12.27"))._1 == "2019-09-04T17:54:59+00:00")
+    assert(byIp(Some("139.59.66.23"))._1 == "2020-09-01T17:48:18+00:00")
+    assert(byIp(Some("198.51.100.1"))._1 == "2014-12-14T04:06:50+00:00")
+    assert(byIp(Some("123.456.253.226"))._2 == "gsuite")
+  }
+
+  test("batch ingest scales across many small files") {
+    val landing = s"$base/many"
+    Files.createDirectories(Paths.get(landing))
+    (0 until 200).foreach { i =>
+      Files.writeString(Paths.get(landing, f"ev_$i%03d.json"),
+        s"""{"n": $i, "eventtime": "2022-01-01T00:00:00Z"}""")
+    }
+    graft.pipeline.Ingest.ingestBatch(spark, s"$landing/*.json", s"$base/many_out")
+    val out = spark.read.parquet(s"$base/many_out")
+    assert(out.count() == 200)
+    import org.apache.spark.sql.functions._
+    assert(out.select(get_json_object(col("details"), "$.n").cast("long")).distinct().count() == 200)
+  }
+
   test("streaming hourly window counts with watermark") {
     val landing = s"$base/landing2"
     write(landing, "ev.json",
