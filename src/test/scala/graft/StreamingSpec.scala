@@ -110,6 +110,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select(get_json_object(col("details"), "$.n").cast("long")).distinct().count() == 200)
   }
 
+  test("schema drift never breaks the table (the reference's core thesis)") {
+    // two producers with completely different shapes land in the SAME table:
+    // the shell is fixed, everything else rides in the details JSON
+    val landing = s"$base/drift"
+    write(landing, "shape_a.json", """{"eventtime": "2023-01-01T00:00:00Z", "user": "alice", "action": {"type": "login", "mfa": true}}""")
+    val q1 = StreamingIngest.start(spark, landing, s"$base/drift_out", s"$base/drift_ckpt", Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    write(landing, "shape_b.json", """{"start": 1672531200, "bytes": 99, "nested": {"deep": {"deeper": [1, 2, 3]}}}""")
+    val q2 = StreamingIngest.start(spark, landing, s"$base/drift_out", s"$base/drift_ckpt", Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    import org.apache.spark.sql.functions._
+    val out = spark.read.parquet(s"$base/drift_out")
+    assert(out.count() == 2)
+    // same fixed shell schema for both; per-shape fields via JSON paths
+    assert(out.filter(get_json_object(col("details"), "$.action.mfa") === "true").count() == 1)
+    assert(out.filter(get_json_object(col("details"), "$.nested.deep.deeper[2]") === "3").count() == 1)
+    // the epoch int in `start` was coerced by the timestamps plugin
+    assert(out.filter(col("utctimestamp") === "2023-01-01T00:00:00+00:00").count() == 2)
+  }
+
   test("streaming hourly window counts with watermark") {
     val landing = s"$base/landing2"
     write(landing, "ev.json",
