@@ -132,6 +132,44 @@ object Relational {
         CAST(round(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(24,6)), 2) AS DOUBLE) AS p90_price
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Explicit GROUPING SETS (beyond the rollup/cube shorthands), through
+    * spark.sql so Catalyst's Expand handles it exactly as a SQL client would. */
+  private val aggGroupingSets = Q(
+    "q_agg_grouping_sets",
+    (s, d) => {
+      Tables.views(s, d, "lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                 CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                 CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** Pivot (Presto clients write this as conditional aggregation; Spark has
+    * first-class `pivot`). Explicit value list keeps the plan single-pass —
+    * no extra distinct-values job, which at 100 TB would be a full scan. */
+  private val aggPivot = Q(
+    "q_agg_pivot",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+        round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+        round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   private val aggApproxDistinct = Q(
     // approx_count_distinct (HLL) is nondeterministic across engines, so the
     // declared check is the HLL estimate's contract: within 5% of exact.
@@ -241,6 +279,60 @@ object Relational {
     Some("""SELECT o_orderpriority, round(sum(l_extendedprice), 2) AS rev, count(*) AS n
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Full outer join where BOTH sides have unmatched rows (each side is
+    * filtered independently). At 100 TB: full outer cannot broadcast —
+    * sort-merge on the key, AQE handles skew. */
+  private val joinFull = Q(
+    "q_join_full",
+    (s, d) => {
+      val c = t(s, d, "customer")
+        .filter(col("c_acctbal") > 8000)
+        .select("c_custkey", "c_acctbal")
+      val o = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("spend"))
+        .filter(col("spend") > 700000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "full")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("spend"))
+        .orderBy("custkey")
+    },
+    Some("""SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal, spend
+      FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000) c
+      FULL OUTER JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+                       FROM orders GROUP BY o_custkey
+                       HAVING round(sum(o_totalprice), 2) > 700000) o
+        ON c_custkey = o_custkey
+      ORDER BY custkey"""))
+
+  /** Right outer join (symmetric twin of q_join_left, declared separately
+    * so the §2B joins row is covered line-by-line). */
+  private val joinRight = Q(
+    "q_join_right",
+    (s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  /** Cross join of two tiny distinct sets — 5 regions × order priorities.
+    * Only ever sane when at least one side is tiny (broadcast nested loop);
+    * the engine never plans a large×large cross product in this corpus. */
+  private val joinCross = Q(
+    "q_join_cross",
+    (s, d) =>
+      t(s, d, "region").select("r_name")
+        .crossJoin(t(s, d, "orders").select("o_orderpriority").distinct())
+        .orderBy("r_name", "o_orderpriority"),
+    Some("""SELECT r_name, o_orderpriority
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+      ORDER BY r_name, o_orderpriority"""))
 
   /** Non-equi (theta) join; both sides tiny → broadcast nested loop is the
     * right plan and the only one Spark can pick here. */
@@ -496,6 +588,33 @@ object Relational {
         SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part) sub
       ORDER BY p_partkey, word"""))
 
+  /** Map-typed column functions (§2B array/map row): build a word→length map
+    * per part, then size / lookup / keys / value-fold over it. The oracle
+    * computes the same values with DuckDB list functions — the check is on
+    * results, not on both engines sharing a map type. */
+  private val mapFns = Q(
+    "q_map_fns",
+    (s, d) =>
+      t(s, d, "part")
+        .withColumn("words", array_distinct(slice(split(col("p_name"), " "), 1, 3)))
+        .withColumn(
+          "m",
+          map_from_arrays(col("words"), transform(col("words"), w => length(w))))
+        .select(
+          col("p_partkey"),
+          size(col("m")).cast("long").as("m_size"),
+          element_at(col("m"), element_at(col("words"), 1)).cast("long").as("v_first"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"),
+          aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("vals_sum"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+        CAST(len(list_distinct(string_split(p_name, ' ')[1:3])) AS BIGINT) AS m_size,
+        CAST(length(string_split(p_name, ' ')[1]) AS BIGINT) AS v_first,
+        array_to_string(list_sort(list_distinct(string_split(p_name, ' ')[1:3])), ',') AS keys_sorted,
+        CAST(list_aggregate(list_transform(list_distinct(string_split(p_name, ' ')[1:3]),
+             x -> length(x)), 'sum') AS BIGINT) AS vals_sum
+      FROM part ORDER BY p_partkey"""))
+
   // -- subqueries (via spark.sql so Catalyst does the decorrelation) -----------
 
   private val subqueryIn = Q(
@@ -524,6 +643,23 @@ object Relational {
       WHERE l_quantity > (SELECT avg(l_quantity) + 20 FROM lineitem)
       ORDER BY l_orderkey, l_linenumber, l_quantity"""))
 
+  /** Correlated EXISTS with a non-key predicate — Catalyst decorrelates to a
+    * left-semi join (same physical shape DuckDB picks), so this stays a
+    * single shuffle at scale rather than a per-row probe. */
+  private val subqueryExists = Q(
+    "q_subquery_exists",
+    (s, d) => {
+      Tables.views(s, d, "customer", "orders")
+      s.sql("""SELECT c_custkey, c_name FROM customer
+               WHERE EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      ORDER BY c_custkey"""))
+
   // -- interval arithmetic -----------------------------------------------------
 
   private val dateIntervals = Q(
@@ -545,11 +681,13 @@ object Relational {
   val all: Seq[Q] = Seq(
     projFilter,
     dateIntervals,
-    aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggPercentile, aggApproxDistinct,
-    joinInner, joinLeft, joinSemi, joinAnti, joinTheta, joinBucketed,
+    aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggGroupingSets,
+    aggPivot, aggPercentile, aggApproxDistinct,
+    joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
+    joinTheta, joinBucketed,
     windowTopkPerGroup, windowLagRunsum,
     sortTopk, sortNullsOffset,
     setUnion, setUnionAll, setIntersect, setExcept,
-    stringFns, dateFns, mathFns, arrayFns, explodeFn,
-    subqueryIn, subqueryScalar)
+    stringFns, dateFns, mathFns, arrayFns, mapFns, explodeFn,
+    subqueryIn, subqueryScalar, subqueryExists)
 }

@@ -157,4 +157,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 2)
     assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 1L))
   }
+
+  test("streaming sliding windows (1 hour window, 5 minute slide)") {
+    val landing = s"$base/landing_slide"
+    write(landing, "ev.json",
+      """[{"eventtime": "2020-01-01T10:05:00Z"}, {"eventtime": "2020-01-01T10:55:00Z"}, {"eventtime": "2020-01-01T11:05:00Z"}]""")
+
+    val q = StreamingIngest.slidingCounts(
+      StreamingIngest.eventsStream(spark, landing))
+      .writeStream.format("memory").queryName("sliding_c")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val rows = spark.sql("SELECT window_start, n FROM sliding_c").collect()
+    // each event lands in 12 overlapping windows (60 min / 5 min slide):
+    // starts span 09:10..11:05 -> 24 distinct windows, total weight 3*12
+    assert(rows.length == 24)
+    assert(rows.map(_.getLong(1)).sum == 36L)
+    // windows holding two events exist (e.g. [10:05,11:05) has 10:05+10:55),
+    // none holds all three (10:05 and 11:05 are exactly 60 min apart)
+    assert(rows.map(_.getLong(1)).max == 2L)
+  }
 }
