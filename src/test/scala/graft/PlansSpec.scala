@@ -86,6 +86,36 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucketed=${exchanges(bucketed)} raw=${exchanges(raw)}")
   }
 
+  test("q_join_full: full outer is sort-merge (cannot broadcast), both sides shuffled on the key") {
+    val p = plan("q_join_full")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("q_join_cross: tiny cross product broadcasts, never a shuffled cartesian") {
+    val p = plan("q_join_cross")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_subquery_exists: correlated EXISTS decorrelates to a semi join") {
+    assert(plan("q_subquery_exists").contains("LeftSemi"))
+  }
+
+  test("q_agg_grouping_sets: planned with Expand, single scan") {
+    val p = plan("q_agg_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_agg_pivot: explicit value list keeps pivot a single-pass aggregate") {
+    val p = plan("q_agg_pivot")
+    // one scan (no separate distinct-values job materialized in this plan),
+    // partial+final aggregate around one shuffle like any groupBy
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("near-dup/similarity candidate generation joins on keys, never cross joins") {
     // minhash: candidates meet ONLY through the (band, bh) equi-join
     val minhash = plan("q_dedup_minhash")
