@@ -170,6 +170,32 @@ object Relational {
         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Mergeable HLL sketches (DataSketches) — the 100 TB distinct-count
+    * pattern: build one tiny sketch per partition slice (here: per month),
+    * then union sketches instead of ever rescanning rows. Sketch state is
+    * order-insensitive, so the estimate is deterministic; the declared check
+    * is the same 5%-of-exact contract as q_agg_approx_distinct. */
+  private val aggHllMerge = Q(
+    "q_agg_hll_merge",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val monthly = o
+        .groupBy(month(col("o_orderdate")).as("mo"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val merged = monthly
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+      o.agg(countDistinct("o_custkey").as("exact_custs"))
+        .crossJoin(merged)
+        .select(
+          col("exact_custs"),
+          (abs(col("merged_est") - col("exact_custs")) <
+            col("exact_custs") * 0.05).as("within_5pct"))
+    },
+    Some("""SELECT count(DISTINCT o_custkey) AS exact_custs,
+        abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+          < count(DISTINCT o_custkey) * 0.05 AS within_5pct
+      FROM orders"""))
+
   private val aggApproxDistinct = Q(
     // approx_count_distinct (HLL) is nondeterministic across engines, so the
     // declared check is the HLL estimate's contract: within 5% of exact.
@@ -682,7 +708,7 @@ object Relational {
     projFilter,
     dateIntervals,
     aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggGroupingSets,
-    aggPivot, aggPercentile, aggApproxDistinct,
+    aggPivot, aggPercentile, aggApproxDistinct, aggHllMerge,
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
     joinTheta, joinBucketed,
     windowTopkPerGroup, windowLagRunsum,
