@@ -35,4 +35,26 @@ object Engine {
   /** "Queries can be any valid Presto SQL" (README.md:116) -> any valid
     * Spark SQL, parsed/optimized/executed by Catalyst. */
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+
+  /** Full reference-client compatibility: register the events table under
+    * the reference's own catalog name (`"defenda_data_lake"."events"`,
+    * README.md:94) as an external partitioned table, so the README queries
+    * run VERBATIM — double-quoted identifiers need
+    * `spark.sql.ansi.doubleQuotedIdentifiers=true`, and the
+    * json_extract_scalar/json_extract/json_array_contains functions come
+    * from [[graft.functions.GraftExtensions]]. `MSCK REPAIR` is the exact
+    * Spark analogue of the reference's partition-registration cron
+    * (generate_partitions.py) — run once per registration, not per hour. */
+  def registerReferenceCatalog(spark: SparkSession, eventsDir: String): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS defenda_data_lake")
+    spark.sql("DROP TABLE IF EXISTS defenda_data_lake.events")
+    spark.sql(s"""CREATE TABLE defenda_data_lake.events (
+        eventid STRING, utctimestamp STRING, severity STRING, summary STRING,
+        category STRING, source STRING, tags ARRAY<STRING>,
+        plugins ARRAY<STRING>, details STRING)
+      USING parquet
+      PARTITIONED BY (year STRING, month STRING, day STRING, hour STRING)
+      LOCATION '$eventsDir'""")
+    spark.sql("MSCK REPAIR TABLE defenda_data_lake.events")
+  }
 }

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GetJsonObject, If, Literal}
+import org.apache.spark.sql.types.StringType
 
 /** SparkSessionExtensions hook: registers the custom codegen'd expressions
   * as SQL functions, so `spark.sql("... vec_dot(a, b) ...")` works exactly
@@ -26,5 +27,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bitmap_jaccard"),
       info("bitmap_jaccard", "bitmap_jaccard(a, b) - Jaccard of packed bitmap sets"),
       (children: Seq[Expression]) => BitmapJaccard(children(0), children(1))))
+    // Presto source compatibility (reference README queries run verbatim):
+    ext.injectFunction((
+      new FunctionIdentifier("json_extract"),
+      info("json_extract", "json_extract(json, path) - Presto alias of get_json_object"),
+      (children: Seq[Expression]) => GetJsonObject(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("json_extract_scalar"),
+      info("json_extract_scalar",
+        "json_extract_scalar(json, path) - like json_extract but NULL for non-scalar values"),
+      (children: Seq[Expression]) => {
+        val extracted = GetJsonObject(children(0), children(1))
+        If(IsJsonComposite(extracted), Literal(null, StringType), extracted)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("json_array_contains"),
+      info("json_array_contains",
+        "json_array_contains(json, value) - membership test on a JSON array text"),
+      (children: Seq[Expression]) => JsonArrayContains(children(0), children(1))))
   }
 }

@@ -16,14 +16,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var eventsDir: String = _
 
   override def beforeAll(): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_engine").toString
     spark = SparkSession.builder()
       .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$base/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    eventsDir = java.nio.file.Files.createTempDirectory("graft_engine").toString + "/events"
+    eventsDir = base + "/events"
     Ingest.ingestBatch(spark, "/root/reference/lambdas/tests/samples/*.json", eventsDir)
     Ingest.eventsTable(spark, eventsDir).createOrReplaceTempView("events")
   }
@@ -60,6 +63,76 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
          LIMIT 100""").collect()
     assert(rows.length == 1)
     assert(rows.head.getString(0) == "CreateLogStream")
+  }
+
+  test("reference Presto queries run VERBATIM (catalog name, quoted idents, json fns)") {
+    Engine.registerReferenceCatalog(spark, eventsDir)
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    try {
+      // README.md:89-109 character-for-character: parses, resolves
+      // json_extract_scalar + "defenda_data_lake"."events", and executes
+      // (its hard-coded 2020-06-19 partition holds no sample data -> 0 rows)
+      val verbatim = Engine.sql(spark,
+        """SELECT utctimestamp,
+         summary,
+         source,
+         details
+
+FROM "defenda_data_lake"."events"
+    where
+    source='cloudtrail' AND json_extract_scalar(details,'$.eventname') = 'ConsoleLogin'
+    AND (
+            (year='2020'
+            AND month='06'
+            AND day='19'
+            AND hour='01')
+            OR
+            (year='2020'
+            AND month='06'
+            AND day='19'
+            AND hour='00')
+    )
+    limit 100""").collect()
+      assert(verbatim.isEmpty)
+
+      // same query shape against live data: partitions are PROCESSING time
+      // (Firehose delivery prefix semantics — main.tf:612-618), and batch
+      // s3 ingest overwrites source to the filename classification exactly
+      // like s3_to_firehose.py:106-124 (the preset "cloudtrail" only
+      // survives the direct-Firehose path), so fetch the real values first
+      val p = spark.table("defenda_data_lake.events")
+        .select("year", "month", "day", "hour").head
+      val part = s"year='${p.getString(0)}' AND month='${p.getString(1)}'" +
+        s" AND day='${p.getString(2)}' AND hour='${p.getString(3)}'"
+      val hit = Engine.sql(spark,
+        s"""SELECT utctimestamp, summary, source, details
+           FROM "defenda_data_lake"."events"
+           WHERE source='s3json'
+             AND json_extract_scalar(details,'$$.eventname') = 'CreateLogStream'
+             AND ($part)
+           limit 100""").collect()
+      assert(hit.length == 1)
+      assert(hit.head.getAs[String]("utctimestamp") == "2019-09-04T17:54:59+00:00")
+
+      // README.md:121-136 shape: json_array_contains(json_extract(...), ip)
+      val byIp = Engine.sql(spark,
+        s"""SELECT utctimestamp, summary, source, details, tags
+           FROM defenda_data_lake.events
+           WHERE source ='s3json'
+             AND json_array_contains(json_extract(details,'$$._ipaddresses'),'54.21.12.27')
+             AND $part
+           LIMIT 100""").collect()
+      assert(byIp.length == 1)
+
+      // json_extract_scalar: NULL on composite values (Presto semantics)
+      val scalarNull = Engine.sql(spark,
+        """SELECT json_extract_scalar(details, '$.useridentity') AS comp,
+                  json_extract(details, '$.useridentity') AS raw
+           FROM defenda_data_lake.events
+           WHERE json_extract_scalar(details, '$.eventname') = 'CreateLogStream'""").collect()
+      assert(scalarNull.head.isNullAt(0))
+      assert(scalarNull.head.getString(1).startsWith("{"))
+    } finally spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "false")
   }
 
   test("partition columns present and registered via discovery (A22)") {
