@@ -95,6 +95,36 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming errors sink — the Firehose `error_output_prefix` analogue
+    * (`/root/reference/main.tf:618`) for the streaming path: a SECOND
+    * checkpointed query over the same landing dir that keeps only pipeline
+    * failures and lands them as NDJSON. Running it as its own query (rather
+    * than foreachBatch dual-writes inside the main one) keeps BOTH sinks on
+    * the file sink's transactional commit log — exactly-once each — at the
+    * cost of re-running the cheap, shuffle-free parse over the input. */
+  def startErrorsStream(
+      spark: SparkSession,
+      landingDir: String,
+      errDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    import spark.implicits._
+    spark.readStream
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(landingDir)
+      .select(input_file_name().as("path"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (path, content) => Ingest.processFileEither(path, content)._2 }
+      .writeStream
+      .format("json")
+      .option("path", errDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming analytics over the event stream (SURVEY §2B streaming row):
     * tumbling event-time window counts with late-data drop. Watermark bounds
     * the window state; at 100 TB/day this shuffles once per window on

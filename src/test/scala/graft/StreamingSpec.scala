@@ -158,6 +158,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 1L))
   }
 
+  test("streaming errors sink: failures land as NDJSON, good events unaffected") {
+    val landing = s"$base/landing_err"
+    write(landing, "bad.json", """{"details": "notanobject", "extra": 1}""")
+    write(landing, "good.json", """{"msg": "fine", "eventtime": "2020-01-01T00:00:00Z"}""")
+
+    val qe = StreamingIngest.start(spark, landing, s"$base/err_events", s"$base/err_ckpt1",
+      Trigger.AvailableNow())
+    val qf = StreamingIngest.startErrorsStream(spark, landing, s"$base/err_errors",
+      s"$base/err_ckpt2", Trigger.AvailableNow())
+    qe.awaitTermination(120000)
+    qf.awaitTermination(120000)
+
+    assert(spark.read.parquet(s"$base/err_events").count() == 1)
+    val errors = spark.read.json(s"$base/err_errors")
+    assert(errors.count() == 1)
+    val err = errors.collect().head
+    assert(err.getAs[String]("raw").contains("notanobject"))
+    assert(err.getAs[String]("file").endsWith("bad.json"))
+  }
+
   test("streaming sliding windows (1 hour window, 5 minute slide)") {
     val landing = s"$base/landing_slide"
     write(landing, "ev.json",
