@@ -138,6 +138,22 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("source"), col("n"))
 
+  /** Stream-static enrichment: tag in-flight events whose discovered source
+    * IP appears on a (small, static) intel list — the classic security-lake
+    * join. The static side broadcasts, so the stream never shuffles and no
+    * streaming state accrues; at 100 TB/day this is a per-batch broadcast
+    * hash join inside the same narrow stage as the pipeline. The intel frame
+    * must have columns (ip, threat). */
+  def withThreatIntel(events: DataFrame, intel: DataFrame): DataFrame =
+    events
+      .withColumn("src_ip", get_json_object(col("details"), "$.sourceipaddress"))
+      .join(broadcast(intel), col("src_ip") === intel("ip"), "left")
+      .withColumn(
+        "tags",
+        when(col("threat").isNotNull, array_union(col("tags"), array(col("threat"))))
+          .otherwise(col("tags")))
+      .drop("src_ip", "ip", "threat")
+
   /** Sliding-window variant (5-minute slide over a 1-hour window). */
   def slidingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events

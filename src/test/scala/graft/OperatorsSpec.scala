@@ -25,6 +25,60 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("AQE splits skewed join partitions at runtime (the 100 TB skew story)") {
+    val s = spark
+    import s.implicits._
+    // one pathologically hot key: 50k of 51k left rows share key 0
+    val left = s.range(51000)
+      .select(when(col("id") < 50000, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+    val right = s.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val joined = left.hint("merge").join(right, "k")
+    // thresholds scaled down so local test data qualifies as "skewed";
+    // production uses the 256 MB defaults — the MECHANISM is what's pinned
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // collect() through joined's OWN query execution, so the adaptive
+      // final plan is materialized on the instance we inspect (count()
+      // would plan a separate execution and leave this one unexecuted)
+      assert(joined.collect().length == 50000) // only the hot key matches the right side
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isSkew=true") || finalPlan.contains("skew="),
+        s"AQE did not mark the skewed partition:\n$finalPlan")
+    } finally {
+      s.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      s.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      s.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
+  test("json_array_contains agrees with the native from_json formulation; Presto edges") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 300).map { _ =>
+      val items = Vector.fill(rng.nextInt(6))(rng.alphanumeric.take(rng.nextInt(5) + 1).mkString)
+      val needle =
+        if (items.nonEmpty && rng.nextBoolean()) items(rng.nextInt(items.size))
+        else rng.alphanumeric.take(3).mkString
+      (graft.json.Json.render(graft.json.JArray(items.map(graft.json.JString(_)))), needle)
+    }
+    rows.toDF("js", "needle").selectExpr(
+      "json_array_contains(js, needle) AS compat",
+      "coalesce(array_contains(from_json(js, 'array<string>'), needle), false) AS native")
+      .collect()
+      .foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+    // numeric membership compares numerically (Presto: 2 matches 2.0)
+    assert(s.sql("""SELECT json_array_contains('[1, 2.0, true, "x"]', 2)""").head.getBoolean(0))
+    assert(s.sql("""SELECT json_array_contains('[1, 2.0]', 3)""").head.getBoolean(0) == false)
+    // non-array input -> NULL (Presto), not false
+    assert(s.sql("""SELECT json_array_contains('{"a": 1}', 'a')""").head.isNullAt(0))
+  }
+
   test("sessionize: gap splitting, counts, durations") {
     val s = spark
     import s.implicits._

@@ -178,6 +178,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getAs[String]("file").endsWith("bad.json"))
   }
 
+  test("stream-static threat-intel enrichment joins broadcast, tags matching events") {
+    val landing = s"$base/landing_intel"
+    write(landing, "a.json", """{"sourceipaddress": "203.0.113.9", "eventtime": "2020-01-01T00:00:00Z"}""")
+    write(landing, "b.json", """{"sourceipaddress": "198.51.100.7", "eventtime": "2020-01-01T00:00:00Z"}""")
+    val s = spark
+    import s.implicits._
+    val intel = Seq(("203.0.113.9", "botnet-c2")).toDF("ip", "threat")
+
+    val q = StreamingIngest.withThreatIntel(
+      StreamingIngest.eventsStream(spark, landing), intel)
+      .writeStream.format("memory").queryName("intel_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val rows = spark.sql(
+      """SELECT get_json_object(details, '$.sourceipaddress') AS ip, tags
+         FROM intel_out""").collect()
+    assert(rows.length == 2)
+    val byIp = rows.map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(byIp("203.0.113.9").contains("botnet-c2"))
+    assert(!byIp("198.51.100.7").contains("botnet-c2"))
+  }
+
   test("streaming sliding windows (1 hour window, 5 minute slide)") {
     val landing = s"$base/landing_slide"
     write(landing, "ev.json",
