@@ -87,6 +87,49 @@ object SimilarityQueries {
         FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) sub
       ORDER BY cos_sim DESC, id_a, id_b LIMIT 20"""))
 
+  /** Embedding-cosine near-dedup, keep-list semantics (the fifth dedup
+    * family member next to exact/minhash/simhash/ngram): pairs above the
+    * cosine threshold collapse to a canonical minimum-id representative,
+    * one row per vector with a dup flag — linear output, joins back against
+    * the corpus as a semi/anti join. The exact all-pairs candidate source is
+    * the verified baseline; at corpus sizes where it stops being viable the
+    * hyperplane-bucket equi-join (q_sim_lsh_ann) slots in as the candidate
+    * source with the same verify + keep-list tail. Threshold 0.45 sits
+    * >=1e-4 away from every pair in the synthetic data, so engine FP noise
+    * cannot flip membership. */
+  private val embedDedup = Q(
+    "q_dedup_embed",
+    (s, d) => {
+      val e = normalizedEmbeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .filter(dot(col("emb_a"), col("emb_b")) >= 0.45)
+        .select("id_a", "id_b")
+      val sym = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      e.select(col("vec_id"))
+        .join(sym.groupBy(col("id_a").as("vec_id")).agg(min("id_b").as("min_nb")),
+          Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          least(col("vec_id"), coalesce(col("min_nb"), col("vec_id"))).as("canonical_id"))
+        .withColumn("is_dup", col("canonical_id") < col("vec_id"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45),
+      sym AS (SELECT id_a, id_b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      nb AS (SELECT id_a AS vec_id, min(id_b) AS min_nb FROM sym GROUP BY id_a)
+      SELECT e.vec_id,
+        least(e.vec_id, coalesce(nb.min_nb, e.vec_id)) AS canonical_id,
+        least(e.vec_id, coalesce(nb.min_nb, e.vec_id)) < e.vec_id AS is_dup
+      FROM embeddings e LEFT JOIN nb ON e.vec_id = nb.vec_id
+      ORDER BY e.vec_id"""))
+
   /** Random-hyperplane LSH ANN: 6 sign bits → 64 buckets; neighbors are
     * searched only within a query's bucket (equi-join on the bucket id).
     * Hyperplanes are seeded-deterministic. Rows-only check here; the
@@ -180,5 +223,5 @@ object SimilarityQueries {
     Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_len
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(cosineTopk, neardupPairs, lshAnn, ivfAnn, multimodalMeta)
+  val all: Seq[Q] = Seq(cosineTopk, neardupPairs, embedDedup, lshAnn, ivfAnn, multimodalMeta)
 }
