@@ -33,6 +33,29 @@ object VectorOps {
     math.sqrt(s)
   }
 
+  /** SimHash signature from per-token 64-bit hashes: per-bit ±1 votes, bit
+    * set where votes are positive. One pass over the tokens in a JIT'd
+    * loop — the declarative twin (aggregate over sequence(0,63) x tokens)
+    * interprets 64 lambda trees per token per row. */
+  def simhash64(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
   /** |A intersect B| / |A union B| over packed 64-bit bitmap words. */
   def bitmapJaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
@@ -87,6 +110,20 @@ case class BitmapJaccard(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** simhash64(hashes) over an array<long> of per-token hashes; codegen'd. */
+case class SimHash64(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.simhash64(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.simhash64($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Exact set Jaccard over packed bitmaps (codegen'd; see [[BitmapJaccard]]). */
@@ -95,6 +132,9 @@ object VectorFunctions {
   /** Column-level dot product (codegen'd; see [[DotProduct]]). */
   def dot(a: Column, b: Column): Column =
     graftshim.column(DotProduct(graftshim.expression(a), graftshim.expression(b)))
+  /** SimHash of an array<long> of token hashes (codegen'd; see [[SimHash64]]). */
+  def simhash64(hs: Column): Column =
+    graftshim.column(SimHash64(graftshim.expression(hs)))
 
   /** Bit positions -> packed bitmap words. A Scala UDF on purpose: it runs
     * once per DOCUMENT (not per candidate pair), and the equivalent nested

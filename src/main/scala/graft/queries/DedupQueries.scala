@@ -110,21 +110,13 @@ object DedupQueries {
   private val simhash = Q(
     "q_dedup_simhash",
     (s, d) => {
+      // signature via the codegen'd one-pass kernel (graft.functions.SimHash64);
+      // the declarative twin (aggregate over sequence(0,63) x tokens) is
+      // pinned equivalent in FunctionsSpec but interprets 64 lambda trees
+      // per token per row
       val docs = docWordSets(s, d)
         .withColumn("hs", transform(col("ws"), w => xxhash64(w)))
-        .withColumn(
-          "simhash",
-          aggregate(
-            sequence(lit(0), lit(63)),
-            lit(0L),
-            (acc, b) =>
-              acc + when(
-                aggregate(
-                  col("hs"),
-                  lit(0L),
-                  (v, h) => v + when(
-                    call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
-                call_function("shiftleft", lit(1L), b)).otherwise(0L)))
+        .withColumn("simhash", graft.functions.VectorFunctions.simhash64(col("hs")))
         .select("doc_id", "simhash")
         .cache()
       val chunked = docs.select(

@@ -55,6 +55,30 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("SimHash64 kernel equals the declarative vote formula") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 100).map(i => (i.toLong, Seq.fill(rng.nextInt(20) + 1)(rng.nextLong())))
+    val df = rows.toDF("id", "hs")
+    val out = df.select(
+      col("id"),
+      VectorFunctions.simhash64(col("hs")).as("kernel"),
+      aggregate(
+        sequence(lit(0), lit(63)),
+        lit(0L),
+        (acc, b) =>
+          acc + when(
+            aggregate(
+              col("hs"),
+              lit(0L),
+              (v, h) => v + when(
+                call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
+            call_function("shiftleft", lit(1L), b)).otherwise(0L)).as("declarative"))
+      .collect()
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
+  }
+
   test("minhash keep-list: word-set-identical planted pairs canonicalize together") {
     val d = "/root/testdata/sf0.001"
     // brute-force ground truth: pairs with identical distinct-word sets
