@@ -56,6 +56,24 @@ object Multimodal {
   def frameSample(decoded: Array[Byte], stride: Int, maxFrames: Int): Array[Byte] =
     decoded.indices.by(stride).take(maxFrames).map(decoded(_)).toArray
 
+  /** "Resize" to a fixed target length: nearest-neighbor downsample over the
+    * byte buffer (the 1-D analogue of nearest-neighbor image resize; a real
+    * implementation would interpolate pixels after decode). Output length is
+    * exactly `target` for any non-empty input — the fixed-shape contract a
+    * training pipeline needs before batching tensors. */
+  def resize(decoded: Array[Byte], target: Int): Array[Byte] = {
+    if (decoded.isEmpty || target <= 0) Array.emptyByteArray
+    else {
+      val out = new Array[Byte](target)
+      var i = 0
+      while (i < target) {
+        out(i) = decoded(((i.toLong * decoded.length) / target).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("mime_type", StringType, nullable = false),

@@ -41,6 +41,18 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.frameSample(bytes, 1, 32).length == 32) // capped
   }
 
+  test("resize: fixed output shape, nearest-neighbor sampling, edge cases") {
+    val bytes = (0 until 100).map(_.toByte).toArray
+    val down = Multimodal.resize(bytes, 10)
+    assert(down.length == 10)
+    assert(down(0) == 0 && down(1) == 10 && down(9) == 90) // nearest-neighbor picks
+    val up = Multimodal.resize(bytes, 250)
+    assert(up.length == 250) // upsample repeats source bytes
+    assert(up(0) == 0 && up(249) == bytes(99))
+    assert(Multimodal.resize(Array.emptyByteArray, 10).isEmpty)
+    assert(Multimodal.resize(bytes, 0).isEmpty)
+  }
+
   test("processMedia: schema, determinism, partition independence") {
     val d = "/root/testdata/sf0.001"
     val once = Multimodal.processMedia(Multimodal.documentsAsMedia(spark, d))
