@@ -201,6 +201,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!byIp("198.51.100.7").contains("botnet-c2"))
   }
 
+  test("compaction: many small files collapse to target count, rows identical") {
+    val landing = s"$base/many_compact"
+    Files.createDirectories(Paths.get(landing))
+    (0 until 120).foreach { i =>
+      Files.writeString(Paths.get(landing, f"ev_$i%03d.json"),
+        s"""{"n": $i, "eventtime": "2022-01-01T00:00:00Z"}""")
+    }
+    val out = s"$base/compact_out"
+    graft.pipeline.Ingest.ingestBatch(spark, s"$landing/*.json", out)
+    val table = spark.read.parquet(out)
+    val beforeRows = table.collect().map(_.toString).sorted.toSeq
+    // all 120 events land in one ingest-time partition; find its leaf dir
+    val results = graft.operators.Compaction.compactSettledPartitions(
+      spark, out, targetBytes = 512L * 1024 * 1024, settledMs = -1000)
+    assert(results.nonEmpty, "no partition was compacted")
+    val (dir, before, after) = results.head
+    assert(before > after && after == 1, s"$dir: $before -> $after")
+    // partition discovery still works and content is byte-for-byte the same
+    val afterRows = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(afterRows == beforeRows)
+  }
+
   test("streaming sliding windows (1 hour window, 5 minute slide)") {
     val landing = s"$base/landing_slide"
     write(landing, "ev.json",
