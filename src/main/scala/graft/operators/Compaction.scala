@@ -40,9 +40,17 @@ object Compaction {
       .repartition(targetFiles)
       .write.mode(SaveMode.Overwrite)
       .parquet(tmp.toString)
-    // two-rename swap: readers see old or new, never both
-    fs.rename(path, old)
-    fs.rename(tmp, path)
+    // two-rename swap: readers see old or new, never both. Every rename is
+    // checked — deleting `old` on a failed swap would destroy the partition.
+    if (!fs.rename(path, old)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"compaction: cannot move $path aside")
+    }
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back to the original layout
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"compaction: swap failed for $path, rolled back")
+    }
     fs.delete(old, true)
     val after = fs.listStatus(path).count(f => f.isFile && !f.getPath.getName.startsWith("_"))
     (files.length, after)
