@@ -413,6 +413,62 @@ object Relational {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
       FROM orders ORDER BY o_custkey, o_orderkey"""))
 
+  /** Ranking-function family. Two window specs on ONE partitioning so one
+    * shuffle serves both sorts: rank/dense_rank/percent_rank rank a
+    * NON-unique key (price buckets — real tie semantics, still
+    * deterministic); lead/ntile need a total order (ties would make their
+    * output physical-order-dependent) so they rank the unique twin. */
+  private val windowRanks = Q(
+    "q_window_ranks",
+    (s, d) => {
+      val bucket = floor(col("o_totalprice") / 50000).cast("long")
+      val wTies = Window.partitionBy("o_orderpriority").orderBy(bucket)
+      val wUniq = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, d, "orders")
+        .select(
+          col("o_orderpriority"), col("o_orderkey"),
+          rank().over(wTies).cast("long").as("rnk"),
+          dense_rank().over(wTies).cast("long").as("drnk"),
+          round(percent_rank().over(wTies).cast("decimal(24,12)"), 6).cast("double").as("prank"),
+          lead("o_orderkey", 1).over(wUniq).as("next_key"),
+          ntile(4).over(wUniq).cast("long").as("quartile"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, rnk, drnk, prank, next_key, quartile FROM (
+        SELECT o_orderpriority, o_orderkey,
+          CAST(rank() OVER wt AS BIGINT) AS rnk,
+          CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+          CAST(round(CAST(percent_rank() OVER wt AS DECIMAL(24,12)), 6) AS DOUBLE) AS prank,
+          lead(o_orderkey) OVER wu AS next_key,
+          CAST(ntile(4) OVER wu AS BIGINT) AS quartile
+        FROM orders
+        WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY CAST(floor(o_totalprice / 50000) AS BIGINT)),
+               wu AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)) sub
+      ORDER BY o_orderpriority, o_orderkey"""))
+
+  /** RANGE frame (value-based, vs the ROWS frame in q_window_lag): peers
+    * within 10000 price units backward contribute to the running aggregate. */
+  private val windowRange = Q(
+    "q_window_range",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+        .rangeBetween(-10000L, Window.currentRow)
+      t(s, d, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_near"),
+          round(sum("o_totalprice").over(w).cast("decimal(24,6)"), 2).cast("double").as("near_sum"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        count(*) OVER w AS n_near,
+        CAST(round(CAST(sum(o_totalprice) OVER w AS DECIMAL(24,6)), 2) AS DOUBLE) AS near_sum
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""))
+
   // -- sort / limit / top-k ----------------------------------------------------
 
   /** Global top-k: Catalyst plans TakeOrderedAndProject — per-partition heap
@@ -711,7 +767,7 @@ object Relational {
     aggPivot, aggPercentile, aggApproxDistinct, aggHllMerge,
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
     joinTheta, joinBucketed,
-    windowTopkPerGroup, windowLagRunsum,
+    windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange,
     sortTopk, sortNullsOffset,
     setUnion, setUnionAll, setIntersect, setExcept,
     stringFns, dateFns, mathFns, arrayFns, mapFns, explodeFn,
