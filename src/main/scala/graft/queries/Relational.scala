@@ -170,6 +170,28 @@ object Relational {
         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Statistical aggregates: stddev / variance / correlation / covariance.
+    * All are single-pass mergeable moments (partial agg below the shuffle,
+    * like sum/count), so they cost the same one low-cardinality shuffle as
+    * q_agg_group at any scale. */
+  private val aggStats = Q(
+    "q_agg_stats",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp("l_extendedprice").cast("decimal(24,6)"), 2).cast("double").as("sd_price"),
+          round(var_samp("l_quantity").cast("decimal(24,6)"), 4).cast("double").as("var_qty"),
+          round(corr("l_quantity", "l_extendedprice").cast("decimal(24,12)"), 6).cast("double").as("corr_qp"),
+          round(covar_samp("l_quantity", "l_extendedprice").cast("decimal(24,6)"), 2).cast("double").as("cov_qp"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+        CAST(round(CAST(stddev_samp(l_extendedprice) AS DECIMAL(24,6)), 2) AS DOUBLE) AS sd_price,
+        CAST(round(CAST(var_samp(l_quantity) AS DECIMAL(24,6)), 4) AS DOUBLE) AS var_qty,
+        CAST(round(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(24,12)), 6) AS DOUBLE) AS corr_qp,
+        CAST(round(CAST(covar_samp(l_quantity, l_extendedprice) AS DECIMAL(24,6)), 2) AS DOUBLE) AS cov_qp
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Mergeable HLL sketches (DataSketches) — the 100 TB distinct-count
     * pattern: build one tiny sketch per partition slice (here: per month),
     * then union sketches instead of ever rescanning rows. Sketch state is
@@ -697,6 +719,19 @@ object Relational {
              x -> length(x)), 'sum') AS BIGINT) AS vals_sum
       FROM part ORDER BY p_partkey"""))
 
+  /** posexplode — UNNEST WITH ORDINALITY semantics (position travels with
+    * the element; the oracle zips DuckDB's lockstep unnests). */
+  private val explodePos = Q(
+    "q_explode_pos",
+    (s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+        .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("col").as("word"))
+        .orderBy("p_partkey", "pos"),
+    Some("""WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+      SELECT p_partkey, CAST(unnest(range(len(words))) AS BIGINT) AS pos, unnest(words) AS word
+      FROM w ORDER BY p_partkey, pos"""))
+
   // -- subqueries (via spark.sql so Catalyst does the decorrelation) -----------
 
   private val subqueryIn = Q(
@@ -764,12 +799,12 @@ object Relational {
     projFilter,
     dateIntervals,
     aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggGroupingSets,
-    aggPivot, aggPercentile, aggApproxDistinct, aggHllMerge,
+    aggPivot, aggPercentile, aggStats, aggApproxDistinct, aggHllMerge,
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
     joinTheta, joinBucketed,
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange,
     sortTopk, sortNullsOffset,
     setUnion, setUnionAll, setIntersect, setExcept,
-    stringFns, dateFns, mathFns, arrayFns, mapFns, explodeFn,
+    stringFns, dateFns, mathFns, arrayFns, mapFns, explodeFn, explodePos,
     subqueryIn, subqueryScalar, subqueryExists)
 }
