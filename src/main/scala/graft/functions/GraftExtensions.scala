@@ -15,26 +15,26 @@ import org.apache.spark.sql.types.StringType
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions", name)
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getCanonicalName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
-      info("vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
+      info(classOf[DotProduct], "vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("bitmap_jaccard"),
-      info("bitmap_jaccard", "bitmap_jaccard(a, b) - Jaccard of packed bitmap sets"),
+      info(classOf[BitmapJaccard], "bitmap_jaccard", "bitmap_jaccard(a, b) - Jaccard of packed bitmap sets"),
       (children: Seq[Expression]) => BitmapJaccard(children(0), children(1))))
     // Presto source compatibility (reference README queries run verbatim):
     ext.injectFunction((
       new FunctionIdentifier("json_extract"),
-      info("json_extract", "json_extract(json, path) - Presto alias of get_json_object"),
+      info(classOf[GetJsonObject], "json_extract", "json_extract(json, path) - Presto alias of get_json_object"),
       (children: Seq[Expression]) => GetJsonObject(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("json_extract_scalar"),
-      info("json_extract_scalar",
+      info(classOf[GetJsonObject], "json_extract_scalar",
         "json_extract_scalar(json, path) - like json_extract but NULL for non-scalar values"),
       (children: Seq[Expression]) => {
         val extracted = GetJsonObject(children(0), children(1))
@@ -42,7 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       new FunctionIdentifier("json_array_contains"),
-      info("json_array_contains",
+      info(classOf[JsonArrayContains], "json_array_contains",
         "json_array_contains(json, value) - membership test on a JSON array text"),
       (children: Seq[Expression]) => JsonArrayContains(children(0), children(1))))
   }

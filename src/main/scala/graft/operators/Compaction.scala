@@ -34,8 +34,14 @@ object Compaction {
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (files.length <= targetFiles) return (files.length, files.length)
 
-    val tmp = new Path(partitionDir + "_compacting")
-    val old = new Path(partitionDir + "_precompact")
+    // scratch dirs are DOT-prefixed siblings: partition discovery ignores
+    // `.`/`_`-led names, so readers of the table root never see the rewrite
+    // in progress or its crash leftovers (a bare `hour=05_precompact` sibling
+    // would parse as a real partition with a corrupt value)
+    val tmp = new Path(path.getParent, s".${path.getName}.compacting")
+    val old = new Path(path.getParent, s".${path.getName}.precompact")
+    fs.delete(tmp, true) // stale leftovers from a previously crashed run
+    fs.delete(old, true)
     spark.read.parquet(partitionDir)
       .repartition(targetFiles)
       .write.mode(SaveMode.Overwrite)
@@ -47,9 +53,12 @@ object Compaction {
       throw new java.io.IOException(s"compaction: cannot move $path aside")
     }
     if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll back to the original layout
+      val rolledBack = fs.rename(old, path)
       fs.delete(tmp, true)
-      throw new java.io.IOException(s"compaction: swap failed for $path, rolled back")
+      throw new java.io.IOException(
+        s"compaction: swap failed for $path, " +
+          (if (rolledBack) "rolled back to the original layout"
+           else s"ROLLBACK ALSO FAILED - original data preserved at $old"))
     }
     fs.delete(old, true)
     val after = fs.listStatus(path).count(f => f.isFile && !f.getPath.getName.startsWith("_"))
@@ -70,7 +79,7 @@ object Compaction {
 
     def leafPartitions(p: Path): Seq[Path] = {
       val children = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-        .filterNot(_.getName.startsWith("_"))
+        .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
       if (children.isEmpty) Seq(p)
       else children.toSeq.flatMap(leafPartitions)
     }

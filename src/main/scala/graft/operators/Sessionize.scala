@@ -17,7 +17,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * per-group work is a linear scan of that user's events. Streaming state
   * is one small record per open session, reaped by event-time timeout.
   */
-object Sessionize {
+object Sessionize extends Serializable {
 
   final case class UserEvent(user_id: Long, ts_micros: Long)
   final case class Session(user_id: Long, session_start_micros: Long, n_events: Long, duration_s: Long)
@@ -25,23 +25,36 @@ object Sessionize {
     * needs accessible accessors/constructor. */
   final case class OpenSession(start: Long, last: Long, n: Long)
 
-  private def sessionsOf(gapMicros: Long, events: Iterator[UserEvent]): Iterator[Session] = {
-    val sorted = events.toArray.sortBy(_.ts_micros)
-    val out = Vector.newBuilder[Session]
-    var open: Option[OpenSession] = None
-    sorted.foreach { e =>
+  /** The one session fold both batch and streaming use: sorted timestamps
+    * against an optional carried-over open session. A merged event may be
+    * EARLIER than the open session's bounds (a late-but-in-watermark event in
+    * a later micro-batch), so bounds move via min/max — never backward. */
+  private def fold(
+      gapMicros: Long,
+      init: Option[OpenSession],
+      sorted: Array[Long]): (Vector[OpenSession], Option[OpenSession]) = {
+    val closed = Vector.newBuilder[OpenSession]
+    var open = init
+    sorted.foreach { ts =>
       open match {
-        case Some(s) if e.ts_micros - s.last <= gapMicros =>
-          open = Some(s.copy(last = e.ts_micros, n = s.n + 1))
+        case Some(s) if ts - s.last <= gapMicros =>
+          open = Some(OpenSession(math.min(s.start, ts), math.max(s.last, ts), s.n + 1))
         case Some(s) =>
-          out += Session(0L, s.start, s.n, (s.last - s.start) / 1000000L)
-          open = Some(OpenSession(e.ts_micros, e.ts_micros, 1))
+          closed += s
+          open = Some(OpenSession(ts, ts, 1))
         case None =>
-          open = Some(OpenSession(e.ts_micros, e.ts_micros, 1))
+          open = Some(OpenSession(ts, ts, 1))
       }
     }
-    open.foreach(s => out += Session(0L, s.start, s.n, (s.last - s.start) / 1000000L))
-    out.result().iterator
+    (closed.result(), open)
+  }
+
+  private def toSession(uid: Long, s: OpenSession): Session =
+    Session(uid, s.start, s.n, (s.last - s.start) / 1000000L)
+
+  private def sessionsOf(gapMicros: Long, events: Iterator[UserEvent]): Iterator[Session] = {
+    val (closed, open) = fold(gapMicros, None, events.map(_.ts_micros).toArray.sorted)
+    (closed.iterator ++ open.iterator).map(toSession(0L, _))
   }
 
   /** Batch sessionization over (user_id, ts) rows. */
@@ -73,26 +86,14 @@ object Sessionize {
         Iterator.single(Session(uid, s.start, s.n, (s.last - s.start) / 1000000L))
       } else {
         val batch = it.map { case (_, ts) =>
-          UserEvent(uid, ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L)
-        }.toArray.sortBy(_.ts_micros)
-        val closed = Vector.newBuilder[Session]
-        var open = state.getOption
-        batch.foreach { e =>
-          open match {
-            case Some(s) if e.ts_micros - s.last <= gapMicros =>
-              open = Some(s.copy(last = e.ts_micros, n = s.n + 1))
-            case Some(s) =>
-              closed += Session(uid, s.start, s.n, (s.last - s.start) / 1000000L)
-              open = Some(OpenSession(e.ts_micros, e.ts_micros, 1))
-            case None =>
-              open = Some(OpenSession(e.ts_micros, e.ts_micros, 1))
-          }
-        }
+          ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+        }.toArray.sorted
+        val (closed, open) = fold(gapMicros, state.getOption, batch)
         open.foreach { s =>
           state.update(s)
           state.setTimeoutTimestamp(s.last / 1000L + gapSeconds * 1000L)
         }
-        closed.result().iterator
+        closed.iterator.map(toSession(uid, _))
       }
     }
 

@@ -49,9 +49,14 @@ object DedupQueries {
     * tiny by construction). Exact set ops then run through the codegen'd
     * popcount kernel (graft.functions.BitmapJaccard) instead of per-pair
     * array_intersect over strings. */
-  private def packBitmaps(sets: DataFrame, setCol: String, nWords: Int): DataFrame = {
+  private def packBitmaps(sets: DataFrame, setCol: String): DataFrame = {
     val vocab = sets.select(explode(col(setCol)).as("w")).distinct()
       .withColumn("bit", row_number().over(Window.orderBy("w")) - 1)
+      .cache()
+    // bitmap capacity derived from the DATA: a hard-coded cap would silently
+    // drop vocabulary bits past it and corrupt every downstream Jaccard
+    // (the count() action is over the tiny about-to-be-broadcast vocab)
+    val nWords = math.max(1L, (vocab.count() + 63) / 64).toInt
     sets
       .select(col("doc_id"), explode(col(setCol)).as("w"))
       .join(broadcast(vocab), "w")
@@ -79,7 +84,7 @@ object DedupQueries {
       // verification is an in-place codegen filter on the self-join output —
       // the dense candidate set (millions of rows here) is never shuffled
       // again to look bitmaps up by doc_id.
-      val packed = packBitmaps(docs, "ws", 4)
+      val packed = packBitmaps(docs, "ws")
       val banded = docs.join(packed, "doc_id")
         .select(col("doc_id"), col("bitmap"), posexplode(bandHashes(minhashSig(col("ws")))))
         .toDF("doc_id", "bitmap", "band", "bh")
@@ -157,13 +162,16 @@ object DedupQueries {
         .withColumn("words", split(col("text"), " "))
         .select(
           col("doc_id"),
+          // guard: a 1-word doc makes sequence(0, -1) DESCEND ([0,-1]) and
+          // element_at(words, 0) throw — such docs have no bigrams at all
           array_distinct(
-            transform(
-              sequence(lit(0), size(col("words")) - 2),
-              i => concat_ws(" ", element_at(col("words"), i + 1), element_at(col("words"), i + 2))))
+            when(size(col("words")) >= 2,
+              transform(
+                sequence(lit(0), size(col("words")) - 2),
+                i => concat_ws(" ", element_at(col("words"), i + 1), element_at(col("words"), i + 2))))
+              .otherwise(array().cast("array<string>")))
             .as("shingles"))
-      // 16 words = 1024 bits; the bigram vocabulary is ~900 by construction
-      val packed = packBitmaps(docs, "shingles", 16).cache()
+      val packed = packBitmaps(docs, "shingles").cache()
       val a = packed.select(col("doc_id").as("doc_a"), col("bitmap").as("bm_a"))
       val b = packed.select(col("doc_id").as("doc_b"), col("bitmap").as("bm_b"))
       a.join(b, col("doc_a") < col("doc_b"))

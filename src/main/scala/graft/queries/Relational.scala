@@ -310,10 +310,14 @@ object Relational {
       val tag = d.replaceAll("[^a-z0-9]", "_")
       val ob = s"orders_b_$tag"
       val lb = s"lineitem_b_$tag"
+      // guard each table independently: a crash between the two writes must
+      // not leave a half-created state that every later run then skips
       if (!s.catalog.tableExists(ob)) {
         t(s, d, "orders").write.mode("overwrite")
           .option("path", s"/tmp/graft_bucketed/$ob")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ob)
+      }
+      if (!s.catalog.tableExists(lb)) {
         t(s, d, "lineitem").write.mode("overwrite")
           .option("path", s"/tmp/graft_bucketed/$lb")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lb)

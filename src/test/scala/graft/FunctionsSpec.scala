@@ -115,6 +115,19 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp(df) == m, "deterministic across evaluations")
   }
 
+  test("q_dedup_ngram survives one-word and empty documents (no bigrams)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ngram_edge").toString
+    Seq((1L, "hello"), (2L, "hello world hello"), (3L, ""), (4L, "hello world hello"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    // pre-fix: sequence(0,-1) descended and element_at(words, 0) threw
+    val out = SparkEntry.queries("q_dedup_ngram")(s, dir).collect()
+    // only the two identical multi-word docs can pair; shingle-less docs
+    // appear in no pair
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 4L)))
+  }
+
   test("bitmap ngram jaccard matches brute-force array jaccard") {
     val d = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$d/documents.parquet")

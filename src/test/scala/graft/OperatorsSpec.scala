@@ -185,4 +185,44 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.exists(r => r.getLong(0) == 1 && r.getLong(1) == 2 && r.getLong(2) == 30),
       s"expected user 1 session, got: ${out.mkString(", ")}")
   }
+
+  test("streaming sessionize: late-but-in-watermark event merges without splitting the session") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_late").toString
+    def writeFile(name: String, lines: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(base, name), lines)
+    val schema = "user_id LONG, ts TIMESTAMP"
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).json(base)
+      // 1 h watermark: batch-2's 09:59:55 event is late but NOT dropped
+      val q = Sessionize.sessionizeStream(stream, gapSeconds = 100, watermark = "1 hour")
+        .writeStream.format("json").outputMode("append")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // batch 1 opens the session at 10:00:00
+    writeFile("b1.json", """{"user_id": 1, "ts": "2020-01-01T10:00:00.000Z"}""" + "\n")
+    runOnce()
+    // batch 2: one event EARLIER than the open session (in-watermark late) and
+    // one 98 s after the ORIGINAL last — a single session iff the late event
+    // did not drag `last` backward (the pre-fix bug closed it with a negative
+    // duration and split the run in two)
+    writeFile("b2.json",
+      """{"user_id": 1, "ts": "2020-01-01T09:59:55.000Z"}
+        |{"user_id": 1, "ts": "2020-01-01T10:01:38.000Z"}
+        |""".stripMargin)
+    runOnce()
+    // far-future event advances the watermark past the timeout -> emit
+    writeFile("b3.json", """{"user_id": 2, "ts": "2020-01-01T14:00:00.000Z"}""" + "\n")
+    runOnce()
+    runOnce()
+    val out = spark.read.json(s"$base/out")
+      .selectExpr("user_id", "n_events", "duration_s").collect()
+    val user1 = out.filter(_.getLong(0) == 1)
+    assert(user1.length == 1, s"expected ONE user-1 session, got: ${out.mkString(", ")}")
+    assert(user1.head.getLong(1) == 3 && user1.head.getLong(2) == 103, // 09:59:55 -> 10:01:38
+      s"expected n=3 dur=103, got: ${user1.head}")
+  }
 }
