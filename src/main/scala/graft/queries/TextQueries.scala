@@ -170,5 +170,64 @@ object TextQueries {
       FROM gated JOIN keep USING (doc_id)
       GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep)
+  /** TF-IDF: term frequency per doc x inverse document frequency over the
+    * corpus, top-3 terms per document (bounded output). Two shuffles — the
+    * (doc, term) aggregation and the df aggregation — then a broadcast-sized
+    * df join; at 100 TB the df table is vocabulary-sized, not corpus-sized. */
+  private val tfidf = Q(
+    "q_text_tfidf",
+    (s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 50)
+      val n = docs.count()
+      val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = tokens.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tokens.select("doc_id", "w").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("tfidf"), asc("w"))
+      tf.join(broadcast(df), "w")
+        .withColumn(
+          "tfidf",
+          round((col("tf") * log(lit(n.toDouble) / col("df"))).cast("decimal(24,12)"), 6)
+            .cast("double"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "rn", "w", "tfidf")
+        .orderBy("doc_id", "rn")
+    },
+    Some("""WITH docs AS (SELECT * FROM documents WHERE doc_id < 50),
+      n AS (SELECT count(*) AS n FROM docs),
+      tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM tokens GROUP BY doc_id, w),
+      df AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tokens) GROUP BY w),
+      scored AS (
+        SELECT tf.doc_id, tf.w,
+          CAST(round(CAST(tf.tf * ln((SELECT n FROM n) / df.df) AS DECIMAL(24,12)), 6) AS DOUBLE) AS tfidf
+        FROM tf JOIN df ON tf.w = df.w)
+      SELECT doc_id, rn, w, tfidf FROM (
+        SELECT doc_id, w, tfidf,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS BIGINT) AS rn
+        FROM scored) sub
+      WHERE rn <= 3 ORDER BY doc_id, rn"""))
+
+  /** Deterministic train/validation split — the reproducible-split pattern a
+    * training pipeline needs (id-keyed, so the split survives reshuffles and
+    * re-runs; no RNG state). Output: per-lang split sizes + quality mean. */
+  private val trainSplit = Q(
+    "q_train_split",
+    (s, d) =>
+      t(s, d, "documents")
+        .withColumn("split", when(col("doc_id") % 10 < 9, "train").otherwise("val"))
+        .groupBy("lang", "split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(length(col("text"))).cast("decimal(24,6)"), 2).cast("double").as("avg_len"))
+        .orderBy("lang", "split"),
+    Some("""SELECT lang,
+        CASE WHEN doc_id % 10 < 9 THEN 'train' ELSE 'val' END AS split,
+        count(*) AS n_docs,
+        CAST(round(CAST(avg(length(text)) AS DECIMAL(24,6)), 2) AS DOUBLE) AS avg_len
+      FROM documents GROUP BY lang, split ORDER BY lang, split"""))
+
+  val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep, tfidf, trainSplit)
 }
