@@ -45,5 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[JsonArrayContains], "json_array_contains",
         "json_array_contains(json, value) - membership test on a JSON array text"),
       (children: Seq[Expression]) => JsonArrayContains(children(0), children(1))))
+    // string-probe json_array_contains rewrites to the codegen-native
+    // array_contains(from_json(...)) form during optimization
+    ext.injectOptimizerRule(_ => RewriteJsonArrayContains)
   }
 }

@@ -1,8 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ArrayContains, BinaryExpression, Expression, JsonToStructs, UnaryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.json._
 
@@ -50,6 +52,29 @@ case class JsonArrayContains(left: Expression, right: Expression)
         }
       case _ => null
     }
+}
+
+/** Optimizer rule (injected via SparkSessionExtensions.injectOptimizerRule):
+  * rewrites the eval-only compat expression into the codegen-native
+  * formulation whenever the probed value is a string —
+  *
+  *   json_array_contains(j, v)  ==>  array_contains(from_json(j, 'array<string>'), v)
+  *
+  * so a pasted Presto query (README query 2) automatically gets whole-stage
+  * codegen instead of the interpreted fallback. Semantics preserved for the
+  * string case: from_json yields NULL on non-array input, and
+  * array_contains(NULL, v) is NULL — the same Presto NULL-on-non-array
+  * behavior JsonArrayContains implements. Numeric/boolean probes keep the
+  * compat expression (JSON numeric equality, 2 == 2.0, has no exact
+  * array_contains twin). */
+object RewriteJsonArrayContains extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case JsonArrayContains(json, value) if value.dataType == StringType =>
+      ArrayContains(
+        JsonToStructs(ArrayType(StringType), Map.empty[String, String], json,
+          Some(conf.sessionLocalTimeZone)),
+        value)
+  }
 }
 
 /** True when the (string) child parses as a JSON object or array — used to

@@ -79,6 +79,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.sql("""SELECT json_array_contains('{"a": 1}', 'a')""").head.isNullAt(0))
   }
 
+  test("optimizer rule rewrites string json_array_contains to the codegen form") {
+    val s = spark
+    // parquet-backed input so constant folding can't pre-evaluate
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = docs.selectExpr(
+      "doc_id", "lang",
+      "json_array_contains(to_json(array(lang)), 'en') AS has_en")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("jsonarraycontains"),
+      s"compat expression survived optimization:\n$optimized")
+    assert(optimized.contains("array_contains") || optimized.contains("from_json"), optimized)
+    // rewritten form computes the same answer
+    df.collect().foreach(r => assert(r.getBoolean(2) == (r.getString(1) == "en")))
+    // numeric probe keeps the compat expression (no exact native twin)
+    val num = docs.selectExpr("json_array_contains(to_json(array(doc_id)), doc_id) AS m")
+    assert(num.queryExecution.optimizedPlan.toString.toLowerCase.contains("jsonarraycontains"))
+    num.collect().foreach(r => assert(r.getBoolean(0)))
+  }
+
   test("sessionize: gap splitting, counts, durations") {
     val s = spark
     import s.implicits._
