@@ -229,5 +229,56 @@ object TextQueries {
         CAST(round(CAST(avg(length(text)) AS DECIMAL(24,6)), 2) AS DOUBLE) AS avg_len
       FROM documents GROUP BY lang, split ORDER BY lang, split"""))
 
-  val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep, tfidf, trainSplit)
+  /** PII redaction — the scrub pass every training corpus and security lake
+    * needs before sharing: emails and dotted-quad IPs replaced with typed
+    * placeholders, per-doc redaction counts kept for audit. Pure regexp
+    * transforms (codegen'd, shuffle-free); patterns stay in the RE2-safe
+    * subset both engines interpret identically. */
+  private val redact = Q(
+    "q_text_redact",
+    (s, d) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(ip), lit(0))).cast("long").as("n_ips"),
+          regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), ip, "<IP>").as("scrubbed"))
+        .filter(col("n_emails") + col("n_ips") > 0)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+      FROM documents
+      WHERE len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+'))
+          + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
+      ORDER BY doc_id"""))
+
+  /** Language-balanced resampling: cap each language at K docs (smallest ids
+    * win — deterministic, reproducible) — the downsampling step that stops
+    * an overrepresented language from dominating a training mix. One window
+    * shuffle on lang; at 100 TB swap row_number for a sampled threshold. */
+  private val langBalance = Q(
+    "q_lang_balance",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy("doc_id")
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 100)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), max("doc_id").as("max_kept_id"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_kept, max(doc_id) AS max_kept_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents) sub
+      WHERE rn <= 100 GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
+    tfidf, trainSplit, redact, langBalance)
 }
