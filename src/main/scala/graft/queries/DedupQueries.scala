@@ -67,6 +67,33 @@ object DedupQueries {
         graft.functions.VectorFunctions.packBits(col("bits"), lit(nWords)).as("bitmap"))
   }
 
+  /** The persistable signature table for INCREMENTAL dedup: one row per
+    * (doc, band) with the band hash and the doc's word set. Computed once
+    * per corpus and stored; a delta batch joins against it by (band, bh)
+    * without ever rescanning or re-signing the corpus. */
+  def minhashBandTable(wordSets: DataFrame): DataFrame =
+    wordSets
+      .select(col("doc_id"), col("ws"), posexplode(bandHashes(minhashSig(col("ws")))))
+      .toDF("doc_id", "ws", "band", "bh")
+
+  /** Incremental near-dedup: sign ONLY the delta, equi-join its bands
+    * against the stored corpus table, verify candidates with exact set
+    * Jaccard over the carried word sets. Work is O(delta + candidates) —
+    * the corpus contributes only its matching band rows. (Candidates are
+    * band-bounded, so the per-pair array intersect here is fine; the
+    * packed-bitmap kernel variant needs a shared append-only vocabulary
+    * store and is the upgrade once delta batches are large.) */
+  def incrementalDups(deltaWordSets: DataFrame, corpusBands: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val deltaBands = minhashBandTable(deltaWordSets)
+    val inter = size(array_intersect(col("x.ws"), col("y.ws"))).cast("double")
+    deltaBands.as("x")
+      .join(corpusBands.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .filter(inter / (size(col("x.ws")) + size(col("y.ws")) - inter) >= threshold)
+      .select(col("x.doc_id").as("delta_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+      .orderBy("delta_id", "corpus_id")
+  }
+
   /** MinHash+LSH near-dedup, keep-list semantics: shingle → minhash → band →
     * bucket-join candidates → exact-Jaccard verify (>= 0.9) → one row PER
     * DOCUMENT with its canonical (minimum-id verified neighbor) and a dup

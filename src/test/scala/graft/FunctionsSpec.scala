@@ -128,6 +128,28 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 4L)))
   }
 
+  test("incremental dedup: delta joins stored corpus signatures, no corpus rescan") {
+    val s = spark
+    import s.implicits._
+    def ws(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    // "stored" corpus signature table (would be a persisted parquet table)
+    val corpus = graft.queries.DedupQueries.minhashBandTable(ws(Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five",
+      3L -> "red green blue yellow purple")))
+    // delta: doc 10 is a word-shuffle of corpus doc 1 (exact set dup),
+    // doc 11 is entirely novel
+    val dups = graft.queries.DedupQueries.incrementalDups(
+      ws(Seq(
+        10L -> "epsilon delta gamma beta alpha",
+        11L -> "totally novel content here now")),
+      corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.toSeq == Seq((10L, 1L)))
+  }
+
   test("bitmap ngram jaccard matches brute-force array jaccard") {
     val d = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$d/documents.parquet")
