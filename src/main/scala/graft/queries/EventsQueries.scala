@@ -80,6 +80,23 @@ object EventsQueries {
         round(sum(value), 2) AS total_value
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Collection aggregate — the "gather everything seen per entity" shape
+    * the reference's `_ipaddresses` list embodies at query level (sorted for
+    * determinism; collect_set state is bounded by per-user cardinality). */
+  private val typesPerUser = Q(
+    "q_events_types_per_user",
+    (s, d) =>
+      ev(s, d)
+        .groupBy("user_id")
+        .agg(
+          array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+          size(collect_set(col("event_type"))).cast("long").as("n_types"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id,
+        array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   /** Multi-path extraction: json_tuple (one parse, many paths) and from_json
     * to a typed struct — the Spark twins of Presto json_extract variants
     * (SURVEY §2B JSON row; VERDICT r1 next-steps #6). */
@@ -174,6 +191,6 @@ object EventsQueries {
         CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, jsonTuple,
+  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple,
     sessionize, saltedAgg, variantExtract)
 }
