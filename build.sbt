@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the harness box has 128 GiB; 8g starved local[32] (32 concurrent tasks
+  // over multi-million-row candidate joins) into GC thrash — the observed
+  // 5.7-24.8 s spread on q_dedup_ngram across identical-code bench runs
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -201,13 +201,19 @@ object DedupQueries {
       val packed = packBitmaps(docs, "shingles").cache()
       val a = packed.select(col("doc_id").as("doc_a"), col("bitmap").as("bm_a"))
       val b = packed.select(col("doc_id").as("doc_b"), col("bitmap").as("bm_b"))
-      a.join(b, col("doc_a") < col("doc_b"))
-        .withColumn("j", graft.functions.VectorFunctions.bitmapJaccard(col("bm_a"), col("bm_b")))
-        // filter on the raw kernel value FIRST (round(j,4) >= 0.25 ⟺
-        // j >= 0.24995), so rounding only touches the surviving pairs,
-        // not all n²/2 candidates
-        .filter(col("j") >= 0.24995)
-        .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      // the jaccard threshold lives IN the join condition (raw kernel value:
+      // round(j,4) >= 0.25 ⟺ j >= 0.24995): the nested-loop join evaluates
+      // the popcount kernel on the fly and only the ~0.1% surviving pairs
+      // ever materialize as output rows — putting it in a post-join filter
+      // instead copies both bitmaps into n²/2 UnsafeRows first, which
+      // dominates the whole query. Survivors recompute j once for output.
+      a.join(b,
+          col("doc_a") < col("doc_b") &&
+            graft.functions.VectorFunctions.bitmapJaccard(col("bm_a"), col("bm_b")) >= 0.24995)
+        .select(
+          col("doc_a"), col("doc_b"),
+          round(graft.functions.VectorFunctions.bitmapJaccard(col("bm_a"), col("bm_b")), 4)
+            .as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
     // exact semantics => full DuckDB oracle (the bitmap packing is an
