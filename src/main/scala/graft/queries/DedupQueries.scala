@@ -207,6 +207,12 @@ object DedupQueries {
       // ever materialize as output rows — putting it in a post-join filter
       // instead copies both bitmaps into n²/2 UnsafeRows first, which
       // dominates the whole query. Survivors recompute j once for output.
+      // deliberately NOT broadcast: measured at sf0.1, the CartesianProduct
+      // the planner picks here (block-pair tasks over the cached packed
+      // relation, 12 s) beats a forced BroadcastNestedLoopJoin (55 s, which
+      // re-iterates the broadcast build side per stream row). Exact all-pairs
+      // is this query's declared semantics; the LSH band prefilter
+      // (q_dedup_minhash) is the scale path that replaces the pair source.
       a.join(b,
           col("doc_a") < col("doc_b") &&
             graft.functions.VectorFunctions.bitmapJaccard(col("bm_a"), col("bm_b")) >= 0.24995)
