@@ -154,7 +154,9 @@ object TextQueries {
         .agg(
           count(lit(1)).as("n_docs"),
           sum("n_words").as("total_tokens"),
-          round(avg("n_words"), 4).as("avg_tokens"))
+          // decimal-route before round so Spark and DuckDB round the same
+          // representable value (same lesson as q_train_split below).
+          round(avg("n_words").cast("decimal(24,6)"), 4).cast("double").as("avg_tokens"))
         .orderBy("lang")
     },
     Some(s"""WITH scored AS (
@@ -166,7 +168,7 @@ object TextQueries {
       gated AS (SELECT * FROM scored WHERE n_words >= 20 AND stop_ratio < 0.4),
       keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
       SELECT lang, count(*) AS n_docs, sum(n_words) AS total_tokens,
-             round(avg(n_words), 4) AS avg_tokens
+             CAST(round(CAST(avg(n_words) AS DECIMAL(24,6)), 4) AS DOUBLE) AS avg_tokens
       FROM gated JOIN keep USING (doc_id)
       GROUP BY lang ORDER BY lang"""))
 
@@ -178,7 +180,9 @@ object TextQueries {
     "q_text_tfidf",
     (s, d) => {
       val docs = t(s, d, "documents").filter(col("doc_id") < 50)
-      val n = docs.count()
+      // corpus size as a broadcast 1-row plan, NOT a driver-side count():
+      // keeps query construction lazy and the whole thing one Spark job.
+      val n = docs.agg(count(lit(1)).cast("double").as("n_corpus"))
       val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       val tf = tokens.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val df = tokens.select("doc_id", "w").distinct()
@@ -186,9 +190,10 @@ object TextQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(desc("tfidf"), asc("w"))
       tf.join(broadcast(df), "w")
+        .crossJoin(broadcast(n))
         .withColumn(
           "tfidf",
-          round((col("tf") * log(lit(n.toDouble) / col("df"))).cast("decimal(24,12)"), 6)
+          round((col("tf") * log(col("n_corpus") / col("df"))).cast("decimal(24,12)"), 6)
             .cast("double"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
