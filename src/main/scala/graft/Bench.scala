@@ -5,8 +5,19 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR with a
   * noop-format write as the action — forces full evaluation of every column
   * (a bare count() would let Catalyst prune projections and most of the
-  * work; VERDICT r1 "What's wrong" #3) without any driver-side collect. */
+  * work; VERDICT r1 "What's wrong" #3) without any driver-side collect.
+  *
+  * Single-run wall clock at this corpus size is ±30-40% noisy (PERF.md r2),
+  * so the timed corpus runs THREE passes and the headline per-query number
+  * is the MEDIAN; min/max spreads ride along so a regression is
+  * distinguishable from jitter. A streaming end-to-end latency probe
+  * (sample-drop → partition-visible, Firehose-parity 60 s trigger) appends
+  * its one measured number — the reference's only hard latency figure is
+  * 60 s buffering + ≤10 min partition registration (BASELINE.md).
+  */
 object Bench {
+  private val TimedRuns = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -14,12 +25,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up: run the FULL corpus once at the TARGET scale factor so the
-    // timed pass measures steady-state execution — whole-stage codegen units
+    // timed passes measure steady-state execution — whole-stage codegen units
     // are janino-compiled on first use per plan shape, file listings are
     // cached, and one-time setup (the bucketed-table writes behind
     // q_join_bucketed) happens here instead of inside a timed query. At real
@@ -32,20 +44,82 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") }
     }
-    val results = ordered.map { case (name, fn) =>
-      // caches are per-query working sets; dropping them between queries
-      // keeps the block manager from filling up and adding eviction/GC
-      // noise to later measurements
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+    val samples: Seq[Map[String, Double]] = (1 to TimedRuns).map { _ =>
+      ordered.map { case (name, fn) =>
+        // caches are per-query working sets; dropping them between queries
+        // keeps the block manager from filling up and adding eviction/GC
+        // noise to later measurements
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def stat(name: String): (Double, Double, Double) = {
+      val xs = samples.map(_(name)).sorted
+      (xs(xs.length / 2), xs.head, xs.last)
+    }
+    val names = ordered.map(_._1)
+    def fmt(sel: ((Double, Double, Double)) => Double) =
+      names.map(n => "\"" + n + f"""":${sel(stat(n))}%.3f""").mkString("{", ",", "}")
+    val medians = fmt(_._1)
+    val mins = fmt(_._2)
+    val maxs = fmt(_._3)
+    val total = names.map(n => stat(n)._1).sum
+
+    val streamLatency = streamingLatencyProbe(spark)
+
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$TimedRuns,""" +
+        f""""queries":$medians,"queries_min":$mins,"queries_max":$maxs,""" +
+        f""""stream_e2e_latency_sec":$streamLatency%.1f,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Measured sample-drop → partition-visible wall time under the
+    * Firehose-parity 60 s processing-time trigger. The file lands right
+    * after batch 0 commits, so the measurement covers (almost) a full
+    * trigger interval + pipeline + sink commit — the honest steady-state
+    * number. The reference's path is 60 s Firehose buffering PLUS up to
+    * 10 min of partition-registration cron; here the partition is queryable
+    * at sink commit. Returns -1 on probe failure (bench still reports). */
+  private def streamingLatencyProbe(spark: SparkSession): Double = {
+    import java.nio.file.{Files, Paths}
+    try {
+      val base = Files.createTempDirectory("graft_bench_stream").toString
+      val landing = s"$base/landing"
+      val out = s"$base/out"
+      Files.createDirectories(Paths.get(landing))
+      val q = graft.streaming.StreamingIngest.start(
+        spark, landing, out, s"$base/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("60 seconds"),
+        dedupWatermark = None)
+      // wait for batch 0 (empty) to commit so the drop happens mid-interval
+      val deadline0 = System.nanoTime() + 120L * 1000000000L
+      while (q.lastProgress == null && System.nanoTime() < deadline0) Thread.sleep(100)
+      Thread.sleep(2000) // a couple seconds INTO the 60 s interval
+      val t0 = System.nanoTime()
+      Files.writeString(Paths.get(landing, "probe.json"),
+        """{"eventid": "latency-probe", "summary": "probe", "eventtime": "2026-01-01T00:00:00Z"}""")
+      val deadline = System.nanoTime() + 180L * 1000000000L
+      var visible = -1.0
+      while (visible < 0 && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        // visibility = a reader of the events table sees the row (partition
+        // discovery + file-sink commit log, no registration cron)
+        try {
+          if (Files.exists(Paths.get(out)) &&
+            !spark.read.parquet(out).filter("summary = 'probe'").isEmpty)
+            visible = (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => () } // sink dir not materialized yet
+      }
+      q.stop()
+      visible
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming latency probe failed: $e")
+        -1.0
+    }
   }
 }

@@ -28,9 +28,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[BitmapJaccard], "bitmap_jaccard", "bitmap_jaccard(a, b) - Jaccard of packed bitmap sets"),
       (children: Seq[Expression]) => BitmapJaccard(children(0), children(1))))
     // Presto source compatibility (reference README queries run verbatim):
+    // DOCUMENTED DEVIATION: Presto's json_extract returns JSON-encoded text
+    // (a string scalar comes back QUOTED, '"x"'); get_json_object returns the
+    // unquoted scalar ('x'). Composite results (objects/arrays — the README
+    // `_ipaddresses` case) are identical, but a verbatim Presto query that
+    // compares json_extract output against a quoted JSON literal must strip
+    // the quotes here (or use json_extract_scalar, which both engines define
+    // as unquoted).
     ext.injectFunction((
       new FunctionIdentifier("json_extract"),
-      info(classOf[GetJsonObject], "json_extract", "json_extract(json, path) - Presto alias of get_json_object"),
+      info(classOf[GetJsonObject], "json_extract",
+        "json_extract(json, path) - Presto alias of get_json_object. Deviation: string " +
+          "scalars return UNQUOTED ('x'), where Presto returns JSON text ('\"x\"'); " +
+          "composite (object/array) results match Presto exactly"),
       (children: Seq[Expression]) => GetJsonObject(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("json_extract_scalar"),

@@ -60,21 +60,34 @@ case class JsonArrayContains(left: Expression, right: Expression)
   *
   *   json_array_contains(j, v)  ==>  array_contains(from_json(j, 'array<string>'), v)
   *
-  * so a pasted Presto query (README query 2) automatically gets whole-stage
-  * codegen instead of the interpreted fallback. Semantics preserved for the
-  * string case: from_json yields NULL on non-array input, and
-  * array_contains(NULL, v) is NULL — the same Presto NULL-on-non-array
-  * behavior JsonArrayContains implements. Numeric/boolean probes keep the
-  * compat expression (JSON numeric equality, 2 == 2.0, has no exact
-  * array_contains twin). */
+  * so a pasted Presto query gets whole-stage codegen instead of the
+  * interpreted fallback.
+  *
+  * OPT-IN ([[RewriteJsonArrayContains.ConfKey]], default off): the rewrite
+  * is only semantics-preserving when the probed arrays contain ONLY string
+  * elements. For mixed-type arrays, from_json to array<string> STRINGIFIES
+  * non-string elements ('[1,2]' -> ["1","2"]), so the rewritten form returns
+  * true for json_array_contains('[1,2]','1') where Presto — and the eval
+  * expression — return false. Enable per session when the probed column is
+  * known all-string (e.g. the reference's `_ipaddresses` arrays):
+  *
+  *   spark.conf.set("spark.graft.rewriteJsonArrayContains", "true")
+  *
+  * from_json still yields NULL on non-array input, and array_contains(NULL,
+  * v) is NULL — the Presto NULL-on-non-array behavior is preserved either
+  * way. Numeric/boolean probes always keep the compat expression (JSON
+  * numeric equality, 2 == 2.0, has no exact array_contains twin). */
 object RewriteJsonArrayContains extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case JsonArrayContains(json, value) if value.dataType == StringType =>
-      ArrayContains(
-        JsonToStructs(ArrayType(StringType), Map.empty[String, String], json,
-          Some(conf.sessionLocalTimeZone)),
-        value)
-  }
+  val ConfKey = "spark.graft.rewriteJsonArrayContains"
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(ConfKey, "false").toBoolean) plan
+    else plan.transformAllExpressions {
+      case JsonArrayContains(json, value) if value.dataType == StringType =>
+        ArrayContains(
+          JsonToStructs(ArrayType(StringType), Map.empty[String, String], json,
+            Some(conf.sessionLocalTimeZone)),
+          value)
+    }
 }
 
 /** True when the (string) child parses as a JSON object or array — used to

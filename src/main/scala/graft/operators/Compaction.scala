@@ -29,6 +29,16 @@ object Compaction {
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val path = new Path(partitionDir)
     val fs = FileSystem.get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a failure between the two swap renames leaves the data
+    // only in the hidden .precompact sibling (invisible to partition
+    // discovery) and the partition path absent — restore it before anything
+    // else, or every later call would die in listStatus below
+    val crashLeftover = new Path(path.getParent, s".${path.getName}.precompact")
+    if (!fs.exists(path) && fs.exists(crashLeftover)) {
+      if (!fs.rename(crashLeftover, path))
+        throw new java.io.IOException(
+          s"compaction: cannot restore $path from crash leftover $crashLeftover")
+    }
     val files = fs.listStatus(path).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
     val totalBytes = files.map(_.getLen).sum
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)

@@ -28,8 +28,34 @@ object Sessionize extends Serializable {
   /** The one session fold both batch and streaming use: sorted timestamps
     * against an optional carried-over open session. A merged event may be
     * EARLIER than the open session's bounds (a late-but-in-watermark event in
-    * a later micro-batch), so bounds move via min/max — never backward. */
-  private def fold(
+    * a later micro-batch), so bounds move via min/max — never backward.
+    *
+    * Late events more than a gap BEFORE the carried session's start can
+    * never belong to it (batch reprocessing would put a session break
+    * between them): they are chained among themselves and emitted as their
+    * own closed session(s) instead of being absorbed — without this split,
+    * `ts - s.last <= gap` is vacuously true for any earlier event. The
+    * earlier chain closes immediately: its last event is > gap away from the
+    * carried session's start by construction, and the carried state can hold
+    * only one open session. */
+  private[graft] def fold(
+      gapMicros: Long,
+      init: Option[OpenSession],
+      sorted: Array[Long]): (Vector[OpenSession], Option[OpenSession]) = {
+    init match {
+      case Some(s) =>
+        val cut = {
+          val i = sorted.indexWhere(_ >= s.start - gapMicros)
+          if (i == -1) sorted.length else i
+        }
+        val (closedBefore, openBefore) = foldChain(gapMicros, None, sorted.take(cut))
+        val (closedMain, openMain) = foldChain(gapMicros, Some(s), sorted.drop(cut))
+        (closedBefore ++ openBefore.toVector ++ closedMain, openMain)
+      case None => foldChain(gapMicros, None, sorted)
+    }
+  }
+
+  private def foldChain(
       gapMicros: Long,
       init: Option[OpenSession],
       sorted: Array[Long]): (Vector[OpenSession], Option[OpenSession]) = {

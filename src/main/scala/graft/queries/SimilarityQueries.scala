@@ -254,21 +254,25 @@ object SimilarityQueries {
     * recursive CTE, so the 6-round propagation bound is itself
     * oracle-checked). Threshold 0.45 sits >=1e-4 away from every pair in the
     * synthetic data, so engine FP noise cannot flip membership. */
+  /** The bounded-exact keep-list (vec_id, canonical_id, is_dup) —
+    * q_dedup_embed IS this ordered; q_dedup_cluster_stats consumes it the
+    * way a production pipeline would (semi join back against the corpus). */
+  private def embedKeepList(s: SparkSession, d: String): DataFrame = {
+    val e = normalizedEmbeddings(s, d).filter(col("vec_id") < ExactAuditBound).cache()
+    val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .filter(dot(col("emb_a"), col("emb_b")) >= 0.45)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    graft.operators.Closure.minLabel(e.select(col("vec_id").as("id")), sym, rounds = 6)
+      .select(col("id").as("vec_id"), col("lbl").as("canonical_id"))
+      .withColumn("is_dup", col("canonical_id") < col("vec_id"))
+  }
+
   private val embedDedup = Q(
     "q_dedup_embed",
-    (s, d) => {
-      val e = normalizedEmbeddings(s, d).filter(col("vec_id") < ExactAuditBound).cache()
-      val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
-      val pairs = a.join(b, col("id_a") < col("id_b"))
-        .filter(dot(col("emb_a"), col("emb_b")) >= 0.45)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"))).cache()
-      graft.operators.Closure.minLabel(e.select(col("vec_id").as("id")), sym, rounds = 6)
-        .select(col("id").as("vec_id"), col("lbl").as("canonical_id"))
-        .withColumn("is_dup", col("canonical_id") < col("vec_id"))
-        .orderBy("vec_id")
-    },
+    (s, d) => embedKeepList(s, d).orderBy("vec_id"),
     Some(s"""WITH RECURSIVE
       eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
              WHERE vec_id < $ExactAuditBound),
@@ -282,6 +286,44 @@ object SimilarityQueries {
         SELECT s.ia, r.lbl FROM sym s JOIN reach r ON s.ib = r.id)
       SELECT id AS vec_id, min(lbl) AS canonical_id, min(lbl) < id AS is_dup
       FROM reach GROUP BY id ORDER BY vec_id"""))
+
+  /** The keep-list CONSUMED the way a 100 TB pipeline uses it: the kept
+    * corpus is a LEFT SEMI join of the corpus against the non-dup rows
+    * (linear, broadcastable-key — never a rewrite of the corpus), and
+    * per-cluster stats come from a groupBy on the canonical id. Pins that
+    * the keep-list output composes; oracle extends the same recursive-CTE
+    * closure. */
+  private val clusterStats = Q(
+    "q_dedup_cluster_stats",
+    (s, d) => {
+      val keep = embedKeepList(s, d).cache()
+      val e = normalizedEmbeddings(s, d).filter(col("vec_id") < ExactAuditBound)
+      val keptTotal = e
+        .join(keep.filter(!col("is_dup")), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("kept_total"))
+      keep.groupBy("canonical_id")
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .crossJoin(broadcast(keptTotal))
+        .orderBy("canonical_id")
+    },
+    Some(s"""WITH RECURSIVE
+      eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+             WHERE vec_id < $ExactAuditBound),
+      pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                FROM eb a JOIN eb b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.de, b.de) >= 0.45),
+      sym AS (SELECT ia, ib FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+      reach(id, lbl) AS (
+        SELECT vec_id, vec_id FROM eb
+        UNION
+        SELECT s.ia, r.lbl FROM sym s JOIN reach r ON s.ib = r.id),
+      keep AS (SELECT id AS vec_id, min(lbl) AS canonical_id FROM reach GROUP BY id),
+      kept AS (SELECT count(*) AS kept_total FROM eb
+               WHERE vec_id IN (SELECT vec_id FROM keep WHERE canonical_id = vec_id))
+      SELECT canonical_id, count(*) AS n_members, kept_total
+      FROM keep, kept GROUP BY canonical_id, kept_total
+      HAVING count(*) >= 2 ORDER BY canonical_id"""))
 
   /** Scale-path embedding dedup: LSH candidates over the twin-augmented
     * corpus, exact verify at cos >= 0.9 (the regime real near-dup
@@ -446,5 +488,5 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
     cosineTopk, neardupPairs, neardupLsh, embedDedup, embedDedupLsh,
-    lshAnn, ivfAnn, multimodalMeta)
+    clusterStats, lshAnn, ivfAnn, multimodalMeta)
 }

@@ -22,6 +22,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", s"$base/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -18,6 +18,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -79,23 +80,62 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.sql("""SELECT json_array_contains('{"a": 1}', 'a')""").head.isNullAt(0))
   }
 
-  test("optimizer rule rewrites string json_array_contains to the codegen form") {
+  test("optimizer rule rewrites string json_array_contains to the codegen form (opt-in)") {
     val s = spark
     // parquet-backed input so constant folding can't pre-evaluate
     val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val df = docs.selectExpr(
-      "doc_id", "lang",
-      "json_array_contains(to_json(array(lang)), 'en') AS has_en")
-    val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.toLowerCase.contains("jsonarraycontains"),
-      s"compat expression survived optimization:\n$optimized")
-    assert(optimized.contains("array_contains") || optimized.contains("from_json"), optimized)
-    // rewritten form computes the same answer
-    df.collect().foreach(r => assert(r.getBoolean(2) == (r.getString(1) == "en")))
-    // numeric probe keeps the compat expression (no exact native twin)
-    val num = docs.selectExpr("json_array_contains(to_json(array(doc_id)), doc_id) AS m")
-    assert(num.queryExecution.optimizedPlan.toString.toLowerCase.contains("jsonarraycontains"))
-    num.collect().foreach(r => assert(r.getBoolean(0)))
+    def plan(expr: String) = docs.selectExpr("doc_id", "lang", expr)
+
+    // DEFAULT: rewrite off — the Presto-exact eval expression survives
+    val off = plan("json_array_contains(to_json(array(lang)), 'en') AS has_en")
+    assert(off.queryExecution.optimizedPlan.toString.toLowerCase.contains("jsonarraycontains"))
+
+    s.conf.set(graft.functions.RewriteJsonArrayContains.ConfKey, "true")
+    try {
+      val df = plan("json_array_contains(to_json(array(lang)), 'en') AS has_en")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.toLowerCase.contains("jsonarraycontains"),
+        s"compat expression survived optimization:\n$optimized")
+      assert(optimized.contains("array_contains") || optimized.contains("from_json"), optimized)
+      // rewritten form computes the same answer on all-string arrays
+      df.collect().foreach(r => assert(r.getBoolean(2) == (r.getString(1) == "en")))
+      // numeric probe keeps the compat expression even when enabled
+      val num = docs.selectExpr("json_array_contains(to_json(array(doc_id)), doc_id) AS m")
+      assert(num.queryExecution.optimizedPlan.toString.toLowerCase.contains("jsonarraycontains"))
+      num.collect().foreach(r => assert(r.getBoolean(0)))
+    } finally s.conf.unset(graft.functions.RewriteJsonArrayContains.ConfKey)
+  }
+
+  test("json_array_contains: mixed-type arrays keep Presto semantics unless the rewrite is opted in") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // string probe against a NUMERIC json array: Presto (and the eval
+    // expression) say false — '1' is not a JSON string element of [<id>]
+    def probe() = docs
+      .selectExpr("json_array_contains(to_json(array(doc_id)), CAST(doc_id AS STRING)) AS m")
+      .collect().map(_.getBoolean(0))
+    assert(probe().forall(_ == false), "default must be Presto-exact")
+    // with the opt-in rewrite, from_json(..., array<string>) stringifies the
+    // numeric element and the probe matches — the documented deviation that
+    // makes the rewrite unsafe for mixed-type arrays (hence opt-in)
+    s.conf.set(graft.functions.RewriteJsonArrayContains.ConfKey, "true")
+    try assert(probe().forall(_ == true))
+    finally s.conf.unset(graft.functions.RewriteJsonArrayContains.ConfKey)
+  }
+
+  test("session fold: a late event more than a gap BEFORE the open session start forms its own session") {
+    import graft.operators.Sessionize
+    val gap = 100L
+    val carried = Sessionize.OpenSession(start = 1000L, last = 1200L, n = 3)
+    // two late events chaining together, both > gap before carried.start,
+    // plus one event that extends the carried session
+    val (closed, open) = Sessionize.fold(gap, Some(carried), Array(500L, 550L, 1250L))
+    assert(closed == Vector(Sessionize.OpenSession(500L, 550L, 2)),
+      s"late chain should close as its own session: $closed")
+    assert(open.contains(Sessionize.OpenSession(1000L, 1250L, 4)), open.toString)
+    // an event within a gap of carried.start still merges (conservative)
+    val (closed2, open2) = Sessionize.fold(gap, Some(carried), Array(950L))
+    assert(closed2.isEmpty && open2.contains(Sessionize.OpenSession(950L, 1200L, 4)))
   }
 
   test("sessionize: gap splitting, counts, durations") {

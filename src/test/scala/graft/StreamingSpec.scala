@@ -20,6 +20,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -219,6 +220,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (dir, before, after) = results.head
     assert(before > after && after == 1, s"$dir: $before -> $after")
     // partition discovery still works and content is byte-for-byte the same
+    val afterRows = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(afterRows == beforeRows)
+  }
+
+  test("compaction recovers a partition stranded in .precompact by a mid-swap crash") {
+    val landing = s"$base/crash_compact"
+    Files.createDirectories(Paths.get(landing))
+    (0 until 10).foreach { i =>
+      Files.writeString(Paths.get(landing, f"ev_$i%02d.json"),
+        s"""{"n": $i, "eventtime": "2022-03-01T00:00:00Z"}""")
+    }
+    val out = s"$base/crash_compact_out"
+    graft.pipeline.Ingest.ingestBatch(spark, s"$landing/*.json", out)
+    val beforeRows = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    // find the leaf partition and simulate a crash between the two renames:
+    // partition moved aside to the hidden .precompact sibling, nothing put back
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaf(p: Path): Path = {
+      val dirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+      if (dirs.isEmpty) p else leaf(dirs.head)
+    }
+    val part = leaf(new Path(out))
+    val aside = new Path(part.getParent, s".${part.getName}.precompact")
+    assert(fs.rename(part, aside), "test setup: move partition aside")
+    // pre-fix: listStatus(part) threw FileNotFoundException forever after
+    val (before, after) = graft.operators.Compaction.compactPartition(
+      spark, part.toString, targetBytes = 512L * 1024 * 1024)
+    assert(before >= after, s"$before -> $after")
+    assert(!fs.exists(aside), "crash leftover should be consumed by recovery")
     val afterRows = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
     assert(afterRows == beforeRows)
   }
