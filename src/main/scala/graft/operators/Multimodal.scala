@@ -10,14 +10,18 @@ import org.apache.spark.sql.types._
   * metadata; decode / feature-extract / resize / frame-sample run inside
   * `mapPartitions` with explicit micro-batching — the Scala analogue of a
   * Pandas-UDF `mapInPandas` stage (per-batch setup amortization, bounded
-  * memory per batch). The DECODE step is a clearly-marked deterministic stub
-  * (no image/audio codecs in this container); everything Spark-side — the
-  * schema, the batch shape, the partition behavior, the feature math over
-  * decoded bytes — is real and oracle/test-verified.
+  * memory per batch).
+  *
+  * Decode is REAL for images: image-mime payloads go through the JDK's
+  * ImageIO (PNG/BMP/GIF/JPEG — pure JVM, headless-safe) to gray pixel
+  * buffers, and `q_multimodal_decode` oracle-checks the full
+  * encode→decode→feature path against pixel math recomputed independently
+  * in DuckDB. Audio/video codecs don't ship with the JDK, so non-image
+  * payloads pass through as already-decoded byte streams (documented
+  * boundary; the feature/frame/resize math downstream is shared).
   *
   * Scale: all stages are narrow (no shuffle); media bytes never leave their
-  * input partition until an explicit aggregation. At 100 TB the decode-stub
-  * swap-in (a real codec) changes only `decodeStub`.
+  * input partition until an explicit aggregation.
   */
 object Multimodal {
 
@@ -28,10 +32,62 @@ object Multimodal {
 
   val featureDim = 16
 
-  /** DECODE STUB: a real implementation would hand bytes to a codec
-    * (JPEG/PNG/opus/...) and return pixel/sample buffers. Deterministic
-    * identity stand-in so downstream feature math is testable. */
-  private def decodeStub(media: Array[Byte]): Array[Byte] = media
+  /** Dispatch decode by mime: images through ImageIO to gray pixels;
+    * everything else passes through (no audio/video codecs in the JDK —
+    * payload is treated as the already-decoded sample stream). An image
+    * payload the codec rejects also passes through rather than dropping
+    * the row (schema-drift tolerance, same stance as the ingest pipeline). */
+  private def decode(media: Array[Byte], mime: String): Array[Byte] =
+    if (mime.startsWith("image/")) decodeImage(media).map(_._3).getOrElse(media)
+    else media
+
+  /** REAL image decode via the JDK's ImageIO: bytes -> (width, height,
+    * row-major gray samples). Single-band rasters read directly; multi-band
+    * collapse through integer BT.601 luminance. Returns None when no
+    * registered codec accepts the bytes. */
+  def decodeImage(media: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      catch { case _: Exception => null }
+    Option(img).map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val raster = im.getRaster
+      val out = new Array[Byte](w * h)
+      val gray = raster.getNumBands == 1
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(i) =
+            if (gray) raster.getSample(x, y, 0).toByte
+            else ((299 * raster.getSample(x, y, 0) + 587 * raster.getSample(x, y, 1) +
+              114 * raster.getSample(x, y, 2)) / 1000).toByte
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+  }
+
+  /** Gray pixels -> PNG bytes (lossless, so decode∘encode is identity —
+    * the property the oracle relies on). */
+  def encodeGrayPng(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.getRaster.setSample(x, y, 0, pixels(i) & 0xff); i += 1; x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** Feature extraction over decoded bytes: 16-bin byte histogram
     * (bin = byte >> 4 for 7-bit text bytes), L1-normalized. Deterministic,
@@ -55,6 +111,13 @@ object Multimodal {
     * sampling frames from a video container (stub semantics over bytes). */
   def frameSample(decoded: Array[Byte], stride: Int, maxFrames: Int): Array[Byte] =
     decoded.indices.by(stride).take(maxFrames).map(decoded(_)).toArray
+
+  /** Order-sensitive rolling hash of the (stride 7, ≤32) frame sample —
+    * 64-bit wrapping multiply-add; the DuckDB oracle mirrors it in HUGEINT
+    * arithmetic mod 2^64. */
+  def frameFingerprint(decoded: Array[Byte]): Long =
+    frameSample(decoded, stride = 7, maxFrames = 32)
+      .foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
 
   /** "Resize" to a fixed target length: nearest-neighbor downsample over the
     * byte buffer (the 1-D analogue of nearest-neighbor image resize; a real
@@ -94,11 +157,9 @@ object Multimodal {
           val docId = r.getLong(0)
           val media = r.getAs[Array[Byte]](1)
           val mime = r.getString(2)
-          val decoded = decodeStub(media)
+          val decoded = decode(media, mime)
           val features = extractFeatures(decoded)
-          val frames = frameSample(decoded, stride = 7, maxFrames = 32)
-          // order-sensitive rolling hash of sampled "frames"
-          val fp = frames.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
+          val fp = frameFingerprint(decoded)
           Row(docId, mime, media.length.toLong, features.toSeq, fp)
         }
       }
@@ -107,11 +168,52 @@ object Multimodal {
   }
 
   /** The documents table dressed as a media table: utf-8 bytes as the opaque
-    * payload (the container has no codecs — see decodeStub). */
+    * payload, passed through decode untouched (a text mime is not an image). */
   def documentsAsMedia(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
       .select(
         col("doc_id"),
         encode(col("text"), "utf-8").as("media"),
         lit("text/plain;fake=1").as("mime_type"))
+
+  /** Deterministic 8x8 gray PNG per document: pixel(i) = (doc_id*31+i*7)%256.
+    * REAL compressed image bytes (zlib-filtered PNG), so the decode stage
+    * exercises an actual codec; the pixel formula is what lets DuckDB
+    * recompute expected features/fingerprints independently. */
+  val SyntheticImgW = 8
+  val SyntheticImgH = 8
+  def syntheticImages(spark: SparkSession, dir: String): DataFrame = {
+    val pngUdf = org.apache.spark.sql.functions.udf { docId: Long =>
+      val px = Array.tabulate(SyntheticImgW * SyntheticImgH)(
+        i => (((docId * 31 + i * 7) % 256) & 0xff).toByte)
+      encodeGrayPng(px, SyntheticImgW, SyntheticImgH)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), pngUdf(col("doc_id")).as("media"),
+        lit("image/png").as("mime_type"))
+  }
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("frame_fp", LongType, nullable = false)))
+
+  /** Image media -> decoded dimensions + pixel-domain features + frame
+    * fingerprint, batched mapPartitions like [[processMedia]]. Rows whose
+    * bytes no codec accepts are dropped (width/height are undefined). */
+  def decodeImageTable(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select("doc_id", "media").rdd.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          decodeImage(r.getAs[Array[Byte]](1)).map { case (w, h, px) =>
+            Row(r.getLong(0), w.toLong, h.toLong, extractFeatures(px).toSeq, frameFingerprint(px))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
 }

@@ -37,15 +37,71 @@ object MultimodalQueries {
         CAST(len(regexp_extract_all(text, '[ -/]')) AS BIGINT) AS n_space_punct
       FROM documents ORDER BY doc_id"""))
 
-  /** Frame-sampling stub shape: deterministic rolling fingerprint over the
-    * sampled "frames" — rows-only here, determinism pinned in MultimodalSpec. */
+  /** Frame sampling: deterministic rolling fingerprint over the (stride 7,
+    * ≤32) sampled "frames". The corpus is pure ASCII (checked per sf), so
+    * DuckDB can mirror the byte-level 64-bit wrapping hash exactly: sampled
+    * code points in HUGEINT arithmetic mod 2^64, then mapped to the signed
+    * value Scala's wrapping Long produces. */
   private val frames = Q(
     "q_multimodal_frames",
     (s, d) =>
       Multimodal.processMedia(Multimodal.documentsAsMedia(s, d))
         .select(col("doc_id"), col("frame_fingerprint"))
         .orderBy("doc_id"),
-    None)
+    Some("""WITH f AS (SELECT doc_id,
+        list_transform(
+          range(0, least(32, (octet_length(encode(text)) + 6) // 7)),
+          k -> CAST(ord(substr(text, CAST(k*7 + 1 AS INT), 1)) AS HUGEINT)) AS frames
+      FROM documents),
+      fp AS (SELECT doc_id,
+        list_reduce(list_prepend(1125899906842597::HUGEINT, frames),
+                    (acc, x) -> (acc*31 + x) % 18446744073709551616::HUGEINT) AS fp_u
+      FROM f)
+      SELECT doc_id,
+        CASE WHEN fp_u >= 9223372036854775808::HUGEINT
+             THEN CAST(fp_u - 18446744073709551616::HUGEINT AS BIGINT)
+             ELSE CAST(fp_u AS BIGINT) END AS frame_fingerprint
+      FROM fp ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(features, frames)
+  /** REAL codec path, end to end: deterministic 8x8 gray PNGs (actual
+    * zlib-compressed image bytes) -> ImageIO decode -> pixel-domain
+    * histogram features + frame fingerprint. The oracle recomputes
+    * everything from the pixel formula — if decode returned anything but
+    * the exact pixels (or invented dimensions), every column would
+    * mismatch. Feature bins are count/64 (dyadic => float-exact, no
+    * rounding needed). */
+  private val decodeQ = Q(
+    "q_multimodal_decode",
+    (s, d) =>
+      Multimodal.decodeImageTable(Multimodal.syntheticImages(s, d))
+        .select(
+          col("doc_id"), col("width"), col("height"),
+          element_at(col("features"), 1).cast("double").as("f0"),
+          element_at(col("features"), 6).cast("double").as("f5"),
+          element_at(col("features"), 11).cast("double").as("f10"),
+          element_at(col("features"), 16).cast("double").as("f15"),
+          col("frame_fp"))
+        .orderBy("doc_id"),
+    Some("""WITH px AS (SELECT doc_id,
+        list_transform(range(0, 64), i -> (doc_id*31 + i*7) % 256) AS p
+      FROM documents),
+      f AS (SELECT doc_id, p,
+        list_transform(range(0, 10), k -> CAST(p[CAST(k*7 + 1 AS INT)] AS HUGEINT)) AS frames
+      FROM px),
+      fp AS (SELECT doc_id, p,
+        list_reduce(list_prepend(1125899906842597::HUGEINT, frames),
+                    (acc, x) -> (acc*31 + x) % 18446744073709551616::HUGEINT) AS fp_u
+      FROM f)
+      SELECT doc_id,
+        CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        CAST(len(list_filter(p, x -> x // 16 = 0)) AS DOUBLE)/64 AS f0,
+        CAST(len(list_filter(p, x -> x // 16 = 5)) AS DOUBLE)/64 AS f5,
+        CAST(len(list_filter(p, x -> x // 16 = 10)) AS DOUBLE)/64 AS f10,
+        CAST(len(list_filter(p, x -> x // 16 = 15)) AS DOUBLE)/64 AS f15,
+        CASE WHEN fp_u >= 9223372036854775808::HUGEINT
+             THEN CAST(fp_u - 18446744073709551616::HUGEINT AS BIGINT)
+             ELSE CAST(fp_u AS BIGINT) END AS frame_fp
+      FROM fp ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(features, frames, decodeQ)
 }

@@ -102,4 +102,31 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getAs[String]("error").nonEmpty)
     assert(err.getAs[String]("file").endsWith("bad.json"))
   }
+
+  test("image decode is real: PNG encode -> ImageIO decode roundtrips pixels exactly") {
+    import graft.operators.Multimodal
+    val px = Array.tabulate(64)(i => ((i * 37 + 11) % 256).toByte)
+    val png = Multimodal.encodeGrayPng(px, 8, 8)
+    // actual compressed PNG container, not a passthrough of the input
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val Some((w, h, back)) = Multimodal.decodeImage(png)
+    assert(w == 8 && h == 8)
+    assert(back.toSeq == px.toSeq, "gray PNG decode must be lossless")
+    // non-image bytes: no codec claims them
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("decodeImageTable decodes synthetic PNGs to the formula pixels") {
+    import graft.operators.Multimodal
+    val out = Multimodal.decodeImageTable(
+      Multimodal.syntheticImages(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Float](3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.take(20).foreach { case (docId, w, h, feats, fp) =>
+      assert(w == 8 && h == 8)
+      val px = Array.tabulate(64)(i => (((docId * 31 + i * 7) % 256) & 0xff).toByte)
+      assert(feats.toSeq == Multimodal.extractFeatures(px).toSeq)
+      assert(fp == Multimodal.frameFingerprint(px))
+    }
+  }
 }
