@@ -267,7 +267,21 @@ object DedupQueries {
         .filter(col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     },
-    None)
+    // DuckDB has no xxHash64, so the oracle is a committed expected pair
+    // table computed by an independent from-spec Python XXH64 + simhash +
+    // exhaustive all-pairs hamming (tools/gen_expected.py). Because the
+    // pigeonhole candidate scheme has PROVABLE recall 1.0 at hamming <= 3,
+    // the engine's banded output must equal the exhaustive truth exactly.
+    // md5(text) on both pair ends discriminates the scale factor.
+    Some("""WITH exp AS (
+        SELECT * FROM '/root/repo/src/test/resources/expected/simhash_pairs_sf0.001.parquet'
+        UNION ALL SELECT * FROM '/root/repo/src/test/resources/expected/simhash_pairs_sf0.01.parquet'
+        UNION ALL SELECT * FROM '/root/repo/src/test/resources/expected/simhash_pairs_sf0.1.parquet')
+      SELECT DISTINCT e.doc_a, e.doc_b, e.hamming
+      FROM exp e
+        JOIN documents da ON e.doc_a = da.doc_id AND md5(da.text) = e.text_md5_a
+        JOIN documents db ON e.doc_b = db.doc_id AND md5(db.text) = e.text_md5_b
+      ORDER BY doc_a, doc_b"""))
 
   /** n-gram (bigram-shingle) Jaccard pairs: LSH band prefilter → exact
     * bitmap-Jaccard verify. Exact output semantics with a scale-safe plan:

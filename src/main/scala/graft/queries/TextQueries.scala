@@ -108,7 +108,18 @@ object TextQueries {
             lit(0L),
             (acc, w) => xxhash64(acc, w)).as("fingerprint"))
         .orderBy("doc_id"),
-    None)
+    // DuckDB has no xxHash64, so the oracle is a committed expected table
+    // generated by an INDEPENDENT from-spec Python XXH64 implementation
+    // (tools/gen_expected.py) — a genuine two-implementation check of the
+    // tokenize -> chained-hash fold. The md5(text) join discriminates the
+    // scale factor (same doc_ids carry different text per sf).
+    Some("""WITH exp AS (
+        SELECT * FROM '/root/repo/src/test/resources/expected/fingerprint_sf0.001.parquet'
+        UNION ALL SELECT * FROM '/root/repo/src/test/resources/expected/fingerprint_sf0.01.parquet'
+        UNION ALL SELECT * FROM '/root/repo/src/test/resources/expected/fingerprint_sf0.1.parquet')
+      SELECT DISTINCT d.doc_id, e.fingerprint
+      FROM documents d JOIN exp e ON d.doc_id = e.doc_id AND md5(d.text) = e.text_md5
+      ORDER BY d.doc_id"""))
 
   /** Exact dedup: group identical text, keep the smallest doc_id. At 100 TB
     * group by a 64-bit content hash instead of the full text to shrink
