@@ -9,7 +9,8 @@ object SparkEntry {
   private val corpus: Seq[Q] =
     Relational.all ++ EventsQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ PipelineQueries.all ++
-      SinkQueries.all ++ MultimodalQueries.all
+      SinkQueries.all ++ MultimodalQueries.all ++ TemporalQueries.all ++
+      TrainingDataQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -25,6 +25,16 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects by default; read nanos as long and convert to micros
+    * timestamps once at scan. REQUIRES `spark.sql.legacy.parquet.nanosAsLong
+    * =true` at session build (set by Engine.createSession, Verify, Bench and
+    * every spec harness). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    t(spark, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Register testdata tables as temp views for spark.sql-based queries. */
   def views(spark: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))

@@ -10,16 +10,9 @@ import Tables.t
   */
 object EventsQueries {
 
-  /** The events parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects by default; read nanos as long and convert to a proper
-    * timestamp (micros) ourselves. Conversion happens once at scan, so every
-    * downstream operator still sees a plain TimestampType column.
-    *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` at session build
-    * (set by Engine.createSession, Verify, Bench and every spec harness) —
-    * a query constructor must not mutate session conf as a side effect. */
+  /** See [[Tables.events]] — nanos parquet read once at scan as micros. */
   private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.events(s, d)
 
   /** json_extract_scalar ≅ get_json_object; stays inside whole-stage codegen
     * (Jackson-based JsonPath evaluation per row, no UDF). */

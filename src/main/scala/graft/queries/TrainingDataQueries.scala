@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Tables.t
+
+/** Training-corpus preparation surface beyond cleaning/dedup: context-window
+  * chunking, train/eval decontamination, and deterministic weighted
+  * sampling. All three are shuffle-minimal shapes that survive 100 TB:
+  * chunking is a narrow per-row explode (no shuffle at all); decontamination
+  * meets through an n-gram equi-join (the industry-standard shape — the
+  * candidate key IS the n-gram, never a pair enumeration); sampling is a
+  * stateless integer-hash filter (reshuffle-stable, no RNG state, no
+  * coordination).
+  */
+object TrainingDataQueries {
+
+  /** Sliding token-window chunking (64-token windows, stride 48): the
+    * context-window split every LLM training pipeline applies before
+    * tokenization. Pure narrow transform — split + sequence + explode stay
+    * inside whole-stage codegen; at 100 TB this is scan-bound with zero
+    * exchanges. Every start in range(0, n_tokens, stride) emits a chunk;
+    * the final chunk may be short (standard sliding-window semantics). */
+  private val chunk = Q(
+    "q_text_chunk",
+    (s, d) => {
+      val size64 = 64
+      val stride = 48
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+        .select(
+          col("doc_id"),
+          col("toks"),
+          col("n"),
+          posexplode(sequence(lit(0L), greatest(col("n") - 1L, lit(0L)), lit(stride.toLong))))
+        .select(
+          col("doc_id"),
+          col("pos").cast("long").as("chunk_idx"),
+          col("col").as("start"),
+          least(lit(size64.toLong), col("n") - col("col")).as("n_tokens"),
+          array_join(slice(col("toks"), (col("col") + 1).cast("int"), lit(size64)), " ")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           s AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+           e AS (SELECT doc_id, toks, n,
+                   unnest(generate_series(0, greatest(n - 1, 0), 48)) AS start FROM s)
+      SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx, CAST(start AS BIGINT) AS start,
+             CAST(least(64, n - start) AS BIGINT) AS n_tokens,
+             array_to_string(toks[start + 1:start + 64], ' ') AS chunk_text
+      FROM e ORDER BY doc_id, chunk_idx"""))
+
+  /** Train/eval decontamination: eval docs sharing any word 4-gram with the
+    * training split (same deterministic id-keyed split as q_train_split).
+    * The scale shape is the point — (doc, ngram) pairs are deduped BEFORE
+    * the join, candidates meet through the n-gram equi-join key, and the
+    * output is per-doc counts, never pair listings. At 100 TB the join key
+    * would be xxhash64(ngram) (8 bytes instead of the string; same plan) and
+    * n would be 8-13; n=4 here because the synthetic corpus's word-shuffle
+    * near-dups destroy longer n-grams. hit_bp is basis points as pure
+    * integer math — identical across engines by construction. */
+  private val contamination = Q(
+    "q_contamination",
+    (s, d) => {
+      val n = 4
+      val docs = t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 10 < 9, "train").otherwise("eval").as("split"),
+          split(col("text"), " ").as("toks"))
+        .filter(org.apache.spark.sql.functions.size(col("toks")) >= n)
+      val grams = docs.select(
+        col("doc_id"),
+        col("split"),
+        explode(
+          transform(
+            sequence(lit(0), org.apache.spark.sql.functions.size(col("toks")) - n, lit(1)),
+            i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("ng"))
+      val trainG = grams.filter(col("split") === "train").select("ng").distinct()
+      val evalG = grams.filter(col("split") === "eval").select("doc_id", "ng").distinct()
+      val totals = evalG.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+      val hits = evalG.join(trainG, "ng").groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      totals
+        .join(hits, "doc_id")
+        .withColumn("hit_bp", expr("(n_hit * 10000) div n_ngrams"))
+        .select("doc_id", "n_ngrams", "n_hit", "hit_bp")
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+               CASE WHEN doc_id % 10 < 9 THEN 'train' ELSE 'eval' END AS split,
+               string_split(text, ' ') AS toks FROM documents),
+           g AS (SELECT doc_id, split, array_to_string(toks[i + 1:i + 4], ' ') AS ng
+                 FROM (SELECT doc_id, split, toks,
+                         unnest(generate_series(0, len(toks) - 4, 1)) AS i
+                       FROM d WHERE len(toks) >= 4)),
+           tg AS (SELECT DISTINCT ng FROM g WHERE split = 'train'),
+           eg AS (SELECT DISTINCT doc_id, ng FROM g WHERE split = 'eval'),
+           tot AS (SELECT doc_id, count(*) AS n_ngrams FROM eg GROUP BY doc_id),
+           hit AS (SELECT e.doc_id, count(*) AS n_hit FROM eg e JOIN tg ON e.ng = tg.ng
+                   GROUP BY e.doc_id)
+      SELECT t.doc_id, t.n_ngrams, h.n_hit, (h.n_hit * 10000) // t.n_ngrams AS hit_bp
+      FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+      ORDER BY t.doc_id"""))
+
+  /** Deterministic weight-proportional Bernoulli sampling: keep a doc with
+    * probability min(n_chars/10, 500)/1000, decided by a multiplicative
+    * integer hash of the id — no RNG state, so the sample is identical
+    * across reshuffles, retries and re-runs (the reproducibility property a
+    * training pipeline needs), and pure integer math means the oracle is
+    * exact. Stateless narrow filter: at 100 TB it rides the scan, with the
+    * filter pushed to parquet. Production would hash content (xxhash64)
+    * rather than the id; the operator shape is identical. */
+  private val sampleWeighted = Q(
+    "q_sample_weighted",
+    (s, d) =>
+      t(s, d, "documents")
+        .withColumn("weight", least(expr("n_chars div 10"), lit(500L)))
+        .filter(((col("doc_id") * 2654435761L) % 4294967296L) % 1000L < col("weight"))
+        .select("doc_id", "lang", "n_chars", "weight")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, n_chars, least(n_chars // 10, 500) AS weight
+      FROM documents
+      WHERE (doc_id * 2654435761) % 4294967296 % 1000 < least(n_chars // 10, 500)
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(chunk, contamination, sampleWeighted)
+}

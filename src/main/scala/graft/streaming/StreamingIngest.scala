@@ -154,6 +154,35 @@ object StreamingIngest {
           .otherwise(col("tags")))
       .drop("src_ip", "ip", "threat")
 
+  /** Stream-stream interval join: correlate two LIVE streams within a time
+    * bound (login -> alert, click -> purchase) — the two-stream twin of the
+    * batch [[graft.operators.RangeJoin]]. Both inputs must carry columns
+    * `key` and `ts` (TimestampType). Both sides are watermarked and the
+    * range predicate appears IN the join condition, so Spark derives a state
+    * eviction bound: each side buffers only `watermark + maxGap` of data per
+    * key — bounded state at any throughput, the property that makes the join
+    * runnable forever at 100 TB/day. Inner matches emit as soon as both rows
+    * arrive (no watermark wait); the shuffle keys on `key`.
+    *
+    * Output is the match skeleton (key, l_ts, r_ts, gap_s); callers carry
+    * payloads by joining back on (key, ts) or widening the input frames. */
+  def correlateStreams(
+      left: DataFrame,
+      right: DataFrame,
+      maxGap: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(
+        r,
+        expr(s"""l.key = r.key AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL $maxGap"""))
+      .select(
+        col("l.key").as("key"),
+        col("l.ts").as("l_ts"),
+        col("r.ts").as("r_ts"),
+        (unix_timestamp(col("r.ts")) - unix_timestamp(col("l.ts"))).as("gap_s"))
+  }
+
   /** Sliding-window variant (5-minute slide over a 1-hour window). */
   def slidingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events

@@ -163,6 +163,35 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rnLines.forall(_.contains("bucket")), rnLines.mkString("\n"))
   }
 
+  test("q_join_asof: as-of is union + one key shuffle + window — NO Join node") {
+    val p = plan("q_join_asof")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+    // one hashpartitioning Exchange for the window; the only other Exchange
+    // is the final ORDER BY's rangepartitioning
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly 1 hash Exchange, plan:\n$p")
+  }
+
+  test("q_join_range: interval binning keeps the range join an equi-join — no BNLJ/cartesian") {
+    val p = plan("q_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("q_contamination: eval/train n-grams meet through an equi-join, never pairwise") {
+    val p = plan("q_contamination")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sample_weighted / q_text_chunk: narrow shapes — no join anywhere") {
+    assert(!plan("q_sample_weighted").contains("Join"))
+    assert(!plan("q_text_chunk").contains("Join"))
+  }
+
   test("kernel expressions participate in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // parquet-backed input so ConvertToLocalRelation can't pre-evaluate

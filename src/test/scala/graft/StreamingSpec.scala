@@ -275,4 +275,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // none holds all three (10:05 and 11:05 are exactly 60 min apart)
     assert(rows.map(_.getLong(1)).max == 2L)
   }
+
+  test("stream-stream interval join: two live streams correlate within the gap, keys isolate") {
+    import org.apache.spark.sql.functions.{col, get_json_object, to_timestamp}
+    val loginsDir = s"$base/landing_ss_logins"
+    val alertsDir = s"$base/landing_ss_alerts"
+    // alice: alert 5 min after login (match); bob: alert 30 min after login
+    // (outside the 10 min gap); carol: alert with no login at all
+    write(loginsDir, "logins.json",
+      """[{"eventtime": "2020-01-01T10:00:00Z", "user": "alice"},
+          {"eventtime": "2020-01-01T10:00:00Z", "user": "bob"}]""")
+    write(alertsDir, "alerts.json",
+      """[{"eventtime": "2020-01-01T10:05:00Z", "user": "alice"},
+          {"eventtime": "2020-01-01T10:30:00Z", "user": "bob"},
+          {"eventtime": "2020-01-01T10:05:00Z", "user": "carol"}]""")
+
+    def keyed(dir: String) =
+      StreamingIngest.eventsStream(spark, dir)
+        .select(
+          get_json_object(col("details"), "$.user").as("key"),
+          to_timestamp(col("utctimestamp")).as("ts"))
+
+    val q = StreamingIngest.correlateStreams(keyed(loginsDir), keyed(alertsDir))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val rows = spark.sql("SELECT key, gap_s FROM ss_join ORDER BY key").collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    assert(rows.head.getString(0) == "alice")
+    assert(rows.head.getLong(1) == 300L)
+  }
 }
