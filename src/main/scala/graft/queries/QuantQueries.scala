@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables.t
+
+/** Vector-index construction operators: int8 scalar quantization (the memory
+  * layer every billion-vector ANN store sits on) and a Lloyd-trained coarse
+  * quantizer (the training step behind IVF cells — `q_sim_ivf_ann` uses a
+  * deterministic sample as its quantizer; this is the upgrade path).
+  *
+  * Cross-engine determinism is the design driver: every aggregate that feeds
+  * a downstream comparison is INTEGER math (quantized codes, fixed-point
+  * micro-unit centroid components), so the DuckDB mirror oracle hash-matches
+  * bit for bit — no FP summation-order hazard anywhere in either pipeline.
+  * Float ops are confined to expressions both engines evaluate with the
+  * identical IEEE operation sequence (elementwise quantize, left-fold dot).
+  */
+object QuantQueries {
+
+  import graft.functions.VectorFunctions.{dot, l2Normalize}
+
+  private def rawEmbeddings(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
+
+  private def normalizedEmbeddings(s: SparkSession, d: String): DataFrame =
+    rawEmbeddings(s, d).select(col("vec_id"), l2Normalize(col("de")).as("emb"))
+
+  /** DuckDB twin of [[normalizedEmbeddings]] (same left-fold norm). */
+  private val sqlNormalized: String =
+    """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      e AS (SELECT vec_id,
+              list_transform(de, x -> x / sqrt(list_reduce(list_transform(de, y -> y*y), (a, b) -> a + b))) AS emb
+            FROM e0)"""
+
+  private val Dim = 64
+
+  // ---------------------------------------------------------------------------
+  // q_sim_sq8 — scalar-quantized (int8) ANN
+  // ---------------------------------------------------------------------------
+
+  /** Per-dimension min/max over the NORMALIZED corpus, collected into ONE
+    * broadcastable row (a 64-element struct array) — the corpus itself never
+    * re-shuffles to get quantized: codes are a narrow `transform` against
+    * the broadcast calibration row. At 100 TB the calibration agg is a
+    * partial-agg tree over 64 keys (bytes of shuffle), and quantization
+    * rides the scan. min/max are exact selections (no FP arithmetic), so
+    * the calibration row is bit-identical across engines. */
+  private def sq8Calibration(e: DataFrame): DataFrame =
+    e.select(posexplode(col("emb")))
+      .toDF("d", "x")
+      .groupBy("d")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("d"), col("mn"), col("mx")))).as("mm"))
+
+  /** int8 code for one component: least(255, floor((x - mn) * 256 / (mx -
+    * mn))) — floor (not round) so both engines truncate identically; x = mx
+    * lands on 256 and clamps. A degenerate (constant) dim codes to 0. */
+  private def sq8Code(x: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
+      mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(mx === mn, lit(0L)).otherwise(least(lit(255L), floor((x - mn) * lit(256.0) / (mx - mn))))
+
+  /** Reconstruction of a code at its cell midpoint: mn + (code + 0.5) *
+    * (mx - mn) / 256 — the asymmetric-distance dequantization every SQ
+    * index scores with. The op sequence is mirrored verbatim in the oracle
+    * SQL, so both engines produce the identical IEEE double. */
+  private def sq8Dequant(code: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
+      mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(mx === mn, mn).otherwise(mn + (code + lit(0.5)) * (mx - mn) / lit(256.0))
+
+  /** Corpus as int8 codes (array<long> — parquet/arrow has no unsigned
+    * byte; the 8-bit range is the memory story: 64 bytes/vector instead of
+    * 512) PLUS the midpoint reconstruction used for scoring. Dequantization
+    * happens once per VECTOR against the broadcast calibration row — never
+    * per candidate pair — so pair scoring stays one codegen'd dot kernel. */
+  private def sq8Codes(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(sq8Calibration(e)))
+      .select(
+        col("vec_id"),
+        transform(
+          col("de"),
+          (x, i) => {
+            val m = element_at(col("mm"), (i + 1).cast("int"))
+            sq8Code(x, m.getField("mn"), m.getField("mx"))
+          }).as("qe"),
+        col("mm"))
+      .select(
+        col("vec_id"), col("qe"),
+        transform(
+          col("qe"),
+          (c, i) => {
+            val m = element_at(col("mm"), (i + 1).cast("int"))
+            sq8Dequant(c, m.getField("mn"), m.getField("mx"))
+          }).as("dq"))
+
+  /** Top-5 neighbors for 5 query vectors over the int8-quantized corpus,
+    * ranked by the dot product of midpoint reconstructions (asymmetric SQ
+    * distance; recall vs exact cosine is pinned in QuantSpec, and the
+    * stored representation is 8x smaller than float64 / 4x than float32).
+    * Query side broadcasts; the corpus is scanned once, never shuffled;
+    * ranking shuffles only the (5 x corpus) scored rows. The oracle
+    * replays quantize → dequantize → score with the identical operation
+    * sequence, so the hash compare covers the whole index pipeline. */
+  private val sq8Ann = Q(
+    "q_sim_sq8",
+    (s, d) => {
+      val e = rawEmbeddings(s, d).select(col("vec_id"), l2Normalize(col("de")).as("emb"))
+        .select(col("vec_id"), col("emb").as("de"), col("emb"))
+      val codes = sq8Codes(e).cache()
+      val q = broadcast(
+        codes.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("dq").as("qdq")))
+      val scored = codes.join(q, col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("dq"), col("qdq")), 6).as("score"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    },
+    Some(s"""WITH $sqlNormalized,
+      dd AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
+      dims AS (SELECT d, min(emb[d]) AS mn, max(emb[d]) AS mx FROM e, dd GROUP BY d),
+      qv AS (SELECT vec_id,
+               list(CASE WHEN mx = mn THEN mn
+                         ELSE mn + (least(255, CAST(floor((emb[d] - mn) * 256.0 / (mx - mn)) AS BIGINT)) + 0.5) * (mx - mn) / 256.0
+                    END ORDER BY d) AS dq
+             FROM e, dims GROUP BY vec_id),
+      q AS (SELECT vec_id AS query_id, dq AS qdq FROM qv WHERE vec_id < 5)
+      SELECT query_id, neighbor_id, score, rn FROM (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               round(list_dot_product(n.dq, q.qdq), 6) AS score,
+               CAST(row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(n.dq, q.qdq), 6) DESC, n.vec_id) AS BIGINT) AS rn
+        FROM qv n JOIN q ON n.vec_id <> q.query_id) sub
+      WHERE rn <= 5 ORDER BY query_id, rn"""))
+
+  // ---------------------------------------------------------------------------
+  // q_sim_kmeans — Lloyd-trained coarse quantizer (fixed-point centroids)
+  // ---------------------------------------------------------------------------
+
+  /** Micro-unit fixed point: a normalized component x ∈ [-1, 1] becomes
+    * floor((x + 2) * 1e6) ∈ [1e6, 3e6] — POSITIVE, so truncating integer
+    * division (Spark `div`) and DuckDB `//` agree, and per-cell means are
+    * exact integer math in both engines. The +2 offset cancels after the
+    * mean (mean of offsets = offset of mean, exactly, in integers — up to
+    * the shared div truncation). */
+  private val MicroOffset = 2000000L
+
+  /** One Lloyd step: per-(cell, dim) integer mean of member components →
+    * (cent_id, cemb array<double> in exact micro steps, norm2_micro).
+    * The explode shuffles (corpus x 64) integer rows into a 2-level key agg
+    * — map-side partial aggregation collapses it to (cells x 64) per task,
+    * so at 1000 executors the reduce is centroid-sized, not corpus-sized. */
+  private def lloydStep(assigned: DataFrame): DataFrame =
+    assigned.select(col("cent_id"), posexplode(col("emb")))
+      .toDF("cent_id", "d", "x")
+      .withColumn("xm", floor((col("x") + lit(2.0)) * lit(1000000.0)))
+      .groupBy("cent_id", "d")
+      .agg(sum("xm").as("sm"), count(lit(1)).as("n"))
+      .withColumn("cm", expr("sm div n") - MicroOffset)
+      .groupBy("cent_id")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("d"), col("cm")))),
+          e => e.getField("cm").cast("double") * lit(1e-6)).as("cemb"),
+        sum(col("cm") * col("cm")).as("norm2_micro"))
+
+  /** Assign every vector to its max-cosine centroid: broadcast the (tiny)
+    * centroid table, one scan pass, per-vector argmax. Ranking key is
+    * round(dot, 6) with centroid-id tiebreak — FP-stable across engines. */
+  private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+    e.crossJoin(broadcast(cents.select(col("cent_id"), col("cemb"))))
+      .select(col("vec_id"), col("emb"), col("cent_id"),
+        round(dot(col("emb"), col("cemb")), 6).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "emb", "cent_id")
+  }
+
+  /** DuckDB twin of one (assign, step) round; `prev` is the centroid CTE
+    * name to assign against, `i` the round index for naming. */
+  private def sqlLloydRound(i: Int, prev: String): String =
+    s"""a$i AS (SELECT vec_id, emb, cent_id FROM (
+          SELECT ev.vec_id, ev.emb, c.cent_id,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY round(list_dot_product(ev.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e ev, $prev c) s WHERE rn = 1),
+      m$i AS (SELECT cent_id, d,
+                sum(CAST(floor((emb[d] + 2) * 1000000) AS BIGINT)) AS sm, count(*) AS n
+              FROM a$i, dd GROUP BY cent_id, d),
+      g$i AS (SELECT cent_id, d, (sm // n) - $MicroOffset AS cm FROM m$i),
+      c${i + 1} AS (SELECT cent_id, list(CAST(cm AS DOUBLE) * 1e-6 ORDER BY d) AS cemb,
+                      CAST(sum(cm * cm) AS BIGINT) AS norm2_micro
+                    FROM g$i GROUP BY cent_id)"""
+
+  /** Two Lloyd iterations from a deterministic seed (every 61st vector),
+    * then a final assignment; output is the trained codebook summary —
+    * cell id, member count, and the exact integer squared norm of the
+    * trained centroid (the value an IVF probe would rank against). Every
+    * corpus-side join is against a broadcast centroid table; the only
+    * corpus-keyed shuffles are the per-vector argmax window and the
+    * fixed-point mean agg, both linear. The oracle replays the identical
+    * two rounds in SQL — centroid drift between engines is impossible
+    * because centroid components are exact integers. */
+  private val kmeans = Q(
+    "q_sim_kmeans",
+    (s, d) => {
+      val e = normalizedEmbeddings(s, d).cache()
+      val c0 = e.filter(col("vec_id") % 61 === 0)
+        .select(col("vec_id").as("cent_id"), col("emb").as("cemb"))
+      val c1 = lloydStep(kmeansAssign(e, c0))
+      val c2 = lloydStep(kmeansAssign(e, c1)).cache()
+      kmeansAssign(e, c2)
+        .groupBy("cent_id")
+        .agg(count(lit(1)).as("n_members"))
+        .join(c2.select(col("cent_id"), col("norm2_micro")), "cent_id")
+        .select(col("cent_id").as("cell"), col("n_members"), col("norm2_micro"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH $sqlNormalized,
+      dd AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
+      c0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 61 = 0),
+      ${sqlLloydRound(0, "c0")},
+      ${sqlLloydRound(1, "c1")},
+      a2 AS (SELECT vec_id, cent_id FROM (
+          SELECT ev.vec_id, c.cent_id,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY round(list_dot_product(ev.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e ev, c2 c) s WHERE rn = 1)
+      SELECT a.cent_id AS cell, count(*) AS n_members, c.norm2_micro
+      FROM a2 a JOIN c2 c ON a.cent_id = c.cent_id
+      GROUP BY a.cent_id, c.norm2_micro ORDER BY cell"""))
+
+  val all: Seq[Q] = Seq(sq8Ann, kmeans)
+}

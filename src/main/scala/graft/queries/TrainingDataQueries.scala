@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import Tables.t
 
 /** Training-corpus preparation surface beyond cleaning/dedup: context-window
@@ -124,5 +125,42 @@ object TrainingDataQueries {
       WHERE (doc_id * 2654435761) % 4294967296 % 1000 < least(n_chars // 10, 500)
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(chunk, contamination, sampleWeighted)
+  /** Context-window sequence packing (the "concatenate-and-split" layout
+    * every pretraining run uses): documents are laid end to end in a
+    * deterministic order and the token stream is cut every 1024 tokens;
+    * each doc reports its pack id and whether it straddles a cut. Packing
+    * is PER LANGUAGE — the window partitions by `lang`, so the prefix sum
+    * parallelizes across language shards instead of forcing a global
+    * single-partition ordering (at 100 TB the partition key would be the
+    * output shard: lang x date x bucket — same shape, more keys). Pure
+    * integer math end to end, so the oracle is exact. */
+  private val packSequences = Q(
+    "q_pack_sequences",
+    (s, d) => {
+      val ctx = 1024L
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(
+          col("doc_id"), col("lang"),
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("cum", sum("n_toks").over(w))
+        .withColumn("start", col("cum") - col("n_toks"))
+        .withColumn("pack_id", expr(s"start div $ctx"))
+        .withColumn("crosses", expr(s"start div $ctx") =!= expr(s"(cum - 1) div $ctx"))
+        .select("doc_id", "lang", "n_toks", "start", "pack_id", "crosses")
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+           c AS (SELECT doc_id, lang, n_toks,
+                   sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM d)
+      SELECT doc_id, lang, n_toks, cum - n_toks AS start,
+             (cum - n_toks) // 1024 AS pack_id,
+             (cum - n_toks) // 1024 <> (cum - 1) // 1024 AS crosses
+      FROM c ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(chunk, contamination, sampleWeighted, packSequences)
 }
