@@ -168,16 +168,32 @@ object DedupQueries {
     * band-bounded, so the per-pair array intersect here is fine; the
     * packed-bitmap kernel variant needs a shared append-only vocabulary
     * store and is the upgrade once delta batches are large.) */
-  def incrementalDups(deltaWordSets: DataFrame, corpusBands: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val deltaBands = minhashBandTable(deltaWordSets)
+  private def verifiedIncremental(
+      deltaBands: DataFrame, corpusBands: DataFrame, threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("x.ws"), col("y.ws"))).cast("double")
     deltaBands.as("x")
       .join(corpusBands.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .filter(inter / (size(col("x.ws")) + size(col("y.ws")) - inter) >= threshold)
       .select(col("x.doc_id").as("delta_id"), col("y.doc_id").as("corpus_id"))
+  }
+
+  def incrementalDups(deltaWordSets: DataFrame, corpusBands: DataFrame, threshold: Double = 0.9): DataFrame =
+    verifiedIncremental(minhashBandTable(deltaWordSets), corpusBands, threshold)
       .distinct()
       .orderBy("delta_id", "corpus_id")
-  }
+
+  /** STREAMING incremental near-dedup: the same sign-delta → band-equi-join →
+    * exact-verify pipeline over an unbounded delta stream of (doc_id, ws)
+    * rows, joined stream-static against the stored corpus band table. The
+    * whole operator is stateless (narrow transforms + a broadcastable-key
+    * equi-join — Spark plans stream-static joins without state), so it runs
+    * in append mode with no watermark requirement. A pair that matches in
+    * k bands emits up to k times; dedup-at-sink (or a
+    * dropDuplicatesWithinWatermark on (delta_id, corpus_id)) is the
+    * caller's choice — keep-list consumption via semi join is idempotent to
+    * repeats by construction. */
+  def incrementalDupsStream(deltaWordSets: DataFrame, corpusBands: DataFrame, threshold: Double = 0.9): DataFrame =
+    verifiedIncremental(minhashBandTable(deltaWordSets), corpusBands, threshold)
 
   /** MinHash+LSH near-dedup, keep-list semantics: shingle → minhash → band →
     * bucket-join candidates → exact-Jaccard verify (>= 0.9) → transitive

@@ -199,6 +199,15 @@ object QuantQueries {
                       CAST(sum(cm * cm) AS BIGINT) AS norm2_micro
                     FROM g$i GROUP BY cent_id)"""
 
+  /** The trained codebook: two Lloyd rounds from the deterministic seed
+    * (every 61st vector). Shared by q_sim_kmeans (codebook summary) and
+    * q_sim_ivf_trained (the codebook actually searching). */
+  private def trainedCodebook(e: DataFrame): DataFrame = {
+    val c0 = e.filter(col("vec_id") % 61 === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cemb"))
+    lloydStep(kmeansAssign(e, lloydStep(kmeansAssign(e, c0))))
+  }
+
   /** Two Lloyd iterations from a deterministic seed (every 61st vector),
     * then a final assignment; output is the trained codebook summary —
     * cell id, member count, and the exact integer squared norm of the
@@ -212,10 +221,7 @@ object QuantQueries {
     "q_sim_kmeans",
     (s, d) => {
       val e = normalizedEmbeddings(s, d).cache()
-      val c0 = e.filter(col("vec_id") % 61 === 0)
-        .select(col("vec_id").as("cent_id"), col("emb").as("cemb"))
-      val c1 = lloydStep(kmeansAssign(e, c0))
-      val c2 = lloydStep(kmeansAssign(e, c1)).cache()
+      val c2 = trainedCodebook(e).cache()
       kmeansAssign(e, c2)
         .groupBy("cent_id")
         .agg(count(lit(1)).as("n_members"))
@@ -237,5 +243,62 @@ object QuantQueries {
       FROM a2 a JOIN c2 c ON a.cent_id = c.cent_id
       GROUP BY a.cent_id, c.norm2_micro ORDER BY cell"""))
 
-  val all: Seq[Q] = Seq(sq8Ann, kmeans)
+  /** IVF ANN over the TRAINED codebook — the upgrade `q_sim_ivf_ann`'s
+    * sampled quantizer documents as its scale path: cells come from the two
+    * Lloyd rounds above, every vector is assigned in one broadcast pass,
+    * and a query probes only its 3 nearest trained cells (equi-join on the
+    * cell id; the corpus never meets the queries outside probed cells).
+    * Training cost amortizes across every subsequent search; at 100 TB the
+    * codebook trains on a sample and the assignment is a single scan. The
+    * oracle replays training AND search — the full IVF lifecycle is one
+    * hash compare. */
+  private val ivfTrained = Q(
+    "q_sim_ivf_trained",
+    (s, d) => {
+      val e = normalizedEmbeddings(s, d).cache()
+      val c2 = trainedCodebook(e).cache()
+      val assigned = kmeansAssign(e, c2)
+        .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+        .crossJoin(broadcast(c2.select(col("cent_id"), col("cemb"))))
+        .select(col("query_id"), col("qemb"), col("cent_id"),
+          round(dot(col("qemb"), col("cemb")), 6).as("csim"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 3) // nprobe
+        .select(col("query_id"), col("qemb"), col("cent_id").as("cell"))
+      val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("emb"), col("qemb")), 6).as("cos_sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    },
+    Some(s"""WITH $sqlNormalized,
+      dd AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
+      c0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 61 = 0),
+      ${sqlLloydRound(0, "c0")},
+      ${sqlLloydRound(1, "c1")},
+      assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (
+          SELECT ev.vec_id, ev.emb, c.cent_id,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY round(list_dot_product(ev.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e ev, c2 c) s WHERE rn = 1),
+      probes AS (SELECT query_id, qemb, cell FROM (
+          SELECT q.vec_id AS query_id, q.emb AS qemb, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e q, c2 c WHERE q.vec_id < 5) s WHERE rn <= 3)
+      SELECT query_id, neighbor_id, cos_sim, rn FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(list_dot_product(a.emb, p.qemb), 6) AS cos_sim,
+               CAST(row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY round(list_dot_product(a.emb, p.qemb), 6) DESC, a.vec_id) AS BIGINT) AS rn
+        FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id) sub
+      WHERE rn <= 5 ORDER BY query_id, rn"""))
+
+  val all: Seq[Q] = Seq(sq8Ann, kmeans, ivfTrained)
 }

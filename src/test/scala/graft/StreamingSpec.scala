@@ -306,4 +306,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getString(0) == "alice")
     assert(rows.head.getLong(1) == 300L)
   }
+
+  test("streaming incremental near-dedup: live delta joins the stored band table, matches batch") {
+    import org.apache.spark.sql.functions.{array_distinct, col, split}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+    // stored corpus signature table (computed once, batch)
+    val corpusWs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    val corpusBands = graft.queries.DedupQueries.minhashBandTable(corpusWs).cache()
+
+    // delta: one word-shuffle of corpus doc 0 (a near-dup: identical word
+    // set) and one disjoint-vocabulary doc (no match)
+    val doc0Words = corpusWs.filter(col("doc_id") === 0)
+      .head().getSeq[String](1)
+    val deltaDir = s"$base/dedup_delta"
+    write(deltaDir, "delta.jsonl",
+      s"""{"doc_id": 9001, "text": "${doc0Words.reverse.mkString(" ")}"}
+         |{"doc_id": 9002, "text": "zzq wwx yyk vvj uup"}""".stripMargin)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val deltaWs = spark.readStream.schema(schema).json(deltaDir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+
+    val q = graft.queries.DedupQueries.incrementalDupsStream(deltaWs, corpusBands)
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT DISTINCT delta_id, corpus_id FROM stream_dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // ground truth: the batch incremental path over the same delta
+    val batchDelta = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(9001L, doc0Words.reverse.mkString(" ")),
+        org.apache.spark.sql.Row(9002L, "zzq wwx yyk vvj uup"))), schema)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    val batch = graft.queries.DedupQueries.incrementalDups(batchDelta, corpusBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.nonEmpty && streamed.forall(_._1 == 9001L))
+    assert(streamed.exists(_._2 == 0L)) // the shuffled twin of doc 0 matches it
+  }
 }
