@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: run ONE declared query by name, time N passes, optionally
+  * dump the formatted plan. Usage:
+  *   sbt "runMain graft.RunOne q_dedup_ngram /root/testdata/sf0.01 3 plan"
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val runs = if (args.length > 2) args(2).toInt else 1
+    val showPlan = args.contains("plan")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    if (showPlan) fn(spark, sfDir).explain("formatted")
+    (1 to runs).foreach { i =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val tc = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[runone] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+        f"(construct ${(tc - t0) / 1e9}%.3f, execute ${(System.nanoTime() - tc) / 1e9}%.3f)")
+    }
+    spark.stop()
+  }
+}

@@ -56,6 +56,59 @@ object VectorOps {
     sig
   }
 
+  /** MinHash signature over an array<string> token set: sig[i] = min over
+    * tokens of Spark's xxhash64(token, i) for i in 0 until perms —
+    * BIT-IDENTICAL to the declarative nested-HOF form
+    * `transform(sequence(0, perms-1), i -> array_min(transform(ws, w ->
+    * xxhash64(w, i))))` (pinned in FunctionsSpec), but one JIT'd loop:
+    * the string hashes once per TOKEN (xxhash64(w, i) chains hashBytes(w,
+    * seed=42) then hashInt(i), so the expensive byte hash is shared across
+    * all perms), then perms cheap integer-hash chains. The HOF form
+    * interprets perms x tokens lambda trees per row and dominated the
+    * round-2 ngram/minhash bench. */
+  def minhashSig(ws: ArrayData, perms: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = ws.numElements()
+    val sig = new Array[Long](perms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val w = ws.getUTF8String(t)
+      val base = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes(), 42L)
+      var i = 0
+      while (i < perms) {
+        val h = XXH64.hashInt(i, base)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      t += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
+  /** Distinct bigram shingles of a token array, first-occurrence order —
+    * BIT-IDENTICAL to `array_distinct(transform(sequence(0, n-2), i ->
+    * concat_ws(" ", words[i], words[i+1])))` with the <2-token guard
+    * (empty result), but one JIT'd loop instead of ~n interpreted
+    * concat/element_at lambda trees per row. */
+  def distinctBigrams(words: ArrayData): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = words.numElements()
+    if (n < 2) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val space = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n - 1) {
+      seen.add(UTF8String.concat(words.getUTF8String(i), space, words.getUTF8String(i + 1)))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** |A intersect B| / |A union B| over packed 64-bit bitmap words. */
   def bitmapJaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
@@ -110,6 +163,40 @@ case class BitmapJaccard(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** minhashSig(tokens, perms) over an array<string>; codegen'd (see
+  * [[VectorOps.minhashSig]]). `perms` is a plan-time constant. */
+case class MinHashSig(child: Expression, perms: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.minhashSig(a.asInstanceOf[ArrayData], perms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.minhashSig($a, $perms)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** distinctBigrams(words) over an array<string>; codegen'd (see
+  * [[VectorOps.distinctBigrams]]). */
+case class DistinctBigrams(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.distinctBigrams(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.distinctBigrams($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctBigrams =
+    copy(child = newChild)
+}
+
 /** simhash64(hashes) over an array<long> of per-token hashes; codegen'd. */
 case class SimHash64(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -135,6 +222,12 @@ object VectorFunctions {
   /** SimHash of an array<long> of token hashes (codegen'd; see [[SimHash64]]). */
   def simhash64(hs: Column): Column =
     graftshim.column(SimHash64(graftshim.expression(hs)))
+  /** MinHash signature of an array<string> token set (codegen'd; see [[MinHashSig]]). */
+  def minhashSig(ws: Column, perms: Int): Column =
+    graftshim.column(MinHashSig(graftshim.expression(ws), perms))
+  /** Distinct bigram shingles of a token array (codegen'd; see [[DistinctBigrams]]). */
+  def distinctBigrams(words: Column): Column =
+    graftshim.column(DistinctBigrams(graftshim.expression(words)))
 
   /** Bit positions -> packed bitmap words. A Scala UDF on purpose: it runs
     * once per DOCUMENT (not per candidate pair), and the equivalent nested

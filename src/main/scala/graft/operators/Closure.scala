@@ -9,24 +9,30 @@ import org.apache.spark.sql.functions._
   * adjacent (the single-pass min-direct-neighbor shortcut documented in
   * round 2 split such chains).
   *
-  * Algorithm: bounded min-label propagation. Each round takes, per node, the
-  * minimum of its own label and its neighbors' labels — a join on the edge
-  * list plus a groupBy, both plain shuffles on the node id. `rounds` rounds
-  * reach the minimum over everything within `rounds` hops, so the result is
-  * the true transitive closure for every component whose diameter is at most
-  * `rounds`. Near-dup components are shallow by construction (members all
-  * resemble a shared ancestor), so a small fixed bound covers them; the
-  * DuckDB oracle twin computes the UNBOUNDED closure with a recursive CTE,
-  * so the correctness gate itself would catch a too-small bound.
+  * Algorithm: min-label propagation with POINTER JUMPING. Each round (1)
+  * takes, per node, the minimum of its own label and its neighbors' labels
+  * (a join on the edge list plus a groupBy — plain shuffles on the node
+  * id), then (2) follows the label one hop (`lbl <- lbl(lbl)` — labels are
+  * always node ids, so this is a self-join of the label table). The jump
+  * doubles the effective propagation distance per round, so `rounds`
+  * rounds reach the component minimum for every component of diameter up
+  * to ~2^rounds — the label-doubling trick from parallel connectivity
+  * (Shiloach-Vishkin style), which round 3 needed: the sf0.1 unigram
+  * near-dup graph has components deeper than the 6 plain-propagation hops
+  * round 2 shipped with (caught by the independent from-spec oracle,
+  * tools/gen_expected.py). The DuckDB oracle twins compute the UNBOUNDED
+  * closure (recursive CTE / union-find), so the correctness gate itself
+  * catches a too-small bound.
   *
-  * 100 TB note: cost is `rounds` x (1 join + 1 agg) over the EDGE list only
-  * (nodes without dup edges drop out of the propagation joins and keep their
-  * own id), and the label frame is referenced twice per round, so the plan
-  * tree doubles per round — callers must pass a cached/materialized `edges`.
-  * At cluster scale you would checkpoint the label frame every few rounds
-  * and switch to alternating large-star/small-star (O(log d) rounds); the
-  * bounded-propagation shape here keeps the whole thing a single lazy plan
-  * with no driver-side loop-until-converged action.
+  * 100 TB note: per round, cost is 1 edge join + 1 agg + 1 label self-join,
+  * all keyed shuffles over label/edge tables (never document payloads).
+  * The label frame is `localCheckpoint`ed each round: without it the lazy
+  * plan references the previous round's frame four times and the tree
+  * grows 4^rounds — Catalyst analysis time alone dominated round 2's dedup
+  * bench numbers. Checkpointing makes each round's plan constant-size; on
+  * a real cluster you'd use `checkpoint` (HDFS-backed) for fault tolerance
+  * instead of executor-local blocks. Callers pass a cached/materialized
+  * `edges`.
   */
 object Closure {
 
@@ -34,19 +40,28 @@ object Closure {
     * @param edges two columns `src`,`dst` — SYMMETRIC pair list (both
     *              directions present); caller caches it
     * @param rounds propagation bound; final labels equal the component min
-    *               for every component with diameter <= rounds
-    * @return (`id`, `lbl`) with lbl = min id within `rounds` hops
+    *               for every component of diameter <= ~2^rounds
+    * @return (`id`, `lbl`) with lbl = component-min id (within the bound)
     */
   def minLabel(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
-    var lab = nodes.select(col("id"), col("id").as("lbl"))
+    var lab = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val nbMin = edges
         .join(lab.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "nlbl"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("nlbl").as("nbmin"))
-      lab = lab
+      val stepped = lab
         .join(nbMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nbmin"), col("lbl"))).as("lbl"))
+      // pointer jump: adopt the label of the node the label points at.
+      // Labels are node ids and only ever decrease within a component, so
+      // the jump preserves membership and monotonicity while doubling the
+      // distance already covered.
+      val parent = stepped.select(col("id").as("p_id"), col("lbl").as("p_lbl"))
+      lab = stepped
+        .join(parent, col("lbl") === col("p_id"), "left")
+        .select(col("id"), coalesce(col("p_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
     }
     lab
   }

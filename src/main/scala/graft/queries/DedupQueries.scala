@@ -54,12 +54,15 @@ object DedupQueries {
     t(s, d, "documents")
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
 
-  /** MinHash signature: sig[i] = min over tokens of hash64(token, i).
-    * Pure column expressions (nested higher-order functions), codegen'd. */
+  /** MinHash signature: sig[i] = min over tokens of hash64(token, i), via
+    * the codegen'd kernel (graft.functions.MinHashSig). The declarative
+    * nested-HOF twin — `transform(sequence(0, perms-1), i ->
+    * array_min(transform(ws, w -> xxhash64(w, i))))` — is bit-identical
+    * (pinned in FunctionsSpec) but interprets perms x tokens lambda trees
+    * per row; at 30 perms x ~100 shingles it was ~50x the per-row cost and
+    * dominated the round-2 dedup bench. */
   private def minhashSig(ws: Column, perms: Int): Column =
-    transform(
-      sequence(lit(0), lit(perms - 1)),
-      i => array_min(transform(ws, w => xxhash64(w, i))))
+    graft.functions.VectorFunctions.minhashSig(ws, perms)
 
   /** LSH band hashes: one 64-bit hash per band of `rows` signature slots.
     * Candidate probability for a pair at Jaccard j is 1-(1-j^rows)^bands —
@@ -221,7 +224,18 @@ object DedupQueries {
         .withColumn("is_dup", col("canonical_id") < col("doc_id"))
         .orderBy("doc_id")
     },
-    None)
+    // DuckDB has no xxHash64, so the oracle is a committed expected
+    // keep-list computed by an independent from-spec XXH64 + minhash + band
+    // + exact-verify + union-find-closure replica (tools/gen_expected.py) —
+    // the same two-implementation standing as the simhash/fingerprint
+    // oracles. md5(text) discriminates the scale factor.
+    Some("""WITH exp AS (
+        SELECT * FROM '/root/repo/src/test/resources/expected/minhash_keep_sf0.001.parquet'
+        UNION ALL SELECT * FROM '/root/repo/src/test/resources/expected/minhash_keep_sf0.01.parquet'
+        UNION ALL SELECT * FROM '/root/repo/src/test/resources/expected/minhash_keep_sf0.1.parquet')
+      SELECT e.doc_id, e.canonical_id, e.is_dup
+      FROM exp e JOIN documents d ON e.doc_id = d.doc_id AND md5(d.text) = e.text_md5
+      ORDER BY e.doc_id"""))
 
   /** The correctness audit for the minhash machinery: on a BOUNDED corpus
     * slice (doc_id < 500 — constant work at any scale factor), run the same
@@ -314,20 +328,18 @@ object DedupQueries {
   private val ngramJaccard = Q(
     "q_dedup_ngram",
     (s, d) => {
+      // distinct bigrams via the codegen'd kernel (bit-identical to the
+      // declarative array_distinct(transform(...concat_ws...)) form incl.
+      // the <2-token guard — pinned in FunctionsSpec). The shingle frame is
+      // CACHED: bandedBitmaps/packBitmaps reference it three times (sigs,
+      // vocabulary, bit-assignment join) and recomputing shingles per
+      // reference tripled this query's round-2 scan cost.
       val docs = t(s, d, "documents")
-        .withColumn("words", split(col("text"), " "))
         .select(
           col("doc_id"),
-          // guard: a 1-word doc makes sequence(0, -1) DESCEND ([0,-1]) and
-          // element_at(words, 0) throw — such docs have no bigrams at all
-          array_distinct(
-            when(size(col("words")) >= 2,
-              transform(
-                sequence(lit(0), size(col("words")) - 2),
-                i => concat_ws(" ", element_at(col("words"), i + 1), element_at(col("words"), i + 2))))
-              .otherwise(array().cast("array<string>")))
-            .as("shingles"))
+          graft.functions.VectorFunctions.distinctBigrams(split(col("text"), " ")).as("shingles"))
         .filter(size(col("shingles")) > 0)
+        .cache()
       val banded = bandedBitmaps(docs, "shingles", perms = 30, rows = 3, bands = 10).cache()
       // raw kernel value in the join condition: round(j,4) >= 0.25 ⟺
       // j >= 0.24995; survivors recompute j once for output

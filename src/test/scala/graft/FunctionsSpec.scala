@@ -56,6 +56,26 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("MinHashSig kernel is bit-identical to the declarative nested-HOF form") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rng.nextInt(30) + 1)(rng.alphanumeric.take(rng.nextInt(12) + 1).mkString))
+    }
+    val df = rows.toDF("id", "ws")
+    val out = df.select(
+      col("id"),
+      VectorFunctions.minhashSig(col("ws"), 32).as("kernel"),
+      transform(
+        sequence(lit(0), lit(31)),
+        i => array_min(transform(col("ws"), w => xxhash64(w, i)))).as("declarative"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("SimHash64 kernel equals the declarative vote formula") {
     val s = spark
     import s.implicits._

@@ -122,6 +122,86 @@ def simhash(text: str) -> int:
     return sig  # unsigned bit pattern
 
 
+def spark_xxhash64_str_int(word: str, i: int) -> int:
+    """Spark's xxhash64(w, i) with a STRING then an INT argument: hash=42,
+    hashBytes(utf8(w)), then hashInt(i) — hashInt is XXH64 of the 4
+    little-endian bytes (Spark XXH64.hashInt's specialized form equals the
+    generic 4-byte tail path)."""
+    h = xxh64(word.encode("utf-8"), 42)
+    h = xxh64(struct.pack("<i", i), h)
+    return _signed(h)
+
+
+def minhash_keep_list(texts, perms=32, rows=8, bands=4, threshold=0.9):
+    """From-spec replica of q_dedup_minhash: distinct word sets -> minhash
+    signature (min of signed hashes) -> 8x4 band hashes (xxhash64 of the
+    '|'-joined signed-decimal signature slice, chained with the band index)
+    -> bucket candidates -> exact set-Jaccard verify -> connected-component
+    canonicalization. Returns [(idx, canonical_idx)] over list positions."""
+    word_sets = [list(dict.fromkeys(t.split(" "))) for t in texts]  # array_distinct order
+    vocab = set().union(*[set(ws) for ws in word_sets]) if word_sets else set()
+    hcache = {}
+    for w in vocab:
+        base = xxh64(w.encode("utf-8"), 42)
+        hcache[w] = [_signed(xxh64(struct.pack("<i", i), base)) for i in range(perms)]
+    sigs = []
+    for ws in word_sets:
+        sigs.append([min(hcache[w][i] for w in ws) for i in range(perms)])
+    buckets = {}
+    for idx, sig in enumerate(sigs):
+        for b in range(bands):
+            joined = "|".join(str(v) for v in sig[b * rows:(b + 1) * rows])
+            h = xxh64(joined.encode("utf-8"), 42)
+            bh = _signed(xxh64(struct.pack("<i", b), h))
+            buckets.setdefault((b, bh), []).append(idx)
+    sets = [set(ws) for ws in word_sets]
+    adj = {i: set() for i in range(len(texts))}
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                if b in adj[a]:
+                    continue
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a]) + len(sets[b]) - inter
+                if union > 0 and inter / union >= threshold:
+                    adj[a].add(b)
+                    adj[b].add(a)
+    # true connected components (union-find)...
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in adj:
+        for b in adj[a]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(len(texts)):
+        comp.setdefault(find(i), []).append(i)
+    canon = {}
+    for members in comp.values():
+        m = min(members)
+        for i in members:
+            canon[i] = m
+    # ...and assert the engine's closure (6 rounds of neighbor-min followed
+    # by a pointer jump, graft.operators.Closure.minLabel) reaches the same
+    # fixpoint on this corpus (effective diameter coverage ~2^rounds)
+    n = len(texts)
+    lbl = list(range(n))
+    for _ in range(6):
+        step = [min([lbl[a]] + [lbl[b] for b in adj[a]]) for a in range(n)]
+        lbl = [step[step[a]] for a in range(n)]
+    assert all(lbl[i] == canon[i] for i in range(n)), \
+        "component diameter exceeds the engine's closure bound"
+    return canon
+
+
 def main():
     outdir = os.path.join(os.path.dirname(__file__), "..",
                           "src", "test", "resources", "expected")
@@ -154,7 +234,18 @@ def main():
         sh["doc_b"] = sh["doc_b"].astype("int64")
         sh["hamming"] = sh["hamming"].astype("int64")
         sh.to_parquet(os.path.join(outdir, f"simhash_pairs_{sf}.parquet"), index=False)
-        print(sf, "docs:", n, "simhash pairs:", len(sh))
+
+        canon = minhash_keep_list(docs["text"].tolist())
+        mh = pd.DataFrame({
+            "doc_id": docs["doc_id"].astype("int64"),
+            "text_md5": md5,
+            "canonical_id": [int(docs["doc_id"].iloc[canon[i]]) for i in range(n)],
+        })
+        mh["canonical_id"] = mh["canonical_id"].astype("int64")
+        mh["is_dup"] = mh["canonical_id"] < mh["doc_id"]
+        mh.to_parquet(os.path.join(outdir, f"minhash_keep_{sf}.parquet"), index=False)
+        print(sf, "docs:", n, "simhash pairs:", len(sh),
+              "minhash dups:", int(mh["is_dup"].sum()))
 
 
 if __name__ == "__main__":
