@@ -257,13 +257,27 @@ object SimilarityQueries {
   /** The bounded-exact keep-list (vec_id, canonical_id, is_dup) —
     * q_dedup_embed IS this ordered; q_dedup_cluster_stats consumes it the
     * way a production pipeline would (semi join back against the corpus). */
-  private def embedKeepList(s: SparkSession, d: String): DataFrame = {
-    val e = normalizedEmbeddings(s, d).filter(col("vec_id") < ExactAuditBound).cache()
+  /** The bounded all-pairs candidate stage of the exact embedding audit —
+    * exposed (package-private) so PlansSpec can pin that the vec_id bound
+    * reaches the parquet scan: the final q_dedup_embed plan cannot show the
+    * scan because Closure's per-round localCheckpoints truncate lineage, so
+    * the pushdown pin targets THIS frame, the one that actually reads
+    * parquet when the keep-list materializes. */
+  private[graft] def embedAuditPairs(s: SparkSession, d: String): DataFrame = {
+    // NOT cached: the slice is bounded (<= ExactAuditBound rows) so the extra
+    // parquet scans are trivial, and caching here would wrap the scan in an
+    // InMemoryRelation that hides the vec_id pushdown from the plan pin.
+    val e = normalizedEmbeddings(s, d).filter(col("vec_id") < ExactAuditBound)
     val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
     val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
-    val pairs = a.join(b, col("id_a") < col("id_b"))
+    a.join(b, col("id_a") < col("id_b"))
       .filter(dot(col("emb_a"), col("emb_b")) >= 0.45)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
+  }
+
+  private def embedKeepList(s: SparkSession, d: String): DataFrame = {
+    val e = normalizedEmbeddings(s, d).filter(col("vec_id") < ExactAuditBound)
+    val pairs = embedAuditPairs(s, d)
     val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"))).cache()
     graft.operators.Closure.minLabel(e.select(col("vec_id").as("id")), sym, rounds = 6)
       .select(col("id").as("vec_id"), col("lbl").as("canonical_id"))

@@ -178,7 +178,8 @@ object TextQueries {
         FROM documents),
       gated AS (SELECT * FROM scored WHERE n_words >= 20 AND stop_ratio < 0.4),
       keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
-      SELECT lang, count(*) AS n_docs, sum(n_words) AS total_tokens,
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS total_tokens,
              CAST(round(CAST(avg(n_words) AS DECIMAL(24,6)), 4) AS DOUBLE) AS avg_tokens
       FROM gated JOIN keep USING (doc_id)
       GROUP BY lang ORDER BY lang"""))

@@ -157,8 +157,9 @@ object TrainingDataQueries {
                    sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
                  FROM d)
-      SELECT doc_id, lang, n_toks, cum - n_toks AS start,
-             (cum - n_toks) // 1024 AS pack_id,
+      SELECT doc_id, lang, n_toks,
+             CAST(cum - n_toks AS BIGINT) AS start,
+             CAST((cum - n_toks) // 1024 AS BIGINT) AS pack_id,
              (cum - n_toks) // 1024 <> (cum - 1) // 1024 AS crosses
       FROM c ORDER BY doc_id"""))
 

@@ -145,8 +145,15 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("bounded exact audits: the vec_id bound is pushed down to the parquet scan") {
-    for (q <- Seq("q_sim_neardup_pairs", "q_dedup_embed")) {
-      val p = plan(q)
+    // q_dedup_embed's FINAL plan cannot show the scan — Closure's per-round
+    // localCheckpoints truncate lineage — so the pin targets the candidate
+    // stage that actually reads parquet (the same code path the query runs).
+    val plans = Seq(
+      "q_sim_neardup_pairs" -> plan("q_sim_neardup_pairs"),
+      "q_dedup_embed(pairs stage)" -> graft.queries.SimilarityQueries
+        .embedAuditPairs(spark, sf)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+    for ((q, p) <- plans) {
       val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
       assert(pushed.contains("LessThan(vec_id,2000"), s"$q scan not bounded: $pushed")
     }
