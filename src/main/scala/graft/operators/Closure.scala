@@ -44,6 +44,46 @@ object Closure {
     * @return (`id`, `lbl`) with lbl = component-min id (within the bound)
     */
   def minLabel(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    // CONTRACTION PREPASS: the near-dup graphs this serves are locally DENSE
+    // (planted dup clusters are near-cliques — sf0.1 measured 1.8M verified
+    // edges over 5k docs), and iterating the label loop directly re-shuffles
+    // the full edge list EVERY round. One hooking step first: each node's
+    // representative m(v) = min(v, min direct neighbor), then edges rewrite
+    // to (m(src), m(dst)) with self-loops dropped and duplicates collapsed —
+    // a clique contracts to a point, so the loop below runs on the
+    // representative graph (orders of magnitude smaller), and v's final
+    // label is its representative's label. Correct because the component
+    // minimum u* satisfies m(u*) = u* (nothing smaller is adjacent), so
+    // contracted components have the same minima as the originals. Cost: one
+    // groupBy + two joins over the edge list ONCE, versus one edge join per
+    // round. All shuffles are keyed on node ids — no broadcast assumption,
+    // so the shape survives node tables too big for one executor.
+    val nbMin0 = edges.groupBy(col("src").as("id")).agg(min("dst").as("nbmin"))
+    val m = nodes
+      .join(nbMin0, Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("nbmin"), col("id"))).as("rep"))
+      .localCheckpoint()
+    val contracted = edges
+      .join(m.select(col("id").as("src"), col("rep").as("rsrc")), "src")
+      .join(m.select(col("id").as("dst"), col("rep").as("rdst")), "dst")
+      .filter(col("rsrc") =!= col("rdst"))
+      .select(col("rsrc").as("src"), col("rdst").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    // When hooking alone already collapsed every component (contracted edge
+    // set empty — the clique-heavy common case), reps ARE the final labels.
+    if (contracted.isEmpty) {
+      m.select(col("id"), col("rep").as("lbl"))
+    } else {
+      val repNodes = m.select(col("rep").as("id")).distinct()
+      val repLab = propagate(repNodes, contracted, rounds)
+      m.join(repLab.select(col("id").as("rep"), col("lbl")), "rep")
+        .select(col("id"), col("lbl"))
+    }
+  }
+
+  /** The min-label + pointer-jump loop over an (ideally contracted) graph. */
+  private def propagate(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
     var lab = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
     var converged = false
     var round = 0
