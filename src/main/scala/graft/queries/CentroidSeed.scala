@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic, corpus-independent coarse-quantizer seeding shared by the
+  * IVF family (`q_sim_ivf_ann`, `q_sim_kmeans`, `q_sim_ivf_trained`).
+  *
+  * The codebook is a FIXED number of cells ([[NCells]]) drawn as the top-N
+  * vectors under a Knuth multiplicative hash of `vec_id` — a bounded
+  * deterministic sample, NOT a corpus-proportional rule. That keeps both
+  * sides of the scale equation flat as the corpus grows: assignment work is
+  * O(n · NCells) (one broadcast pass), and the broadcast centroid table is
+  * O(NCells) bytes regardless of n. At 100 TB a deployment would raise
+  * NCells toward √n as a tuning dial (FAISS guidance); the invariant this
+  * module pins is that the dial is set by the OPERATOR, never by the data
+  * volume. The hash is pure integer math — `((vec_id % 1000003) ·
+  * 2654435761) % 2^32` — with an inner mod bounding the product well inside
+  * int64, so DuckDB replays it verbatim and the sample cannot drift between
+  * engines. Top-N-by-hash compiles to TakeOrderedAndProject (a per-partition
+  * heap + tiny driver merge), not a full sort.
+  */
+object CentroidSeed {
+
+  /** Fixed codebook size — corpus-independent by construction. */
+  val NCells = 8
+
+  /** The seed sample: (cent_id, cemb) from an embeddings frame with
+    * (vec_id, emb) columns. */
+  def seeds(e: DataFrame): DataFrame =
+    e.select(col("vec_id").as("cent_id"), col("emb").as("cemb"),
+        (col("vec_id") % lit(1000003L) * lit(2654435761L) % lit(4294967296L)).as("h"))
+      .orderBy(asc("h"), asc("cent_id"))
+      .limit(NCells)
+      .select("cent_id", "cemb")
+
+  /** DuckDB twin of [[seeds]] as a CTE body (expects CTE `e(vec_id, emb)`). */
+  def sqlSeedCte(name: String): String =
+    s"""$name AS (SELECT vec_id AS cent_id, emb AS cemb FROM e
+       ORDER BY ((vec_id % 1000003) * 2654435761) % 4294967296, vec_id LIMIT $NCells)"""
+}

@@ -199,16 +199,14 @@ object QuantQueries {
                       CAST(sum(cm * cm) AS BIGINT) AS norm2_micro
                     FROM g$i GROUP BY cent_id)"""
 
-  /** The trained codebook: two Lloyd rounds from the deterministic seed
-    * (every 61st vector). Shared by q_sim_kmeans (codebook summary) and
+  /** The trained codebook: two Lloyd rounds from the fixed-size
+    * deterministic seed sample ([[CentroidSeed]] — NCells cells no matter
+    * the corpus size). Shared by q_sim_kmeans (codebook summary) and
     * q_sim_ivf_trained (the codebook actually searching). */
-  private def trainedCodebook(e: DataFrame): DataFrame = {
-    val c0 = e.filter(col("vec_id") % 61 === 0)
-      .select(col("vec_id").as("cent_id"), col("emb").as("cemb"))
-    lloydStep(kmeansAssign(e, lloydStep(kmeansAssign(e, c0))))
-  }
+  private def trainedCodebook(e: DataFrame): DataFrame =
+    lloydStep(kmeansAssign(e, lloydStep(kmeansAssign(e, CentroidSeed.seeds(e)))))
 
-  /** Two Lloyd iterations from a deterministic seed (every 61st vector),
+  /** Two Lloyd iterations from a fixed-size deterministic seed sample,
     * then a final assignment; output is the trained codebook summary —
     * cell id, member count, and the exact integer squared norm of the
     * trained centroid (the value an IVF probe would rank against). Every
@@ -231,7 +229,7 @@ object QuantQueries {
     },
     Some(s"""WITH $sqlNormalized,
       dd AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
-      c0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 61 = 0),
+      ${CentroidSeed.sqlSeedCte("c0")},
       ${sqlLloydRound(0, "c0")},
       ${sqlLloydRound(1, "c1")},
       a2 AS (SELECT vec_id, cent_id FROM (
@@ -279,7 +277,7 @@ object QuantQueries {
     },
     Some(s"""WITH $sqlNormalized,
       dd AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
-      c0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 61 = 0),
+      ${CentroidSeed.sqlSeedCte("c0")},
       ${sqlLloydRound(0, "c0")},
       ${sqlLloydRound(1, "c1")},
       assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (

@@ -420,22 +420,20 @@ object SimilarityQueries {
       WHERE rn <= 5 ORDER BY query_id, rn"""))
 
   /** IVF (inverted-file) ANN — the second scale path next to hyperplane LSH:
-    * a deterministic corpus sample acts as the coarse quantizer, every
+    * a FIXED-size deterministic corpus sample ([[CentroidSeed]], NCells
+    * cells regardless of corpus size) acts as the coarse quantizer, every
     * vector is assigned to its nearest centroid cell in one broadcast-join
     * pass, and a query probes only its nprobe nearest cells (equi-join on
     * the cell id — the full corpus never meets the query). Assignment and
     * probe rankings order by cos rounded to 6 with centroid-id tiebreak, so
     * the DuckDB mirror oracle (same sample, same windows — pure SQL, no
-    * literals needed) is FP-stable. At sf0.001 the probe count covers all
-    * cells, so FunctionsSpec pins exact agreement with brute force; at scale
-    * nprobe/ncells is the recall/cost dial. */
+    * literals needed) is FP-stable. nprobe/NCells is the recall/cost dial;
+    * recall vs brute force is pinned in OperatorsSpec. */
   private val ivfAnn = Q(
     "q_sim_ivf_ann",
     (s, d) => {
       val e = normalizedEmbeddings(s, d).cache()
-      val centroids = broadcast(
-        e.filter(col("vec_id") % 61 === 0)
-          .select(col("vec_id").as("cent_id"), col("emb").as("cemb")))
+      val centroids = broadcast(CentroidSeed.seeds(e))
       val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
       val assigned = e.crossJoin(centroids)
         .select(col("vec_id"), col("emb"), col("cent_id"),
@@ -462,7 +460,7 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
     Some(s"""WITH $sqlNormalized,
-      cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 61 = 0),
+      ${CentroidSeed.sqlSeedCte("cent")},
       assigned AS (
         SELECT vec_id, emb, cell FROM (
           SELECT ev.vec_id, ev.emb, c.cent_id AS cell,

@@ -68,13 +68,12 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
     // mean cosine of each vector to its assigned centroid should not get
     // worse after two Lloyd rounds vs the seeded assignment; measure via the
     // public query path on the seeds and the library internals indirectly:
-    // seeds = every 61st vector as its own centroid
+    // seeds = the fixed-size CentroidSeed sample (corpus-independent NCells)
     import graft.functions.VectorFunctions.{dot, l2Normalize}
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), l2Normalize(col("embedding").cast("array<double>")).as("emb"))
       .cache()
-    val seeds = e.filter(col("vec_id") % 61 === 0)
-      .select(col("vec_id").as("cent_id"), col("emb").as("cemb"))
+    val seeds = graft.queries.CentroidSeed.seeds(e)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
     val seedAssign = e.crossJoin(broadcast(seeds))
@@ -89,6 +88,24 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nSeeds = seeds.count()
     assert(cells <= nSeeds && cells > 0)
     assert(seedMean > 0.0) // sanity: normalized gaussians correlate positively with nearest seed
+  }
+
+  test("centroid seeding: codebook size is fixed regardless of corpus size") {
+    import graft.functions.VectorFunctions.l2Normalize
+    def seedsAt(dir: String) = {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), l2Normalize(col("embedding").cast("array<double>")).as("emb"))
+      graft.queries.CentroidSeed.seeds(e)
+    }
+    // 500-vector and 2000-vector corpora both yield exactly NCells cells —
+    // the assignment cost and the broadcast table stay O(NCells) as n grows
+    val small = seedsAt("/root/testdata/sf0.001")
+    val big = seedsAt("/root/testdata/sf0.1")
+    assert(small.count() == graft.queries.CentroidSeed.NCells.toLong)
+    assert(big.count() == graft.queries.CentroidSeed.NCells.toLong)
+    // and the sample is a bounded top-N (per-partition heap), never a full sort
+    val plan = big.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("pack_sequences: per-language token accounting is exact") {
