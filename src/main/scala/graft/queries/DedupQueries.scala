@@ -157,11 +157,17 @@ object DedupQueries {
   /** The persistable signature table for INCREMENTAL dedup: one row per
     * (doc, band) with the band hash and the doc's word set. Computed once
     * per corpus and stored; a delta batch joins against it by (band, bh)
-    * without ever rescanning or re-signing the corpus. */
-  def minhashBandTable(wordSets: DataFrame): DataFrame =
+    * without ever rescanning or re-signing the corpus. Band parameters
+    * default to the production 8x4 but are explicit so a caller (or the
+    * q_dedup_incremental audit below) can trade selectivity for recall —
+    * the stored table and every delta batch must share one parameterization
+    * or the band hashes cannot meet. */
+  def minhashBandTable(
+      wordSets: DataFrame, perms: Int = MinhashPerms, rows: Int = 8,
+      bands: Int = Bands): DataFrame =
     wordSets
       .select(col("doc_id"), col("ws"),
-        posexplode(bandHashes(minhashSig(col("ws"), MinhashPerms), 8, Bands)))
+        posexplode(bandHashes(minhashSig(col("ws"), perms), rows, bands)))
       .toDF("doc_id", "ws", "band", "bh")
 
   /** Incremental near-dedup: sign ONLY the delta, equi-join its bands
@@ -180,8 +186,10 @@ object DedupQueries {
       .select(col("x.doc_id").as("delta_id"), col("y.doc_id").as("corpus_id"))
   }
 
-  def incrementalDups(deltaWordSets: DataFrame, corpusBands: DataFrame, threshold: Double = 0.9): DataFrame =
-    verifiedIncremental(minhashBandTable(deltaWordSets), corpusBands, threshold)
+  def incrementalDups(
+      deltaWordSets: DataFrame, corpusBands: DataFrame, threshold: Double = 0.9,
+      perms: Int = MinhashPerms, rows: Int = 8, bands: Int = Bands): DataFrame =
+    verifiedIncremental(minhashBandTable(deltaWordSets, perms, rows, bands), corpusBands, threshold)
       .distinct()
       .orderBy("delta_id", "corpus_id")
 
@@ -358,5 +366,36 @@ object DedupQueries {
         FROM d a JOIN d b ON a.doc_id < b.doc_id) sub
       WHERE jaccard >= 0.25 ORDER BY doc_a, doc_b"""))
 
-  val all: Seq[Q] = Seq(minhashLsh, minhashAudit, simhash, ngramJaccard)
+  /** The incremental-dedup path as a DECLARED correctness entry (it was
+    * spec-only through round 3): corpus = docs < 400 signed into the stored
+    * band table, delta = docs 400..499 signed fresh and joined against it —
+    * exactly the [[incrementalDups]] operator a nightly delta batch runs.
+    * Bounds make the work constant at any scale factor, and the bands are
+    * recall-saturating (1 row x 8 bands: per-pair miss at j >= 0.9 is
+    * (1-0.9)^8 = 1e-8), so the output provably equals the exact
+    * delta-x-corpus Jaccard >= 0.9 pair list — which IS SQL-expressible,
+    * giving the sign-delta/band-join/verify pipeline a full DuckDB hash
+    * oracle. Production deltas keep the selective 8x4 default. */
+  private val incremental = Q(
+    "q_dedup_incremental",
+    (s, d) => {
+      val allDocs = docWordSets(s, d)
+      val corpusBands = minhashBandTable(
+        allDocs.filter(col("doc_id") < 400), perms = 8, rows = 1, bands = 8)
+      val delta = allDocs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+      incrementalDups(delta, corpusBands, threshold = 0.9, perms = 8, rows = 1, bands = 8)
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        FROM documents WHERE doc_id < 500),
+      c AS (SELECT * FROM w WHERE doc_id < 400),
+      del AS (SELECT * FROM w WHERE doc_id >= 400)
+      SELECT delta_id, corpus_id FROM (
+        SELECT del.doc_id AS delta_id, c.doc_id AS corpus_id,
+          CAST(len(list_intersect(del.ws, c.ws)) AS DOUBLE)
+            / (len(del.ws) + len(c.ws) - len(list_intersect(del.ws, c.ws))) AS j
+        FROM del, c) sub
+      WHERE j >= 0.9 ORDER BY delta_id, corpus_id"""))
+
+  val all: Seq[Q] = Seq(minhashLsh, minhashAudit, simhash, ngramJaccard, incremental)
 }
