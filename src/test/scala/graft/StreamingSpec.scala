@@ -255,6 +255,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(afterRows == beforeRows)
   }
 
+  test("retention: expired partitions gone, live ones intact, ancestors pruned") {
+    val out = s"$base/retention_out"
+    val s = spark
+    import s.implicits._
+    Seq((1L, "2021", "01"), (2L, "2021", "01"), (3L, "2026", "08"))
+      .toDF("n", "year", "month")
+      .write.partitionBy("year", "month").parquet(out)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    val day = 24L * 3600 * 1000
+    // age the 2021 partition's files past the 90-day window (mtime is the
+    // same signal S3 lifecycle keys on); the 2026 partition stays fresh
+    val oldLeaf = new Path(s"$out/year=2021/month=01")
+    fs.listStatus(oldLeaf).filter(_.isFile)
+      .foreach(f => fs.setTimes(f.getPath, now - 100 * day, -1))
+
+    val expired = graft.operators.Retention.expireSettledPartitions(
+      spark, out, maxAgeMs = 90 * day, nowMs = now)
+    assert(expired.map(new Path(_).getName) == Seq("month=01"))
+    assert(!fs.exists(oldLeaf))
+    // the emptied year=2021 ancestor is pruned so discovery never lists it
+    assert(!fs.exists(new Path(s"$out/year=2021")))
+    // live data readable and complete; expired rows gone
+    val rows = spark.read.parquet(out).select("n").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(3L))
+    // idempotent: a second run expires nothing
+    assert(graft.operators.Retention.expireSettledPartitions(
+      spark, out, maxAgeMs = 90 * day, nowMs = now).isEmpty)
+  }
+
+  test("retention sweeps a crash leftover stranded between rename and delete") {
+    val out = s"$base/retention_crash"
+    val s = spark
+    import s.implicits._
+    Seq((1L, "2020", "05"), (2L, "2026", "08")).toDF("n", "year", "month")
+      .write.partitionBy("year", "month").parquet(out)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash mid-expiry: partition renamed to the hidden
+    // .expiring sibling, delete never ran
+    val part = new Path(s"$out/year=2020/month=05")
+    val tomb = new Path(part.getParent, s".${part.getName}.expiring")
+    assert(fs.rename(part, tomb), "test setup: strand the partition")
+    // the hidden leftover is invisible to readers (full-or-gone invariant)
+    val visible = spark.read.parquet(out).select("n").collect().map(_.getLong(0))
+    assert(visible.toSeq == Seq(2L))
+    // next retention run sweeps the leftover and prunes the empty ancestor
+    val now = System.currentTimeMillis()
+    graft.operators.Retention.expireSettledPartitions(
+      spark, out, maxAgeMs = 365L * 24 * 3600 * 1000, nowMs = now)
+    assert(!fs.exists(tomb))
+    assert(!fs.exists(new Path(s"$out/year=2020")))
+    assert(spark.read.parquet(out).count() == 1)
+  }
+
   test("streaming sliding windows (1 hour window, 5 minute slide)") {
     val landing = s"$base/landing_slide"
     write(landing, "ev.json",
