@@ -25,13 +25,38 @@ import graft.pipeline.Ingest
   */
 object StreamingIngest {
 
-  /** Events (post-pipeline) as an unbounded DataFrame, each with a
-    * deterministic `dedup_key` (hash of the RAW record before the pipeline).
-    * The post-pipeline uuid `eventid` can never dedup replays — event_shell
-    * moves producer-supplied eventids into `details` and ensure_eventid
-    * mints a fresh uuid per run (reference behavior, event_shell.py:36-44) —
-    * so replay safety keys on raw content instead. `maxFilesPerTrigger`
-    * is the Firehose buffer_size analogue — bounds per-batch work. */
+  /** The record-level parse cascade shared by EVERY source: one raw blob
+    * (a landed file's text, or one producer record's payload) -> `Records[]`
+    * unroll / list / single-dict normalize -> plugin pipeline -> shell
+    * events, each with a deterministic replay key (128->64-bit murmur3 of
+    * the RAW record — a 32-bit String.hashCode would collide and silently
+    * drop legitimate events as "replays"). The post-pipeline uuid `eventid`
+    * can never dedup replays — event_shell moves producer-supplied eventids
+    * into `details` and ensure_eventid mints a fresh uuid per run
+    * (reference behavior, event_shell.py:36-44) — so replay safety keys on
+    * raw content. Sources only decide how blobs ARRIVE; parsing is
+    * byte-identical across them (pinned in StreamingSpec). */
+  private def cascadeWithKey(origin: String, content: String): Seq[(graft.pipeline.Event, Long)] =
+    graft.pipeline.Ingest.rawRecords(origin, content).flatMap { raw =>
+      val rendered = graft.json.Json.render(raw)
+      val key = com.google.common.hash.Hashing.murmur3_128()
+        .hashString(rendered, java.nio.charset.StandardCharsets.UTF_8).asLong()
+      try graft.pipeline.Pipeline.process(raw)
+        .map(sh => (graft.pipeline.Pipeline.toEvent(sh), key))
+      catch {
+        case e: Exception =>
+          // the batch path lands these in the errors sink; streaming has
+          // a single sink, so surface the drop to the operator log (a
+          // production deployment would dual-write via foreachBatch)
+          org.slf4j.LoggerFactory.getLogger("graft.streaming")
+            .warn(s"dropping failed record from $origin: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
+      }
+    }
+
+  /** Events (post-pipeline) as an unbounded DataFrame from the FILE source
+    * (the S3-landing analogue). `maxFilesPerTrigger` is the Firehose
+    * buffer_size analogue — bounds per-batch work. */
   def eventsStream(spark: SparkSession, landingDir: String, maxFilesPerTrigger: Int = 1000): DataFrame = {
     import spark.implicits._
     spark.readStream
@@ -40,26 +65,31 @@ object StreamingIngest {
       .text(landingDir)
       .select(input_file_name().as("path"), col("value"))
       .as[(String, String)]
-      .flatMap { case (path, content) =>
-        graft.pipeline.Ingest.rawRecords(path, content).flatMap { raw =>
-          // 128->64-bit content hash: a 32-bit String.hashCode would collide
-          // and silently drop legitimate events as "replays"
-          val rendered = graft.json.Json.render(raw)
-          val key = com.google.common.hash.Hashing.murmur3_128()
-            .hashString(rendered, java.nio.charset.StandardCharsets.UTF_8).asLong()
-          try graft.pipeline.Pipeline.process(raw)
-            .map(sh => (graft.pipeline.Pipeline.toEvent(sh), key))
-          catch {
-            case e: Exception =>
-              // the batch path lands these in the errors sink; streaming has
-              // a single sink, so surface the drop to the operator log (a
-              // production deployment would dual-write via foreachBatch)
-              org.slf4j.LoggerFactory.getLogger("graft.streaming")
-                .warn(s"dropping failed record from $path: ${e.getClass.getSimpleName}: ${e.getMessage}")
-              None
-          }
-        }
-      }
+      .flatMap { case (path, content) => cascadeWithKey(path, content) }
+      .select(col("_1.*"), col("_2").as("dedup_key"))
+      .withColumn("ingest_ts", current_timestamp())
+  }
+
+  /** Events from DIRECT PRODUCERS (SURVEY §3.2): the reference's second
+    * ingest path, where producers `put_record_batch` base64 payloads
+    * straight into the delivery stream instead of landing files
+    * (`lambdas/processor.py:24-28`, `README.md:201`). `records` is ANY
+    * unbounded frame with columns (origin: string, data: string) — `data`
+    * the base64 record payload, Firehose `Record.data` parity; memory,
+    * socket, rate, or Kafka sources all map here with one `selectExpr`
+    * (e.g. socket: `value` split on first comma; Kafka: topic + base64 of
+    * the value bytes). The unbase64 is `processor.py`'s b64decode, and
+    * everything after it is the SAME cascade as the file path — the
+    * streaming-parity test pins field-identical output including the
+    * replay key. Per-record blobs keep the stage narrow and shuffle-free,
+    * exactly like the file path. */
+  def eventsFromProducer(records: DataFrame): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records
+      .select(col("origin"), unbase64(col("data")).cast("string").as("content"))
+      .as[(String, String)]
+      .flatMap { case (origin, content) => cascadeWithKey(origin, content) }
       .select(col("_1.*"), col("_2").as("dedup_key"))
       .withColumn("ingest_ts", current_timestamp())
   }

@@ -97,6 +97,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byIp(Some("123.456.253.226"))._2 == "gsuite")
   }
 
+  test("direct-producer records run the identical cascade as the file path") {
+    // the reference's second ingest path: producers put_record_batch base64
+    // payloads straight into the stream (processor.py:24-28) — same five
+    // samples, this time arriving as per-record blobs from a non-file
+    // source, must produce field-identical events including the replay key
+    val s = spark
+    import s.implicits._
+    val samples = new java.io.File("/root/reference/lambdas/tests/samples")
+      .listFiles().sortBy(_.getName)
+    val contents = samples.map(f => f.getName -> Files.readString(f.toPath)).toSeq
+
+    val landing = s"$base/landing_producer_twin"
+    Files.createDirectories(Paths.get(landing))
+    contents.foreach { case (n, c) => Files.writeString(Paths.get(landing, n), c) }
+    val fq = StreamingIngest.eventsStream(spark, landing)
+      .writeStream.format("memory").queryName("file_cascade_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    fq.awaitTermination(120000)
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    mem.addData(contents.map { case (n, c) =>
+      (n, java.util.Base64.getEncoder.encodeToString(c.getBytes("UTF-8")))
+    }: _*)
+    val pq = StreamingIngest.eventsFromProducer(mem.toDF().toDF("origin", "data"))
+      .writeStream.format("memory").queryName("producer_cascade_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    pq.awaitTermination(120000)
+
+    // every deterministic field must agree; eventid is a fresh uuid per run,
+    // ingest_ts and the injected _utcprocessedtimestamp are wall-clock, so
+    // they stay out of the comparison (the replay key hashes the RAW record,
+    // before metadata injection, so it must still match exactly)
+    def canon(tbl: String): Seq[String] = spark.sql(
+      s"""SELECT source, category, severity, utctimestamp, summary,
+            to_json(tags) AS tags, to_json(plugins) AS plugins,
+            regexp_replace(details,
+              '"_utcprocessedtimestamp":"[^"]+"',
+              '"_utcprocessedtimestamp":"X"') AS details,
+            dedup_key
+          FROM $tbl""").collect().map(_.toString).sorted.toSeq
+    val fileSide = canon("file_cascade_out")
+    val producerSide = canon("producer_cascade_out")
+    assert(producerSide.length == 5)
+    assert(producerSide == fileSide)
+  }
+
   test("batch ingest scales across many small files") {
     val landing = s"$base/many"
     Files.createDirectories(Paths.get(landing))
