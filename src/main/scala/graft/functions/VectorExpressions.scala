@@ -65,7 +65,15 @@ object VectorOps {
     * seed=42) then hashInt(i), so the expensive byte hash is shared across
     * all perms), then perms cheap integer-hash chains. The HOF form
     * interprets perms x tokens lambda trees per row and dominated the
-    * round-2 ngram/minhash bench. */
+    * round-2 ngram/minhash bench.
+    *
+    * EMPTY-ARRAY divergence (deliberate): on a zero-token set the kernel
+    * returns the Long.MaxValue-filled signature (min over nothing = the
+    * fill), where `array_min` over an empty transform yields nulls. No
+    * graft call site can produce an empty set — `split` always yields >= 1
+    * element — but a caller banding arbitrary word sets through
+    * minhashBandTable should know all empty sets share one signature and
+    * would band together; filter empties upstream if that matters. */
   def minhashSig(ws: ArrayData, perms: Int): ArrayData = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val n = ws.numElements()

@@ -37,7 +37,18 @@ object Sessionize extends Serializable {
     * `ts - s.last <= gap` is vacuously true for any earlier event. The
     * earlier chain closes immediately: its last event is > gap away from the
     * carried session's start by construction, and the carried state can hold
-    * only one open session. */
+    * only one open session.
+    *
+    * PINNED DEVIATION from batch replay (OperatorsSpec "pre-session late
+    * chains emit eagerly"): because the chain closes at the end of its
+    * micro-batch, a STILL-LATER in-watermark event within a gap of it — one
+    * batch replay would merge into the same session — arrives after the
+    * emit and starts a fresh session. Buffering pre-session chains in state
+    * until the watermark passes would restore exact replay parity at the
+    * cost of a multi-session state record and per-chain timeout bookkeeping;
+    * eager emit keeps state one record per user, and the split only occurs
+    * for events already later than the watermark-bounded reorder window
+    * spread across distinct micro-batches. */
   private[graft] def fold(
       gapMicros: Long,
       init: Option[OpenSession],

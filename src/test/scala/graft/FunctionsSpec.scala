@@ -76,6 +76,32 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DistinctBigrams kernel is bit-identical to the declarative form (incl 0/1-token)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 200).map { i =>
+      // lengths 0, 1, 2 and a random spread; small vocab forces duplicate
+      // bigrams so the distinct/first-occurrence path is actually exercised
+      val n = if (i < 3) i else rng.nextInt(40)
+      (i.toLong, Seq.fill(n)(s"w${rng.nextInt(6)}"))
+    }
+    val df = rows.toDF("id", "words")
+    val out = df.select(
+      col("id"),
+      VectorFunctions.distinctBigrams(col("words")).as("kernel"),
+      when(size(col("words")) < 2, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(col("words")) - 2),
+          i => concat_ws(" ",
+            element_at(col("words"), i + 1),
+            element_at(col("words"), i + 2))))).as("declarative"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("SimHash64 kernel equals the declarative vote formula") {
     val s = spark
     import s.implicits._

@@ -245,6 +245,58 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected user 1 session, got: ${out.mkString(", ")}")
   }
 
+  test("streaming sessionize: pre-session late chains emit eagerly (pinned deviation from batch replay)") {
+    // DOCUMENTED DEVIATION (see Sessionize.fold): a late event more than a
+    // gap before the open session's start is emitted as its own closed
+    // session at the END of its micro-batch — the single-slot state cannot
+    // hold two open sessions. If a LATER micro-batch brings another
+    // in-watermark event within a gap of it, batch replay would merge the
+    // two into one session; streaming emits them separately. This pins the
+    // split so the divergence is an explicit contract, not a surprise.
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_chain").toString
+    def writeFile(name: String, lines: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(base, name), lines)
+    val schema = "user_id LONG, ts TIMESTAMP"
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).json(base)
+      val q = Sessionize.sessionizeStream(stream, gapSeconds = 100, watermark = "6 hours")
+        .writeStream.format("json").outputMode("append")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // batch 1 opens a session at 12:00; batches 2 and 3 each deliver one
+    // late event hours before it, 30 s apart ACROSS batches
+    writeFile("b1.json", """{"user_id": 1, "ts": "2020-01-01T12:00:00.000Z"}""" + "\n")
+    runOnce()
+    writeFile("b2.json", """{"user_id": 1, "ts": "2020-01-01T10:00:00.000Z"}""" + "\n")
+    runOnce()
+    writeFile("b3.json", """{"user_id": 1, "ts": "2020-01-01T10:00:30.000Z"}""" + "\n")
+    runOnce()
+    writeFile("b4.json", """{"user_id": 2, "ts": "2020-01-02T00:00:00.000Z"}""" + "\n")
+    runOnce()
+    runOnce()
+    val out = spark.read.json(s"$base/out")
+      .selectExpr("user_id", "n_events", "duration_s").collect()
+    val user1 = out.filter(_.getLong(0) == 1)
+    // streaming: the two late events emit as two n=1 sessions + the 12:00 one
+    assert(user1.length == 3, s"expected THREE user-1 sessions, got: ${out.mkString(", ")}")
+    assert(user1.count(r => r.getLong(1) == 1 && r.getLong(2) == 0) == 3)
+    // batch replay over the same events merges the 30s-apart late pair
+    val s = spark
+    import s.implicits._
+    val replay = Sessionize.sessionize(
+      Seq(
+        (1L, java.sql.Timestamp.valueOf("2020-01-01 12:00:00")),
+        (1L, java.sql.Timestamp.valueOf("2020-01-01 10:00:00")),
+        (1L, java.sql.Timestamp.valueOf("2020-01-01 10:00:30"))).toDF("user_id", "ts"),
+      gapSeconds = 100).collect().filter(_.user_id == 1L)
+    assert(replay.length == 2 && replay.exists(r => r.n_events == 2 && r.duration_s == 30),
+      s"batch replay should merge the late pair: ${replay.mkString(", ")}")
+  }
+
   test("streaming sessionize: late-but-in-watermark event merges without splitting the session") {
     val base = java.nio.file.Files.createTempDirectory("graft_sess_late").toString
     def writeFile(name: String, lines: String): Unit =
