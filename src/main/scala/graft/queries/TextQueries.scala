@@ -296,6 +296,39 @@ object TextQueries {
         FROM documents) sub
       WHERE rn <= 100 GROUP BY lang ORDER BY lang"""))
 
+  /** Repetition-ratio quality filter (the Gopher-style "fraction of
+    * duplicate n-grams" rule): rep_bp = 10000 - distinct_bigrams * 10000 /
+    * total_bigrams, in integer basis points, with the flag at > 1500.
+    * Highly repetitive text (boilerplate, keyword stuffing, degenerate
+    * generations) scores high and gets filtered before training. Narrow
+    * per-row math over the codegen'd DistinctBigrams kernel — rides the
+    * scan, zero exchanges before the output sort. Pure integer basis
+    * points, so the DuckDB twin (declarative list_distinct over the same
+    * shingle transform) hash-matches exactly. */
+  private val repetition = Q(
+    "q_text_repetition",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(
+          col("doc_id"),
+          (size(col("words")) - 1).cast("long").as("n_bigrams"),
+          size(graft.functions.VectorFunctions.distinctBigrams(col("words")))
+            .cast("long").as("n_distinct"))
+        .filter(col("n_bigrams") >= 1)
+        .withColumn("rep_bp", lit(10000L) - expr("n_distinct * 10000 div n_bigrams"))
+        .withColumn("is_repetitive", col("rep_bp") > 1500)
+        .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        b AS (SELECT doc_id, CAST(len(words) - 1 AS BIGINT) AS n_bigrams,
+                CAST(len(list_distinct(list_transform(range(1, len(words)),
+                  i -> words[i] || ' ' || words[i+1]))) AS BIGINT) AS n_distinct
+              FROM w WHERE len(words) >= 2)
+      SELECT doc_id, n_bigrams, n_distinct,
+             10000 - n_distinct * 10000 // n_bigrams AS rep_bp,
+             (10000 - n_distinct * 10000 // n_bigrams) > 1500 AS is_repetitive
+      FROM b ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
-    tfidf, trainSplit, redact, langBalance)
+    tfidf, trainSplit, redact, langBalance, repetition)
 }

@@ -163,5 +163,61 @@ object TrainingDataQueries {
              (cum - n_toks) // 1024 <> (cum - 1) // 1024 AS crosses
       FROM c ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(chunk, contamination, sampleWeighted, packSequences)
+  /** Deterministic global training-order shuffle: every epoch of every
+    * pretraining run reads the corpus in a pseudo-random order that must be
+    * REPRODUCIBLE (resume mid-epoch, re-run byte-identically) — so the
+    * order is a multiplicative integer hash of the id, not an RNG. The
+    * scale shape: the hash also assigns the output SHARD (bucket = h % 32),
+    * and the position is a row_number within the shard — a parallel window
+    * over 32 independent partitions, never a global single-partition sort.
+    * At 100 TB the writer sorts-within-partitions per bucket and each shard
+    * file is internally ordered; readers stream shards round-robin. Pure
+    * integer math, so the DuckDB oracle replays it exactly. */
+  private val shuffleOrder = Q(
+    "q_shuffle_order",
+    (s, d) => {
+      val w = Window.partitionBy("bucket").orderBy(asc("h"), asc("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), ((col("doc_id") * 2654435761L) % 4294967296L).as("h"))
+        .withColumn("bucket", col("h") % 32L)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("doc_id", "bucket", "pos")
+        .orderBy("bucket", "pos")
+    },
+    Some("""WITH d AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+      SELECT doc_id, h % 32 AS bucket,
+             CAST(row_number() OVER (PARTITION BY h % 32 ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM d ORDER BY bucket, pos"""))
+
+  /** Source mixing — the ratio dial of every pretraining data recipe, in
+    * both directions at once: per-source DOWN-sampling (keep-rate in
+    * permille, decided by the same stateless multiplicative id-hash as
+    * q_sample_weighted) and per-source UP-sampling (integer epoch repeats,
+    * emitted as (doc, epoch) rows by a narrow sequence-explode). Here the
+    * "source" is the language column; production keys the rates off a
+    * source/domain tag the same way. Both stages are narrow (filter +
+    * generate_series explode riding the scan); the mixed stream then feeds
+    * q_shuffle_order for the final order. Integer math end to end. */
+  private val mixSources = Q(
+    "q_mix_sources",
+    (s, d) => {
+      val rate = expr(
+        "CASE lang WHEN 'en' THEN 700 WHEN 'de' THEN 1000 WHEN 'fr' THEN 1000 ELSE 1000 END")
+      val repeats = expr(
+        "CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 1 ELSE 2 END")
+      t(s, d, "documents")
+        .filter(((col("doc_id") * 2654435761L) % 4294967296L) % 1000L < rate)
+        .select(col("doc_id"), col("lang"), explode(sequence(lit(1), repeats)).as("epoch"))
+        .select(col("doc_id"), col("lang"), col("epoch").cast("long").as("epoch"))
+        .orderBy("doc_id", "epoch")
+    },
+    Some("""SELECT doc_id, lang, CAST(unnest(generate_series(1,
+               CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 1 ELSE 2 END)) AS BIGINT) AS epoch
+      FROM documents
+      WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
+            CASE lang WHEN 'en' THEN 700 WHEN 'de' THEN 1000 WHEN 'fr' THEN 1000 ELSE 1000 END
+      ORDER BY doc_id, epoch"""))
+
+  val all: Seq[Q] =
+    Seq(chunk, contamination, sampleWeighted, packSequences, shuffleOrder, mixSources)
 }
