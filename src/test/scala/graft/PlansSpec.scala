@@ -199,6 +199,26 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan("q_text_chunk").contains("Join"))
   }
 
+  test("q_mix_sources / q_text_repetition: narrow shapes — no join, no pre-sort exchange beyond the output sort") {
+    // both ride the scan: a filter/explode (mix) and per-row kernel math
+    // (repetition) with the ONLY exchange being the final presentation sort
+    Seq("q_mix_sources", "q_text_repetition").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: $p")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, s"$q should only exchange for the output sort: $p")
+    }
+  }
+
+  test("q_shuffle_order: position window partitions by shard bucket, never a global single-partition sort") {
+    val p = plan("q_shuffle_order")
+    // the window must carry the bucket partition key; a missing partition
+    // spec would collapse the corpus order into one task at 100 TB
+    assert(p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("partitionspec=[]"), p)
+    assert(p.contains("hashpartitioning(bucket"), p)
+  }
+
   test("kernel expressions participate in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
