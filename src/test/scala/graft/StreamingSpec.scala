@@ -334,6 +334,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark, out, maxAgeMs = 90 * day, nowMs = now).isEmpty)
   }
 
+  test("merge: copy-on-write upsert rewrites only touched partitions") {
+    val out = s"$base/merge_out"
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "one", "2026", "01"), (2L, "two", "2026", "01"),
+      (3L, "three", "2026", "02"))
+      .toDF("id", "payload", "year", "month")
+      .write.partitionBy("year", "month").parquet(out)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val untouchedMtimes = fs.listStatus(new Path(s"$out/year=2026/month=02"))
+      .filter(_.isFile).map(f => f.getPath.getName -> f.getModificationTime).toMap
+
+    // one correction for an existing id, one insert into the same partition,
+    // one insert opening a brand-new partition
+    val updates = Seq(
+      (2L, "two-fixed", "2026", "01"),
+      (4L, "four", "2026", "01"),
+      (5L, "five", "2026", "03"))
+      .toDF("id", "payload", "year", "month")
+    val results = graft.operators.Merge.upsertPartitioned(
+      spark, out, updates, "id", Seq("year", "month")).sortBy(_._1)
+    assert(results.map { case (p, r, i) => (new Path(p).toUri.getPath.split("/").takeRight(2).mkString("/"), r, i) } ==
+      Seq(("year=2026/month=01", 1L, 1L), ("year=2026/month=03", 0L, 1L)))
+
+    val rows = spark.read.parquet(out).select("id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "one", 2L -> "two-fixed", 3L -> "three", 4L -> "four", 5L -> "five"))
+    // the untouched partition's files were never rewritten
+    val after = fs.listStatus(new Path(s"$out/year=2026/month=02"))
+      .filter(_.isFile).map(f => f.getPath.getName -> f.getModificationTime).toMap
+    assert(after == untouchedMtimes)
+
+    // idempotent: replaying the same batch replaces (not duplicates) its rows
+    val again = graft.operators.Merge.upsertPartitioned(
+      spark, out, updates, "id", Seq("year", "month")).sortBy(_._1)
+    assert(again.map(r => (r._2, r._3)) == Seq((2L, 0L), (1L, 0L)))
+    assert(spark.read.parquet(out).count() == 5)
+  }
+
+  test("merge recovers a partition stranded in .premerge by a mid-swap crash") {
+    val out = s"$base/merge_crash"
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", "2026", "01"), (2L, "b", "2026", "01"))
+      .toDF("id", "payload", "year", "month")
+      .write.partitionBy("year", "month").parquet(out)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new Path(s"$out/year=2026/month=01")
+    val aside = new Path(part.getParent, s".${part.getName}.premerge")
+    assert(fs.rename(part, aside), "test setup: strand the partition")
+    val results = graft.operators.Merge.upsertPartitioned(
+      spark, out, Seq((2L, "b2", "2026", "01")).toDF("id", "payload", "year", "month"),
+      "id", Seq("year", "month"))
+    assert(results.map(r => (r._2, r._3)) == Seq((1L, 0L)))
+    assert(!fs.exists(aside))
+    val rows = spark.read.parquet(out).select("id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "a", 2L -> "b2"))
+  }
+
   test("retention sweeps a crash leftover stranded between rename and delete") {
     val out = s"$base/retention_crash"
     val s = spark
