@@ -389,8 +389,12 @@ object SimilarityQueries {
     "q_sim_lsh_ann",
     (s, d) => {
       val planesCol = typedlit(lshAnnPlanes)
+      // cached: the bucketed frame feeds BOTH join sides (query probe +
+      // corpus), and the sign-bit HOF is the query's dominant per-row cost
+      // — uncached it evaluates twice per run
       val e = normalizedEmbeddings(s, d)
         .withColumn("bucket", bucketBits(col("emb"), planesCol, lit(0), 6))
+        .cache()
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("bucket"))
       // broadcast the tiny query side: the corpus never shuffles on bucket

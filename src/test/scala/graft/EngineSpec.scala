@@ -39,6 +39,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every declared query has a DuckDB oracle (no silent rows-only entries)") {
+    // the driver records a weaker rows-only check for queries missing an
+    // oracleSql entry; this guard makes any such gap an explicit test
+    // failure instead of a quietly degraded correctness row
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without an oracle: ${missing.toSeq.sorted.mkString(", ")}")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without a query: ${orphaned.toSeq.sorted.mkString(", ")}")
+  }
+
   test("README query 1: json_extract_scalar equality predicates + LIMIT") {
     // /root/reference/README.md:89-109, Presto -> Spark SQL translation
     val rows = Engine.sql(spark,
