@@ -230,7 +230,9 @@ object SimilarityQueries {
   private val neardupLsh = Q(
     "q_sim_neardup_lsh",
     (s, d) => {
-      val tb = lshTables(augmentedCorpus(s, d), lshPlanes, LshK, LshTables)
+      // cached: the band table self-joins, and the 80-sign-bit HOF is the
+      // per-row cost — uncached it evaluates once per join side
+      val tb = lshTables(augmentedCorpus(s, d), lshPlanes, LshK, LshTables).cache()
       val cand = tb.as("x").join(tb.as("y"),
           col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
             col("x.vec_id") < col("y.vec_id"))
@@ -350,7 +352,9 @@ object SimilarityQueries {
     "q_dedup_embed_lsh",
     (s, d) => {
       val corpus = augmentedCorpus(s, d).cache()
-      val tb = lshTables(corpus, lshPlanes, LshK, LshTables)
+      // cached like q_sim_neardup_lsh: the self-join would otherwise run
+      // the 80-sign-bit HOF once per side
+      val tb = lshTables(corpus, lshPlanes, LshK, LshTables).cache()
       val pairs = tb.as("x").join(tb.as("y"),
           col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
             col("x.vec_id") < col("y.vec_id") &&
