@@ -303,6 +303,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(afterRows == beforeRows)
   }
 
+  test("zorder: morton interleave is exact and clustering makes box queries skip files") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // exact interleave against a bit-by-bit reference
+    def ref(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | ((a >> i & 1L) << (2 * i)) | ((b >> i & 1L) << (2 * i + 1))
+      }
+    val cases = Seq((0L, 0L), (3L, 1L), (1L, 3L), (0xffffffffL, 0L), (12345L, 67890L))
+    val got = cases.toDF("a", "b")
+      .select(graft.operators.Zorder.mortonCode(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map { case (a, b) => ref(a, b) })
+
+    // arrival-order layout: every file spans the full (x, y) range
+    val out = s"$base/zorder_out/part=0"
+    val rng = new scala.util.Random(5)
+    val rows = Seq.fill(40000)((rng.nextInt(1024).toLong, rng.nextInt(1024).toLong, rng.nextLong()))
+    rows.toDF("x", "y", "payload").repartition(8).write.parquet(out)
+    def filesTouched(): Long = spark.read.parquet(out)
+      .filter(col("x") < 64 && col("y") < 64)
+      .select(input_file_name()).distinct().count()
+    val beforeTouched = filesTouched()
+    assert(beforeTouched == 8, s"arrival order should spread the box over all files: $beforeTouched")
+
+    val (before, after) = graft.operators.Zorder.clusterPartition(spark, out, "x", "y", 8)
+    assert(before == 8 && after == 8)
+    // content is identical, only the layout moved
+    val afterRows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(afterRows == rows.sorted)
+    // the 1/256 box now lives in a compact z-range: few files contain it
+    val afterTouched = filesTouched()
+    assert(afterTouched <= 2, s"z-order should confine the box query: $afterTouched files")
+  }
+
   test("retention: expired partitions gone, live ones intact, ancestors pruned") {
     val out = s"$base/retention_out"
     val s = spark
