@@ -312,7 +312,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 32).foldLeft(0L) { (acc, i) =>
         acc | ((a >> i & 1L) << (2 * i)) | ((b >> i & 1L) << (2 * i + 1))
       }
-    val cases = Seq((0L, 0L), (3L, 1L), (1L, 3L), (0xffffffffL, 0L), (12345L, 67890L))
+    val rng0 = new scala.util.Random(9)
+    val cases = Seq((0L, 0L), (3L, 1L), (1L, 3L), (0xffffffffL, 0L), (12345L, 67890L)) ++
+      Seq.fill(200)((rng0.nextInt(Int.MaxValue).toLong, rng0.nextInt(Int.MaxValue).toLong))
     val got = cases.toDF("a", "b")
       .select(graft.operators.Zorder.mortonCode(col("a"), col("b")).as("z"))
       .collect().map(_.getLong(0)).toSeq
@@ -338,6 +340,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the 1/256 box now lives in a compact z-range: few files contain it
     val afterTouched = filesTouched()
     assert(afterTouched <= 2, s"z-order should confine the box query: $afterTouched files")
+  }
+
+  test("lake lifecycle: ingest -> compact -> zorder -> merge -> retention compose on one table") {
+    // the maintenance operators share one swap discipline; this drives a
+    // table through the whole lifecycle and checks every stage leaves a
+    // consistent, fully-readable table with exactly the expected rows
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val out = s"$base/lifecycle"
+    // "ingested": two date partitions, many small files each (streaming shape)
+    val rows = (0L until 2000L).map(i => (i, i % 1000, (i * 7) % 1000, if (i % 2 == 0) "2026" else "2021"))
+    rows.toDF("id", "x", "y", "year").repartition(20)
+      .write.partitionBy("year").parquet(out)
+
+    // 1. compact the settled partitions down to one file each
+    val compacted = graft.operators.Compaction.compactSettledPartitions(
+      spark, out, targetBytes = 512L * 1024 * 1024, settledMs = -1000)
+    assert(compacted.size == 2 && compacted.forall(_._3 == 1))
+
+    // 2. re-cluster the hot partition for (x, y) box scans
+    val (_, zFiles) = graft.operators.Zorder.clusterPartition(spark, s"$out/year=2026", "x", "y", 4)
+    assert(zFiles == 4)
+    assert(spark.read.parquet(out).count() == 2000)
+
+    // 3. correct one row and append one, copy-on-write
+    val updates = Seq((0L, 999L, 999L, "2026"), (99999L, 1L, 1L, "2026"))
+      .toDF("id", "x", "y", "year")
+    val merged = graft.operators.Merge.upsertPartitioned(spark, out, updates, "id", Seq("year"))
+    assert(merged.map(r => (r._2, r._3)) == Seq((1L, 1L)))
+
+    // 4. expire the aged partition
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    val day = 24L * 3600 * 1000
+    fs.listStatus(new Path(s"$out/year=2021")).filter(_.isFile)
+      .foreach(f => fs.setTimes(f.getPath, now - 400 * day, -1))
+    val expired = graft.operators.Retention.expireSettledPartitions(
+      spark, out, maxAgeMs = 360 * day, nowMs = now)
+    assert(expired.size == 1)
+
+    // final state: the 1000 even-id 2026 rows, id 0 corrected, one insert
+    val fin = spark.read.parquet(out)
+    assert(fin.count() == 1001)
+    assert(fin.filter(col("id") === 0L).select("x").head().getLong(0) == 999L)
+    assert(fin.filter(col("id") === 99999L).count() == 1)
+    assert(fin.filter(col("year") === "2021").count() == 0)
   }
 
   test("retention: expired partitions gone, live ones intact, ancestors pruned") {
