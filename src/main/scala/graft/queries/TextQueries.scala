@@ -329,6 +329,46 @@ object TextQueries {
              (10000 - n_distinct * 10000 // n_bigrams) > 1500 AS is_repetitive
       FROM b ORDER BY doc_id"""))
 
+  /** Corpus-statistics quality score (the CCNet-style LM filter, integer-
+    * exact): a document's mean unigram surprisal against the corpus itself,
+    * with floor(log2) computed as BINARY-STRING LENGTH (length(bin(n))-1) —
+    * bit-exact in both engines, where floor(log2(n)) via libm differs at
+    * power-of-two boundaries (Java computes log(x)/log(2)). Rare words
+    * carry ~lg(total/count) bits; boilerplate scores low, informative text
+    * high; production swaps the self-corpus counts for a reference-corpus
+    * table, same plan. Scale shape: one wordcount shuffle, corpus total as
+    * a broadcast 1-row aggregate (no driver action), token-to-count join
+    * keyed on the word, per-doc agg keyed on doc_id — all linear. Output in
+    * integer centibits/word, so the oracle hash-matches exactly. */
+  private val surprisal = Q(
+    "q_text_surprisal",
+    (s, d) => {
+      val tokens = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val lg = tokens.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("w"), (length(bin(col("cnt"))) - 1).cast("long").as("lg"))
+      val total = tokens.agg(
+        (length(bin(count(lit(1)))) - 1).cast("long").as("lg_total"))
+      tokens.join(lg, "w")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("lg_total") - col("lg")).as("info_bits"))
+        .withColumn("surprisal_cb", expr("info_bits * 100 div n_words"))
+        .select("doc_id", "n_words", "info_bits", "surprisal_cb")
+        .orderBy("doc_id")
+    },
+    Some("""WITH tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        lg AS (SELECT w, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg
+               FROM tokens GROUP BY w),
+        tot AS (SELECT CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_total FROM tokens)
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(lg_total - lg) AS BIGINT) AS info_bits,
+             CAST(sum(lg_total - lg) * 100 // count(*) AS BIGINT) AS surprisal_cb
+      FROM tokens t JOIN lg USING (w), tot
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
-    tfidf, trainSplit, redact, langBalance, repetition)
+    tfidf, trainSplit, redact, langBalance, repetition, surprisal)
 }
