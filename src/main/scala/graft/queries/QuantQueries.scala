@@ -298,5 +298,144 @@ object QuantQueries {
         FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id) sub
       WHERE rn <= 5 ORDER BY query_id, rn"""))
 
-  val all: Seq[Q] = Seq(sq8Ann, kmeans, ivfTrained)
+  // ---------------------------------------------------------------------------
+  // q_sim_pq_adc — product quantization + asymmetric-distance search
+  // ---------------------------------------------------------------------------
+
+  private val PqM = 8 // subspaces (64 dims / 8 per sub-vector)
+  private val PqSubDim = 8
+
+  /** Corpus in OFFSET-INCLUDED micro fixed point: x -> floor((x+2)*1e6),
+    * always positive, so truncating division agrees across engines and L2
+    * distances (translation-invariant) are exact BIGINT math end to end. */
+  private def microEmbeddings(s: SparkSession, d: String): DataFrame =
+    normalizedEmbeddings(s, d).select(
+      col("vec_id"),
+      transform(col("emb"), x => floor((x + lit(2.0)) * lit(1000000.0)).cast("long")).as("xm"))
+
+  /** One row per (vector, subspace): the 8-dim micro sub-vector. */
+  private def subVectors(e: DataFrame): DataFrame =
+    e.select(
+        col("vec_id"),
+        posexplode(transform(
+          sequence(lit(0), lit(PqM - 1)),
+          m => slice(col("xm"), m * PqSubDim + 1, lit(PqSubDim)))))
+      .toDF("vec_id", "m", "sub")
+
+  /** Exact integer squared L2 between two micro sub-vectors. */
+  private def subDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Argmin assignment of every (vector, subspace) to its nearest
+    * sub-centroid — (dist, cent_id) ordering, broadcast codebook. */
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "m").orderBy("dist", "cent_id")
+    subs.join(broadcast(cents), "m")
+      .withColumn("dist", subDist(col("sub"), col("cm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "m", "sub", "cent_id")
+  }
+
+  /** Per-(subspace, cell) integer-mean refinement of an assignment. */
+  private def pqStep(assigned: DataFrame): DataFrame =
+    assigned.select(col("m"), col("cent_id"), posexplode(col("sub")))
+      .toDF("m", "cent_id", "d", "x")
+      .groupBy("m", "cent_id", "d")
+      .agg(sum("x").as("sm"), count(lit(1)).as("n"))
+      .withColumn("c", expr("sm div n"))
+      .groupBy("m", "cent_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), col("c")))),
+        e => e.getField("c")).as("cm"))
+
+  /** Product quantization + asymmetric-distance (ADC) top-k — the memory
+    * layout of every billion-vector index (FAISS IVFPQ's PQ half,
+    * Jégou et al., TPAMI 2011): each vector stores only M sub-cell codes
+    * (here 8, i.e. 8 small ints instead of 64 doubles), and a query scores
+    * candidates by summing M table lookups of its precomputed
+    * query-to-sub-centroid distances — no decode, no per-pair float math.
+    * Sub-codebooks are one Lloyd round per subspace from the shared
+    * fixed-size [[CentroidSeed]] sample (corpus-independent size, like the
+    * IVF coarse quantizer). Every quantity is offset-included micro-integer
+    * fixed point, so training, encoding, the distance table, and the ADC
+    * sums are EXACT integer math — the DuckDB oracle replays the entire
+    * train -> encode -> search lifecycle and hash-matches bit for bit.
+    * Scale: codebook is M x NCells x 8 ints (broadcast, constant); codes
+    * shuffle once keyed on (m, cent_id) against the broadcast query table;
+    * the ADC agg is keyed on (query, vector). Composes with the IVF coarse
+    * cells of q_sim_ivf_trained (probe cells first, then ADC within). */
+  private val pqAdc = Q(
+    "q_sim_pq_adc",
+    (s, d) => {
+      val e = microEmbeddings(s, d)
+      val subs = subVectors(e).cache()
+      val seedIds = e
+        .select(col("vec_id"),
+          (col("vec_id") % lit(1000003L) * lit(2654435761L) % lit(4294967296L)).as("h"))
+        .orderBy("h", "vec_id").limit(graft.queries.CentroidSeed.NCells)
+        .select(col("vec_id").as("cent_id"))
+      val c0 = subs.join(broadcast(seedIds), subs("vec_id") === seedIds("cent_id"))
+        .select(col("m"), col("cent_id"), col("sub").as("cm"))
+      val c1 = pqStep(pqAssign(subs, c0)).cache()
+      val codes = pqAssign(subs, c1).select("vec_id", "m", "cent_id")
+      val qTable = subs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("m"), col("sub"))
+        .join(broadcast(c1), "m")
+        .select(col("query_id"), col("m"), col("cent_id"),
+          subDist(col("sub"), col("cm")).as("qdist"))
+      val w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+      codes.join(broadcast(qTable), Seq("m", "cent_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum("qdist").as("adc_dist"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    },
+    Some(s"""WITH $sqlNormalized,
+      em AS (SELECT vec_id,
+               list_transform(emb, x -> CAST(floor((x + 2) * 1000000) AS BIGINT)) AS xm
+             FROM e),
+      subs AS (SELECT vec_id, mm.m AS m, xm[mm.m*$PqSubDim+1 : mm.m*$PqSubDim+$PqSubDim] AS sub
+               FROM em, (SELECT unnest(range($PqM)) AS m) mm),
+      sid AS (SELECT vec_id AS cent_id FROM em
+              ORDER BY ((vec_id % 1000003) * 2654435761) % 4294967296, vec_id
+              LIMIT ${graft.queries.CentroidSeed.NCells}),
+      c0 AS (SELECT s.m, sid.cent_id, s.sub AS cm
+             FROM subs s JOIN sid ON s.vec_id = sid.cent_id),
+      a0 AS (SELECT vec_id, m, sub, cent_id FROM (
+               SELECT s.vec_id, s.m, s.sub, c.cent_id,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                     i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y),
+                   c.cent_id) AS rn
+               FROM subs s JOIN c0 c ON s.m = c.m) WHERE rn = 1),
+      g AS (SELECT m, cent_id, dd.d, CAST(sum(sub[dd.d]) AS BIGINT) AS sm, count(*) AS n
+            FROM a0, (SELECT unnest(range(1, ${PqSubDim + 1})) AS d) dd
+            GROUP BY m, cent_id, dd.d),
+      c1 AS (SELECT m, cent_id, list(sm // n ORDER BY d) AS cm FROM g GROUP BY m, cent_id),
+      codes AS (SELECT vec_id, m, cent_id FROM (
+               SELECT s.vec_id, s.m, c.cent_id,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                     i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y),
+                   c.cent_id) AS rn
+               FROM subs s JOIN c1 c ON s.m = c.m) WHERE rn = 1),
+      qt AS (SELECT s.vec_id AS query_id, s.m, c.cent_id,
+               list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                 i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y) AS qdist
+             FROM subs s JOIN c1 c ON s.m = c.m WHERE s.vec_id < 5)
+      SELECT query_id, neighbor_id, adc_dist, rn FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn
+        FROM (SELECT q.query_id, a.vec_id AS neighbor_id,
+                CAST(sum(q.qdist) AS BIGINT) AS adc_dist
+              FROM codes a JOIN qt q ON a.m = q.m AND a.cent_id = q.cent_id
+                AND a.vec_id <> q.query_id
+              GROUP BY q.query_id, a.vec_id) sums) ranked
+      WHERE rn <= 5 ORDER BY query_id, rn"""))
+
+  val all: Seq[Q] = Seq(sq8Ann, kmeans, ivfTrained, pqAdc)
 }

@@ -108,6 +108,23 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("pq adc: 8-byte codes still put a true top-5 neighbor in the ADC top-5") {
+    // PQ throws away 63/64ths of the vector (8 sub-codes for 64 doubles);
+    // on isotropic gaussians the ADC ranking cannot reproduce exact cosine
+    // order, but for each query SOME true top-5 cosine neighbor should
+    // survive into the ADC top-5 — the index narrows, it doesn't hallucinate
+    val pq = run("q_sim_pq_adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = run("q_sim_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(pq.keySet == exact.keySet)
+    assert(pq.forall { case (_, s) => s.size == 5 })
+    val overlapping = exact.count { case (q, top) => pq(q).intersect(top).nonEmpty }
+    assert(overlapping >= 3, s"ADC top-5 disjoint from exact top-5 for ${5 - overlapping} of 5 queries")
+  }
+
   test("pack_sequences: per-language token accounting is exact") {
     val out = run("q_pack_sequences").cache()
     // within each language: start of each doc equals sum of earlier docs' tokens
