@@ -155,6 +155,33 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming UPSERT sink — CDC-style corrections applied continuously:
+    * each micro-batch merges into the partitioned table via
+    * [[graft.operators.Merge.upsertPartitioned]] (copy-on-write on touched
+    * partitions only, crash-safe rename swap). foreachBatch replays a batch
+    * after a crash (at-least-once), and the merge is idempotent by id —
+    * replaying replaces the same rows — so the sink is effectively-once
+    * without a transactional commit log. The stream must carry `idCol` and
+    * the partition columns. This is the capability gap between a lake that
+    * can only append (the reference: Athena has no UPDATE) and one that
+    * can keep a table CURRENT under late corrections. */
+  def startUpsertStream(
+      stream: DataFrame,
+      tableDir: String,
+      idCol: String,
+      partitionCols: Seq[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Merge.upsertPartitioned(
+          batch.sparkSession, tableDir, batch.toDF(), idCol, partitionCols)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming analytics over the event stream (SURVEY §2B streaming row):
     * tumbling event-time window counts with late-data drop. Watermark bounds
     * the window state; at 100 TB/day this shuffles once per window on

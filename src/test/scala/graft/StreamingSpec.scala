@@ -342,6 +342,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(afterTouched <= 2, s"z-order should confine the box query: $afterTouched files")
   }
 
+  test("streaming upsert sink: later micro-batches correct earlier rows, effectively once") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = s"$base/upsert_stream_out"
+    val mem = MemoryStream[(Long, String, String)]
+    def drain(): Unit = {
+      val q = StreamingIngest.startUpsertStream(
+        mem.toDF().toDF("id", "payload", "year"),
+        out, "id", Seq("year"), s"$base/upsert_stream_ckpt",
+        Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    // batch 1: initial rows across two partitions
+    mem.addData((1L, "a", "2026"), (2L, "b", "2026"), (3L, "c", "2025"))
+    drain()
+    assert(spark.read.parquet(out).count() == 3)
+    // batch 2: correct id 2, insert id 4; the 2025 partition is untouched
+    mem.addData((2L, "b-fixed", "2026"), (4L, "d", "2026"))
+    drain()
+    val rows = spark.read.parquet(out).select("id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "a", 2L -> "b-fixed", 3L -> "c", 4L -> "d"))
+  }
+
   test("lake lifecycle: ingest -> compact -> zorder -> merge -> retention compose on one table") {
     // the maintenance operators share one swap discipline; this drives a
     // table through the whole lifecycle and checks every stage leaves a
