@@ -437,5 +437,120 @@ object QuantQueries {
               GROUP BY q.query_id, a.vec_id) sums) ranked
       WHERE rn <= 5 ORDER BY query_id, rn"""))
 
-  val all: Seq[Q] = Seq(sq8Ann, kmeans, ivfTrained, pqAdc)
+  /** IVF + PQ composed — the billion-scale index layout proper (FAISS
+    * IVFPQ with by_residual=false): the trained coarse quantizer restricts
+    * each query to its nprobe nearest cells, and ONLY vectors in probed
+    * cells are ADC-scored from their 8 sub-codes. The corpus is touched
+    * twice, both linearly: once to assign cells (broadcast coarse
+    * codebook), once to encode PQ codes (broadcast sub-codebooks); a search
+    * reads codes for probed cells only and sums broadcast table lookups —
+    * at 100 TB that is nprobe/NCells of the corpus per query, in 8 bytes
+    * per vector. (Production IVFPQ encodes residuals per cell; the
+    * no-residual variant keeps one shared sub-codebook — FAISS's own
+    * by_residual=false — and every quantity here stays integer-exact, so
+    * the oracle replays coarse training, PQ training, encoding, probing,
+    * and ADC end to end in one hash compare.) */
+  private val ivfPq = Q(
+    "q_sim_ivfpq",
+    (s, d) => {
+      val e = normalizedEmbeddings(s, d).cache()
+      val c2 = trainedCodebook(e).cache()
+      val cells = kmeansAssign(e, c2).select(col("vec_id"), col("cent_id").as("cell"))
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+        .crossJoin(broadcast(c2.select(col("cent_id"), col("cemb"))))
+        .select(col("query_id"), col("cent_id"),
+          round(dot(col("qemb"), col("cemb")), 6).as("csim"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 3) // nprobe
+        .select(col("query_id"), col("cent_id").as("cell"))
+      val subs = subVectors(microEmbeddings(s, d)).cache()
+      val seedIds = microEmbeddings(s, d)
+        .select(col("vec_id"),
+          (col("vec_id") % lit(1000003L) * lit(2654435761L) % lit(4294967296L)).as("h"))
+        .orderBy("h", "vec_id").limit(graft.queries.CentroidSeed.NCells)
+        .select(col("vec_id").as("cent_id"))
+      val pqc0 = subs.join(broadcast(seedIds), subs("vec_id") === seedIds("cent_id"))
+        .select(col("m"), col("cent_id"), col("sub").as("cm"))
+      val pqc1 = pqStep(pqAssign(subs, pqc0)).cache()
+      val codes = pqAssign(subs, pqc1).select("vec_id", "m", "cent_id")
+      val qTable = subs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("m"), col("sub"))
+        .join(broadcast(pqc1), "m")
+        .select(col("query_id"), col("m"), col("cent_id"),
+          subDist(col("sub"), col("cm")).as("qdist"))
+      val w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+      cells.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id")
+        .join(codes, "vec_id")
+        .join(broadcast(qTable), Seq("query_id", "m", "cent_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum("qdist").as("adc_dist"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    },
+    Some(s"""WITH $sqlNormalized,
+      dd AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
+      ${graft.queries.CentroidSeed.sqlSeedCte("c0")},
+      ${sqlLloydRound(0, "c0")},
+      ${sqlLloydRound(1, "c1")},
+      cells AS (SELECT vec_id, cent_id AS cell FROM (
+          SELECT ev.vec_id, c.cent_id,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY round(list_dot_product(ev.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e ev, c2 c) s WHERE rn = 1),
+      probes AS (SELECT query_id, cell FROM (
+          SELECT q.vec_id AS query_id, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e q, c2 c WHERE q.vec_id < 5) s WHERE rn <= 3),
+      em AS (SELECT vec_id,
+               list_transform(emb, x -> CAST(floor((x + 2) * 1000000) AS BIGINT)) AS xm
+             FROM e),
+      subs AS (SELECT vec_id, mm.m AS m, xm[mm.m*$PqSubDim+1 : mm.m*$PqSubDim+$PqSubDim] AS sub
+               FROM em, (SELECT unnest(range($PqM)) AS m) mm),
+      sid AS (SELECT vec_id AS cent_id FROM em
+              ORDER BY ((vec_id % 1000003) * 2654435761) % 4294967296, vec_id
+              LIMIT ${graft.queries.CentroidSeed.NCells}),
+      pqc0 AS (SELECT s.m, sid.cent_id, s.sub AS cm
+             FROM subs s JOIN sid ON s.vec_id = sid.cent_id),
+      pqa0 AS (SELECT vec_id, m, sub, cent_id FROM (
+               SELECT s.vec_id, s.m, s.sub, c.cent_id,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                     i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y),
+                   c.cent_id) AS rn
+               FROM subs s JOIN pqc0 c ON s.m = c.m) WHERE rn = 1),
+      pqg AS (SELECT m, cent_id, pd.d, CAST(sum(sub[pd.d]) AS BIGINT) AS sm, count(*) AS n
+            FROM pqa0, (SELECT unnest(range(1, ${PqSubDim + 1})) AS d) pd
+            GROUP BY m, cent_id, pd.d),
+      pqc1 AS (SELECT m, cent_id, list(sm // n ORDER BY d) AS cm FROM pqg GROUP BY m, cent_id),
+      codes AS (SELECT vec_id, m, cent_id FROM (
+               SELECT s.vec_id, s.m, c.cent_id,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                     i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y),
+                   c.cent_id) AS rn
+               FROM subs s JOIN pqc1 c ON s.m = c.m) WHERE rn = 1),
+      qt AS (SELECT s.vec_id AS query_id, s.m, c.cent_id,
+               list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                 i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y) AS qdist
+             FROM subs s JOIN pqc1 c ON s.m = c.m WHERE s.vec_id < 5)
+      SELECT query_id, neighbor_id, adc_dist, rn FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn
+        FROM (SELECT p.query_id, cl.vec_id AS neighbor_id,
+                CAST(sum(q.qdist) AS BIGINT) AS adc_dist
+              FROM cells cl
+                JOIN probes p ON cl.cell = p.cell AND cl.vec_id <> p.query_id
+                JOIN codes a ON a.vec_id = cl.vec_id
+                JOIN qt q ON q.query_id = p.query_id AND q.m = a.m AND q.cent_id = a.cent_id
+              GROUP BY p.query_id, cl.vec_id) sums) ranked
+      WHERE rn <= 5 ORDER BY query_id, rn"""))
+
+  val all: Seq[Q] = Seq(sq8Ann, kmeans, ivfTrained, pqAdc, ivfPq)
 }
