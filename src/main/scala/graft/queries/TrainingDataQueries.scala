@@ -117,12 +117,12 @@ object TrainingDataQueries {
     (s, d) =>
       t(s, d, "documents")
         .withColumn("weight", least(expr("n_chars div 10"), lit(500L)))
-        .filter(((col("doc_id") * 2654435761L) % 4294967296L) % 1000L < col("weight"))
+        .filter((col("doc_id") % 1000003L * 2654435761L % 4294967296L) % 1000L < col("weight"))
         .select("doc_id", "lang", "n_chars", "weight")
         .orderBy("doc_id"),
     Some("""SELECT doc_id, lang, n_chars, least(n_chars // 10, 500) AS weight
       FROM documents
-      WHERE (doc_id * 2654435761) % 4294967296 % 1000 < least(n_chars // 10, 500)
+      WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 % 1000 < least(n_chars // 10, 500)
       ORDER BY doc_id"""))
 
   /** Context-window sequence packing (the "concatenate-and-split" layout
@@ -178,13 +178,13 @@ object TrainingDataQueries {
     (s, d) => {
       val w = Window.partitionBy("bucket").orderBy(asc("h"), asc("doc_id"))
       t(s, d, "documents")
-        .select(col("doc_id"), ((col("doc_id") * 2654435761L) % 4294967296L).as("h"))
+        .select(col("doc_id"), (col("doc_id") % 1000003L * 2654435761L % 4294967296L).as("h"))
         .withColumn("bucket", col("h") % 32L)
         .withColumn("pos", row_number().over(w).cast("long"))
         .select("doc_id", "bucket", "pos")
         .orderBy("bucket", "pos")
     },
-    Some("""WITH d AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+    Some("""WITH d AS (SELECT doc_id, ((doc_id % 1000003) * 2654435761) % 4294967296 AS h FROM documents)
       SELECT doc_id, h % 32 AS bucket,
              CAST(row_number() OVER (PARTITION BY h % 32 ORDER BY h, doc_id) AS BIGINT) AS pos
       FROM d ORDER BY bucket, pos"""))
@@ -206,7 +206,7 @@ object TrainingDataQueries {
       val repeats = expr(
         "CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 1 ELSE 2 END")
       t(s, d, "documents")
-        .filter(((col("doc_id") * 2654435761L) % 4294967296L) % 1000L < rate)
+        .filter((col("doc_id") % 1000003L * 2654435761L % 4294967296L) % 1000L < rate)
         .select(col("doc_id"), col("lang"), explode(sequence(lit(1), repeats)).as("epoch"))
         .select(col("doc_id"), col("lang"), col("epoch").cast("long").as("epoch"))
         .orderBy("doc_id", "epoch")
@@ -214,7 +214,7 @@ object TrainingDataQueries {
     Some("""SELECT doc_id, lang, CAST(unnest(generate_series(1,
                CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 1 ELSE 2 END)) AS BIGINT) AS epoch
       FROM documents
-      WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
+      WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 % 1000 <
             CASE lang WHEN 'en' THEN 700 WHEN 'de' THEN 1000 WHEN 'fr' THEN 1000 ELSE 1000 END
       ORDER BY doc_id, epoch"""))
 
