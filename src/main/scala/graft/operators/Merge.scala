@@ -52,49 +52,53 @@ object Merge {
     touched.toSeq.map { pvals =>
       val kvs = partitionCols.zip(pvals.toSeq.map(String.valueOf))
       val part = new Path(tableDir + "/" + kvs.map { case (k, v) => s"$k=$v" }.mkString("/"))
+      // cached for the duration of THIS partition's merge (the slice feeds
+      // the semi join, anti join, union, and counts), released before the
+      // next partition so a wide update batch can't pile up executor blocks
       val u = kvs.foldLeft(updates) { case (df, (k, v)) => df.filter(col(k) === lit(v)) }
         .drop(partitionCols: _*)
         .cache()
+      try {
+        // crash recovery: a failure between the swap renames left the data
+        // only in the hidden .premerge sibling — restore before reading
+        val aside = new Path(part.getParent, s".${part.getName}.premerge")
+        if (!fs.exists(part) && fs.exists(aside) && !fs.rename(aside, part))
+          throw new java.io.IOException(s"merge: cannot restore $part from crash leftover $aside")
 
-      // crash recovery: a failure between the swap renames left the data
-      // only in the hidden .premerge sibling — restore before reading
-      val aside = new Path(part.getParent, s".${part.getName}.premerge")
-      if (!fs.exists(part) && fs.exists(aside) && !fs.rename(aside, part))
-        throw new java.io.IOException(s"merge: cannot restore $part from crash leftover $aside")
-
-      if (!fs.exists(part)) {
-        // brand-new partition: stage then one atomic rename into place
-        val tmp = new Path(part.getParent, s".${part.getName}.merging")
-        fs.delete(tmp, true)
-        u.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.mkdirs(part.getParent)
-        if (!fs.rename(tmp, part))
-          throw new java.io.IOException(s"merge: cannot place new partition $part")
-        (part.toString, 0L, u.count())
-      } else {
-        val old = spark.read.parquet(part.toString)
-        val replaced = old.join(u, Seq(idCol), "left_semi").count()
-        val merged = old.join(u, Seq(idCol), "left_anti").unionByName(u, allowMissingColumns = false)
-        val tmp = new Path(part.getParent, s".${part.getName}.merging")
-        fs.delete(tmp, true)
-        fs.delete(aside, true)
-        merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        // two-rename swap, every rename checked (see Compaction)
-        if (!fs.rename(part, aside)) {
+        if (!fs.exists(part)) {
+          // brand-new partition: stage then one atomic rename into place
+          val tmp = new Path(part.getParent, s".${part.getName}.merging")
           fs.delete(tmp, true)
-          throw new java.io.IOException(s"merge: cannot move $part aside")
-        }
-        if (!fs.rename(tmp, part)) {
-          val rolledBack = fs.rename(aside, part)
+          u.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          fs.mkdirs(part.getParent)
+          if (!fs.rename(tmp, part))
+            throw new java.io.IOException(s"merge: cannot place new partition $part")
+          (part.toString, 0L, u.count())
+        } else {
+          val old = spark.read.parquet(part.toString)
+          val replaced = old.join(u, Seq(idCol), "left_semi").count()
+          val merged = old.join(u, Seq(idCol), "left_anti").unionByName(u, allowMissingColumns = false)
+          val tmp = new Path(part.getParent, s".${part.getName}.merging")
           fs.delete(tmp, true)
-          throw new java.io.IOException(
-            s"merge: swap failed for $part, " +
-              (if (rolledBack) "rolled back to the original layout"
-               else s"ROLLBACK ALSO FAILED - original data preserved at $aside"))
+          fs.delete(aside, true)
+          merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          // two-rename swap, every rename checked (see Compaction)
+          if (!fs.rename(part, aside)) {
+            fs.delete(tmp, true)
+            throw new java.io.IOException(s"merge: cannot move $part aside")
+          }
+          if (!fs.rename(tmp, part)) {
+            val rolledBack = fs.rename(aside, part)
+            fs.delete(tmp, true)
+            throw new java.io.IOException(
+              s"merge: swap failed for $part, " +
+                (if (rolledBack) "rolled back to the original layout"
+                 else s"ROLLBACK ALSO FAILED - original data preserved at $aside"))
+          }
+          fs.delete(aside, true)
+          (part.toString, replaced, u.count() - replaced)
         }
-        fs.delete(aside, true)
-        (part.toString, replaced, u.count() - replaced)
-      }
+      } finally u.unpersist()
     }
   }
 }
