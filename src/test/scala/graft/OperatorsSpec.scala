@@ -245,6 +245,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected user 1 session, got: ${out.mkString(", ")}")
   }
 
+  test("custom sessionize agrees with Spark's built-in session_window on real events") {
+    // third independent implementation (after the DuckDB islands oracle):
+    // Spark's own gap-based session_window must produce the identical
+    // (user, start, n_events, duration) set on the sf0.001 events table
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, d).select(col("user_id"), col("ts"))
+    val custom = Sessionize.sessionize(ev, gapSeconds = 7200).toDF()
+      .select(col("user_id"), col("session_start_micros"), col("n_events"), col("duration_s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    val builtin = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "7200 seconds").as("w"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(
+        col("user_id"), unix_micros(col("t0")).as("start"), col("n"),
+        ((unix_micros(col("t1")) - unix_micros(col("t0"))) / 1000000L).cast("long").as("dur"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    assert(custom.nonEmpty && custom == builtin)
+  }
+
   test("streaming sessionize: pre-session late chains emit eagerly (pinned deviation from batch replay)") {
     // DOCUMENTED DEVIATION (see Sessionize.fold): a late event more than a
     // gap before the open session's start is emitted as its own closed
