@@ -12,13 +12,15 @@ import org.apache.spark.sql.types._
   * Pandas-UDF `mapInPandas` stage (per-batch setup amortization, bounded
   * memory per batch).
   *
-  * Decode is REAL for images: image-mime payloads go through the JDK's
-  * ImageIO (PNG/BMP/GIF/JPEG — pure JVM, headless-safe) to gray pixel
-  * buffers, and `q_multimodal_decode` oracle-checks the full
-  * encode→decode→feature path against pixel math recomputed independently
-  * in DuckDB. Audio/video codecs don't ship with the JDK, so non-image
-  * payloads pass through as already-decoded byte streams (documented
-  * boundary; the feature/frame/resize math downstream is shared).
+  * Decode is REAL for images AND audio: image-mime payloads go through the
+  * JDK's ImageIO (PNG/BMP/GIF/JPEG — pure JVM, headless-safe) to gray pixel
+  * buffers, and PCM WAV payloads through `javax.sound.sampled.AudioSystem`
+  * to 16-bit sample arrays; `q_multimodal_decode` / `q_multimodal_audio`
+  * oracle-check the full encode→decode→feature paths against pixel/sample
+  * math recomputed independently in DuckDB. Compressed-audio and video
+  * codecs don't ship with the JDK, so those payloads pass through as
+  * already-decoded byte streams (documented boundary; the
+  * feature/frame/resize math downstream is shared).
   *
   * Scale: all stages are narrow (no shuffle); media bytes never leave their
   * input partition until an explicit aggregation.
@@ -191,6 +193,99 @@ object Multimodal {
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), pngUdf(col("doc_id")).as("media"),
         lit("image/png").as("mime_type"))
+  }
+
+  // -------------------------------------------------------------------------
+  // REAL audio path: PCM WAV via javax.sound.sampled (pure JDK)
+  // -------------------------------------------------------------------------
+
+  private val SyntheticAudioSamples = 64
+  private val SyntheticAudioRate = 8000
+
+  /** RIFF/WAVE container around 16-bit little-endian mono PCM — real WAV
+    * bytes any audio tool can open. */
+  def encodePcmWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio decode via AudioSystem: WAV bytes -> (sampleRate, 16-bit
+    * samples). None when no codec accepts the bytes. */
+  def decodeWav(media: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(media))
+      val fmt = in.getFormat
+      val raw = in.readAllBytes()
+      in.close()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+      Some((fmt.getSampleRate.toInt, out))
+    } catch { case _: Exception => None }
+
+  /** Deterministic synthetic WAV per document: sample i is
+    * `((doc_id*37 + i*11) % 65536) - 32768` — real container bytes, and a
+    * formula DuckDB replays in exact integer math. */
+  def syntheticWavs(spark: SparkSession, dir: String): DataFrame = {
+    val wavUdf = org.apache.spark.sql.functions.udf { docId: Long =>
+      val samples = Array.tabulate(SyntheticAudioSamples)(
+        i => (((docId * 37 + i * 11) % 65536) - 32768).toShort)
+      encodePcmWav(samples, SyntheticAudioRate)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), wavUdf(col("doc_id")).as("media"),
+        lit("audio/wav").as("mime_type"))
+  }
+
+  val decodedAudioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("zero_cross", LongType, nullable = false)))
+
+  /** Audio media -> decoded sample-domain features, batched mapPartitions
+    * like [[decodeImageTable]]. All features are exact integer sums over
+    * the decoded 16-bit samples, so a mirrored oracle catches any header
+    * misparse, endianness slip, or sample corruption. */
+  def decodeAudioTable(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select("doc_id", "media").rdd.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          decodeWav(r.getAs[Array[Byte]](1)).map { case (rate, s) =>
+            var sumAbs = 0L
+            var energy = 0L
+            var zc = 0L
+            var i = 0
+            while (i < s.length) {
+              val v = s(i).toLong
+              sumAbs += math.abs(v)
+              energy += v * v
+              if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+              i += 1
+            }
+            Row(r.getLong(0), s.length.toLong, rate.toLong, sumAbs, energy, zc)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, decodedAudioSchema)
   }
 
   val decodedSchema: StructType = StructType(Seq(

@@ -103,5 +103,27 @@ object MultimodalQueries {
              ELSE CAST(fp_u AS BIGINT) END AS frame_fp
       FROM fp ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(features, frames, decodeQ)
+  /** REAL audio path, end to end: deterministic 16-bit PCM WAV containers
+    * (actual RIFF bytes) -> javax.sound.sampled decode -> exact integer
+    * sample features (abs-sum, energy, zero crossings). The oracle
+    * recomputes every column from the sample formula — a header misparse,
+    * endianness slip, or sample corruption would mismatch everything.
+    * Sample i of doc d is ((d*37 + i*11) % 65536) - 32768. */
+  private val audioQ = Q(
+    "q_multimodal_audio",
+    (s, d) =>
+      Multimodal.decodeAudioTable(Multimodal.syntheticWavs(s, d))
+        .orderBy("doc_id"),
+    Some("""WITH sm AS (SELECT doc_id,
+        list_transform(range(0, 64), i -> (doc_id*37 + i*11) % 65536 - 32768) AS s
+      FROM documents)
+      SELECT doc_id,
+        CAST(64 AS BIGINT) AS n_samples,
+        CAST(8000 AS BIGINT) AS sample_rate,
+        CAST(list_reduce(list_transform(s, x -> abs(x)), (a, b) -> a + b) AS BIGINT) AS sum_abs,
+        CAST(list_reduce(list_transform(s, x -> x*x), (a, b) -> a + b) AS BIGINT) AS energy,
+        CAST(len(list_filter(range(1, 64), i -> (s[i] < 0) <> (s[i+1] < 0))) AS BIGINT) AS zero_cross
+      FROM sm ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(features, frames, decodeQ, audioQ)
 }

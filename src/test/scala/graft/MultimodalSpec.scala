@@ -116,6 +116,20 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
   }
 
+  test("audio decode is real: WAV encode -> AudioSystem decode roundtrips samples exactly") {
+    import graft.operators.Multimodal
+    val samples = Array.tabulate(100)(i => ((i * 523 - 17000) % 32768).toShort)
+    val wav = Multimodal.encodePcmWav(samples, 16000)
+    // actual RIFF/WAVE container
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val Some((rate, back)) = Multimodal.decodeWav(wav)
+    assert(rate == 16000)
+    assert(back.toSeq == samples.toSeq, "PCM WAV decode must be lossless")
+    // non-audio bytes: no codec claims them
+    assert(Multimodal.decodeWav("not audio".getBytes).isEmpty)
+  }
+
   test("decodeImageTable decodes synthetic PNGs to the formula pixels") {
     import graft.operators.Multimodal
     val out = Multimodal.decodeImageTable(
