@@ -288,6 +288,119 @@ object Multimodal {
     spark.createDataFrame(rdd, decodedAudioSchema)
   }
 
+  // -------------------------------------------------------------------------
+  // REAL video-like path: multi-frame animated GIF via ImageIO (pure JDK)
+  // -------------------------------------------------------------------------
+
+  private val SyntheticVideoFrames = 4
+
+  /** 256-level gray palette so the GIF writer stores OUR palette verbatim —
+    * an exact byte-per-pixel round trip, no quantizer in the loop. */
+  private def grayIcm: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Real animated-GIF container: one image sequence, one frame per input
+    * pixel buffer. Any GIF tool can open the bytes. */
+  def encodeGifVideo(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { px =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayIcm)
+      img.getRaster.setDataElements(0, 0, w, h, px)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  /** REAL multi-frame decode: GIF bytes -> per-frame (width, height, gray
+    * samples). None when the bytes aren't a GIF. */
+  def decodeGifVideo(media: Array[Byte]): Option[Seq[(Int, Int, Array[Byte])]] =
+    try {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(media))
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      if (n == 0) return None
+      val out = (0 until n).map { i =>
+        val im = reader.read(i)
+        val w = im.getWidth
+        val h = im.getHeight
+        val gray = new Array[Byte](w * h)
+        var idx = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { gray(idx) = (im.getRGB(x, y) & 0xff).toByte; idx += 1; x += 1 }
+          y += 1
+        }
+        (w, h, gray)
+      }
+      reader.dispose()
+      Some(out)
+    } catch { case _: Exception => None }
+
+  /** Deterministic synthetic "video" per document: SyntheticVideoFrames
+    * frames of 8x8 gray, frame f pixel i = (doc_id*31 + f*97 + i*7) % 256. */
+  def syntheticVideos(spark: SparkSession, dir: String): DataFrame = {
+    val gifUdf = org.apache.spark.sql.functions.udf { docId: Long =>
+      val frames = (0 until SyntheticVideoFrames).map { f =>
+        Array.tabulate(SyntheticImgW * SyntheticImgH)(
+          i => (((docId * 31 + f * 97 + i * 7) % 256) & 0xff).toByte)
+      }
+      encodeGifVideo(frames, SyntheticImgW, SyntheticImgH)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), gifUdf(col("doc_id")).as("media"),
+        lit("image/gif").as("mime_type"))
+  }
+
+  val decodedVideoSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("px_min", LongType, nullable = false),
+    StructField("px_max", LongType, nullable = false)))
+
+  /** Video media -> one row per decoded frame with exact integer pixel
+    * stats, batched mapPartitions like the image/audio tables. */
+  def decodeVideoTable(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select("doc_id", "media").rdd.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          decodeGifVideo(r.getAs[Array[Byte]](1)).toSeq.flatMap { frames =>
+            frames.zipWithIndex.map { case ((w, h, px), f) =>
+              var sum = 0L
+              var mn = 255L
+              var mx = 0L
+              px.foreach { b =>
+                val v = (b & 0xff).toLong
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+              }
+              Row(r.getLong(0), f.toLong, w.toLong, h.toLong, sum, mn, mx)
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, decodedVideoSchema)
+  }
+
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("width", LongType, nullable = false),

@@ -125,5 +125,28 @@ object MultimodalQueries {
         CAST(len(list_filter(range(1, 64), i -> (s[i] < 0) <> (s[i+1] < 0))) AS BIGINT) AS zero_cross
       FROM sm ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(features, frames, decodeQ, audioQ)
+  /** REAL multi-frame (video-like) path: deterministic 4-frame animated
+    * GIFs — an actual multi-image container the JDK writes AND reads — one
+    * output row per decoded frame with exact integer pixel stats. The gray
+    * palette is stored verbatim (no quantizer), so the oracle recomputes
+    * every frame from the pixel formula; frame f pixel i of doc d is
+    * (d*31 + f*97 + i*7) % 256. True compressed-video codecs (H.264 etc.)
+    * remain the documented JDK boundary — the container/frame-iteration
+    * plumbing this pins is the part the pipeline owns. */
+  private val videoQ = Q(
+    "q_multimodal_video",
+    (s, d) =>
+      Multimodal.decodeVideoTable(Multimodal.syntheticVideos(s, d))
+        .orderBy("doc_id", "frame"),
+    Some("""WITH fr AS (SELECT doc_id, ff.f AS frame,
+        list_transform(range(0, 64), i -> (doc_id*31 + ff.f*97 + i*7) % 256) AS p
+      FROM documents, (SELECT unnest(range(4)) AS f) ff)
+      SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        CAST(list_reduce(p, (a, b) -> a + b) AS BIGINT) AS px_sum,
+        CAST(list_reduce(p, (a, b) -> least(a, b)) AS BIGINT) AS px_min,
+        CAST(list_reduce(p, (a, b) -> greatest(a, b)) AS BIGINT) AS px_max
+      FROM fr ORDER BY doc_id, frame"""))
+
+  val all: Seq[Q] = Seq(features, frames, decodeQ, audioQ, videoQ)
 }

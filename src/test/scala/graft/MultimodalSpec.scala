@@ -130,6 +130,20 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeWav("not audio".getBytes).isEmpty)
   }
 
+  test("video decode is real: animated GIF encode -> multi-frame decode roundtrips pixels exactly") {
+    import graft.operators.Multimodal
+    val frames = (0 until 3).map(f => Array.tabulate(64)(i => ((f * 97 + i * 7) % 256).toByte))
+    val gif = Multimodal.encodeGifVideo(frames, 8, 8)
+    assert(new String(gif.take(3), "US-ASCII") == "GIF")
+    val Some(back) = Multimodal.decodeGifVideo(gif)
+    assert(back.length == 3)
+    back.zip(frames).foreach { case ((w, h, px), orig) =>
+      assert(w == 8 && h == 8)
+      assert(px.toSeq == orig.toSeq, "gray GIF frame decode must be lossless")
+    }
+    assert(Multimodal.decodeGifVideo("not a gif".getBytes).isEmpty)
+  }
+
   test("decodeImageTable decodes synthetic PNGs to the formula pixels") {
     import graft.operators.Multimodal
     val out = Multimodal.decodeImageTable(
