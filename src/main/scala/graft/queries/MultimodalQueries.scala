@@ -148,5 +148,30 @@ object MultimodalQueries {
         CAST(list_reduce(p, (a, b) -> greatest(a, b)) AS BIGINT) AS px_max
       FROM fr ORDER BY doc_id, frame"""))
 
-  val all: Seq[Q] = Seq(features, frames, decodeQ, audioQ, videoQ)
+  /** Media dedup over DECODED CONTENT — the cross-modal composition the
+    * north star asks for: real PNG decode -> pixel-domain fingerprint ->
+    * exact-dup keep-list by content (not by bytes: two encodings of the
+    * same pixels dedup together). The synthetic pixel formula makes image
+    * content a function of doc_id % 256, so the oracle derives the same
+    * keep-list INDEPENDENTLY of the codec path — decode, fingerprint, or
+    * grouping drift all mismatch. Scale shape: decode is narrow, the
+    * keep-list is one groupBy on the fingerprint (hash-sized shuffle,
+    * never pixels). */
+  private val mediaDedup = Q(
+    "q_multimodal_dedup",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("frame_fp")
+      Multimodal.decodeImageTable(Multimodal.syntheticImages(s, d))
+        .select(col("doc_id"), col("frame_fp"))
+        .withColumn("canonical_id", min("doc_id").over(w))
+        .withColumn("is_dup", col("canonical_id") < col("doc_id"))
+        .select("doc_id", "canonical_id", "is_dup")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        min(doc_id) OVER (PARTITION BY doc_id % 256) AS canonical_id,
+        min(doc_id) OVER (PARTITION BY doc_id % 256) < doc_id AS is_dup
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(features, frames, decodeQ, audioQ, videoQ, mediaDedup)
 }
