@@ -132,15 +132,20 @@ object MultimodalQueries {
     * every frame from the pixel formula; frame f pixel i of doc d is
     * (d*31 + f*97 + i*7) % 256. True compressed-video codecs (H.264 etc.)
     * remain the documented JDK boundary — the container/frame-iteration
-    * plumbing this pins is the part the pipeline owns. */
+    * plumbing this pins is the part the pipeline owns. Bounded to a
+    * constant 500-doc slice (the audit stance): the JDK GIF writer costs
+    * ~ms per sequence, and the codec-path proof doesn't strengthen with
+    * corpus size — the mapPartitions stage itself scales by partition. */
   private val videoQ = Q(
     "q_multimodal_video",
     (s, d) =>
-      Multimodal.decodeVideoTable(Multimodal.syntheticVideos(s, d))
+      Multimodal.decodeVideoTable(
+          Multimodal.syntheticVideos(s, d).filter(col("doc_id") < 500))
         .orderBy("doc_id", "frame"),
     Some("""WITH fr AS (SELECT doc_id, ff.f AS frame,
         list_transform(range(0, 64), i -> (doc_id*31 + ff.f*97 + i*7) % 256) AS p
-      FROM documents, (SELECT unnest(range(4)) AS f) ff)
+      FROM documents, (SELECT unnest(range(4)) AS f) ff
+      WHERE doc_id < 500)
       SELECT doc_id, CAST(frame AS BIGINT) AS frame,
         CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         CAST(list_reduce(p, (a, b) -> a + b) AS BIGINT) AS px_sum,
