@@ -101,4 +101,70 @@ object Merge {
       } finally u.unpersist()
     }
   }
+
+  /** Targeted row deletion — the right-to-be-forgotten operator (a GDPR
+    * erasure cannot wait for [[Retention]]'s age-based expiry). `tombstones`
+    * carries the ids to remove plus their partition columns; only touched
+    * partitions rewrite (old rows leave via the same LEFT ANTI join the
+    * upsert uses, with no union back), behind the same crash-safe
+    * two-rename swap. A partition whose every row dies is removed entirely
+    * rather than left as an empty directory. Returns (partitionPath,
+    * nDeleted) per touched partition; ids absent from the table delete
+    * zero rows (idempotent replay). */
+  def deletePartitioned(
+      spark: SparkSession,
+      tableDir: String,
+      tombstones: DataFrame,
+      idCol: String,
+      partitionCols: Seq[String]): Seq[(String, Long)] = {
+    val root = new Path(tableDir)
+    val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
+    val touched = tombstones.select(partitionCols.map(col): _*).distinct().collect()
+
+    touched.toSeq.flatMap { pvals =>
+      val kvs = partitionCols.zip(pvals.toSeq.map(String.valueOf))
+      val part = new Path(tableDir + "/" + kvs.map { case (k, v) => s"$k=$v" }.mkString("/"))
+      val ids = kvs.foldLeft(tombstones) { case (df, (k, v)) => df.filter(col(k) === lit(v)) }
+        .select(idCol).distinct().cache()
+      try {
+        val aside = new Path(part.getParent, s".${part.getName}.premerge")
+        if (!fs.exists(part) && fs.exists(aside) && !fs.rename(aside, part))
+          throw new java.io.IOException(s"delete: cannot restore $part from crash leftover $aside")
+        if (!fs.exists(part)) None
+        else {
+          val old = spark.read.parquet(part.toString)
+          val dying = old.join(ids, Seq(idCol), "left_semi").count()
+          if (dying == 0L) None
+          else {
+            val survivors = old.join(ids, Seq(idCol), "left_anti")
+            if (survivors.isEmpty) {
+              // whole partition dies: hide then delete, like Retention
+              if (!fs.rename(part, aside))
+                throw new java.io.IOException(s"delete: cannot move $part aside")
+              fs.delete(aside, true)
+            } else {
+              val tmp = new Path(part.getParent, s".${part.getName}.merging")
+              fs.delete(tmp, true)
+              fs.delete(aside, true)
+              survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+              if (!fs.rename(part, aside)) {
+                fs.delete(tmp, true)
+                throw new java.io.IOException(s"delete: cannot move $part aside")
+              }
+              if (!fs.rename(tmp, part)) {
+                val rolledBack = fs.rename(aside, part)
+                fs.delete(tmp, true)
+                throw new java.io.IOException(
+                  s"delete: swap failed for $part, " +
+                    (if (rolledBack) "rolled back to the original layout"
+                     else s"ROLLBACK ALSO FAILED - original data preserved at $aside"))
+              }
+              fs.delete(aside, true)
+            }
+            Some((part.toString, dying))
+          }
+        }
+      } finally ids.unpersist()
+    }
+  }
 }

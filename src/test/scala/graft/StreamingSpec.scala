@@ -489,6 +489,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == 5)
   }
 
+  test("delete: targeted erasure rewrites touched partitions, drops emptied ones, replays idempotently") {
+    val out = s"$base/delete_out"
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "a", "2026", "01"), (2L, "b", "2026", "01"),
+      (3L, "c", "2026", "02"), (4L, "d", "2026", "03"))
+      .toDF("id", "payload", "year", "month")
+      .write.partitionBy("year", "month").parquet(out)
+    // erase id 1 (partition survives), id 4 (its partition empties out),
+    // and id 99 (absent — deletes nothing)
+    val tomb = Seq((1L, "2026", "01"), (4L, "2026", "03"), (99L, "2026", "02"))
+      .toDF("id", "year", "month")
+    val results = graft.operators.Merge.deletePartitioned(
+      spark, out, tomb, "id", Seq("year", "month")).sortBy(_._1)
+    import org.apache.hadoop.fs.Path
+    assert(results.map { case (p, n) =>
+      (new Path(p).toUri.getPath.split("/").takeRight(2).mkString("/"), n) } ==
+      Seq(("year=2026/month=01", 1L), ("year=2026/month=03", 1L)))
+    val rows = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(2L, 3L))
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$out/year=2026/month=03")), "emptied partition removed")
+    // replay: nothing left to delete
+    assert(graft.operators.Merge.deletePartitioned(
+      spark, out, tomb, "id", Seq("year", "month")).isEmpty)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("merge recovers a partition stranded in .premerge by a mid-swap crash") {
     val out = s"$base/merge_crash"
     val s = spark
