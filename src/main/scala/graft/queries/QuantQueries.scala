@@ -24,7 +24,7 @@ object QuantQueries {
   private def rawEmbeddings(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
 
-  private def normalizedEmbeddings(s: SparkSession, d: String): DataFrame =
+  private[graft] def normalizedEmbeddings(s: SparkSession, d: String): DataFrame =
     rawEmbeddings(s, d).select(col("vec_id"), l2Normalize(col("de")).as("emb"))
 
   /** DuckDB twin of [[normalizedEmbeddings]] (same left-fold norm). */
@@ -173,7 +173,7 @@ object QuantQueries {
   /** Assign every vector to its max-cosine centroid: broadcast the (tiny)
     * centroid table, one scan pass, per-vector argmax. Ranking key is
     * round(dot, 6) with centroid-id tiebreak — FP-stable across engines. */
-  private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
     e.crossJoin(broadcast(cents.select(col("cent_id"), col("cemb"))))
       .select(col("vec_id"), col("emb"), col("cent_id"),
@@ -203,7 +203,7 @@ object QuantQueries {
     * deterministic seed sample ([[CentroidSeed]] — NCells cells no matter
     * the corpus size). Shared by q_sim_kmeans (codebook summary) and
     * q_sim_ivf_trained (the codebook actually searching). */
-  private def trainedCodebook(e: DataFrame): DataFrame =
+  private[graft] def trainedCodebook(e: DataFrame): DataFrame =
     lloydStep(kmeansAssign(e, lloydStep(kmeansAssign(e, CentroidSeed.seeds(e)))))
 
   /** Two Lloyd iterations from a fixed-size deterministic seed sample,
@@ -308,13 +308,13 @@ object QuantQueries {
   /** Corpus in OFFSET-INCLUDED micro fixed point: x -> floor((x+2)*1e6),
     * always positive, so truncating division agrees across engines and L2
     * distances (translation-invariant) are exact BIGINT math end to end. */
-  private def microEmbeddings(s: SparkSession, d: String): DataFrame =
+  private[graft] def microEmbeddings(s: SparkSession, d: String): DataFrame =
     normalizedEmbeddings(s, d).select(
       col("vec_id"),
       transform(col("emb"), x => floor((x + lit(2.0)) * lit(1000000.0)).cast("long")).as("xm"))
 
   /** One row per (vector, subspace): the 8-dim micro sub-vector. */
-  private def subVectors(e: DataFrame): DataFrame =
+  private[graft] def subVectors(e: DataFrame): DataFrame =
     e.select(
         col("vec_id"),
         posexplode(transform(
@@ -323,12 +323,12 @@ object QuantQueries {
       .toDF("vec_id", "m", "sub")
 
   /** Exact integer squared L2 between two micro sub-vectors. */
-  private def subDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+  private[graft] def subDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
 
   /** Argmin assignment of every (vector, subspace) to its nearest
     * sub-centroid — (dist, cent_id) ordering, broadcast codebook. */
-  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id", "m").orderBy("dist", "cent_id")
     subs.join(broadcast(cents), "m")
       .withColumn("dist", subDist(col("sub"), col("cm")))
@@ -338,7 +338,7 @@ object QuantQueries {
   }
 
   /** Per-(subspace, cell) integer-mean refinement of an assignment. */
-  private def pqStep(assigned: DataFrame): DataFrame =
+  private[graft] def pqStep(assigned: DataFrame): DataFrame =
     assigned.select(col("m"), col("cent_id"), posexplode(col("sub")))
       .toDF("m", "cent_id", "d", "x")
       .groupBy("m", "cent_id", "d")
@@ -348,6 +348,22 @@ object QuantQueries {
       .agg(transform(
         array_sort(collect_list(struct(col("d"), col("c")))),
         e => e.getField("c")).as("cm"))
+
+  /** Fixed-size deterministic PQ seed sample (same hash rule as
+    * [[CentroidSeed]], over the micro frame). */
+  private[graft] def pqSeeds(em: DataFrame): DataFrame =
+    em.select(col("vec_id"),
+        (col("vec_id") % lit(1000003L) * lit(2654435761L) % lit(4294967296L)).as("h"))
+      .orderBy("h", "vec_id").limit(graft.queries.CentroidSeed.NCells)
+      .select(col("vec_id").as("cent_id"))
+
+  /** One-Lloyd-round trained PQ sub-codebooks (m, cent_id, cm). */
+  private[graft] def pqCodebook(subs: DataFrame, em: DataFrame): DataFrame = {
+    val seeds = pqSeeds(em)
+    val c0 = subs.join(broadcast(seeds), subs("vec_id") === seeds("cent_id"))
+      .select(col("m"), col("cent_id"), col("sub").as("cm"))
+    pqStep(pqAssign(subs, c0))
+  }
 
   /** Product quantization + asymmetric-distance (ADC) top-k — the memory
     * layout of every billion-vector index (FAISS IVFPQ's PQ half,
@@ -370,14 +386,7 @@ object QuantQueries {
     (s, d) => {
       val e = microEmbeddings(s, d)
       val subs = subVectors(e).cache()
-      val seedIds = e
-        .select(col("vec_id"),
-          (col("vec_id") % lit(1000003L) * lit(2654435761L) % lit(4294967296L)).as("h"))
-        .orderBy("h", "vec_id").limit(graft.queries.CentroidSeed.NCells)
-        .select(col("vec_id").as("cent_id"))
-      val c0 = subs.join(broadcast(seedIds), subs("vec_id") === seedIds("cent_id"))
-        .select(col("m"), col("cent_id"), col("sub").as("cm"))
-      val c1 = pqStep(pqAssign(subs, c0)).cache()
+      val c1 = pqCodebook(subs, e).cache()
       val codes = pqAssign(subs, c1).select("vec_id", "m", "cent_id")
       val qTable = subs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("m"), col("sub"))
@@ -465,15 +474,9 @@ object QuantQueries {
         .withColumn("rn", row_number().over(wProbe))
         .filter(col("rn") <= 3) // nprobe
         .select(col("query_id"), col("cent_id").as("cell"))
-      val subs = subVectors(microEmbeddings(s, d)).cache()
-      val seedIds = microEmbeddings(s, d)
-        .select(col("vec_id"),
-          (col("vec_id") % lit(1000003L) * lit(2654435761L) % lit(4294967296L)).as("h"))
-        .orderBy("h", "vec_id").limit(graft.queries.CentroidSeed.NCells)
-        .select(col("vec_id").as("cent_id"))
-      val pqc0 = subs.join(broadcast(seedIds), subs("vec_id") === seedIds("cent_id"))
-        .select(col("m"), col("cent_id"), col("sub").as("cm"))
-      val pqc1 = pqStep(pqAssign(subs, pqc0)).cache()
+      val em = microEmbeddings(s, d)
+      val subs = subVectors(em).cache()
+      val pqc1 = pqCodebook(subs, em).cache()
       val codes = pqAssign(subs, pqc1).select("vec_id", "m", "cent_id")
       val qTable = subs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("m"), col("sub"))

@@ -125,6 +125,26 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlapping >= 3, s"ADC top-5 disjoint from exact top-5 for ${5 - overlapping} of 5 queries")
   }
 
+  test("stored IVF-PQ index serves searches identical to the in-query training path") {
+    // build-once / search-many: the four persisted tables (coarse, cells,
+    // pq_codebook, codes) must reproduce q_sim_ivfpq's ranking exactly
+    val idxBase = java.nio.file.Files.createTempDirectory("graft_vecidx").toString
+    val idx = s"$idxBase/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, sf, idx)
+    val stored = graft.operators.VectorIndex.searchIvfPq(spark, sf, idx)
+      .collect().map(_.toString).toSeq
+    val inline = run("q_sim_ivfpq").collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == inline)
+    // the publish is atomic: no hidden .building leftover beside the index
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(idxBase, ".index.building")))
+    // stored footprint is the point: codes are 8 small ints per vector
+    val codes = spark.read.parquet(s"$idx/codes")
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(codes.count() == nVec * 8)
+  }
+
   test("pack_sequences: per-language token accounting is exact") {
     val out = run("q_pack_sequences").cache()
     // within each language: start of each doc equals sum of earlier docs' tokens
