@@ -27,16 +27,19 @@ object VectorIndex {
 
   import graft.queries.QuantQueries._
 
-  /** Train and atomically publish the index under `indexDir`. */
-  def buildIvfPq(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
+  /** Train on vectors with `vec_id < trainBound` and atomically publish the
+    * index under `indexDir` (default: the whole corpus). */
+  def buildIvfPq(
+      spark: SparkSession, sfDir: String, indexDir: String,
+      trainBound: Long = Long.MaxValue): Unit = {
     val dir = new Path(indexDir)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     fs.delete(tmp, true)
 
-    val e = normalizedEmbeddings(spark, sfDir).cache()
+    val e = normalizedEmbeddings(spark, sfDir).filter(col("vec_id") < trainBound).cache()
     val c2 = trainedCodebook(e).cache()
-    val em = microEmbeddings(spark, sfDir)
+    val em = microEmbeddings(spark, sfDir).filter(col("vec_id") < trainBound)
     val subs = subVectors(em).cache()
     val pqc1 = pqCodebook(subs, em).cache()
 
@@ -51,6 +54,54 @@ object VectorIndex {
     fs.delete(dir, true)
     if (!fs.rename(tmp, dir))
       throw new java.io.IOException(s"vector index: cannot publish $indexDir")
+  }
+
+  /** Append vectors with `vec_id >= minVecId` to a published index WITHOUT
+    * retraining: the delta is assigned and encoded with the STORED
+    * codebooks — production semantics, where appends run continuously and
+    * codebooks go stale gradually until a scheduled rebuild — and the
+    * extended index publishes through the same hidden-dir + rename swap,
+    * so searchers see the old index or the extended one, never a mix.
+    * Delta work is O(delta x codebook): the existing corpus is copied
+    * through (at 100 TB the copy becomes a metadata move in a table
+    * format; the training/encoding cost — the expensive part — is
+    * delta-only either way). */
+  def appendIvfPq(
+      spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Unit = {
+    val dir = new Path(indexDir)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
+    fs.delete(tmp, true)
+    fs.delete(aside, true)
+
+    val coarse = spark.read.parquet(s"$indexDir/coarse").cache()
+    val pqc1 = spark.read.parquet(s"$indexDir/pq_codebook").cache()
+    val oldCells = spark.read.parquet(s"$indexDir/cells")
+    val oldCodes = spark.read.parquet(s"$indexDir/codes")
+
+    val e = normalizedEmbeddings(spark, sfDir).filter(col("vec_id") >= minVecId)
+    val subs = subVectors(microEmbeddings(spark, sfDir).filter(col("vec_id") >= minVecId))
+    val newCells = kmeansAssign(e, coarse).select(col("vec_id"), col("cent_id").as("cell"))
+    val newCodes = pqAssign(subs, pqc1).select("vec_id", "m", "cent_id")
+
+    coarse.write.mode(SaveMode.Overwrite).parquet(s"$tmp/coarse")
+    pqc1.write.mode(SaveMode.Overwrite).parquet(s"$tmp/pq_codebook")
+    oldCells.unionByName(newCells).write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
+    oldCodes.unionByName(newCodes).write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
+    coarse.unpersist()
+    pqc1.unpersist()
+
+    if (!fs.rename(dir, aside))
+      throw new java.io.IOException(s"vector index: cannot move $indexDir aside")
+    if (!fs.rename(tmp, dir)) {
+      val rolledBack = fs.rename(aside, dir)
+      throw new java.io.IOException(
+        s"vector index: swap failed for $indexDir, " +
+          (if (rolledBack) "rolled back to the previous index"
+           else s"ROLLBACK ALSO FAILED - previous index preserved at $aside"))
+    }
+    fs.delete(aside, true)
   }
 
   /** Serve an IVF-PQ search for query vectors `vec_id < nQueries` entirely

@@ -145,6 +145,36 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(codes.count() == nVec * 8)
   }
 
+  test("index append encodes the delta with STORED codebooks, no retrain") {
+    import org.apache.spark.sql.functions._
+    val idxBase = java.nio.file.Files.createTempDirectory("graft_vecidx_app").toString
+    val idx = s"$idxBase/index"
+    // build on the first 300 vectors only, then append the rest
+    graft.operators.VectorIndex.buildIvfPq(spark, sf, idx, trainBound = 300)
+    val coarseBefore = spark.read.parquet(s"$idx/coarse").collect().map(_.toString).sorted.toSeq
+    graft.operators.VectorIndex.appendIvfPq(spark, sf, idx, minVecId = 300)
+    // codebooks are UNCHANGED (stale-until-rebuild semantics)...
+    val coarseAfter = spark.read.parquet(s"$idx/coarse").collect().map(_.toString).sorted.toSeq
+    assert(coarseAfter == coarseBefore)
+    // ...but the whole corpus is indexed
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(spark.read.parquet(s"$idx/cells").count() == nVec)
+    assert(spark.read.parquet(s"$idx/codes").count() == nVec * 8)
+    // the delta's codes equal encoding the delta against the stored
+    // codebooks directly (two-path agreement)
+    val em = graft.queries.QuantQueries.microEmbeddings(spark, sf).filter(col("vec_id") >= 300)
+    val expected = graft.queries.QuantQueries
+      .pqAssign(graft.queries.QuantQueries.subVectors(em),
+        spark.read.parquet(s"$idx/pq_codebook"))
+      .select("vec_id", "m", "cent_id")
+      .collect().map(_.toString).sorted.toSeq
+    val stored = spark.read.parquet(s"$idx/codes").filter(col("vec_id") >= 300)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored == expected && stored.nonEmpty)
+    // search still serves from the extended index
+    assert(graft.operators.VectorIndex.searchIvfPq(spark, sf, idx).count() > 0)
+  }
+
   test("pack_sequences: per-language token accounting is exact") {
     val out = run("q_pack_sequences").cache()
     // within each language: start of each doc equals sum of earlier docs' tokens
