@@ -799,13 +799,58 @@ object Relational {
         strftime(o_orderdate - INTERVAL 1 WEEK, '%Y-%m-%d') AS minus_1w
       FROM orders ORDER BY o_orderkey"""))
 
+  /** Fuzzy join (record linkage by edit distance) — the data-cleaning join
+    * none of the equi/theta variants cover: match records whose keys differ
+    * by a typo. The scale shape is the pigeonhole BLOCKING trick (same
+    * proof as the simhash chunks): two same-length strings within
+    * substitution distance 1 agree on at least one half, so candidates meet
+    * ONLY through the half-substring equi-joins — never a cartesian with a
+    * distance predicate (plan-pinned) — and the exact Levenshtein verifies
+    * candidates. Recall is provable 1.0 at the threshold; both engines'
+    * levenshtein is classic Wagner-Fischer integer DP, so the oracle
+    * hash-matches. At k>1 the blocking generalizes to k+1 chunks. */
+  private val joinFuzzy = Q(
+    "q_join_fuzzy",
+    (s, d) => {
+      val c = t(s, d, "customer").select(
+        col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 10, 5).as("h1"),
+        substring(col("c_name"), 15, 4).as("h2"))
+      val a = c.select(
+        col("c_custkey").as("key_a"), col("c_name").as("name_a"), col("h1"), col("h2"))
+      val b = c.select(
+        col("c_custkey").as("key_b"), col("c_name").as("name_b"),
+        col("h1").as("g1"), col("h2").as("g2"))
+      val c1 = a.join(b, col("h1") === col("g1") && col("key_a") < col("key_b"))
+      val c2 = a.join(b, col("h2") === col("g2") && col("key_a") < col("key_b"))
+      c1.select("key_a", "key_b", "name_a", "name_b")
+        .unionByName(c2.select("key_a", "key_b", "name_a", "name_b"))
+        .distinct()
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+        .select(col("key_a"), col("key_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .orderBy("key_a", "key_b")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_name,
+          substr(c_name, 10, 5) AS h1, substr(c_name, 15, 4) AS h2 FROM customer),
+        cand AS (
+          SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+                 a.c_name AS name_a, b.c_name AS name_b
+          FROM c a JOIN c b ON a.h1 = b.h1 AND a.c_custkey < b.c_custkey
+          UNION
+          SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+          FROM c a JOIN c b ON a.h2 = b.h2 AND a.c_custkey < b.c_custkey)
+      SELECT key_a, key_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+      FROM cand WHERE levenshtein(name_a, name_b) <= 1
+      ORDER BY key_a, key_b"""))
+
   val all: Seq[Q] = Seq(
     projFilter,
     dateIntervals,
     aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggGroupingSets,
     aggPivot, aggPercentile, aggStats, aggApproxDistinct, aggHllMerge,
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
-    joinTheta, joinBucketed,
+    joinTheta, joinBucketed, joinFuzzy,
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange,
     sortTopk, sortNullsOffset,
     setUnion, setUnionAll, setIntersect, setExcept,

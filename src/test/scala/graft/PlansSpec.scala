@@ -219,6 +219,12 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(bucket"), p)
   }
 
+  test("q_join_fuzzy: edit-distance candidates meet through the half-substring equi-joins, never a cartesian") {
+    val p = plan("q_join_fuzzy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("kernel expressions participate in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
