@@ -87,7 +87,12 @@ object StreamingIngest {
     val spark = records.sparkSession
     import spark.implicits._
     records
-      .select(col("origin"), unbase64(col("data")).cast("string").as("content"))
+      // try_to_binary, not unbase64: one malformed producer payload must
+      // drop (same stance as the cascade's bad-record handling), not kill
+      // the stream with an ANSI decode error
+      .select(col("origin"),
+        expr("try_to_binary(data, 'base64')").cast("string").as("content"))
+      .filter(col("content").isNotNull)
       .as[(String, String)]
       .flatMap { case (origin, content) => cascadeWithKey(origin, content) }
       .select(col("_1.*"), col("_2").as("dedup_key"))

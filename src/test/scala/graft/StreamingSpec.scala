@@ -122,6 +122,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     mem.addData(contents.map { case (n, c) =>
       (n, java.util.Base64.getEncoder.encodeToString(c.getBytes("UTF-8")))
     }: _*)
+    // one malformed payload mixed in: it must DROP, not kill the stream
+    mem.addData(("bad.json", "!!!not-base64!!!"))
     val pq = StreamingIngest.eventsFromProducer(mem.toDF().toDF("origin", "data"))
       .writeStream.format("memory").queryName("producer_cascade_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
