@@ -806,43 +806,55 @@ object Relational {
     * substitution distance 1 agree on at least one half, so candidates meet
     * ONLY through the half-substring equi-joins — never a cartesian with a
     * distance predicate (plan-pinned) — and the exact Levenshtein verifies
-    * candidates. Recall is provable 1.0 at the threshold; both engines'
-    * levenshtein is classic Wagner-Fischer integer DP, so the oracle
-    * hash-matches. At k>1 the blocking generalizes to k+1 chunks. */
+    * candidates INSIDE the join condition (like the dedup verifiedPairs),
+    * so only true matches ever materialize; the cross-band dedup runs over
+    * survivors, not candidates. The halves INTERLEAVE the digit positions:
+    * structured keys concentrate entropy in the low digits, so a prefix
+    * split would put every record in a handful of giant skewed blocks,
+    * while interleaving spreads entropy into both halves. Recall is
+    * provable 1.0 at the threshold either way (one substitution lives in
+    * exactly one half); both engines' levenshtein is classic
+    * Wagner-Fischer integer DP, so the oracle hash-matches. At k>1 the
+    * blocking generalizes to k+1 chunks. */
   private val joinFuzzy = Q(
     "q_join_fuzzy",
     (s, d) => {
+      def interleave(first: Int, n: Int) = concat(
+        (0 until n).map(i => substring(col("c_name"), first + 2 * i, 1)): _*)
       val c = t(s, d, "customer").select(
         col("c_custkey"), col("c_name"),
-        substring(col("c_name"), 10, 5).as("h1"),
-        substring(col("c_name"), 15, 4).as("h2"))
+        interleave(10, 5).as("h1"), interleave(11, 4).as("h2"))
       val a = c.select(
         col("c_custkey").as("key_a"), col("c_name").as("name_a"), col("h1"), col("h2"))
       val b = c.select(
         col("c_custkey").as("key_b"), col("c_name").as("name_b"),
         col("h1").as("g1"), col("h2").as("g2"))
-      val c1 = a.join(b, col("h1") === col("g1") && col("key_a") < col("key_b"))
-      val c2 = a.join(b, col("h2") === col("g2") && col("key_a") < col("key_b"))
+      val verify = col("key_a") < col("key_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 1
+      val c1 = a.join(b, col("h1") === col("g1") && verify)
+      val c2 = a.join(b, col("h2") === col("g2") && verify)
       c1.select("key_a", "key_b", "name_a", "name_b")
         .unionByName(c2.select("key_a", "key_b", "name_a", "name_b"))
         .distinct()
-        .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
         .select(col("key_a"), col("key_b"),
           levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
         .orderBy("key_a", "key_b")
     },
     Some("""WITH c AS (SELECT c_custkey, c_name,
-          substr(c_name, 10, 5) AS h1, substr(c_name, 15, 4) AS h2 FROM customer),
+          substr(c_name,10,1)||substr(c_name,12,1)||substr(c_name,14,1)||substr(c_name,16,1)||substr(c_name,18,1) AS h1,
+          substr(c_name,11,1)||substr(c_name,13,1)||substr(c_name,15,1)||substr(c_name,17,1) AS h2
+        FROM customer),
         cand AS (
           SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
                  a.c_name AS name_a, b.c_name AS name_b
           FROM c a JOIN c b ON a.h1 = b.h1 AND a.c_custkey < b.c_custkey
+            AND levenshtein(a.c_name, b.c_name) <= 1
           UNION
           SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
-          FROM c a JOIN c b ON a.h2 = b.h2 AND a.c_custkey < b.c_custkey)
+          FROM c a JOIN c b ON a.h2 = b.h2 AND a.c_custkey < b.c_custkey
+            AND levenshtein(a.c_name, b.c_name) <= 1)
       SELECT key_a, key_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
-      FROM cand WHERE levenshtein(name_a, name_b) <= 1
-      ORDER BY key_a, key_b"""))
+      FROM cand ORDER BY key_a, key_b"""))
 
   val all: Seq[Q] = Seq(
     projFilter,
