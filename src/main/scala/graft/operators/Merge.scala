@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.{col, lit}
 
 /** Copy-on-write partition upsert — the lake-maintenance capability the
@@ -34,9 +35,46 @@ import org.apache.spark.sql.functions.{col, lit}
   */
 object Merge {
 
+  /** Touched-partition metadata is bounded by the table's partition count,
+    * but a mis-keyed update stream (e.g. partitioning on a timestamp instead
+    * of its hour) would collect unbounded strings to the driver — fail fast
+    * with a diagnosable message instead of an OOM. 100k tuples of partition
+    * strings is a few MB, far past any sane partition layout. */
+  private val MaxTouchedPartitions = 100000
+
+  /** Partition directory component for one value, escaped exactly the way
+    * Spark's own partitioned writer escapes it (ExternalCatalogUtils), with
+    * null taking the writer's `__HIVE_DEFAULT_PARTITION__` sentinel — so a
+    * merged partition is indistinguishable from one the writer laid out. */
+  private def pathSegment(k: String, v: Any): String = {
+    val s =
+      if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(String.valueOf(v))
+    s"$k=$s"
+  }
+
+  /** Slice of `batch` belonging to one touched-partition tuple; `<=>` keeps
+    * null partition values matched to their rows instead of dropping them. */
+  private def partitionSlice(batch: DataFrame, partitionCols: Seq[String], pvals: Row): DataFrame =
+    partitionCols.zipWithIndex.foldLeft(batch) { case (df, (k, i)) =>
+      df.filter(col(k) <=> lit(pvals.get(i)))
+    }
+
+  private def touchedPartitions(batch: DataFrame, partitionCols: Seq[String]): Array[Row] = {
+    val touched =
+      batch.select(partitionCols.map(col): _*).distinct().limit(MaxTouchedPartitions + 1).collect()
+    require(touched.length <= MaxTouchedPartitions,
+      s"merge: update batch touches more than $MaxTouchedPartitions partitions - " +
+        "the batch is almost certainly keyed on a non-partition column")
+    touched
+  }
+
   /** Upsert `updates` into the partitioned parquet table at `tableDir` by
-    * `idCol`. Returns one (partitionPath, nReplaced, nInserted) per touched
-    * partition. */
+    * `idCol`. PRECONDITION: `idCol` is unique within the batch (two updates
+    * for one id in a single batch have no defined winner — split them across
+    * batches or pre-aggregate); violations are rejected up front rather than
+    * silently writing duplicate-id rows. Returns one (partitionPath,
+    * nReplaced, nInserted) per touched partition. */
   def upsertPartitioned(
       spark: SparkSession,
       tableDir: String,
@@ -46,16 +84,20 @@ object Merge {
     val root = new Path(tableDir)
     val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
 
+    val dupIds = updates.groupBy(col(idCol)).count().filter(col("count") > 1).limit(1).count()
+    require(dupIds == 0,
+      s"merge: update batch has duplicate $idCol values - one id must appear at most once per batch")
+
     // partition METADATA only: one row per touched partition
-    val touched = updates.select(partitionCols.map(col): _*).distinct().collect()
+    val touched = touchedPartitions(updates, partitionCols)
 
     touched.toSeq.map { pvals =>
-      val kvs = partitionCols.zip(pvals.toSeq.map(String.valueOf))
-      val part = new Path(tableDir + "/" + kvs.map { case (k, v) => s"$k=$v" }.mkString("/"))
+      val part = new Path(tableDir + "/" +
+        partitionCols.zipWithIndex.map { case (k, i) => pathSegment(k, pvals.get(i)) }.mkString("/"))
       // cached for the duration of THIS partition's merge (the slice feeds
       // the semi join, anti join, union, and counts), released before the
       // next partition so a wide update batch can't pile up executor blocks
-      val u = kvs.foldLeft(updates) { case (df, (k, v)) => df.filter(col(k) === lit(v)) }
+      val u = partitionSlice(updates, partitionCols, pvals)
         .drop(partitionCols: _*)
         .cache()
       try {
@@ -119,12 +161,12 @@ object Merge {
       partitionCols: Seq[String]): Seq[(String, Long)] = {
     val root = new Path(tableDir)
     val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
-    val touched = tombstones.select(partitionCols.map(col): _*).distinct().collect()
+    val touched = touchedPartitions(tombstones, partitionCols)
 
     touched.toSeq.flatMap { pvals =>
-      val kvs = partitionCols.zip(pvals.toSeq.map(String.valueOf))
-      val part = new Path(tableDir + "/" + kvs.map { case (k, v) => s"$k=$v" }.mkString("/"))
-      val ids = kvs.foldLeft(tombstones) { case (df, (k, v)) => df.filter(col(k) === lit(v)) }
+      val part = new Path(tableDir + "/" +
+        partitionCols.zipWithIndex.map { case (k, i) => pathSegment(k, pvals.get(i)) }.mkString("/"))
+      val ids = partitionSlice(tombstones, partitionCols, pvals)
         .select(idCol).distinct().cache()
       try {
         val aside = new Path(part.getParent, s".${part.getName}.premerge")

@@ -51,9 +51,21 @@ object VectorIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
     Seq(e, c2, subs, pqc1).foreach(_.unpersist())
 
-    fs.delete(dir, true)
-    if (!fs.rename(tmp, dir))
-      throw new java.io.IOException(s"vector index: cannot publish $indexDir")
+    // same aside + swap + rollback discipline as appendIvfPq: a rebuild over
+    // an existing index must never pass through a state where the old index
+    // is gone and the new one is not yet in place
+    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
+    fs.delete(aside, true)
+    if (fs.exists(dir) && !fs.rename(dir, aside))
+      throw new java.io.IOException(s"vector index: cannot move $indexDir aside")
+    if (!fs.rename(tmp, dir)) {
+      val rolledBack = fs.exists(aside) && fs.rename(aside, dir)
+      throw new java.io.IOException(
+        s"vector index: swap failed for $indexDir, " +
+          (if (rolledBack) "rolled back to the previous index"
+           else s"no previous index to roll back to (or rollback failed - see $aside)"))
+    }
+    fs.delete(aside, true)
   }
 
   /** Append vectors with `vec_id >= minVecId` to a published index WITHOUT
@@ -77,8 +89,12 @@ object VectorIndex {
 
     val coarse = spark.read.parquet(s"$indexDir/coarse").cache()
     val pqc1 = spark.read.parquet(s"$indexDir/pq_codebook").cache()
-    val oldCells = spark.read.parquet(s"$indexDir/cells")
-    val oldCodes = spark.read.parquet(s"$indexDir/codes")
+    // idempotent replay guard: if a crash landed AFTER the publish but before
+    // the caller observed it, re-running the same append must not union the
+    // delta's rows in twice (duplicate codes double ADC sums and corrupt
+    // rankings) — the old side keeps only rows below the delta boundary
+    val oldCells = spark.read.parquet(s"$indexDir/cells").filter(col("vec_id") < minVecId)
+    val oldCodes = spark.read.parquet(s"$indexDir/codes").filter(col("vec_id") < minVecId)
 
     val e = normalizedEmbeddings(spark, sfDir).filter(col("vec_id") >= minVecId)
     val subs = subVectors(microEmbeddings(spark, sfDir).filter(col("vec_id") >= minVecId))
@@ -146,4 +162,65 @@ object VectorIndex {
       .filter(col("rn") <= k)
       .orderBy("query_id", "rn")
   }
+
+  /** Two-stage stored-index search: ADC shortlist of `kPrime`, then exact
+    * cosine re-rank to `k` (FAISS `IndexRefineFlat`) — the recall fix every
+    * production IVF-PQ deployment runs, since ADC alone caps recall@k at the
+    * quantization error. The refine stage reads exactly kPrime raw vectors
+    * per query (shortlist broadcasts into one corpus scan); identical
+    * ranking semantics to `q_sim_ivfpq_rerank`. */
+  def searchIvfPqRerank(
+      spark: SparkSession,
+      sfDir: String,
+      indexDir: String,
+      nQueries: Int = 5,
+      nprobe: Int = 3,
+      k: Int = 5,
+      kPrime: Int = graft.queries.QuantQueries.RerankKPrime): DataFrame = {
+    val shortlist = searchIvfPq(spark, sfDir, indexDir, nQueries, nprobe, kPrime)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = normalizedEmbeddings(spark, sfDir)
+    val qv = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+    e.select(col("vec_id").as("neighbor_id"), col("emb"))
+      .join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.VectorFunctions.dot(col("emb"), col("qemb")), 6).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
+  /** Rebuild trigger: when the appended delta's mean PQ quantization error
+    * exceeds this multiple of the base slice's, the stored codebooks no
+    * longer fit the incoming distribution — schedule [[buildIvfPq]]. 1.5x is
+    * a loose production default: iid appends sit near 1.0, a genuine
+    * distribution shift (new embedding model, new domain) jumps well past
+    * 2x, so the threshold separates the two regimes with margin. */
+  val DriftRebuildThreshold = 1.5
+
+  /** Mean PQ quantization error (exact integer squared L2 to the assigned
+    * sub-centroid, per vector) of the delta (`vec_id >= minVecId`) encoded
+    * with the STORED codebooks, as a ratio over the base slice's — the
+    * staleness signal for appendIvfPq's stale-until-rebuild semantics (the
+    * drift accounting itself is the `q_index_drift` oracle query). One
+    * linear pass over the corpus against a broadcast codebook. Returns 1.0
+    * when there is no delta. */
+  def driftRatio(
+      spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Double = {
+    val pqc1 = spark.read.parquet(s"$indexDir/pq_codebook")
+    val bySlice = pqAssign(subVectors(microEmbeddings(spark, sfDir)), pqc1)
+      .groupBy((col("vec_id") >= minVecId).as("is_delta"))
+      .agg(sum("dist").as("total_err"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1).toDouble / r.getLong(2)).toMap
+    require(bySlice.contains(false), s"driftRatio: no base rows below vec_id $minVecId")
+    bySlice.get(true).map(_ / bySlice(false)).getOrElse(1.0)
+  }
+
+  def needsRebuild(
+      spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Boolean =
+    driftRatio(spark, sfDir, indexDir, minVecId) > DriftRebuildThreshold
 }

@@ -168,6 +168,13 @@ object QuantQueries {
         transform(
           array_sort(collect_list(struct(col("d"), col("cm")))),
           e => e.getField("cm").cast("double") * lit(1e-6)).as("cemb"),
+        // exact integer micro components, kept alongside the double view —
+        // the residual-PQ path subtracts these from the (offset-included)
+        // micro corpus, so residuals are exact BIGINT math with no
+        // double-roundtrip hazard
+        transform(
+          array_sort(collect_list(struct(col("d"), col("cm")))),
+          e => e.getField("cm")).as("cmm"),
         sum(col("cm") * col("cm")).as("norm2_micro"))
 
   /** Assign every vector to its max-cosine centroid: broadcast the (tiny)
@@ -196,6 +203,7 @@ object QuantQueries {
               FROM a$i, dd GROUP BY cent_id, d),
       g$i AS (SELECT cent_id, d, (sm // n) - $MicroOffset AS cm FROM m$i),
       c${i + 1} AS (SELECT cent_id, list(CAST(cm AS DOUBLE) * 1e-6 ORDER BY d) AS cemb,
+                      list(cm ORDER BY d) AS cmm,
                       CAST(sum(cm * cm) AS BIGINT) AS norm2_micro
                     FROM g$i GROUP BY cent_id)"""
 
@@ -327,14 +335,16 @@ object QuantQueries {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
 
   /** Argmin assignment of every (vector, subspace) to its nearest
-    * sub-centroid — (dist, cent_id) ordering, broadcast codebook. */
+    * sub-centroid — (dist, cent_id) ordering, broadcast codebook. `dist`
+    * (the winning exact integer squared L2) rides along: it is the
+    * per-subspace quantization error, which the drift metric aggregates. */
   private[graft] def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id", "m").orderBy("dist", "cent_id")
     subs.join(broadcast(cents), "m")
       .withColumn("dist", subDist(col("sub"), col("cm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select("vec_id", "m", "sub", "cent_id")
+      .select("vec_id", "m", "sub", "cent_id", "dist")
   }
 
   /** Per-(subspace, cell) integer-mean refinement of an assignment. */
@@ -555,5 +565,361 @@ object QuantQueries {
               GROUP BY p.query_id, cl.vec_id) sums) ranked
       WHERE rn <= 5 ORDER BY query_id, rn"""))
 
-  val all: Seq[Q] = Seq(sq8Ann, kmeans, ivfTrained, pqAdc, ivfPq)
+  // ---------------------------------------------------------------------------
+  // q_sim_ivfpq_rerank — ADC shortlist + exact re-rank (FAISS IndexRefineFlat)
+  // ---------------------------------------------------------------------------
+
+  /** Re-rank shortlist width: k' = 4k. FAISS's refine stage defaults to a
+    * small multiple of k; 4x is the conventional recall/cost point. */
+  private[graft] val RerankKPrime = 20
+
+  /** The production IVF-PQ search shape: ADC distances are approximate (8
+    * codes stand in for 64 doubles), so recall@k is capped by quantization
+    * error unless the top-k' ADC candidates are RE-RANKED by exact distance
+    * against the raw vectors — FAISS `IndexRefineFlat`. The refine join
+    * touches k' x queries raw vectors (a broadcast semi-join against the
+    * corpus scan), never the corpus at large: at 100 TB the ADC stage reads
+    * 8-byte codes for nprobe/NCells of the corpus and the refine stage reads
+    * exactly k' raw vectors per query. The oracle replays both stages —
+    * shortlist by integer ADC, then exact cosine over the shortlist — so the
+    * two-stage ranking hash-matches end to end. */
+  private val ivfPqRerank = Q(
+    "q_sim_ivfpq_rerank",
+    (s, d) => {
+      val e = normalizedEmbeddings(s, d).cache()
+      val c2 = trainedCodebook(e).cache()
+      val cells = kmeansAssign(e, c2).select(col("vec_id"), col("cent_id").as("cell"))
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+        .crossJoin(broadcast(c2.select(col("cent_id"), col("cemb"))))
+        .select(col("query_id"), col("cent_id"),
+          round(dot(col("qemb"), col("cemb")), 6).as("csim"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 3) // nprobe
+        .select(col("query_id"), col("cent_id").as("cell"))
+      val em = microEmbeddings(s, d)
+      val subs = subVectors(em).cache()
+      val pqc1 = pqCodebook(subs, em).cache()
+      val codes = pqAssign(subs, pqc1).select("vec_id", "m", "cent_id")
+      val qTable = subs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("m"), col("sub"))
+        .join(broadcast(pqc1), "m")
+        .select(col("query_id"), col("m"), col("cent_id"),
+          subDist(col("sub"), col("cm")).as("qdist"))
+      // stage 1: ADC shortlist of k' candidates per query
+      val wAdc = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+      val shortlist = cells.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id")
+        .join(codes, "vec_id")
+        .join(broadcast(qTable), Seq("query_id", "m", "cent_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum("qdist").as("adc_dist"))
+        .withColumn("arn", row_number().over(wAdc))
+        .filter(col("arn") <= RerankKPrime)
+        .select("query_id", "neighbor_id")
+      // stage 2: exact re-rank — the (k' x queries)-row shortlist broadcasts
+      // into one pass over the raw vectors; only shortlisted vectors decode
+      val qv = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+      e.select(col("vec_id").as("neighbor_id"), col("emb"))
+        .join(broadcast(shortlist), "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot(col("emb"), col("qemb")), 6).as("score"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    },
+    Some(s"""WITH $sqlNormalized,
+      dd AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
+      ${graft.queries.CentroidSeed.sqlSeedCte("c0")},
+      ${sqlLloydRound(0, "c0")},
+      ${sqlLloydRound(1, "c1")},
+      cells AS (SELECT vec_id, cent_id AS cell FROM (
+          SELECT ev.vec_id, c.cent_id,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY round(list_dot_product(ev.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e ev, c2 c) s WHERE rn = 1),
+      probes AS (SELECT query_id, cell FROM (
+          SELECT q.vec_id AS query_id, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e q, c2 c WHERE q.vec_id < 5) s WHERE rn <= 3),
+      em AS (SELECT vec_id,
+               list_transform(emb, x -> CAST(floor((x + 2) * 1000000) AS BIGINT)) AS xm
+             FROM e),
+      subs AS (SELECT vec_id, mm.m AS m, xm[mm.m*$PqSubDim+1 : mm.m*$PqSubDim+$PqSubDim] AS sub
+               FROM em, (SELECT unnest(range($PqM)) AS m) mm),
+      sid AS (SELECT vec_id AS cent_id FROM em
+              ORDER BY ((vec_id % 1000003) * 2654435761) % 4294967296, vec_id
+              LIMIT ${graft.queries.CentroidSeed.NCells}),
+      pqc0 AS (SELECT s.m, sid.cent_id, s.sub AS cm
+             FROM subs s JOIN sid ON s.vec_id = sid.cent_id),
+      pqa0 AS (SELECT vec_id, m, sub, cent_id FROM (
+               SELECT s.vec_id, s.m, s.sub, c.cent_id,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                     i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y),
+                   c.cent_id) AS rn
+               FROM subs s JOIN pqc0 c ON s.m = c.m) WHERE rn = 1),
+      pqg AS (SELECT m, cent_id, pd.d, CAST(sum(sub[pd.d]) AS BIGINT) AS sm, count(*) AS n
+            FROM pqa0, (SELECT unnest(range(1, ${PqSubDim + 1})) AS d) pd
+            GROUP BY m, cent_id, pd.d),
+      pqc1 AS (SELECT m, cent_id, list(sm // n ORDER BY d) AS cm FROM pqg GROUP BY m, cent_id),
+      codes AS (SELECT vec_id, m, cent_id FROM (
+               SELECT s.vec_id, s.m, c.cent_id,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                     i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y),
+                   c.cent_id) AS rn
+               FROM subs s JOIN pqc1 c ON s.m = c.m) WHERE rn = 1),
+      qt AS (SELECT s.vec_id AS query_id, s.m, c.cent_id,
+               list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                 i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y) AS qdist
+             FROM subs s JOIN pqc1 c ON s.m = c.m WHERE s.vec_id < 5),
+      shortlist AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist, neighbor_id) AS arn
+        FROM (SELECT p.query_id, cl.vec_id AS neighbor_id,
+                CAST(sum(q.qdist) AS BIGINT) AS adc_dist
+              FROM cells cl
+                JOIN probes p ON cl.cell = p.cell AND cl.vec_id <> p.query_id
+                JOIN codes a ON a.vec_id = cl.vec_id
+                JOIN qt q ON q.query_id = p.query_id AND q.m = a.m AND q.cent_id = a.cent_id
+              GROUP BY p.query_id, cl.vec_id) sums) ranked
+        WHERE arn <= $RerankKPrime)
+      SELECT query_id, neighbor_id, score, rn FROM (
+        SELECT sl.query_id, sl.neighbor_id,
+               round(list_dot_product(n.emb, q.emb), 6) AS score,
+               CAST(row_number() OVER (PARTITION BY sl.query_id
+                 ORDER BY round(list_dot_product(n.emb, q.emb), 6) DESC, sl.neighbor_id) AS BIGINT) AS rn
+        FROM shortlist sl
+          JOIN e n ON n.vec_id = sl.neighbor_id
+          JOIN e q ON q.vec_id = sl.query_id) refined
+      WHERE rn <= 5 ORDER BY query_id, rn"""))
+
+  // ---------------------------------------------------------------------------
+  // q_sim_ivfpq_residual — residual PQ (FAISS by_residual=true, the default)
+  // ---------------------------------------------------------------------------
+
+  /** IVF-PQ over RESIDUALS — FAISS's accuracy-critical default
+    * (`by_residual=true`): each vector's sub-codes quantize (x - centroid of
+    * its coarse cell), not x itself. Residuals have far smaller variance
+    * than raw vectors, so the same 8 sub-codes spend their resolution on the
+    * within-cell structure — lower quantization error at identical storage
+    * (QuantSpec pins the error drop vs the no-residual path). Integer
+    * exactness is preserved end to end: the corpus is offset-included micro
+    * fixed point (xm in [1e6, 3e6]) and the trained centroid micro
+    * components (cmm in [-1e6, 1e6]) are exact BIGINTs, so the residual
+    * xm - cmm is an exact NON-NEGATIVE BIGINT (in [0, 4e6]) — truncating
+    * division still agrees across engines during PQ training. The query side
+    * pays the residual price: its distance table is per PROBED CELL (the
+    * query residual differs per cell), i.e. nprobe tables of M x NCells
+    * lookups — still a broadcast. The oracle replays coarse training,
+    * residual encoding, per-cell tables, and ADC in one hash compare. */
+  private val ivfPqResidual = Q(
+    "q_sim_ivfpq_residual",
+    (s, d) => {
+      val e = normalizedEmbeddings(s, d).cache()
+      val c2 = trainedCodebook(e).cache()
+      // cached: feeds BOTH the residual encode and the probed-cell candidate
+      // join — uncached, the argmax window would evaluate once per branch
+      val assigned = kmeansAssign(e, c2).select(col("vec_id"), col("cent_id").as("cell")).cache()
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+        .crossJoin(broadcast(c2.select(col("cent_id"), col("cemb"))))
+        .select(col("query_id"), col("cent_id"),
+          round(dot(col("qemb"), col("cemb")), 6).as("csim"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 3) // nprobe
+        .select(col("query_id"), col("cent_id").as("cell"))
+      val em = microEmbeddings(s, d)
+      // corpus residuals vs the OWN assigned cell's exact micro centroid
+      val resid = em.join(assigned, "vec_id")
+        .join(broadcast(c2.select(col("cent_id").as("cell"), col("cmm"))), "cell")
+        .select(col("vec_id"), zip_with(col("xm"), col("cmm"), (x, c) => x - c).as("xm"))
+        .cache()
+      val subs = subVectors(resid).cache()
+      val pqc1 = pqCodebook(subs, resid).cache()
+      val codes = pqAssign(subs, pqc1).select("vec_id", "m", "cent_id")
+      // query residual is PER PROBED CELL: one distance table per (query, cell)
+      val qResid = probes
+        .join(em.select(col("vec_id").as("query_id"), col("xm").as("qxm")), "query_id")
+        .join(broadcast(c2.select(col("cent_id").as("cell"), col("cmm"))), "cell")
+        .select(col("query_id"), col("cell"),
+          zip_with(col("qxm"), col("cmm"), (x, c) => x - c).as("xm"))
+      val qSubs = qResid.select(
+          col("query_id"), col("cell"),
+          posexplode(transform(
+            sequence(lit(0), lit(PqM - 1)),
+            m => slice(col("xm"), m * PqSubDim + 1, lit(PqSubDim)))))
+        .toDF("query_id", "cell", "m", "sub")
+      val qTable = qSubs.join(broadcast(pqc1), "m")
+        .select(col("query_id"), col("cell"), col("m"), col("cent_id"),
+          subDist(col("sub"), col("cm")).as("qdist"))
+      val w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "cell", "vec_id")
+        .join(codes, "vec_id")
+        .join(broadcast(qTable), Seq("query_id", "cell", "m", "cent_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum("qdist").as("adc_dist"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    },
+    Some(s"""WITH $sqlNormalized,
+      dd AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
+      ${graft.queries.CentroidSeed.sqlSeedCte("c0")},
+      ${sqlLloydRound(0, "c0")},
+      ${sqlLloydRound(1, "c1")},
+      cells AS (SELECT vec_id, cent_id AS cell FROM (
+          SELECT ev.vec_id, c.cent_id,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY round(list_dot_product(ev.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e ev, c2 c) s WHERE rn = 1),
+      probes AS (SELECT query_id, cell FROM (
+          SELECT q.vec_id AS query_id, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e q, c2 c WHERE q.vec_id < 5) s WHERE rn <= 3),
+      em AS (SELECT vec_id,
+               list_transform(emb, x -> CAST(floor((x + 2) * 1000000) AS BIGINT)) AS xm
+             FROM e),
+      resid AS (SELECT em.vec_id,
+                  list_transform(range(1, ${Dim + 1}), i -> em.xm[i] - c.cmm[i]) AS xm
+                FROM em JOIN cells cl ON em.vec_id = cl.vec_id
+                  JOIN c2 c ON c.cent_id = cl.cell),
+      subs AS (SELECT vec_id, mm.m AS m, xm[mm.m*$PqSubDim+1 : mm.m*$PqSubDim+$PqSubDim] AS sub
+               FROM resid, (SELECT unnest(range($PqM)) AS m) mm),
+      sid AS (SELECT vec_id AS cent_id FROM resid
+              ORDER BY ((vec_id % 1000003) * 2654435761) % 4294967296, vec_id
+              LIMIT ${graft.queries.CentroidSeed.NCells}),
+      pqc0 AS (SELECT s.m, sid.cent_id, s.sub AS cm
+             FROM subs s JOIN sid ON s.vec_id = sid.cent_id),
+      pqa0 AS (SELECT vec_id, m, sub, cent_id FROM (
+               SELECT s.vec_id, s.m, s.sub, c.cent_id,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                     i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y),
+                   c.cent_id) AS rn
+               FROM subs s JOIN pqc0 c ON s.m = c.m) WHERE rn = 1),
+      pqg AS (SELECT m, cent_id, pd.d, CAST(sum(sub[pd.d]) AS BIGINT) AS sm, count(*) AS n
+            FROM pqa0, (SELECT unnest(range(1, ${PqSubDim + 1})) AS d) pd
+            GROUP BY m, cent_id, pd.d),
+      pqc1 AS (SELECT m, cent_id, list(sm // n ORDER BY d) AS cm FROM pqg GROUP BY m, cent_id),
+      codes AS (SELECT vec_id, m, cent_id FROM (
+               SELECT s.vec_id, s.m, c.cent_id,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                     i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y),
+                   c.cent_id) AS rn
+               FROM subs s JOIN pqc1 c ON s.m = c.m) WHERE rn = 1),
+      qresid AS (SELECT p.query_id, p.cell,
+                   list_transform(range(1, ${Dim + 1}), i -> em.xm[i] - c.cmm[i]) AS xm
+                 FROM probes p JOIN em ON em.vec_id = p.query_id
+                   JOIN c2 c ON c.cent_id = p.cell),
+      qsubs AS (SELECT query_id, cell, mm.m AS m,
+                  xm[mm.m*$PqSubDim+1 : mm.m*$PqSubDim+$PqSubDim] AS sub
+                FROM qresid, (SELECT unnest(range($PqM)) AS m) mm),
+      qt AS (SELECT s.query_id, s.cell, s.m, c.cent_id,
+               list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                 i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y) AS qdist
+             FROM qsubs s JOIN pqc1 c ON s.m = c.m)
+      SELECT query_id, neighbor_id, adc_dist, rn FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn
+        FROM (SELECT p.query_id, cl.vec_id AS neighbor_id,
+                CAST(sum(q.qdist) AS BIGINT) AS adc_dist
+              FROM cells cl
+                JOIN probes p ON cl.cell = p.cell AND cl.vec_id <> p.query_id
+                JOIN codes a ON a.vec_id = cl.vec_id
+                JOIN qt q ON q.query_id = p.query_id AND q.cell = cl.cell
+                  AND q.m = a.m AND q.cent_id = a.cent_id
+              GROUP BY p.query_id, cl.vec_id) sums) ranked
+      WHERE rn <= 5 ORDER BY query_id, rn"""))
+
+  // ---------------------------------------------------------------------------
+  // q_index_drift — codebook staleness metric (rebuild trigger)
+  // ---------------------------------------------------------------------------
+
+  /** The staleness metric behind the append-without-retrain lifecycle
+    * ([[graft.operators.VectorIndex.appendIvfPq]]): sub-codebooks trained on
+    * the lower half of the corpus encode BOTH halves, and the per-slice mean
+    * PQ quantization error (exact integer squared L2 to the assigned
+    * sub-centroid, summed over subspaces) is the drift signal — when the
+    * delta's mean error pulls away from the training slice's, the codebook
+    * no longer fits the incoming distribution and a rebuild is due
+    * (VectorIndex.driftRatio applies the documented threshold against a
+    * STORED index). Everything is BIGINT: sums of integer squared
+    * distances, means by truncating division — one hash compare covers
+    * train, encode, and the error accounting. */
+  private val indexDrift = Q(
+    "q_index_drift",
+    (s, d) => {
+      val em = microEmbeddings(s, d).cache()
+      // deterministic split: codebook trains on the lower half of vec_ids
+      val bound = em.agg(max("vec_id")).head().getLong(0) / 2 + 1
+      val trainEm = em.filter(col("vec_id") < bound)
+      val trainSubs = subVectors(trainEm).cache()
+      val pqc1 = pqCodebook(trainSubs, trainEm).cache()
+      pqAssign(subVectors(em), pqc1)
+        .groupBy("vec_id")
+        .agg(sum("dist").as("qerr"))
+        .select(
+          when(col("vec_id") < bound, lit("train")).otherwise(lit("delta")).as("slice"),
+          col("qerr"))
+        .groupBy("slice")
+        .agg(count(lit(1)).as("n"), sum("qerr").as("total_err"))
+        .withColumn("mean_err", expr("total_err div n"))
+        .orderBy("slice")
+    },
+    Some(s"""WITH $sqlNormalized,
+      em AS (SELECT vec_id,
+               list_transform(emb, x -> CAST(floor((x + 2) * 1000000) AS BIGINT)) AS xm
+             FROM e),
+      bound AS (SELECT max(vec_id) // 2 + 1 AS b FROM em),
+      subs AS (SELECT vec_id, mm.m AS m, xm[mm.m*$PqSubDim+1 : mm.m*$PqSubDim+$PqSubDim] AS sub
+               FROM em, (SELECT unnest(range($PqM)) AS m) mm),
+      tsubs AS (SELECT s.* FROM subs s, bound WHERE s.vec_id < bound.b),
+      sid AS (SELECT vec_id AS cent_id FROM em, bound WHERE vec_id < bound.b
+              ORDER BY ((vec_id % 1000003) * 2654435761) % 4294967296, vec_id
+              LIMIT ${graft.queries.CentroidSeed.NCells}),
+      pqc0 AS (SELECT s.m, sid.cent_id, s.sub AS cm
+             FROM tsubs s JOIN sid ON s.vec_id = sid.cent_id),
+      pqa0 AS (SELECT vec_id, m, sub, cent_id FROM (
+               SELECT s.vec_id, s.m, s.sub, c.cent_id,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                     i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y),
+                   c.cent_id) AS rn
+               FROM tsubs s JOIN pqc0 c ON s.m = c.m) WHERE rn = 1),
+      pqg AS (SELECT m, cent_id, pd.d, CAST(sum(sub[pd.d]) AS BIGINT) AS sm, count(*) AS n
+            FROM pqa0, (SELECT unnest(range(1, ${PqSubDim + 1})) AS d) pd
+            GROUP BY m, cent_id, pd.d),
+      pqc1 AS (SELECT m, cent_id, list(sm // n ORDER BY d) AS cm FROM pqg GROUP BY m, cent_id),
+      errs AS (SELECT vec_id, CAST(sum(dist) AS BIGINT) AS qerr FROM (
+               SELECT s.vec_id, s.m, c.cent_id,
+                 list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                   i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y) AS dist,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                     i -> (s.sub[i]-c.cm[i])*(s.sub[i]-c.cm[i])), (x, y) -> x + y),
+                   c.cent_id) AS rn
+               FROM subs s JOIN pqc1 c ON s.m = c.m) a WHERE rn = 1 GROUP BY vec_id)
+      SELECT slice, n, total_err, total_err // n AS mean_err FROM (
+        SELECT CASE WHEN e.vec_id < bound.b THEN 'train' ELSE 'delta' END AS slice,
+               count(*) AS n, CAST(sum(qerr) AS BIGINT) AS total_err
+        FROM errs e, bound GROUP BY 1) g
+      ORDER BY slice"""))
+
+  val all: Seq[Q] = Seq(sq8Ann, kmeans, ivfTrained, pqAdc, ivfPq, ivfPqRerank,
+    ivfPqResidual, indexDrift)
 }

@@ -175,6 +175,85 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.operators.VectorIndex.searchIvfPq(spark, sf, idx).count() > 0)
   }
 
+  test("ivfpq rerank: the exact refine stage lifts recall@5 over pure ADC") {
+    def top5(name: String) = run(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = top5("q_sim_cosine_topk")
+    val adc = top5("q_sim_ivfpq")
+    val rr = top5("q_sim_ivfpq_rerank")
+    assert(rr.keySet == exact.keySet)
+    // recall@5 vs the exact cosine baseline: re-ranking the ADC shortlist by
+    // exact distance must recover neighbors the quantized ranking misplaced
+    // (it can never do worse — the top-5-by-exact of a superset dominates)
+    val adcRecall = exact.toSeq.map { case (q, t) => adc(q).intersect(t).size }.sum
+    val rrRecall = exact.toSeq.map { case (q, t) => rr(q).intersect(t).size }.sum
+    assert(rrRecall > adcRecall,
+      s"refine did not improve recall@5: rerank $rrRecall vs adc $adcRecall of 25")
+  }
+
+  test("residual PQ: encoding residuals cuts quantization error at identical storage") {
+    import graft.queries.QuantQueries._
+    val e = normalizedEmbeddings(spark, sf).cache()
+    val c2 = trainedCodebook(e).cache()
+    val em = microEmbeddings(spark, sf)
+    def totalErr(subs: org.apache.spark.sql.DataFrame, cb: org.apache.spark.sql.DataFrame) =
+      pqAssign(subs, cb).agg(sum("dist")).head().getLong(0)
+    val plainSubs = subVectors(em).cache()
+    val plainErr = totalErr(plainSubs, pqCodebook(plainSubs, em))
+    val assigned = kmeansAssign(e, c2).select(col("vec_id"), col("cent_id").as("cell"))
+    val resid = em.join(assigned, "vec_id")
+      .join(broadcast(c2.select(col("cent_id").as("cell"), col("cmm"))), "cell")
+      .select(col("vec_id"), zip_with(col("xm"), col("cmm"), (x, c) => x - c).as("xm"))
+    val residSubs = subVectors(resid).cache()
+    val residErr = totalErr(residSubs, pqCodebook(residSubs, resid))
+    // same codes-per-vector, same codebook size — the residual's smaller
+    // variance is pure accuracy gain (why by_residual=true is FAISS's default)
+    assert(residErr < plainErr, s"residual err $residErr !< plain err $plainErr")
+    Seq(e, c2, plainSubs, residSubs).foreach(_.unpersist())
+  }
+
+  test("stored-index rerank is row-identical to the in-query path; rebuild swaps atomically") {
+    val idxBase = java.nio.file.Files.createTempDirectory("graft_vecidx_rr").toString
+    val idx = s"$idxBase/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, sf, idx)
+    val stored = graft.operators.VectorIndex.searchIvfPqRerank(spark, sf, idx)
+      .collect().map(_.toString).toSeq
+    val inline = run("q_sim_ivfpq_rerank").collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == inline)
+    // rebuilding OVER the existing index must publish through the aside
+    // swap: same results after, no hidden .building/.previous leftovers
+    graft.operators.VectorIndex.buildIvfPq(spark, sf, idx)
+    val rebuilt = graft.operators.VectorIndex.searchIvfPqRerank(spark, sf, idx)
+      .collect().map(_.toString).toSeq
+    assert(rebuilt == stored)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(idxBase, ".index.building")))
+    assert(!fs.exists(new Path(idxBase, ".index.previous")))
+  }
+
+  test("append replay is idempotent and iid drift stays under the rebuild threshold") {
+    val idxBase = java.nio.file.Files.createTempDirectory("graft_vecidx_drift").toString
+    val idx = s"$idxBase/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, sf, idx, trainBound = 300)
+    graft.operators.VectorIndex.appendIvfPq(spark, sf, idx, minVecId = 300)
+    val cellsN = spark.read.parquet(s"$idx/cells").count()
+    val codesN = spark.read.parquet(s"$idx/codes").count()
+    // replaying the SAME append (crash after publish, before the caller saw
+    // it) must not union the delta in twice — duplicate codes would double
+    // ADC sums and corrupt every ranking they touch
+    graft.operators.VectorIndex.appendIvfPq(spark, sf, idx, minVecId = 300)
+    assert(spark.read.parquet(s"$idx/cells").count() == cellsN)
+    assert(spark.read.parquet(s"$idx/codes").count() == codesN)
+    // an iid delta encodes about as well as the training slice: ratio near
+    // 1.0, comfortably under the documented rebuild threshold
+    val ratio = graft.operators.VectorIndex.driftRatio(spark, sf, idx, minVecId = 300)
+    assert(ratio > 0.5 && ratio < graft.operators.VectorIndex.DriftRebuildThreshold,
+      s"iid drift ratio $ratio outside (0.5, threshold)")
+    assert(!graft.operators.VectorIndex.needsRebuild(spark, sf, idx, minVecId = 300))
+  }
+
   test("pack_sequences: per-language token accounting is exact") {
     val out = run("q_pack_sequences").cache()
     // within each language: start of each doc equals sum of earlier docs' tokens

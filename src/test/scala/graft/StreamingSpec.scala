@@ -520,6 +520,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("merge: null and hive-special partition values round-trip the writer's escaping") {
+    val out = s"$base/merge_null"
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", null: String), (2L, "b", "a:b"))
+      .toDF("id", "payload", "k")
+      .write.partitionBy("k").parquet(out)
+    // a null partition value must merge into the writer's
+    // __HIVE_DEFAULT_PARTITION__ directory (not a literal 'k=null' that
+    // matches nothing), and 'a:b' must hit the writer's escaped 'k=a%3Ab'
+    val updates = Seq((1L, "a2", null: String), (2L, "b2", "a:b"), (3L, "c", null: String))
+      .toDF("id", "payload", "k")
+    val results = graft.operators.Merge.upsertPartitioned(spark, out, updates, "id", Seq("k"))
+      .sortBy(_._1)
+    assert(results.map(r => (r._2, r._3)).sorted == Seq((1L, 1L), (1L, 0L)).sorted)
+    val rows = spark.read.parquet(out).select("id", "payload", "k")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rows == Map(1L -> (("a2", null)), 2L -> (("b2", "a:b")), 3L -> (("c", null))))
+    // no stray unescaped/literal-null directories beside the writer's layout
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$out/k=null")))
+    assert(!fs.exists(new Path(s"$out/k=a:b")))
+  }
+
+  test("merge: duplicate ids within one update batch are rejected up front") {
+    val out = s"$base/merge_dup"
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", "2026")).toDF("id", "payload", "year")
+      .write.partitionBy("year").parquet(out)
+    // two updates for one id in a single batch have no defined winner —
+    // reject BEFORE any partition is rewritten
+    val dup = Seq((2L, "x", "2026"), (2L, "y", "2026")).toDF("id", "payload", "year")
+    intercept[IllegalArgumentException] {
+      graft.operators.Merge.upsertPartitioned(spark, out, dup, "id", Seq("year"))
+    }
+    assert(spark.read.parquet(out).count() == 1, "table untouched after the reject")
+  }
+
   test("merge recovers a partition stranded in .premerge by a mid-swap crash") {
     val out = s"$base/merge_crash"
     val s = spark
