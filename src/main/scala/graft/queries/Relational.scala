@@ -856,13 +856,102 @@ object Relational {
       SELECT key_a, key_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
       FROM cand ORDER BY key_a, key_b"""))
 
+  /** Variable-length fuzzy join via a SymSpell-style DELETION NEIGHBORHOOD —
+    * the general-edit-distance record linkage `q_join_fuzzy`'s half-substring
+    * pigeonholing cannot do: an insert/delete edit changes the string length
+    * and shifts every downstream position, so same-length blocking never
+    * pairs those records. The deletion scheme is position-independent: each
+    * side emits its key plus every single-character deletion (O(len)
+    * variants per record), and two keys within edit distance 1 — substitute,
+    * insert, OR delete — provably share at least one variant (substitution
+    * at i: both drop position i; insert/delete: the longer key drops the
+    * extra character and equals the shorter one verbatim). Candidates meet
+    * ONLY through the variant equi-join (plan-pinned: no cartesian), exact
+    * Levenshtein verifies INSIDE the join so only true matches materialize,
+    * and the multi-variant dedup runs over survivors. At 100 TB the variant
+    * table is len x corpus rows of short strings — linear — and the
+    * equi-join shuffles on high-entropy variant keys (the partkey digits
+    * keep blocks small). The B side plants a deterministic length-CHANGING
+    * edit (even keys delete a char, odd keys insert one) so the oracle
+    * exercises precisely the insert/delete recall the fixed-length scheme
+    * lacks; both engines replay the same construction and the same
+    * Wagner-Fischer verify. */
+  private val joinFuzzyVarlen = Q(
+    "q_join_fuzzy_varlen",
+    (s, d) => {
+      Tables.views(s, d, "part")
+      s.sql("""
+        WITH a AS (SELECT p_partkey AS key_a,
+                          concat(p_name, ' #', CAST(p_partkey AS STRING)) AS name_a
+                   FROM part),
+        b0 AS (SELECT p_partkey, concat(p_name, ' #', CAST(p_partkey AS STRING)) AS k
+               FROM part),
+        b1 AS (SELECT p_partkey, k,
+                      CAST(p_partkey % (length(k) - 2) + 2 AS INT) AS pos
+               FROM b0),
+        b AS (SELECT p_partkey + 1000000 AS key_b,
+                     CASE WHEN p_partkey % 2 = 0
+                          THEN concat(substring(k, 1, pos - 1), substring(k, pos + 1))
+                          ELSE concat(substring(k, 1, pos - 1), 'q', substring(k, pos))
+                     END AS name_b
+              FROM b1),
+        va AS (SELECT key_a, name_a, v
+               FROM a LATERAL VIEW explode(concat(array(name_a),
+                 transform(sequence(1, length(name_a)),
+                   i -> concat(substring(name_a, 1, i - 1), substring(name_a, i + 1))))) AS v),
+        vb AS (SELECT key_b, name_b, v
+               FROM b LATERAL VIEW explode(concat(array(name_b),
+                 transform(sequence(1, length(name_b)),
+                   i -> concat(substring(name_b, 1, i - 1), substring(name_b, i + 1))))) AS v),
+        cand AS (SELECT DISTINCT key_a, key_b, name_a, name_b
+                 FROM va JOIN vb ON va.v = vb.v
+                   AND levenshtein(va.name_a, vb.name_b) <= 1)
+        SELECT key_a, key_b,
+               CAST(length(name_a) AS BIGINT) AS len_a,
+               CAST(length(name_b) AS BIGINT) AS len_b,
+               CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        FROM cand ORDER BY key_a, key_b""")
+    },
+    Some("""WITH a AS (SELECT p_partkey AS key_a,
+                   p_name || ' #' || CAST(p_partkey AS VARCHAR) AS name_a
+                 FROM part),
+      b0 AS (SELECT p_partkey, p_name || ' #' || CAST(p_partkey AS VARCHAR) AS k
+             FROM part),
+      b1 AS (SELECT p_partkey, k,
+                    CAST(p_partkey % (length(k) - 2) + 2 AS INT) AS pos
+             FROM b0),
+      b AS (SELECT p_partkey + 1000000 AS key_b,
+                   CASE WHEN p_partkey % 2 = 0
+                        THEN substr(k, 1, pos - 1) || substr(k, pos + 1)
+                        ELSE substr(k, 1, pos - 1) || 'q' || substr(k, pos)
+                   END AS name_b
+            FROM b1),
+      va AS (SELECT key_a, name_a,
+                    unnest(list_prepend(name_a,
+                      list_transform(range(1, length(name_a) + 1),
+                        i -> substr(name_a, 1, i - 1) || substr(name_a, i + 1)))) AS v
+             FROM a),
+      vb AS (SELECT key_b, name_b,
+                    unnest(list_prepend(name_b,
+                      list_transform(range(1, length(name_b) + 1),
+                        i -> substr(name_b, 1, i - 1) || substr(name_b, i + 1)))) AS v
+             FROM b),
+      cand AS (SELECT DISTINCT key_a, key_b, name_a, name_b
+               FROM va JOIN vb ON va.v = vb.v
+                 AND levenshtein(va.name_a, vb.name_b) <= 1)
+      SELECT key_a, key_b,
+             CAST(length(name_a) AS BIGINT) AS len_a,
+             CAST(length(name_b) AS BIGINT) AS len_b,
+             CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+      FROM cand ORDER BY key_a, key_b"""))
+
   val all: Seq[Q] = Seq(
     projFilter,
     dateIntervals,
     aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggGroupingSets,
     aggPivot, aggPercentile, aggStats, aggApproxDistinct, aggHllMerge,
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
-    joinTheta, joinBucketed, joinFuzzy,
+    joinTheta, joinBucketed, joinFuzzy, joinFuzzyVarlen,
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange,
     sortTopk, sortNullsOffset,
     setUnion, setUnionAll, setIntersect, setExcept,

@@ -187,6 +187,45 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming ANN-index maintenance — continuous ingest keeps the persisted
+    * IVF-PQ index current: each micro-batch of vectors (schema: vec_id,
+    * embedding, label — the embeddings-table layout) lands in the corpus
+    * table and is then encoded into the stored index via
+    * [[graft.operators.VectorIndex.appendIvfPq]] (STORED codebooks, no
+    * retrain, atomic two-rename publish — searchers always see a complete
+    * index). Effectively-once under foreachBatch's at-least-once replay:
+    * the corpus write anti-joins the batch against already-landed vec_ids
+    * (a column-pruned id scan; a table format would make this a MERGE), and
+    * appendIvfPq itself is replay-idempotent. Codebook staleness under
+    * continuous append is the metered quantity — poll
+    * [[graft.operators.VectorIndex.driftRatio]] and rebuild past the
+    * threshold. */
+  def startIndexMaintenanceStream(
+      vectors: DataFrame,
+      corpusDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val embDir = s"$corpusDir/embeddings.parquet"
+        val fresh = batch.toDF().dropDuplicates("vec_id")
+          .join(s.read.parquet(embDir).select("vec_id"), Seq("vec_id"), "left_anti")
+          .cache()
+        val minVecId = fresh.agg(min(col("vec_id"))).head().get(0)
+        if (minVecId != null) {
+          fresh.write.mode("append").parquet(embDir)
+          graft.operators.VectorIndex.appendIvfPq(
+            s, corpusDir, indexDir, minVecId.asInstanceOf[Long])
+        }
+        fresh.unpersist()
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming analytics over the event stream (SURVEY §2B streaming row):
     * tumbling event-time window counts with late-data drop. Watermark bounds
     * the window state; at 100 TB/day this shuffles once per window on

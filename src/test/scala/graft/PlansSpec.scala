@@ -225,6 +225,31 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_join_fuzzy_varlen: deletion-neighborhood candidates meet through the variant equi-join, never a cartesian") {
+    val p = plan("q_join_fuzzy_varlen")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_join_fuzzy_varlen: every planted insert/delete edit is recovered (provable ed-1 recall)") {
+    import org.apache.spark.sql.functions._
+    // the B side plants one length-CHANGING edit per part (even keys delete
+    // a char, odd keys insert one) — exactly the pairs the fixed-length
+    // half-substring blocking of q_join_fuzzy cannot pair. The deletion
+    // neighborhood must recover 100% of them.
+    val out = SparkEntry.queries("q_join_fuzzy_varlen")(spark, sf)
+      .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nParts = spark.read.parquet(s"$sf/part.parquet").count()
+    val planted = (0L until nParts).map(k => (k, k + 1000000L))
+    val missed = planted.filterNot(out.contains)
+    assert(missed.isEmpty, s"missed ${missed.size} of $nParts planted ed-1 pairs: ${missed.take(5)}")
+    // and every planted pair really is a length change (insert or delete)
+    val lens = SparkEntry.queries("q_join_fuzzy_varlen")(spark, sf)
+      .filter(col("key_b") - col("key_a") === 1000000L && col("dist") === 1L)
+      .select("len_a", "len_b").collect()
+    assert(lens.nonEmpty && lens.forall(r => math.abs(r.getLong(0) - r.getLong(1)) == 1L))
+  }
+
   test("kernel expressions participate in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // parquet-backed input so ConvertToLocalRelation can't pre-evaluate

@@ -371,6 +371,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Map(1L -> "a", 2L -> "b-fixed", 3L -> "c", 4L -> "d"))
   }
 
+  test("streaming index maintenance: ingested vectors become searchable after the batch commits") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = s"$base/idx_stream_corpus"
+    // seed the corpus table from the fixture, index it once (build phase)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .write.parquet(s"$corpus/embeddings.parquet")
+    val idx = s"$corpus/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, corpus, idx)
+    val codebookBefore =
+      spark.read.parquet(s"$idx/pq_codebook").collect().map(_.toString).sorted.toSeq
+    val nBase = spark.read.parquet(s"$corpus/embeddings.parquet").count()
+    // live delta: exact copies of the 5 query vectors under fresh ids — once
+    // indexed, each must surface as its query's exact-rerank top-1 neighbor
+    val delta = spark.read.parquet(s"$corpus/embeddings.parquet")
+      .filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0) + 10000L, r.getSeq[Float](1), r.getInt(2))).toSeq
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    def drain(): Unit = {
+      val q = StreamingIngest.startIndexMaintenanceStream(
+        mem.toDF().toDF("vec_id", "embedding", "label"), corpus, idx,
+        s"$base/idx_stream_ckpt", Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    mem.addData(delta: _*)
+    drain()
+    // the whole extended corpus is indexed, codebooks untouched (appendIvfPq
+    // stale-until-rebuild semantics), publish left no hidden siblings
+    assert(spark.read.parquet(s"$idx/cells").count() == nBase + 5)
+    assert(spark.read.parquet(s"$idx/codes").count() == (nBase + 5) * 8)
+    assert(spark.read.parquet(s"$idx/pq_codebook").collect().map(_.toString).sorted.toSeq
+      == codebookBefore)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(corpus, ".index.building")))
+    assert(!fs.exists(new Path(corpus, ".index.previous")))
+    // searchable: the streamed duplicate (cosine 1.0 to its query) wins rn=1
+    val top1 = graft.operators.VectorIndex.searchIvfPqRerank(spark, corpus, idx)
+      .filter(col("rn") === 1).select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach(i => assert(top1(i) == 10000L + i, s"query $i top1 ${top1(i)}"))
+    // replaying the same delta (at-least-once upstream) changes nothing
+    mem.addData(delta: _*)
+    drain()
+    assert(spark.read.parquet(s"$corpus/embeddings.parquet").count() == nBase + 5)
+    assert(spark.read.parquet(s"$idx/codes").count() == (nBase + 5) * 8)
+  }
+
   test("lake lifecycle: ingest -> compact -> zorder -> merge -> retention compose on one table") {
     // the maintenance operators share one swap discipline; this drives a
     // table through the whole lifecycle and checks every stage leaves a
