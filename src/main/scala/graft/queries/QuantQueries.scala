@@ -738,7 +738,9 @@ object QuantQueries {
         .withColumn("rn", row_number().over(wProbe))
         .filter(col("rn") <= 3) // nprobe
         .select(col("query_id"), col("cent_id").as("cell"))
-      val em = microEmbeddings(s, d)
+      // cached: the micro frame feeds both the corpus-residual branch and
+      // the per-probed-cell query-residual branch
+      val em = microEmbeddings(s, d).cache()
       // corpus residuals vs the OWN assigned cell's exact micro centroid
       val resid = em.join(assigned, "vec_id")
         .join(broadcast(c2.select(col("cent_id").as("cell"), col("cmm"))), "cell")

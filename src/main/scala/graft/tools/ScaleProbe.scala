@@ -14,7 +14,112 @@ import org.apache.spark.sql.functions._
   * Run: sbt 'runMain graft.tools.ScaleProbe [sfDir] [replication]'
   */
 object ScaleProbe {
+
+  /** Heavy-family scale checkpoint: run the expensive dedup/ANN/fuzzy
+    * queries at 1x and Nx the corpus and report wall ratios. Replication is
+    * NOT naive row copying — identical copies would turn every document
+    * into an exact-dup cluster and every vector into a cosine-1 twin,
+    * making the candidate space grow quadratically BY CONSTRUCTION rather
+    * than measuring the operator. Each replica is perturbed so the workload
+    * scales the way real data does:
+    *   - documents: every word SUFFIXED with a replica marker ("a b" ->
+    *     "azq3 bzq3") — word and bigram shingle sets become replica-disjoint
+    *     while within-replica similarity structure is preserved EXACTLY
+    *     (an injected separate marker token would instead collapse bigrams
+    *     to word-marker pairs and inflate background bigram Jaccard ~3x —
+    *     measured as a spurious 30x ngram blowup before this fix)
+    *   - embeddings: deterministic per-(dim, replica) pseudo-noise added
+    *     (decorrelates replicas; vec_id < 5 query vectors stay replica-0
+    *     originals)
+    *   - customer/part: keys remapped key*10+replica — a DENSE 10x keyspace,
+    *     the digit shape genuine 10x data would have (a high-digit offset
+    *     would zero out the blocking digits the fuzzy join interleaves)
+    *
+    * Run: sbt 'runMain graft.tools.ScaleProbe heavy [sfDir] [replication]'
+    */
+  private val HeavyQueries = Seq(
+    "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed_lsh",
+    "q_sim_ivfpq", "q_sim_ivfpq_rerank", "q_join_fuzzy", "q_join_fuzzy_varlen")
+
+  private val ReplicaIdOffset = 10000000L
+
+  private def buildHeavyCorpus(
+      spark: SparkSession, sfDir: String, n: Int, outDir: String): Unit = {
+    def reps(name: String)(perturb: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$sfDir/$name.parquet")
+      (0 until n).map(i => perturb(base, i))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    // replica 0 of documents/embeddings is the UNMODIFIED original (queries
+    // address vec_id < 5 / specific doc_ids); customer/part remap replica 0
+    // too — keys must be disjoint across replicas under the *10+i scheme
+    reps("documents") { (d, i) =>
+      if (i == 0) d
+      else d.select(
+        (col("doc_id") + lit(i * ReplicaIdOffset)).as("doc_id"),
+        regexp_replace(col("text"), " ", s"zq$i ").as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    reps("embeddings") { (e, i) =>
+      if (i == 0) e
+      else e.select(
+        (col("vec_id") + lit(i * ReplicaIdOffset)).as("vec_id"),
+        transform(col("embedding"),
+          (x, d) => x + lit(0.05f) * (((d * 7 + lit(i * 3)) % 11) - 5).cast("float"))
+          .as("embedding"),
+        col("label"))
+    }
+    reps("customer") { (c, i) =>
+      c.select(
+        (col("c_custkey") * 10 + lit(i)).as("c_custkey"),
+        format_string("Customer#%09d", col("c_custkey") * 10 + lit(i)).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }
+    reps("part") { (p, i) =>
+      p.select(
+        (col("p_partkey") * 10 + lit(i)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+    }
+  }
+
+  private def heavyMain(args: Array[String]): Unit = {
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val n = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val big = s"/tmp/graft_scaleprobe_${n}x"
+    buildHeavyCorpus(spark, sfDir, n, big)
+
+    def time(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      spark.catalog.clearCache()
+      fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(s"""{"probe":"heavy_scale","replication":$n,"queries":[""")
+    val lines = HeavyQueries.map { q =>
+      val t1 = time(q, sfDir)
+      val tn = time(q, big)
+      f"""{"query":"$q","sec_1x":$t1%.2f,"sec_${n}x":$tn%.2f,"wall_ratio":${tn / t1}%.2f,"per_row_ratio":${tn / t1 / n}%.3f}"""
+    }
+    println(lines.mkString(",\n"))
+    println("]}")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("heavy")) { heavyMain(args); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
