@@ -193,6 +193,54 @@ object VectorIndex {
       .orderBy("query_id", "rn")
   }
 
+  /** Targeted vector erasure — the index half of a GDPR delete (the table
+    * half is [[Merge.deletePartitioned]]; an erased user's embedding must
+    * stop being FINDABLE, not merely stop being stored): drop the ids'
+    * rows from `cells` and `codes` via broadcast anti-joins (the tombstone
+    * set is small; the corpus tables rewrite in one linear pass) and
+    * republish through the same aside + rename + rollback swap — searchers
+    * see the old index or the purged one, never a mix. Codebooks are
+    * UNCHANGED: a handful of erasures does not shift the trained
+    * distribution (that is [[driftRatio]]'s job to notice over time).
+    * Idempotent by construction — absent ids anti-join to nothing.
+    * Returns the number of vectors actually removed. */
+  def deleteFromIndex(
+      spark: SparkSession, indexDir: String, vecIds: Seq[Long]): Long = {
+    import spark.implicits._
+    val dir = new Path(indexDir)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
+    fs.delete(tmp, true)
+    fs.delete(aside, true)
+
+    val tombstones = broadcast(vecIds.toDF("vec_id"))
+    val oldCells = spark.read.parquet(s"$indexDir/cells")
+    val nDead = oldCells.join(tombstones, Seq("vec_id"), "left_semi").count()
+    if (nDead == 0L) return 0L
+
+    spark.read.parquet(s"$indexDir/coarse")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/coarse")
+    spark.read.parquet(s"$indexDir/pq_codebook")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/pq_codebook")
+    oldCells.join(tombstones, Seq("vec_id"), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
+    spark.read.parquet(s"$indexDir/codes").join(tombstones, Seq("vec_id"), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
+
+    if (!fs.rename(dir, aside))
+      throw new java.io.IOException(s"vector index: cannot move $indexDir aside")
+    if (!fs.rename(tmp, dir)) {
+      val rolledBack = fs.rename(aside, dir)
+      throw new java.io.IOException(
+        s"vector index: swap failed for $indexDir, " +
+          (if (rolledBack) "rolled back to the previous index"
+           else s"ROLLBACK ALSO FAILED - previous index preserved at $aside"))
+    }
+    fs.delete(aside, true)
+    nDead
+  }
+
   /** Rebuild trigger: when the appended delta's mean PQ quantization error
     * exceeds this multiple of the base slice's, the stored codebooks no
     * longer fit the incoming distribution — schedule [[buildIvfPq]]. 1.5x is

@@ -397,5 +397,65 @@ object DedupQueries {
         FROM del, c) sub
       WHERE j >= 0.9 ORDER BY delta_id, corpus_id"""))
 
-  val all: Seq[Q] = Seq(minhashLsh, minhashAudit, simhash, ngramJaccard, incremental)
+  /** Cross-document duplicated-SPAN dedup — the sub-document granularity
+    * every production web-corpus pipeline runs beside doc-level near-dedup
+    * (CCNet dedups paragraph hashes across the whole crawl; RefinedWeb and
+    * C4 drop repeated line/sentence spans): boilerplate headers, footers,
+    * and license blocks repeat across documents that are NOT near-dups as
+    * wholes, so doc-level MinHash never catches them. Spans here are
+    * consecutive 8-word windows (this corpus has no newlines); a span
+    * instance is DROPPED when the same span text exists in any
+    * earlier-doc_id document (CCNet's keep-first rule), and each document
+    * reports its span count, dropped count, and dropped basis points — the
+    * projection a cleaning pass would apply. Within-doc repeats are NOT
+    * dropped (that axis is `q_text_repetition`). Scale shape: the span
+    * frame is corpus x len rows (linear, same as q_contamination); the
+    * keep-first winner is a min-window over the span hash — ONE shuffle on
+    * the high-entropy span key, map-side-combined — and the per-doc rollup
+    * is the second, doc-keyed shuffle. No join ever pairs documents. */
+  private val spanDedup = Q(
+    "q_dedup_spans",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val grams = docs.select(
+        col("doc_id"),
+        explode(
+          when(size(col("ws")) >= 8,
+            transform(sequence(lit(1), size(col("ws")) - 7),
+              i => array_join(slice(col("ws"), i, lit(8)), " ")))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+      val stats = grams
+        .withColumn("keeper", min("doc_id").over(Window.partitionBy("gram")))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("keeper") < col("doc_id"), 1L).otherwise(0L)).as("n_dropped"))
+      t(s, d, "documents").select("doc_id")
+        .join(stats, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        .withColumn("drop_bp",
+          when(col("n_spans") > 0, expr("n_dropped * 10000 div n_spans")).otherwise(0L))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, list_aggregate(ws[i : i+7], 'string_agg', ' ') AS gram
+            FROM w, LATERAL unnest(range(1, len(ws) - 6)) t(i)
+            WHERE len(ws) >= 8),
+      k AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY gram) AS keeper FROM g),
+      st AS (SELECT doc_id, count(*) AS n_spans,
+                    CAST(sum(CASE WHEN keeper < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+             FROM k GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(st.n_spans, 0) AS n_spans,
+             COALESCE(st.n_dropped, 0) AS n_dropped,
+             CASE WHEN COALESCE(st.n_spans, 0) > 0
+                  THEN st.n_dropped * 10000 // st.n_spans ELSE 0 END AS drop_bp
+      FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+      ORDER BY d.doc_id"""))
+
+  val all: Seq[Q] =
+    Seq(minhashLsh, minhashAudit, simhash, ngramJaccard, incremental, spanDedup)
 }

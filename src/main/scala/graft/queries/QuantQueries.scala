@@ -922,6 +922,117 @@ object QuantQueries {
         FROM errs e, bound GROUP BY 1) g
       ORDER BY slice"""))
 
+  // ---------------------------------------------------------------------------
+  // q_sim_range — radius search (FAISS range_search), IVF-probed
+  // ---------------------------------------------------------------------------
+
+  /** Radius search — the OTHER half of the ANN API beside top-k (FAISS
+    * `range_search`): return every probed-cell vector whose exact cosine to
+    * the query clears a fixed threshold, however many or few that is. The
+    * shape matters for pipelines that want "all matches above τ" (dedup
+    * sweeps, recall-oriented retrieval) where a fixed k either truncates or
+    * pads. Same scale story as q_sim_ivf_trained — trained coarse cells,
+    * broadcast probes, exact verify only inside probed cells, and NO window
+    * at all (a pure filter, cheaper than top-k at 100 TB: no per-query
+    * ranking state). The oracle replays training, probing, and threshold
+    * end to end. */
+  private val rangeSearch = Q(
+    "q_sim_range",
+    (s, d) => {
+      val e = normalizedEmbeddings(s, d).cache()
+      val c2 = trainedCodebook(e).cache()
+      val assigned = kmeansAssign(e, c2)
+        .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+        .crossJoin(broadcast(c2.select(col("cent_id"), col("cemb"))))
+        .select(col("query_id"), col("qemb"), col("cent_id"),
+          round(dot(col("qemb"), col("cemb")), 6).as("csim"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 3) // nprobe
+        .select(col("query_id"), col("qemb"), col("cent_id").as("cell"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("emb"), col("qemb")), 6).as("score"))
+        .filter(col("score") >= 0.3)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(s"""WITH $sqlNormalized,
+      dd AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
+      ${CentroidSeed.sqlSeedCte("c0")},
+      ${sqlLloydRound(0, "c0")},
+      ${sqlLloydRound(1, "c1")},
+      assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (
+          SELECT ev.vec_id, ev.emb, c.cent_id,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY round(list_dot_product(ev.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e ev, c2 c) s WHERE rn = 1),
+      probes AS (SELECT query_id, qemb, cell FROM (
+          SELECT q.vec_id AS query_id, q.emb AS qemb, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e q, c2 c WHERE q.vec_id < 5) s WHERE rn <= 3)
+      SELECT query_id, neighbor_id, score FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(list_dot_product(a.emb, p.qemb), 6) AS score
+        FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id) sub
+      WHERE score >= 0.3 ORDER BY query_id, neighbor_id"""))
+
+  // ---------------------------------------------------------------------------
+  // q_sim_maxsim — late-interaction multi-vector scoring (ColBERT MaxSim)
+  // ---------------------------------------------------------------------------
+
+  /** Late-interaction retrieval scoring (ColBERT's MaxSim, Khattab &
+    * Zaharia, SIGIR 2020): the query is a SET of vectors (here the 5 query
+    * embeddings) and each candidate "document" is a set too (the corpus's
+    * label groups); score(Q, G) = Σ_{q∈Q} max_{v∈G} cos(q, v). This is the
+    * scoring shape multi-vector retrievers need and single-vector top-k
+    * cannot express — the max rewards a group for covering EACH query
+    * vector somewhere, not on average. One broadcast of the query set, one
+    * corpus scan computing |Q| cosines per vector (codegen'd dot), then two
+    * tiny keyed aggs: max over (group, query) and sum over group — no pair
+    * space, linear at any corpus size, and groups shard naturally. Cosines
+    * convert to micro-integers BEFORE the aggregates (identical left-fold
+    * dot in both engines → identical double → identical floor), so max and
+    * sum are exact BIGINT math and the hash compare is airtight. Query
+    * vectors themselves are excluded from the corpus side. */
+  private val maxSim = Q(
+    "q_sim_maxsim",
+    (s, d) => {
+      val el = t(s, d, "embeddings").select(
+        col("vec_id"), col("label"),
+        l2Normalize(col("embedding").cast("array<double>")).as("emb"))
+      val q = el.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      val w = Window.orderBy(desc("maxsim_micro"), asc("label"))
+      el.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(q))
+        .select(col("label"), col("query_id"),
+          floor(dot(col("emb"), col("qemb")) * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("cos_micro"))
+        .groupBy("label", "query_id")
+        .agg(max("cos_micro").as("mx"))
+        .groupBy("label")
+        .agg(sum("mx").as("maxsim_micro"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .orderBy("rn")
+    },
+    Some(s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      el AS (SELECT vec_id, label,
+               list_transform(de, x -> x / sqrt(list_reduce(list_transform(de, y -> y*y), (a, b) -> a + b))) AS emb
+             FROM e0),
+      q AS (SELECT vec_id AS query_id, emb AS qemb FROM el WHERE vec_id < 5),
+      scored AS (SELECT c.label, q.query_id,
+                   CAST(floor(list_dot_product(c.emb, q.qemb) * 1000000 + 0.5) AS BIGINT) AS cos_micro
+                 FROM el c, q WHERE c.vec_id >= 5),
+      mx AS (SELECT label, query_id, max(cos_micro) AS mx FROM scored GROUP BY label, query_id),
+      gs AS (SELECT label, CAST(sum(mx) AS BIGINT) AS maxsim_micro FROM mx GROUP BY label)
+      SELECT label, maxsim_micro,
+             CAST(row_number() OVER (ORDER BY maxsim_micro DESC, label) AS BIGINT) AS rn
+      FROM gs ORDER BY rn"""))
+
   val all: Seq[Q] = Seq(sq8Ann, kmeans, ivfTrained, pqAdc, ivfPq, ivfPqRerank,
-    ivfPqResidual, indexDrift)
+    ivfPqResidual, indexDrift, rangeSearch, maxSim)
 }

@@ -254,6 +254,32 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!graft.operators.VectorIndex.needsRebuild(spark, sf, idx, minVecId = 300))
   }
 
+  test("index delete: an erased vector stops being findable, swap atomic, replay a no-op") {
+    val idxBase = java.nio.file.Files.createTempDirectory("graft_vecidx_del").toString
+    val idx = s"$idxBase/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, sf, idx)
+    // erase query 0's current top-1 neighbor — the strongest "must stop
+    // being findable" witness — plus one id absent from the corpus
+    val victim = graft.operators.VectorIndex.searchIvfPq(spark, sf, idx)
+      .filter(col("query_id") === 0 && col("rn") === 1)
+      .head().getLong(1)
+    val cellsBefore = spark.read.parquet(s"$idx/cells").count()
+    val codesBefore = spark.read.parquet(s"$idx/codes").count()
+    val removed = graft.operators.VectorIndex.deleteFromIndex(spark, idx, Seq(victim, 999999L))
+    assert(removed == 1L)
+    assert(spark.read.parquet(s"$idx/cells").count() == cellsBefore - 1)
+    assert(spark.read.parquet(s"$idx/codes").count() == codesBefore - 8)
+    val after = graft.operators.VectorIndex.searchIvfPq(spark, sf, idx)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!after.contains(victim), s"erased vector $victim still served")
+    // replay is a no-op; the swap left no hidden siblings
+    assert(graft.operators.VectorIndex.deleteFromIndex(spark, idx, Seq(victim)) == 0L)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(idxBase, ".index.building")))
+    assert(!fs.exists(new Path(idxBase, ".index.previous")))
+  }
+
   test("pack_sequences: per-language token accounting is exact") {
     val out = run("q_pack_sequences").cache()
     // within each language: start of each doc equals sum of earlier docs' tokens
