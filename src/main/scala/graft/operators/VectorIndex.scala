@@ -163,6 +163,106 @@ object VectorIndex {
       .orderBy("query_id", "rn")
   }
 
+  /** Residual-PQ index build (FAISS `by_residual=true`, its default): same
+    * four stored tables as [[buildIvfPq]], but `pq_codebook`/`codes`
+    * quantize (x - assigned coarse centroid) instead of x — lower
+    * quantization error at identical storage (pinned in QuantSpec against
+    * the no-residual path). The coarse table's exact integer micro
+    * components (`cmm`) make the residual computation exact BIGINT math at
+    * build AND serve time. Same atomic aside+rename publish. */
+  def buildIvfPqResidual(
+      spark: SparkSession, sfDir: String, indexDir: String,
+      trainBound: Long = Long.MaxValue): Unit = {
+    val dir = new Path(indexDir)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    fs.delete(tmp, true)
+
+    val e = normalizedEmbeddings(spark, sfDir).filter(col("vec_id") < trainBound).cache()
+    val c2 = trainedCodebook(e).cache()
+    val cells = kmeansAssign(e, c2).select(col("vec_id"), col("cent_id").as("cell")).cache()
+    val em = microEmbeddings(spark, sfDir).filter(col("vec_id") < trainBound)
+    val resid = em.join(cells, "vec_id")
+      .join(broadcast(c2.select(col("cent_id").as("cell"), col("cmm"))), "cell")
+      .select(col("vec_id"), zip_with(col("xm"), col("cmm"), (x, c) => x - c).as("xm"))
+      .cache()
+    val subs = subVectors(resid).cache()
+    val pqc1 = pqCodebook(subs, resid).cache()
+
+    c2.write.mode(SaveMode.Overwrite).parquet(s"$tmp/coarse")
+    cells.write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
+    pqc1.write.mode(SaveMode.Overwrite).parquet(s"$tmp/pq_codebook")
+    pqAssign(subs, pqc1).select("vec_id", "m", "cent_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
+    Seq(e, c2, cells, resid, subs, pqc1).foreach(_.unpersist())
+
+    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
+    fs.delete(aside, true)
+    if (fs.exists(dir) && !fs.rename(dir, aside))
+      throw new java.io.IOException(s"vector index: cannot move $indexDir aside")
+    if (!fs.rename(tmp, dir)) {
+      val rolledBack = fs.exists(aside) && fs.rename(aside, dir)
+      throw new java.io.IOException(
+        s"vector index: swap failed for $indexDir, " +
+          (if (rolledBack) "rolled back to the previous index"
+           else s"no previous index to roll back to (or rollback failed - see $aside)"))
+    }
+    fs.delete(aside, true)
+  }
+
+  /** Serve a residual-PQ search from an index built by
+    * [[buildIvfPqResidual]] — identical ranking semantics to
+    * `q_sim_ivfpq_residual` (per-probed-cell query residual tables,
+    * integer ADC). */
+  def searchIvfPqResidual(
+      spark: SparkSession,
+      sfDir: String,
+      indexDir: String,
+      nQueries: Int = 5,
+      nprobe: Int = 3,
+      k: Int = 5): DataFrame = {
+    val coarse = spark.read.parquet(s"$indexDir/coarse")
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val pqc1 = spark.read.parquet(s"$indexDir/pq_codebook")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+    val probes = normalizedEmbeddings(spark, sfDir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .crossJoin(broadcast(coarse.select(col("cent_id"), col("cemb"))))
+      .select(col("query_id"), col("cent_id"),
+        round(graft.functions.VectorFunctions.dot(col("qemb"), col("cemb")), 6).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val qResid = probes
+      .join(microEmbeddings(spark, sfDir).filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("xm").as("qxm")), "query_id")
+      .join(broadcast(coarse.select(col("cent_id").as("cell"), col("cmm"))), "cell")
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qxm"), col("cmm"), (x, c) => x - c).as("xm"))
+    val qSubs = qResid.select(
+        col("query_id"), col("cell"),
+        posexplode(transform(
+          sequence(lit(0), lit(PqM - 1)),
+          m => slice(col("xm"), m * PqSubDim + 1, lit(PqSubDim)))))
+      .toDF("query_id", "cell", "m", "sub")
+    val qTable = qSubs.join(broadcast(pqc1), "m")
+      .select(col("query_id"), col("cell"), col("m"), col("cent_id"),
+        subDist(col("sub"), col("cm")).as("qdist"))
+    val w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "cell", "vec_id")
+      .join(codes, "vec_id")
+      .join(broadcast(qTable), Seq("query_id", "cell", "m", "cent_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("qdist").as("adc_dist"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
   /** Two-stage stored-index search: ADC shortlist of `kPrime`, then exact
     * cosine re-rank to `k` (FAISS `IndexRefineFlat`) — the recall fix every
     * production IVF-PQ deployment runs, since ADC alone caps recall@k at the

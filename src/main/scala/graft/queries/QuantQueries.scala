@@ -310,8 +310,8 @@ object QuantQueries {
   // q_sim_pq_adc — product quantization + asymmetric-distance search
   // ---------------------------------------------------------------------------
 
-  private val PqM = 8 // subspaces (64 dims / 8 per sub-vector)
-  private val PqSubDim = 8
+  private[graft] val PqM = 8 // subspaces (64 dims / 8 per sub-vector)
+  private[graft] val PqSubDim = 8
 
   /** Corpus in OFFSET-INCLUDED micro fixed point: x -> floor((x+2)*1e6),
     * always positive, so truncating division agrees across engines and L2
@@ -1033,6 +1033,59 @@ object QuantQueries {
              CAST(row_number() OVER (ORDER BY maxsim_micro DESC, label) AS BIGINT) AS rn
       FROM gs ORDER BY rn"""))
 
+  // ---------------------------------------------------------------------------
+  // q_sample_clusters — cluster-balanced subsampling (embedding-space curation)
+  // ---------------------------------------------------------------------------
+
+  /** Cluster-balanced subsampling — the embedding-space twin of
+    * `q_lang_balance`'s per-language cap and the selection step of
+    * cluster-based curation pipelines (SemDeDup-family): train the coarse
+    * codebook, assign every vector, then keep at most `cap` vectors per
+    * cell so dense regions of embedding space stop dominating the training
+    * mix. The keep choice is the same RNG-free multiplicative id-hash rank
+    * the seed sampler uses (reshuffle-stable, reproducible across runs and
+    * engines); output is the per-cell accounting a recipe dial consumes.
+    * Scale: assignment is the usual broadcast argmax scan; the cap is one
+    * window over the cell key (cells are few, members many — the window
+    * partitions shard the corpus, never a global sort); the rollup is
+    * cell-keyed. The oracle replays training, assignment, hash-rank
+    * selection, and the rollup. */
+  private val sampleClusters = Q(
+    "q_sample_clusters",
+    (s, d) => {
+      val cap = 40
+      val e = normalizedEmbeddings(s, d).cache()
+      val c2 = trainedCodebook(e).cache()
+      val assigned = kmeansAssign(e, c2)
+        .select(col("vec_id"), col("cent_id").as("cell"))
+        .withColumn("h", col("vec_id") % lit(1000003L) * lit(2654435761L) % lit(4294967296L))
+      val w = Window.partitionBy("cell").orderBy("h", "vec_id")
+      assigned
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cell")
+        .agg(
+          count(lit(1)).as("n_members"),
+          sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH $sqlNormalized,
+      dd AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
+      ${CentroidSeed.sqlSeedCte("c0")},
+      ${sqlLloydRound(0, "c0")},
+      ${sqlLloydRound(1, "c1")},
+      assigned AS (SELECT vec_id, cent_id AS cell,
+                     ((vec_id % 1000003) * 2654435761) % 4294967296 AS h FROM (
+          SELECT ev.vec_id, c.cent_id,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY round(list_dot_product(ev.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e ev, c2 c) s WHERE rn = 1),
+      ranked AS (SELECT cell,
+                   row_number() OVER (PARTITION BY cell ORDER BY h, vec_id) AS rn
+                 FROM assigned)
+      SELECT cell, count(*) AS n_members,
+             CAST(sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM ranked GROUP BY cell ORDER BY cell"""))
+
   val all: Seq[Q] = Seq(sq8Ann, kmeans, ivfTrained, pqAdc, ivfPq, ivfPqRerank,
-    ivfPqResidual, indexDrift, rangeSearch, maxSim)
+    ivfPqResidual, indexDrift, rangeSearch, maxSim, sampleClusters)
 }

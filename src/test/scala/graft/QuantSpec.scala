@@ -254,6 +254,22 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!graft.operators.VectorIndex.needsRebuild(spark, sf, idx, minVecId = 300))
   }
 
+  test("stored residual-PQ index serves searches identical to the in-query residual path") {
+    // by_residual=true is the FAISS default; the persisted lifecycle must
+    // reproduce q_sim_ivfpq_residual's ranking exactly from stored tables
+    val idxBase = java.nio.file.Files.createTempDirectory("graft_vecidx_res").toString
+    val idx = s"$idxBase/index"
+    graft.operators.VectorIndex.buildIvfPqResidual(spark, sf, idx)
+    val stored = graft.operators.VectorIndex.searchIvfPqResidual(spark, sf, idx)
+      .collect().map(_.toString).toSeq
+    val inline = run("q_sim_ivfpq_residual").collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == inline)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(idxBase, ".index.building")))
+    assert(!fs.exists(new Path(idxBase, ".index.previous")))
+  }
+
   test("index delete: an erased vector stops being findable, swap atomic, replay a no-op") {
     val idxBase = java.nio.file.Files.createTempDirectory("graft_vecidx_del").toString
     val idx = s"$idxBase/index"
