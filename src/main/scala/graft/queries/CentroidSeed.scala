@@ -34,8 +34,9 @@ object CentroidSeed {
       .limit(NCells)
       .select("cent_id", "cemb")
 
-  /** DuckDB twin of [[seeds]] as a CTE body (expects CTE `e(vec_id, emb)`). */
-  def sqlSeedCte(name: String): String =
-    s"""$name AS (SELECT vec_id AS cent_id, emb AS cemb FROM e
+  /** DuckDB twin of [[seeds]] as a CTE body; `from` names the source CTE
+    * with (vec_id, emb) columns (default the normalized corpus `e`). */
+  def sqlSeedCte(name: String, from: String = "e"): String =
+    s"""$name AS (SELECT vec_id AS cent_id, emb AS cemb FROM $from
        ORDER BY ((vec_id % 1000003) * 2654435761) % 4294967296, vec_id LIMIT $NCells)"""
 }

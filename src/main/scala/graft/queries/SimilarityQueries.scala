@@ -506,7 +506,60 @@ object SimilarityQueries {
     Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_len
       FROM documents ORDER BY doc_id"""))
 
+  /** SemDeDup (Abbas et al., 2023) — semantic dedup WITHIN coarse-quantizer
+    * cells: cluster the corpus, then compare embeddings only against
+    * same-cell members and drop every vector with an earlier near-duplicate
+    * (cos >= 0.9; keep-lowest-id stands in for the paper's keep-one-per-
+    * ε-ball rule, deterministically). The cell structure is the blocking
+    * device: candidates meet through the cell equi-join, never corpus x
+    * corpus. The documented recall boundary is inherent to the method —
+    * a near-dup pair straddling a cell boundary is not compared (the paper
+    * accepts the same miss; the hyperplane-LSH path `q_dedup_embed_lsh`
+    * covers boundary-free blocking). Cells here are the fixed-size
+    * deterministic [[CentroidSeed]] sample over the twin-planted corpus;
+    * production raises NCells toward √n (FAISS guidance), keeping in-cell
+    * pair space ~linear — the dial is the operator's, never the data's.
+    * The oracle replays seeding, assignment, in-cell compare, and the
+    * keep rule end to end. */
+  private val semanticDedup = Q(
+    "q_dedup_semantic",
+    (s, d) => {
+      val corpus = augmentedCorpus(s, d).cache()
+      val centroids = broadcast(CentroidSeed.seeds(corpus))
+      val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+      // cached: the assigned frame feeds BOTH sides of the in-cell self-join
+      // and csim/dot is its dominant per-row cost
+      val assigned = corpus.crossJoin(centroids)
+        .select(col("vec_id"), col("emb"), col("cent_id"),
+          round(dot(col("emb"), col("cemb")), 6).as("csim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+        .cache()
+      val b = assigned.select(col("vec_id").as("vb"), col("emb").as("embb"), col("cell"))
+      assigned.join(b, Seq("cell"))
+        .filter(col("vec_id") < col("vb") &&
+          round(dot(col("emb"), col("embb")), 6) >= 0.9)
+        .groupBy(col("vb"), col("cell"))
+        .agg(min(col("vec_id")).as("keeper"))
+        .select(col("vb").as("vec_id"), col("keeper"), col("cell"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $sqlNormalized, $sqlAugmented,
+      ${CentroidSeed.sqlSeedCte("c0", from = "corpus")},
+      assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (
+          SELECT cv.vec_id, cv.emb, c.cent_id,
+                 row_number() OVER (PARTITION BY cv.vec_id
+                   ORDER BY round(list_dot_product(cv.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM corpus cv, c0 c) s WHERE rn = 1)
+      SELECT vb AS vec_id, keeper, cell FROM (
+        SELECT b.vec_id AS vb, a.cell AS cell, min(a.vec_id) AS keeper
+        FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          AND round(list_dot_product(a.emb, b.emb), 6) >= 0.9
+        GROUP BY b.vec_id, a.cell) g
+      ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(
     cosineTopk, neardupPairs, neardupLsh, embedDedup, embedDedupLsh,
-    clusterStats, lshAnn, ivfAnn, multimodalMeta)
+    clusterStats, lshAnn, ivfAnn, multimodalMeta, semanticDedup)
 }

@@ -155,6 +155,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sessions(2).user_id == 2 && sessions(2).n_events == 1)
   }
 
+  test("semantic dedup: planted twins recovered at SemDeDup's cell-bounded recall") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_dedup_semantic")(spark, d)
+      .select("vec_id", "keeper").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted twin (orig + 1e6, cos ~0.98 to its original) that lands
+    // in its original's cell must be dropped with the original as keeper;
+    // cell-boundary misses are the method's documented recall limit, so pin
+    // a floor rather than exactness — and NO original may ever be dropped
+    // in favor of its later twin (keep-first discipline)
+    val nTwins = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") % 5 === 0).count()
+    val twinHits = out.count { case (v, k) => v - k == 1000000L }
+    assert(twinHits >= (nTwins * 7) / 10, s"twin recall $twinHits/$nTwins below 70%")
+    assert(out.forall { case (v, k) => k < v }, "keeper must precede the dropped vector")
+  }
+
   test("ivf ann: scores exact for returned pairs, bounded shape, decent recall") {
     val d = "/root/testdata/sf0.001"
     val ivf = SparkEntry.queries("q_sim_ivf_ann")(spark, d)

@@ -144,6 +144,14 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_dedup_semantic: in-cell candidates meet through the cell equi-join, never a cartesian") {
+    // the centroid assignment legitimately broadcasts the 8-row seed table
+    // (a BNLJ by design, like the IVF family); the property that must hold
+    // is that the corpus-x-corpus compare stage never materializes
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bounded exact audits: the vec_id bound is pushed down to the parquet scan") {
     // q_dedup_embed's FINAL plan cannot show the scan — Closure's per-round
     // localCheckpoints truncate lineage — so the pin targets the candidate
