@@ -341,6 +341,44 @@ object VectorIndex {
     nDead
   }
 
+  /** Index small-file compaction — the [[Compaction]] analogue for the
+    * index: every [[appendIvfPq]] (and each streaming maintenance batch)
+    * rewrites `cells`/`codes` as a fresh file set, so a long-lived index
+    * accumulates small files and pays listing + open overhead on every
+    * search. Rewrites the two data tables coalesced to `targetFiles`
+    * (codebooks copied through — they are constant-size) and republishes
+    * through the same aside + rename + rollback swap; rows are untouched,
+    * so searches before and after are identical. Run it on the same cadence
+    * as table compaction. */
+  def vacuumIndex(spark: SparkSession, indexDir: String, targetFiles: Int = 4): Unit = {
+    val dir = new Path(indexDir)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
+    fs.delete(tmp, true)
+    fs.delete(aside, true)
+
+    spark.read.parquet(s"$indexDir/coarse")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/coarse")
+    spark.read.parquet(s"$indexDir/pq_codebook")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/pq_codebook")
+    spark.read.parquet(s"$indexDir/cells").repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
+    spark.read.parquet(s"$indexDir/codes").repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
+
+    if (!fs.rename(dir, aside))
+      throw new java.io.IOException(s"vector index: cannot move $indexDir aside")
+    if (!fs.rename(tmp, dir)) {
+      val rolledBack = fs.rename(aside, dir)
+      throw new java.io.IOException(
+        s"vector index: swap failed for $indexDir, " +
+          (if (rolledBack) "rolled back to the previous index"
+           else s"ROLLBACK ALSO FAILED - previous index preserved at $aside"))
+    }
+    fs.delete(aside, true)
+  }
+
   /** Rebuild trigger: when the appended delta's mean PQ quantization error
     * exceeds this multiple of the base slice's, the stored codebooks no
     * longer fit the incoming distribution — schedule [[buildIvfPq]]. 1.5x is

@@ -127,6 +127,61 @@ object DedupQueries {
         graft.functions.VectorFunctions.packBits(col("bits"), col("nwords")).as("bitmap"))
   }
 
+  /** Sparse twin of [[packBitmaps]]: the doc's set as SORTED bit numbers
+    * (array<int>). Row size rides DOC LENGTH — corpus-independent — where
+    * the dense bitmap's rides the VOCABULARY, which grows with the corpus:
+    * dense band rows shuffle corpus x vocab = quadratic bytes (measured as
+    * q_dedup_ngram's 10x wall term, PERF.md r5), sparse rows keep the band
+    * join linear at any scale, and there is no capacity ceiling to guard.
+    * The word -> bit numbering join deliberately SHUFFLES (no broadcast):
+    * the vocabulary grows with the corpus, so a broadcast would become the
+    * next scale cliff. Jaccard over bit ids equals Jaccard over words (the
+    * numbering is a bijection), so outputs are identical to the dense
+    * path's. */
+  private def packSparseBits(sets: DataFrame, setCol: String): DataFrame = {
+    val vocab = sets.select(explode(col(setCol)).as("w")).distinct()
+      .withColumn("bucket", pmod(xxhash64(col("w")), lit(VocabBuckets)).cast("int"))
+      .withColumn("rn", row_number().over(Window.partitionBy("bucket").orderBy("w")).cast("long"))
+    val offsets = vocab.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("bsz").over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    val numbered = vocab.join(broadcast(offsets.select("bucket", "off")), "bucket")
+      .select(col("w"), (col("off") + col("rn") - 1).cast("int").as("bit"))
+    sets
+      .select(col("doc_id"), explode(col(setCol)).as("w"))
+      .join(numbered, "w")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("bit"))).as("bits"))
+  }
+
+  /** Sparse twin of [[bandedBitmaps]]: (doc_id, bits, band, bh). */
+  private def bandedSparse(
+      sets: DataFrame, setCol: String, perms: Int, rows: Int, bands: Int): DataFrame =
+    sets
+      .select(col("doc_id"), bandHashes(minhashSig(col(setCol), perms), rows, bands).as("bhs"))
+      .join(packSparseBits(sets, setCol), "doc_id")
+      .select(col("doc_id"), col("bits"), posexplode(col("bhs")))
+      .toDF("doc_id", "bits", "band", "bh")
+
+  /** Sparse twin of [[verifiedPairs]]: exact set Jaccard from the sorted
+    * bit-id arrays, threshold inside the join — identical output values
+    * (intersection cardinalities are bijection-invariant; the division and
+    * round are the same IEEE ops). */
+  private def verifiedPairsSparse(banded: DataFrame, threshold: Column): DataFrame = {
+    val inter = size(array_intersect(col("x.bits"), col("y.bits"))).cast("double")
+    val jac = inter / (size(col("x.bits")) + size(col("y.bits")) - inter)
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id") && jac >= threshold)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        round(jac, 4).as("jaccard"))
+      .distinct()
+  }
+
   /** doc_id, bitmap, band, bh — one row per (doc, band), the bitmap riding
     * along so candidate verification is an in-place codegen filter on the
     * band self-join output (candidates are never shuffled again to look
@@ -348,10 +403,16 @@ object DedupQueries {
           graft.functions.VectorFunctions.distinctBigrams(split(col("text"), " ")).as("shingles"))
         .filter(size(col("shingles")) > 0)
         .cache()
-      val banded = bandedBitmaps(docs, "shingles", perms = 30, rows = 3, bands = 10).cache()
-      // raw kernel value in the join condition: round(j,4) >= 0.25 ⟺
-      // j >= 0.24995; survivors recompute j once for output
-      verifiedPairs(banded, lit(0.24995)).orderBy("doc_a", "doc_b")
+      // SPARSE representation (sorted bit ids, not dense bitmaps): bigram
+      // vocabulary grows with the corpus, so dense band rows would shuffle
+      // corpus x vocab = quadratic bytes — the r5 10x probe measured
+      // exactly that term here. Sparse rows ride doc length instead; the
+      // word-level queries (q_dedup_minhash*) keep the dense kernel, whose
+      // ~constant word vocabulary is the case it is optimal for.
+      val banded = bandedSparse(docs, "shingles", perms = 30, rows = 3, bands = 10).cache()
+      // raw value in the join condition: round(j,4) >= 0.25 ⟺ j >= 0.24995;
+      // survivors recompute j once for output
+      verifiedPairsSparse(banded, lit(0.24995)).orderBy("doc_a", "doc_b")
     },
     // exact semantics => full DuckDB oracle (bitmap packing and band
     // prefiltering are implementation details the oracle never sees)

@@ -38,8 +38,9 @@ object ScaleProbe {
     * Run: sbt 'runMain graft.tools.ScaleProbe heavy [sfDir] [replication]'
     */
   private val HeavyQueries = Seq(
-    "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed_lsh",
-    "q_sim_ivfpq", "q_sim_ivfpq_rerank", "q_join_fuzzy", "q_join_fuzzy_varlen")
+    "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed_lsh", "q_dedup_spans",
+    "q_sim_ivfpq", "q_sim_ivfpq_rerank", "q_sim_ivfpq_residual",
+    "q_join_fuzzy", "q_join_fuzzy_varlen")
 
   private val ReplicaIdOffset = 10000000L
 

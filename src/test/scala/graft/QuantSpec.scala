@@ -296,6 +296,31 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(new Path(idxBase, ".index.previous")))
   }
 
+  test("index vacuum: append-accumulated small files compact, search unchanged") {
+    import org.apache.hadoop.fs.Path
+    val idxBase = java.nio.file.Files.createTempDirectory("graft_vecidx_vac").toString
+    val idx = s"$idxBase/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, sf, idx, trainBound = 250)
+    graft.operators.VectorIndex.appendIvfPq(spark, sf, idx, minVecId = 250)
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles(t: String) =
+      fs.listStatus(new Path(s"$idx/$t")).count(f => f.getPath.getName.endsWith(".parquet"))
+    val before = graft.operators.VectorIndex.searchIvfPq(spark, sf, idx)
+      .collect().map(_.toString).toSeq
+    val rowsBefore = spark.read.parquet(s"$idx/codes").count()
+    // (at this test scale the append only produces a handful of files, so
+    // the pin is the bound + row/search preservation, not a strict shrink)
+    graft.operators.VectorIndex.vacuumIndex(spark, idx, targetFiles = 1)
+    assert(nFiles("codes") <= 1, s"codes files ${nFiles("codes")}")
+    assert(nFiles("cells") <= 1)
+    assert(spark.read.parquet(s"$idx/codes").count() == rowsBefore)
+    val after = graft.operators.VectorIndex.searchIvfPq(spark, sf, idx)
+      .collect().map(_.toString).toSeq
+    assert(after == before, "vacuum must not change search results")
+    assert(!fs.exists(new Path(idxBase, ".index.building")))
+    assert(!fs.exists(new Path(idxBase, ".index.previous")))
+  }
+
   test("pack_sequences: per-language token accounting is exact") {
     val out = run("q_pack_sequences").cache()
     // within each language: start of each doc equals sum of earlier docs' tokens
