@@ -28,7 +28,11 @@ object VectorIndex {
   import graft.queries.QuantQueries._
 
   /** Train on vectors with `vec_id < trainBound` and atomically publish the
-    * index under `indexDir` (default: the whole corpus). */
+    * index under `indexDir` (default: the whole corpus). A one-row `meta`
+    * table records the EFFECTIVE training boundary (min(trainBound,
+    * max indexed id + 1)) — the stable reference point
+    * [[driftRatio]]-driven rebuild decisions need after any number of
+    * appends. */
   def buildIvfPq(
       spark: SparkSession, sfDir: String, indexDir: String,
       trainBound: Long = Long.MaxValue): Unit = {
@@ -49,6 +53,8 @@ object VectorIndex {
     pqc1.write.mode(SaveMode.Overwrite).parquet(s"$tmp/pq_codebook")
     pqAssign(subs, pqc1).select("vec_id", "m", "cent_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
+    e.agg(least(lit(trainBound), max(col("vec_id")) + 1L).as("train_bound"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
     Seq(e, c2, subs, pqc1).foreach(_.unpersist())
 
     // same aside + swap + rollback discipline as appendIvfPq: a rebuild over
@@ -67,6 +73,21 @@ object VectorIndex {
     }
     fs.delete(aside, true)
   }
+
+  /** Copy the one-row `meta` table into a staging dir (absent on indexes
+    * built before meta existed — tolerated). */
+  private def copyMetaIfPresent(
+      spark: SparkSession, fs: FileSystem, indexDir: String, tmp: Path): Unit = {
+    val meta = new Path(s"$indexDir/meta")
+    if (fs.exists(meta))
+      spark.read.parquet(meta.toString)
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
+  }
+
+  /** The effective training boundary recorded at build time — every vec_id
+    * at or past it was encoded with codebooks that never saw it. */
+  def trainBoundOf(spark: SparkSession, indexDir: String): Long =
+    spark.read.parquet(s"$indexDir/meta").head().getLong(0)
 
   /** Append vectors with `vec_id >= minVecId` to a published index WITHOUT
     * retraining: the delta is assigned and encoded with the STORED
@@ -105,6 +126,7 @@ object VectorIndex {
     pqc1.write.mode(SaveMode.Overwrite).parquet(s"$tmp/pq_codebook")
     oldCells.unionByName(newCells).write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
     oldCodes.unionByName(newCodes).write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
+    copyMetaIfPresent(spark, fs, indexDir, tmp)
     coarse.unpersist()
     pqc1.unpersist()
 
@@ -327,6 +349,7 @@ object VectorIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
     spark.read.parquet(s"$indexDir/codes").join(tombstones, Seq("vec_id"), "left_anti")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
+    copyMetaIfPresent(spark, fs, indexDir, tmp)
 
     if (!fs.rename(dir, aside))
       throw new java.io.IOException(s"vector index: cannot move $indexDir aside")
@@ -366,6 +389,7 @@ object VectorIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
     spark.read.parquet(s"$indexDir/codes").repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
+    copyMetaIfPresent(spark, fs, indexDir, tmp)
 
     if (!fs.rename(dir, aside))
       throw new java.io.IOException(s"vector index: cannot move $indexDir aside")

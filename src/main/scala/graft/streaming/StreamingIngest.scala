@@ -197,15 +197,23 @@ object StreamingIngest {
     * the corpus write anti-joins the batch against already-landed vec_ids
     * (a column-pruned id scan; a table format would make this a MERGE), and
     * appendIvfPq itself is replay-idempotent. Codebook staleness under
-    * continuous append is the metered quantity — poll
-    * [[graft.operators.VectorIndex.driftRatio]] and rebuild past the
-    * threshold. */
+    * continuous append is the metered quantity: with
+    * `autoRebuildThreshold` set, each batch closes the loop — after the
+    * append, the drift of everything past the index's recorded training
+    * boundary is measured against the training slice, and a ratio over the
+    * threshold triggers a full retrain on the current corpus (the index's
+    * `meta` boundary advances with it). Production would typically hand
+    * the rebuild to a separate scheduler (it is a training job inside a
+    * micro-batch); the default None keeps the stream append-only and
+    * leaves [[graft.operators.VectorIndex.driftRatio]] to external
+    * polling. */
   def startIndexMaintenanceStream(
       vectors: DataFrame,
       corpusDir: String,
       indexDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      autoRebuildThreshold: Option[Double] = None): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -219,6 +227,11 @@ object StreamingIngest {
           fresh.write.mode("append").parquet(embDir)
           graft.operators.VectorIndex.appendIvfPq(
             s, corpusDir, indexDir, minVecId.asInstanceOf[Long])
+          autoRebuildThreshold.foreach { threshold =>
+            val bound = graft.operators.VectorIndex.trainBoundOf(s, indexDir)
+            if (graft.operators.VectorIndex.driftRatio(s, corpusDir, indexDir, bound) > threshold)
+              graft.operators.VectorIndex.buildIvfPq(s, corpusDir, indexDir)
+          }
         }
         fresh.unpersist()
         ()

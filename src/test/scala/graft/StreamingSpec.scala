@@ -422,6 +422,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$idx/codes").count() == (nBase + 5) * 8)
   }
 
+  test("streaming index maintenance: drift past the threshold triggers an in-loop rebuild") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = s"$base/idx_rebuild_corpus"
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .write.parquet(s"$corpus/embeddings.parquet")
+    val idx = s"$corpus/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, corpus, idx)
+    val nBase = spark.read.parquet(s"$corpus/embeddings.parquet").count()
+    assert(graft.operators.VectorIndex.trainBoundOf(spark, idx) == nBase)
+    val codebookBefore =
+      spark.read.parquet(s"$idx/pq_codebook").collect().map(_.toString).sorted.toSeq
+    val delta = spark.read.parquet(s"$corpus/embeddings.parquet")
+      .filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0) + 10000L, r.getSeq[Float](1), r.getInt(2))).toSeq
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    // threshold 0 => any measured drift exceeds it: the batch must append,
+    // detect, RETRAIN on the extended corpus, and advance the recorded
+    // training boundary — the full closed loop in one micro-batch
+    val q = StreamingIngest.startIndexMaintenanceStream(
+      mem.toDF().toDF("vec_id", "embedding", "label"), corpus, idx,
+      s"$base/idx_rebuild_ckpt", Trigger.AvailableNow(), autoRebuildThreshold = Some(0.0))
+    mem.addData(delta: _*)
+    q.awaitTermination(180000)
+    assert(graft.operators.VectorIndex.trainBoundOf(spark, idx) == 10005L,
+      "rebuild must advance the training boundary past the streamed ids")
+    val codebookAfter =
+      spark.read.parquet(s"$idx/pq_codebook").collect().map(_.toString).sorted.toSeq
+    assert(codebookAfter != codebookBefore, "rebuild must retrain the codebooks")
+    assert(spark.read.parquet(s"$idx/cells").count() == nBase + 5)
+    // the rebuilt index still serves, atomically published
+    assert(graft.operators.VectorIndex.searchIvfPq(spark, corpus, idx).count() > 0)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(corpus, ".index.building")))
+    assert(!fs.exists(new Path(corpus, ".index.previous")))
+  }
+
   test("lake lifecycle: ingest -> compact -> zorder -> merge -> retention compose on one table") {
     // the maintenance operators share one swap discipline; this drives a
     // table through the whole lifecycle and checks every stage leaves a
