@@ -155,6 +155,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sessions(2).user_id == 2 && sessions(2).n_events == 1)
   }
 
+  test("multi-probe LSH: recall@5 dominates single-bucket LSH (the probe dial works)") {
+    val d = "/root/testdata/sf0.001"
+    def top5(name: String) = SparkEntry.queries(name)(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = top5("q_sim_cosine_topk")
+    val single = top5("q_sim_lsh_ann")
+    val multi = top5("q_sim_lsh_multiprobe")
+    // the single bucket is always among the probed buckets, so multiprobe's
+    // candidate set is a superset: recall vs the exact baseline cannot drop
+    val singleRecall = exact.toSeq.map { case (q, t) => single.getOrElse(q, Set.empty[Long]).intersect(t).size }.sum
+    val multiRecall = exact.toSeq.map { case (q, t) => multi.getOrElse(q, Set.empty[Long]).intersect(t).size }.sum
+    assert(multiRecall >= singleRecall, s"multiprobe $multiRecall < single $singleRecall")
+    // and every query now surfaces a full top-5 (64 buckets x 500 docs can
+    // leave a lone bucket short; 7 probes should not)
+    assert(multi.forall { case (_, s) => s.size == 5 }, multi.view.mapValues(_.size).toMap.toString)
+  }
+
   test("semantic dedup: planted twins recovered at SemDeDup's cell-bounded recall") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q_dedup_semantic")(spark, d)

@@ -87,4 +87,42 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // --- deletion-neighborhood recall (the q_join_fuzzy_varlen guarantee) ---
+
+  /** The string plus every single-character deletion — the candidate key
+    * set the varlen fuzzy join generates per record (Relational.scala). */
+  private def delNeighborhood(s: String): Set[String] =
+    Set(s) ++ s.indices.map(i => s.substring(0, i) + s.substring(i + 1))
+
+  test("deletion neighborhood: ANY single edit (sub/ins/del) shares a variant — recall 1.0") {
+    val word = for {
+      n <- Gen.choose(1, 24)
+      cs <- Gen.listOfN(n, Gen.alphaNumChar)
+    } yield cs.mkString
+    val edit = for {
+      w <- word
+      kind <- Gen.choose(0, 2)
+      pos <- Gen.choose(0, math.max(0, w.length - 1))
+      c <- Gen.alphaNumChar
+    } yield (w, kind match {
+      case 0 => w.substring(0, pos) + c + w.substring(pos + 1) // substitute
+      case 1 => w.substring(0, pos) + c + w.substring(pos)     // insert
+      case 2 if w.length > 1 => w.substring(0, pos) + w.substring(pos + 1) // delete
+      case _ => w + c // length-1 word: degrade delete to append (still ed 1)
+    })
+    forAllG(edit) { case (a, b) =>
+      // the pigeonhole the join's equi-key relies on: every edit-distance-1
+      // pair meets through at least one shared deletion variant, regardless
+      // of WHERE the edit lands or whether it changes the length
+      assert(delNeighborhood(a).intersect(delNeighborhood(b)).nonEmpty,
+        s"ed-1 pair ('$a', '$b') shares no deletion variant")
+    }
+  }
+
+  test("deletion neighborhood: candidate-set size is linear in the key length") {
+    forAllG(Gen.listOfN(24, Gen.alphaNumChar).map(_.mkString)) { w =>
+      assert(delNeighborhood(w).size <= w.length + 1)
+    }
+  }
 }
