@@ -298,9 +298,31 @@ object VectorIndex {
       nQueries: Int = 5,
       nprobe: Int = 3,
       k: Int = 5,
-      kPrime: Int = graft.queries.QuantQueries.RerankKPrime): DataFrame = {
-    val shortlist = searchIvfPq(spark, sfDir, indexDir, nQueries, nprobe, kPrime)
-      .select(col("query_id"), col("neighbor_id"))
+      kPrime: Int = graft.queries.QuantQueries.RerankKPrime): DataFrame =
+    refine(spark, sfDir,
+      searchIvfPq(spark, sfDir, indexDir, nQueries, nprobe, kPrime), nQueries, k)
+
+  /** The full FAISS-default serving stack: residual ADC shortlist
+    * ([[searchIvfPqResidual]] over a [[buildIvfPqResidual]] index) refined
+    * by exact distance — by_residual=true + IndexRefineFlat composed. */
+  def searchIvfPqResidualRerank(
+      spark: SparkSession,
+      sfDir: String,
+      indexDir: String,
+      nQueries: Int = 5,
+      nprobe: Int = 3,
+      k: Int = 5,
+      kPrime: Int = graft.queries.QuantQueries.RerankKPrime): DataFrame =
+    refine(spark, sfDir,
+      searchIvfPqResidual(spark, sfDir, indexDir, nQueries, nprobe, kPrime), nQueries, k)
+
+  /** Exact re-rank of an ADC shortlist: the (k' x queries)-row shortlist
+    * broadcasts into one pass over the raw vectors; only shortlisted
+    * vectors are ever decoded. */
+  private def refine(
+      spark: SparkSession, sfDir: String, shortlistRanked: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
+    val shortlist = shortlistRanked.select(col("query_id"), col("neighbor_id"))
     val e = normalizedEmbeddings(spark, sfDir)
     val qv = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))

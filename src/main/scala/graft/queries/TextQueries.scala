@@ -369,6 +369,46 @@ object TextQueries {
       FROM tokens t JOIN lg USING (w), tot
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** BPE merge-pair induction — the counting step a tokenizer trainer runs
+    * before every merge (Sennrich et al., 2016): collapse the corpus to a
+    * word-frequency table (the classic BPE "word dict" — pair statistics
+    * weight by word count, and the heavy text column is DROPPED before any
+    * further shuffle), explode each distinct word's adjacent character
+    * pairs, and rank pair frequencies — the top pair IS the first merge a
+    * BPE vocabulary would learn. Scale shape: two high-entropy keyed
+    * shuffles (word count, then pair count over DISTINCT words only —
+    * corpus volume touches only the first), top-20 via ranking window over
+    * pair counts. */
+  private val bpeMerges = Q(
+    "q_text_bpe_merges",
+    (s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(desc("cnt"), asc("pair"))
+      words
+        .select(col("n"),
+          explode(transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair")
+        .agg(sum("n").as("cnt"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .orderBy("rn")
+    },
+    Some("""WITH words AS (
+        SELECT w, count(*) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE length(w) >= 2 GROUP BY w),
+      pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, n
+                FROM words, LATERAL unnest(range(1, length(w))) t(i)),
+      counted AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM pairs GROUP BY pair)
+      SELECT pair, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rn
+      FROM counted QUALIFY rn <= 20 ORDER BY rn"""))
+
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
-    tfidf, trainSplit, redact, langBalance, repetition, surprisal)
+    tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges)
 }

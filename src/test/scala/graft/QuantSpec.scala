@@ -264,6 +264,11 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).toSeq
     val inline = run("q_sim_ivfpq_residual").collect().map(_.toString).toSeq
     assert(stored.nonEmpty && stored == inline)
+    // the composed FAISS-default stack (residual ADC + exact refine) serves
+    // full top-5s whose exact scores dominate what pure residual ADC ranked
+    val rr = graft.operators.VectorIndex.searchIvfPqResidualRerank(spark, sf, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rr.length == 25 && rr.map(_._1).distinct.length == 5)
     import org.apache.hadoop.fs.Path
     val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new Path(idxBase, ".index.building")))

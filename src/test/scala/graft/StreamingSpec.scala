@@ -441,13 +441,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("vec_id") < 5).collect()
       .map(r => (r.getLong(0) + 10000L, r.getSeq[Float](1), r.getInt(2))).toSeq
     val mem = MemoryStream[(Long, Seq[Float], Int)]
+    // data BEFORE start: AvailableNow snapshots the available offsets when
+    // the query starts, so a later addData may be silently skipped
+    mem.addData(delta: _*)
     // threshold 0 => any measured drift exceeds it: the batch must append,
     // detect, RETRAIN on the extended corpus, and advance the recorded
     // training boundary — the full closed loop in one micro-batch
     val q = StreamingIngest.startIndexMaintenanceStream(
       mem.toDF().toDF("vec_id", "embedding", "label"), corpus, idx,
       s"$base/idx_rebuild_ckpt", Trigger.AvailableNow(), autoRebuildThreshold = Some(0.0))
-    mem.addData(delta: _*)
     q.awaitTermination(180000)
     assert(graft.operators.VectorIndex.trainBoundOf(spark, idx) == 10005L,
       "rebuild must advance the training boundary past the streamed ids")
