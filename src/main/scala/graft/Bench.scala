@@ -90,18 +90,27 @@ object Bench {
     // are re-timed alone on a settled heap — the cross-talk discriminator
     val flagged = ordered.filter { case (name, _) => stat(name)._1 >= IsolateThresholdSec }
     val isolated = flagged.map { case (name, fn) =>
-      val xs = (1 to TimedRuns).map { _ =>
+      // a failed attempt must NOT contribute its elapsed time: timing a
+      // crash looks "fast" and would defeat the cross-talk discriminator —
+      // failures are dropped and an all-failed query reports null
+      val xs = (1 to TimedRuns).flatMap { _ =>
         spark.catalog.clearCache()
         gcSettle()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] isolated $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] isolated $name failed: $e"); None
+        }
       }.sorted
-      name -> xs(xs.length / 2)
+      name -> (if (xs.isEmpty) None else Some(xs(xs.length / 2)))
     }
-    val isolatedJson =
-      isolated.map { case (n, t) => "\"" + n + f"""":$t%.3f""" }.mkString("{", ",", "}")
+    val isolatedJson = isolated.map {
+      case (n, Some(t)) => "\"" + n + f"""":$t%.3f"""
+      case (n, None) => "\"" + n + "\":null"
+    }.mkString("{", ",", "}")
 
     val streamLatency = streamingLatencyProbe(spark)
 

@@ -1,19 +1,29 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF-PQ index — the build-once / search-many lifecycle that
   * makes index training amortize. `q_sim_ivfpq` retrains inside the query
   * (so the oracle can replay the whole lifecycle); a production deployment
-  * trains ONCE and serves every subsequent search from four stored tables:
+  * trains ONCE and serves every subsequent search from stored tables:
   *
   *   coarse/        trained coarse codebook (cent_id, cemb, norm2_micro)
   *   cells/         corpus coarse assignment (vec_id, cell)
   *   pq_codebook/   trained sub-codebooks (m, cent_id, cm)
   *   codes/         corpus PQ codes (vec_id, m, cent_id) — 8 codes/vector
+  *   meta/          one row: train_bound, flavor, base_n, base_total_err
+  *   tombstones/    erased vec_ids (present only after a delete)
+  *
+  * `meta` makes the index self-describing: the effective training boundary
+  * (the stable reference point rebuild decisions need after any number of
+  * appends), the index FLAVOR ("plain" vs "residual" — byte-identical
+  * table layouts otherwise, and FAISS persists by_residual for exactly
+  * this reason: appending or searching with the wrong flavor silently
+  * corrupts rankings), and the base slice's PQ error stats captured at
+  * build time so [[driftRatio]] is O(delta), not O(corpus).
   *
   * At 100 TB the stored footprint is what matters: `codes` + `cells` are a
   * few bytes per vector (vs 512 for raw doubles), the codebooks are
@@ -27,51 +37,58 @@ object VectorIndex {
 
   import graft.queries.QuantQueries._
 
-  /** Train on vectors with `vec_id < trainBound` and atomically publish the
-    * index under `indexDir` (default: the whole corpus). A one-row `meta`
-    * table records the EFFECTIVE training boundary (min(trainBound,
-    * max indexed id + 1)) — the stable reference point
-    * [[driftRatio]]-driven rebuild decisions need after any number of
-    * appends. */
-  def buildIvfPq(
-      spark: SparkSession, sfDir: String, indexDir: String,
-      trainBound: Long = Long.MaxValue): Unit = {
-    val dir = new Path(indexDir)
-    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
-    fs.delete(tmp, true)
+  val FlavorPlain = "plain"
+  val FlavorResidual = "residual"
 
-    val e = normalizedEmbeddings(spark, sfDir).filter(col("vec_id") < trainBound).cache()
-    val c2 = trainedCodebook(e).cache()
-    val em = microEmbeddings(spark, sfDir).filter(col("vec_id") < trainBound)
-    val subs = subVectors(em).cache()
-    val pqc1 = pqCodebook(subs, em).cache()
+  // ---------------------------------------------------------------------
+  // meta / tombstones plumbing
+  // ---------------------------------------------------------------------
 
-    c2.write.mode(SaveMode.Overwrite).parquet(s"$tmp/coarse")
-    kmeansAssign(e, c2).select(col("vec_id"), col("cent_id").as("cell"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
-    pqc1.write.mode(SaveMode.Overwrite).parquet(s"$tmp/pq_codebook")
-    pqAssign(subs, pqc1).select("vec_id", "m", "cent_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
-    e.agg(least(lit(trainBound), max(col("vec_id")) + 1L).as("train_bound"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
-    Seq(e, c2, subs, pqc1).foreach(_.unpersist())
+  private def fsOf(spark: SparkSession, dir: Path): FileSystem =
+    FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
 
-    // same aside + swap + rollback discipline as appendIvfPq: a rebuild over
-    // an existing index must never pass through a state where the old index
-    // is gone and the new one is not yet in place
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
-    fs.delete(aside, true)
-    if (fs.exists(dir) && !fs.rename(dir, aside))
-      throw new java.io.IOException(s"vector index: cannot move $indexDir aside")
-    if (!fs.rename(tmp, dir)) {
-      val rolledBack = fs.exists(aside) && fs.rename(aside, dir)
-      throw new java.io.IOException(
-        s"vector index: swap failed for $indexDir, " +
-          (if (rolledBack) "rolled back to the previous index"
-           else s"no previous index to roll back to (or rollback failed - see $aside)"))
-    }
-    fs.delete(aside, true)
+  private def readMetaOpt(spark: SparkSession, indexDir: String): Option[Row] = {
+    val meta = new Path(s"$indexDir/meta")
+    if (!fsOf(spark, meta).exists(meta)) None
+    else spark.read.parquet(meta.toString).collect().headOption
+  }
+
+  private def metaLongOpt(r: Row, name: String): Option[Long] = {
+    val i = r.schema.fieldNames.indexOf(name)
+    if (i < 0 || r.isNullAt(i)) None else Some(r.getLong(i))
+  }
+
+  /** The effective training boundary recorded at build time, if this index
+    * has one — `None` on indexes built before `meta` existed or whose
+    * recorded bound is null (empty train slice). Every vec_id at or past
+    * the bound was encoded with codebooks that never saw it. */
+  def trainBoundOpt(spark: SparkSession, indexDir: String): Option[Long] =
+    readMetaOpt(spark, indexDir).flatMap(metaLongOpt(_, "train_bound"))
+
+  /** Strict variant of [[trainBoundOpt]] for callers that require a
+    * recorded boundary (fails with a diagnosable message, not an
+    * AnalysisException/NPE, on legacy or degenerate indexes). */
+  def trainBoundOf(spark: SparkSession, indexDir: String): Long =
+    trainBoundOpt(spark, indexDir).getOrElse(throw new IllegalStateException(
+      s"vector index $indexDir has no recorded training boundary " +
+        "(built before meta existed, or with an empty train slice) — " +
+        "rebuild it to record one"))
+
+  /** The index flavor recorded at build time; indexes that predate the
+    * flavor field were only ever built plain. */
+  def flavorOf(spark: SparkSession, indexDir: String): String =
+    readMetaOpt(spark, indexDir).flatMap { r =>
+      val i = r.schema.fieldNames.indexOf("flavor")
+      if (i < 0 || r.isNullAt(i)) None else Some(r.getString(i))
+    }.getOrElse(FlavorPlain)
+
+  private def requireFlavor(
+      spark: SparkSession, indexDir: String, expected: String, op: String): Unit = {
+    val actual = flavorOf(spark, indexDir)
+    require(actual == expected,
+      s"$op on $indexDir: index flavor is '$actual', expected '$expected' — " +
+        "plain and residual indexes are byte-indistinguishable on disk, and " +
+        "mixing them silently corrupts rankings (use the matching build/search)")
   }
 
   /** Copy the one-row `meta` table into a staging dir (absent on indexes
@@ -84,10 +101,161 @@ object VectorIndex {
         .write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
   }
 
-  /** The effective training boundary recorded at build time — every vec_id
-    * at or past it was encoded with codebooks that never saw it. */
-  def trainBoundOf(spark: SparkSession, indexDir: String): Long =
-    spark.read.parquet(s"$indexDir/meta").head().getLong(0)
+  /** Erased vec_ids persisted in the index so later appends/rebuilds cannot
+    * resurrect them (GDPR deletes must stick even if the corpus row is
+    * purged on a different cadence). Empty frame when none recorded. */
+  private def tombstonesOf(spark: SparkSession, indexDir: String): DataFrame = {
+    val t = new Path(s"$indexDir/tombstones")
+    if (fsOf(spark, t).exists(t)) spark.read.parquet(t.toString)
+    else spark.range(0).select(col("id").as("vec_id"))
+  }
+
+  private def copyTombstonesIfPresent(
+      spark: SparkSession, fs: FileSystem, indexDir: String, tmp: Path): Unit = {
+    val t = new Path(s"$indexDir/tombstones")
+    if (fs.exists(t))
+      spark.read.parquet(t.toString)
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/tombstones")
+  }
+
+  /** Drop tombstoned ids from a (vec_id, ...) frame. The tombstone set is
+    * small by construction (targeted erasures), so this is a broadcast
+    * anti-join inside the same stage — free at any corpus size. */
+  private def notTombstoned(df: DataFrame, tombstones: DataFrame): DataFrame =
+    df.join(broadcast(tombstones.select("vec_id")), Seq("vec_id"), "left_anti")
+
+  /** Atomic publish: move the live index aside, swap the staged one in,
+    * roll back on failure. Tolerates a missing live dir (first build). */
+  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path, aside: Path): Unit = {
+    fs.delete(aside, true)
+    if (fs.exists(dir) && !fs.rename(dir, aside))
+      throw new java.io.IOException(s"vector index: cannot move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      val rolledBack = fs.exists(aside) && fs.rename(aside, dir)
+      throw new java.io.IOException(
+        s"vector index: swap failed for $dir, " +
+          (if (rolledBack) "rolled back to the previous index"
+           else s"no previous index to roll back to (or rollback failed - see $aside)"))
+    }
+    fs.delete(aside, true)
+  }
+
+  // ---------------------------------------------------------------------
+  // build
+  // ---------------------------------------------------------------------
+
+  /** Train on vectors with `vec_id < trainBound` and atomically publish the
+    * index under `indexDir` (default: the whole corpus). The `meta` row
+    * records the EFFECTIVE training boundary (min(trainBound, max indexed
+    * id + 1), 0 when the train slice is empty), the flavor, and the base
+    * slice's PQ error stats (row count + total integer squared error) so
+    * later [[driftRatio]] calls never have to re-encode the base. A rebuild
+    * over an existing index carries its tombstones forward and excludes
+    * them — an erased vector stays erased even when the corpus row has not
+    * been purged yet. */
+  def buildIvfPq(
+      spark: SparkSession, sfDir: String, indexDir: String,
+      trainBound: Long = Long.MaxValue): Unit = {
+    val dir = new Path(indexDir)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    fs.delete(tmp, true)
+    val tombstones = tombstonesOf(spark, indexDir).cache()
+
+    val e = notTombstoned(
+      normalizedEmbeddings(spark, sfDir).filter(col("vec_id") < trainBound),
+      tombstones).cache()
+    val c2 = trainedCodebook(e).cache()
+    val em = notTombstoned(
+      microEmbeddings(spark, sfDir).filter(col("vec_id") < trainBound), tombstones)
+    val subs = subVectors(em).cache()
+    val pqc1 = pqCodebook(subs, em).cache()
+    val assigned = pqAssign(subs, pqc1).cache()
+
+    c2.write.mode(SaveMode.Overwrite).parquet(s"$tmp/coarse")
+    kmeansAssign(e, c2).select(col("vec_id"), col("cent_id").as("cell"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
+    pqc1.write.mode(SaveMode.Overwrite).parquet(s"$tmp/pq_codebook")
+    assigned.select("vec_id", "m", "cent_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
+    writeMeta(spark, tmp, assigned, trainBound, FlavorPlain)
+    writeTombstonesIfAny(spark, fs, tmp, tombstones)
+    Seq(e, c2, subs, pqc1, assigned, tombstones).foreach(_.unpersist())
+
+    atomicSwap(fs, dir, tmp, new Path(dir.getParent, s".${dir.getName}.previous"))
+  }
+
+  /** Residual-PQ index build (FAISS `by_residual=true`, its default): same
+    * stored tables as [[buildIvfPq]], but `pq_codebook`/`codes` quantize
+    * (x - assigned coarse centroid) instead of x — lower quantization error
+    * at identical storage (pinned in QuantSpec against the no-residual
+    * path). The coarse table's exact integer micro components (`cmm`) make
+    * the residual computation exact BIGINT math at build AND serve time.
+    * `meta` records flavor "residual" so every downstream operation
+    * (append, search, drift, auto-rebuild) encodes the matching way. */
+  def buildIvfPqResidual(
+      spark: SparkSession, sfDir: String, indexDir: String,
+      trainBound: Long = Long.MaxValue): Unit = {
+    val dir = new Path(indexDir)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    fs.delete(tmp, true)
+    val tombstones = tombstonesOf(spark, indexDir).cache()
+
+    val e = notTombstoned(
+      normalizedEmbeddings(spark, sfDir).filter(col("vec_id") < trainBound),
+      tombstones).cache()
+    val c2 = trainedCodebook(e).cache()
+    val cells = kmeansAssign(e, c2).select(col("vec_id"), col("cent_id").as("cell")).cache()
+    val em = notTombstoned(
+      microEmbeddings(spark, sfDir).filter(col("vec_id") < trainBound), tombstones)
+    val resid = em.join(cells, "vec_id")
+      .join(broadcast(c2.select(col("cent_id").as("cell"), col("cmm"))), "cell")
+      .select(col("vec_id"), zip_with(col("xm"), col("cmm"), (x, c) => x - c).as("xm"))
+      .cache()
+    val subs = subVectors(resid).cache()
+    val pqc1 = pqCodebook(subs, resid).cache()
+    val assigned = pqAssign(subs, pqc1).cache()
+
+    c2.write.mode(SaveMode.Overwrite).parquet(s"$tmp/coarse")
+    cells.write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
+    pqc1.write.mode(SaveMode.Overwrite).parquet(s"$tmp/pq_codebook")
+    assigned.select("vec_id", "m", "cent_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
+    writeMeta(spark, tmp, assigned, trainBound, FlavorResidual)
+    writeTombstonesIfAny(spark, fs, tmp, tombstones)
+    Seq(e, c2, cells, resid, subs, pqc1, assigned, tombstones).foreach(_.unpersist())
+
+    atomicSwap(fs, dir, tmp, new Path(dir.getParent, s".${dir.getName}.previous"))
+  }
+
+  /** One bounded collect over the already-cached code assignment: the
+    * effective training boundary and the base slice's error stats, written
+    * as the one-row meta table. Guards the empty-train-slice case (null
+    * max → bound 0, stats 0) instead of writing a null row. */
+  private def writeMeta(
+      spark: SparkSession, tmp: Path, assigned: DataFrame,
+      trainBound: Long, flavor: String): Unit = {
+    val s = assigned.agg(
+      coalesce(least(lit(trainBound), max(col("vec_id")) + 1L), lit(0L)),
+      count(lit(1)),
+      coalesce(sum(col("dist")), lit(0L))).head()
+    spark.range(1).select(
+        lit(s.getLong(0)).as("train_bound"),
+        lit(flavor).as("flavor"),
+        lit(s.getLong(1)).as("base_n"),
+        lit(s.getLong(2)).as("base_total_err"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
+  }
+
+  private def writeTombstonesIfAny(
+      spark: SparkSession, fs: FileSystem, tmp: Path, tombstones: DataFrame): Unit =
+    if (!tombstones.isEmpty)
+      tombstones.write.mode(SaveMode.Overwrite).parquet(s"$tmp/tombstones")
+
+  // ---------------------------------------------------------------------
+  // append
+  // ---------------------------------------------------------------------
 
   /** Append vectors with `vec_id >= minVecId` to a published index WITHOUT
     * retraining: the delta is assigned and encoded with the STORED
@@ -95,19 +263,26 @@ object VectorIndex {
     * codebooks go stale gradually until a scheduled rebuild — and the
     * extended index publishes through the same hidden-dir + rename swap,
     * so searchers see the old index or the extended one, never a mix.
-    * Delta work is O(delta x codebook): the existing corpus is copied
-    * through (at 100 TB the copy becomes a metadata move in a table
-    * format; the training/encoding cost — the expensive part — is
-    * delta-only either way). */
+    * Flavor-aware: on a residual index the delta is encoded as residuals
+    * against the stored coarse centroids (encoding raw sub-vectors against
+    * residual codebooks would silently corrupt every ranking the delta
+    * touches). Tombstoned ids are excluded, so a GDPR-deleted vector is
+    * not resurrected by a replayed or overlapping append. Delta work is
+    * O(delta x codebook): the existing corpus is copied through (at 100 TB
+    * the copy becomes a metadata move in a table format; the
+    * training/encoding cost — the expensive part — is delta-only either
+    * way). */
   def appendIvfPq(
       spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Unit = {
     val dir = new Path(indexDir)
-    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, dir)
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
     fs.delete(aside, true)
 
+    val flavor = flavorOf(spark, indexDir)
+    val tombstones = tombstonesOf(spark, indexDir).cache()
     val coarse = spark.read.parquet(s"$indexDir/coarse").cache()
     val pqc1 = spark.read.parquet(s"$indexDir/pq_codebook").cache()
     // idempotent replay guard: if a crash landed AFTER the publish but before
@@ -117,9 +292,19 @@ object VectorIndex {
     val oldCells = spark.read.parquet(s"$indexDir/cells").filter(col("vec_id") < minVecId)
     val oldCodes = spark.read.parquet(s"$indexDir/codes").filter(col("vec_id") < minVecId)
 
-    val e = normalizedEmbeddings(spark, sfDir).filter(col("vec_id") >= minVecId)
-    val subs = subVectors(microEmbeddings(spark, sfDir).filter(col("vec_id") >= minVecId))
-    val newCells = kmeansAssign(e, coarse).select(col("vec_id"), col("cent_id").as("cell"))
+    val e = notTombstoned(
+      normalizedEmbeddings(spark, sfDir).filter(col("vec_id") >= minVecId), tombstones)
+    val newCells =
+      kmeansAssign(e, coarse).select(col("vec_id"), col("cent_id").as("cell")).cache()
+    val em = notTombstoned(
+      microEmbeddings(spark, sfDir).filter(col("vec_id") >= minVecId), tombstones)
+    val subs = flavor match {
+      case FlavorResidual =>
+        subVectors(em.join(newCells, "vec_id")
+          .join(broadcast(coarse.select(col("cent_id").as("cell"), col("cmm"))), "cell")
+          .select(col("vec_id"), zip_with(col("xm"), col("cmm"), (x, c) => x - c).as("xm")))
+      case _ => subVectors(em)
+    }
     val newCodes = pqAssign(subs, pqc1).select("vec_id", "m", "cent_id")
 
     coarse.write.mode(SaveMode.Overwrite).parquet(s"$tmp/coarse")
@@ -127,24 +312,20 @@ object VectorIndex {
     oldCells.unionByName(newCells).write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
     oldCodes.unionByName(newCodes).write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
     copyMetaIfPresent(spark, fs, indexDir, tmp)
-    coarse.unpersist()
-    pqc1.unpersist()
+    copyTombstonesIfPresent(spark, fs, indexDir, tmp)
+    Seq(coarse, pqc1, newCells, tombstones).foreach(_.unpersist())
 
-    if (!fs.rename(dir, aside))
-      throw new java.io.IOException(s"vector index: cannot move $indexDir aside")
-    if (!fs.rename(tmp, dir)) {
-      val rolledBack = fs.rename(aside, dir)
-      throw new java.io.IOException(
-        s"vector index: swap failed for $indexDir, " +
-          (if (rolledBack) "rolled back to the previous index"
-           else s"ROLLBACK ALSO FAILED - previous index preserved at $aside"))
-    }
-    fs.delete(aside, true)
+    atomicSwap(fs, dir, tmp, aside)
   }
+
+  // ---------------------------------------------------------------------
+  // search
+  // ---------------------------------------------------------------------
 
   /** Serve an IVF-PQ search for query vectors `vec_id < nQueries` entirely
     * from the stored index (plus one scan of the query vectors themselves).
-    * Identical ranking semantics to `q_sim_ivfpq`. */
+    * Identical ranking semantics to `q_sim_ivfpq`. Refuses to serve a
+    * residual-flavor index — its codes are meaningless under plain ADC. */
   def searchIvfPq(
       spark: SparkSession,
       sfDir: String,
@@ -152,6 +333,7 @@ object VectorIndex {
       nQueries: Int = 5,
       nprobe: Int = 3,
       k: Int = 5): DataFrame = {
+    requireFlavor(spark, indexDir, FlavorPlain, "searchIvfPq")
     val coarse = spark.read.parquet(s"$indexDir/coarse")
     val cells = spark.read.parquet(s"$indexDir/cells")
     val pqc1 = spark.read.parquet(s"$indexDir/pq_codebook")
@@ -185,57 +367,10 @@ object VectorIndex {
       .orderBy("query_id", "rn")
   }
 
-  /** Residual-PQ index build (FAISS `by_residual=true`, its default): same
-    * four stored tables as [[buildIvfPq]], but `pq_codebook`/`codes`
-    * quantize (x - assigned coarse centroid) instead of x — lower
-    * quantization error at identical storage (pinned in QuantSpec against
-    * the no-residual path). The coarse table's exact integer micro
-    * components (`cmm`) make the residual computation exact BIGINT math at
-    * build AND serve time. Same atomic aside+rename publish. */
-  def buildIvfPqResidual(
-      spark: SparkSession, sfDir: String, indexDir: String,
-      trainBound: Long = Long.MaxValue): Unit = {
-    val dir = new Path(indexDir)
-    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
-    fs.delete(tmp, true)
-
-    val e = normalizedEmbeddings(spark, sfDir).filter(col("vec_id") < trainBound).cache()
-    val c2 = trainedCodebook(e).cache()
-    val cells = kmeansAssign(e, c2).select(col("vec_id"), col("cent_id").as("cell")).cache()
-    val em = microEmbeddings(spark, sfDir).filter(col("vec_id") < trainBound)
-    val resid = em.join(cells, "vec_id")
-      .join(broadcast(c2.select(col("cent_id").as("cell"), col("cmm"))), "cell")
-      .select(col("vec_id"), zip_with(col("xm"), col("cmm"), (x, c) => x - c).as("xm"))
-      .cache()
-    val subs = subVectors(resid).cache()
-    val pqc1 = pqCodebook(subs, resid).cache()
-
-    c2.write.mode(SaveMode.Overwrite).parquet(s"$tmp/coarse")
-    cells.write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
-    pqc1.write.mode(SaveMode.Overwrite).parquet(s"$tmp/pq_codebook")
-    pqAssign(subs, pqc1).select("vec_id", "m", "cent_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
-    Seq(e, c2, cells, resid, subs, pqc1).foreach(_.unpersist())
-
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
-    fs.delete(aside, true)
-    if (fs.exists(dir) && !fs.rename(dir, aside))
-      throw new java.io.IOException(s"vector index: cannot move $indexDir aside")
-    if (!fs.rename(tmp, dir)) {
-      val rolledBack = fs.exists(aside) && fs.rename(aside, dir)
-      throw new java.io.IOException(
-        s"vector index: swap failed for $indexDir, " +
-          (if (rolledBack) "rolled back to the previous index"
-           else s"no previous index to roll back to (or rollback failed - see $aside)"))
-    }
-    fs.delete(aside, true)
-  }
-
   /** Serve a residual-PQ search from an index built by
     * [[buildIvfPqResidual]] — identical ranking semantics to
     * `q_sim_ivfpq_residual` (per-probed-cell query residual tables,
-    * integer ADC). */
+    * integer ADC). Refuses to serve a plain-flavor index. */
   def searchIvfPqResidual(
       spark: SparkSession,
       sfDir: String,
@@ -243,6 +378,7 @@ object VectorIndex {
       nQueries: Int = 5,
       nprobe: Int = 3,
       k: Int = 5): DataFrame = {
+    requireFlavor(spark, indexDir, FlavorResidual, "searchIvfPqResidual")
     val coarse = spark.read.parquet(s"$indexDir/coarse")
     val cells = spark.read.parquet(s"$indexDir/cells")
     val pqc1 = spark.read.parquet(s"$indexDir/pq_codebook")
@@ -337,11 +473,18 @@ object VectorIndex {
       .orderBy("query_id", "rn")
   }
 
+  // ---------------------------------------------------------------------
+  // delete / vacuum
+  // ---------------------------------------------------------------------
+
   /** Targeted vector erasure — the index half of a GDPR delete (the table
     * half is [[Merge.deletePartitioned]]; an erased user's embedding must
     * stop being FINDABLE, not merely stop being stored): drop the ids'
     * rows from `cells` and `codes` via broadcast anti-joins (the tombstone
-    * set is small; the corpus tables rewrite in one linear pass) and
+    * set is small; the corpus tables rewrite in one linear pass), persist
+    * the ids in the `tombstones` table so a later [[appendIvfPq]] replay or
+    * [[buildIvfPq]] rebuild whose boundary covers them cannot resurrect
+    * them (the corpus row may be purged on a different cadence), and
     * republish through the same aside + rename + rollback swap — searchers
     * see the old index or the purged one, never a mix. Codebooks are
     * UNCHANGED: a handful of erasures does not shift the trained
@@ -352,37 +495,32 @@ object VectorIndex {
       spark: SparkSession, indexDir: String, vecIds: Seq[Long]): Long = {
     import spark.implicits._
     val dir = new Path(indexDir)
-    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, dir)
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
     fs.delete(aside, true)
 
-    val tombstones = broadcast(vecIds.toDF("vec_id"))
+    val requested = vecIds.toDF("vec_id")
     val oldCells = spark.read.parquet(s"$indexDir/cells")
-    val nDead = oldCells.join(tombstones, Seq("vec_id"), "left_semi").count()
+    val nDead = oldCells.join(broadcast(requested), Seq("vec_id"), "left_semi").count()
     if (nDead == 0L) return 0L
 
     spark.read.parquet(s"$indexDir/coarse")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/coarse")
     spark.read.parquet(s"$indexDir/pq_codebook")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/pq_codebook")
-    oldCells.join(tombstones, Seq("vec_id"), "left_anti")
+    oldCells.join(broadcast(requested), Seq("vec_id"), "left_anti")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
-    spark.read.parquet(s"$indexDir/codes").join(tombstones, Seq("vec_id"), "left_anti")
+    spark.read.parquet(s"$indexDir/codes")
+      .join(broadcast(requested), Seq("vec_id"), "left_anti")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
     copyMetaIfPresent(spark, fs, indexDir, tmp)
+    tombstonesOf(spark, indexDir).select("vec_id").unionByName(requested)
+      .distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/tombstones")
 
-    if (!fs.rename(dir, aside))
-      throw new java.io.IOException(s"vector index: cannot move $indexDir aside")
-    if (!fs.rename(tmp, dir)) {
-      val rolledBack = fs.rename(aside, dir)
-      throw new java.io.IOException(
-        s"vector index: swap failed for $indexDir, " +
-          (if (rolledBack) "rolled back to the previous index"
-           else s"ROLLBACK ALSO FAILED - previous index preserved at $aside"))
-    }
-    fs.delete(aside, true)
+    atomicSwap(fs, dir, tmp, aside)
     nDead
   }
 
@@ -397,7 +535,7 @@ object VectorIndex {
     * as table compaction. */
   def vacuumIndex(spark: SparkSession, indexDir: String, targetFiles: Int = 4): Unit = {
     val dir = new Path(indexDir)
-    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, dir)
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
@@ -412,18 +550,14 @@ object VectorIndex {
     spark.read.parquet(s"$indexDir/codes").repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
     copyMetaIfPresent(spark, fs, indexDir, tmp)
+    copyTombstonesIfPresent(spark, fs, indexDir, tmp)
 
-    if (!fs.rename(dir, aside))
-      throw new java.io.IOException(s"vector index: cannot move $indexDir aside")
-    if (!fs.rename(tmp, dir)) {
-      val rolledBack = fs.rename(aside, dir)
-      throw new java.io.IOException(
-        s"vector index: swap failed for $indexDir, " +
-          (if (rolledBack) "rolled back to the previous index"
-           else s"ROLLBACK ALSO FAILED - previous index preserved at $aside"))
-    }
-    fs.delete(aside, true)
+    atomicSwap(fs, dir, tmp, aside)
   }
+
+  // ---------------------------------------------------------------------
+  // drift
+  // ---------------------------------------------------------------------
 
   /** Rebuild trigger: when the appended delta's mean PQ quantization error
     * exceeds this multiple of the base slice's, the stored codebooks no
@@ -433,23 +567,62 @@ object VectorIndex {
     * 2x, so the threshold separates the two regimes with margin. */
   val DriftRebuildThreshold = 1.5
 
+  /** Sub-vector frame of the corpus slice matching `pred`, encoded the way
+    * this index's flavor encodes (plain micro sub-vectors, or residuals
+    * against the stored coarse centroids). */
+  private def sliceSubs(
+      spark: SparkSession, sfDir: String, indexDir: String,
+      flavor: String, pred: Column): DataFrame = {
+    val em = microEmbeddings(spark, sfDir).filter(pred)
+    flavor match {
+      case FlavorResidual =>
+        val coarse = spark.read.parquet(s"$indexDir/coarse")
+        val e = normalizedEmbeddings(spark, sfDir).filter(pred)
+        val cells = kmeansAssign(e, coarse).select(col("vec_id"), col("cent_id").as("cell"))
+        subVectors(em.join(cells, "vec_id")
+          .join(broadcast(coarse.select(col("cent_id").as("cell"), col("cmm"))), "cell")
+          .select(col("vec_id"), zip_with(col("xm"), col("cmm"), (x, c) => x - c).as("xm")))
+      case _ => subVectors(em)
+    }
+  }
+
   /** Mean PQ quantization error (exact integer squared L2 to the assigned
-    * sub-centroid, per vector) of the delta (`vec_id >= minVecId`) encoded
-    * with the STORED codebooks, as a ratio over the base slice's — the
-    * staleness signal for appendIvfPq's stale-until-rebuild semantics (the
-    * drift accounting itself is the `q_index_drift` oracle query). One
-    * linear pass over the corpus against a broadcast codebook. Returns 1.0
-    * when there is no delta. */
+    * sub-centroid) of the delta (`vec_id >= minVecId`) encoded with the
+    * STORED codebooks, as a ratio over the base slice's — the staleness
+    * signal for appendIvfPq's stale-until-rebuild semantics (the drift
+    * accounting itself is the `q_index_drift` oracle query). O(delta): the
+    * base slice's stats were captured once at build time into the index
+    * `meta`, so only the delta is scanned and encoded — the property that
+    * lets the streaming maintenance loop poll this per micro-batch without
+    * paying a full-corpus encode each time. Falls back to the two-slice
+    * full pass only on legacy indexes whose meta predates the stats.
+    * Returns 1.0 when there is no delta. */
   def driftRatio(
       spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Double = {
+    val flavor = flavorOf(spark, indexDir)
     val pqc1 = spark.read.parquet(s"$indexDir/pq_codebook")
-    val bySlice = pqAssign(subVectors(microEmbeddings(spark, sfDir)), pqc1)
-      .groupBy((col("vec_id") >= minVecId).as("is_delta"))
-      .agg(sum("dist").as("total_err"), count(lit(1)).as("n"))
-      .collect()
-      .map(r => r.getBoolean(0) -> r.getLong(1).toDouble / r.getLong(2)).toMap
-    require(bySlice.contains(false), s"driftRatio: no base rows below vec_id $minVecId")
-    bySlice.get(true).map(_ / bySlice(false)).getOrElse(1.0)
+    val baseStats = readMetaOpt(spark, indexDir).flatMap { r =>
+      for (n <- metaLongOpt(r, "base_n"); err <- metaLongOpt(r, "base_total_err"))
+        yield (n, err)
+    }
+    baseStats match {
+      case Some((baseN, baseErr)) if baseN > 0 && baseErr > 0 =>
+        val d = pqAssign(
+            sliceSubs(spark, sfDir, indexDir, flavor, col("vec_id") >= minVecId), pqc1)
+          .agg(count(lit(1)), coalesce(sum("dist"), lit(0L))).head()
+        if (d.getLong(0) == 0L) 1.0
+        else (d.getLong(1).toDouble / d.getLong(0)) / (baseErr.toDouble / baseN)
+      case _ =>
+        // legacy index without recorded stats: one full pass, both slices
+        val bySlice = pqAssign(
+            sliceSubs(spark, sfDir, indexDir, flavor, lit(true)), pqc1)
+          .groupBy((col("vec_id") >= minVecId).as("is_delta"))
+          .agg(sum("dist").as("total_err"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => r.getBoolean(0) -> r.getLong(1).toDouble / r.getLong(2)).toMap
+        require(bySlice.contains(false), s"driftRatio: no base rows below vec_id $minVecId")
+        bySlice.get(true).map(_ / bySlice(false)).getOrElse(1.0)
+    }
   }
 
   def needsRebuild(

@@ -196,17 +196,25 @@ object StreamingIngest {
     * index). Effectively-once under foreachBatch's at-least-once replay:
     * the corpus write anti-joins the batch against already-landed vec_ids
     * (a column-pruned id scan; a table format would make this a MERGE), and
-    * appendIvfPq itself is replay-idempotent. Codebook staleness under
-    * continuous append is the metered quantity: with
+    * appendIvfPq itself is replay-idempotent. The index-append boundary is
+    * derived from the RAW batch, not the post-anti-join remainder — if a
+    * crash lands the corpus write but not the index publish, the replayed
+    * batch anti-joins to empty, and a boundary taken from it would skip the
+    * index append forever, leaving those vectors stored but unsearchable;
+    * re-encoding an already-indexed delta is harmless. Codebook staleness
+    * under continuous append is the metered quantity: with
     * `autoRebuildThreshold` set, each batch closes the loop — after the
     * append, the drift of everything past the index's recorded training
-    * boundary is measured against the training slice, and a ratio over the
-    * threshold triggers a full retrain on the current corpus (the index's
-    * `meta` boundary advances with it). Production would typically hand
-    * the rebuild to a separate scheduler (it is a training job inside a
-    * micro-batch); the default None keeps the stream append-only and
-    * leaves [[graft.operators.VectorIndex.driftRatio]] to external
-    * polling. */
+    * boundary is measured against the base-slice error stats persisted in
+    * the index `meta` (O(delta) per batch — the corpus is never re-encoded
+    * here), and a ratio over the threshold triggers a full retrain of the
+    * MATCHING flavor on the current corpus (the `meta` boundary advances
+    * with it). Indexes without a recorded boundary (pre-meta builds) skip
+    * the drift check rather than crash the stream. Production would
+    * typically hand the rebuild to a separate scheduler (it is a training
+    * job inside a micro-batch); the default None keeps the stream
+    * append-only and leaves [[graft.operators.VectorIndex.driftRatio]] to
+    * external polling. */
   def startIndexMaintenanceStream(
       vectors: DataFrame,
       corpusDir: String,
@@ -219,21 +227,27 @@ object StreamingIngest {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
         val embDir = s"$corpusDir/embeddings.parquet"
-        val fresh = batch.toDF().dropDuplicates("vec_id")
-          .join(s.read.parquet(embDir).select("vec_id"), Seq("vec_id"), "left_anti")
-          .cache()
-        val minVecId = fresh.agg(min(col("vec_id"))).head().get(0)
-        if (minVecId != null) {
-          fresh.write.mode("append").parquet(embDir)
+        val raw = batch.toDF().dropDuplicates("vec_id").cache()
+        val rawMin = raw.agg(min(col("vec_id"))).head().get(0)
+        if (rawMin != null) {
+          val fresh = raw
+            .join(s.read.parquet(embDir).select("vec_id"), Seq("vec_id"), "left_anti")
+          if (!fresh.isEmpty) fresh.write.mode("append").parquet(embDir)
           graft.operators.VectorIndex.appendIvfPq(
-            s, corpusDir, indexDir, minVecId.asInstanceOf[Long])
+            s, corpusDir, indexDir, rawMin.asInstanceOf[Long])
           autoRebuildThreshold.foreach { threshold =>
-            val bound = graft.operators.VectorIndex.trainBoundOf(s, indexDir)
-            if (graft.operators.VectorIndex.driftRatio(s, corpusDir, indexDir, bound) > threshold)
-              graft.operators.VectorIndex.buildIvfPq(s, corpusDir, indexDir)
+            graft.operators.VectorIndex.trainBoundOpt(s, indexDir).foreach { bound =>
+              if (graft.operators.VectorIndex.driftRatio(s, corpusDir, indexDir, bound)
+                  > threshold) {
+                if (graft.operators.VectorIndex.flavorOf(s, indexDir)
+                    == graft.operators.VectorIndex.FlavorResidual)
+                  graft.operators.VectorIndex.buildIvfPqResidual(s, corpusDir, indexDir)
+                else graft.operators.VectorIndex.buildIvfPq(s, corpusDir, indexDir)
+              }
+            }
           }
         }
-        fresh.unpersist()
+        raw.unpersist()
         ()
       }
       .trigger(trigger)

@@ -344,4 +344,138 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("crosses") =!= (expr("start div 1024") =!= expr("(start + n_toks - 1) div 1024"))).count()
     assert(bad == 0)
   }
+
+  test("driftRatio is O(delta): the base slice comes from stored meta, never a corpus re-scan") {
+    // build + append on a PRIVATE corpus copy, record the ratio, then REMOVE
+    // the base slice from the corpus entirely — the ratio must not change,
+    // proving the drift check reads only delta rows + the meta stats (the
+    // property that lets the maintenance stream poll it per micro-batch)
+    val base = java.nio.file.Files.createTempDirectory("graft_drift_odelta").toString
+    val corpus = s"$base/corpus"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .write.parquet(s"$corpus/embeddings.parquet")
+    val idx = s"$corpus/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, corpus, idx, trainBound = 300)
+    graft.operators.VectorIndex.appendIvfPq(spark, corpus, idx, minVecId = 300)
+    val before = graft.operators.VectorIndex.driftRatio(spark, corpus, idx, minVecId = 300)
+    // meta carries the boundary, flavor, and base error stats
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    assert(meta.getAs[String]("flavor") == "plain")
+    assert(meta.getAs[Long]("base_n") > 0 && meta.getAs[Long]("base_total_err") > 0)
+    // drop every base row from the corpus (delta-only corpus remains)
+    spark.read.parquet(s"$corpus/embeddings.parquet")
+      .filter(col("vec_id") >= 300)
+      .write.mode("overwrite").parquet(s"$base/delta_only.parquet")
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$corpus/embeddings.parquet"), true)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$base/delta_only.parquet"),
+      new org.apache.hadoop.fs.Path(s"$corpus/embeddings.parquet")))
+    val after = graft.operators.VectorIndex.driftRatio(spark, corpus, idx, minVecId = 300)
+    assert(math.abs(after - before) < 1e-12,
+      s"driftRatio read the corpus base slice: $before -> $after")
+  }
+
+  test("index flavor is persisted and enforced: mismatched search refuses to serve") {
+    val basePlain = java.nio.file.Files.createTempDirectory("graft_flavor_p").toString
+    val baseRes = java.nio.file.Files.createTempDirectory("graft_flavor_r").toString
+    val plainIdx = s"$basePlain/index"
+    val resIdx = s"$baseRes/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, sf, plainIdx)
+    graft.operators.VectorIndex.buildIvfPqResidual(spark, sf, resIdx)
+    assert(graft.operators.VectorIndex.flavorOf(spark, plainIdx) == "plain")
+    assert(graft.operators.VectorIndex.flavorOf(spark, resIdx) == "residual")
+    // the two layouts are byte-indistinguishable (same tables) — only the
+    // recorded flavor prevents silently corrupted rankings
+    intercept[IllegalArgumentException] {
+      graft.operators.VectorIndex.searchIvfPq(spark, sf, resIdx)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.VectorIndex.searchIvfPqResidual(spark, sf, plainIdx)
+    }
+  }
+
+  test("append on a residual index encodes the delta as residuals with stored codebooks") {
+    import graft.queries.QuantQueries._
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_res_app").toString
+    val idx = s"$baseDir/index"
+    graft.operators.VectorIndex.buildIvfPqResidual(spark, sf, idx, trainBound = 300)
+    graft.operators.VectorIndex.appendIvfPq(spark, sf, idx, minVecId = 300)
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(spark.read.parquet(s"$idx/cells").count() == nVec)
+    // two-path agreement: the stored delta codes equal residual-encoding the
+    // delta directly against the stored coarse + PQ codebooks
+    val coarse = spark.read.parquet(s"$idx/coarse")
+    val pqc1 = spark.read.parquet(s"$idx/pq_codebook")
+    val e = normalizedEmbeddings(spark, sf).filter(col("vec_id") >= 300)
+    val cells = kmeansAssign(e, coarse).select(col("vec_id"), col("cent_id").as("cell"))
+    val resid = microEmbeddings(spark, sf).filter(col("vec_id") >= 300)
+      .join(cells, "vec_id")
+      .join(broadcast(coarse.select(col("cent_id").as("cell"), col("cmm"))), "cell")
+      .select(col("vec_id"), zip_with(col("xm"), col("cmm"), (x, c) => x - c).as("xm"))
+    val expected = pqAssign(subVectors(resid), pqc1)
+      .select("vec_id", "m", "cent_id")
+      .collect().map(_.toString).sorted.toSeq
+    val stored = spark.read.parquet(s"$idx/codes").filter(col("vec_id") >= 300)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored == expected && stored.nonEmpty)
+    // the drift check measures the delta the way the index encodes it
+    val ratio = graft.operators.VectorIndex.driftRatio(spark, sf, idx, minVecId = 300)
+    assert(ratio > 0.0 && ratio < 10.0, s"residual drift ratio $ratio")
+    // and the residual search still serves the extended index
+    assert(graft.operators.VectorIndex.searchIvfPqResidual(spark, sf, idx).count() > 0)
+  }
+
+  test("tombstones make deletes stick: neither append replay nor rebuild resurrects") {
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_tomb").toString
+    val idx = s"$baseDir/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, sf, idx, trainBound = 300)
+    graft.operators.VectorIndex.appendIvfPq(spark, sf, idx, minVecId = 300)
+    val victim = graft.operators.VectorIndex.searchIvfPq(spark, sf, idx)
+      .filter(col("query_id") === 0 && col("rn") === 1)
+      .head().getLong(1)
+    assert(graft.operators.VectorIndex.deleteFromIndex(spark, idx, Seq(victim)) == 1L)
+    def served(): Set[Long] = spark.read.parquet(s"$idx/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!served().contains(victim))
+    // an append whose boundary covers the victim re-encodes its id range —
+    // without the persisted tombstone this would resurrect the erased vector
+    // (the corpus row is still present: the table purge runs on its own
+    // cadence, and GDPR erasure must not depend on its ordering)
+    graft.operators.VectorIndex.appendIvfPq(spark, sf, idx, minVecId = 0L)
+    assert(!served().contains(victim), "append resurrected a deleted vector")
+    // a full rebuild from the un-purged corpus must honor tombstones too
+    graft.operators.VectorIndex.buildIvfPq(spark, sf, idx)
+    assert(!served().contains(victim), "rebuild resurrected a deleted vector")
+    val tombs = spark.read.parquet(s"$idx/tombstones")
+      .collect().map(_.getLong(0)).toSet
+    assert(tombs == Set(victim))
+    // vacuum carries tombstones through
+    graft.operators.VectorIndex.vacuumIndex(spark, idx, targetFiles = 1)
+    assert(spark.read.parquet(s"$idx/tombstones")
+      .collect().map(_.getLong(0)).toSet == Set(victim))
+  }
+
+  test("trainBoundOpt tolerates legacy indexes; trainBoundOf diagnoses them") {
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_legacy").toString
+    val idx = s"$baseDir/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, sf, idx)
+    assert(graft.operators.VectorIndex.trainBoundOpt(spark, idx).nonEmpty)
+    // simulate a pre-meta index: drop the meta table
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/meta"), true)
+    assert(graft.operators.VectorIndex.trainBoundOpt(spark, idx).isEmpty)
+    val err = intercept[IllegalStateException] {
+      graft.operators.VectorIndex.trainBoundOf(spark, idx)
+    }
+    assert(err.getMessage.contains("no recorded training boundary"))
+    // legacy flavor defaults to plain, so a plain search still serves
+    assert(graft.operators.VectorIndex.flavorOf(spark, idx) == "plain")
+    assert(graft.operators.VectorIndex.searchIvfPq(spark, sf, idx).count() > 0)
+    // and the legacy drift fallback (no stored stats) still computes
+    val ratio = graft.operators.VectorIndex.driftRatio(spark, sf, idx, minVecId = 300)
+    assert(ratio > 0.0)
+  }
 }

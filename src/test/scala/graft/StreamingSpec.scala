@@ -465,6 +465,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(new Path(corpus, ".index.previous")))
   }
 
+  test("streaming index maintenance: replay heals a crash between corpus write and index publish") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = s"$base/idx_crash_corpus"
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .write.parquet(s"$corpus/embeddings.parquet")
+    val idx = s"$corpus/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, corpus, idx)
+    val nBase = spark.read.parquet(s"$corpus/embeddings.parquet").count()
+    val delta = spark.read.parquet(s"$corpus/embeddings.parquet")
+      .filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0) + 10000L, r.getSeq[Float](1), r.getInt(2))).toSeq
+    // simulate the crash window: the batch's corpus write LANDED but the
+    // index publish did not (job died between the two) — the replayed batch
+    // anti-joins to empty against the corpus, so a boundary derived from the
+    // post-anti-join remainder would skip the index append forever and
+    // leave these vectors stored but unsearchable
+    delta.toDF("vec_id", "embedding", "label")
+      .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+    assert(spark.read.parquet(s"$corpus/embeddings.parquet").count() == nBase + 5)
+    assert(spark.read.parquet(s"$idx/cells").count() == nBase) // NOT indexed yet
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    mem.addData(delta: _*) // the at-least-once replay of the same batch
+    val q = StreamingIngest.startIndexMaintenanceStream(
+      mem.toDF().toDF("vec_id", "embedding", "label"), corpus, idx,
+      s"$base/idx_crash_ckpt", Trigger.AvailableNow())
+    q.awaitTermination(180000)
+    // healed: no duplicate corpus rows, and the stranded vectors are indexed
+    assert(spark.read.parquet(s"$corpus/embeddings.parquet").count() == nBase + 5)
+    assert(spark.read.parquet(s"$idx/cells").count() == nBase + 5)
+    assert(spark.read.parquet(s"$idx/codes").count() == (nBase + 5) * 8)
+    val top1 = graft.operators.VectorIndex.searchIvfPqRerank(spark, corpus, idx)
+      .filter(col("rn") === 1).select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach(i => assert(top1(i) == 10000L + i, s"query $i top1 ${top1(i)}"))
+  }
+
   test("lake lifecycle: ingest -> compact -> zorder -> merge -> retention compose on one table") {
     // the maintenance operators share one swap discipline; this drives a
     // table through the whole lifecycle and checks every stage leaves a
