@@ -517,6 +517,71 @@ object DedupQueries {
       FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Variable-length exact substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": remove ALL substrings of
+    * >= N tokens that repeat across the corpus — their tool walks a suffix
+    * array; the Spark-shaped equivalent below needs no suffix automaton).
+    * `q_dedup_spans` only scores fixed 8-word windows, so a 5..7-token
+    * repeat is invisible to it and a 93-token repeat surfaces as 86
+    * disconnected window hits; THIS operator reports each duplicated region
+    * once, as its MAXIMAL extent.
+    *
+    * Formulation: stride-1 windows of the MINIMUM length N (= 5 tokens)
+    * are the suffix keys; a window position is duplicated when the same
+    * window text exists in an earlier-doc_id document (CCNet keep-first —
+    * the first corpus occurrence is the one a cleaning pass keeps);
+    * consecutive duplicated positions then merge into maximal spans by
+    * gaps-and-islands (i - row_number over i is constant exactly on a run).
+    * A repeat of length L >= N marks L-N+1 consecutive positions, so the
+    * island reconstructs its full extent: span_start = first position,
+    * span_len = last - first + N.
+    *
+    * Scale shape: the window frame is corpus x len rows (linear); the
+    * duplicate mark is ONE shuffle on the high-entropy window key
+    * (map-side-combined min); the island merge is a doc-keyed window — the
+    * second, linear shuffle. No join ever pairs documents, and no
+    * per-length re-scan: one pass covers every repeat length >= N. */
+  private val substringDedup = Q(
+    "q_dedup_substrings",
+    (s, d) => {
+      val N = 5
+      val docs = t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val grams = docs.filter(size(col("ws")) >= N)
+        .select(
+          col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("ws")) - (N - 1)),
+            i => array_join(slice(col("ws"), i, lit(N)), " "))))
+        .toDF("doc_id", "p", "gram")
+        .select(col("doc_id"), (col("p") + 1).cast("long").as("i"), col("gram"))
+      val dup = grams
+        .withColumn("keeper", min("doc_id").over(Window.partitionBy("gram")))
+        .filter(col("keeper") < col("doc_id"))
+        .select("doc_id", "i")
+      dup
+        .withColumn("grp",
+          col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+        .groupBy("doc_id", "grp")
+        .agg(
+          min("i").as("span_start"),
+          (max("i") - min("i") + N).as("span_len"))
+        .select(col("doc_id"), col("span_start"), col("span_len"))
+        .orderBy("doc_id", "span_start")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, i, list_aggregate(ws[i : i+4], 'string_agg', ' ') AS gram
+            FROM w, LATERAL unnest(range(1, len(ws) - 3)) t(i)
+            WHERE len(ws) >= 5),
+      k AS (SELECT doc_id, i, min(doc_id) OVER (PARTITION BY gram) AS keeper FROM g),
+      d AS (SELECT doc_id, i FROM k WHERE keeper < doc_id),
+      isl AS (SELECT doc_id, i,
+                i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+              FROM d)
+      SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+             CAST(max(i) - min(i) + 5 AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start"""))
+
   val all: Seq[Q] =
-    Seq(minhashLsh, minhashAudit, simhash, ngramJaccard, incremental, spanDedup)
+    Seq(minhashLsh, minhashAudit, simhash, ngramJaccard, incremental, spanDedup,
+      substringDedup)
 }

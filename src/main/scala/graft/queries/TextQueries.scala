@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import Tables.t
 
@@ -409,6 +410,181 @@ object TextQueries {
              CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rn
       FROM counted QUALIFY rn <= 20 ORDER BY rn"""))
 
+  /** Bigram backoff LM perplexity — the production-credible quality gate
+    * (CCNet's filter is a 5-gram KenLM perplexity; the structure is the
+    * same at any order): train counts on a CLEAN slice (here the even
+    * doc_ids — production swaps in a curated reference corpus, same plan),
+    * score EVERY document's bigrams against them, backing off to the
+    * unigram distribution (+4 bits penalty, alpha=1/16) for unseen
+    * bigrams and to a fixed OOV cost for unseen words. Integer-exact via
+    * the floor-log2-as-binary-length device proven in `q_text_surprisal`:
+    * P(b|a) = c2(a,b)/c1(a) costs lg c1(a) - lg c2(a,b) bits (>= 0 since
+    * c2 <= c1); backoff costs lg T - lg c1(b) + 4. Unlike the unigram
+    * surprisal this is ORDER-SENSITIVE — scrambling a fluent sentence
+    * leaves its unigram score untouched but collapses every bigram to the
+    * backoff path — which is exactly why CCNet gates on an LM and not a
+    * word-frequency profile. Scale shape: two count shuffles on
+    * high-entropy keys (word, bigram) over the train slice, three
+    * linear equi-joins keyed on word/bigram to score, corpus total as a
+    * broadcast 1-row aggregate, per-doc rollup on doc_id — no pairing,
+    * all linear. Output in integer centibits/bigram. */
+  private val perplexity = Q(
+    "q_text_perplexity",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val toks = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+      val trainToks = toks.filter(col("doc_id") % 2 === 0)
+      val uni = trainToks.groupBy("w")
+        .agg((length(bin(count(lit(1)))) - 1).cast("long").as("lg_u"))
+      val total = trainToks.agg(
+        (length(bin(count(lit(1)))) - 1).cast("long").as("lg_t"))
+      val pairs = docs.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ws")) - 1),
+            i => struct(
+              element_at(col("ws"), i).as("a"),
+              element_at(col("ws"), i + 1).as("b")))).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      val bi = pairs.filter(col("doc_id") % 2 === 0).groupBy("a", "b")
+        .agg((length(bin(count(lit(1)))) - 1).cast("long").as("lg_b"))
+      pairs
+        .join(bi, Seq("a", "b"), "left")
+        .join(uni.select(col("w").as("a"), col("lg_u").as("lg_ua")), Seq("a"), "left")
+        .join(uni.select(col("w").as("b"), col("lg_u").as("lg_ub")), Seq("b"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          when(col("lg_b").isNotNull, col("lg_ua") - col("lg_b"))
+            .otherwise(
+              when(col("lg_ub").isNotNull, col("lg_t") - col("lg_ub") + lit(4L))
+                .otherwise(col("lg_t") + lit(4L))).as("bits"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("bits"))
+        .withColumn("ppl_cb", expr("bits * 100 div n_bigrams"))
+        .select("doc_id", "n_bigrams", "bits", "ppl_cb")
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+      uni AS (SELECT w, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_u
+              FROM tok WHERE doc_id % 2 = 0 GROUP BY w),
+      tot AS (SELECT CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_t
+              FROM tok WHERE doc_id % 2 = 0),
+      p AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+            FROM w, LATERAL unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+      bi AS (SELECT a, b, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_b
+             FROM p WHERE doc_id % 2 = 0 GROUP BY a, b),
+      sc AS (SELECT p.doc_id,
+               CASE WHEN bi.lg_b IS NOT NULL THEN ua.lg_u - bi.lg_b
+                    WHEN ub.lg_u IS NOT NULL THEN tot.lg_t - ub.lg_u + 4
+                    ELSE tot.lg_t + 4 END AS bits
+             FROM p LEFT JOIN bi ON p.a = bi.a AND p.b = bi.b
+               LEFT JOIN uni ua ON p.a = ua.w
+               LEFT JOIN uni ub ON p.b = ub.w, tot)
+      SELECT doc_id, count(*) AS n_bigrams, CAST(sum(bits) AS BIGINT) AS bits,
+             CAST(sum(bits) * 100 // count(*) AS BIGINT) AS ppl_cb
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Iterative BPE training (Sennrich et al., 2016) — `q_text_bpe_merges`
+    * is ONE counting step; this runs the actual trainer loop: count
+    * adjacent symbol pairs over the word-frequency table, take the top
+    * pair (count desc, then lexicographic — fully deterministic), APPLY
+    * the merge to every word's tokenization (greedy left-to-right
+    * non-overlapping, the canonical scheme: a fold whose accumulated last
+    * symbol blocks chain re-merging within one pass), and recount — 10
+    * times, emitting the merge table a tokenizer would persist. The
+    * corpus collapses to the distinct-word frequency table BEFORE the
+    * loop, so each of the 10 iterations is vocabulary-sized work, not
+    * corpus-sized — the property that makes a trainer loop runnable at
+    * 100 TB (the one corpus-sized shuffle is the initial word count;
+    * per-iteration lineage is truncated with localCheckpoint, the
+    * Closure iterate pattern). The oracle replays the IDENTICAL loop as
+    * 10 unrolled CTE stages, fold included (DuckDB list_reduce over a
+    * string accumulator), so the merge list hash-matches end to end.
+    * Exhausted corpora (no pairs left) emit a cnt=0 sentinel that applies
+    * no merge and is filtered from the output — both engines stay total
+    * without data-dependent SQL shape. */
+  private val NBpeMerges = 10
+
+  private def bpeApplyMerge(symsStr: Column, l: String, r: String): Column = {
+    val syms = split(symsStr, " ")
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      element_at(syms, 1),
+      (acc, x) =>
+        when(substring_index(acc, " ", -1) === lit(l) && x === lit(r),
+          concat(acc.substr(lit(1), length(acc) - lit(l.length)), lit(l + r)))
+          .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  private val bpeTrain = Q(
+    "q_text_bpe_train",
+    (s, d) => {
+      import s.implicits._
+      var vocab = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .select(col("w"), col("n"),
+          trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
+      var exhausted = false
+      for (step <- 1 to NBpeMerges if !exhausted) {
+        val withSyms = vocab.select(col("n"), split(col("s"), " ").as("sl"))
+        val top = withSyms.filter(size(col("sl")) >= 2)
+          .select(col("n"),
+            explode(transform(sequence(lit(1), size(col("sl")) - 1),
+              i => struct(
+                element_at(col("sl"), i).as("l"),
+                element_at(col("sl"), i + 1).as("r")))).as("p"))
+          .select(col("n"), col("p.l").as("l"), col("p.r").as("r"))
+          .groupBy("l", "r").agg(sum("n").as("cnt"))
+          .orderBy(desc("cnt"), asc("l"), asc("r"))
+          .take(1).headOption
+        top match {
+          case Some(rw) =>
+            val (l, r, cnt) = (rw.getString(0), rw.getString(1), rw.getLong(2))
+            merges += ((step.toLong, l, r, cnt))
+            vocab = vocab
+              .withColumn("s", bpeApplyMerge(col("s"), l, r))
+              .localCheckpoint()
+          case None => exhausted = true
+        }
+      }
+      merges.toSeq.toDF("step", "l", "r", "cnt").orderBy("step")
+    },
+    Some {
+      val stages = (1 to NBpeMerges).map { k =>
+        s"""pc$k AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+              SELECT n, sl[i] AS l, sl[i+1] AS r
+              FROM (SELECT n, string_split(s, ' ') AS sl FROM v${k - 1}) vv,
+                LATERAL unnest(range(1, len(sl))) t(i)) GROUP BY l, r),
+            m$k AS (SELECT * FROM (
+              SELECT l, r, cnt FROM pc$k
+              UNION ALL SELECT '', '', CAST(0 AS BIGINT))
+              ORDER BY cnt DESC, l, r LIMIT 1),
+            v$k AS (SELECT w, n,
+              CASE WHEN m.cnt = 0 THEN v.s
+                ELSE list_reduce(string_split(v.s, ' '), (acc, x) ->
+                  CASE WHEN regexp_extract(acc, '[^ ]*$$') = m.l AND x = m.r
+                    THEN regexp_replace(acc, '[^ ]*$$', '') || m.l || m.r
+                    ELSE acc || ' ' || x END) END AS s
+              FROM v${k - 1} v, m$k m)"""
+      }.mkString(",\n")
+      val out = (1 to NBpeMerges)
+        .map(k => s"SELECT CAST($k AS BIGINT) AS step, l, r, cnt FROM m$k")
+        .mkString(" UNION ALL ")
+      s"""WITH words AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+            WHERE length(w) >= 2 GROUP BY w),
+          v0 AS (SELECT w, n, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s FROM words),
+          $stages
+          SELECT step, l, r, cnt FROM ($out) WHERE cnt > 0 ORDER BY step"""
+    })
+
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
-    tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges)
+    tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
+    perplexity, bpeTrain)
 }

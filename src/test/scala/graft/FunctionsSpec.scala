@@ -175,6 +175,79 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 4L)))
   }
 
+  test("substring dedup finds variable-length maximal repeats the fixed-window op misses") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    // doc 1 is the keeper: it carries a 6-token phrase and a 12-token phrase.
+    // doc 2 repeats the 6-token phrase (SHORTER than the 8-word span window,
+    // so q_dedup_spans is blind to it); doc 3 repeats the 12-token phrase
+    // (q_dedup_spans sees it only as 5 disconnected window hits).
+    Seq(
+      (1L, "a1 a2 a3 dup1 dup2 dup3 dup4 dup5 dup6 a4 a5 " +
+        "big1 big2 big3 big4 big5 big6 big7 big8 big9 big10 big11 big12 a6"),
+      (2L, "b1 b2 dup1 dup2 dup3 dup4 dup5 dup6 b3 b4 b5"),
+      (3L, "c1 big1 big2 big3 big4 big5 big6 big7 big8 big9 big10 big11 big12 c2 c3"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val spans = SparkEntry.queries("q_dedup_substrings")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // each repeat reported ONCE at its maximal extent; the keeper emits none
+    assert(spans == Seq((2L, 3L, 6L), (3L, 2L, 12L)), spans.toString)
+    // the fixed 8-word-window op misses doc 2's repeat entirely
+    val fixedDrops = SparkEntry.queries("q_dedup_spans")(s, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fixedDrops(2L) == 0L, "8-word spans should be blind to a 6-token repeat")
+    assert(fixedDrops(3L) == 5L, "8-word spans fragment the 12-token repeat into window hits")
+  }
+
+  test("bpe train: the merge loop learns the hand-computed sequence and stops when exhausted") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_train").toString
+    // classic BPE drill corpus: banana x3 + band. Hand derivation:
+    //   (a,n)=7 -> "an"; (b,an)=4 -> "ban"; tie (an,a)=(ban,an)=3 breaks
+    //   lexicographically to (an,a) -> "ana"; (ban,ana)=3 -> "banana";
+    //   (ban,d)=1 -> "band"; then NO pairs remain: the loop must stop at 5
+    //   merges, not emit sentinels
+    Seq((0L, "banana banana banana band"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val merges = SparkEntry.queries("q_text_bpe_train")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges == Seq(
+      (1L, "a", "n", 7L),
+      (2L, "b", "an", 4L),
+      (3L, "an", "a", 3L),
+      (4L, "ban", "ana", 3L),
+      (5L, "ban", "d", 1L)), merges.toString)
+    // step 1 agrees with the single-step counting query's top pair
+    val firstPair = SparkEntry.queries("q_text_bpe_merges")(s, dir)
+      .filter(col("rn") === 1).head().getString(0)
+    assert(firstPair == merges.head._2 + merges.head._3)
+  }
+
+  test("bigram perplexity is order-sensitive where unigram surprisal is blind") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppl").toString
+    // even docs train the LM; doc 1 repeats a trained sentence, doc 3 is the
+    // SAME multiset scrambled — identical unigram profile, alien bigrams
+    Seq(
+      (0L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (4L, "the dog sat on the mat"),
+      (1L, "the cat sat on the mat"),
+      (3L, "mat the on sat cat the"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val ppl = SparkEntry.queries("q_text_perplexity")(s, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val uni = SparkEntry.queries("q_text_surprisal")(s, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // the unigram gate cannot tell the two apart...
+    assert(uni(1L) == uni(3L), s"unigram scores should tie: ${uni(1L)} vs ${uni(3L)}")
+    // ...the LM gate must: every scrambled bigram pays the backoff path
+    assert(ppl(3L) > ppl(1L), s"scrambled doc should score worse: ${ppl(3L)} vs ${ppl(1L)}")
+  }
+
   test("incremental dedup: delta joins stored corpus signatures, no corpus rescan") {
     val s = spark
     import s.implicits._

@@ -144,6 +144,19 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_dedup_substrings: joinless — window-key and doc-key shuffles only") {
+    // the suffix-window formulation never pairs documents: the duplicate
+    // mark is a min-window on the gram key and the island merge is a
+    // doc-keyed window — no join node of any kind may appear, and the only
+    // exchanges are gram-hash, doc-hash, and the output range sort
+    val p = plan("q_dedup_substrings")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // count node-detail headers — the tree section prints each node twice
+    val nExchange = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(nExchange <= 3, s"expected <=3 exchanges, got $nExchange:\n$p")
+  }
+
   test("q_dedup_semantic: in-cell candidates meet through the cell equi-join, never a cartesian") {
     // the centroid assignment legitimately broadcasts the 8-row seed table
     // (a BNLJ by design, like the IVF family); the property that must hold
