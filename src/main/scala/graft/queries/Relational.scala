@@ -801,41 +801,32 @@ object Relational {
 
   /** Fuzzy join (record linkage by edit distance) — the data-cleaning join
     * none of the equi/theta variants cover: match records whose keys differ
-    * by a typo. The scale shape is the pigeonhole BLOCKING trick (same
-    * proof as the simhash chunks): two same-length strings within
-    * substitution distance 1 agree on at least one half, so candidates meet
-    * ONLY through the half-substring equi-joins — never a cartesian with a
-    * distance predicate (plan-pinned) — and the exact Levenshtein verifies
-    * candidates INSIDE the join condition (like the dedup verifiedPairs),
-    * so only true matches ever materialize; the cross-band dedup runs over
-    * survivors, not candidates. The halves INTERLEAVE the digit positions:
-    * structured keys concentrate entropy in the low digits, so a prefix
-    * split would put every record in a handful of giant skewed blocks,
-    * while interleaving spreads entropy into both halves. Recall is
-    * provable 1.0 at the threshold either way (one substitution lives in
-    * exactly one half); both engines' levenshtein is classic
-    * Wagner-Fischer integer DP, so the oracle hash-matches. At k>1 the
-    * blocking generalizes to k+1 chunks. */
+    * by a typo. Routed through [[graft.operators.FuzzyJoin]]'s deletion-
+    * neighborhood blocking (see its scaladoc for the recall proof): each
+    * side emits O(len) single-character-deletion variants, candidates meet
+    * ONLY through the variant equi-join — never a cartesian with a distance
+    * predicate (plan-pinned) — and the exact Levenshtein verifies INSIDE
+    * the join, so only true matches materialize. This replaced the
+    * half-substring pigeonhole split (r5 verdict's saturation finding):
+    * that scheme's block count was capped by the keys' digit entropy
+    * (~10^4-10^5 blocks), so in-block pair work grew ~n^2/blocks past
+    * ~10^6 keys — deletion-variant blocks are full-length strings whose
+    * entropy grows with the keyspace, and the same operator also covers
+    * the length-changing edits fixed-length splitting cannot pair
+    * (`q_join_fuzzy_varlen`). Result set is unchanged: for same-length
+    * keys, distance <= 1 means substitution-or-equal, and the deletion
+    * neighborhood finds exactly those pairs; both engines' levenshtein is
+    * classic Wagner-Fischer integer DP, so the oracle (which keeps the
+    * cheaper same-length blocking — DuckDB runs single-node at small SF)
+    * hash-matches. */
   private val joinFuzzy = Q(
     "q_join_fuzzy",
     (s, d) => {
-      def interleave(first: Int, n: Int) = concat(
-        (0 until n).map(i => substring(col("c_name"), first + 2 * i, 1)): _*)
-      val c = t(s, d, "customer").select(
-        col("c_custkey"), col("c_name"),
-        interleave(10, 5).as("h1"), interleave(11, 4).as("h2"))
-      val a = c.select(
-        col("c_custkey").as("key_a"), col("c_name").as("name_a"), col("h1"), col("h2"))
-      val b = c.select(
-        col("c_custkey").as("key_b"), col("c_name").as("name_b"),
-        col("h1").as("g1"), col("h2").as("g2"))
-      val verify = col("key_a") < col("key_b") &&
-        levenshtein(col("name_a"), col("name_b")) <= 1
-      val c1 = a.join(b, col("h1") === col("g1") && verify)
-      val c2 = a.join(b, col("h2") === col("g2") && verify)
-      c1.select("key_a", "key_b", "name_a", "name_b")
-        .unionByName(c2.select("key_a", "key_b", "name_a", "name_b"))
-        .distinct()
+      val c = t(s, d, "customer")
+      val a = c.select(col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+      val b = c.select(col("c_custkey").as("key_b"), col("c_name").as("name_b"))
+      graft.operators.FuzzyJoin
+        .ed1(a, b, "key_a", "name_a", "key_b", "name_b", col("key_a") < col("key_b"))
         .select(col("key_a"), col("key_b"),
           levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
         .orderBy("key_a", "key_b")
@@ -856,61 +847,41 @@ object Relational {
       SELECT key_a, key_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
       FROM cand ORDER BY key_a, key_b"""))
 
-  /** Variable-length fuzzy join via a SymSpell-style DELETION NEIGHBORHOOD —
-    * the general-edit-distance record linkage `q_join_fuzzy`'s half-substring
-    * pigeonholing cannot do: an insert/delete edit changes the string length
-    * and shifts every downstream position, so same-length blocking never
-    * pairs those records. The deletion scheme is position-independent: each
-    * side emits its key plus every single-character deletion (O(len)
-    * variants per record), and two keys within edit distance 1 — substitute,
-    * insert, OR delete — provably share at least one variant (substitution
-    * at i: both drop position i; insert/delete: the longer key drops the
-    * extra character and equals the shorter one verbatim). Candidates meet
-    * ONLY through the variant equi-join (plan-pinned: no cartesian), exact
-    * Levenshtein verifies INSIDE the join so only true matches materialize,
-    * and the multi-variant dedup runs over survivors. At 100 TB the variant
-    * table is len x corpus rows of short strings — linear — and the
-    * equi-join shuffles on high-entropy variant keys (the partkey digits
-    * keep blocks small). The B side plants a deterministic length-CHANGING
-    * edit (even keys delete a char, odd keys insert one) so the oracle
-    * exercises precisely the insert/delete recall the fixed-length scheme
-    * lacks; both engines replay the same construction and the same
-    * Wagner-Fischer verify. */
+  /** Variable-length fuzzy join — the length-CHANGING edits (insert/delete)
+    * that fixed-length blocking structurally cannot pair, served by the same
+    * [[graft.operators.FuzzyJoin]] deletion-neighborhood operator as
+    * `q_join_fuzzy` (recall proof and 100 TB shape in its scaladoc). The B
+    * side plants a deterministic length-changing edit per part (even keys
+    * delete a char, odd keys insert one) so the oracle exercises precisely
+    * the insert/delete recall; both engines replay the same construction
+    * and the same Wagner-Fischer verify. */
   private val joinFuzzyVarlen = Q(
     "q_join_fuzzy_varlen",
     (s, d) => {
       Tables.views(s, d, "part")
-      s.sql("""
-        WITH a AS (SELECT p_partkey AS key_a,
-                          concat(p_name, ' #', CAST(p_partkey AS STRING)) AS name_a
-                   FROM part),
-        b0 AS (SELECT p_partkey, concat(p_name, ' #', CAST(p_partkey AS STRING)) AS k
+      val a = s.sql(
+        """SELECT p_partkey AS key_a,
+                  concat(p_name, ' #', CAST(p_partkey AS STRING)) AS name_a
+           FROM part""")
+      val b = s.sql("""
+        WITH b0 AS (SELECT p_partkey, concat(p_name, ' #', CAST(p_partkey AS STRING)) AS k
                FROM part),
         b1 AS (SELECT p_partkey, k,
                       CAST(p_partkey % (length(k) - 2) + 2 AS INT) AS pos
-               FROM b0),
-        b AS (SELECT p_partkey + 1000000 AS key_b,
-                     CASE WHEN p_partkey % 2 = 0
-                          THEN concat(substring(k, 1, pos - 1), substring(k, pos + 1))
-                          ELSE concat(substring(k, 1, pos - 1), 'q', substring(k, pos))
-                     END AS name_b
-              FROM b1),
-        va AS (SELECT key_a, name_a, v
-               FROM a LATERAL VIEW explode(concat(array(name_a),
-                 transform(sequence(1, length(name_a)),
-                   i -> concat(substring(name_a, 1, i - 1), substring(name_a, i + 1))))) AS v),
-        vb AS (SELECT key_b, name_b, v
-               FROM b LATERAL VIEW explode(concat(array(name_b),
-                 transform(sequence(1, length(name_b)),
-                   i -> concat(substring(name_b, 1, i - 1), substring(name_b, i + 1))))) AS v),
-        cand AS (SELECT DISTINCT key_a, key_b, name_a, name_b
-                 FROM va JOIN vb ON va.v = vb.v
-                   AND levenshtein(va.name_a, vb.name_b) <= 1)
-        SELECT key_a, key_b,
-               CAST(length(name_a) AS BIGINT) AS len_a,
-               CAST(length(name_b) AS BIGINT) AS len_b,
-               CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
-        FROM cand ORDER BY key_a, key_b""")
+               FROM b0)
+        SELECT p_partkey + 1000000 AS key_b,
+               CASE WHEN p_partkey % 2 = 0
+                    THEN concat(substring(k, 1, pos - 1), substring(k, pos + 1))
+                    ELSE concat(substring(k, 1, pos - 1), 'q', substring(k, pos))
+               END AS name_b
+        FROM b1""")
+      graft.operators.FuzzyJoin
+        .ed1(a, b, "key_a", "name_a", "key_b", "name_b")
+        .select(col("key_a"), col("key_b"),
+          length(col("name_a")).cast("long").as("len_a"),
+          length(col("name_b")).cast("long").as("len_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .orderBy("key_a", "key_b")
     },
     Some("""WITH a AS (SELECT p_partkey AS key_a,
                    p_name || ' #' || CAST(p_partkey AS VARCHAR) AS name_a

@@ -88,6 +88,11 @@ object ScaleProbe {
   private def heavyMain(args: Array[String]): Unit = {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val n = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated subset of HeavyQueries to probe
+    val selected = args.lift(3)
+      .map(_.split(",").toSet)
+      .map(want => HeavyQueries.filter(want.contains))
+      .getOrElse(HeavyQueries)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -109,7 +114,7 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
     println(s"""{"probe":"heavy_scale","replication":$n,"queries":[""")
-    val lines = HeavyQueries.map { q =>
+    val lines = selected.map { q =>
       val t1 = time(q, sfDir)
       val tn = time(q, big)
       f"""{"query":"$q","sec_1x":$t1%.2f,"sec_${n}x":$tn%.2f,"wall_ratio":${tn / t1}%.2f,"per_row_ratio":${tn / t1 / n}%.3f}"""

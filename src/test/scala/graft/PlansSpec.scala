@@ -240,7 +240,10 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(bucket"), p)
   }
 
-  test("q_join_fuzzy: edit-distance candidates meet through the half-substring equi-joins, never a cartesian") {
+  test("q_join_fuzzy: candidates meet through the deletion-variant equi-join, never a cartesian") {
+    // both fuzzy queries route through operators/FuzzyJoin since r6 — the
+    // half-substring pigeonhole's digit-entropy-capped blocks saturated at
+    // 10x (r5 verdict); deletion-variant blocks scale with the keyspace
     val p = plan("q_join_fuzzy")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
