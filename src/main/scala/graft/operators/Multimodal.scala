@@ -401,6 +401,116 @@ object Multimodal {
     spark.createDataFrame(rdd, decodedVideoSchema)
   }
 
+  // -------------------------------------------------------------------------
+  // MP3 frame-header metadata: pure-JVM frame walk, no PCM decode
+  // -------------------------------------------------------------------------
+
+  /** MPEG-1 Layer III bitrate table (kbps), indexed by the header's 4-bit
+    * bitrate field; index 0 is free-format, 15 invalid (ISO/IEC 11172-3). */
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3SampleRates = Array(44100, 48000, 32000)
+  private val Mp3SamplesPerFrame = 1152
+
+  /** Deterministic CBR MPEG-1 Layer III frame sequence: real sync words,
+    * version/layer/bitrate/samplerate/padding fields, and spec-correct
+    * frame sizes (144 * bitrate / samplerate + padding), with junk main
+    * data — a parser must WALK the frames by computed size to count them.
+    * Full PCM decode stays the documented JDK boundary (no MP3 codec in
+    * the JDK); the header metadata is what a crawl-corpus triage pass
+    * needs first anyway. */
+  def encodeMp3Frames(docId: Long, nFrames: Int): Array[Byte] = {
+    val bIdx = (docId % 14 + 1).toInt
+    val srIdx = (docId % 3).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    for (f <- 0 until nFrames) {
+      val padding = ((docId + f) % 2).toInt
+      val size = 144 * Mp3Bitrates(bIdx) * 1000 / Mp3SampleRates(srIdx) + padding
+      val frame = new Array[Byte](size)
+      frame(0) = 0xFF.toByte
+      frame(1) = 0xFB.toByte // sync(3) + MPEG-1(11) + Layer III(01) + no-CRC(1)
+      frame(2) = ((bIdx << 4) | (srIdx << 2) | (padding << 1)).toByte
+      frame(3) = 0x00
+      var i = 4
+      while (i < size) { frame(i) = ((docId * 13 + f * 7 + i) % 251).toByte; i += 1 }
+      out.write(frame, 0, size)
+    }
+    out.toByteArray
+  }
+
+  /** Frame-header walk: (bitrate_kbps, sample_rate, n_frames, duration_ms).
+    * Validates sync/version/layer/bitrate/samplerate per frame and advances
+    * by the spec frame size; stops at the first invalid header (junk tail
+    * tolerance), None when no valid first frame exists. Bitrate reported
+    * from the first frame (CBR assumption); duration is the exact integer
+    * n_frames * 1152 * 1000 / sample_rate. */
+  def parseMp3Meta(media: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    var off = 0
+    var nFrames = 0L
+    var bitrate = 0L
+    var sampleRate = 1L
+    var ok = true
+    while (ok && off + 4 <= media.length) {
+      val b0 = media(off) & 0xFF
+      val b1 = media(off + 1) & 0xFF
+      val b2 = media(off + 2) & 0xFF
+      val version = (b1 >> 3) & 3
+      val layer = (b1 >> 1) & 3
+      val bIdx = (b2 >> 4) & 0xF
+      val srIdx = (b2 >> 2) & 3
+      val padding = (b2 >> 1) & 1
+      if (b0 != 0xFF || (b1 & 0xE0) != 0xE0 || version != 3 || layer != 1 ||
+        bIdx == 0 || bIdx == 15 || srIdx == 3) ok = false
+      else {
+        if (nFrames == 0L) {
+          bitrate = Mp3Bitrates(bIdx).toLong
+          sampleRate = Mp3SampleRates(srIdx).toLong
+        }
+        nFrames += 1
+        off += 144 * Mp3Bitrates(bIdx) * 1000 / Mp3SampleRates(srIdx) + padding
+      }
+    }
+    if (nFrames == 0L) None
+    else Some((bitrate, sampleRate, nFrames,
+      nFrames * Mp3SamplesPerFrame * 1000L / sampleRate))
+  }
+
+  /** Deterministic synthetic MP3 per document: bitrate index
+    * doc_id % 14 + 1, sample rate index doc_id % 3, doc_id % 4 + 1 frames,
+    * per-frame padding (doc_id + frame) % 2 — every metadata field is a
+    * formula DuckDB replays in integer math. */
+  def syntheticMp3s(spark: SparkSession, dir: String): DataFrame = {
+    val mp3Udf = org.apache.spark.sql.functions.udf { docId: Long =>
+      encodeMp3Frames(docId, (docId % 4 + 1).toInt)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), mp3Udf(col("doc_id")).as("media"),
+        lit("audio/mpeg").as("mime_type"))
+  }
+
+  val mp3MetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("bitrate_kbps", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** MP3 media -> frame-header metadata, batched mapPartitions like the
+    * other decode tables; undecodable rows are dropped. */
+  def mp3MetaTable(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select("doc_id", "media").rdd.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          parseMp3Meta(r.getAs[Array[Byte]](1)).map { case (br, sr, nf, dur) =>
+            Row(r.getLong(0), nf, br, sr, dur)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, mp3MetaSchema)
+  }
+
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("width", LongType, nullable = false),

@@ -473,6 +473,67 @@ object VectorIndex {
       .orderBy("query_id", "rn")
   }
 
+  /** Radius search served from the stored index (FAISS `range_search` over
+    * a persisted IVF): every probed-cell vector whose exact cosine to the
+    * query clears `threshold` — row-identical to `q_sim_range`, which
+    * trains inline so the oracle can replay the lifecycle. Works on BOTH
+    * flavors: radius search verifies with exact cosines against raw
+    * vectors, so the PQ codes (the only flavor-dependent tables) are never
+    * touched — only `coarse` for probing and `cells` for candidate
+    * selection. Scale shape: probes broadcast, candidates are the probed
+    * nprobe/NCells slice of `cells`, and the raw-vector join keys on
+    * vec_id — linear in candidates, no window at all (a pure filter,
+    * cheaper than top-k: no per-query ranking state). */
+  def rangeSearchIndex(
+      spark: SparkSession,
+      sfDir: String,
+      indexDir: String,
+      nQueries: Int = 5,
+      nprobe: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val coarse = spark.read.parquet(s"$indexDir/coarse")
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val e = normalizedEmbeddings(spark, sfDir)
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .crossJoin(broadcast(coarse.select(col("cent_id"), col("cemb"))))
+      .select(col("query_id"), col("qemb"), col("cent_id"),
+        round(graft.functions.VectorFunctions.dot(col("qemb"), col("cemb")), 6).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qemb"), col("cent_id").as("cell"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(e.select(col("vec_id"), col("emb")), "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(graft.functions.VectorFunctions.dot(col("emb"), col("qemb")), 6).as("score"))
+      .filter(col("score") >= threshold)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Cluster-balanced subsampling served from the stored index — the
+    * `q_sample_clusters` selection (keep at most `cap` vectors per coarse
+    * cell, RNG-free multiplicative id-hash rank, reshuffle-stable) without
+    * retraining or re-assigning: the stored `cells` table IS the
+    * assignment, so the whole operation is one window over the cell key
+    * plus the cell-keyed rollup. Flavor-independent for the same reason as
+    * [[rangeSearchIndex]]. */
+  def sampleFromIndex(
+      spark: SparkSession, indexDir: String, cap: Int = 40): DataFrame = {
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val w = Window.partitionBy("cell").orderBy("h", "vec_id")
+    cells
+      .withColumn("h",
+        col("vec_id") % lit(1000003L) * lit(2654435761L) % lit(4294967296L))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("cell")
+  }
+
   // ---------------------------------------------------------------------
   // delete / vacuum
   // ---------------------------------------------------------------------

@@ -178,5 +178,31 @@ object MultimodalQueries {
         min(doc_id) OVER (PARTITION BY doc_id % 256) < doc_id AS is_dup
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(features, frames, decodeQ, audioQ, videoQ, mediaDedup)
+  /** MP3 frame-header metadata — the smallest useful slice of the
+    * compressed-codec boundary (STATUS.md): bitrate/samplerate/frame-count/
+    * duration from a pure-JVM frame walk over real MPEG-1 Layer III sync
+    * headers and spec frame sizes, no PCM decode (the JDK ships no MP3
+    * codec — full decode stays documented out of scope). The synthetic
+    * frames derive every field from doc_id formulas, so the oracle
+    * recomputes the metadata INDEPENDENTLY of the parser: a sync slip,
+    * bitrate-table error, or frame-size miscalculation mismatches
+    * everything. Same batched-mapPartitions scale shape as the other
+    * decode tables. */
+  private val mp3MetaQ = Q(
+    "q_multimodal_mp3_meta",
+    (s, d) =>
+      Multimodal.mp3MetaTable(Multimodal.syntheticMp3s(s, d))
+        .orderBy("doc_id"),
+    Some("""WITH br AS (SELECT list_value(32,40,48,56,64,80,96,112,128,160,192,224,256,320) AS t),
+        sr AS (SELECT list_value(44100,48000,32000) AS t),
+        m AS (SELECT doc_id,
+                CAST(doc_id % 4 + 1 AS BIGINT) AS n_frames,
+                CAST(br.t[CAST(doc_id % 14 + 1 AS INT)] AS BIGINT) AS bitrate_kbps,
+                CAST(sr.t[CAST(doc_id % 3 + 1 AS INT)] AS BIGINT) AS sample_rate
+              FROM documents, br, sr)
+      SELECT doc_id, n_frames, bitrate_kbps, sample_rate,
+             n_frames * 1152 * 1000 // sample_rate AS duration_ms
+      FROM m ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(features, frames, decodeQ, audioQ, videoQ, mediaDedup, mp3MetaQ)
 }

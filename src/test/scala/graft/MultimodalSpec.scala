@@ -157,4 +157,30 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fp == Multimodal.frameFingerprint(px))
     }
   }
+
+  test("mp3 metadata: frame walk counts spec-sized frames, rejects junk, tolerates a cut tail") {
+    // round trip: synthesized frames parse back to the construction params
+    val media = Multimodal.encodeMp3Frames(docId = 7L, nFrames = 3)
+    val Some((br, sr, nf, dur)) = Multimodal.parseMp3Meta(media)
+    assert(nf == 3L)
+    assert(br == 112L) // bitrate index 7 % 14 + 1 = 8 -> 112 kbps
+    assert(sr == 48000L) // samplerate index 7 % 3 = 1 -> 48000
+    assert(dur == 3L * 1152L * 1000L / 48000L)
+    // junk bytes have no sync word: no metadata row, not a crash
+    assert(Multimodal.parseMp3Meta(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(Multimodal.parseMp3Meta(Array.emptyByteArray).isEmpty)
+    // a mid-frame truncation stops the walk at the last complete header
+    // boundary it can validate (real crawl files are cut all the time)
+    val cut = media.take(media.length - 10)
+    val Some((_, _, nfCut, _)) = Multimodal.parseMp3Meta(cut)
+    assert(nfCut >= 2L && nfCut <= 3L)
+    // the padding bit changes per frame, so frame sizes genuinely differ:
+    // a parser that assumed constant frame size would misalign and stop
+    val sizes = {
+      val m = Multimodal.encodeMp3Frames(docId = 8L, nFrames = 4)
+      val Some((_, _, n4, _)) = Multimodal.parseMp3Meta(m)
+      n4
+    }
+    assert(sizes == 4L)
+  }
 }

@@ -457,6 +457,23 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet == Set(victim))
   }
 
+  test("stored-index radius search and cluster sampling are row-identical to the in-query paths") {
+    // the lifecycle-symmetry twins: q_sim_range / q_sample_clusters train
+    // inline so the oracle replays end to end; production serves both from
+    // the stored coarse/cells tables with no training at all
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_idx_twins").toString
+    val idx = s"$baseDir/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, sf, idx)
+    val rangeStored = graft.operators.VectorIndex.rangeSearchIndex(spark, sf, idx)
+      .collect().map(_.toString).toSeq
+    val rangeInline = run("q_sim_range").collect().map(_.toString).toSeq
+    assert(rangeStored.nonEmpty && rangeStored == rangeInline)
+    val sampleStored = graft.operators.VectorIndex.sampleFromIndex(spark, idx)
+      .collect().map(_.toString).toSeq
+    val sampleInline = run("q_sample_clusters").collect().map(_.toString).toSeq
+    assert(sampleStored.nonEmpty && sampleStored == sampleInline)
+  }
+
   test("trainBoundOpt tolerates legacy indexes; trainBoundOf diagnoses them") {
     val baseDir = java.nio.file.Files.createTempDirectory("graft_legacy").toString
     val idx = s"$baseDir/index"
