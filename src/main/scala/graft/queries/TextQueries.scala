@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables.t
 
@@ -341,25 +341,26 @@ object TextQueries {
     * a broadcast 1-row aggregate (no driver action), token-to-count join
     * keyed on the word, per-doc agg keyed on doc_id — all linear. Output in
     * integer centibits/word, so the oracle hash-matches exactly. */
+  private def unigramScores(s: SparkSession, d: String) = {
+    val tokens = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val lg = tokens.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"), (length(bin(col("cnt"))) - 1).cast("long").as("lg"))
+    val total = tokens.agg(
+      (length(bin(count(lit(1)))) - 1).cast("long").as("lg_total"))
+    tokens.join(lg, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("lg_total") - col("lg")).as("info_bits"))
+      .withColumn("surprisal_cb", expr("info_bits * 100 div n_words"))
+      .select("doc_id", "n_words", "info_bits", "surprisal_cb")
+  }
+
   private val surprisal = Q(
     "q_text_surprisal",
-    (s, d) => {
-      val tokens = t(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val lg = tokens.groupBy("w").agg(count(lit(1)).as("cnt"))
-        .select(col("w"), (length(bin(col("cnt"))) - 1).cast("long").as("lg"))
-      val total = tokens.agg(
-        (length(bin(count(lit(1)))) - 1).cast("long").as("lg_total"))
-      tokens.join(lg, "w")
-        .crossJoin(broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_words"),
-          sum(col("lg_total") - col("lg")).as("info_bits"))
-        .withColumn("surprisal_cb", expr("info_bits * 100 div n_words"))
-        .select("doc_id", "n_words", "info_bits", "surprisal_cb")
-        .orderBy("doc_id")
-    },
+    (s, d) => unigramScores(s, d).orderBy("doc_id"),
     Some("""WITH tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         lg AS (SELECT w, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg
                FROM tokens GROUP BY w),
@@ -428,42 +429,43 @@ object TextQueries {
     * linear equi-joins keyed on word/bigram to score, corpus total as a
     * broadcast 1-row aggregate, per-doc rollup on doc_id — no pairing,
     * all linear. Output in integer centibits/bigram. */
+  private def bigramScores(s: SparkSession, d: String) = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val toks = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+    val trainToks = toks.filter(col("doc_id") % 2 === 0)
+    val uni = trainToks.groupBy("w")
+      .agg((length(bin(count(lit(1)))) - 1).cast("long").as("lg_u"))
+    val total = trainToks.agg(
+      (length(bin(count(lit(1)))) - 1).cast("long").as("lg_t"))
+    val pairs = docs.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(
+            element_at(col("ws"), i).as("a"),
+            element_at(col("ws"), i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bi = pairs.filter(col("doc_id") % 2 === 0).groupBy("a", "b")
+      .agg((length(bin(count(lit(1)))) - 1).cast("long").as("lg_b"))
+    pairs
+      .join(bi, Seq("a", "b"), "left")
+      .join(uni.select(col("w").as("a"), col("lg_u").as("lg_ua")), Seq("a"), "left")
+      .join(uni.select(col("w").as("b"), col("lg_u").as("lg_ub")), Seq("b"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        when(col("lg_b").isNotNull, col("lg_ua") - col("lg_b"))
+          .otherwise(
+            when(col("lg_ub").isNotNull, col("lg_t") - col("lg_ub") + lit(4L))
+              .otherwise(col("lg_t") + lit(4L))).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("bits"))
+      .withColumn("ppl_cb", expr("bits * 100 div n_bigrams"))
+      .select("doc_id", "n_bigrams", "bits", "ppl_cb")
+  }
+
   private val perplexity = Q(
     "q_text_perplexity",
-    (s, d) => {
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val toks = docs.select(col("doc_id"), explode(col("ws")).as("w"))
-      val trainToks = toks.filter(col("doc_id") % 2 === 0)
-      val uni = trainToks.groupBy("w")
-        .agg((length(bin(count(lit(1)))) - 1).cast("long").as("lg_u"))
-      val total = trainToks.agg(
-        (length(bin(count(lit(1)))) - 1).cast("long").as("lg_t"))
-      val pairs = docs.filter(size(col("ws")) >= 2)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("ws")) - 1),
-            i => struct(
-              element_at(col("ws"), i).as("a"),
-              element_at(col("ws"), i + 1).as("b")))).as("p"))
-        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-      val bi = pairs.filter(col("doc_id") % 2 === 0).groupBy("a", "b")
-        .agg((length(bin(count(lit(1)))) - 1).cast("long").as("lg_b"))
-      pairs
-        .join(bi, Seq("a", "b"), "left")
-        .join(uni.select(col("w").as("a"), col("lg_u").as("lg_ua")), Seq("a"), "left")
-        .join(uni.select(col("w").as("b"), col("lg_u").as("lg_ub")), Seq("b"), "left")
-        .crossJoin(broadcast(total))
-        .select(col("doc_id"),
-          when(col("lg_b").isNotNull, col("lg_ua") - col("lg_b"))
-            .otherwise(
-              when(col("lg_ub").isNotNull, col("lg_t") - col("lg_ub") + lit(4L))
-                .otherwise(col("lg_t") + lit(4L))).as("bits"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("bits"))
-        .withColumn("ppl_cb", expr("bits * 100 div n_bigrams"))
-        .select("doc_id", "n_bigrams", "bits", "ppl_cb")
-        .orderBy("doc_id")
-    },
+    (s, d) => bigramScores(s, d).orderBy("doc_id"),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
       uni AS (SELECT w, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_u
@@ -584,7 +586,69 @@ object TextQueries {
           SELECT step, l, r, cnt FROM ($out) WHERE cnt > 0 ORDER BY step"""
     })
 
+  /** The two LM gates composed — the `q_text_train_prep`-style filter the
+    * bigram LM exists for, emitting its DISAGREEMENT with the unigram
+    * score: each document is admitted by a gate when its score sits at or
+    * below that gate's corpus mean (an exact BIGINT cross-multiplication —
+    * `score * n <= total` — so the cutoff is a broadcast scalar, no global
+    * sort or rank state at any corpus size), and the output is the set the
+    * LM gate REORDERS: documents one gate admits and the other rejects.
+    * This is the operational content of "order-sensitive": a fluent
+    * document of common words and its scrambled twin tie on the unigram
+    * gate and split on the bigram gate. Both score frames are the same
+    * code paths `q_text_surprisal` / `q_text_perplexity` verify
+    * individually; this entry proves the composition hash-matches one
+    * declarative oracle end to end. */
+  private val pplGate = Q(
+    "q_text_ppl_gate",
+    (s, d) => {
+      val j = unigramScores(s, d).select("doc_id", "surprisal_cb")
+        .join(bigramScores(s, d).select("doc_id", "ppl_cb"), "doc_id")
+        .cache()
+      val cut = j.agg(
+        count(lit(1)).as("n"),
+        sum("surprisal_cb").as("su"),
+        sum("ppl_cb").as("sp"))
+      j.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("surprisal_cb"), col("ppl_cb"),
+          (col("surprisal_cb") * col("n") <= col("su")).as("uni_admit"),
+          (col("ppl_cb") * col("n") <= col("sp")).as("ppl_admit"))
+        .filter(col("uni_admit") =!= col("ppl_admit"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+      ulg AS (SELECT w, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg FROM tok GROUP BY w),
+      utot AS (SELECT CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_t FROM tok),
+      uni AS (SELECT doc_id, CAST(sum(lg_t - lg) * 100 // count(*) AS BIGINT) AS surprisal_cb
+              FROM tok t JOIN ulg USING (w), utot GROUP BY doc_id),
+      luni AS (SELECT w, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_u
+               FROM tok WHERE doc_id % 2 = 0 GROUP BY w),
+      ltot AS (SELECT CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_t
+               FROM tok WHERE doc_id % 2 = 0),
+      p AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+            FROM w, LATERAL unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+      bi AS (SELECT a, b, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_b
+             FROM p WHERE doc_id % 2 = 0 GROUP BY a, b),
+      ppl AS (SELECT doc_id, CAST(sum(bits) * 100 // count(*) AS BIGINT) AS ppl_cb FROM (
+                SELECT p.doc_id,
+                  CASE WHEN bi.lg_b IS NOT NULL THEN ua.lg_u - bi.lg_b
+                       WHEN ub.lg_u IS NOT NULL THEN ltot.lg_t - ub.lg_u + 4
+                       ELSE ltot.lg_t + 4 END AS bits
+                FROM p LEFT JOIN bi ON p.a = bi.a AND p.b = bi.b
+                  LEFT JOIN luni ua ON p.a = ua.w
+                  LEFT JOIN luni ub ON p.b = ub.w, ltot) GROUP BY doc_id),
+      j AS (SELECT u.doc_id, u.surprisal_cb, q.ppl_cb FROM uni u JOIN ppl q USING (doc_id)),
+      cut AS (SELECT count(*) AS n, CAST(sum(surprisal_cb) AS BIGINT) AS su,
+                     CAST(sum(ppl_cb) AS BIGINT) AS sp FROM j)
+      SELECT doc_id, surprisal_cb, ppl_cb,
+             surprisal_cb * n <= su AS uni_admit,
+             ppl_cb * n <= sp AS ppl_admit
+      FROM j, cut
+      WHERE (surprisal_cb * n <= su) <> (ppl_cb * n <= sp)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
-    perplexity, bpeTrain)
+    perplexity, bpeTrain, pplGate)
 }
