@@ -485,8 +485,14 @@ object DedupQueries {
             transform(sequence(lit(1), size(col("ws")) - 7),
               i => array_join(slice(col("ws"), i, lit(8)), " ")))
             .otherwise(array().cast("array<string>"))).as("gram"))
+      // the shuffle key is the span's 64-bit hash, not its text: the
+      // min-window stage is the dominant shuffle (corpus x len rows) and
+      // 8-byte keys cut its bytes ~5x — same exact-dedup-by-hash stance as
+      // q_dedup_exact (the oracle groups by the text itself; a collision
+      // would surface as a hash mismatch in the gate)
       val stats = grams
-        .withColumn("keeper", min("doc_id").over(Window.partitionBy("gram")))
+        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+        .withColumn("keeper", min("doc_id").over(Window.partitionBy("gh")))
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_spans"),
@@ -541,31 +547,49 @@ object DedupQueries {
     * (map-side-combined min); the island merge is a doc-keyed window — the
     * second, linear shuffle. No join ever pairs documents, and no
     * per-length re-scan: one pass covers every repeat length >= N. */
+  /** The minimum repeat length (tokens) the substring-dedup family detects. */
+  private val SubstringMinTokens = 5
+
+  /** Stride-1 suffix windows of [[SubstringMinTokens]] tokens, keyed by the
+    * window's 64-bit hash: (doc_id, i, gh). The hash is the shuffle key for
+    * everything downstream (8 bytes vs ~40 of window text — the
+    * q_dedup_exact stance; oracles group by the text itself). */
+  private[graft] def substringWindows(docs: DataFrame): DataFrame = {
+    val n = SubstringMinTokens
+    docs.filter(size(col("ws")) >= n)
+      .select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => array_join(slice(col("ws"), i, lit(n)), " "))))
+      .toDF("doc_id", "p", "gram")
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("i"),
+        xxhash64(col("gram")).as("gh"))
+  }
+
+  /** Gaps-and-islands merge of duplicated window positions into maximal
+    * spans: consecutive i's collapse (i - row_number is constant exactly on
+    * a run); a repeat of length L marks L-N+1 consecutive positions, so the
+    * island reconstructs its full extent. */
+  private[graft] def mergeSpans(dup: DataFrame): DataFrame =
+    dup
+      .withColumn("grp",
+        col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+      .groupBy("doc_id", "grp")
+      .agg(
+        min("i").as("span_start"),
+        (max("i") - min("i") + SubstringMinTokens).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+      .orderBy("doc_id", "span_start")
+
   private val substringDedup = Q(
     "q_dedup_substrings",
     (s, d) => {
-      val N = 5
       val docs = t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val grams = docs.filter(size(col("ws")) >= N)
-        .select(
-          col("doc_id"),
-          posexplode(transform(sequence(lit(1), size(col("ws")) - (N - 1)),
-            i => array_join(slice(col("ws"), i, lit(N)), " "))))
-        .toDF("doc_id", "p", "gram")
-        .select(col("doc_id"), (col("p") + 1).cast("long").as("i"), col("gram"))
-      val dup = grams
-        .withColumn("keeper", min("doc_id").over(Window.partitionBy("gram")))
+      val dup = substringWindows(docs)
+        .withColumn("keeper", min("doc_id").over(Window.partitionBy("gh")))
         .filter(col("keeper") < col("doc_id"))
         .select("doc_id", "i")
-      dup
-        .withColumn("grp",
-          col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i")))
-        .groupBy("doc_id", "grp")
-        .agg(
-          min("i").as("span_start"),
-          (max("i") - min("i") + N).as("span_len"))
-        .select(col("doc_id"), col("span_start"), col("span_len"))
-        .orderBy("doc_id", "span_start")
+      mergeSpans(dup)
     },
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       g AS (SELECT doc_id, i, list_aggregate(ws[i : i+4], 'string_agg', ' ') AS gram
@@ -581,7 +605,44 @@ object DedupQueries {
       FROM isl GROUP BY doc_id, grp
       ORDER BY doc_id, span_start"""))
 
+  /** Incremental substring dedup — the crawl-snapshot production shape: a
+    * DELTA of new documents is scrubbed against the STORED corpus window
+    * table without rescanning the corpus (the substring-level twin of
+    * `q_dedup_incremental`'s doc-level delta-vs-band-table join). The
+    * stored side is the distinct window-hash set (8 bytes per distinct
+    * window — at 100 TB this persists as a bucketed table and the delta
+    * join is shuffle-free); a delta position is duplicated when its window
+    * exists ANYWHERE in the corpus (left-semi equi-join on the hash), and
+    * duplicated positions merge into maximal spans per delta document.
+    * Delta-internal repeats are deliberately out of scope here (run the
+    * full `q_dedup_substrings` over the delta for those) — this pass's
+    * cost is O(delta), the property that makes per-snapshot scrubbing
+    * affordable. */
+  private val substringIncremental = Q(
+    "q_dedup_substrings_incremental",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val corpus = substringWindows(docs.filter(col("doc_id") < 400))
+        .select("gh").distinct()
+      val delta = substringWindows(
+        docs.filter(col("doc_id") >= 400 && col("doc_id") < 500))
+      mergeSpans(delta.join(corpus, Seq("gh"), "left_semi").select("doc_id", "i"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, i, list_aggregate(ws[i : i+4], 'string_agg', ' ') AS gram
+            FROM w, LATERAL unnest(range(1, len(ws) - 3)) t(i)
+            WHERE len(ws) >= 5),
+      corpus AS (SELECT DISTINCT gram FROM g WHERE doc_id < 400),
+      delta AS (SELECT doc_id, i FROM g WHERE doc_id >= 400 AND doc_id < 500
+                AND gram IN (SELECT gram FROM corpus)),
+      isl AS (SELECT doc_id, i,
+                i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+              FROM delta)
+      SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+             CAST(max(i) - min(i) + 5 AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
+
   val all: Seq[Q] =
     Seq(minhashLsh, minhashAudit, simhash, ngramJaccard, incremental, spanDedup,
-      substringDedup)
+      substringDedup, substringIncremental)
 }

@@ -39,6 +39,7 @@ object ScaleProbe {
     */
   private val HeavyQueries = Seq(
     "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed_lsh", "q_dedup_spans",
+    "q_dedup_substrings",
     "q_sim_ivfpq", "q_sim_ivfpq_rerank", "q_sim_ivfpq_residual",
     "q_join_fuzzy", "q_join_fuzzy_varlen")
 
