@@ -618,15 +618,33 @@ object DedupQueries {
     * full `q_dedup_substrings` over the delta for those) — this pass's
     * cost is O(delta), the property that makes per-snapshot scrubbing
     * affordable. */
+  /** The stored half of the incremental substring scrub: the corpus's
+    * DISTINCT window-hash set (8 bytes per distinct window — persist as a
+    * bucketed table at scale and the delta join is shuffle-free). */
+  def substringWindowTable(docs: DataFrame): DataFrame =
+    substringWindows(docs).select("gh").distinct()
+
+  /** STREAMING substring scrub: an unbounded delta stream of (doc_id, ws)
+    * rows against the stored corpus window table — duplicated window
+    * POSITIONS (doc_id, i) out, the projection a redaction/removal sink
+    * consumes. Stateless (narrow window explode + stream-static left-semi
+    * equi-join), so it runs in append mode with no watermark; the maximal-
+    * span island merge is a per-document window function, which streaming
+    * append mode cannot express — run [[mergeSpans]] over the positions at
+    * the sink (or per micro-batch in foreachBatch), as the batch
+    * `q_dedup_substrings_incremental` does. */
+  def substringScrubStream(delta: DataFrame, corpusWindowHashes: DataFrame): DataFrame =
+    substringWindows(delta)
+      .join(corpusWindowHashes, Seq("gh"), "left_semi")
+      .select("doc_id", "i")
+
   private val substringIncremental = Q(
     "q_dedup_substrings_incremental",
     (s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val corpus = substringWindows(docs.filter(col("doc_id") < 400))
-        .select("gh").distinct()
-      val delta = substringWindows(
-        docs.filter(col("doc_id") >= 400 && col("doc_id") < 500))
-      mergeSpans(delta.join(corpus, Seq("gh"), "left_semi").select("doc_id", "i"))
+      val corpus = substringWindowTable(docs.filter(col("doc_id") < 400))
+      val delta = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+      mergeSpans(substringScrubStream(delta, corpus))
     },
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       g AS (SELECT doc_id, i, list_aggregate(ws[i : i+4], 'string_agg', ' ') AS gram

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables.t
 
@@ -648,7 +649,95 @@ object TextQueries {
       WHERE (surprisal_cb * n <= su) <> (ppl_cb * n <= sp)
       ORDER BY doc_id"""))
 
+  /** BM25 lexical retrieval (Robertson-Sparck Jones) — the term-based
+    * retrieval primitive beside the embedding ANN family (production
+    * hybrid search runs both and fuses). Query terms are the corpus's 12
+    * most discriminative (lowest-df) words grouped into 3 queries of 4 —
+    * derived, not hardcoded, so the entry is corpus-independent. All math
+    * is exact BIGINT: idf in QUARTER-bits via the binary-length device on
+    * df^4 (floor(4 log2 x) = bitlen(x^4) - 1; whole-bit idf is too coarse
+    * when df spans less than an octave of N), and the k1=1.2 / b=0.75
+    * tf-saturation denominator cross-multiplied to integers —
+    * score_term = idf_q * tf * 11 * T * 1000 div (20*T*tf + 6*T + 18*dl*N)
+    * (the 44/4 quarter-bit fold), summed per (query, doc). No libm ln, so
+    * both engines agree bit for bit. Scale shape: the query-term set
+    * broadcasts into one token scan (tf only materializes for query
+    * terms), df/dl are word- and doc-keyed count shuffles, totals ride a
+    * broadcast 1-row agg, and the final top-10 windows per query. The
+    * df^4 device needs N <= ~55k docs in BIGINT — at larger corpora widen
+    * the idf to DECIMAL or precompute it at eighth-bit granularity from
+    * split factors. */
+  private val bm25 = Q(
+    "q_text_bm25",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val tok = docs.select(col("doc_id"), explode(col("ws")).as("w")).cache()
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tot = tok.agg(
+        count(lit(1)).as("t"), count_distinct(col("doc_id")).as("n"))
+      val dfall = tok.groupBy(col("w"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .select(col("w").as("term"), col("df"))
+      val wRk = Window.orderBy(asc("df"), asc("term")) // vocab-sized, not corpus-sized
+      val qt = dfall
+        .withColumn("rk", row_number().over(wRk))
+        .filter(col("rk") <= 12)
+        .select(((col("rk") - 1).cast("long") / 4).cast("long").as("qid"), col("term"))
+      val tf = tok
+        .join(broadcast(qt.select("term").distinct()), col("w") === col("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val idf = dfall
+        .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+        .crossJoin(broadcast(tot.select(col("n").as("nn"))))
+        .select(col("term"),
+          (length(bin(col("nn") * col("nn") * col("nn") * col("nn")))
+            - length(bin(col("df") * col("df") * col("df") * col("df"))))
+            .cast("long").as("idf"))
+      val w = Window.partitionBy("qid").orderBy(desc("score_milli"), asc("doc_id"))
+      broadcast(qt).join(tf, "term")
+        .join(broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .select(col("qid"), col("doc_id"),
+          expr("idf * tf * 11 * t * 1000 div (20 * t * tf + 6 * t + 18 * dl * n)")
+            .as("term_score"))
+        .groupBy("qid", "doc_id")
+        .agg(sum("term_score").as("score_milli"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .orderBy("qid", "rn")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS t,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+      dfall AS (SELECT w AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tok GROUP BY w),
+      qt AS (SELECT CAST((rk - 1) // 4 AS BIGINT) AS qid, term FROM (
+               SELECT term, row_number() OVER (ORDER BY df, term) AS rk FROM dfall)
+             WHERE rk <= 12),
+      tf AS (SELECT t.doc_id, t.w AS term, CAST(count(*) AS BIGINT) AS tf
+             FROM tok t WHERE t.w IN (SELECT term FROM qt) GROUP BY t.doc_id, t.w),
+      idf AS (SELECT term,
+                CAST(length(bin(n*n*n*n)) - length(bin(df*df*df*df)) AS BIGINT) AS idf
+              FROM dfall, tot WHERE term IN (SELECT term FROM qt)),
+      sc AS (SELECT q.qid, f.doc_id,
+               CAST(sum((i.idf * f.tf * 11 * tot.t * 1000)
+                    // (20 * tot.t * f.tf + 6 * tot.t + 18 * d.dl * tot.n)) AS BIGINT)
+                 AS score_milli
+             FROM qt q JOIN tf f ON q.term = f.term
+               JOIN idf i ON i.term = q.term
+               JOIN dl d ON d.doc_id = f.doc_id, tot
+             GROUP BY q.qid, f.doc_id)
+      SELECT qid, doc_id, score_milli, rn FROM (
+        SELECT qid, doc_id, score_milli,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY score_milli DESC, doc_id)
+            AS BIGINT) AS rn
+        FROM sc) WHERE rn <= 10 ORDER BY qid, rn"""))
+
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
-    perplexity, bpeTrain, pplGate)
+    perplexity, bpeTrain, pplGate, bm25)
 }

@@ -837,4 +837,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty && streamed.forall(_._1 == 9001L))
     assert(streamed.exists(_._2 == 0L)) // the shuffled twin of doc 0 matches it
   }
+
+  test("streaming substring scrub: live delta positions match batch; spans merge at the sink") {
+    import org.apache.spark.sql.functions.{col, split}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+    // stored corpus window-hash table (computed once, batch)
+    val corpusDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val corpusGh = graft.queries.DedupQueries.substringWindowTable(corpusDocs).cache()
+
+    // delta doc 9001 embeds a 7-word corpus phrase (positions 3..9) inside
+    // novel words; 9002 is entirely novel — no positions
+    val doc0Words = corpusDocs.filter(col("doc_id") === 0).head().getSeq[String](1)
+    val phrase = doc0Words.take(7).mkString(" ")
+    val deltaDir = s"$base/substr_delta"
+    write(deltaDir, "delta.jsonl",
+      s"""{"doc_id": 9001, "text": "zq1 zq2 $phrase zq3 zq4"}
+         |{"doc_id": 9002, "text": "zzq wwx yyk vvj uup ttn rrm qql"}""".stripMargin)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val deltaWs = spark.readStream.schema(schema).json(deltaDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+
+    val q = graft.queries.DedupQueries.substringScrubStream(deltaWs, corpusGh)
+      .writeStream.format("memory").queryName("substr_scrub")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT doc_id, i FROM substr_scrub")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a 7-word phrase at token offset 3 marks 5-word windows at i = 3, 4, 5
+    assert(streamed == Set((9001L, 3L), (9001L, 4L), (9001L, 5L)), streamed.toString)
+
+    // the sink-side island merge reconstructs the maximal span
+    val spans = graft.queries.DedupQueries.mergeSpans(
+        spark.sql("SELECT doc_id, i FROM substr_scrub"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(spans == Seq((9001L, 3L, 7L)), spans.toString)
+  }
 }
