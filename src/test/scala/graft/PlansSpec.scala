@@ -157,6 +157,19 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nExchange <= 3, s"expected <=3 exchanges, got $nExchange:\n$p")
   }
 
+  test("r6 composition queries: no cartesian, candidates/terms meet through equi-joins") {
+    // q_text_bm25: the query-term set broadcasts (tf materializes only for
+    // query terms); q_text_ppl_gate: cutoffs ride broadcast 1-row aggs;
+    // q_dedup_substrings_incremental: the delta meets the stored window
+    // set through a left-semi equi-join on the hash
+    for (q <- Seq("q_text_bm25", "q_text_ppl_gate", "q_dedup_substrings_incremental")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+    val inc = plan("q_dedup_substrings_incremental")
+    assert(inc.contains("LeftSemi"), inc)
+  }
+
   test("q_dedup_semantic: in-cell candidates meet through the cell equi-join, never a cartesian") {
     // the centroid assignment legitimately broadcasts the 8-row seed table
     // (a BNLJ by design, like the IVF family); the property that must hold
