@@ -39,6 +39,7 @@ object VectorIndex {
 
   val FlavorPlain = "plain"
   val FlavorResidual = "residual"
+  val FlavorBinary = "binary"
 
   // ---------------------------------------------------------------------
   // meta / tombstones plumbing
@@ -689,4 +690,110 @@ object VectorIndex {
   def needsRebuild(
       spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Boolean =
     driftRatio(spark, sfDir, indexDir, minVecId) > DriftRebuildThreshold
+
+  // ---------------------------------------------------------------------
+  // binary (sign-bit) index — the 8-byte/vector end of the family
+  // ---------------------------------------------------------------------
+
+  /** Stored binary index: one `bits` table (vec_id, w0, w1 — the packed
+    * sign words `q_sim_binary` searches) plus the standard meta/tombstones.
+    * There is NO trained codebook: a vector's code depends only on the
+    * vector, so appends can never go stale and [[driftRatio]] has nothing
+    * to measure — the one index in the family whose maintenance loop needs
+    * no rebuild trigger (meta records base stats 0 and flavor "binary";
+    * the IVF-PQ searches refuse to serve it and vice versa). */
+  def buildBinary(
+      spark: SparkSession, sfDir: String, indexDir: String,
+      bound: Long = Long.MaxValue): Unit = {
+    val dir = new Path(indexDir)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    fs.delete(tmp, true)
+    val tombstones = tombstonesOf(spark, indexDir).cache()
+
+    val bits = binaryCodes(notTombstoned(
+      normalizedEmbeddings(spark, sfDir).filter(col("vec_id") < bound), tombstones)).cache()
+    bits.write.mode(SaveMode.Overwrite).parquet(s"$tmp/bits")
+    val effBound = bits.agg(coalesce(max(col("vec_id")) + 1L, lit(0L))).head().getLong(0)
+    spark.range(1).select(
+        lit(effBound).as("train_bound"),
+        lit(FlavorBinary).as("flavor"),
+        lit(0L).as("base_n"),
+        lit(0L).as("base_total_err"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
+    writeTombstonesIfAny(spark, fs, tmp, tombstones)
+    Seq(bits, tombstones).foreach(_.unpersist())
+
+    atomicSwap(fs, dir, tmp, new Path(dir.getParent, s".${dir.getName}.previous"))
+  }
+
+  /** Append vectors `vec_id >= minVecId` to a binary index: pack the delta
+    * (codebook-free — no staleness to inherit), keep the old side below the
+    * boundary (the same idempotent-replay guard as [[appendIvfPq]]), and
+    * republish atomically. Tombstoned ids stay excluded. */
+  def appendBinary(
+      spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Unit = {
+    requireFlavor(spark, indexDir, FlavorBinary, "appendBinary")
+    val dir = new Path(indexDir)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
+    fs.delete(tmp, true)
+    fs.delete(aside, true)
+
+    val tombstones = tombstonesOf(spark, indexDir).cache()
+    val oldBits = spark.read.parquet(s"$indexDir/bits").filter(col("vec_id") < minVecId)
+    val newBits = binaryCodes(notTombstoned(
+      normalizedEmbeddings(spark, sfDir).filter(col("vec_id") >= minVecId), tombstones))
+    oldBits.unionByName(newBits).write.mode(SaveMode.Overwrite).parquet(s"$tmp/bits")
+    copyMetaIfPresent(spark, fs, indexDir, tmp)
+    writeTombstonesIfAny(spark, fs, tmp, tombstones)
+    tombstones.unpersist()
+
+    atomicSwap(fs, dir, tmp, aside)
+  }
+
+  /** Serve a binary search from the stored `bits` table — row-identical to
+    * `q_sim_binary` (same shared search: Hamming shortlist + exact rerank
+    * over only the shortlisted raw vectors, read from the corpus parquet
+    * the way [[searchIvfPqRerank]] reads its refine vectors). */
+  def searchBinary(
+      spark: SparkSession, sfDir: String, indexDir: String,
+      nQueries: Int = 5, shortlistK: Int = 20, k: Int = 5): DataFrame = {
+    requireFlavor(spark, indexDir, FlavorBinary, "searchBinary")
+    binarySearch(
+      spark.read.parquet(s"$indexDir/bits"),
+      normalizedEmbeddings(spark, sfDir),
+      nQueries, shortlistK, k)
+  }
+
+  /** GDPR delete on a binary index: drop the packed rows and persist the
+    * tombstones so a replayed [[appendBinary]] cannot resurrect them.
+    * Returns the number of vectors actually removed. */
+  def deleteFromBinary(
+      spark: SparkSession, indexDir: String, vecIds: Seq[Long]): Long = {
+    requireFlavor(spark, indexDir, FlavorBinary, "deleteFromBinary")
+    import spark.implicits._
+    val dir = new Path(indexDir)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
+    fs.delete(tmp, true)
+    fs.delete(aside, true)
+
+    val requested = vecIds.toDF("vec_id")
+    val oldBits = spark.read.parquet(s"$indexDir/bits")
+    val nDead = oldBits.join(broadcast(requested), Seq("vec_id"), "left_semi").count()
+    if (nDead == 0L) return 0L
+
+    oldBits.join(broadcast(requested), Seq("vec_id"), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/bits")
+    copyMetaIfPresent(spark, fs, indexDir, tmp)
+    tombstonesOf(spark, indexDir).select("vec_id").unionByName(requested)
+      .distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/tombstones")
+
+    atomicSwap(fs, dir, tmp, aside)
+    nDead
+  }
 }

@@ -660,7 +660,65 @@ object DedupQueries {
              CAST(max(i) - min(i) + 5 AS BIGINT) AS span_len
       FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
 
+  /** The substring scrub APPLIED — the corpus rewrite Lee et al.'s tool
+    * actually emits: every duplicated window position (keep-first, same mark
+    * as `q_dedup_substrings`) covers its [[SubstringMinTokens]] tokens, and
+    * the rewritten document is the surviving tokens rejoined. Reported
+    * per document: original/removed token counts and the cleaned text — the
+    * frame a training-data writer persists.
+    *
+    * Scale shape: the duplicate mark is the same single window-hash shuffle
+    * as `q_dedup_substrings`; duplicated START positions then collapse to a
+    * per-doc sorted array (doc-keyed shuffle, output one small row per
+    * affected doc) and meet the corpus through a doc_id equi-join. The
+    * splice itself is a narrow per-row higher-order filter — position p
+    * survives unless some duplicated start i covers it (i <= p < i+N) — so
+    * its cost is per-document (O(len x marks), corpus-independent,
+    * parallelizes with the scan) and token rows never shuffle. */
+  private val substringApply = Q(
+    "q_dedup_substrings_apply",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val dups = substringWindows(docs)
+        .withColumn("keeper", min("doc_id").over(Window.partitionBy("gh")))
+        .filter(col("keeper") < col("doc_id"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("i"))).as("dups"))
+      docs.join(dups, Seq("doc_id"), "left")
+        .withColumn("dups", coalesce(col("dups"), expr("array()").cast("array<bigint>")))
+        .withColumn("kept", expr(
+          s"""filter(sequence(1L, cast(size(ws) AS bigint)),
+                     p -> NOT exists(dups, i -> p >= i AND p < i + $SubstringMinTokens))"""))
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          (size(col("ws")) - size(col("kept"))).cast("long").as("n_removed"),
+          array_join(expr("transform(kept, p -> element_at(ws, cast(p AS int)))"), " ")
+            .as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, i, list_aggregate(ws[i : i+4], 'string_agg', ' ') AS gram
+            FROM w, LATERAL unnest(range(1, len(ws) - 3)) t(i)
+            WHERE len(ws) >= 5),
+      k AS (SELECT doc_id, i, min(doc_id) OVER (PARTITION BY gram) AS keeper FROM g),
+      dd AS (SELECT doc_id, list_sort(list(i)) AS dups
+             FROM k WHERE keeper < doc_id GROUP BY doc_id),
+      j AS (SELECT w.doc_id, ws, COALESCE(dd.dups, []) AS dups
+            FROM w LEFT JOIN dd ON w.doc_id = dd.doc_id),
+      r AS (SELECT doc_id, ws, dups,
+              list_filter(range(1, len(ws) + 1),
+                p -> len(list_filter(dups, i -> p >= i AND p < i + $SubstringMinTokens)) = 0)
+                AS kept
+            FROM j)
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+             COALESCE(list_aggregate(list_transform(kept, p -> ws[p]),
+                                     'string_agg', ' '), '') AS clean_text
+      FROM r ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(minhashLsh, minhashAudit, simhash, ngramJaccard, incremental, spanDedup,
-      substringDedup, substringIncremental)
+      substringDedup, substringIncremental, substringApply)
 }

@@ -1086,6 +1086,93 @@ object QuantQueries {
              CAST(sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM ranked GROUP BY cell ORDER BY cell"""))
 
+  // ---------------------------------------------------------------------------
+  // q_sim_binary — 1-bit binary quantization + Hamming shortlist + exact rerank
+  // ---------------------------------------------------------------------------
+
+  /** Sign-bit binary codes: dimension j contributes bit j iff its component
+    * is positive, packed into two 32-bit words held in BIGINTs (a single
+    * 64-bit word would need 2^63 — an ANSI overflow; two halves keep every
+    * partial sum positive). 8 bytes/vector — the 64x compression floor of
+    * the quantization family (SQ8 = 64 B, PQ = 8 B codes + codebook). */
+  private[graft] def binaryCodes(e: DataFrame): DataFrame =
+    e.select(
+      col("vec_id"),
+      expr("""aggregate(sequence(0, 31), 0L,
+               (acc, j) -> acc + IF(element_at(emb, j + 1) > 0D, shiftleft(1L, j), 0L))""").as("w0"),
+      expr("""aggregate(sequence(32, 63), 0L,
+               (acc, j) -> acc + IF(element_at(emb, j + 1) > 0D, shiftleft(1L, j - 32), 0L))""").as("w1"))
+
+  /** The binary search shared by `q_sim_binary` (codes packed in-query) and
+    * `VectorIndex.searchBinary` (codes read from the stored `bits` table):
+    * Hamming shortlist over the packed words, exact cosine rerank touching
+    * only the shortlisted raw vectors. Row-identical by construction across
+    * the two call sites (pinned in QuantSpec). */
+  private[graft] def binarySearch(
+      codes: DataFrame, e: DataFrame,
+      nQueries: Int = 5, shortlistK: Int = 20, k: Int = 5): DataFrame = {
+    val q = broadcast(codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("w0").as("q0"), col("w1").as("q1")))
+    val cand = codes.join(q, col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("bit_count(w0 ^ q0)") + expr("bit_count(w1 ^ q1)")).cast("long").as("hamming"))
+    val wh = Window.partitionBy("query_id").orderBy(asc("hamming"), asc("neighbor_id"))
+    val short = cand.withColumn("hrn", row_number().over(wh)).filter(col("hrn") <= shortlistK)
+    val qe = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb")))
+    val wr = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+    broadcast(short)
+      .join(e, short("neighbor_id") === e("vec_id"))
+      .join(qe, "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        round(dot(col("emb"), col("qemb")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
+  /** Binary-quantized ANN (the FAISS IndexBinaryFlat + refine shape): top-5
+    * neighbors for 5 query vectors, Hamming distance over the packed sign
+    * bits (integer-exact: bit_count of the XOR'd words) shortlists k' = 20
+    * candidates, and an EXACT cosine rerank over only the shortlisted raw
+    * vectors produces the final ranking — rerank cost is per-shortlist, not
+    * per-candidate. Query side broadcasts both times; the corpus is scanned
+    * once for codes (narrow fold against the scan) and touched again only
+    * for the <= 100 shortlisted rows (broadcast equi-join on vec_id). The
+    * oracle replays pack → XOR/popcount → rerank with the identical
+    * operation sequence. */
+  private val binaryAnn = Q(
+    "q_sim_binary",
+    (s, d) => {
+      val e = normalizedEmbeddings(s, d).cache()
+      binarySearch(binaryCodes(e), e)
+    },
+    Some(s"""WITH $sqlNormalized,
+      b AS (SELECT vec_id,
+              CAST(list_sum(list_transform(range(0, 32),
+                j -> CASE WHEN emb[j + 1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+              CAST(list_sum(list_transform(range(32, 64),
+                j -> CASE WHEN emb[j + 1] > 0 THEN (1::BIGINT << (j - 32)) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+            FROM e),
+      q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM b WHERE vec_id < 5),
+      cand AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+                 CAST(bit_count(xor(n.w0, q.q0)) + bit_count(xor(n.w1, q.q1)) AS BIGINT) AS hamming
+               FROM b n JOIN q ON n.vec_id <> q.query_id),
+      short AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hrn
+                  FROM cand) sub WHERE hrn <= 20),
+      r AS (SELECT s.query_id, s.neighbor_id, s.hamming,
+              round(list_dot_product(ne.emb, qe.emb), 6) AS cos_sim
+            FROM short s JOIN e ne ON s.neighbor_id = ne.vec_id
+                         JOIN e qe ON s.query_id = qe.vec_id)
+      SELECT query_id, neighbor_id, hamming, cos_sim, rn FROM (
+        SELECT *, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn
+        FROM r) sub
+      WHERE rn <= 5 ORDER BY query_id, rn"""))
+
   val all: Seq[Q] = Seq(sq8Ann, kmeans, ivfTrained, pqAdc, ivfPq, ivfPqRerank,
-    ivfPqResidual, indexDrift, rangeSearch, maxSim, sampleClusters)
+    ivfPqResidual, indexDrift, rangeSearch, maxSim, sampleClusters, binaryAnn)
 }

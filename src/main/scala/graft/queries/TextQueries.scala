@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables.t
@@ -520,72 +520,133 @@ object TextQueries {
           .otherwise(concat(acc, lit(" "), x)))
   }
 
+  /** The NBpeMerges-step trainer loop shared by `q_text_bpe_train` (which
+    * emits the merge list) and `q_text_bpe_apply` (which encodes with the
+    * final vocab): returns (final vocab (w, n, s) with all merges applied,
+    * ordered merge list). Driver actions are one bounded `take(1)` per
+    * merge step — vocabulary-sized aggregates, never corpus rows. */
+  private def bpeTrainLoop(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
+    var vocab = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(col("w"), col("n"),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to NBpeMerges if !exhausted) {
+      val withSyms = vocab.select(col("n"), split(col("s"), " ").as("sl"))
+      val top = withSyms.filter(size(col("sl")) >= 2)
+        .select(col("n"),
+          explode(transform(sequence(lit(1), size(col("sl")) - 1),
+            i => struct(
+              element_at(col("sl"), i).as("l"),
+              element_at(col("sl"), i + 1).as("r")))).as("p"))
+        .select(col("n"), col("p.l").as("l"), col("p.r").as("r"))
+        .groupBy("l", "r").agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .take(1).headOption
+      top match {
+        case Some(rw) =>
+          val (l, r, cnt) = (rw.getString(0), rw.getString(1), rw.getLong(2))
+          merges += ((step.toLong, l, r, cnt))
+          vocab = vocab
+            .withColumn("s", bpeApplyMerge(col("s"), l, r))
+            .localCheckpoint()
+        case None => exhausted = true
+      }
+    }
+    (vocab, merges.toSeq)
+  }
+
   private val bpeTrain = Q(
     "q_text_bpe_train",
     (s, d) => {
       import s.implicits._
-      var vocab = t(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy("w").agg(count(lit(1)).as("n"))
-        .select(col("w"), col("n"),
-          trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
-        .localCheckpoint()
-      val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
-      var exhausted = false
-      for (step <- 1 to NBpeMerges if !exhausted) {
-        val withSyms = vocab.select(col("n"), split(col("s"), " ").as("sl"))
-        val top = withSyms.filter(size(col("sl")) >= 2)
-          .select(col("n"),
-            explode(transform(sequence(lit(1), size(col("sl")) - 1),
-              i => struct(
-                element_at(col("sl"), i).as("l"),
-                element_at(col("sl"), i + 1).as("r")))).as("p"))
-          .select(col("n"), col("p.l").as("l"), col("p.r").as("r"))
-          .groupBy("l", "r").agg(sum("n").as("cnt"))
-          .orderBy(desc("cnt"), asc("l"), asc("r"))
-          .take(1).headOption
-        top match {
-          case Some(rw) =>
-            val (l, r, cnt) = (rw.getString(0), rw.getString(1), rw.getLong(2))
-            merges += ((step.toLong, l, r, cnt))
-            vocab = vocab
-              .withColumn("s", bpeApplyMerge(col("s"), l, r))
-              .localCheckpoint()
-          case None => exhausted = true
-        }
-      }
-      merges.toSeq.toDF("step", "l", "r", "cnt").orderBy("step")
+      bpeTrainLoop(s, d)._2.toDF("step", "l", "r", "cnt").orderBy("step")
     },
     Some {
-      val stages = (1 to NBpeMerges).map { k =>
-        s"""pc$k AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM (
-              SELECT n, sl[i] AS l, sl[i+1] AS r
-              FROM (SELECT n, string_split(s, ' ') AS sl FROM v${k - 1}) vv,
-                LATERAL unnest(range(1, len(sl))) t(i)) GROUP BY l, r),
-            m$k AS (SELECT * FROM (
-              SELECT l, r, cnt FROM pc$k
-              UNION ALL SELECT '', '', CAST(0 AS BIGINT))
-              ORDER BY cnt DESC, l, r LIMIT 1),
-            v$k AS (SELECT w, n,
-              CASE WHEN m.cnt = 0 THEN v.s
-                ELSE list_reduce(string_split(v.s, ' '), (acc, x) ->
-                  CASE WHEN regexp_extract(acc, '[^ ]*$$') = m.l AND x = m.r
-                    THEN regexp_replace(acc, '[^ ]*$$', '') || m.l || m.r
-                    ELSE acc || ' ' || x END) END AS s
-              FROM v${k - 1} v, m$k m)"""
-      }.mkString(",\n")
       val out = (1 to NBpeMerges)
         .map(k => s"SELECT CAST($k AS BIGINT) AS step, l, r, cnt FROM m$k")
         .mkString(" UNION ALL ")
-      s"""WITH words AS (
-            SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
-              SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-            WHERE length(w) >= 2 GROUP BY w),
-          v0 AS (SELECT w, n, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s FROM words),
-          $stages
+      s"""WITH $bpeCtesSql
           SELECT step, l, r, cnt FROM ($out) WHERE cnt > 0 ORDER BY step"""
     })
+
+  /** Shared WITH-chain for the BPE oracles: the word-frequency dict, the
+    * char-split v0, and the unrolled pc/m/v stages 1..NBpeMerges (v$k = the
+    * vocab after merge k; m$k = the merge chosen at step k, cnt=0 sentinel
+    * when exhausted). `v$NBpeMerges.s` is therefore the fully-encoded
+    * symbol string per word — the trainer reads the m chain, the encoder
+    * reads the final v. */
+  private def bpeCtesSql: String = {
+    val stages = (1 to NBpeMerges).map { k =>
+      s"""pc$k AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+            SELECT n, sl[i] AS l, sl[i+1] AS r
+            FROM (SELECT n, string_split(s, ' ') AS sl FROM v${k - 1}) vv,
+              LATERAL unnest(range(1, len(sl))) t(i)) GROUP BY l, r),
+          m$k AS (SELECT * FROM (
+            SELECT l, r, cnt FROM pc$k
+            UNION ALL SELECT '', '', CAST(0 AS BIGINT))
+            ORDER BY cnt DESC, l, r LIMIT 1),
+          v$k AS (SELECT w, n,
+            CASE WHEN m.cnt = 0 THEN v.s
+              ELSE list_reduce(string_split(v.s, ' '), (acc, x) ->
+                CASE WHEN regexp_extract(acc, '[^ ]*$$') = m.l AND x = m.r
+                  THEN regexp_replace(acc, '[^ ]*$$', '') || m.l || m.r
+                  ELSE acc || ' ' || x END) END AS s
+            FROM v${k - 1} v, m$k m)"""
+    }.mkString(",\n")
+    s"""words AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+          WHERE length(w) >= 2 GROUP BY w),
+        v0 AS (SELECT w, n, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s FROM words),
+        $stages"""
+  }
+
+  /** BPE ENCODE — tokenize the corpus with the merges `q_text_bpe_train`
+    * learns (the apply half of the tokenizer lifecycle): each word's
+    * symbol count after all merges, rolled up per document as pre/post
+    * symbol counts and a compression ratio in basis points. The encode
+    * runs over the VOCABULARY (distinct words), not the corpus — corpus
+    * volume touches only the word-count shuffle and the word-keyed
+    * equi-join back to the token scan (the `q_text_surprisal` shape), so
+    * at 100 TB the fold cost is vocabulary-sized. Words shorter than 2
+    * chars never enter training and encode as themselves (1 symbol).
+    * Integer-exact output; the oracle reads the final v-stage of the same
+    * unrolled CTE chain the trainer oracle replays. */
+  private val bpeApply = Q(
+    "q_text_bpe_apply",
+    (s, d) => {
+      val (vocab, _) = bpeTrainLoop(s, d)
+      val enc = vocab.select(col("w"), size(split(col("s"), " ")).cast("long").as("n_sym"))
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(enc, Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_sym_pre"),
+          sum(coalesce(col("n_sym"), length(col("w")).cast("long"))).cast("long")
+            .as("n_sym_post"))
+        .withColumn("compression_bp", expr("n_sym_post * 10000 div n_sym_pre"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $bpeCtesSql,
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      enc AS (SELECT doc_id, t.w,
+                COALESCE(len(string_split(v.s, ' ')), length(t.w)) AS n_sym,
+                length(t.w) AS n_chars_w
+              FROM tok t LEFT JOIN v$NBpeMerges v ON t.w = v.w)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n_chars_w) AS BIGINT) AS n_sym_pre,
+             CAST(sum(n_sym) AS BIGINT) AS n_sym_post,
+             CAST(sum(n_sym) AS BIGINT) * 10000 // CAST(sum(n_chars_w) AS BIGINT)
+               AS compression_bp
+      FROM enc GROUP BY doc_id ORDER BY doc_id"""))
 
   /** The two LM gates composed — the `q_text_train_prep`-style filter the
     * bigram LM exists for, emitting its DISAGREEMENT with the unigram
@@ -737,7 +798,63 @@ object TextQueries {
             AS BIGINT) AS rn
         FROM sc) WHERE rn <= 10 ORDER BY qid, rn"""))
 
+  /** Gopher repetition filters (Rae et al. 2021, Table A1): the fraction of
+    * characters covered by the MOST-FREQUENT word n-gram, for n = 2, 3, 4,
+    * with the paper's thresholds (0.20 / 0.18 / 0.16). Complements
+    * `q_text_repetition` (distinct-bigram ratio): that metric measures how
+    * much of the doc repeats at all; this one catches a single boilerplate
+    * phrase dominating the text. Integer basis points
+    * (cnt x chars(gram) x 10000 div chars(doc)), so the compare is exact.
+    *
+    * Scale shape: the gram frame is 3 x corpus x len rows (linear); counts
+    * shuffle once on the high-entropy (doc, n, gram) key with map-side
+    * combine, and the top-1 is a (doc, n)-keyed window — both linear, no
+    * joins at all. */
+  private val repNgrams = Q(
+    "q_text_rep_ngrams",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(
+        col("doc_id"), split(col("text"), " ").as("ws"),
+        length(col("text")).cast("long").as("n_chars"))
+      val grams = docs
+        .select(col("doc_id"), col("n_chars"), col("ws"),
+          explode(expr("array(2, 3, 4)")).as("n"))
+        .filter(size(col("ws")) >= col("n"))
+        .select(col("doc_id"), col("n_chars"), col("n"),
+          explode(expr(
+            "transform(sequence(1, size(ws) - n + 1), i -> array_join(slice(ws, i, n), ' '))"))
+            .as("gram"))
+      val counts = grams.groupBy("doc_id", "n_chars", "n", "gram").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("doc_id", "n").orderBy(desc("cnt"), asc("gram"))
+      counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("doc_id"), col("n").cast("long").as("n"),
+          col("gram").as("top_gram"), col("cnt").as("top_cnt"),
+          expr("cnt * length(gram) * 10000 div n_chars").as("frac_bp"),
+          (expr("cnt * length(gram) * 10000 div n_chars") >
+            when(col("n") === 2, 2000L).when(col("n") === 3, 1800L).otherwise(1600L))
+            .as("flagged"))
+        .orderBy("doc_id", "n")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                   CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+      g AS (SELECT doc_id, n_chars, n,
+                   list_aggregate(ws[i : i + n - 1], 'string_agg', ' ') AS gram
+            FROM w, LATERAL unnest([2, 3, 4]) tn(n),
+                 LATERAL unnest(range(1, len(ws) - n + 2)) t(i)
+            WHERE len(ws) >= n),
+      c AS (SELECT doc_id, n_chars, n, gram, count(*) AS cnt FROM g GROUP BY ALL),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                         ORDER BY cnt DESC, gram) AS rn FROM c)
+      SELECT doc_id, CAST(n AS BIGINT) AS n, gram AS top_gram, cnt AS top_cnt,
+             cnt * length(gram) * 10000 // n_chars AS frac_bp,
+             (cnt * length(gram) * 10000 // n_chars) >
+               (CASE n WHEN 2 THEN 2000 WHEN 3 THEN 1800 ELSE 1600 END) AS flagged
+      FROM r WHERE rn = 1 ORDER BY doc_id, n"""))
+
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
-    perplexity, bpeTrain, pplGate, bm25)
+    perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply)
 }

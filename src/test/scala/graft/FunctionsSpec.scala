@@ -198,6 +198,16 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(fixedDrops(2L) == 0L, "8-word spans should be blind to a 6-token repeat")
     assert(fixedDrops(3L) == 5L, "8-word spans fragment the 12-token repeat into window hits")
+
+    // the APPLIED scrub removes exactly the duplicated extent, keep-first:
+    // doc 1 survives whole; docs 2/3 lose precisely the repeated phrases
+    val cleaned = SparkEntry.queries("q_dedup_substrings_apply")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(cleaned.map(c => (c._1, c._2, c._3)) ==
+      Seq((1L, 24L, 0L), (2L, 11L, 6L), (3L, 15L, 12L)), cleaned.toString)
+    assert(cleaned(0)._4.startsWith("a1 a2 a3 dup1"), "keeper must be untouched")
+    assert(cleaned(1)._4 == "b1 b2 b3 b4 b5", cleaned(1)._4)
+    assert(cleaned(2)._4 == "c1 c2 c3", cleaned(2)._4)
   }
 
   test("bpe train: the merge loop learns the hand-computed sequence and stops when exhausted") {
@@ -223,6 +233,12 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val firstPair = SparkEntry.queries("q_text_bpe_merges")(s, dir)
       .filter(col("rn") === 1).head().getString(0)
     assert(firstPair == merges.head._2 + merges.head._3)
+
+    // ENCODE with the learned merges: both words collapse to one symbol, so
+    // the doc compresses 22 chars -> 4 tokens (1818 bp)
+    val enc = SparkEntry.queries("q_text_bpe_apply")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(enc.toSeq == Seq((0L, 4L, 22L, 4L, 1818L)), enc.mkString(","))
   }
 
   test("bigram perplexity is order-sensitive where unigram surprisal is blind") {

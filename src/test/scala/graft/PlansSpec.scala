@@ -157,6 +157,26 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nExchange <= 3, s"expected <=3 exchanges, got $nExchange:\n$p")
   }
 
+  test("r6 third wave: scrub/encode/binary plans keep the family shapes") {
+    // q_dedup_substrings_apply: same single window-hash shuffle as
+    // q_dedup_substrings plus a doc-keyed agg + final sort — the splice is a
+    // narrow HOF, so token rows never shuffle (<=3 hash exchanges) and no
+    // join pairs documents
+    val apply = plan("q_dedup_substrings_apply")
+    assert(!apply.contains("CartesianProduct"), apply)
+    val nEx = """\(\d+\) Exchange""".r.findAllIn(apply).length
+    assert(nEx <= 3, s"expected <=3 exchanges, got $nEx:\n$apply")
+    // q_text_rep_ngrams: counts + top-1 window only — NO join of any kind
+    val rep = plan("q_text_rep_ngrams")
+    assert(!rep.contains("Join"), rep)
+    // q_sim_binary / q_text_bpe_apply: query/vocab sides meet through
+    // broadcast or equi-joins, never a cartesian
+    for (q <- Seq("q_sim_binary", "q_text_bpe_apply")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
   test("r6 composition queries: no cartesian, candidates/terms meet through equi-joins") {
     // q_text_bm25: the query-term set broadcasts (tf materializes only for
     // query terms); q_text_ppl_gate: cutoffs ride broadcast 1-row aggs;

@@ -192,6 +192,56 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"refine did not improve recall@5: rerank $rrRecall vs adc $adcRecall of 25")
   }
 
+  test("binary codes: hamming shortlist + exact rerank holds recall@5 against exact cosine") {
+    def top5(name: String) = run(name).filter(col("rn") <= 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = top5("q_sim_cosine_topk")
+    val bin = top5("q_sim_binary")
+    assert(bin.keySet == exact.keySet)
+    // 64 sign bits on 64 dims is the coarsest code in the family (8 B/vec):
+    // measured recall@5 is 12/25 at sf0.001 with the k'=20 shortlist —
+    // comparable to raw ADC (ivfpq pins 5/25 -> 12/25 after refine). The
+    // floor is that measurement with slack, so a regression in the
+    // packing/popcount/rerank wiring trips it
+    val recall = exact.toSeq.map { case (q, t) => bin(q).intersect(t).size }.sum
+    assert(recall >= 10, s"binary rerank recall@5 collapsed: $recall of 25")
+  }
+
+  test("binary index lifecycle: stored search row-identical, append idempotent, delete sticks") {
+    import graft.operators.VectorIndex
+    val idxBase = java.nio.file.Files.createTempDirectory("graft_vecidx_bin").toString
+    val idx = s"$idxBase/index"
+    // two-phase build + append must serve the identical ranking to the
+    // in-query path: binary codes have no codebook, so the appended half
+    // CANNOT be stale by construction
+    VectorIndex.buildBinary(spark, sf, idx, bound = 300)
+    VectorIndex.appendBinary(spark, sf, idx, minVecId = 300)
+    val stored = VectorIndex.searchBinary(spark, sf, idx).collect().map(_.toString).toSeq
+    val inline = run("q_sim_binary").collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == inline)
+    // replayed append (crash after publish) is a no-op
+    val nBits = spark.read.parquet(s"$idx/bits").count()
+    VectorIndex.appendBinary(spark, sf, idx, minVecId = 300)
+    assert(spark.read.parquet(s"$idx/bits").count() == nBits)
+    assert(VectorIndex.searchBinary(spark, sf, idx).collect().map(_.toString).toSeq == stored)
+    // flavor guard: the PQ search refuses to serve a binary index
+    intercept[IllegalArgumentException] {
+      VectorIndex.searchIvfPq(spark, sf, idx)
+    }
+    // GDPR delete sticks through an append replay (tombstone, not just row drop)
+    val neighbors = VectorIndex.searchBinary(spark, sf, idx)
+      .collect().map(_.getLong(1))
+    val victim = neighbors.find(_ >= 300).getOrElse(neighbors.head)
+    assert(VectorIndex.deleteFromBinary(spark, idx, Seq(victim)) == 1L)
+    assert(!VectorIndex.searchBinary(spark, sf, idx)
+      .collect().map(_.getLong(1)).contains(victim))
+    VectorIndex.appendBinary(spark, sf, idx, minVecId = 300)
+    assert(!VectorIndex.searchBinary(spark, sf, idx)
+      .collect().map(_.getLong(1)).contains(victim),
+      "append replay resurrected a tombstoned vector")
+  }
+
   test("residual PQ: encoding residuals cuts quantization error at identical storage") {
     import graft.queries.QuantQueries._
     val e = normalizedEmbeddings(spark, sf).cache()
