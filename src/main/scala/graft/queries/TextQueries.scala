@@ -854,7 +854,93 @@ object TextQueries {
                (CASE n WHEN 2 THEN 2000 WHEN 3 THEN 1800 ELSE 1600 END) AS flagged
       FROM r WHERE rn = 1 ORDER BY doc_id, n"""))
 
+  /** The other half of Gopher's Table A1 repetition battery: the fraction
+    * of characters covered by word n-grams that occur MORE THAN ONCE within
+    * the document. Gopher defines the duplicate-coverage thresholds for
+    * n = 5..10 (0.15 down to 0.10); this corpus's documents carry no
+    * within-doc 5-gram repeats (the planted-corpus spec pins that regime),
+    * so the declared slice runs n = 2..6 — the 5/6 rows use the paper's
+    * thresholds and the 2..4 rows reuse the top-n-gram thresholds as a
+    * documented extension (duplicate coverage upper-bounds top-1 coverage,
+    * so the same cut is conservative). Where `q_text_rep_ngrams`
+    * catches one dominant phrase, this catches diffuse self-repetition —
+    * coverage is a POSITION UNION (a character under three overlapping
+    * duplicated 6-grams counts once), computed relationally: duplicated
+    * window starts come from a count window over the (doc, n, gram) key
+    * (one shuffle, no self-join), expand to covered token positions,
+    * dedupe, and meet the token-position frame through a (doc, pos)
+    * equi-join to pick up character lengths. Everything is linear in
+    * corpus x len x 6 and integer basis points, so the oracle is exact. */
+  private val dupNgrams = Q(
+    "q_text_dup_ngrams",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(
+        col("doc_id"), split(col("text"), " ").as("ws"),
+        length(col("text")).cast("long").as("n_chars"))
+      val pos = docs.select(col("doc_id"), posexplode(col("ws")))
+        .toDF("doc_id", "p0", "w")
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          length(col("w")).cast("long").as("wlen"))
+      val grams = docs
+        .select(col("doc_id"), col("n_chars"), col("ws"),
+          explode(expr("array(2, 3, 4, 5, 6)")).as("n"))
+        .filter(size(col("ws")) >= col("n"))
+        .select(col("doc_id"), col("n_chars"), col("n"),
+          posexplode(expr(
+            "transform(sequence(1, size(ws) - n + 1), i -> array_join(slice(ws, i, n), ' '))")))
+        .toDF("doc_id", "n_chars", "n", "i0", "gram")
+        .select(col("doc_id"), col("n_chars"), col("n"), (col("i0") + 1).cast("long").as("i"),
+          col("gram"))
+      val dupStarts = grams
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("doc_id", "n", "gram")))
+        .filter(col("cnt") > 1)
+      val covered = dupStarts
+        .select(col("doc_id"), col("n_chars"), col("n"),
+          explode(expr("sequence(i, i + cast(n AS bigint) - 1)")).as("pos"))
+        .distinct()
+      covered
+        .join(pos, Seq("doc_id", "pos"))
+        .groupBy("doc_id", "n_chars", "n")
+        .agg(count(lit(1)).as("covered_tokens"), sum("wlen").as("covered_chars"))
+        .select(
+          col("doc_id"), col("n").cast("long").as("n"),
+          col("covered_tokens"), col("covered_chars"),
+          expr("covered_chars * 10000 div n_chars").as("dup_bp"),
+          (expr("covered_chars * 10000 div n_chars") >
+            when(col("n") === 2, 2000L).when(col("n") === 3, 1800L)
+              .when(col("n") === 4, 1600L).when(col("n") === 5, 1500L)
+              .otherwise(1400L)).as("flagged"))
+        .orderBy("doc_id", "n")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                   CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+      pos AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                     CAST(length(ws[p]) AS BIGINT) AS wlen
+              FROM w, LATERAL unnest(range(1, len(ws) + 1)) t(p)),
+      g AS (SELECT doc_id, n_chars, n, CAST(i AS BIGINT) AS i,
+                   list_aggregate(ws[i : i + n - 1], 'string_agg', ' ') AS gram
+            FROM w, LATERAL unnest([2, 3, 4, 5, 6]) tn(n),
+                 LATERAL unnest(range(1, len(ws) - n + 2)) t(i)
+            WHERE len(ws) >= n),
+      ds AS (SELECT * FROM (
+               SELECT doc_id, n_chars, n, i,
+                      count(*) OVER (PARTITION BY doc_id, n, gram) AS cnt
+               FROM g) sub WHERE cnt > 1),
+      cov AS (SELECT DISTINCT doc_id, n_chars, n, CAST(p AS BIGINT) AS pos
+              FROM ds, LATERAL unnest(range(i, i + n)) t(p)),
+      agg AS (SELECT c.doc_id, c.n_chars, c.n,
+                     CAST(count(*) AS BIGINT) AS covered_tokens,
+                     CAST(sum(p.wlen) AS BIGINT) AS covered_chars
+              FROM cov c JOIN pos p ON c.doc_id = p.doc_id AND c.pos = p.pos
+              GROUP BY c.doc_id, c.n_chars, c.n)
+      SELECT doc_id, CAST(n AS BIGINT) AS n, covered_tokens, covered_chars,
+             covered_chars * 10000 // n_chars AS dup_bp,
+             (covered_chars * 10000 // n_chars) >
+               (CASE n WHEN 2 THEN 2000 WHEN 3 THEN 1800 WHEN 4 THEN 1600
+                       WHEN 5 THEN 1500 ELSE 1400 END) AS flagged
+      FROM agg ORDER BY doc_id, n"""))
+
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
-    perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply)
+    perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams)
 }

@@ -39,9 +39,10 @@ object ScaleProbe {
     */
   private val HeavyQueries = Seq(
     "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed_lsh", "q_dedup_spans",
-    "q_dedup_substrings",
-    "q_sim_ivfpq", "q_sim_ivfpq_rerank", "q_sim_ivfpq_residual",
-    "q_join_fuzzy", "q_join_fuzzy_varlen")
+    "q_dedup_substrings", "q_dedup_substrings_apply",
+    "q_sim_ivfpq", "q_sim_ivfpq_rerank", "q_sim_ivfpq_residual", "q_sim_binary",
+    "q_join_fuzzy", "q_join_fuzzy_varlen",
+    "q_text_rep_ngrams", "q_text_bpe_apply", "q_text_dup_ngrams")
 
   private val ReplicaIdOffset = 10000000L
 

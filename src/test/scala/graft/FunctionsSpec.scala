@@ -210,6 +210,24 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cleaned(2)._4 == "c1 c2 c3", cleaned(2)._4)
   }
 
+  test("dup-ngram coverage: overlapping duplicated windows count characters once") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupng").toString
+    // doc 1 repeats the 5-gram "p q r s t": for EVERY n in 2..5 the
+    // duplicated windows tile positions 1..10 with heavy overlap, so the
+    // union coverage is exactly 10 tokens / 10 chars (4545 bp of the
+    // 22-char doc) — an overlap-double-count would exceed it; no 6-gram
+    // repeats, so no n=6 row. doc 2 has no repeats at any n.
+    Seq((1L, "p q r s t p q r s t zz"), (2L, "u v w x y z"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_text_dup_ngrams")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(out == Seq(2L, 3L, 4L, 5L).map(n => (1L, n, 10L, 10L, 4545L, true)),
+      out.toString)
+  }
+
   test("bpe train: the merge loop learns the hand-computed sequence and stops when exhausted") {
     val s = spark
     import s.implicits._

@@ -169,9 +169,9 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q_text_rep_ngrams: counts + top-1 window only — NO join of any kind
     val rep = plan("q_text_rep_ngrams")
     assert(!rep.contains("Join"), rep)
-    // q_sim_binary / q_text_bpe_apply: query/vocab sides meet through
-    // broadcast or equi-joins, never a cartesian
-    for (q <- Seq("q_sim_binary", "q_text_bpe_apply")) {
+    // q_sim_binary / q_text_bpe_apply / q_text_dup_ngrams: query/vocab/
+    // coverage sides meet through broadcast or equi-joins, never a cartesian
+    for (q <- Seq("q_sim_binary", "q_text_bpe_apply", "q_text_dup_ngrams")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: $p")
     }
