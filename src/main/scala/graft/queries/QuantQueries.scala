@@ -1095,13 +1095,17 @@ object QuantQueries {
     * 64-bit word would need 2^63 — an ANSI overflow; two halves keep every
     * partial sum positive). 8 bytes/vector — the 64x compression floor of
     * the quantization family (SQ8 = 64 B, PQ = 8 B codes + codebook). */
+  /** Adds the packed sign words (w0, w1) to any frame carrying an `emb`
+    * column — the narrow fold rides whatever scan produced the frame. */
+  private[graft] def withBinaryWords(df: DataFrame): DataFrame =
+    df
+      .withColumn("w0", expr("""aggregate(sequence(0, 31), 0L,
+        (acc, j) -> acc + IF(element_at(emb, j + 1) > 0D, shiftleft(1L, j), 0L))"""))
+      .withColumn("w1", expr("""aggregate(sequence(32, 63), 0L,
+        (acc, j) -> acc + IF(element_at(emb, j + 1) > 0D, shiftleft(1L, j - 32), 0L))"""))
+
   private[graft] def binaryCodes(e: DataFrame): DataFrame =
-    e.select(
-      col("vec_id"),
-      expr("""aggregate(sequence(0, 31), 0L,
-               (acc, j) -> acc + IF(element_at(emb, j + 1) > 0D, shiftleft(1L, j), 0L))""").as("w0"),
-      expr("""aggregate(sequence(32, 63), 0L,
-               (acc, j) -> acc + IF(element_at(emb, j + 1) > 0D, shiftleft(1L, j - 32), 0L))""").as("w1"))
+    withBinaryWords(e).select("vec_id", "w0", "w1")
 
   /** The binary search shared by `q_sim_binary` (codes packed in-query) and
     * `VectorIndex.searchBinary` (codes read from the stored `bits` table):
@@ -1173,6 +1177,86 @@ object QuantQueries {
         FROM r) sub
       WHERE rn <= 5 ORDER BY query_id, rn"""))
 
+  // ---------------------------------------------------------------------------
+  // q_sim_binary_ivf — coarse cells over binary codes (FAISS IndexBinaryIVF)
+  // ---------------------------------------------------------------------------
+
+  /** Binary codes UNDER a coarse quantizer — the FAISS IndexBinaryIVF
+    * layout: vectors assign to the fixed `CentroidSeed` cells (the IVF
+    * family's corpus-independent codebook), queries probe their nprobe = 4
+    * closest cells, and ranking inside the probed cells is pure integer
+    * Hamming over the packed sign words. Where `q_sim_binary` scans every
+    * code, this touches nprobe/NCells of them — the cell equi-join is the
+    * same scale shape as `q_sim_ivf_ann`, with an 8-byte code payload
+    * instead of raw vectors. Ranking is FP-free end to end (cell
+    * assignment uses the family's rounded-cosine tie-broken top-1, mirrored
+    * verbatim), so the oracle is exact. */
+  private val binaryIvf = Q(
+    "q_sim_binary_ivf",
+    (s, d) => {
+      val e = normalizedEmbeddings(s, d).cache()
+      val centroids = broadcast(CentroidSeed.seeds(e))
+      val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+      val packed = withBinaryWords(
+        e.crossJoin(centroids)
+          .select(col("vec_id"), col("emb"), col("cent_id"),
+            round(dot(col("emb"), col("cemb")), 6).as("csim"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("emb"), col("cent_id").as("cell")))
+        .select("vec_id", "cell", "w0", "w1")
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+      val probes = withBinaryWords(e.filter(col("vec_id") < 5))
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+          col("w0").as("q0"), col("w1").as("q1"))
+        .crossJoin(centroids)
+        .select(col("query_id"), col("q0"), col("q1"), col("cent_id"),
+          round(dot(col("qemb"), col("cemb")), 6).as("csim"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 4)
+        .select(col("query_id"), col("q0"), col("q1"), col("cent_id").as("cell"))
+      val w = Window.partitionBy("query_id").orderBy(asc("hamming"), asc("neighbor_id"))
+      packed.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+          (expr("bit_count(w0 ^ q0)") + expr("bit_count(w1 ^ q1)")).cast("long").as("hamming"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    },
+    Some(s"""WITH $sqlNormalized,
+      ${CentroidSeed.sqlSeedCte("cent")},
+      b AS (SELECT vec_id,
+              CAST(list_sum(list_transform(range(0, 32),
+                j -> CASE WHEN emb[j + 1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+              CAST(list_sum(list_transform(range(32, 64),
+                j -> CASE WHEN emb[j + 1] > 0 THEN (1::BIGINT << (j - 32)) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+            FROM e),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT ev.vec_id, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY round(list_dot_product(ev.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e ev, cent c) sub WHERE rn = 1),
+      ac AS (SELECT a.vec_id, a.cell, b.w0, b.w1 FROM assigned a JOIN b ON a.vec_id = b.vec_id),
+      probes AS (
+        SELECT query_id, cell FROM (
+          SELECT q.vec_id AS query_id, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e q, cent c WHERE q.vec_id < 5) sub WHERE rn <= 4),
+      pq AS (SELECT p.query_id, p.cell, b.w0 AS q0, b.w1 AS q1
+             FROM probes p JOIN b ON p.query_id = b.vec_id)
+      SELECT query_id, neighbor_id, cell, hamming, rn FROM (
+        SELECT pq.query_id, ac.vec_id AS neighbor_id, ac.cell,
+               CAST(bit_count(xor(ac.w0, pq.q0)) + bit_count(xor(ac.w1, pq.q1)) AS BIGINT) AS hamming,
+               CAST(row_number() OVER (PARTITION BY pq.query_id
+                 ORDER BY bit_count(xor(ac.w0, pq.q0)) + bit_count(xor(ac.w1, pq.q1)),
+                          ac.vec_id) AS BIGINT) AS rn
+        FROM ac JOIN pq ON ac.cell = pq.cell AND ac.vec_id <> pq.query_id) sub
+      WHERE rn <= 5 ORDER BY query_id, rn"""))
+
   val all: Seq[Q] = Seq(sq8Ann, kmeans, ivfTrained, pqAdc, ivfPq, ivfPqRerank,
-    ivfPqResidual, indexDrift, rangeSearch, maxSim, sampleClusters, binaryAnn)
+    ivfPqResidual, indexDrift, rangeSearch, maxSim, sampleClusters, binaryAnn,
+    binaryIvf)
 }

@@ -171,7 +171,10 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rep.contains("Join"), rep)
     // q_sim_binary / q_text_bpe_apply / q_text_dup_ngrams: query/vocab/
     // coverage sides meet through broadcast or equi-joins, never a cartesian
-    for (q <- Seq("q_sim_binary", "q_text_bpe_apply", "q_text_dup_ngrams")) {
+    // (q_sim_binary_ivf's 8-row seed broadcast is a BNLJ by design, like
+    // the rest of the IVF family — the pinned property is no cartesian)
+    for (q <- Seq("q_sim_binary", "q_text_bpe_apply", "q_text_dup_ngrams",
+        "q_sim_binary_ivf")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: $p")
     }
