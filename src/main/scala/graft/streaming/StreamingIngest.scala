@@ -233,19 +233,28 @@ object StreamingIngest {
           val fresh = raw
             .join(s.read.parquet(embDir).select("vec_id"), Seq("vec_id"), "left_anti")
           if (!fresh.isEmpty) fresh.write.mode("append").parquet(embDir)
-          graft.operators.VectorIndex.appendIvfPq(
-            s, corpusDir, indexDir, rawMin.asInstanceOf[Long])
-          autoRebuildThreshold.foreach { threshold =>
-            graft.operators.VectorIndex.trainBoundOpt(s, indexDir).foreach { bound =>
-              if (graft.operators.VectorIndex.driftRatio(s, corpusDir, indexDir, bound)
-                  > threshold) {
-                if (graft.operators.VectorIndex.flavorOf(s, indexDir)
-                    == graft.operators.VectorIndex.FlavorResidual)
-                  graft.operators.VectorIndex.buildIvfPqResidual(s, corpusDir, indexDir)
-                else graft.operators.VectorIndex.buildIvfPq(s, corpusDir, indexDir)
+          // dispatch on the persisted flavor: one maintenance loop serves
+          // the whole index family. Binary codes have no trained codebook,
+          // so their appends cannot drift — the rebuild metering below is
+          // meaningless for them and is skipped entirely.
+          val flavor = graft.operators.VectorIndex.flavorOf(s, indexDir)
+          if (flavor == graft.operators.VectorIndex.FlavorBinary)
+            graft.operators.VectorIndex.appendBinary(
+              s, corpusDir, indexDir, rawMin.asInstanceOf[Long])
+          else
+            graft.operators.VectorIndex.appendIvfPq(
+              s, corpusDir, indexDir, rawMin.asInstanceOf[Long])
+          if (flavor != graft.operators.VectorIndex.FlavorBinary)
+            autoRebuildThreshold.foreach { threshold =>
+              graft.operators.VectorIndex.trainBoundOpt(s, indexDir).foreach { bound =>
+                if (graft.operators.VectorIndex.driftRatio(s, corpusDir, indexDir, bound)
+                    > threshold) {
+                  if (flavor == graft.operators.VectorIndex.FlavorResidual)
+                    graft.operators.VectorIndex.buildIvfPqResidual(s, corpusDir, indexDir)
+                  else graft.operators.VectorIndex.buildIvfPq(s, corpusDir, indexDir)
+                }
               }
             }
-          }
         }
         raw.unpersist()
         ()

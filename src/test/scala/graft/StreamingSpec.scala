@@ -422,6 +422,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$idx/codes").count() == (nBase + 5) * 8)
   }
 
+  test("streaming index maintenance dispatches on flavor: binary appends, no drift metering") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = s"$base/idx_binstream_corpus"
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .write.parquet(s"$corpus/embeddings.parquet")
+    val idx = s"$corpus/index"
+    graft.operators.VectorIndex.buildBinary(spark, corpus, idx)
+    val nBase = spark.read.parquet(s"$corpus/embeddings.parquet").count()
+    val delta = spark.read.parquet(s"$corpus/embeddings.parquet")
+      .filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0) + 10000L, r.getSeq[Float](1), r.getInt(2))).toSeq
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    mem.addData(delta: _*)
+    // autoRebuildThreshold is set to an always-fires value: the binary
+    // branch must SKIP drift metering entirely (an ivfpq driftRatio against
+    // a binary index would throw on the missing codes tables and kill the
+    // stream) — surviving the batch IS the dispatch pin
+    val q = StreamingIngest.startIndexMaintenanceStream(
+      mem.toDF().toDF("vec_id", "embedding", "label"), corpus, idx,
+      s"$base/idx_binstream_ckpt", Trigger.AvailableNow(),
+      autoRebuildThreshold = Some(0.0))
+    q.awaitTermination(180000)
+    assert(spark.read.parquet(s"$idx/bits").count() == nBase + 5)
+    // the streamed exact twin (hamming 0, exact cosine 1.0) wins rn=1
+    val top1 = graft.operators.VectorIndex.searchBinary(spark, corpus, idx)
+      .filter(col("rn") === 1).select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach(i => assert(top1(i) == 10000L + i, s"query $i top1 ${top1(i)}"))
+  }
+
   test("streaming index maintenance: drift past the threshold triggers an in-loop rebuild") {
     val s = spark
     import s.implicits._
