@@ -615,7 +615,49 @@ object SimilarityQueries {
         FROM cand) sub
       WHERE rn <= 5 ORDER BY query_id, rn"""))
 
+  /** Incremental embedding near-dup — the crawl-snapshot production shape
+    * and the embedding-space twin of `q_dedup_incremental` (docs) /
+    * `q_dedup_substrings_incremental` (substrings): a DELTA of new vectors
+    * is checked against the STORED corpus band table without rescanning
+    * the corpus. The twin-planted half of the augmented corpus plays the
+    * delta (every twin has a genuine corpus near-dup at cos ≈ 0.98);
+    * candidates meet only through the (table, bucket) equi-join against
+    * the stored side, the exact-dot verify keeps precision 1.0, and each
+    * delta vector reports its keep-first canonical corpus match. At
+    * 100 TB the stored band table persists bucketed on (tbl, bucket), so
+    * the per-snapshot join is shuffle-free on the corpus side and the
+    * whole pass is O(delta). Oracle runs the identical algorithm (planes
+    * as literals) end to end. */
+  private val embedIncremental = Q(
+    "q_dedup_embed_incremental",
+    (s, d) => {
+      // one band frame feeds BOTH join sides (stored + live slices), and
+      // its per-row cost is the 80-sign-bit HOF — cache or it runs twice
+      val tb = lshTables(augmentedCorpus(s, d), lshPlanes, LshK, LshTables).cache()
+      val stored = tb.filter(col("vec_id") < TwinIdOffset)
+      val live = tb.filter(col("vec_id") >= TwinIdOffset)
+      live.as("x").join(stored.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+            dot(col("x.emb"), col("y.emb")) >= 0.9)
+        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("match_id"))
+        .distinct()
+        .groupBy("vec_id")
+        .agg(min("match_id").as("canonical_id"), count(lit(1)).as("n_matches"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $sqlNormalized, $sqlAugmented,
+      ${sqlPlanesCte(lshPlanes)},
+      ${sqlLshTables(LshK, LshTables)},
+      cand AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS match_id
+               FROM tb x JOIN tb y ON x.tbl = y.tbl AND x.bucket = y.bucket
+               WHERE x.vec_id >= $TwinIdOffset AND y.vec_id < $TwinIdOffset
+                 AND list_dot_product(x.emb, y.emb) >= 0.9)
+      SELECT vec_id, min(match_id) AS canonical_id,
+             CAST(count(*) AS BIGINT) AS n_matches
+      FROM cand GROUP BY vec_id ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(
     cosineTopk, neardupPairs, neardupLsh, embedDedup, embedDedupLsh,
-    clusterStats, lshAnn, ivfAnn, multimodalMeta, semanticDedup, lshMultiprobe)
+    clusterStats, lshAnn, ivfAnn, multimodalMeta, semanticDedup, lshMultiprobe,
+    embedIncremental)
 }

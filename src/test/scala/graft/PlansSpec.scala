@@ -185,7 +185,8 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     // query terms); q_text_ppl_gate: cutoffs ride broadcast 1-row aggs;
     // q_dedup_substrings_incremental: the delta meets the stored window
     // set through a left-semi equi-join on the hash
-    for (q <- Seq("q_text_bm25", "q_text_ppl_gate", "q_dedup_substrings_incremental")) {
+    for (q <- Seq("q_text_bm25", "q_text_ppl_gate", "q_dedup_substrings_incremental",
+        "q_dedup_embed_incremental")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: $p")
     }
