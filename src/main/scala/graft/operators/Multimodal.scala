@@ -534,4 +534,53 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, decodedSchema)
   }
+
+  /** True 2-D nearest-neighbor resize in the PIXEL domain: output pixel
+    * (r, c) samples source pixel (r·h/oh, c·w/ow) — integer index math, no
+    * interpolation, so the result is exact and engine-independent (a
+    * production pipeline would swap in an area/bilinear kernel here; the
+    * Spark-side shape is identical). */
+  def resize2d(pixels: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
+    val out = new Array[Byte](ow * oh)
+    var r = 0
+    while (r < oh) {
+      val sr = ((r.toLong * h) / oh).toInt
+      var c = 0
+      while (c < ow) {
+        out(r * ow + c) = pixels(sr * w + ((c.toLong * w) / ow).toInt)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  private val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("px_min", LongType, nullable = false),
+    StructField("px_max", LongType, nullable = false),
+    StructField("resize_fp", LongType, nullable = false)))
+
+  /** decode -> resize2d -> integer pixel stats + fingerprint, batched inside
+    * each partition like [[decodeImageTable]] — the tensor-shaping stage of
+    * an image training pipeline (every output has the same fixed shape). */
+  def resizeImageTable(df: DataFrame, ow: Int, oh: Int): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select("doc_id", "media").rdd.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          decodeImage(r.getAs[Array[Byte]](1)).map { case (w, h, px) =>
+            val q = resize2d(px, w, h, ow, oh)
+            val u = q.map(_ & 0xff)
+            Row(r.getLong(0), ow.toLong, oh.toLong,
+              u.map(_.toLong).sum, u.min.toLong, u.max.toLong, frameFingerprint(q))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, resizedSchema)
+  }
 }

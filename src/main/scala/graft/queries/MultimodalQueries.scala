@@ -204,5 +204,36 @@ object MultimodalQueries {
              n_frames * 1152 * 1000 // sample_rate AS duration_ms
       FROM m ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(features, frames, decodeQ, audioQ, videoQ, mediaDedup, mp3MetaQ)
+  /** REAL resize path: PNG decode -> 2-D nearest-neighbor 8x8 -> 4x4 in the
+    * pixel domain (output pixel (r, c) samples source (2r, 2c)) -> exact
+    * integer stats + the stride-7 rolling fingerprint over the RESIZED
+    * buffer — the tensor-shaping stage every image training pipeline runs
+    * before batching. The oracle recomputes the resized pixels from the
+    * generator formula, so a decode slip, an index-math off-by-one, or a
+    * fingerprint drift each mismatches every row. */
+  private val resizeQ = Q(
+    "q_multimodal_resize",
+    (s, d) =>
+      Multimodal.resizeImageTable(Multimodal.syntheticImages(s, d), 4, 4)
+        .orderBy("doc_id"),
+    Some("""WITH rp AS (SELECT doc_id,
+        list_transform(range(0, 16),
+          k -> (doc_id*31 + ((k // 4)*16 + (k % 4)*2)*7) % 256) AS q
+      FROM documents),
+      fp AS (SELECT doc_id, q,
+        list_reduce(list_prepend(1125899906842597::HUGEINT,
+            list_transform(range(0, 3), k -> CAST(q[CAST(k*7 + 1 AS INT)] AS HUGEINT))),
+          (acc, x) -> (acc*31 + x) % 18446744073709551616::HUGEINT) AS fp_u
+      FROM rp)
+      SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        CAST(list_sum(q) AS BIGINT) AS px_sum,
+        CAST(list_min(q) AS BIGINT) AS px_min,
+        CAST(list_max(q) AS BIGINT) AS px_max,
+        CASE WHEN fp_u >= 9223372036854775808::HUGEINT
+             THEN CAST(fp_u - 18446744073709551616::HUGEINT AS BIGINT)
+             ELSE CAST(fp_u AS BIGINT) END AS resize_fp
+      FROM fp ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(features, frames, decodeQ, audioQ, videoQ, mediaDedup, mp3MetaQ,
+    resizeQ)
 }

@@ -54,6 +54,19 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.resize(bytes, 0).isEmpty)
   }
 
+  test("resize2d: output (r, c) samples source (r*h/oh, c*w/ow)") {
+    // 4x2 source, row-major: [0 10 20 30 / 40 50 60 70]
+    val src = Array[Byte](0, 10, 20, 30, 40, 50, 60, 70)
+    // downsample to 2x1: row 0, cols {0, 2}
+    assert(Multimodal.resize2d(src, 4, 2, 2, 1).toSeq == Seq[Byte](0, 20))
+    // downsample to 2x2: rows {0, 1}, cols {0, 2}
+    assert(Multimodal.resize2d(src, 4, 2, 2, 2).toSeq == Seq[Byte](0, 20, 40, 60))
+    // upsample 2x1 -> 4x2 replicates each pixel into a 2x2 block
+    val tiny = Array[Byte](1, 9)
+    assert(Multimodal.resize2d(tiny, 2, 1, 4, 2).toSeq ==
+      Seq[Byte](1, 1, 9, 9, 1, 1, 9, 9))
+  }
+
   test("processMedia: schema, determinism, partition independence") {
     val d = "/root/testdata/sf0.001"
     val once = Multimodal.processMedia(Multimodal.documentsAsMedia(spark, d))
