@@ -656,6 +656,39 @@ object SimilarityQueries {
              CAST(count(*) AS BIGINT) AS n_matches
       FROM cand GROUP BY vec_id ORDER BY vec_id"""))
 
+  // ---------------------------------------------------------------------------
+  // Streaming twin of the incremental embedding scrub
+  // ---------------------------------------------------------------------------
+
+  private def normalizeRaw(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), l2Normalize(col("embedding").cast("array<double>")).as("emb"))
+
+  /** The stored half of the streaming embedding scrub: the corpus band
+    * table (vec_id, emb, tbl, bucket) over the production LSH geometry —
+    * at 100 TB this persists bucketed on (tbl, bucket) so the per-batch
+    * join never reshuffles the corpus side. Input is raw embeddings rows
+    * (vec_id, embedding). */
+  def embedBandTable(raw: DataFrame): DataFrame =
+    lshTables(normalizeRaw(raw), lshPlanes, LshK, LshTables)
+
+  /** STREAMING embedding scrub — the live twin of
+    * `q_dedup_embed_incremental` (the same relationship
+    * `DedupQueries.substringScrubStream` has to its batch form): an
+    * unbounded delta stream of raw embedding rows meets the stored band
+    * table through the (table, bucket) equi-join with the exact-dot
+    * verify, emitting verified (vec_id, match_id) near-dup pairs in
+    * append mode. Stateless — narrow band explode + stream-static join,
+    * no watermark; a pair surfacing through several LSH tables is emitted
+    * once per table, so dedup/keep-first canonicalization happens at the
+    * sink (or per micro-batch in foreachBatch), exactly as the batch
+    * query's distinct + min-groupBy does. */
+  def embedScrubStream(delta: DataFrame, corpusBands: DataFrame): DataFrame =
+    lshTables(normalizeRaw(delta), lshPlanes, LshK, LshTables).as("x")
+      .join(corpusBands.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          dot(col("x.emb"), col("y.emb")) >= 0.9)
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("match_id"))
+
   val all: Seq[Q] = Seq(
     cosineTopk, neardupPairs, neardupLsh, embedDedup, embedDedupLsh,
     clusterStats, lshAnn, ivfAnn, multimodalMeta, semanticDedup, lshMultiprobe,

@@ -911,4 +911,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(spans == Seq((9001L, 3L, 7L)), spans.toString)
   }
+
+  test("streaming embedding scrub: live twins match the batch incremental keep-list") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // stored corpus band table (computed once, batch; persists at scale)
+    val corpusBands = graft.queries.SimilarityQueries.embedBandTable(
+      spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")).cache()
+    // the live delta is the SAME twin set q_dedup_embed_incremental scrubs:
+    // perturb dim 0 of the normalized original by +0.2 (the stream
+    // re-normalizes, reproducing the batch twin exactly — same IEEE ops)
+    val twins = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
+      .filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(
+          graft.functions.VectorFunctions.l2Normalize(col("de")),
+          (x, i) => when(i === 0, x + lit(0.2)).otherwise(x)).as("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    mem.addData(twins: _*)
+    val q = graft.queries.SimilarityQueries.embedScrubStream(
+        mem.toDF().toDF("vec_id", "embedding"), corpusBands)
+      .writeStream.format("memory").queryName("embed_scrub")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // sink-side canonicalization (distinct + keep-first min + match count)
+    // must equal the batch incremental query on the same sf dir
+    val streamed = spark.sql("SELECT DISTINCT vec_id, match_id FROM embed_scrub")
+      .groupBy("vec_id")
+      .agg(min("match_id").as("canonical_id"), count(lit(1)).as("n_matches"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q_dedup_embed_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream ${streamed.size} vs batch ${batch.size}")
+  }
 }
