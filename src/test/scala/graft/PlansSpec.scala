@@ -29,6 +29,11 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   private def plan(name: String): String = {
+    // several queries .cache() shared frames ON CONSTRUCTION (q_sim_binary's
+    // normalized corpus, sq8's codes, the incremental band table); a stale
+    // InMemoryRelation from an earlier test would swallow the parquet scan
+    // and break every later scan-level pin (PushedFilters/ReadSchema)
+    spark.catalog.clearCache()
     val df = SparkEntry.queries(name)(spark, sf)
     df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
   }
@@ -206,6 +211,7 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q_dedup_embed's FINAL plan cannot show the scan — Closure's per-round
     // localCheckpoints truncate lineage — so the pin targets the candidate
     // stage that actually reads parquet (the same code path the query runs).
+    spark.catalog.clearCache() // direct explain below bypasses plan()'s guard
     val plans = Seq(
       "q_sim_neardup_pairs" -> plan("q_sim_neardup_pairs"),
       "q_dedup_embed(pairs stage)" -> graft.queries.SimilarityQueries
