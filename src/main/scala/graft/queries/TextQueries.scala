@@ -940,7 +940,98 @@ object TextQueries {
                        WHEN 5 THEN 1500 ELSE 1400 END) AS flagged
       FROM agg ORDER BY doc_id, n"""))
 
+  /** Naive-Bayes quality classifier — the GPT-3/PaLM-style curated-vs-web
+    * gate (Brown et al. 2020 §A: a classifier trained to separate a curated
+    * corpus from raw CommonCrawl, applied as a document filter). Here the
+    * "curated" class is sources src0-src2 and the "web" class the rest;
+    * training counts come from the even-doc_id slice (the established
+    * deterministic split — production swaps in labeled corpora, same plan).
+    * Multinomial NB over unigrams: each token contributes
+    * (lg c_cur(w) - lg T_cur) - (lg c_web(w) - lg T_web) to the
+    * curated-vs-web log-likelihood ratio, with lg 1 = 0 smoothing for
+    * class-unseen words, plus the lg-prior from class doc counts.
+    * Integer-exact at THIRD-BIT resolution — floor(3 log2 x) as
+    * bitlen(x^3)-1, the cubed sibling of `q_text_bm25`'s quarter-bit idf —
+    * because whole-bit logs round away sub-bit per-word ratios and
+    * collapse every document to the same score (measured on this corpus);
+    * x^3 is overflow-safe to 2M tokens/class under ANSI (beyond that,
+    * split a 12-bit mantissa first — same device, one extra shift). On the
+    * synthetic corpus source carries no vocabulary signal, so scores
+    * spread by sampling noise around the prior and no document crosses the
+    * threshold — the honest output for signal-free classes; the operator
+    * IS the mechanics production points at labeled corpora. Unlike the
+    * perplexity gate this is SUPERVISED — it learns whatever separates the
+    * classes (topic, register, boilerplate), which is why production
+    * pipelines run both. Scale shape: ONE token-count shuffle keyed on the
+    * word (both class counts as conditional sums in the same aggregate),
+    * one linear equi-join back to the token scan, class totals as a
+    * broadcast 1-row aggregate, per-doc rollup — no pairing, all linear;
+    * at 100 TB the count table is vocabulary-sized and broadcastable. */
+  private def nbScores(s: SparkSession, d: String) = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        col("source").isin("src0", "src1", "src2").as("is_curated"),
+        split(col("text"), " ").as("ws"))
+    val toks = docs.select(col("doc_id"), col("is_curated"), explode(col("ws")).as("w"))
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    val lgOf = (c: Column) =>
+      when(c > 0, length(bin(c * c * c)) - 1).otherwise(0L).cast("long")
+    val counts = train.groupBy("w").agg(
+      lgOf(sum(when(col("is_curated"), 1L).otherwise(0L))).as("lg_cur"),
+      lgOf(sum(when(col("is_curated"), 0L).otherwise(1L))).as("lg_web"))
+    val totals = train.agg(
+      lgOf(sum(when(col("is_curated"), 1L).otherwise(0L))).as("lg_t_cur"),
+      lgOf(sum(when(col("is_curated"), 0L).otherwise(1L))).as("lg_t_web"),
+      lgOf(count_distinct(when(col("is_curated"), col("doc_id")))).as("lg_n_cur"),
+      lgOf(count_distinct(when(!col("is_curated"), col("doc_id")))).as("lg_n_web"))
+    toks
+      .join(counts, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        (sum(coalesce(col("lg_cur"), lit(0L)) - coalesce(col("lg_web"), lit(0L))) +
+          count(lit(1)) * (first("lg_t_web") - first("lg_t_cur")) +
+          first("lg_n_cur") - first("lg_n_web")).as("llr_tb"))
+      .withColumn("pred_curated", col("llr_tb") > 0)
+      .select("doc_id", "n_words", "llr_tb", "pred_curated")
+  }
+
+  private def sqlLg3(e: String): String =
+    s"(length(bin(CAST($e AS BIGINT)*CAST($e AS BIGINT)*CAST($e AS BIGINT))) - 1)"
+
+  private val nbClassifier = Q(
+    "q_text_nb_classifier",
+    (s, d) => nbScores(s, d).orderBy("doc_id"),
+    Some(s"""WITH docs AS (SELECT doc_id, source IN ('src0','src1','src2') AS is_curated,
+                string_split(text, ' ') AS ws FROM documents),
+      tok AS (SELECT doc_id, is_curated, unnest(ws) AS w FROM docs),
+      cnt AS (SELECT w,
+                CASE WHEN sum(CASE WHEN is_curated THEN 1 ELSE 0 END) > 0
+                     THEN ${sqlLg3("sum(CASE WHEN is_curated THEN 1 ELSE 0 END)")}
+                     ELSE 0 END AS lg_cur,
+                CASE WHEN sum(CASE WHEN is_curated THEN 0 ELSE 1 END) > 0
+                     THEN ${sqlLg3("sum(CASE WHEN is_curated THEN 0 ELSE 1 END)")}
+                     ELSE 0 END AS lg_web
+              FROM tok WHERE doc_id % 2 = 0 GROUP BY w),
+      tot AS (SELECT ${sqlLg3("sum(CASE WHEN is_curated THEN 1 ELSE 0 END)")} AS lg_t_cur,
+                ${sqlLg3("sum(CASE WHEN is_curated THEN 0 ELSE 1 END)")} AS lg_t_web,
+                ${sqlLg3("count(DISTINCT CASE WHEN is_curated THEN doc_id END)")} AS lg_n_cur,
+                ${sqlLg3("count(DISTINCT CASE WHEN NOT is_curated THEN doc_id END)")} AS lg_n_web
+              FROM tok WHERE doc_id % 2 = 0)
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(coalesce(lg_cur, 0) - coalesce(lg_web, 0))
+                  + count(*) * (lg_t_web - lg_t_cur)
+                  + lg_n_cur - lg_n_web AS BIGINT) AS llr_tb,
+             (sum(coalesce(lg_cur, 0) - coalesce(lg_web, 0))
+                  + count(*) * (lg_t_web - lg_t_cur)
+                  + lg_n_cur - lg_n_web) > 0 AS pred_curated
+      FROM tok LEFT JOIN cnt USING (w), tot
+      GROUP BY doc_id, lg_t_cur, lg_t_web, lg_n_cur, lg_n_web
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
-    perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams)
+    perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
+    nbClassifier)
 }
