@@ -393,4 +393,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(user1.head.getLong(1) == 3 && user1.head.getLong(2) == 103, // 09:59:55 -> 10:01:38
       s"expected n=3 dur=103, got: ${user1.head}")
   }
+
+  test("bloom decontamination: flagged set is a strict superset with zero false negatives") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_contamination_bloom")(s, d)
+      .selectExpr("n_ngrams", "bloom_hits", "exact_hits", "fp_hits").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, bloom, exact, fp) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bloom >= exact, s"bloom dropped a real hit: $r") // no false negatives
+      assert(fp == bloom - exact && fp >= 0 && bloom <= n, s"inconsistent counts: $r")
+    }
+    // exact_hits must equal the ground-truth n-gram equi-join (the shape
+    // q_contamination uses, in the train-scrub direction) — the bloom is a
+    // prefilter, never a semantics change
+    import org.apache.spark.sql.functions._
+    val n = 4
+    val docs = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 < 9, "train").otherwise("eval").as("split"),
+        split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+    val grams = docs.select(col("doc_id"), col("split"),
+      explode(transform(sequence(lit(0), size(col("toks")) - n, lit(1)),
+        i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("ng"))
+    val truth = grams.filter(col("split") === "train").select("doc_id", "ng").distinct()
+      .join(grams.filter(col("split") === "eval").select("ng").distinct(), Seq("ng"), "leftsemi")
+      .groupBy("doc_id").agg(count(lit(1)).as("truth_hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q_contamination_bloom")(s, d)
+      .selectExpr("doc_id", "exact_hits").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).filter(_._2 > 0).toMap
+    assert(got == truth, s"exact_hits diverge from ground truth: got=$got truth=$truth")
+  }
 }

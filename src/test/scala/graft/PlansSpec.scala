@@ -258,6 +258,15 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_contamination_bloom: the bloom table broadcasts; no pairwise plan") {
+    val p = plan("q_contamination_bloom")
+    // the 2048-word filter must reach the corpus probe as a broadcast —
+    // a shuffled join here would defeat the operator's whole point
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sample_weighted / q_text_chunk: narrow shapes — no join anywhere") {
     assert(!plan("q_sample_weighted").contains("Join"))
     assert(!plan("q_text_chunk").contains("Join"))
