@@ -40,6 +40,7 @@ object VectorIndex {
   val FlavorPlain = "plain"
   val FlavorResidual = "residual"
   val FlavorBinary = "binary"
+  val FlavorSq8 = "sq8"
 
   // ---------------------------------------------------------------------
   // meta / tombstones plumbing
@@ -765,6 +766,132 @@ object VectorIndex {
       spark.read.parquet(s"$indexDir/bits"),
       normalizedEmbeddings(spark, sfDir),
       nQueries, shortlistK, k)
+  }
+
+  // ---------------------------------------------------------------------
+  // SQ8 (int8 scalar quantization) stored index — FAISS IndexScalarQuantizer
+  // ---------------------------------------------------------------------
+
+  /** Build a persisted SQ8 index from vectors with `vec_id < bound`:
+    *   calib/   one row: the per-dimension min/max trained at build time
+    *   codes/   (vec_id, qe) — 64 int8 codes/vector, 8x smaller than f64
+    * Unlike the binary index the calibration IS a trained artifact, so
+    * appends inherit it (FAISS SQ semantics: train once, out-of-range
+    * components clamp) and a drifted corpus eventually wants a rebuild —
+    * but unlike PQ there is no per-vector quantization error stored, so
+    * meta carries base stats 0 and the drift loop treats sq8 like binary
+    * (no metered rebuild trigger; re-train on an explicit schedule). */
+  def buildSq8(
+      spark: SparkSession, sfDir: String, indexDir: String,
+      bound: Long = Long.MaxValue): Unit = {
+    val dir = new Path(indexDir)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    fs.delete(tmp, true)
+    val tombstones = tombstonesOf(spark, indexDir).cache()
+
+    val e = notTombstoned(
+      normalizedEmbeddings(spark, sfDir).filter(col("vec_id") < bound), tombstones)
+      .select(col("vec_id"), col("emb").as("de"))
+    val calib = sq8Calibration(e.select(col("vec_id"), col("de"), col("de").as("emb")))
+    calib.write.mode(SaveMode.Overwrite).parquet(s"$tmp/calib")
+    val codes = sq8Encode(e, spark.read.parquet(s"$tmp/calib"))
+      .select("vec_id", "qe").cache()
+    codes.write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
+    val effBound = codes.agg(coalesce(max(col("vec_id")) + 1L, lit(0L))).head().getLong(0)
+    spark.range(1).select(
+        lit(effBound).as("train_bound"),
+        lit(FlavorSq8).as("flavor"),
+        lit(0L).as("base_n"),
+        lit(0L).as("base_total_err"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
+    writeTombstonesIfAny(spark, fs, tmp, tombstones)
+    Seq(codes, tombstones).foreach(_.unpersist())
+
+    atomicSwap(fs, dir, tmp, new Path(dir.getParent, s".${dir.getName}.previous"))
+  }
+
+  /** Append vectors `vec_id >= minVecId` to an SQ8 index, encoding them
+    * with the STORED calibration (never retrained — the semantics FAISS
+    * persists an SQ's trained range for); the old side below the boundary
+    * is kept as-is (idempotent-replay guard), tombstones stay excluded,
+    * and the index republishes atomically. */
+  def appendSq8(
+      spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Unit = {
+    requireFlavor(spark, indexDir, FlavorSq8, "appendSq8")
+    val dir = new Path(indexDir)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
+    fs.delete(tmp, true)
+    fs.delete(aside, true)
+
+    val tombstones = tombstonesOf(spark, indexDir).cache()
+    val calib = spark.read.parquet(s"$indexDir/calib")
+    val oldCodes = spark.read.parquet(s"$indexDir/codes").filter(col("vec_id") < minVecId)
+    val newCodes = sq8Encode(
+      notTombstoned(
+        normalizedEmbeddings(spark, sfDir).filter(col("vec_id") >= minVecId), tombstones)
+        .select(col("vec_id"), col("emb").as("de")),
+      calib).select("vec_id", "qe")
+    oldCodes.unionByName(newCodes).write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
+    calib.write.mode(SaveMode.Overwrite).parquet(s"$tmp/calib")
+    copyMetaIfPresent(spark, fs, indexDir, tmp)
+    writeTombstonesIfAny(spark, fs, tmp, tombstones)
+    tombstones.unpersist()
+
+    atomicSwap(fs, dir, tmp, aside)
+  }
+
+  /** Serve an SQ8 search from the stored tables — row-identical to
+    * `q_sim_sq8` when the index was built over the full corpus (the
+    * shared scoring block dequantizes stored codes against the stored
+    * calibration; pinned in QuantSpec). */
+  def searchSq8(
+      spark: SparkSession, indexDir: String,
+      nQueries: Int = 5, k: Int = 5): DataFrame = {
+    requireFlavor(spark, indexDir, FlavorSq8, "searchSq8")
+    // NOT cached: the query side's vec_id filter pushes to the codes scan
+    // (no corpus-wide agg feeds both sides here, unlike the in-query path),
+    // and a cache would serve stale rows after delete/append republishes —
+    // the logical plan is identical across calls, so the CacheManager
+    // cannot tell the old index from the new one
+    val withDq = sq8WithDq(
+      spark.read.parquet(s"$indexDir/codes")
+        .crossJoin(broadcast(spark.read.parquet(s"$indexDir/calib"))))
+    sq8Search(withDq, nQueries, k)
+  }
+
+  /** GDPR delete on an SQ8 index: drop the code rows and persist the
+    * tombstones so a replayed [[appendSq8]] cannot resurrect them.
+    * Returns the number of vectors actually removed. */
+  def deleteFromSq8(
+      spark: SparkSession, indexDir: String, vecIds: Seq[Long]): Long = {
+    requireFlavor(spark, indexDir, FlavorSq8, "deleteFromSq8")
+    import spark.implicits._
+    val dir = new Path(indexDir)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
+    fs.delete(tmp, true)
+    fs.delete(aside, true)
+
+    val requested = vecIds.toDF("vec_id")
+    val oldCodes = spark.read.parquet(s"$indexDir/codes")
+    val nDead = oldCodes.join(broadcast(requested), Seq("vec_id"), "left_semi").count()
+    if (nDead == 0L) return 0L
+
+    oldCodes.join(broadcast(requested), Seq("vec_id"), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
+    spark.read.parquet(s"$indexDir/calib")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/calib")
+    copyMetaIfPresent(spark, fs, indexDir, tmp)
+    tombstonesOf(spark, indexDir).select("vec_id").unionByName(requested)
+      .distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/tombstones")
+
+    atomicSwap(fs, dir, tmp, aside)
+    nDead
   }
 
   /** GDPR delete on a binary index: drop the packed rows and persist the

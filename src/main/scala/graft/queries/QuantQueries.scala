@@ -47,7 +47,7 @@ object QuantQueries {
     * partial-agg tree over 64 keys (bytes of shuffle), and quantization
     * rides the scan. min/max are exact selections (no FP arithmetic), so
     * the calibration row is bit-identical across engines. */
-  private def sq8Calibration(e: DataFrame): DataFrame =
+  private[graft] def sq8Calibration(e: DataFrame): DataFrame =
     e.select(posexplode(col("emb")))
       .toDF("d", "x")
       .groupBy("d")
@@ -75,8 +75,13 @@ object QuantQueries {
     * 512) PLUS the midpoint reconstruction used for scoring. Dequantization
     * happens once per VECTOR against the broadcast calibration row — never
     * per candidate pair — so pair scoring stays one codegen'd dot kernel. */
-  private def sq8Codes(e: DataFrame): DataFrame =
-    e.crossJoin(broadcast(sq8Calibration(e)))
+  /** int8 codes against an explicit (possibly stored) calibration row,
+    * carrying the calibration through as `mm` — the encode step
+    * [[graft.operators.VectorIndex.appendSq8]] shares, so appended vectors
+    * use the calibration TRAINED AT BUILD TIME (FAISS SQ semantics;
+    * out-of-range components clamp to the trained range). */
+  private[graft] def sq8Encode(e: DataFrame, calib: DataFrame): DataFrame =
+    e.crossJoin(broadcast(calib))
       .select(
         col("vec_id"),
         transform(
@@ -86,14 +91,41 @@ object QuantQueries {
             sq8Code(x, m.getField("mn"), m.getField("mx"))
           }).as("qe"),
         col("mm"))
+
+  /** Midpoint reconstructions added to a (vec_id, qe, mm) frame — the
+    * decode side of the same split. */
+  private[graft] def sq8WithDq(codesWithMm: DataFrame): DataFrame =
+    codesWithMm.select(
+      col("vec_id"), col("qe"),
+      transform(
+        col("qe"),
+        (c, i) => {
+          val m = element_at(col("mm"), (i + 1).cast("int"))
+          sq8Dequant(c, m.getField("mn"), m.getField("mx"))
+        }).as("dq"))
+
+  private def sq8Codes(e: DataFrame): DataFrame =
+    sq8WithDq(sq8Encode(e, sq8Calibration(e)))
+
+  /** The SQ8 scoring block shared by `q_sim_sq8` (calibration trained
+    * in-query) and `VectorIndex.searchSq8` (calibration + codes read from
+    * the stored index): asymmetric dot over midpoint reconstructions,
+    * top-k per query. Row-identical across the two call sites by
+    * construction (pinned in QuantSpec). */
+  private[graft] def sq8Search(withDq: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val q = broadcast(
+      withDq.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("dq").as("qdq")))
+    val scored = withDq.join(q, col("vec_id") =!= col("query_id"))
       .select(
-        col("vec_id"), col("qe"),
-        transform(
-          col("qe"),
-          (c, i) => {
-            val m = element_at(col("mm"), (i + 1).cast("int"))
-            sq8Dequant(c, m.getField("mn"), m.getField("mx"))
-          }).as("dq"))
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("dq"), col("qdq")), 6).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
 
   /** Top-5 neighbors for 5 query vectors over the int8-quantized corpus,
     * ranked by the dot product of midpoint reconstructions (asymmetric SQ
@@ -109,17 +141,7 @@ object QuantQueries {
       val e = rawEmbeddings(s, d).select(col("vec_id"), l2Normalize(col("de")).as("emb"))
         .select(col("vec_id"), col("emb").as("de"), col("emb"))
       val codes = sq8Codes(e).cache()
-      val q = broadcast(
-        codes.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("dq").as("qdq")))
-      val scored = codes.join(q, col("vec_id") =!= col("query_id"))
-        .select(
-          col("query_id"), col("vec_id").as("neighbor_id"),
-          round(dot(col("dq"), col("qdq")), 6).as("score"))
-      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
-      scored
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
-        .orderBy("query_id", "rn")
+      sq8Search(codes)
     },
     Some(s"""WITH $sqlNormalized,
       dd AS (SELECT unnest(range(1, ${Dim + 1})) AS d),

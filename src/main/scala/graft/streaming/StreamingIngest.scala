@@ -235,16 +235,23 @@ object StreamingIngest {
           if (!fresh.isEmpty) fresh.write.mode("append").parquet(embDir)
           // dispatch on the persisted flavor: one maintenance loop serves
           // the whole index family. Binary codes have no trained codebook,
-          // so their appends cannot drift — the rebuild metering below is
-          // meaningless for them and is skipped entirely.
+          // so their appends cannot drift; sq8 appends inherit the trained
+          // calibration but store no per-vector error, so neither flavor
+          // gets the PQ rebuild metering below.
           val flavor = graft.operators.VectorIndex.flavorOf(s, indexDir)
+          val unmetered = Set(
+            graft.operators.VectorIndex.FlavorBinary,
+            graft.operators.VectorIndex.FlavorSq8)
           if (flavor == graft.operators.VectorIndex.FlavorBinary)
             graft.operators.VectorIndex.appendBinary(
+              s, corpusDir, indexDir, rawMin.asInstanceOf[Long])
+          else if (flavor == graft.operators.VectorIndex.FlavorSq8)
+            graft.operators.VectorIndex.appendSq8(
               s, corpusDir, indexDir, rawMin.asInstanceOf[Long])
           else
             graft.operators.VectorIndex.appendIvfPq(
               s, corpusDir, indexDir, rawMin.asInstanceOf[Long])
-          if (flavor != graft.operators.VectorIndex.FlavorBinary)
+          if (!unmetered.contains(flavor))
             autoRebuildThreshold.foreach { threshold =>
               graft.operators.VectorIndex.trainBoundOpt(s, indexDir).foreach { bound =>
                 if (graft.operators.VectorIndex.driftRatio(s, corpusDir, indexDir, bound)

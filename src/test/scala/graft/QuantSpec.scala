@@ -242,6 +242,42 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
       "append replay resurrected a tombstoned vector")
   }
 
+  test("sq8 index lifecycle: stored search row-identical, append keeps trained calibration, delete sticks") {
+    import graft.operators.VectorIndex
+    val idxBase = java.nio.file.Files.createTempDirectory("graft_vecidx_sq8").toString
+    val idx = s"$idxBase/index"
+    // full-bound build serves the IDENTICAL ranking to the in-query path
+    // (same calibration corpus, same encode/dequant/score sequence)
+    VectorIndex.buildSq8(spark, sf, idx)
+    val stored = VectorIndex.searchSq8(spark, idx).collect().map(_.toString).toSeq
+    val inline = run("q_sim_sq8").collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == inline)
+    // two-phase: append must encode with the calibration TRAINED AT BUILD
+    // TIME (FAISS SQ semantics), never retrain it
+    VectorIndex.buildSq8(spark, sf, idx, bound = 300)
+    val calibBefore = spark.read.parquet(s"$idx/calib").collect().map(_.toString).toSeq
+    VectorIndex.appendSq8(spark, sf, idx, minVecId = 300)
+    assert(spark.read.parquet(s"$idx/calib").collect().map(_.toString).toSeq == calibBefore,
+      "append retrained the calibration")
+    val nAll = spark.read.parquet(s"$idx/codes").count()
+    assert(nAll == spark.read.parquet(s"$sf/embeddings.parquet").count())
+    // replayed append (crash after publish) is a no-op
+    VectorIndex.appendSq8(spark, sf, idx, minVecId = 300)
+    assert(spark.read.parquet(s"$idx/codes").count() == nAll)
+    // flavor guards both ways
+    intercept[IllegalArgumentException] { VectorIndex.searchIvfPq(spark, sf, idx) }
+    intercept[IllegalArgumentException] { VectorIndex.searchBinary(spark, sf, idx) }
+    // GDPR delete sticks through an append replay
+    val victim = VectorIndex.searchSq8(spark, idx).collect().map(_.getLong(1))
+      .find(_ >= 300).getOrElse(
+        VectorIndex.searchSq8(spark, idx).collect().map(_.getLong(1)).head)
+    assert(VectorIndex.deleteFromSq8(spark, idx, Seq(victim)) == 1L)
+    assert(!VectorIndex.searchSq8(spark, idx).collect().map(_.getLong(1)).contains(victim))
+    VectorIndex.appendSq8(spark, sf, idx, minVecId = 300)
+    assert(!VectorIndex.searchSq8(spark, idx).collect().map(_.getLong(1)).contains(victim),
+      "append replay resurrected a tombstoned vector")
+  }
+
   test("residual PQ: encoding residuals cuts quantization error at identical storage") {
     import graft.queries.QuantQueries._
     val e = normalizedEmbeddings(spark, sf).cache()
