@@ -195,6 +195,111 @@ object Multimodal {
         lit("image/png").as("mime_type"))
   }
 
+  /** Brightness-shifted variant of [[syntheticImages]]: same base pattern
+    * per doc_id % 256 class (base pixels kept in [3, 252]) plus a UNIFORM
+    * per-replica brightness shift in [-2, 2] ((doc_id / 256) % 5 - 2, no
+    * clamping ever hits). Two docs in the same class are thus perceptual
+    * NEAR-duplicates — different bytes, different exact fingerprints, same
+    * image up to brightness — the planted structure `q_multimodal_phash`
+    * must recover and exact dedup must miss. */
+  def syntheticImagesNoisy(spark: SparkSession, dir: String): DataFrame = {
+    val pngUdf = org.apache.spark.sql.functions.udf { docId: Long =>
+      val k = docId % 256
+      val shift = (docId / 256) % 5 - 2
+      // quadratic phase term: a plain ramp makes every class a cyclic
+      // shift of the same gradient, which pHash (correctly) lumps
+      // together — measured 64 distinct hashes over 256 classes; the
+      // i² term gives 256/256
+      val px = Array.tabulate(SyntheticImgW * SyntheticImgH)(
+        i => (((k * 2654435761L + i * (2 * k + 7) + i.toLong * i * (k % 13 + 1)) % 250
+          + 3 + shift) & 0xff).toByte)
+      encodeGrayPng(px, SyntheticImgW, SyntheticImgH)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), pngUdf(col("doc_id")).as("media"),
+        lit("image/png").as("mime_type"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Perceptual hash (DCT pHash) — image near-dup at LAION scale
+  // -------------------------------------------------------------------------
+
+  /** Integer DCT-II basis, W(u)(x) = round(64·cos((2x+1)uπ/16)), row-major.
+    * Shared literal with the DuckDB oracle. Every non-DC row sums to
+    * EXACTLY zero after rounding — which makes all 63 AC coefficients
+    * bit-exactly invariant under a uniform brightness shift (the shift
+    * term factors as shift·ΣW(u)·ΣW(v) and one factor is always a
+    * zero-sum row), the property the near-dup demonstration leans on. */
+  val DctW: Array[Int] = Array(
+    64, 64, 64, 64, 64, 64, 64, 64,
+    63, 53, 36, 12, -12, -36, -53, -63,
+    59, 24, -24, -59, -59, -24, 24, 59,
+    53, -12, -63, -36, 36, 63, 12, -53,
+    45, -45, -45, 45, 45, -45, -45, 45,
+    36, -63, 12, 53, -53, -12, 63, -36,
+    24, -59, 59, -24, -24, 59, -59, 24,
+    12, -36, 53, -63, 63, -53, 36, -12)
+
+  /** DCT perceptual hash of an 8x8 gray image: full integer 2-D DCT, the
+    * 63 AC coefficients (DC dropped — it carries only mean brightness)
+    * thresholded against their 32nd-smallest value (an order statistic,
+    * not a mean/median, so both engines agree without tie rules), packed
+    * as two 32-bit words in BIGINTs (bits 0-31 / 32-62; the established
+    * ANSI-safe packing). Classic pHash runs 32x32→DCT→top-left 8x8; on an
+    * 8x8 source the full transform IS that low-frequency block. */
+  def phash8(px: Array[Byte]): (Long, Long) = {
+    val ac = new Array[Long](63)
+    var c = 1
+    while (c < 64) {
+      val u = c / 8
+      val v = c % 8
+      var s = 0L
+      var i = 0
+      while (i < 64) {
+        s += DctW(u * 8 + i / 8).toLong * DctW(v * 8 + i % 8) * (px(i) & 0xff)
+        i += 1
+      }
+      ac(c - 1) = s
+      c += 1
+    }
+    val thr = ac.sorted.apply(31)
+    var w0 = 0L
+    var w1 = 0L
+    var j = 0
+    while (j < 63) {
+      if (ac(j) > thr) {
+        if (j < 32) w0 |= 1L << j else w1 |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    (w0, w1)
+  }
+
+  val phashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("w0", LongType, nullable = false),
+    StructField("w1", LongType, nullable = false)))
+
+  /** media -> (doc_id, w0, w1) perceptual hashes: real PNG decode, then
+    * the integer DCT hash — same batched-mapPartitions stage shape as the
+    * other decode tables. Non-8x8 (or undecodable) payloads drop, matching
+    * decodeImageTable's tolerance stance. */
+  def phashTable(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select("doc_id", "media").rdd.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          decodeImage(r.getAs[Array[Byte]](1)).collect {
+            case (w, h, px) if w == 8 && h == 8 =>
+              val (w0, w1) = phash8(px)
+              Row(r.getLong(0), w0, w1)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, phashSchema)
+  }
+
   // -------------------------------------------------------------------------
   // REAL audio path: PCM WAV via javax.sound.sampled (pure JDK)
   // -------------------------------------------------------------------------

@@ -234,6 +234,64 @@ object MultimodalQueries {
              ELSE CAST(fp_u AS BIGINT) END AS resize_fp
       FROM fp ORDER BY doc_id"""))
 
+  /** Perceptual near-dup over image content (the LAION-scale image dedup
+    * step): real PNG decode -> integer DCT pHash (operators.Multimodal.
+    * phash8 — 63 AC coefficients thresholded at their 32nd-smallest value,
+    * packed as two 32-bit words) -> group by hash. The corpus is
+    * brightness-shifted replicas (`syntheticImagesNoisy`): same pattern
+    * class, different bytes — so `q_multimodal_dedup`'s exact fingerprint
+    * CANNOT pair them, while the pHash groups them exactly (the rounded
+    * DCT basis's non-DC rows sum to zero, making every AC coefficient
+    * bit-invariant under uniform shift). The oracle recomputes pixels from
+    * the generator formula and replays the identical DCT/threshold/pack
+    * integer math. Scale shape: decode+hash is narrow; the only shuffle is
+    * the 16-byte hash key — pixels never leave their partition; past
+    * identical-hash grouping, Hamming-radius pairing would reuse the
+    * banded equi-join the binary ANN family already pins. */
+  private val phashQ = Q(
+    "q_multimodal_phash",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("w0", "w1")
+      Multimodal.phashTable(Multimodal.syntheticImagesNoisy(s, d))
+        .withColumn("canonical_id", min("doc_id").over(w))
+        .withColumn("is_dup", col("canonical_id") < col("doc_id"))
+        .select("doc_id", "w0", "w1", "canonical_id", "is_dup")
+        .orderBy("doc_id")
+    },
+    Some("""WITH wm AS (SELECT list_value(
+        64,64,64,64,64,64,64,64,
+        63,53,36,12,-12,-36,-53,-63,
+        59,24,-24,-59,-59,-24,24,59,
+        53,-12,-63,-36,36,63,12,-53,
+        45,-45,-45,45,45,-45,-45,45,
+        36,-63,12,53,-53,-12,63,-36,
+        24,-59,59,-24,-24,59,-59,24,
+        12,-36,53,-63,63,-53,36,-12) AS W),
+      px AS (SELECT doc_id, list_transform(range(0, 64),
+               i -> ((doc_id % 256) * 2654435761 + i * (2 * (doc_id % 256) + 7)
+                     + i * i * ((doc_id % 256) % 13 + 1)) % 250
+                    + 3 + ((doc_id // 256) % 5 - 2)) AS p
+             FROM documents),
+      acs AS (SELECT doc_id, list_transform(range(1, 64), c ->
+                CAST(list_sum(list_transform(range(0, 64), i ->
+                  W[CAST((c//8)*8 + (i//8) + 1 AS INT)]
+                    * W[CAST((c%8)*8 + (i%8) + 1 AS INT)]
+                    * p[CAST(i + 1 AS INT)])) AS BIGINT)) AS ac
+              FROM px, wm),
+      th AS (SELECT doc_id, ac, list_sort(ac)[32] AS thr FROM acs),
+      hw AS (SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 32), j ->
+                 CASE WHEN ac[CAST(j + 1 AS INT)] > thr
+                      THEN (1::BIGINT << CAST(j AS INT)) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+               CAST(list_sum(list_transform(range(32, 63), j ->
+                 CASE WHEN ac[CAST(j + 1 AS INT)] > thr
+                      THEN (1::BIGINT << CAST(j - 32 AS INT)) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+             FROM th)
+      SELECT doc_id, w0, w1,
+             min(doc_id) OVER (PARTITION BY w0, w1) AS canonical_id,
+             min(doc_id) OVER (PARTITION BY w0, w1) < doc_id AS is_dup
+      FROM hw ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(features, frames, decodeQ, audioQ, videoQ, mediaDedup, mp3MetaQ,
-    resizeQ)
+    resizeQ, phashQ)
 }

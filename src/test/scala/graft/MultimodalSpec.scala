@@ -196,4 +196,39 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(sizes == 4L)
   }
+
+  test("phash8: AC coefficients are bit-invariant under uniform brightness shift") {
+    val rnd = new scala.util.Random(42)
+    (0 until 20).foreach { _ =>
+      val base = Array.fill(64)((rnd.nextInt(200) + 20).toByte) // room for ±5
+      val shift = rnd.nextInt(11) - 5
+      val shifted = base.map(b => ((b & 0xff) + shift).toByte)
+      assert(Multimodal.phash8(base) == Multimodal.phash8(shifted),
+        s"pHash changed under uniform shift $shift")
+    }
+    // a non-uniform change must be able to move the hash (not a constant fn)
+    val a = Array.tabulate(64)(i => ((i * 37 + 11) % 200 + 20).toByte)
+    val b = a.clone(); b(0) = ((b(0) & 0xff) + 80).toByte; b(9) = ((b(9) & 0xff) - 60).toByte
+    assert(Multimodal.phash8(a) != Multimodal.phash8(b))
+  }
+
+  test("phash pipeline recovers brightness-shifted near-dups that exact dedup misses") {
+    val d = "/root/testdata/sf0.01"
+    val imgs = Multimodal.syntheticImagesNoisy(spark, d)
+    val ph = Multimodal.phashTable(imgs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every replica pair (k, k+256) differs in bytes (different brightness)
+    // but shares the perceptual hash
+    val pairs = ph.keys.filter(k => k >= 256 && ph.contains(k - 256)).toSeq
+    assert(pairs.nonEmpty)
+    pairs.foreach(k => assert(ph(k) == ph(k - 256), s"pair ($k, ${k - 256}) not grouped"))
+    // exact content fingerprints CANNOT pair them — that's the operator's point
+    val fps = Multimodal.decodeImageTable(imgs)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    pairs.foreach(k => assert(fps(k) != fps(k - 256),
+      s"pair ($k, ${k - 256}) is byte-identical — the planted shift vanished"))
+    // and distinct classes stay distinct (no hash collapse across patterns)
+    val low = ph.keys.filter(_ < 256).toSeq
+    assert(low.map(ph).distinct.size == low.size, "cross-class pHash collision")
+  }
 }
