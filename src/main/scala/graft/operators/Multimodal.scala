@@ -470,6 +470,53 @@ object Multimodal {
         lit("image/gif").as("mime_type"))
   }
 
+  /** Synthetic videos WITH PLANTED SCENE STRUCTURE: 8 frames, one hard cut
+    * at frame c = 3 + doc_id % 3. Within a scene consecutive frames differ
+    * by +1 per pixel (motion: SAD = 64); across the cut the base pattern
+    * jumps by ±97/∓103 mod 200 (SAD ≈ 6400) — two deterministic regimes a
+    * threshold cleanly separates, and a formula DuckDB replays exactly.
+    * Pixels stay in [20, 234]: no clamping, no wrap in the +frame term. */
+  val SceneVideoFrames = 8
+  def syntheticVideosScenes(spark: SparkSession, dir: String): DataFrame = {
+    val gifUdf = org.apache.spark.sql.functions.udf { docId: Long =>
+      val cut = 3 + (docId % 3).toInt
+      val frames = (0 until SceneVideoFrames).map { f =>
+        val sceneOff = if (f >= cut) 97 else 0
+        Array.tabulate(SyntheticImgW * SyntheticImgH)(
+          i => (((docId * 37 + sceneOff + i * 11) % 200 + 20 + f) & 0xff).toByte)
+      }
+      encodeGifVideo(frames, SyntheticImgW, SyntheticImgH)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), gifUdf(col("doc_id")).as("media"),
+        lit("image/gif").as("mime_type"))
+  }
+
+  val videoFramesSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame", LongType, nullable = false),
+    StructField("p", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** Video media -> one row per decoded frame carrying the full pixel
+    * vector — the tensor-shaped output a frame-level model stage consumes,
+    * and the input to Spark-side temporal ops (scene cuts are a window
+    * function over this table, not decode-kernel logic). */
+  def videoFramesTable(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select("doc_id", "media").rdd.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          decodeGifVideo(r.getAs[Array[Byte]](1)).toSeq.flatMap { frames =>
+            frames.zipWithIndex.map { case ((_, _, px), f) =>
+              Row(r.getLong(0), f.toLong, px.map(b => (b & 0xff).toLong).toSeq)
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, videoFramesSchema)
+  }
+
   val decodedVideoSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame", LongType, nullable = false),

@@ -292,6 +292,54 @@ object MultimodalQueries {
              min(doc_id) OVER (PARTITION BY w0, w1) < doc_id AS is_dup
       FROM hw ORDER BY doc_id"""))
 
+  /** Scene-cut detection — the shot-boundary segmentation step a video
+    * training pipeline runs before frame sampling (sample per scene, not
+    * per fixed stride). Real GIF decode -> per-frame pixel vectors -> a
+    * WINDOW over frames per video: SAD against the previous frame
+    * (zip_with + abs fold, all integer), cut where SAD clears the
+    * threshold, scene id as the running cut count. The synthetic corpus
+    * plants one hard cut per video at frame 3 + doc_id % 3 (within-scene
+    * motion SAD 64, cross-cut ≈ 6400), and the oracle recomputes
+    * everything from the pixel formula — decode drift, window-order drift,
+    * or SAD math each mismatch. Scale shape: decode is narrow; the window
+    * partitions by video id over bounded frames-per-video (at 100 TB the
+    * key widens to (video, chunk) with chunk-boundary frames duplicated —
+    * same plan, no global sort). */
+  private val scenesQ = Q(
+    "q_multimodal_scenes",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("frame")
+      Multimodal.videoFramesTable(Multimodal.syntheticVideosScenes(s, d))
+        .withColumn("prev", lag("p", 1).over(w))
+        .withColumn("sad",
+          when(col("prev").isNull, lit(0L)).otherwise(
+            aggregate(zip_with(col("p"), col("prev"), (a, b) => abs(a - b)),
+              lit(0L), (acc, x) => acc + x)))
+        .withColumn("is_cut", col("sad") > 1000)
+        .withColumn("scene_id",
+          sum(when(col("sad") > 1000, 1L).otherwise(0L)).over(w))
+        .select("doc_id", "frame", "sad", "is_cut", "scene_id")
+        .orderBy("doc_id", "frame")
+    },
+    Some("""WITH fr AS (SELECT doc_id, ff.f AS frame,
+        list_transform(range(0, 64),
+          i -> (doc_id*37 + CASE WHEN ff.f >= 3 + doc_id % 3 THEN 97 ELSE 0 END + i*11)
+               % 200 + 20 + ff.f) AS p
+      FROM documents, (SELECT unnest(range(8)) AS f) ff),
+      lg AS (SELECT doc_id, frame, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY frame) AS prev
+             FROM fr),
+      sd AS (SELECT doc_id, frame,
+               CASE WHEN prev IS NULL THEN 0
+                    ELSE CAST(list_sum(list_transform(range(0, 64),
+                      i -> abs(p[CAST(i + 1 AS INT)] - prev[CAST(i + 1 AS INT)]))) AS BIGINT)
+               END AS sad
+             FROM lg)
+      SELECT doc_id, CAST(frame AS BIGINT) AS frame, sad, sad > 1000 AS is_cut,
+             CAST(sum(CASE WHEN sad > 1000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY frame) AS BIGINT) AS scene_id
+      FROM sd ORDER BY doc_id, frame"""))
+
   val all: Seq[Q] = Seq(features, frames, decodeQ, audioQ, videoQ, mediaDedup, mp3MetaQ,
-    resizeQ, phashQ)
+    resizeQ, phashQ, scenesQ)
 }

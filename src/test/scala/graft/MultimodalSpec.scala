@@ -231,4 +231,16 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val low = ph.keys.filter(_ < 256).toSeq
     assert(low.map(ph).distinct.size == low.size, "cross-class pHash collision")
   }
+
+  test("scene cuts: exactly the planted boundary per video, through real GIF decode") {
+    val rows = SparkEntry.queries("q_multimodal_scenes")(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id", "frame", "is_cut", "scene_id").collect()
+      .groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (docId, frames) =>
+      val cuts = frames.filter(_.getBoolean(2)).map(_.getLong(1)).toSeq
+      assert(cuts == Seq(3 + docId % 3), s"video $docId: cuts at $cuts")
+      assert(frames.map(_.getLong(3)).max == 1, s"video $docId: scene count drifted")
+    }
+  }
 }
