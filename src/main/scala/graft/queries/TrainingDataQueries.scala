@@ -272,15 +272,23 @@ object TrainingDataQueries {
           expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("bitval"))
         .groupBy("word_idx").agg(bit_or(col("bitval")).as("bits"))
       val trainG = grams.filter(col("split") === "train").select("doc_id", "ng").distinct()
+      // the whole filter as ONE broadcast map row: the probe side is then a
+      // narrow crossJoin + three lookups — no explode, no per-probe join,
+      // and the n-gram string never shuffles a second time
+      val bloomRow = bloom.agg(
+        map_from_entries(collect_list(struct(col("word_idx"), col("bits")))).as("bm"))
+      val bitSet = (p: String) =>
+        s"(coalesce(try_element_at(bm, $p div 32), 0) & " +
+          s"shiftleft(CAST(1 AS BIGINT), CAST($p % 32 AS INT))) != 0"
       val perNg = trainG
-        .withColumn("p", explode(positions(hashOf(col("ng")))))
-        .select(col("doc_id"), col("ng"),
-          expr("p div 32").as("word_idx"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("bitval"))
-        .join(broadcast(bloom), Seq("word_idx"), "left")
-        .groupBy("doc_id", "ng")
-        .agg(bool_and(coalesce(col("bits"), lit(0L)).bitwiseAND(col("bitval")) =!= 0)
-          .as("bloom_hit"))
+        .withColumn("h", hashOf(col("ng")))
+        .crossJoin(broadcast(bloomRow))
+        .withColumn("p1", col("h") % 65536L)
+        .withColumn("p2", shiftright(col("h"), 15) % 65536L)
+        .withColumn("p3", shiftright(col("h"), 30) % 65536L)
+        .withColumn("bloom_hit",
+          expr(s"${bitSet("p1")} AND ${bitSet("p2")} AND ${bitSet("p3")}"))
+        .select("doc_id", "ng", "bloom_hit")
       val exact = perNg.filter(col("bloom_hit"))
         .join(evalG, Seq("ng"), "leftsemi")
         .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))

@@ -258,12 +258,14 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_contamination_bloom: the bloom table broadcasts; no pairwise plan") {
+  test("q_contamination_bloom: the filter reaches the probe as a broadcast; no pairwise plan") {
     val p = plan("q_contamination_bloom")
-    // the 2048-word filter must reach the corpus probe as a broadcast —
-    // a shuffled join here would defeat the operator's whole point
+    // the whole filter rides ONE broadcast map row (a 1-row broadcast
+    // nested-loop cross, the broadcast-against-constant pattern), and the
+    // exact confirm is a broadcast semi-join — a shuffled join on either
+    // would defeat the operator's whole point
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
