@@ -220,6 +220,30 @@ object Multimodal {
         lit("image/png").as("mime_type"))
   }
 
+  /** Dithered variant of [[syntheticImagesNoisy]] for the RADIUS near-dup
+    * query: replicas (doc_id >= 256) additionally get a ±1 alternating
+    * dither — a NON-uniform perturbation, so (unlike the pure brightness
+    * shift) it moves a few pHash bits: measured over the 244 planted
+    * pairs, Hamming distance is 0 for 226, 1-2 for 18, never above 2 —
+    * every pair inside radius 3, and the nonzero-distance pairs are
+    * exactly the ones identical-hash grouping cannot pair. Base range
+    * [6, 249] keeps shift+dither clamp-free. */
+  def syntheticImagesDithered(spark: SparkSession, dir: String): DataFrame = {
+    val pngUdf = org.apache.spark.sql.functions.udf { docId: Long =>
+      val k = docId % 256
+      val shift = (docId / 256) % 5 - 2
+      val px = Array.tabulate(SyntheticImgW * SyntheticImgH) { i =>
+        val dither = if (docId >= 256) { if (i % 2 == 0) 1 else -1 } else 0
+        (((k * 2654435761L + i * (2 * k + 7) + i.toLong * i * (k % 13 + 1)) % 244
+          + 6 + shift + dither) & 0xff).toByte
+      }
+      encodeGrayPng(px, SyntheticImgW, SyntheticImgH)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), pngUdf(col("doc_id")).as("media"),
+        lit("image/png").as("mime_type"))
+  }
+
   // -------------------------------------------------------------------------
   // Perceptual hash (DCT pHash) — image near-dup at LAION scale
   // -------------------------------------------------------------------------

@@ -340,6 +340,98 @@ object MultimodalQueries {
                OVER (PARTITION BY doc_id ORDER BY frame) AS BIGINT) AS scene_id
       FROM sd ORDER BY doc_id, frame"""))
 
+  /** Hamming-RADIUS perceptual near-dup — the full LAION-dedup shape:
+    * `q_multimodal_phash` groups identical hashes; this pairs images
+    * within Hamming distance 3, which a non-uniform perturbation (the
+    * dithered corpus) demands — 18 of the 244 planted pairs sit at
+    * distance 1-2 where identical-hash grouping goes blind. Candidates
+    * meet through the 4-band pigeonhole equi-join (63 bits as 16/16/16/15
+    * bands; <= 3 flips leave >= 1 band untouched — guaranteed recall, the
+    * same device as the text MinHash banding), then an exact integer
+    * popcount verifies. Scale shape: 4 band rows per image join on the
+    * band value — never a pair enumeration; verification touches only
+    * candidates; pixels never shuffle. The oracle replays pixel formula ->
+    * DCT -> bands -> join -> popcount in full. */
+  private val phashRadiusQ = Q(
+    "q_multimodal_phash_radius",
+    (s, d) => {
+      val ph = Multimodal.phashTable(Multimodal.syntheticImagesDithered(s, d)).cache()
+      val bands = ph.select(col("doc_id"), col("w0"), col("w1"),
+        explode(array(
+          struct(lit(0L).as("b"), (col("w0") % 65536L).as("v")),
+          struct(lit(1L).as("b"), expr("w0 div 65536").as("v")),
+          struct(lit(2L).as("b"), (col("w1") % 65536L).as("v")),
+          struct(lit(3L).as("b"), expr("w1 div 65536").as("v")))).as("band"))
+        .select(col("doc_id"), col("w0"), col("w1"),
+          col("band.b").as("b"), col("band.v").as("v"))
+      val pairs = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(
+          col("x.doc_id").as("doc_id"), col("y.doc_id").as("nbr"),
+          col("x.w0").as("a0"), col("x.w1").as("a1"),
+          col("y.w0").as("b0"), col("y.w1").as("b1"))
+        .distinct()
+        .withColumn("hd", expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)"))
+        .filter(col("hd") <= 3)
+      ph.join(pairs.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_neighbors"), min("nbr").as("min_nbr")),
+          Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("w0"), col("w1"),
+          coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+          least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id"))).as("canonical_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH wm AS (SELECT list_value(
+        64,64,64,64,64,64,64,64,
+        63,53,36,12,-12,-36,-53,-63,
+        59,24,-24,-59,-59,-24,24,59,
+        53,-12,-63,-36,36,63,12,-53,
+        45,-45,-45,45,45,-45,-45,45,
+        36,-63,12,53,-53,-12,63,-36,
+        24,-59,59,-24,-24,59,-59,24,
+        12,-36,53,-63,63,-53,36,-12) AS W),
+      px AS (SELECT doc_id, list_transform(range(0, 64),
+               i -> ((doc_id % 256) * 2654435761 + i * (2 * (doc_id % 256) + 7)
+                     + i * i * ((doc_id % 256) % 13 + 1)) % 244
+                    + 6 + ((doc_id // 256) % 5 - 2)
+                    + CASE WHEN doc_id >= 256
+                           THEN CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END ELSE 0 END) AS p
+             FROM documents),
+      acs AS (SELECT doc_id, list_transform(range(1, 64), c ->
+                CAST(list_sum(list_transform(range(0, 64), i ->
+                  W[CAST((c//8)*8 + (i//8) + 1 AS INT)]
+                    * W[CAST((c%8)*8 + (i%8) + 1 AS INT)]
+                    * p[CAST(i + 1 AS INT)])) AS BIGINT)) AS ac
+              FROM px, wm),
+      th AS (SELECT doc_id, ac, list_sort(ac)[32] AS thr FROM acs),
+      hw AS (SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 32), j ->
+                 CASE WHEN ac[CAST(j + 1 AS INT)] > thr
+                      THEN (1::BIGINT << CAST(j AS INT)) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+               CAST(list_sum(list_transform(range(32, 63), j ->
+                 CASE WHEN ac[CAST(j + 1 AS INT)] > thr
+                      THEN (1::BIGINT << CAST(j - 32 AS INT)) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+             FROM th),
+      bands AS (SELECT doc_id, w0, w1, b,
+                  CASE b WHEN 0 THEN w0 % 65536 WHEN 1 THEN w0 // 65536
+                         WHEN 2 THEN w1 % 65536 ELSE w1 // 65536 END AS v
+                FROM hw, LATERAL unnest(range(0, 4)) t(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS nbr,
+                 x.w0 AS a0, x.w1 AS a1, y.w0 AS b0, y.w1 AS b1
+               FROM bands x JOIN bands y
+                 ON x.b = y.b AND x.v = y.v AND x.doc_id <> y.doc_id),
+      nb AS (SELECT doc_id, count(*) AS n_neighbors, min(nbr) AS min_nbr
+             FROM cand
+             WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= 3
+             GROUP BY doc_id)
+      SELECT h.doc_id, h.w0, h.w1,
+             coalesce(nb.n_neighbors, 0) AS n_neighbors,
+             least(h.doc_id, coalesce(nb.min_nbr, h.doc_id)) AS canonical_id
+      FROM hw h LEFT JOIN nb ON h.doc_id = nb.doc_id
+      ORDER BY h.doc_id"""))
+
   val all: Seq[Q] = Seq(features, frames, decodeQ, audioQ, videoQ, mediaDedup, mp3MetaQ,
-    resizeQ, phashQ, scenesQ)
+    resizeQ, phashQ, scenesQ, phashRadiusQ)
 }

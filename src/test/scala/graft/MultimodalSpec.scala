@@ -232,6 +232,24 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(low.map(ph).distinct.size == low.size, "cross-class pHash collision")
   }
 
+  test("phash radius: banded pigeonhole recovers pairs identical-hash grouping misses") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_multimodal_phash_radius")(spark, d)
+      .selectExpr("doc_id", "w0", "w1", "canonical_id").collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val pairs = rows.map(_.getLong(0)).filter(k => k >= 256 && byId.contains(k - 256))
+    assert(pairs.nonEmpty)
+    // every planted dithered replica pairs back to its original within radius 3
+    pairs.foreach(k => assert(byId(k).getLong(3) == k - 256,
+      s"pair ($k, ${k - 256}) not recovered: canonical=${byId(k).getLong(3)}"))
+    // and a nonzero-distance subset exists — the radius (not equality) did the work
+    val moved = pairs.count { k =>
+      val (a, b) = (byId(k), byId(k - 256))
+      (a.getLong(1), a.getLong(2)) != (b.getLong(1), b.getLong(2))
+    }
+    assert(moved > 0, "dither produced no hash movement — radius adds nothing over equality")
+  }
+
   test("scene cuts: exactly the planted boundary per video, through real GIF decode") {
     val rows = SparkEntry.queries("q_multimodal_scenes")(spark, "/root/testdata/sf0.001")
       .selectExpr("doc_id", "frame", "is_cut", "scene_id").collect()
