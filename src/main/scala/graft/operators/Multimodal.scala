@@ -380,6 +380,74 @@ object Multimodal {
         lit("audio/wav").as("mime_type"))
   }
 
+  /** Gain-scaled synthetic WAVs for the audio near-dup query: class
+    * k = doc_id % 256 defines the base waveform (a quadratic-phase formula
+    * — a plain LCG collapsed 256 classes to 19 distinct energy profiles,
+    * measured), replicas (doc_id >= 256) play it at integer gain 2 or 3
+    * (max |sample| 24000, no 16-bit clipping). Same waveform, different
+    * amplitude: different bytes, same energy-ORDER structure — the planted
+    * pair [[audioFingerprintTable]] must recover. */
+  def syntheticWavsGained(spark: SparkSession, dir: String): DataFrame = {
+    val wavUdf = org.apache.spark.sql.functions.udf { docId: Long =>
+      val k = docId % 256
+      val gain = (docId / 256) % 3 + 1
+      val samples = Array.tabulate(SyntheticAudioSamples) { i =>
+        (((k * 2654435761L + i * (2 * k + 7) * 113 + i.toLong * i * (k % 13 + 1) * 29)
+          % 16001 - 8000) * gain).toShort
+      }
+      encodePcmWav(samples, SyntheticAudioRate)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), wavUdf(col("doc_id")).as("media"),
+        lit("audio/wav").as("mime_type"))
+  }
+
+  /** Energy-order audio fingerprint (chromaprint-lite): 16 windows of 4
+    * samples, per-window integer energy, 29 comparison bits (15 adjacent
+    * + 14 skip-2 deltas) packed in one BIGINT. Sign-of-delta bits are
+    * EXACTLY invariant under integer gain (energies scale by g², every
+    * comparison preserved) — the audio analogue of pHash's brightness
+    * invariance, and why production fingerprints (Shazam, Chromaprint)
+    * are built from band-energy ORDER, not magnitude. */
+  def audioFingerprint(samples: Array[Short]): Long = {
+    val e = Array.tabulate(16) { w =>
+      var s = 0L
+      var j = 0
+      while (j < 4) { val v = samples(w * 4 + j).toLong; s += v * v; j += 1 }
+      s
+    }
+    var bits = 0L
+    var b = 0
+    var w = 0
+    while (w < 15) { if (e(w) > e(w + 1)) bits |= 1L << b; b += 1; w += 1 }
+    w = 0
+    while (w < 14) { if (e(w) > e(w + 2)) bits |= 1L << b; b += 1; w += 1 }
+    bits
+  }
+
+  val audioFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("afp", LongType, nullable = false)))
+
+  /** audio media -> (doc_id, afp): real WAV decode, then the energy-order
+    * fingerprint over the first 64 samples — batched mapPartitions like
+    * the other decode tables; payloads the codec rejects (or shorter than
+    * 64 samples) drop. */
+  def audioFingerprintTable(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select("doc_id", "media").rdd.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          decodeWav(r.getAs[Array[Byte]](1)).collect {
+            case (_, samples) if samples.length >= 64 =>
+              Row(r.getLong(0), audioFingerprint(samples))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioFpSchema)
+  }
+
   val decodedAudioSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_samples", LongType, nullable = false),

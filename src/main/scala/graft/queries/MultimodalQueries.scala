@@ -432,6 +432,50 @@ object MultimodalQueries {
       FROM hw h LEFT JOIN nb ON h.doc_id = nb.doc_id
       ORDER BY h.doc_id"""))
 
+  /** Audio near-dup over gain-scaled recordings — the audio leg of the
+    * perceptual-dedup family (pHash covers images, scene SAD covers
+    * video): real WAV decode -> energy-order fingerprint
+    * (operators.Multimodal.audioFingerprint — 29 sign-of-delta bits over
+    * 16 window energies, exactly gain-invariant) -> keep-first grouping.
+    * The corpus plays each base waveform at gains 1/2/3: byte-level and
+    * sample-level dedup both miss the replicas; the fingerprint pairs
+    * them exactly, and the oracle recomputes everything from the sample
+    * formula. Scale shape: decode + fingerprint are narrow; only the
+    * 8-byte fingerprint shuffles. */
+  private val audioDedup = Q(
+    "q_multimodal_audio_dedup",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("afp")
+      Multimodal.audioFingerprintTable(Multimodal.syntheticWavsGained(s, d))
+        .withColumn("canonical_id", min("doc_id").over(w))
+        .withColumn("is_dup", col("canonical_id") < col("doc_id"))
+        .select("doc_id", "afp", "canonical_id", "is_dup")
+        .orderBy("doc_id")
+    },
+    Some("""WITH sm AS (SELECT doc_id, list_transform(range(0, 64),
+               i -> (((doc_id % 256) * 2654435761
+                      + i * (2 * (doc_id % 256) + 7) * 113
+                      + i * i * ((doc_id % 256) % 13 + 1) * 29) % 16001 - 8000)
+                    * ((doc_id // 256) % 3 + 1)) AS s
+             FROM documents),
+      en AS (SELECT doc_id, list_transform(range(0, 16), w ->
+               CAST(list_sum(list_transform(range(0, 4), j ->
+                 s[CAST(w*4 + j + 1 AS INT)] * s[CAST(w*4 + j + 1 AS INT)])) AS BIGINT)) AS e
+             FROM sm),
+      fp AS (SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 15), w ->
+                   CASE WHEN e[CAST(w + 1 AS INT)] > e[CAST(w + 2 AS INT)]
+                        THEN (1::BIGINT << CAST(w AS INT)) ELSE 0::BIGINT END))
+                 + list_sum(list_transform(range(0, 14), w ->
+                   CASE WHEN e[CAST(w + 1 AS INT)] > e[CAST(w + 3 AS INT)]
+                        THEN (1::BIGINT << CAST(w + 15 AS INT)) ELSE 0::BIGINT END))
+                 AS BIGINT) AS afp
+             FROM en)
+      SELECT doc_id, afp,
+             min(doc_id) OVER (PARTITION BY afp) AS canonical_id,
+             min(doc_id) OVER (PARTITION BY afp) < doc_id AS is_dup
+      FROM fp ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(features, frames, decodeQ, audioQ, videoQ, mediaDedup, mp3MetaQ,
-    resizeQ, phashQ, scenesQ, phashRadiusQ)
+    resizeQ, phashQ, scenesQ, phashRadiusQ, audioDedup)
 }

@@ -250,6 +250,38 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(moved > 0, "dither produced no hash movement — radius adds nothing over equality")
   }
 
+  test("audioFingerprint: exactly gain-invariant, sensitive to waveform shape") {
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { _ =>
+      val base = Array.fill(64)((rnd.nextInt(16001) - 8000).toShort)
+      Seq(2, 3).foreach { g =>
+        val scaled = base.map(s => (s * g).toShort)
+        assert(Multimodal.audioFingerprint(base) == Multimodal.audioFingerprint(scaled),
+          s"fingerprint moved under gain $g")
+      }
+    }
+    // loud first window vs flat: E0 > E1 flips from true to tie
+    val flat = Array.fill[Short](64)(100)
+    val loud = flat.clone(); (0 until 4).foreach(loud(_) = 2000)
+    assert(Multimodal.audioFingerprint(loud) != Multimodal.audioFingerprint(flat))
+  }
+
+  test("audio dedup pipeline: gain replicas group through real WAV decode, bytes differ") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_multimodal_audio_dedup")(spark, d)
+      .selectExpr("doc_id", "canonical_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = rows.keys.filter(k => k >= 256 && rows.contains(k - 256)).toSeq
+    assert(pairs.nonEmpty)
+    pairs.foreach(k => assert(rows(k) == k - 256, s"gain replica $k not grouped"))
+    // the replicas are NOT byte/sample-identical — exact dedup would miss them
+    val stats = Multimodal.decodeAudioTable(Multimodal.syntheticWavsGained(spark, d))
+      .selectExpr("doc_id", "energy").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach(k => assert(stats(k) != stats(k - 256),
+      s"replica $k has identical energy — the planted gain vanished"))
+  }
+
   test("scene cuts: exactly the planted boundary per video, through real GIF decode") {
     val rows = SparkEntry.queries("q_multimodal_scenes")(spark, "/root/testdata/sf0.001")
       .selectExpr("doc_id", "frame", "is_cut", "scene_id").collect()
