@@ -997,6 +997,89 @@ object TextQueries {
       .select("doc_id", "n_words", "llr_tb", "pred_curated")
   }
 
+  /** Trigram stupid-backoff LM perplexity (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the scheme Google used at
+    * web scale precisely because it needs only COUNTS, no discounting
+    * state): score every document's trigrams against train-slice counts,
+    * backing off trigram -> bigram (+4 bits) -> unigram (+8) -> OOV.
+    * One order above `q_text_perplexity` — the structural step toward
+    * CCNet's 5-gram KenLM; each extra order adds one count table and one
+    * equi-join, nothing else changes, which is the point of demonstrating
+    * the order-N shape. Same integer floor-log2 device; same scale shape:
+    * count shuffles on high-entropy gram keys over the train slice only,
+    * linear joins keyed on the gram, broadcast total, per-doc rollup. */
+  private def trigramScores(s: SparkSession, d: String) = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val toks = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+    val trainToks = toks.filter(col("doc_id") % 2 === 0)
+    val lgCnt = (length(bin(count(lit(1)))) - 1).cast("long")
+    val uni = trainToks.groupBy("w").agg(lgCnt.as("lg_u"))
+    val total = trainToks.agg(lgCnt.as("lg_t"))
+    val triples = docs.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 2),
+          i => struct(
+            element_at(col("ws"), i).as("a"),
+            element_at(col("ws"), i + 1).as("b"),
+            element_at(col("ws"), i + 2).as("c")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"), col("p.c").as("c"))
+    val trainTriples = triples.filter(col("doc_id") % 2 === 0)
+    val bi = trainTriples.groupBy("b", "c").agg(lgCnt.as("lg_bc"))
+    val biCtx = trainTriples.groupBy("a", "b").agg(lgCnt.as("lg_ab"))
+    val tri = trainTriples.groupBy("a", "b", "c").agg(lgCnt.as("lg_abc"))
+    triples
+      .join(tri, Seq("a", "b", "c"), "left")
+      .join(biCtx, Seq("a", "b"), "left")
+      .join(bi, Seq("b", "c"), "left")
+      .join(uni.select(col("w").as("b"), col("lg_u").as("lg_ub")), Seq("b"), "left")
+      .join(uni.select(col("w").as("c"), col("lg_u").as("lg_uc")), Seq("c"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        when(col("lg_abc").isNotNull, col("lg_ab") - col("lg_abc"))
+          .otherwise(when(col("lg_bc").isNotNull,
+            coalesce(col("lg_ub"), lit(0L)) - col("lg_bc") + lit(4L))
+            .otherwise(when(col("lg_uc").isNotNull,
+              col("lg_t") - col("lg_uc") + lit(8L))
+              .otherwise(col("lg_t") + lit(8L)))).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("bits").as("bits"))
+      .withColumn("ppl_cb", expr("bits * 100 div n_trigrams"))
+      .select("doc_id", "n_trigrams", "bits", "ppl_cb")
+  }
+
+  private val perplexity3 = Q(
+    "q_text_perplexity3",
+    (s, d) => trigramScores(s, d).orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+      uni AS (SELECT w, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_u
+              FROM tok WHERE doc_id % 2 = 0 GROUP BY w),
+      tot AS (SELECT CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_t
+              FROM tok WHERE doc_id % 2 = 0),
+      p AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c
+            FROM w, LATERAL unnest(range(1, len(ws) - 1)) t(i) WHERE len(ws) >= 3),
+      tri AS (SELECT a, b, c, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_abc
+              FROM p WHERE doc_id % 2 = 0 GROUP BY a, b, c),
+      bic AS (SELECT a, b, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_ab
+              FROM p WHERE doc_id % 2 = 0 GROUP BY a, b),
+      bi AS (SELECT b, c, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_bc
+             FROM p WHERE doc_id % 2 = 0 GROUP BY b, c),
+      sc AS (SELECT p.doc_id,
+               CASE WHEN tri.lg_abc IS NOT NULL THEN bic.lg_ab - tri.lg_abc
+                    WHEN bi.lg_bc IS NOT NULL
+                      THEN coalesce(ub.lg_u, 0) - bi.lg_bc + 4
+                    WHEN uc.lg_u IS NOT NULL THEN tot.lg_t - uc.lg_u + 8
+                    ELSE tot.lg_t + 8 END AS bits
+             FROM p LEFT JOIN tri ON p.a = tri.a AND p.b = tri.b AND p.c = tri.c
+               LEFT JOIN bic ON p.a = bic.a AND p.b = bic.b
+               LEFT JOIN bi ON p.b = bi.b AND p.c = bi.c
+               LEFT JOIN uni ub ON p.b = ub.w
+               LEFT JOIN uni uc ON p.c = uc.w, tot)
+      SELECT doc_id, count(*) AS n_trigrams, CAST(sum(bits) AS BIGINT) AS bits,
+             CAST(sum(bits) * 100 // count(*) AS BIGINT) AS ppl_cb
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   private def sqlLg3(e: String): String =
     s"(length(bin(CAST($e AS BIGINT)*CAST($e AS BIGINT)*CAST($e AS BIGINT))) - 1)"
 
@@ -1033,5 +1116,5 @@ object TextQueries {
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
     perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
-    nbClassifier)
+    nbClassifier, perplexity3)
 }
