@@ -243,52 +243,17 @@ object TrainingDataQueries {
   private val contaminationBloom = Q(
     "q_contamination_bloom",
     (s, d) => {
-      import org.apache.spark.sql.Column
-      val n = 4
+      import graft.operators.Decontamination
       val docs = t(s, d, "documents")
-        .select(
-          col("doc_id"),
-          when(col("doc_id") % 10 < 9, "train").otherwise("eval").as("split"),
-          split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= n)
-      val grams = docs.select(
-        col("doc_id"),
-        col("split"),
-        explode(
-          transform(
-            sequence(lit(0), size(col("toks")) - n, lit(1)),
-            i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("ng"))
-      val hashOf = (c: Column) =>
-        aggregate(
-          transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))).cast("long")),
-          lit(7L),
-          (acc, x) => (acc * 131L + x) % 70368744177664L)
-      val positions = (h: Column) =>
-        array(h % 65536L, shiftright(h, 15) % 65536L, shiftright(h, 30) % 65536L)
-      val evalG = grams.filter(col("split") === "eval").select("ng").distinct()
-      val bloom = evalG
-        .select(explode(positions(hashOf(col("ng")))).as("p"))
-        .select(expr("p div 32").as("word_idx"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("bitval"))
-        .groupBy("word_idx").agg(bit_or(col("bitval")).as("bits"))
-      val trainG = grams.filter(col("split") === "train").select("doc_id", "ng").distinct()
-      // the whole filter as ONE broadcast map row: the probe side is then a
-      // narrow crossJoin + three lookups — no explode, no per-probe join,
-      // and the n-gram string never shuffles a second time
-      val bloomRow = bloom.agg(
-        map_from_entries(collect_list(struct(col("word_idx"), col("bits")))).as("bm"))
-      val bitSet = (p: String) =>
-        s"(coalesce(try_element_at(bm, $p div 32), 0) & " +
-          s"shiftleft(CAST(1 AS BIGINT), CAST($p % 32 AS INT))) != 0"
-      val perNg = trainG
-        .withColumn("h", hashOf(col("ng")))
-        .crossJoin(broadcast(bloomRow))
-        .withColumn("p1", col("h") % 65536L)
-        .withColumn("p2", shiftright(col("h"), 15) % 65536L)
-        .withColumn("p3", shiftright(col("h"), 30) % 65536L)
-        .withColumn("bloom_hit",
-          expr(s"${bitSet("p1")} AND ${bitSet("p2")} AND ${bitSet("p3")}"))
-        .select("doc_id", "ng", "bloom_hit")
+      // shared verbatim with operators.Decontamination (the stored-filter
+      // lifecycle + streaming scrub): n-gram extraction, the 46-bit
+      // windowed hash, the one-broadcast-map-row probe — the in-query path
+      // trains the filter inline so the oracle replays the whole pipeline
+      val evalG = Decontamination
+        .docNgrams(docs.filter(col("doc_id") % 10 >= 9)).select("ng").distinct()
+      val trainG = Decontamination.docNgrams(docs.filter(col("doc_id") % 10 < 9))
+      val perNg = Decontamination.probe(
+        trainG, Decontamination.bloomRow(Decontamination.bloomTable(evalG)))
       val exact = perNg.filter(col("bloom_hit"))
         .join(evalG, Seq("ng"), "leftsemi")
         .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))

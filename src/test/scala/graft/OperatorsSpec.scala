@@ -394,6 +394,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected n=3 dur=103, got: ${user1.head}")
   }
 
+  test("stored benchmark filter: scrub serves the in-query verdicts from disk, republish atomic") {
+    import graft.operators.Decontamination
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/filter"
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    Decontamination.buildFilter(s, docs.filter(col("doc_id") % 10 >= 9), dir)
+    def served() = Decontamination.scrub(s, docs.filter(col("doc_id") % 10 < 9), dir)
+      .selectExpr("doc_id", "n_ngrams", "bloom_hits", "exact_hits")
+      .collect().map(_.toString).sorted.toSeq
+    val stored = served()
+    val inline = SparkEntry.queries("q_contamination_bloom")(s, d)
+      .selectExpr("doc_id", "n_ngrams", "bloom_hits", "exact_hits")
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored.nonEmpty && stored == inline,
+      "stored-filter scrub diverges from the inline-trained query")
+    // rebuilding over the published filter swaps atomically and serves the same
+    Decontamination.buildFilter(s, docs.filter(col("doc_id") % 10 >= 9), dir)
+    assert(served() == stored)
+  }
+
   test("bloom decontamination: flagged set is a strict superset with zero false negatives") {
     val s = spark
     val d = "/root/testdata/sf0.001"

@@ -951,4 +951,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty && streamed == batch,
       s"stream ${streamed.size} vs batch ${batch.size}")
   }
+
+  test("streaming decontamination scrub: stored-filter verdicts match batch, replay effectively-once") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.operators.Decontamination
+    val sf = "/root/testdata/sf0.001"
+    val filterDir = s"$base/decon_filter"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Decontamination.buildFilter(spark, docs.filter(col("doc_id") % 10 >= 9), filterDir)
+
+    // delta: 9001 embeds a benchmark 4-gram (doc 9's first four words)
+    // inside novel tokens; 9002 is entirely novel
+    val benchWords = docs.filter(col("doc_id") === 9)
+      .selectExpr("split(text, ' ') AS ws").head().getSeq[String](0)
+    val phrase = benchWords.take(4).mkString(" ")
+    val deltaDir = s"$base/decon_delta"
+    write(deltaDir, "delta.jsonl",
+      s"""{"doc_id": 9001, "text": "zq1 zq2 $phrase zq3 zq4"}
+         |{"doc_id": 9002, "text": "zzq wwx yyk vvj uup ttn rrm qql"}""".stripMargin)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val outDir = s"$base/decon_out"
+    def runStream(ckpt: String): Unit = {
+      val q = Decontamination.startScrubStream(
+        spark, spark.readStream.schema(schema).json(deltaDir),
+        filterDir, outDir, ckpt, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    runStream(s"$base/decon_ckpt1")
+    val streamed = spark.read.parquet(outDir)
+      .selectExpr("doc_id", "n_ngrams", "bloom_hits", "exact_hits", "is_contaminated")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Decontamination.scrub(
+        spark, spark.read.schema(schema).json(deltaDir), filterDir)
+      .selectExpr("doc_id", "n_ngrams", "bloom_hits", "exact_hits", "is_contaminated")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // the planted contamination is caught, the novel doc is clean
+    val byId = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_contaminated")).toMap
+    assert(byId(9001L) && !byId(9002L), byId.toString)
+    // replay with a fresh checkpoint: the left-anti guard keeps verdicts single
+    runStream(s"$base/decon_ckpt2")
+    assert(spark.read.parquet(outDir).count() == 2L, "replay duplicated verdicts")
+  }
 }
