@@ -178,7 +178,7 @@ object QuantQueries {
     * The explode shuffles (corpus x 64) integer rows into a 2-level key agg
     * — map-side partial aggregation collapses it to (cells x 64) per task,
     * so at 1000 executors the reduce is centroid-sized, not corpus-sized. */
-  private def lloydStep(assigned: DataFrame): DataFrame =
+  private[graft] def lloydStep(assigned: DataFrame): DataFrame =
     assigned.select(col("cent_id"), posexplode(col("emb")))
       .toDF("cent_id", "d", "x")
       .withColumn("xm", floor((col("x") + lit(2.0)) * lit(1000000.0)))
@@ -214,7 +214,7 @@ object QuantQueries {
 
   /** DuckDB twin of one (assign, step) round; `prev` is the centroid CTE
     * name to assign against, `i` the round index for naming. */
-  private def sqlLloydRound(i: Int, prev: String): String =
+  private[graft] def sqlLloydRound(i: Int, prev: String): String =
     s"""a$i AS (SELECT vec_id, emb, cent_id FROM (
           SELECT ev.vec_id, ev.emb, c.cent_id,
                  row_number() OVER (PARTITION BY ev.vec_id

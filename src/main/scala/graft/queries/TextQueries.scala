@@ -1113,8 +1113,79 @@ object TextQueries {
       GROUP BY doc_id, lg_t_cur, lg_t_web, lg_n_cur, lg_n_web
       ORDER BY doc_id"""))
 
+  /** Document topic clustering — the text leg of embedding-space curation
+    * (`q_sample_clusters` balances clusters of vectors; this BUILDS the
+    * clusters from raw text): tokens -> hashed 16-dim term vectors (the
+    * 46-bit polynomial word hash mod 16 — feature hashing, Weinberger et
+    * al. 2009) -> L2 normalize -> the EXISTING Lloyd machinery
+    * (CentroidSeed seeding, two fixed-point integer-mean rounds, argmax
+    * assignment), reused verbatim from the IVF family — the point being
+    * that document clustering IS k-means over a different vectorizer, one
+    * pipeline stage away. Output: per-doc topic + topic size. Scale shape:
+    * vectorizing is one (doc, dim) count shuffle; everything after is the
+    * pinned kmeans shape (broadcast centroids, linear argmax, 2-level
+    * fixed-point mean agg). The oracle replays hash -> histogram ->
+    * normalize -> both Lloyd rounds -> assignment, bit for bit. */
+  private def docTermVectors(s: SparkSession, d: String) = {
+    import graft.functions.VectorFunctions.l2Normalize
+    val dims = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        (aggregate(
+          transform(sequence(lit(1), length(col("w"))),
+            i => ascii(col("w").substr(i, lit(1))).cast("long")),
+          lit(7L),
+          (acc, x) => (acc * 131L + x) % 70368744177664L) % 16L).as("dim"))
+    dims.groupBy("doc_id", "dim").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("cnt")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        l2Normalize(transform(sequence(lit(0L), lit(15L)),
+          dm => coalesce(try_element_at(col("m"), dm), lit(0L)).cast("double"))).as("emb"))
+  }
+
+  private val topics = Q(
+    "q_text_topics",
+    (s, d) => {
+      val e = docTermVectors(s, d).cache()
+      val c2 = QuantQueries.trainedCodebook(e).cache()
+      val w = Window.partitionBy("topic")
+      QuantQueries.kmeansAssign(e, c2)
+        .select(col("vec_id").as("doc_id"), col("cent_id").as("topic"))
+        .withColumn("topic_size", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      td AS (SELECT doc_id,
+               list_reduce(list_prepend(7::BIGINT,
+                   list_transform(range(1, length(w) + 1),
+                     i -> ord(substr(w, CAST(i AS INT), 1))::BIGINT)),
+                 (acc, c) -> (acc * 131 + c) % 70368744177664) % 16 AS dim
+             FROM tok),
+      dl AS (SELECT doc_id, list(dim) AS dims FROM td GROUP BY doc_id),
+      e0 AS (SELECT doc_id AS vec_id,
+               list_transform(range(0, 16),
+                 dm -> CAST(len(list_filter(dims, x -> x = dm)) AS DOUBLE)) AS de
+             FROM dl),
+      e AS (SELECT vec_id,
+              list_transform(de, x -> x / sqrt(list_reduce(
+                list_transform(de, y -> y*y), (a, b) -> a + b))) AS emb
+            FROM e0),
+      dd AS (SELECT unnest(range(1, 17)) AS d),
+      ${CentroidSeed.sqlSeedCte("c0")},
+      ${QuantQueries.sqlLloydRound(0, "c0")},
+      ${QuantQueries.sqlLloydRound(1, "c1")},
+      a2 AS (SELECT vec_id, cent_id FROM (
+          SELECT ev.vec_id, c.cent_id,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY round(list_dot_product(ev.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e ev, c2 c) s WHERE rn = 1)
+      SELECT vec_id AS doc_id, cent_id AS topic,
+             count(*) OVER (PARTITION BY cent_id) AS topic_size
+      FROM a2 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
     perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
-    nbClassifier, perplexity3)
+    nbClassifier, perplexity3, topics)
 }
