@@ -317,7 +317,55 @@ object TrainingDataQueries {
                LEFT JOIN ex ON tot.doc_id = ex.doc_id
       ORDER BY tot.doc_id"""))
 
+  /** Dataset card — the datasheet every corpus release ships (Gebru et al.
+    * 2021, "Datasheets for Datasets"): per-(source, language) doc/token/
+    * char counts, corpus share, and exact-dup rate, with source-level and
+    * corpus-level rollups in the SAME pass via GROUPING SETS (one Expand,
+    * not three scans — at 100 TB the difference between a datasheet job
+    * and three). Dup accounting reuses the keep-first exact-dedup rule
+    * (min doc_id per identical text). Integer basis points throughout, so
+    * the oracle is exact. */
+  private val datasetCard = Q(
+    "q_train_dataset_card",
+    (s, d) => {
+      Tables.views(s, d, "documents")
+      s.sql("""WITH dup AS (
+          SELECT doc_id, source, lang, n_chars,
+                 size(split(text, ' ')) AS n_toks,
+                 min(doc_id) OVER (PARTITION BY text) < doc_id AS is_dup
+          FROM documents),
+        tot AS (SELECT count(*) AS total_docs FROM documents)
+        SELECT coalesce(source, 'ALL') AS src,
+               coalesce(lang, 'ALL') AS lng,
+               count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               count(*) * 10000 div max(total_docs) AS share_bp,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+               sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000 div count(*) AS dup_bp
+        FROM dup, tot
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+        ORDER BY src, lng""")
+    },
+    Some("""WITH dup AS (
+        SELECT doc_id, source, lang, n_chars,
+               len(string_split(text, ' ')) AS n_toks,
+               min(doc_id) OVER (PARTITION BY text) < doc_id AS is_dup
+        FROM documents),
+      tot AS (SELECT count(*) AS total_docs FROM documents)
+      SELECT coalesce(source, 'ALL') AS src,
+             coalesce(lang, 'ALL') AS lng,
+             count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             count(*) * 10000 // max(total_docs) AS share_bp,
+             CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+             sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000 // count(*) AS dup_bp
+      FROM dup, tot
+      GROUP BY GROUPING SETS ((source, lang), (source), ())
+      ORDER BY src, lng"""))
+
   val all: Seq[Q] =
     Seq(chunk, contamination, sampleWeighted, packSequences, shuffleOrder, mixSources,
-      contaminationBloom)
+      contaminationBloom, datasetCard)
 }
