@@ -325,6 +325,100 @@ object Multimodal {
   }
 
   // -------------------------------------------------------------------------
+  // Persisted pHash index — dedup new image crawls against the stored corpus
+  // -------------------------------------------------------------------------
+
+  /** Build and atomically publish a pHash index: one `hashes` table
+    * (doc_id, w0, w1) — 16 bytes per image; the corpus pixels never need
+    * re-decoding to dedup future crawls against it. Same aside+rename
+    * discipline as the vector indexes. */
+  def buildPhashIndex(spark: SparkSession, images: DataFrame, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(indexDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
+    fs.delete(tmp, true)
+    phashTable(images).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tmp/hashes")
+    fs.delete(aside, true)
+    if (fs.exists(dir) && !fs.rename(dir, aside))
+      throw new java.io.IOException(s"phash index: cannot move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      val rolledBack = fs.exists(aside) && fs.rename(aside, dir)
+      throw new java.io.IOException(s"phash index: swap failed for $dir, " +
+        (if (rolledBack) "rolled back" else "no rollback available"))
+    }
+    fs.delete(aside, true)
+  }
+
+  /** Append a new image batch to the index — idempotent on doc_id (a
+    * replayed batch anti-joins to nothing), decode only the delta. */
+  def appendPhashIndex(spark: SparkSession, images: DataFrame, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(indexDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
+    fs.delete(tmp, true)
+    fs.delete(aside, true)
+    val old = spark.read.parquet(s"$indexDir/hashes")
+    val fresh = phashTable(images)
+      .join(old.select("doc_id"), Seq("doc_id"), "left_anti")
+    old.unionByName(fresh).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tmp/hashes")
+    if (!fs.rename(dir, aside))
+      throw new java.io.IOException(s"phash index: cannot move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      val rolledBack = fs.rename(aside, dir)
+      throw new java.io.IOException(s"phash index: swap failed for $dir, " +
+        (if (rolledBack) "rolled back" else "no rollback available"))
+    }
+    fs.delete(aside, true)
+  }
+
+  private def phashBands(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("w0"), col("w1"),
+      explode(array(
+        struct(lit(0L).as("b"), (col("w0") % 65536L).as("v")),
+        struct(lit(1L).as("b"), expr("w0 div 65536").as("v")),
+        struct(lit(2L).as("b"), (col("w1") % 65536L).as("v")),
+        struct(lit(3L).as("b"), expr("w1 div 65536").as("v")))).as("band"))
+      .select(col("doc_id"), col("w0"), col("w1"),
+        col("band.b").as("b"), col("band.v").as("v"))
+
+  /** Scrub a NEW image batch against the stored index: decode + hash only
+    * the delta, meet the stored hashes through the 4-band pigeonhole
+    * equi-join (guaranteed recall at Hamming <= 3), verify with exact
+    * popcount. Returns per-new-image (doc_id, w0, w1, n_matches,
+    * match_id = lowest matching stored id, or null). The image analogue
+    * of the incremental embedding/substring scrubs: O(delta) per crawl
+    * snapshot, the corpus is touched only through its 16-byte hashes. */
+  def scrubImagesAgainstIndex(
+      spark: SparkSession, images: DataFrame, indexDir: String,
+      radius: Int = 3): DataFrame = {
+    // cached: the delta hashes feed the band join AND the final left join;
+    // the plan embeds this call's unique RDD scan, so (unlike parquet-path
+    // reads) the cache cannot go stale across index republishes
+    val fresh = phashTable(images).cache()
+    val freshBands = phashBands(fresh)
+    val storedBands = phashBands(spark.read.parquet(s"$indexDir/hashes"))
+      .select(col("b"), col("v"),
+        col("doc_id").as("sid"), col("w0").as("s0"), col("w1").as("s1"))
+    val matches = freshBands.join(storedBands, Seq("b", "v"))
+      .select("doc_id", "w0", "w1", "sid", "s0", "s1").distinct()
+      .withColumn("hd", expr("bit_count(w0 ^ s0) + bit_count(w1 ^ s1)"))
+      .filter(col("hd") <= radius)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("sid").as("match_id"))
+    fresh.join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w0"), col("w1"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"), col("match_id"))
+  }
+
+  // -------------------------------------------------------------------------
   // REAL audio path: PCM WAV via javax.sound.sampled (pure JDK)
   // -------------------------------------------------------------------------
 

@@ -282,6 +282,32 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"replica $k has identical energy — the planted gain vanished"))
   }
 
+  test("phash index: O(delta) crawl scrub recovers planted pairs; append idempotent") {
+    val d = "/root/testdata/sf0.01"
+    val idx = java.nio.file.Files.createTempDirectory("graft_phidx").toString + "/index"
+    val imgs = Multimodal.syntheticImagesDithered(spark, d)
+    Multimodal.buildPhashIndex(spark, imgs.filter(col("doc_id") < 256), idx)
+    // the dithered replicas (a NEW crawl) all pair back to stored originals
+    val scrubbed = Multimodal.scrubImagesAgainstIndex(
+        spark, imgs.filter(col("doc_id") >= 256), idx)
+      .selectExpr("doc_id", "n_matches", "match_id").collect()
+    assert(scrubbed.nonEmpty)
+    scrubbed.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) == r.getLong(0) - 256,
+        s"replica ${r.getLong(0)} matched ${r.get(2)} (${r.getLong(1)} matches)")
+    }
+    // append the new crawl; a replayed append is a no-op; re-scrub self-matches
+    Multimodal.appendPhashIndex(spark, imgs.filter(col("doc_id") >= 256), idx)
+    val n = spark.read.parquet(s"$idx/hashes").count()
+    Multimodal.appendPhashIndex(spark, imgs.filter(col("doc_id") >= 256), idx)
+    assert(spark.read.parquet(s"$idx/hashes").count() == n, "append replay duplicated hashes")
+    val again = Multimodal.scrubImagesAgainstIndex(
+        spark, imgs.filter(col("doc_id") >= 256), idx)
+      .selectExpr("doc_id", "match_id").collect()
+    again.foreach(r => assert(r.getLong(1) == r.getLong(0) - 256,
+      s"post-append scrub lost the keep-first canonical for ${r.getLong(0)}"))
+  }
+
   test("scene cuts: exactly the planted boundary per video, through real GIF decode") {
     val rows = SparkEntry.queries("q_multimodal_scenes")(spark, "/root/testdata/sf0.001")
       .selectExpr("doc_id", "frame", "is_cut", "scene_id").collect()
