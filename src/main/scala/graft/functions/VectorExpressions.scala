@@ -117,6 +117,27 @@ object VectorOps {
     ArrayData.toArrayData(out)
   }
 
+  /** 46-bit polynomial string hash — acc = (acc*131 + byte) % 2^46, seed 7
+    * — the shared n-gram/word hash behind the Bloom decontamination probes
+    * and the feature-hashing vectorizer. BIT-IDENTICAL on ASCII input to
+    * the declarative fold `aggregate(transform(sequence(1, length(s)), i ->
+    * ascii(substr(s, i, 1))), 7L, (acc, c) -> (acc*131 + c) % 2^46)`
+    * (pinned in FunctionsSpec), which interprets one lambda tree per
+    * CHARACTER per row; this is one JIT'd byte loop. On non-ASCII input
+    * the fold hashes code points and this hashes UTF-8 bytes — the graft
+    * corpora are ASCII (the frames-query invariant); both sides of every
+    * caller use one form consistently. */
+  def polyHash46(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = s.numBytes()
+    var acc = 7L
+    var i = 0
+    while (i < n) {
+      acc = (acc * 131L + (s.getByte(i) & 0xff)) % 70368744177664L
+      i += 1
+    }
+    acc
+  }
+
   /** |A intersect B| / |A union B| over packed 64-bit bitmap words. */
   def bitmapJaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
@@ -206,6 +227,18 @@ case class DistinctBigrams(child: Expression)
 }
 
 /** simhash64(hashes) over an array<long> of per-token hashes; codegen'd. */
+/** polyHash46(s) over a string column; null-safe, codegen'd. */
+case class PolyHash46(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.polyHash46(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.polyHash46($a)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash46 =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
@@ -236,6 +269,9 @@ object VectorFunctions {
   /** Distinct bigram shingles of a token array (codegen'd; see [[DistinctBigrams]]). */
   def distinctBigrams(words: Column): Column =
     graftshim.column(DistinctBigrams(graftshim.expression(words)))
+  /** 46-bit polynomial string hash (codegen'd; see [[PolyHash46]]). */
+  def polyHash(s: Column): Column =
+    graftshim.column(PolyHash46(graftshim.expression(s)))
 
   /** Bit positions -> packed bitmap words. A Scala UDF on purpose: it runs
     * once per DOCUMENT (not per candidate pair), and the equivalent nested

@@ -47,12 +47,12 @@ object Decontamination {
       .distinct()
 
   /** 46-bit polynomial hash of an (ASCII) n-gram — every step integer and
-    * ANSI-overflow-free, replayed exactly by the DuckDB oracle. */
-  def hashOf(c: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))).cast("long")),
-      lit(7L),
-      (acc, x) => (acc * 131L + x) % 70368744177664L)
+    * ANSI-overflow-free, replayed exactly by the DuckDB oracle. Served by
+    * the codegen'd [[graft.functions.VectorOps.polyHash46]] kernel
+    * (bit-parity with the declarative char fold pinned in FunctionsSpec —
+    * the fold interprets one lambda tree per character per n-gram and was
+    * the probe side's dominant cost). */
+  def hashOf(c: Column): Column = graft.functions.VectorFunctions.polyHash(c)
 
   /** The three probe positions: near-disjoint 16-bit windows of the hash
     * state (bits 0-15, 15-30, 30-45). */

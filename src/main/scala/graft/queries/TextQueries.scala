@@ -1131,11 +1131,7 @@ object TextQueries {
     val dims = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"),
-        (aggregate(
-          transform(sequence(lit(1), length(col("w"))),
-            i => ascii(col("w").substr(i, lit(1))).cast("long")),
-          lit(7L),
-          (acc, x) => (acc * 131L + x) % 70368744177664L) % 16L).as("dim"))
+        (graft.functions.VectorFunctions.polyHash(col("w")) % 16L).as("dim"))
     dims.groupBy("doc_id", "dim").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("dim"), col("cnt")))).as("m"))

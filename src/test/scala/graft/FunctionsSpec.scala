@@ -328,4 +328,30 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(bitmap == brute)
   }
+
+  test("polyHash46 kernel: bit parity with the declarative char fold on corpus n-grams") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val grams = graft.operators.Decontamination.docNgrams(
+      spark.read.parquet(s"$d/documents.parquet"))
+    val declarative = aggregate(
+      transform(sequence(lit(1), length(col("ng"))),
+        i => ascii(col("ng").substr(i, lit(1))).cast("long")),
+      lit(7L),
+      (acc, x) => (acc * 131L + x) % 70368744177664L)
+    val mismatches = grams
+      .select(graft.functions.VectorFunctions.polyHash(col("ng")).as("k"),
+        declarative.as("f"))
+      .filter(col("k") =!= col("f")).count()
+    assert(mismatches == 0L)
+    // and the kernel participates in whole-stage codegen (no interpreted
+    // fallback): execute a shuffle-free projection so AQE finalizes, then
+    // read the executed plan
+    val df = spark.read.parquet(s"$d/documents.parquet")
+      .select(graft.functions.VectorFunctions.polyHash(col("text")).as("h"))
+    df.collect()
+    // the "*(n)" prefix is the whole-stage-codegen marker in simpleString
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
 }
