@@ -365,7 +365,57 @@ object TrainingDataQueries {
       GROUP BY GROUPING SETS ((source, lang), (source), ())
       ORDER BY src, lng"""))
 
+  /** Length-bucketed packing accounting — the alternative to
+    * `q_pack_sequences`' concatenate-and-split: group documents into
+    * power-of-two length buckets (bucket = 2^ceil(lg len), the
+    * floor-log2-as-binary-length device on len-1), reserve bucket-width
+    * slots, floor(1024/bucket) docs per context — no document ever
+    * straddles a context boundary (the property attention masking wants),
+    * at the cost of explicit padding. The output quantifies that cost per
+    * (lang, bucket): contexts needed and padding waste in basis points —
+    * the accounting a pipeline runs to choose between the two layouts.
+    * Pure integer math; one (lang, bucket) count shuffle. */
+  private val packBuckets = Q(
+    "q_pack_buckets",
+    (s, d) => {
+      val ctx = 1024L
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          least(org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long"),
+            lit(ctx)).as("n_toks"))
+        .withColumn("bucket",
+          when(col("n_toks") <= 1L, 1L)
+            .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n_toks - 1)) AS INT))")))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sum_toks"))
+        .withColumn("docs_per_ctx", expr(s"$ctx div bucket"))
+        .withColumn("n_contexts",
+          expr("(n_docs + docs_per_ctx - 1) div docs_per_ctx"))
+        .withColumn("waste_bp",
+          expr(s"(n_contexts * $ctx - sum_toks) * 10000 div (n_contexts * $ctx)"))
+        .select("lang", "bucket", "n_docs", "sum_toks", "n_contexts", "waste_bp")
+        .orderBy("lang", "bucket")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang,
+               least(CAST(len(string_split(text, ' ')) AS BIGINT), 1024) AS n_toks
+             FROM documents),
+      b AS (SELECT lang,
+              CASE WHEN n_toks <= 1 THEN 1
+                   ELSE (1::BIGINT << CAST(length(bin(n_toks - 1)) AS INT)) END AS bucket,
+              n_toks
+            FROM d),
+      g AS (SELECT lang, bucket, count(*) AS n_docs,
+              CAST(sum(n_toks) AS BIGINT) AS sum_toks
+            FROM b GROUP BY lang, bucket),
+      c AS (SELECT lang, bucket, n_docs, sum_toks,
+              1024 // bucket AS docs_per_ctx,
+              (n_docs + (1024 // bucket) - 1) // (1024 // bucket) AS n_contexts
+            FROM g)
+      SELECT lang, bucket, n_docs, sum_toks, n_contexts,
+             (n_contexts * 1024 - sum_toks) * 10000 // (n_contexts * 1024) AS waste_bp
+      FROM c ORDER BY lang, bucket"""))
+
   val all: Seq[Q] =
     Seq(chunk, contamination, sampleWeighted, packSequences, shuffleOrder, mixSources,
-      contaminationBloom, datasetCard)
+      contaminationBloom, datasetCard, packBuckets)
 }
