@@ -1140,6 +1140,55 @@ object TextQueries {
           dm => coalesce(try_element_at(col("m"), dm), lit(0L)).cast("double"))).as("emb"))
   }
 
+  /** Quality-driven mixture weights — DoReMi's intuition (Xie et al.
+    * 2023) in its count-only form: upweight the domains the reference LM
+    * finds HARD (excess perplexity signals under-represented
+    * distributions), allocating sampling weight per source proportional
+    * to its mean bigram-LM perplexity. Composes `q_text_perplexity`'s
+    * scorer with a per-source rollup and a broadcast total — production
+    * swaps in its proxy-model loss, the plan is identical. Output: docs,
+    * mean centibits/bigram, and the source's allocation in basis points
+    * (sums to ~10000 minus integer-division dust). */
+  private val mixQuality = Q(
+    "q_mix_quality",
+    (s, d) => {
+      val perSrc = bigramScores(s, d).select("doc_id", "ppl_cb")
+        .join(t(s, d, "documents").select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(ppl_cb) div count(1)").as("mean_ppl_cb"))
+      val tot = perSrc.agg(sum("mean_ppl_cb").as("sum_ppl"))
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("weight_bp", expr("mean_ppl_cb * 10000 div sum_ppl"))
+        .select("source", "n_docs", "mean_ppl_cb", "weight_bp")
+        .orderBy("source")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+      luni AS (SELECT w, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_u
+               FROM tok WHERE doc_id % 2 = 0 GROUP BY w),
+      ltot AS (SELECT CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_t
+               FROM tok WHERE doc_id % 2 = 0),
+      p AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+            FROM w, LATERAL unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+      bi AS (SELECT a, b, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lg_b
+             FROM p WHERE doc_id % 2 = 0 GROUP BY a, b),
+      ppl AS (SELECT doc_id, CAST(sum(bits) * 100 // count(*) AS BIGINT) AS ppl_cb FROM (
+                SELECT p.doc_id,
+                  CASE WHEN bi.lg_b IS NOT NULL THEN ua.lg_u - bi.lg_b
+                       WHEN ub.lg_u IS NOT NULL THEN ltot.lg_t - ub.lg_u + 4
+                       ELSE ltot.lg_t + 4 END AS bits
+                FROM p LEFT JOIN bi ON p.a = bi.a AND p.b = bi.b
+                  LEFT JOIN luni ua ON p.a = ua.w
+                  LEFT JOIN luni ub ON p.b = ub.w, ltot) GROUP BY doc_id),
+      per AS (SELECT d.source, count(*) AS n_docs,
+                CAST(sum(q.ppl_cb) // count(*) AS BIGINT) AS mean_ppl_cb
+              FROM ppl q JOIN documents d USING (doc_id) GROUP BY d.source),
+      tot AS (SELECT CAST(sum(mean_ppl_cb) AS BIGINT) AS sum_ppl FROM per)
+      SELECT source, n_docs, mean_ppl_cb,
+             mean_ppl_cb * 10000 // sum_ppl AS weight_bp
+      FROM per, tot ORDER BY source"""))
+
   private val topics = Q(
     "q_text_topics",
     (s, d) => {
@@ -1183,5 +1232,5 @@ object TextQueries {
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
     perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
-    nbClassifier, perplexity3, topics)
+    nbClassifier, perplexity3, topics, mixQuality)
 }
