@@ -365,10 +365,19 @@ object Multimodal {
     fs.delete(tmp, true)
     fs.delete(aside, true)
     val old = spark.read.parquet(s"$indexDir/hashes")
+    val tombstones = phashTombstones(spark, indexDir).cache()
+    // anti-join BOTH sides: existing hashes (idempotent replay) AND the
+    // tombstones (an erased image has no hash row left — without this a
+    // replayed append would silently resurrect it)
     val fresh = phashTable(images)
       .join(old.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(tombstones.select("doc_id"), Seq("doc_id"), "left_anti")
     old.unionByName(fresh).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$tmp/hashes")
+    if (!tombstones.isEmpty)
+      tombstones.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$tmp/tombstones")
+    tombstones.unpersist()
     if (!fs.rename(dir, aside))
       throw new java.io.IOException(s"phash index: cannot move $dir aside")
     if (!fs.rename(tmp, dir)) {
@@ -377,6 +386,53 @@ object Multimodal {
         (if (rolledBack) "rolled back" else "no rollback available"))
     }
     fs.delete(aside, true)
+  }
+
+  /** GDPR delete on a pHash index: drop the hash rows and persist
+    * tombstones so a replayed [[appendPhashIndex]] cannot resurrect an
+    * erased image (the same resurrection window VectorIndex closes).
+    * Returns the number of hashes actually removed. */
+  def deleteFromPhashIndex(
+      spark: SparkSession, indexDir: String, docIds: Seq[Long]): Long = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val dir = new Path(indexDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
+    fs.delete(tmp, true)
+    fs.delete(aside, true)
+    val requested = docIds.toDF("doc_id")
+    val old = spark.read.parquet(s"$indexDir/hashes")
+    val nDead = old.join(broadcast(requested), Seq("doc_id"), "left_semi").count()
+    if (nDead == 0L) return 0L
+    old.join(broadcast(requested), Seq("doc_id"), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$tmp/hashes")
+    phashTombstones(spark, indexDir).select("doc_id").unionByName(requested)
+      .distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$tmp/tombstones")
+    if (!fs.rename(dir, aside))
+      throw new java.io.IOException(s"phash index: cannot move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      val rolledBack = fs.rename(aside, dir)
+      throw new java.io.IOException(s"phash index: swap failed for $dir, " +
+        (if (rolledBack) "rolled back" else "no rollback available"))
+    }
+    fs.delete(aside, true)
+    nDead
+  }
+
+  private def phashTombstones(spark: SparkSession, indexDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val t = new Path(s"$indexDir/tombstones")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      t.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t)) spark.read.parquet(t.toString)
+    else {
+      import spark.implicits._
+      Seq.empty[Long].toDF("doc_id")
+    }
   }
 
   private def phashBands(df: DataFrame): DataFrame =

@@ -306,6 +306,15 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .selectExpr("doc_id", "match_id").collect()
     again.foreach(r => assert(r.getLong(1) == r.getLong(0) - 256,
       s"post-append scrub lost the keep-first canonical for ${r.getLong(0)}"))
+    // GDPR delete sticks through an append replay (tombstone, not just row drop)
+    val victim = 300L
+    assert(Multimodal.deleteFromPhashIndex(spark, idx, Seq(victim)) == 1L)
+    assert(spark.read.parquet(s"$idx/hashes")
+      .filter(col("doc_id") === victim).count() == 0L)
+    Multimodal.appendPhashIndex(spark, imgs.filter(col("doc_id") >= 256), idx)
+    assert(spark.read.parquet(s"$idx/hashes")
+      .filter(col("doc_id") === victim).count() == 0L,
+      "append replay resurrected a tombstoned image hash")
   }
 
   test("scene cuts: exactly the planted boundary per video, through real GIF decode") {
