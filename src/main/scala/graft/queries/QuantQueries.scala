@@ -1278,7 +1278,49 @@ object QuantQueries {
         FROM ac JOIN pq ON ac.cell = pq.cell AND ac.vec_id <> pq.query_id) sub
       WHERE rn <= 5 ORDER BY query_id, rn"""))
 
+  /** Embedding-space outlier filter — the curation step that drops
+    * vectors far from EVERY learned mode (the count-only analogue of
+    * CLIP-score/centroid-distance filtering: SemDeDup removes the
+    * too-close, this removes the too-far — corrupted embeddings, OOD
+    * content, mislabeled media). A vector's max cosine to any trained
+    * centroid, thresholded; reuses the trained Lloyd codebook, so the
+    * scale shape is the pinned kmeans assignment (broadcast centroids,
+    * one scan, per-vector argmax — no pairing). The 0.04 cutoff is the
+    * operator's dial (the synthetic 64-dim corpus is near-orthogonal to
+    * its centroids, max_cos spans 0.015-0.20 — a real embedding corpus
+    * sits near 1.0 and dials accordingly); flags ~10% here, pinned in
+    * QuantSpec between 1% and 30% so generator drift surfaces. */
+  private val outliers = Q(
+    "q_sim_outliers",
+    (s, d) => {
+      val e = normalizedEmbeddings(s, d).cache()
+      val c2 = trainedCodebook(e).cache()
+      val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+      e.crossJoin(broadcast(c2.select(col("cent_id"), col("cemb"))))
+        .select(col("vec_id"), col("cent_id"),
+          round(dot(col("emb"), col("cemb")), 6).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id").as("nearest_cell"),
+          col("csim").as("max_cos"))
+        .withColumn("is_outlier", col("max_cos") < 0.04)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $sqlNormalized,
+      dd AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
+      ${CentroidSeed.sqlSeedCte("c0")},
+      ${sqlLloydRound(0, "c0")},
+      ${sqlLloydRound(1, "c1")}
+      SELECT vec_id, cent_id AS nearest_cell, csim AS max_cos,
+             csim < 0.04 AS is_outlier
+      FROM (SELECT ev.vec_id, c.cent_id,
+              round(list_dot_product(ev.emb, c.cemb), 6) AS csim,
+              row_number() OVER (PARTITION BY ev.vec_id
+                ORDER BY round(list_dot_product(ev.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+            FROM e ev, c2 c) s
+      WHERE rn = 1 ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(sq8Ann, kmeans, ivfTrained, pqAdc, ivfPq, ivfPqRerank,
     ivfPqResidual, indexDrift, rangeSearch, maxSim, sampleClusters, binaryAnn,
-    binaryIvf)
+    binaryIvf, outliers)
 }

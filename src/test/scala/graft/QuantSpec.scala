@@ -278,6 +278,12 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
       "append replay resurrected a tombstoned vector")
   }
 
+  test("outlier filter: flags a minority band, never everything or nothing") {
+    val rows = run("q_sim_outliers").selectExpr("is_outlier").collect().map(_.getBoolean(0))
+    val rate = rows.count(identity).toDouble / rows.length
+    assert(rate >= 0.01 && rate <= 0.30, s"outlier rate $rate out of the pinned band")
+  }
+
   test("residual PQ: encoding residuals cuts quantization error at identical storage") {
     import graft.queries.QuantQueries._
     val e = normalizedEmbeddings(spark, sf).cache()
