@@ -269,6 +269,30 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("wave 4-7 queries: no pairwise plans; broadcasts where promised") {
+    // NB classifier / LM orders / mixture: count-table equi-joins + ONE
+    // broadcast-against-constant totals row — never a real cartesian
+    Seq("q_text_nb_classifier", "q_text_perplexity3", "q_mix_quality").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+    // topics: centroid tables broadcast into every corpus-side join
+    val topics = plan("q_text_topics")
+    assert(topics.contains("BroadcastNestedLoopJoin") || topics.contains("BroadcastHashJoin"),
+      topics)
+    assert(!topics.contains("CartesianProduct"), topics)
+    // decode-shaped queries: narrow — no join of any kind
+    Seq("q_multimodal_phash", "q_multimodal_audio_dedup", "q_multimodal_scenes").foreach { q =>
+      assert(!plan(q).contains("Join"), q)
+    }
+    // card/packing: single-pass aggregations (card's rollups via ONE Expand)
+    assert(plan("q_train_dataset_card").contains("Expand"))
+    assert(!plan("q_pack_buckets").contains("Join"))
+    // radius near-dup: candidates meet through the band equi-join
+    val radius = plan("q_multimodal_phash_radius")
+    assert(!radius.contains("CartesianProduct"), radius)
+  }
+
   test("q_sample_weighted / q_text_chunk: narrow shapes — no join anywhere") {
     assert(!plan("q_sample_weighted").contains("Join"))
     assert(!plan("q_text_chunk").contains("Join"))
