@@ -415,7 +415,41 @@ object TrainingDataQueries {
              (n_contexts * 1024 - sum_toks) * 10000 // (n_contexts * 1024) AS waste_bp
       FROM c ORDER BY lang, bucket"""))
 
+  /** Balanced shard assignment + skew report — the layout step before a
+    * 100 TB corpus is written as N fixed output shards: stateless
+    * multiplicative-hash shard ids (reshuffle-stable, no RNG — the
+    * `q_sample_weighted` device), per-shard doc/token tallies, and each
+    * shard's token load in basis points of the perfectly-balanced mean —
+    * the number an operator alarms on before hot shards slow every
+    * downstream consumer. One 64-key count shuffle; integer-exact. */
+  private val shards = Q(
+    "q_train_shards",
+    (s, d) => {
+      val n = 64L
+      val tallied = t(s, d, "documents")
+        .select(
+          expr("(doc_id % 1000003 * 2654435761 % 4294967296) % 64").as("shard"),
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long")
+            .as("n_toks"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      val tot = tallied.agg(sum("n_tokens").as("total_tokens"))
+      tallied.crossJoin(broadcast(tot))
+        .withColumn("load_bp", expr(s"n_tokens * $n * 10000 div total_tokens"))
+        .select("shard", "n_docs", "n_tokens", "load_bp")
+        .orderBy("shard")
+    },
+    Some("""WITH d AS (SELECT (doc_id % 1000003 * 2654435761 % 4294967296) % 64 AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+             FROM documents),
+      g AS (SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+            FROM d GROUP BY shard),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM g)
+      SELECT shard, n_docs, n_tokens,
+             n_tokens * 64 * 10000 // total_tokens AS load_bp
+      FROM g, tot ORDER BY shard"""))
+
   val all: Seq[Q] =
     Seq(chunk, contamination, sampleWeighted, packSequences, shuffleOrder, mixSources,
-      contaminationBloom, datasetCard, packBuckets)
+      contaminationBloom, datasetCard, packBuckets, shards)
 }
