@@ -125,4 +125,34 @@ class PropertySpec extends AnyFunSuite {
       assert(delNeighborhood(w).size <= w.length + 1)
     }
   }
+
+  test("polyHash46 kernel: matches the reference char fold on arbitrary ASCII strings") {
+    def refFold(s: String): Long =
+      s.foldLeft(7L)((acc, c) => (acc * 131L + c.toLong) % 70368744177664L)
+    val asciiStr = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    forAllG(asciiStr) { s =>
+      val got = graft.functions.VectorOps.polyHash46(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(got == refFold(s), s"polyHash46('$s') = $got != ${refFold(s)}")
+      assert(got >= 0L && got < 70368744177664L) // 46-bit range (ANSI-shift safe)
+    }
+  }
+
+  test("audioFingerprint: invariant under any non-clipping integer gain") {
+    val wave = Gen.listOfN(64, Gen.choose(-8000, 8000)).map(_.map(_.toShort).toArray)
+    forAllG(Gen.zip(wave, Gen.choose(1, 4))) { case (w, g) =>
+      val scaled = w.map(s => (s * g).toShort)
+      assert(graft.operators.Multimodal.audioFingerprint(w) ==
+        graft.operators.Multimodal.audioFingerprint(scaled), s"gain $g moved the fingerprint")
+    }
+  }
+
+  test("phash8: invariant under any uniform non-clipping brightness shift") {
+    val img = Gen.listOfN(64, Gen.choose(20, 235)).map(_.map(_.toByte).toArray)
+    forAllG(Gen.zip(img, Gen.choose(-15, 15))) { case (px, sh) =>
+      val shifted = px.map(b => ((b & 0xff) + sh).toByte)
+      assert(graft.operators.Multimodal.phash8(px) ==
+        graft.operators.Multimodal.phash8(shifted), s"shift $sh moved the pHash")
+    }
+  }
 }
