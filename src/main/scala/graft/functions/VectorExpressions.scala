@@ -226,7 +226,6 @@ case class DistinctBigrams(child: Expression)
     copy(child = newChild)
 }
 
-/** simhash64(hashes) over an array<long> of per-token hashes; codegen'd. */
 /** polyHash46(s) over a string column; null-safe, codegen'd. */
 case class PolyHash46(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -239,6 +238,7 @@ case class PolyHash46(child: Expression)
     copy(child = newChild)
 }
 
+/** simhash64(hashes) over an array<long> of per-token hashes; codegen'd. */
 case class SimHash64(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 

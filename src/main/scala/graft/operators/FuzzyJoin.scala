@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * drops the extra character and equals the shorter one verbatim; identical
   * strings share the undeleted variant. So candidates meet ONLY through the
   * variant equi-join, recall is exactly 1.0 at distance 1, and the exact
-  * Wagner-Fischer levenshtein verifies INSIDE the join condition so only
-  * true matches ever materialize.
+  * Wagner-Fischer levenshtein verifies in the join's output stage — before
+  * the survivor dedup — so only true matches ever reach the distinct
+  * shuffle.
   *
   * Why this is the scale path (r5 verdict's one named perf residual): the
   * retired alternative — pigeonhole half-substring blocking on fixed-length
@@ -68,10 +69,13 @@ object FuzzyJoin {
       .select(col(keyB), col(nameB), xxhash64(col("__vb")).as("__v"))
     // the cheap pairFilter runs INSIDE the join (for a self-join it kills
     // the diagonal — every record shares all its variants with itself —
-    // with one integer compare); the exact verify runs once per DISTINCT
-    // candidate pair, not once per shared-variant row (a true pair can
-    // meet through several variants, and D(a) ∩ D(b) nonempty only implies
-    // lev <= 2, so the verify is load-bearing for precision)
+    // with one integer compare); the exact verify runs BEFORE the distinct,
+    // pipelined into the join's output stage, so false candidates (D(a) ∩
+    // D(b) nonempty only implies lev <= 2) die in place and never ride the
+    // distinct shuffle — only true matches materialize past the join stage
+    // (the cost: a true pair meeting through several variants is verified
+    // once per shared variant, but shared-variant multiplicity is small by
+    // construction — variants are deduplicated per record)
     // shuffle_hash hint: post-explode size estimates mislead the planner
     // into BROADCASTING the variant table (len x corpus rows — a
     // single-threaded driver-side hash build locally, an OOM at 100 TB);
@@ -79,7 +83,7 @@ object FuzzyJoin {
     // high-entropy variant key, built per-partition in parallel
     va.join(vb.hint("shuffle_hash"), va("__v") === vb("__v") && pairFilter)
       .select(col(keyA), col(keyB), col(nameA), col(nameB))
-      .distinct()
       .filter(levenshtein(col(nameA), col(nameB)) <= 1)
+      .distinct()
   }
 }

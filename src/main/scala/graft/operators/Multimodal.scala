@@ -406,7 +406,28 @@ object Multimodal {
     val requested = docIds.toDF("doc_id")
     val old = spark.read.parquet(s"$indexDir/hashes")
     val nDead = old.join(broadcast(requested), Seq("doc_id"), "left_semi").count()
-    if (nDead == 0L) return 0L
+    if (nDead == 0L) {
+      // No hash row yet — but the image may be indexed by a LATER append
+      // (ingest and maintenance run on different cadences), so the erase
+      // request must still stick. Persist it via a tombstones-scoped swap.
+      val tsDir = new Path(s"$indexDir/tombstones")
+      val tsTmp = new Path(s"$indexDir/.tombstones.building")
+      val tsAside = new Path(s"$indexDir/.tombstones.previous")
+      fs.delete(tsTmp, true)
+      fs.delete(tsAside, true)
+      phashTombstones(spark, indexDir).select("doc_id")
+        .unionByName(requested).distinct()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tsTmp.toString)
+      if (fs.exists(tsDir) && !fs.rename(tsDir, tsAside))
+        throw new java.io.IOException(s"phash index: cannot move $tsDir aside")
+      if (!fs.rename(tsTmp, tsDir)) {
+        val rolledBack = fs.exists(tsAside) && fs.rename(tsAside, tsDir)
+        throw new java.io.IOException(s"phash index: tombstone swap failed for $tsDir, " +
+          (if (rolledBack) "rolled back" else "no rollback available"))
+      }
+      fs.delete(tsAside, true)
+      return 0L
+    }
     old.join(broadcast(requested), Seq("doc_id"), "left_anti")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$tmp/hashes")
     phashTombstones(spark, indexDir).select("doc_id").unionByName(requested)

@@ -120,6 +120,28 @@ object VectorIndex {
         .write.mode(SaveMode.Overwrite).parquet(s"$tmp/tombstones")
   }
 
+  /** Record erase requests as tombstones WITHOUT touching the data tables —
+    * the nDead==0 path of the delete entry points. An erasure can arrive for
+    * a vector whose corpus row exists but is not yet indexed (corpus ingest
+    * and index maintenance run on different cadences); dropping the request
+    * because no index row matches would let a later append/rebuild index it,
+    * reopening the resurrection window tombstones exist to close. Publishes
+    * through a tombstones-scoped aside + rename + rollback swap, so searchers
+    * never see a partial table. */
+  private def persistTombstoneRequests(
+      spark: SparkSession, fs: FileSystem, indexDir: String,
+      requested: DataFrame): Unit = {
+    val tsDir = new Path(s"$indexDir/tombstones")
+    val tsTmp = new Path(s"$indexDir/.tombstones.building")
+    val tsAside = new Path(s"$indexDir/.tombstones.previous")
+    fs.delete(tsTmp, true)
+    fs.delete(tsAside, true)
+    tombstonesOf(spark, indexDir).select("vec_id")
+      .unionByName(requested.select("vec_id")).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(tsTmp.toString)
+    atomicSwap(fs, tsDir, tsTmp, tsAside)
+  }
+
   /** Drop tombstoned ids from a (vec_id, ...) frame. The tombstone set is
     * small by construction (targeted erasures), so this is a broadcast
     * anti-join inside the same stage — free at any corpus size. */
@@ -567,7 +589,7 @@ object VectorIndex {
     val requested = vecIds.toDF("vec_id")
     val oldCells = spark.read.parquet(s"$indexDir/cells")
     val nDead = oldCells.join(broadcast(requested), Seq("vec_id"), "left_semi").count()
-    if (nDead == 0L) return 0L
+    if (nDead == 0L) { persistTombstoneRequests(spark, fs, indexDir, requested); return 0L }
 
     spark.read.parquet(s"$indexDir/coarse")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/coarse")
@@ -879,7 +901,7 @@ object VectorIndex {
     val requested = vecIds.toDF("vec_id")
     val oldCodes = spark.read.parquet(s"$indexDir/codes")
     val nDead = oldCodes.join(broadcast(requested), Seq("vec_id"), "left_semi").count()
-    if (nDead == 0L) return 0L
+    if (nDead == 0L) { persistTombstoneRequests(spark, fs, indexDir, requested); return 0L }
 
     oldCodes.join(broadcast(requested), Seq("vec_id"), "left_anti")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")
@@ -911,7 +933,7 @@ object VectorIndex {
     val requested = vecIds.toDF("vec_id")
     val oldBits = spark.read.parquet(s"$indexDir/bits")
     val nDead = oldBits.join(broadcast(requested), Seq("vec_id"), "left_semi").count()
-    if (nDead == 0L) return 0L
+    if (nDead == 0L) { persistTombstoneRequests(spark, fs, indexDir, requested); return 0L }
 
     oldBits.join(broadcast(requested), Seq("vec_id"), "left_anti")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/bits")

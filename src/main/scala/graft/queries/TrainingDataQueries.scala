@@ -324,7 +324,11 @@ object TrainingDataQueries {
     * not three scans — at 100 TB the difference between a datasheet job
     * and three). Dup accounting reuses the keep-first exact-dedup rule
     * (min doc_id per identical text). Integer basis points throughout, so
-    * the oracle is exact. */
+    * the oracle is exact. Rollup rows are labeled via `grouping()` (not a
+    * `coalesce` sentinel, which would be ambiguous if a source were ever
+    * literally 'ALL' or NULL), the grouping level is emitted as `gid` and
+    * closes the ORDER BY, so row identity and order are total across
+    * grouping sets in any engine. */
   private val datasetCard = Q(
     "q_train_dataset_card",
     (s, d) => {
@@ -335,17 +339,18 @@ object TrainingDataQueries {
                  min(doc_id) OVER (PARTITION BY text) < doc_id AS is_dup
           FROM documents),
         tot AS (SELECT count(*) AS total_docs FROM documents)
-        SELECT coalesce(source, 'ALL') AS src,
-               coalesce(lang, 'ALL') AS lng,
+        SELECT CASE WHEN grouping(source) = 1 THEN 'ALL' ELSE source END AS src,
+               CASE WHEN grouping(lang) = 1 THEN 'ALL' ELSE lang END AS lng,
+               CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid,
                count(*) AS n_docs,
                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
-               count(*) * 10000 div max(total_docs) AS share_bp,
+               CAST(count(*) * 10000 div max(total_docs) AS BIGINT) AS share_bp,
                CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
-               sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000 div count(*) AS dup_bp
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000 div count(*) AS BIGINT) AS dup_bp
         FROM dup, tot
         GROUP BY GROUPING SETS ((source, lang), (source), ())
-        ORDER BY src, lng""")
+        ORDER BY src, lng, gid""")
     },
     Some("""WITH dup AS (
         SELECT doc_id, source, lang, n_chars,
@@ -353,17 +358,18 @@ object TrainingDataQueries {
                min(doc_id) OVER (PARTITION BY text) < doc_id AS is_dup
         FROM documents),
       tot AS (SELECT count(*) AS total_docs FROM documents)
-      SELECT coalesce(source, 'ALL') AS src,
-             coalesce(lang, 'ALL') AS lng,
+      SELECT CASE WHEN grouping(source) = 1 THEN 'ALL' ELSE source END AS src,
+             CASE WHEN grouping(lang) = 1 THEN 'ALL' ELSE lang END AS lng,
+             CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid,
              count(*) AS n_docs,
              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
              CAST(sum(n_chars) AS BIGINT) AS total_chars,
-             count(*) * 10000 // max(total_docs) AS share_bp,
+             CAST(count(*) * 10000 // max(total_docs) AS BIGINT) AS share_bp,
              CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
-             sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000 // count(*) AS dup_bp
+             CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS dup_bp
       FROM dup, tot
       GROUP BY GROUPING SETS ((source, lang), (source), ())
-      ORDER BY src, lng"""))
+      ORDER BY src, lng, gid"""))
 
   /** Length-bucketed packing accounting — the alternative to
     * `q_pack_sequences`' concatenate-and-split: group documents into

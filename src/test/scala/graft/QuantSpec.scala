@@ -393,6 +393,30 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(new Path(idxBase, ".index.previous")))
   }
 
+  test("pre-index erasure sticks: nDead==0 delete persists the tombstone, later append cannot index it") {
+    val idxBase = java.nio.file.Files.createTempDirectory("graft_vecidx_pre").toString
+    val idx = s"$idxBase/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, sf, idx, trainBound = 250)
+    // the victim's corpus row exists but is NOT yet indexed (>= trainBound):
+    // the erase must return 0 removed yet still persist the request, else the
+    // later append re-opens the resurrection window the tombstones close
+    val victim = 300L
+    assert(spark.read.parquet(s"$idx/cells")
+      .filter(col("vec_id") === victim).count() == 0L)
+    assert(graft.operators.VectorIndex.deleteFromIndex(spark, idx, Seq(victim)) == 0L)
+    assert(spark.read.parquet(s"$idx/tombstones")
+      .filter(col("vec_id") === victim).count() == 1L, "pre-index erase request dropped")
+    graft.operators.VectorIndex.appendIvfPq(spark, sf, idx, minVecId = 250)
+    assert(spark.read.parquet(s"$idx/cells")
+      .filter(col("vec_id") === victim).count() == 0L,
+      s"append indexed pre-erased vector $victim")
+    // the scoped tombstone swap left no hidden siblings
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(idx, ".tombstones.building")))
+    assert(!fs.exists(new Path(idx, ".tombstones.previous")))
+  }
+
   test("index vacuum: append-accumulated small files compact, search unchanged") {
     import org.apache.hadoop.fs.Path
     val idxBase = java.nio.file.Files.createTempDirectory("graft_vecidx_vac").toString
