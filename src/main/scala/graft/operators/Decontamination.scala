@@ -143,8 +143,11 @@ object Decontamination {
 
   /** Streaming twin: scrub each micro-batch of documents against the
     * stored filter and append per-doc verdicts to `outDir` —
-    * effectively-once via a left-anti replay guard on doc_id (the same
-    * discipline as the embedding/substring scrub streams). */
+    * effectively-once via [[ReplayGuard]]'s high-water-marked dedup
+    * (O(delta) per batch: zero sink reads in the normal path, a windowed
+    * anti-join on crash replay — never a scan of every verdict ever
+    * written). The guard runs on the INPUT batch, so a replayed batch also
+    * skips re-scrubbing documents whose verdicts already landed. */
   def startScrubStream(
       spark: SparkSession, docsStream: DataFrame, filterDir: String,
       outDir: String, checkpointDir: String,
@@ -153,13 +156,12 @@ object Decontamination {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
-        val fresh = batch.toDF().dropDuplicates("doc_id")
-        val scrubbed = scrub(s, fresh, filterDir)
-        val existing =
-          try s.read.parquet(outDir).select("doc_id")
-          catch { case _: Exception => s.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0) }
-        scrubbed.join(existing, Seq("doc_id"), "left_anti")
-          .write.mode(SaveMode.Append).parquet(outDir)
+        val deduped = batch.toDF().dropDuplicates("doc_id").cache()
+        try {
+          val fresh = ReplayGuard.freshThenAdvance(deduped, "doc_id", outDir)
+          scrub(s, fresh, filterDir)
+            .write.mode(SaveMode.Append).parquet(outDir)
+        } finally deduped.unpersist()
         ()
       }
       .trigger(trigger)

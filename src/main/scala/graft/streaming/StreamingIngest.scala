@@ -194,9 +194,11 @@ object StreamingIngest {
     * [[graft.operators.VectorIndex.appendIvfPq]] (STORED codebooks, no
     * retrain, atomic two-rename publish — searchers always see a complete
     * index). Effectively-once under foreachBatch's at-least-once replay:
-    * the corpus write anti-joins the batch against already-landed vec_ids
-    * (a column-pruned id scan; a table format would make this a MERGE), and
-    * appendIvfPq itself is replay-idempotent. The index-append boundary is
+    * the corpus write dedups through [[graft.operators.ReplayGuard]] — a
+    * persisted high-water mark bounds the dedup to the one overlapping
+    * batch window (zero corpus reads per batch in the normal path; a table
+    * format would make this a MERGE), and appendIvfPq itself is
+    * replay-idempotent. The index-append boundary is
     * derived from the RAW batch, not the post-anti-join remainder — if a
     * crash lands the corpus write but not the index publish, the replayed
     * batch anti-joins to empty, and a boundary taken from it would skip the
@@ -230,8 +232,11 @@ object StreamingIngest {
         val raw = batch.toDF().dropDuplicates("vec_id").cache()
         val rawMin = raw.agg(min(col("vec_id"))).head().get(0)
         if (rawMin != null) {
-          val fresh = raw
-            .join(s.read.parquet(embDir).select("vec_id"), Seq("vec_id"), "left_anti")
+          // O(delta) replay guard: the high-water mark bounds the dedup scan
+          // to the one overlapping batch window (zero sink reads in the
+          // normal path) instead of re-scanning every vec_id ever written
+          // each trigger — see ReplayGuard for the crash-ordering argument
+          val fresh = graft.operators.ReplayGuard.freshThenAdvance(raw, "vec_id", embDir)
           if (!fresh.isEmpty) fresh.write.mode("append").parquet(embDir)
           // dispatch on the persisted flavor: one maintenance loop serves
           // the whole index family. Binary codes have no trained codebook,

@@ -952,6 +952,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("replay guard: normal path reads zero sink files; crash replay reads only the overlap window") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.ReplayGuard
+    val s = spark
+    import s.implicits._
+    spark.catalog.clearCache() // scan-level pins below must see real scans
+    val sink = s"$base/guard_sink"
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"v$i")).toDF("vec_id", "v")
+
+    // first write: sink absent -> pass-through, mark advanced past the batch
+    val f1 = ReplayGuard.freshThenAdvance(batch(1, 100), "vec_id", sink)
+    f1.write.mode("append").parquet(sink)
+    assert(ReplayGuard.highWaterMark(spark, sink).contains(100L))
+
+    // NORMAL path: strictly-new ids — the returned plan must contain NO file
+    // scan at all (the batch is a local relation); this is the O(delta) pin:
+    // per-batch read set is the batch + the one-line mark, not the sink
+    val f2 = ReplayGuard.freshThenAdvance(batch(101, 200), "vec_id", sink)
+    val fastPlan = f2.queryExecution.executedPlan.toString
+    assert(!fastPlan.contains("FileScan"), fastPlan)
+    f2.write.mode("append").parquet(sink)
+    assert(ReplayGuard.highWaterMark(spark, sink).contains(200L))
+
+    // CRASH REPLAY (write landed, batch redelivered): windowed anti-join —
+    // both id bounds push to the sink scan, so parquet min/max stats skip
+    // every file outside the replayed window — and nothing is re-appended
+    val f2r = ReplayGuard.freshThenAdvance(batch(101, 200), "vec_id", sink)
+    val replayPlan = f2r.queryExecution.executedPlan.toString
+    assert(replayPlan.contains("PushedFilters") &&
+      replayPlan.contains("GreaterThanOrEqual(vec_id,101)") &&
+      replayPlan.contains("LessThanOrEqual(vec_id,200)"), replayPlan)
+    assert(f2r.count() == 0L)
+
+    // CRASH between advance and write (the ordering the guard mandates):
+    // mark is ahead of the data, the replayed batch overlaps it, and the
+    // windowed anti-join finds nothing — every row still lands exactly once
+    ReplayGuard.advance(spark, sink, 300L)
+    assert(ReplayGuard.freshThenAdvance(batch(201, 300), "vec_id", sink).count() == 100L)
+
+    // mark LOST (file deleted out from under us): degrades to the full
+    // anti-join — unbounded once, but never a duplicate
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(sink, ".hwm"), false)
+    val lost = ReplayGuard.freshThenAdvance(batch(101, 200), "vec_id", sink)
+    assert(lost.count() == 0L)
+    assert(ReplayGuard.highWaterMark(spark, sink).contains(200L), "mark not rebuilt")
+
+    // the hidden mark never leaks into readers of the sink table
+    assert(spark.read.parquet(sink).count() == 200L)
+    assert(spark.read.parquet(sink).filter(col("vec_id") <= 100).count() == 100L)
+  }
+
   test("streaming decontamination scrub: stored-filter verdicts match batch, replay effectively-once") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
