@@ -1080,6 +1080,141 @@ object TextQueries {
              CAST(sum(bits) * 100 // count(*) AS BIGINT) AS ppl_cb
       FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** 5-gram stupid-backoff LM perplexity with singleton pruning — CCNet's
+    * production gate shape (Wenzek et al. 2020 filter CommonCrawl with a
+    * 5-gram KenLM; Heafield 2011's memory trick is exactly this pruning:
+    * at web scale the singleton mass DOMINATES the high orders by Heaps'
+    * law, and KenLM drops it above the low orders so the model stays
+    * sub-linear in corpus size). Orders 3-5 keep only grams seen >= 2
+    * times in the train slice; orders 1-2 are unpruned (the backoff floor
+    * must stay dense or everything lands on OOV). A pruned-away gram pays
+    * the backoff chain 5 -> 4 (+4 bits) -> 3 (+8) -> 2 (+12) -> 1 (+16)
+    * -> OOV, same integer floor-log2 device as the lower-order gates.
+    * Orders 2-5 count from the quint frame (positional, the same
+    * edge-effect choice `trigramScores` makes for its bigrams); unigrams
+    * and the total count from the full token stream. Scale shape: count
+    * shuffles on high-entropy gram keys over the train slice only — each
+    * HAVING >= 2 runs map-side-partial then prunes AT the aggregation, so
+    * the model tables (the only state kept) shrink by the singleton mass;
+    * scoring is six linear equi-joins keyed on the gram + one broadcast
+    * total + the per-doc rollup. */
+  private def quintScores(s: SparkSession, d: String) = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val toks = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+    val trainToks = toks.filter(col("doc_id") % 2 === 0)
+    val lgCnt = (length(bin(count(lit(1)))) - 1).cast("long")
+    val lgOf = (n: Column) => (length(bin(n)) - 1).cast("long")
+    val uni = trainToks.groupBy("w").agg(lgCnt.as("lg_u"))
+    val total = trainToks.agg(lgCnt.as("lg_t"))
+    val quints = docs.filter(size(col("ws")) >= 5)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 4),
+          i => struct(
+            element_at(col("ws"), i).as("a"),
+            element_at(col("ws"), i + 1).as("b"),
+            element_at(col("ws"), i + 2).as("c"),
+            element_at(col("ws"), i + 3).as("d"),
+            element_at(col("ws"), i + 4).as("e")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"),
+        col("p.c").as("c"), col("p.d").as("d"), col("p.e").as("e"))
+    val train = quints.filter(col("doc_id") % 2 === 0)
+    def pruned(keys: Seq[String], out: String) =
+      train.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select(keys.map(col) :+ lgOf(col("n")).as(out): _*)
+    val t5 = pruned(Seq("a", "b", "c", "d", "e"), "lg5")
+    val c4 = train.groupBy("a", "b", "c", "d").agg(lgCnt.as("lg_abcd"))
+    val t4 = pruned(Seq("b", "c", "d", "e"), "lg_bcde")
+    val c3 = train.groupBy("b", "c", "d").agg(lgCnt.as("lg_bcd"))
+    val t3 = pruned(Seq("c", "d", "e"), "lg_cde")
+    val c2 = train.groupBy("c", "d").agg(lgCnt.as("lg_cd"))
+    val t2 = train.groupBy("d", "e").agg(lgCnt.as("lg_de"))
+    quints
+      .join(t5, Seq("a", "b", "c", "d", "e"), "left")
+      .join(c4, Seq("a", "b", "c", "d"), "left")
+      .join(t4, Seq("b", "c", "d", "e"), "left")
+      .join(c3, Seq("b", "c", "d"), "left")
+      .join(t3, Seq("c", "d", "e"), "left")
+      .join(c2, Seq("c", "d"), "left")
+      .join(t2, Seq("d", "e"), "left")
+      .join(uni.select(col("w").as("d"), col("lg_u").as("lg_ud")), Seq("d"), "left")
+      .join(uni.select(col("w").as("e"), col("lg_u").as("lg_ue")), Seq("e"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        when(col("lg5").isNotNull, coalesce(col("lg_abcd"), lit(0L)) - col("lg5"))
+          .otherwise(when(col("lg_bcde").isNotNull,
+            coalesce(col("lg_bcd"), lit(0L)) - col("lg_bcde") + lit(4L))
+            .otherwise(when(col("lg_cde").isNotNull,
+              coalesce(col("lg_cd"), lit(0L)) - col("lg_cde") + lit(8L))
+              .otherwise(when(col("lg_de").isNotNull,
+                coalesce(col("lg_ud"), lit(0L)) - col("lg_de") + lit(12L))
+                .otherwise(when(col("lg_ue").isNotNull,
+                  col("lg_t") - col("lg_ue") + lit(16L))
+                  .otherwise(col("lg_t") + lit(16L)))))).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_5grams"), sum("bits").as("bits"))
+      .withColumn("ppl_cb", expr("bits * 100 div n_5grams"))
+      .select("doc_id", "n_5grams", "bits", "ppl_cb")
+  }
+
+  private def sqlLgN(e: String): String =
+    s"CAST(length(bin($e)) - 1 AS BIGINT)"
+
+  private val perplexity5 = Q(
+    "q_text_perplexity5",
+    (s, d) => quintScores(s, d).orderBy("doc_id"),
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+      uni AS (SELECT w, ${sqlLgN("count(*)")} AS lg_u
+              FROM tok WHERE doc_id % 2 = 0 GROUP BY w),
+      tot AS (SELECT ${sqlLgN("count(*)")} AS lg_t
+              FROM tok WHERE doc_id % 2 = 0),
+      p AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c,
+                   ws[i+3] AS d, ws[i+4] AS e
+            FROM w, LATERAL unnest(range(1, len(ws) - 3)) t(i) WHERE len(ws) >= 5),
+      t5 AS (SELECT a, b, c, d, e, ${sqlLgN("count(*)")} AS lg5
+             FROM p WHERE doc_id % 2 = 0 GROUP BY a, b, c, d, e HAVING count(*) >= 2),
+      c4 AS (SELECT a, b, c, d, ${sqlLgN("count(*)")} AS lg_abcd
+             FROM p WHERE doc_id % 2 = 0 GROUP BY a, b, c, d),
+      t4 AS (SELECT b, c, d, e, ${sqlLgN("count(*)")} AS lg_bcde
+             FROM p WHERE doc_id % 2 = 0 GROUP BY b, c, d, e HAVING count(*) >= 2),
+      c3 AS (SELECT b, c, d, ${sqlLgN("count(*)")} AS lg_bcd
+             FROM p WHERE doc_id % 2 = 0 GROUP BY b, c, d),
+      t3 AS (SELECT c, d, e, ${sqlLgN("count(*)")} AS lg_cde
+             FROM p WHERE doc_id % 2 = 0 GROUP BY c, d, e HAVING count(*) >= 2),
+      c2 AS (SELECT c, d, ${sqlLgN("count(*)")} AS lg_cd
+             FROM p WHERE doc_id % 2 = 0 GROUP BY c, d),
+      t2 AS (SELECT d, e, ${sqlLgN("count(*)")} AS lg_de
+             FROM p WHERE doc_id % 2 = 0 GROUP BY d, e),
+      sc AS (SELECT p.doc_id,
+               CASE WHEN t5.lg5 IS NOT NULL
+                      THEN coalesce(c4.lg_abcd, 0) - t5.lg5
+                    WHEN t4.lg_bcde IS NOT NULL
+                      THEN coalesce(c3.lg_bcd, 0) - t4.lg_bcde + 4
+                    WHEN t3.lg_cde IS NOT NULL
+                      THEN coalesce(c2.lg_cd, 0) - t3.lg_cde + 8
+                    WHEN t2.lg_de IS NOT NULL
+                      THEN coalesce(ud.lg_u, 0) - t2.lg_de + 12
+                    WHEN ue.lg_u IS NOT NULL THEN tot.lg_t - ue.lg_u + 16
+                    ELSE tot.lg_t + 16 END AS bits
+             FROM p
+               LEFT JOIN t5 ON p.a = t5.a AND p.b = t5.b AND p.c = t5.c
+                 AND p.d = t5.d AND p.e = t5.e
+               LEFT JOIN c4 ON p.a = c4.a AND p.b = c4.b AND p.c = c4.c
+                 AND p.d = c4.d
+               LEFT JOIN t4 ON p.b = t4.b AND p.c = t4.c AND p.d = t4.d
+                 AND p.e = t4.e
+               LEFT JOIN c3 ON p.b = c3.b AND p.c = c3.c AND p.d = c3.d
+               LEFT JOIN t3 ON p.c = t3.c AND p.d = t3.d AND p.e = t3.e
+               LEFT JOIN c2 ON p.c = c2.c AND p.d = c2.d
+               LEFT JOIN t2 ON p.d = t2.d AND p.e = t2.e
+               LEFT JOIN uni ud ON p.d = ud.w
+               LEFT JOIN uni ue ON p.e = ue.w, tot)
+      SELECT doc_id, count(*) AS n_5grams, CAST(sum(bits) AS BIGINT) AS bits,
+             CAST(sum(bits) * 100 // count(*) AS BIGINT) AS ppl_cb
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   private def sqlLg3(e: String): String =
     s"(length(bin(CAST($e AS BIGINT)*CAST($e AS BIGINT)*CAST($e AS BIGINT))) - 1)"
 
@@ -1232,5 +1367,5 @@ object TextQueries {
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
     perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
-    nbClassifier, perplexity3, topics, mixQuality)
+    nbClassifier, perplexity3, perplexity5, topics, mixQuality)
 }

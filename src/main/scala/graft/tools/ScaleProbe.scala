@@ -44,7 +44,8 @@ object ScaleProbe {
     "q_join_fuzzy", "q_join_fuzzy_varlen",
     "q_text_rep_ngrams", "q_text_bpe_apply", "q_text_dup_ngrams", "q_sim_binary_ivf",
     "q_text_nb_classifier", "q_contamination_bloom",
-    "q_text_topics", "q_text_perplexity3", "q_mix_quality", "q_train_dataset_card")
+    "q_text_topics", "q_text_perplexity3", "q_text_perplexity5", "q_mix_quality",
+    "q_train_dataset_card")
 
   private val ReplicaIdOffset = 10000000L
 

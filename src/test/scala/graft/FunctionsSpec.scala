@@ -282,6 +282,40 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ppl(3L) > ppl(1L), s"scrambled doc should score worse: ${ppl(3L)} vs ${ppl(1L)}")
   }
 
+  test("5-gram gate: a splice invisible to the trigram gate is exposed; singleton grams are pruned") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppl5").toString
+    // even docs train the LM; each trained sentence appears TWICE so its
+    // grams survive the singleton pruning — except doc 8, the deliberate
+    // singleton. doc 3 splices the two trained sentences at their shared
+    // trigram seam: every one of its trigrams is trained, but the quint
+    // straddling the seam exists in no training document.
+    Seq(
+      (0L, "p q r s t"),
+      (4L, "p q r s t"),
+      (2L, "r s t u v"),
+      (6L, "r s t u v"),
+      (8L, "aa bb cc dd ee"),
+      (1L, "p q r s t"),
+      (3L, "p q r s t u v"),
+      (5L, "aa bb cc dd ee"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val p5 = SparkEntry.queries("q_text_perplexity5")(s, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val p3 = SparkEntry.queries("q_text_perplexity3")(s, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // the trigram gate scores the splice as perfectly fluent...
+    assert(p3(3L) == p3(1L), s"trigram gate should not see the seam: ${p3(3L)} vs ${p3(1L)}")
+    // ...the 5-gram gate charges the alien seam quint its backoff chain
+    assert(p5(3L) > p5(1L), s"5-gram gate must expose the splice: ${p5(3L)} vs ${p5(1L)}")
+    // pruning: repeating a SINGLETON train sentence still pays backoff at
+    // orders 3-5 (count-1 grams are not in the model — KenLM's memory trick),
+    // landing on the unpruned bigram floor: 12 bits, n=1 gram -> 1200 cb
+    assert(p5(5L) == 1200L, s"singleton-trained doc should land on the bigram floor: ${p5(5L)}")
+    assert(p5(1L) == 0L, s"twice-trained doc should score 0: ${p5(1L)}")
+  }
+
   test("incremental dedup: delta joins stored corpus signatures, no corpus rescan") {
     val s = spark
     import s.implicits._
