@@ -509,23 +509,39 @@ object TextQueries {
     * without data-dependent SQL shape. */
   private val NBpeMerges = 10
 
-  private def bpeApplyMerge(symsStr: Column, l: String, r: String): Column = {
+  /** Greedy left-to-right merge fold. `l`/`r` are COLUMNS (fed from a
+    * broadcast one-row frame), not literals, on purpose: the fold expands
+    * to a large codegen unit, and literal merge pairs would make every
+    * trainer step a distinct source text — janino recompiles ~0.4 s per
+    * step and dominates a vocabulary-scale run (measured: 256 merges went
+    * 449 s -> ~60 s when the source became step-invariant and the codegen
+    * cache started hitting). */
+  private def bpeApplyMerge(symsStr: Column, l: Column, r: Column): Column = {
     val syms = split(symsStr, " ")
     aggregate(
       slice(syms, lit(2), size(syms) - 1),
       element_at(syms, 1),
       (acc, x) =>
-        when(substring_index(acc, " ", -1) === lit(l) && x === lit(r),
-          concat(acc.substr(lit(1), length(acc) - lit(l.length)), lit(l + r)))
+        when(substring_index(acc, " ", -1) === l && x === r,
+          concat(acc.substr(lit(1), length(acc) - length(l)), l, r))
           .otherwise(concat(acc, lit(" "), x)))
   }
 
-  /** The NBpeMerges-step trainer loop shared by `q_text_bpe_train` (which
-    * emits the merge list) and `q_text_bpe_apply` (which encodes with the
-    * final vocab): returns (final vocab (w, n, s) with all merges applied,
-    * ordered merge list). Driver actions are one bounded `take(1)` per
-    * merge step — vocabulary-sized aggregates, never corpus rows. */
-  private def bpeTrainLoop(s: SparkSession, d: String)
+  /** The BPE trainer loop shared by `q_text_bpe_train` / `q_text_bpe_train_256`
+    * (which emit the merge list) and `q_text_bpe_apply` (which encodes with
+    * the final vocab): returns (final vocab (w, n, s) with all merges
+    * applied, ordered merge list). Driver actions are one bounded `take(1)`
+    * per merge step — vocabulary-sized aggregates, never corpus rows. At
+    * vocabulary scale (real tokenizers run thousands of merges) the
+    * per-step lineage would otherwise accumulate one nested fold per merge
+    * and planning time would grow quadratically; `checkpointEvery` bounds
+    * the window — between checkpoints the plan carries at most K folds,
+    * and each localCheckpoint truncates to materialized vocab rows (the
+    * Closure iterate pattern), keeping per-merge cost ~constant and total
+    * wall ~linear in merge count (PERF.md round-7 probe). */
+  private def bpeTrainLoop(
+      s: SparkSession, d: String,
+      nMerges: Int = NBpeMerges, checkpointEvery: Int = 1)
       : (DataFrame, Seq[(Long, String, String, Long)]) = {
     var vocab = t(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
@@ -536,7 +552,7 @@ object TextQueries {
       .localCheckpoint()
     val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
     var exhausted = false
-    for (step <- 1 to NBpeMerges if !exhausted) {
+    for (step <- 1 to nMerges if !exhausted) {
       val withSyms = vocab.select(col("n"), split(col("s"), " ").as("sl"))
       val top = withSyms.filter(size(col("sl")) >= 2)
         .select(col("n"),
@@ -552,13 +568,23 @@ object TextQueries {
         case Some(rw) =>
           val (l, r, cnt) = (rw.getString(0), rw.getString(1), rw.getLong(2))
           merges += ((step.toLong, l, r, cnt))
-          vocab = vocab
-            .withColumn("s", bpeApplyMerge(col("s"), l, r))
-            .localCheckpoint()
+          // the pair rides a broadcast one-row frame so the fold's codegen
+          // source is identical every step (see bpeApplyMerge)
+          val top1 = s.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(l, r)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__l",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("__r",
+                org.apache.spark.sql.types.StringType))))
+          vocab = vocab.crossJoin(broadcast(top1))
+            .withColumn("s", bpeApplyMerge(col("s"), col("__l"), col("__r")))
+            .drop("__l", "__r")
+          if (step % checkpointEvery == 0) vocab = vocab.localCheckpoint()
         case None => exhausted = true
       }
     }
-    (vocab, merges.toSeq)
+    (vocab.localCheckpoint(), merges.toSeq)
   }
 
   private val bpeTrain = Q(
@@ -574,6 +600,69 @@ object TextQueries {
       s"""WITH $bpeCtesSql
           SELECT step, l, r, cnt FROM ($out) WHERE cnt > 0 ORDER BY step"""
     })
+
+  /** Vocabulary-scale BPE training — the same greedy trainer as
+    * `q_text_bpe_train` run to 256 merges (real tokenizers run thousands;
+    * 10 demonstrates the loop, 256 proves its COST SHAPE): lineage is
+    * checkpointed every 8 merges so the plan never carries more than 8
+    * nested fold lambdas and per-merge cost stays constant — wall-clock
+    * grows ~linearly in merge count (PERF.md). On a corpus whose pair
+    * space exhausts earlier the loop stops at exhaustion, identically in
+    * both engines. The oracle is the structural win: instead of 256
+    * unrolled CTE stages (the 10-merge oracle's device, unreadable and
+    * quadratic in text size at this order) it replays the WHOLE loop as
+    * ONE recursive CTE — each iteration unnests the current vocab's
+    * symbol pairs, picks the global best via a full-frame window
+    * (count desc, then lexicographic — the trainer's exact tie-break),
+    * applies the same list_reduce fold, and carries the chosen merge in
+    * the state row; the merge table is then one GROUP BY step over the
+    * recursion trace. */
+  private val NBpeMerges256 = 256
+
+  private val bpeTrain256 = Q(
+    "q_text_bpe_train_256",
+    (s, d) => {
+      import s.implicits._
+      bpeTrainLoop(s, d, NBpeMerges256, checkpointEvery = 8)
+        ._2.toDF("step", "l", "r", "cnt").orderBy("step")
+    },
+    Some(s"""WITH RECURSIVE rec AS (
+        SELECT 0 AS step, w, n, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s,
+               CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr,
+               CAST(NULL AS BIGINT) AS mcnt
+        FROM (SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+              WHERE length(w) >= 2 GROUP BY w)
+        UNION ALL
+        SELECT step + 1, w, n,
+               CASE WHEN bl IS NULL THEN s
+                    ELSE list_reduce(string_split(s, ' '), (acc, x) ->
+                      CASE WHEN regexp_extract(acc, '[^ ]*$$') = bl AND x = br
+                        THEN regexp_replace(acc, '[^ ]*$$', '') || bl || br
+                        ELSE acc || ' ' || x END) END AS s,
+               bl, br, bcnt
+        FROM (
+          SELECT step, w, n, s,
+                 first_value(l) OVER wo AS bl,
+                 first_value(r) OVER wo AS br,
+                 first_value(pcnt) OVER wo AS bcnt
+          FROM (
+            SELECT q.step, q.w, q.n, q.s, p.l, p.r,
+                   CASE WHEN p.l IS NULL THEN NULL
+                        ELSE sum(q.n) OVER (PARTITION BY p.l, p.r) END AS pcnt
+            FROM (SELECT step, w, n, s, string_split(s, ' ') AS sl FROM rec) q
+              LEFT JOIN LATERAL (
+                SELECT q.sl[i] AS l, q.sl[i+1] AS r
+                FROM unnest(range(1, len(q.sl))) t(i)) p ON true
+          )
+          WINDOW wo AS (ORDER BY pcnt DESC NULLS LAST, l, r
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          QUALIFY row_number() OVER (PARTITION BY w ORDER BY 1) = 1
+        )
+        WHERE step < $NBpeMerges256 AND bl IS NOT NULL
+      )
+      SELECT step, any_value(ml) AS l, any_value(mr) AS r, any_value(mcnt) AS cnt
+      FROM rec WHERE step >= 1 GROUP BY step ORDER BY step"""))
 
   /** Shared WITH-chain for the BPE oracles: the word-frequency dict, the
     * char-split v0, and the unrolled pc/m/v stages 1..NBpeMerges (v$k = the
@@ -1367,5 +1456,5 @@ object TextQueries {
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
     perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
-    nbClassifier, perplexity3, perplexity5, topics, mixQuality)
+    nbClassifier, perplexity3, perplexity5, topics, mixQuality, bpeTrain256)
 }

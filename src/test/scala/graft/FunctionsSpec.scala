@@ -282,6 +282,50 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ppl(3L) > ppl(1L), s"scrambled doc should score worse: ${ppl(3L)} vs ${ppl(1L)}")
   }
 
+  test("BPE trainer at vocabulary scale: 256 merges complete with greedy invariants, ~linear wall") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe256").toString
+    // ~1500 distinct 8-char words over a 26-symbol alphabet: ~10k pair slots
+    // across ~676 initial pair types, so the pair space survives well past
+    // 256 merges (the sf corpora exhaust at ~90 — fine for the oracle gate,
+    // too shallow to prove the cost shape)
+    val words = (0 until 1500)
+      .map(i => java.lang.Long.toString(8031810176L + i.toLong * 7919L, 26))
+    words.grouped(15).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (m10, t10) = timed(SparkEntry.queries("q_text_bpe_train")(s, dir)
+      .collect())
+    val (m256, t256) = timed(SparkEntry.queries("q_text_bpe_train_256")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))))
+
+    assert(m10.length == 10)
+    assert(m256.length == 256, s"expected 256 merges, got ${m256.length}")
+    assert(m256.map(_._1).toSeq == (1L to 256L), "steps must be dense 1..256")
+    // greedy invariants: chosen pairs never repeat (a merged pair cannot
+    // reappear — its symbol no longer exists as two), and the max-count
+    // sequence is non-increasing (a merge only destroys or preserves pair
+    // instances; pairs it creates inherit at most its count)
+    assert(m256.map(p => (p._2, p._3)).distinct.length == 256, "repeated merge pair")
+    val cnts = m256.map(_._4)
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => b <= a },
+      s"counts must be non-increasing: ${cnts.take(20)}")
+    // the 10-merge prefix is identical — more merges never rewrite history
+    assert(m256.take(10).map(p => (p._2, p._3)).toSeq ==
+      m10.map(r => (r.getString(1), r.getString(2))).toSeq)
+    // cost shape: 25.6x the merges must cost ~linearly more, not
+    // quadratically (~25x vs ~650x; 60x allows generous scheduling noise
+    // while cleanly rejecting lineage blowup)
+    info(f"bpe merges: 10 in ${t10}%.1f s, 256 in ${t256}%.1f s, ratio ${t256 / t10}%.1f")
+    assert(t256 / t10 < 60.0,
+      f"256 merges took ${t256}%.1f s vs ${t10}%.1f s for 10 — superlinear growth")
+  }
+
   test("5-gram gate: a splice invisible to the trigram gate is exposed; singleton grams are pruned") {
     val s = spark
     import s.implicits._
