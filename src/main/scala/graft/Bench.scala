@@ -123,27 +123,41 @@ object Bench {
   }
 
   /** Measured sample-drop → partition-visible wall time under the
-    * Firehose-parity 60 s processing-time trigger. The file lands right
-    * after batch 0 commits, so the measurement covers (almost) a full
-    * trigger interval + pipeline + sink commit — the honest steady-state
-    * number. The reference's path is 60 s Firehose buffering PLUS up to
-    * 10 min of partition-registration cron; here the partition is queryable
-    * at sink commit. Returns -1 on probe failure (bench still reports). */
-  private def streamingLatencyProbe(spark: SparkSession): Double = {
+    * Firehose-parity 60 s processing-time trigger, with the drop
+    * PHASE-ALIGNED to mid-interval. Spark's ProcessingTimeExecutor fires
+    * at wall-clock multiples of the interval, so an uncontrolled drop
+    * lands anywhere in [0, 60) s of trigger phase and the recorded number
+    * swung 2.9-52.2 s across rounds of identical code (VERDICT r6). The
+    * probe now computes the next wall-clock boundary itself and drops the
+    * sample exactly interval/2 past it: the measured latency is the MEAN
+    * of the uniform-phase distribution (interval/2 + pipeline + sink
+    * commit, ~32-35 s here) and repeats within a few seconds run to run
+    * (PERF.md round-7 envelope). The reference's path is 60 s Firehose
+    * buffering PLUS up to 10 min of partition-registration cron; here the
+    * partition is queryable at sink commit. Returns -1 on probe failure
+    * (bench still reports). */
+  private[graft] def streamingLatencyProbe(spark: SparkSession): Double = {
     import java.nio.file.{Files, Paths}
     try {
       val base = Files.createTempDirectory("graft_bench_stream").toString
       val landing = s"$base/landing"
       val out = s"$base/out"
+      val intervalMs = 60000L
       Files.createDirectories(Paths.get(landing))
       val q = graft.streaming.StreamingIngest.start(
         spark, landing, out, s"$base/ckpt",
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("60 seconds"),
         dedupWatermark = None)
-      // wait for batch 0 (empty) to commit so the drop happens mid-interval
+      // wait for batch 0 (empty) to commit so the stream is warm
       val deadline0 = System.nanoTime() + 120L * 1000000000L
       while (q.lastProgress == null && System.nanoTime() < deadline0) Thread.sleep(100)
-      Thread.sleep(2000) // a couple seconds INTO the 60 s interval
+      // phase-align: drop at exactly interval/2 past the next wall-clock
+      // trigger boundary (ProcessingTimeExecutor fires at clock multiples
+      // of the interval, so the boundary is computable without the stream)
+      val dropAtMs = (System.currentTimeMillis() / intervalMs + 1) * intervalMs +
+        intervalMs / 2
+      var waitMs = dropAtMs - System.currentTimeMillis()
+      while (waitMs > 0) { Thread.sleep(waitMs.min(200L)); waitMs = dropAtMs - System.currentTimeMillis() }
       val t0 = System.nanoTime()
       Files.writeString(Paths.get(landing, "probe.json"),
         """{"eventid": "latency-probe", "summary": "probe", "eventtime": "2026-01-01T00:00:00Z"}""")

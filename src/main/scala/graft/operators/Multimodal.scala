@@ -91,6 +91,52 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Gray pixels -> JPEG bytes at an explicit quality — the LOSSY codec
+    * leg (the JDK ships a JPEG plugin alongside PNG; same headless-safe
+    * ImageIO surface). Unlike [[encodeGrayPng]] decode∘encode is NOT
+    * identity, which is exactly what the JPEG queries exercise: invariants
+    * (dimensions, pHash stability) instead of exact pixels. */
+  def encodeGrayJpeg(pixels: Array[Byte], w: Int, h: Int, quality: Float = 0.95f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.getRaster.setSample(x, y, 0, pixels(i) & 0xff); i += 1; x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** Quality-95 JPEG re-encode of the [[syntheticImagesNoisy]] corpus —
+    * byte-identical pixel formula, lossy container: the mixed-codec crawl
+    * a real image pipeline ingests (LAION is overwhelmingly JPEG). The
+    * pHash of each JPEG should sit within a few bits of its PNG twin's —
+    * the decode-tolerant invariant `q_multimodal_jpeg` pins. */
+  def syntheticImagesJpeg(spark: SparkSession, dir: String): DataFrame = {
+    val jpegUdf = org.apache.spark.sql.functions.udf { docId: Long =>
+      val k = docId % 256
+      val shift = (docId / 256) % 5 - 2
+      val px = Array.tabulate(SyntheticImgW * SyntheticImgH)(
+        i => (((k * 2654435761L + i * (2 * k + 7) + i.toLong * i * (k % 13 + 1)) % 250
+          + 3 + shift) & 0xff).toByte)
+      encodeGrayJpeg(px, SyntheticImgW, SyntheticImgH)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), jpegUdf(col("doc_id")).as("media"),
+        lit("image/jpeg").as("mime_type"))
+  }
+
   /** Feature extraction over decoded bytes: 16-bin byte histogram
     * (bin = byte >> 4 for 7-bit text bytes), L1-normalized. Deterministic,
     * so the DuckDB oracle can recompute chosen bins with regexp counts. */

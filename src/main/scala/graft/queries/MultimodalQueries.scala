@@ -352,6 +352,44 @@ object MultimodalQueries {
     * band value — never a pair enumeration; verification touches only
     * candidates; pixels never shuffle. The oracle replays pixel formula ->
     * DCT -> bands -> join -> popcount in full. */
+  /** JPEG ingestion — the codec real crawls arrive in (LAION is
+    * overwhelmingly JPEG; the JDK ships a JPEG ImageIO plugin next to the
+    * PNG one): the corpus re-encoded at quality 95, decoded back, and
+    * checked against DECODE-TOLERANT invariants rather than exact pixels
+    * (a lossy codec makes exact-pixel oracles impossible by construction):
+    * every image decodes, dimensions survive the container round-trip, and
+    * >= 95% of perceptual hashes stay within the scrub radius (3 bits) of
+    * their lossless PNG twin's — the measured stability the mixed-codec
+    * scrub (MultimodalSpec) leans on; the tail is order-statistic
+    * threshold fragility on single-block 8x8 sources, documented there.
+    * The oracle predicts the invariants from the corpus alone (count, 8x8,
+    * true) — the engine-independent shape of a lossy-codec check. Scale:
+    * decode+hash narrow, one corpus-count aggregate; the PNG-side hashes
+    * ride the same scan shape as `q_multimodal_phash`. */
+  private val jpegQ = Q(
+    "q_multimodal_jpeg",
+    (s, d) => {
+      val png = Multimodal.phashTable(Multimodal.syntheticImagesNoisy(s, d))
+        .select(col("doc_id"), col("w0").as("p0"), col("w1").as("p1"))
+      val jpegs = Multimodal.syntheticImagesJpeg(s, d)
+      Multimodal.decodeImageTable(jpegs)
+        .select("doc_id", "width", "height")
+        .join(Multimodal.phashTable(jpegs), "doc_id")
+        .join(png, "doc_id")
+        .agg(
+          count(lit(1)).as("n_images"),
+          min("width").as("w_min"), max("width").as("w_max"),
+          min("height").as("h_min"), max("height").as("h_max"),
+          (sum(when(
+            expr("bit_count(w0 ^ p0) + bit_count(w1 ^ p1)") <= 3, 1L).otherwise(0L))
+            * 100 >= count(lit(1)) * 95).as("phash_stable_95pct"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_images,
+        CAST(8 AS BIGINT) AS w_min, CAST(8 AS BIGINT) AS w_max,
+        CAST(8 AS BIGINT) AS h_min, CAST(8 AS BIGINT) AS h_max,
+        true AS phash_stable_95pct
+      FROM documents"""))
+
   private val phashRadiusQ = Q(
     "q_multimodal_phash_radius",
     (s, d) => {
@@ -477,5 +515,5 @@ object MultimodalQueries {
       FROM fp ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(features, frames, decodeQ, audioQ, videoQ, mediaDedup, mp3MetaQ,
-    resizeQ, phashQ, scenesQ, phashRadiusQ, audioDedup)
+    resizeQ, phashQ, scenesQ, phashRadiusQ, audioDedup, jpegQ)
 }
