@@ -624,6 +624,17 @@ object DedupQueries {
   def substringWindowTable(docs: DataFrame): DataFrame =
     substringWindows(docs).select("gh").distinct()
 
+  /** The ATTRIBUTED variant for the [[graft.operators.SignatureStore]]
+    * lifecycle: (doc_id, gh) pairs instead of the bare distinct hash set.
+    * Attribution is what makes GDPR erasure possible — deleting a document
+    * removes exactly ITS window rows, so a hash shared with another
+    * document keeps matching through that document's rows (correct: the
+    * content legitimately survives there), while hashes only the erased
+    * document held stop matching. The scrub side is unchanged — semi-join
+    * the store's `gh` column (a semi join needs no distinct). */
+  def substringWindowPairs(docs: DataFrame): DataFrame =
+    substringWindows(docs).select("doc_id", "gh").distinct()
+
   /** STREAMING substring scrub: an unbounded delta stream of (doc_id, ws)
     * rows against the stored corpus window table — duplicated window
     * POSITIONS (doc_id, i) out, the projection a redaction/removal sink

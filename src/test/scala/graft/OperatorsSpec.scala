@@ -449,4 +449,110 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).filter(_._2 > 0).toMap
     assert(got == truth, s"exact_hits diverge from ground truth: got=$got truth=$truth")
   }
+
+  // -------------------------------------------------------------------------
+  // SignatureStore: one lifecycle for the three incremental-dedup artifacts
+  // -------------------------------------------------------------------------
+
+  private def wordSets(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+  }
+
+  test("signature store (minhash bands): replay-idempotent append, erase sticks, scrub can't match erased content") {
+    import graft.operators.SignatureStore
+    import graft.queries.DedupQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore_mh").toString + "/store"
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five",
+      3L -> "red green blue yellow purple")
+    SignatureStore.build(spark, DedupQueries.minhashBandTable(wordSets(corpus)), dir)
+    val n0 = SignatureStore.read(spark, dir).count()
+    assert(n0 > 0)
+    // replayed append of already-stored docs is a no-op
+    SignatureStore.append(spark, DedupQueries.minhashBandTable(wordSets(corpus)), dir)
+    assert(SignatureStore.read(spark, dir).count() == n0, "append replay duplicated signatures")
+    // a delta that word-shuffles doc 1 matches it through the store...
+    val delta = wordSets(Seq(10L -> "epsilon delta gamma beta alpha"))
+    val before = DedupQueries.incrementalDups(delta, SignatureStore.read(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(before.toSeq == Seq((10L, 1L)))
+    // ...until doc 1 is erased: rows gone, the same crawl matches nothing
+    assert(SignatureStore.delete(spark, dir, Seq(1L)) == n0 / 3)
+    assert(DedupQueries.incrementalDups(delta, SignatureStore.read(spark, dir)).isEmpty,
+      "erased document still matchable through the store")
+    // an append replay cannot resurrect it
+    SignatureStore.append(spark, DedupQueries.minhashBandTable(wordSets(corpus)), dir)
+    assert(SignatureStore.read(spark, dir).filter(col("doc_id") === 1L).count() == 0L,
+      "append replay resurrected erased signatures")
+    // neither can a full rebuild of the same corpus
+    SignatureStore.build(spark, DedupQueries.minhashBandTable(wordSets(corpus)), dir)
+    assert(SignatureStore.read(spark, dir).filter(col("doc_id") === 1L).count() == 0L,
+      "rebuild resurrected erased signatures")
+    // pre-signing erasure: delete an id with no rows yet, then append it
+    assert(SignatureStore.delete(spark, dir, Seq(99L)) == 0L)
+    SignatureStore.append(spark,
+      DedupQueries.minhashBandTable(wordSets(Seq(99L -> "zz yy xx ww vv"))), dir)
+    assert(SignatureStore.read(spark, dir).filter(col("doc_id") === 99L).count() == 0L,
+      "pre-signing erase request dropped")
+    // swap hygiene
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/../.store.building")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/../.store.previous")))
+  }
+
+  test("signature store (substring windows): shared windows survive an erase through OTHER docs only") {
+    import graft.operators.SignatureStore
+    import graft.queries.DedupQueries
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore_ss").toString + "/store"
+    // docs 1 and 2 SHARE the window "c1 c2 c3 c4 c5"; doc 1 alone holds
+    // "u1 u2 u3 u4 u5"
+    def docs(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val corpus = docs(Seq(
+      1L -> "u1 u2 u3 u4 u5 c1 c2 c3 c4 c5",
+      2L -> "c1 c2 c3 c4 c5 k1 k2 k3 k4 k5"))
+    SignatureStore.build(spark, DedupQueries.substringWindowPairs(corpus), dir)
+    def scrub(text: String) = DedupQueries.substringScrubStream(
+      docs(Seq(50L -> text)), SignatureStore.read(spark, dir).select("gh")).count()
+    assert(scrub("u1 u2 u3 u4 u5") == 1L)
+    assert(scrub("c1 c2 c3 c4 c5") >= 1L)
+    // erase doc 1: its UNIQUE window stops matching; the SHARED window
+    // still matches because doc 2 legitimately carries that content
+    assert(SignatureStore.delete(spark, dir, Seq(1L)) > 0L)
+    assert(scrub("u1 u2 u3 u4 u5") == 0L, "erased doc's unique window still matchable")
+    assert(scrub("c1 c2 c3 c4 c5") >= 1L, "shared window lost — erase over-reached")
+  }
+
+  test("signature store (embedding bands): erased vector unmatchable, delta append idempotent") {
+    import graft.operators.SignatureStore
+    import graft.queries.SimilarityQueries
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore_eb").toString + "/store"
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    SignatureStore.build(spark, SimilarityQueries.embedBandTable(raw), dir, idCol = "vec_id")
+    val n0 = SignatureStore.read(spark, dir).count()
+    // a delta that IS corpus vector 7 (new id) matches it through the store
+    val probe = raw.filter(col("vec_id") === 7L).select(lit(70000L).as("vec_id"), col("embedding"))
+    def matches() = SimilarityQueries.embedScrubStream(probe, SignatureStore.read(spark, dir))
+      .filter(col("match_id") === 7L).count()
+    assert(matches() >= 1L)
+    // erase vector 7: the identical delta can no longer match it
+    assert(SignatureStore.delete(spark, dir, Seq(7L), idCol = "vec_id") > 0L)
+    assert(matches() == 0L, "erased vector still matchable through the band store")
+    // append replay of the full corpus bands: no duplicates, no resurrection
+    SignatureStore.append(spark, SimilarityQueries.embedBandTable(raw), dir, idCol = "vec_id")
+    val after = SignatureStore.read(spark, dir)
+    assert(after.filter(col("vec_id") === 7L).count() == 0L, "append resurrected erased bands")
+    assert(after.count() == n0 - SimilarityQueries.embedBandTable(
+      raw.filter(col("vec_id") === 7L)).count(), "append replay duplicated band rows")
+  }
 }
