@@ -1188,63 +1188,13 @@ object TextQueries {
     * scoring is six linear equi-joins keyed on the gram + one broadcast
     * total + the per-doc rollup. */
   private def quintScores(s: SparkSession, d: String) = {
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val toks = docs.select(col("doc_id"), explode(col("ws")).as("w"))
-    val trainToks = toks.filter(col("doc_id") % 2 === 0)
-    val lgCnt = (length(bin(count(lit(1)))) - 1).cast("long")
-    val lgOf = (n: Column) => (length(bin(n)) - 1).cast("long")
-    val uni = trainToks.groupBy("w").agg(lgCnt.as("lg_u"))
-    val total = trainToks.agg(lgCnt.as("lg_t"))
-    val quints = docs.filter(size(col("ws")) >= 5)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 4),
-          i => struct(
-            element_at(col("ws"), i).as("a"),
-            element_at(col("ws"), i + 1).as("b"),
-            element_at(col("ws"), i + 2).as("c"),
-            element_at(col("ws"), i + 3).as("d"),
-            element_at(col("ws"), i + 4).as("e")))).as("p"))
-      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"),
-        col("p.c").as("c"), col("p.d").as("d"), col("p.e").as("e"))
-    val train = quints.filter(col("doc_id") % 2 === 0)
-    def pruned(keys: Seq[String], out: String) =
-      train.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2)
-        .select(keys.map(col) :+ lgOf(col("n")).as(out): _*)
-    val t5 = pruned(Seq("a", "b", "c", "d", "e"), "lg5")
-    val c4 = train.groupBy("a", "b", "c", "d").agg(lgCnt.as("lg_abcd"))
-    val t4 = pruned(Seq("b", "c", "d", "e"), "lg_bcde")
-    val c3 = train.groupBy("b", "c", "d").agg(lgCnt.as("lg_bcd"))
-    val t3 = pruned(Seq("c", "d", "e"), "lg_cde")
-    val c2 = train.groupBy("c", "d").agg(lgCnt.as("lg_cd"))
-    val t2 = train.groupBy("d", "e").agg(lgCnt.as("lg_de"))
-    quints
-      .join(t5, Seq("a", "b", "c", "d", "e"), "left")
-      .join(c4, Seq("a", "b", "c", "d"), "left")
-      .join(t4, Seq("b", "c", "d", "e"), "left")
-      .join(c3, Seq("b", "c", "d"), "left")
-      .join(t3, Seq("c", "d", "e"), "left")
-      .join(c2, Seq("c", "d"), "left")
-      .join(t2, Seq("d", "e"), "left")
-      .join(uni.select(col("w").as("d"), col("lg_u").as("lg_ud")), Seq("d"), "left")
-      .join(uni.select(col("w").as("e"), col("lg_u").as("lg_ue")), Seq("e"), "left")
-      .crossJoin(broadcast(total))
-      .select(col("doc_id"),
-        when(col("lg5").isNotNull, coalesce(col("lg_abcd"), lit(0L)) - col("lg5"))
-          .otherwise(when(col("lg_bcde").isNotNull,
-            coalesce(col("lg_bcd"), lit(0L)) - col("lg_bcde") + lit(4L))
-            .otherwise(when(col("lg_cde").isNotNull,
-              coalesce(col("lg_cd"), lit(0L)) - col("lg_cde") + lit(8L))
-              .otherwise(when(col("lg_de").isNotNull,
-                coalesce(col("lg_ud"), lit(0L)) - col("lg_de") + lit(12L))
-                .otherwise(when(col("lg_ue").isNotNull,
-                  col("lg_t") - col("lg_ue") + lit(16L))
-                  .otherwise(col("lg_t") + lit(16L)))))).as("bits"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_5grams"), sum("bits").as("bits"))
-      .withColumn("ppl_cb", expr("bits * 100 div n_5grams"))
-      .select("doc_id", "n_5grams", "bits", "ppl_cb")
+    // model build + scoring live in operators.LanguageModel (the persisted
+    // build-once/score-many lifecycle uses the SAME code — the stored and
+    // inline scores cannot drift apart); this query trains on the even
+    // slice inline so the DuckDB oracle can replay the whole lifecycle
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    graft.operators.LanguageModel.score(docs,
+      graft.operators.LanguageModel.tablesFrom(docs.filter(col("doc_id") % 2 === 0)))
   }
 
   private def sqlLgN(e: String): String =

@@ -360,6 +360,29 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p5(1L) == 0L, s"twice-trained doc should score 0: ${p5(1L)}")
   }
 
+  test("stored 5-gram LM: persisted-model scores are row-identical to the inline gate") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.LanguageModel
+    val sf = "/root/testdata/sf0.001"
+    val lmDir = java.nio.file.Files.createTempDirectory("graft_lm").toString + "/lm"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    LanguageModel.buildLm(spark, docs.filter(col("doc_id") % 2 === 0), lmDir)
+    val stored = LanguageModel.scoreAgainstLm(spark, docs, lmDir)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val inline = SparkEntry.queries("q_text_perplexity5")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == inline,
+      s"stored=${stored.take(3)} inline=${inline.take(3)}")
+    // scoring a DELTA reads only the stored model — never the train corpus
+    val delta = Seq((9001L, "totally novel words nobody ever wrote down before"))
+      .toDF("doc_id", "text")
+    val scored = LanguageModel.scoreAgainstLm(spark, delta, lmDir)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), plan.take(500))
+    assert(scored.head().getLong(3) > 0L, "novel text must pay backoff bits")
+  }
+
   test("incremental dedup: delta joins stored corpus signatures, no corpus rescan") {
     val s = spark
     import s.implicits._
