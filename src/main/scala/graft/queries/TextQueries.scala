@@ -509,83 +509,20 @@ object TextQueries {
     * without data-dependent SQL shape. */
   private val NBpeMerges = 10
 
-  /** Greedy left-to-right merge fold. `l`/`r` are COLUMNS (fed from a
-    * broadcast one-row frame), not literals, on purpose: the fold expands
-    * to a large codegen unit, and literal merge pairs would make every
-    * trainer step a distinct source text — janino recompiles ~0.4 s per
-    * step and dominates a vocabulary-scale run (measured: 256 merges went
-    * 449 s -> ~60 s when the source became step-invariant and the codegen
-    * cache started hitting). */
-  private def bpeApplyMerge(symsStr: Column, l: Column, r: Column): Column = {
-    val syms = split(symsStr, " ")
-    aggregate(
-      slice(syms, lit(2), size(syms) - 1),
-      element_at(syms, 1),
-      (acc, x) =>
-        when(substring_index(acc, " ", -1) === l && x === r,
-          concat(acc.substr(lit(1), length(acc) - length(l)), l, r))
-          .otherwise(concat(acc, lit(" "), x)))
-  }
-
   /** The BPE trainer loop shared by `q_text_bpe_train` / `q_text_bpe_train_256`
     * (which emit the merge list) and `q_text_bpe_apply` (which encodes with
-    * the final vocab): returns (final vocab (w, n, s) with all merges
-    * applied, ordered merge list). Driver actions are one bounded `take(1)`
-    * per merge step — vocabulary-sized aggregates, never corpus rows. At
-    * vocabulary scale (real tokenizers run thousands of merges) the
-    * per-step lineage would otherwise accumulate one nested fold per merge
-    * and planning time would grow quadratically; `checkpointEvery` bounds
-    * the window — between checkpoints the plan carries at most K folds,
-    * and each localCheckpoint truncates to materialized vocab rows (the
-    * Closure iterate pattern), keeping per-merge cost ~constant and total
-    * wall ~linear in merge count (PERF.md round-7 probe). */
+    * the final vocab) — the loop itself lives in
+    * [[graft.operators.Tokenizer.trainLoop]] (the persisted
+    * build-once/encode-many lifecycle uses the SAME code, so the stored
+    * and inline tokenizations cannot drift; see there for the
+    * lineage-checkpoint and codegen-cache cost arguments). */
   private def bpeTrainLoop(
       s: SparkSession, d: String,
       nMerges: Int = NBpeMerges, checkpointEvery: Int = 1)
-      : (DataFrame, Seq[(Long, String, String, Long)]) = {
-    var vocab = t(s, d, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(col("w"), col("n"),
-        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
-      .localCheckpoint()
-    val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
-    var exhausted = false
-    for (step <- 1 to nMerges if !exhausted) {
-      val withSyms = vocab.select(col("n"), split(col("s"), " ").as("sl"))
-      val top = withSyms.filter(size(col("sl")) >= 2)
-        .select(col("n"),
-          explode(transform(sequence(lit(1), size(col("sl")) - 1),
-            i => struct(
-              element_at(col("sl"), i).as("l"),
-              element_at(col("sl"), i + 1).as("r")))).as("p"))
-        .select(col("n"), col("p.l").as("l"), col("p.r").as("r"))
-        .groupBy("l", "r").agg(sum("n").as("cnt"))
-        .orderBy(desc("cnt"), asc("l"), asc("r"))
-        .take(1).headOption
-      top match {
-        case Some(rw) =>
-          val (l, r, cnt) = (rw.getString(0), rw.getString(1), rw.getLong(2))
-          merges += ((step.toLong, l, r, cnt))
-          // the pair rides a broadcast one-row frame so the fold's codegen
-          // source is identical every step (see bpeApplyMerge)
-          val top1 = s.createDataFrame(
-            java.util.List.of(org.apache.spark.sql.Row(l, r)),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("__l",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("__r",
-                org.apache.spark.sql.types.StringType))))
-          vocab = vocab.crossJoin(broadcast(top1))
-            .withColumn("s", bpeApplyMerge(col("s"), col("__l"), col("__r")))
-            .drop("__l", "__r")
-          if (step % checkpointEvery == 0) vocab = vocab.localCheckpoint()
-        case None => exhausted = true
-      }
-    }
-    (vocab.localCheckpoint(), merges.toSeq)
-  }
+      : (DataFrame, Seq[(Long, String, String, Long)]) =
+    graft.operators.Tokenizer.trainLoop(
+      t(s, d, "documents").select(explode(split(col("text"), " ")).as("w")),
+      nMerges, checkpointEvery)
 
   private val bpeTrain = Q(
     "q_text_bpe_train",

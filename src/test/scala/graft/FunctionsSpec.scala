@@ -360,6 +360,44 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p5(1L) == 0L, s"twice-trained doc should score 0: ${p5(1L)}")
   }
 
+  test("stored tokenizer: persisted-artifact encode is row-identical inline; novel words replay the merges") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Tokenizer
+    val sf = "/root/testdata/sf0.001"
+    val tokDir = java.nio.file.Files.createTempDirectory("graft_tok").toString + "/tok"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // same merge budget as the inline q_text_bpe_apply trainer
+    Tokenizer.buildTokenizer(spark, docs, tokDir, nMerges = 10, checkpointEvery = 1)
+    val stored = Tokenizer.encodeAgainst(spark, docs, tokDir)
+      .collect().map(_.toString).toSeq
+    val inline = SparkEntry.queries("q_text_bpe_apply")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == inline,
+      s"stored=${stored.take(3)} inline=${inline.take(3)}")
+
+    // novel-word encode on the banana drill corpus: the learned merges are
+    // the golden five ((a,n)(b,an)(an,a)(ban,ana)(ban,d)); the UNSEEN word
+    // "bandana" must replay them to [band, ana] — chars b a n d a n a
+    // -> (a,n): b an d an a -> (b,an): ban d an a -> (an,a): ban d ana
+    // -> (ban,ana): no adjacency -> (ban,d): band ana
+    val bananaDir = java.nio.file.Files.createTempDirectory("graft_tok2").toString
+    Seq((0L, "banana banana banana band"))
+      .toDF("doc_id", "text").write.parquet(s"$bananaDir/documents.parquet")
+    val tok2 = s"$bananaDir/tok"
+    Tokenizer.buildTokenizer(spark,
+      spark.read.parquet(s"$bananaDir/documents.parquet"), tok2, nMerges = 10)
+    val novel = Tokenizer.encodeAgainst(spark,
+      Seq((7L, "bandana")).toDF("doc_id", "text"), tok2).head()
+    assert((novel.getLong(1), novel.getLong(2), novel.getLong(3)) == ((1L, 7L, 2L)),
+      s"bandana should encode to 2 symbols via stored merges: $novel")
+    // the delta encode never reads the training corpus
+    val plan = Tokenizer.encodeAgainst(spark,
+      Seq((8L, "qq rr")).toDF("doc_id", "text"), tok2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), plan.take(400))
+  }
+
   test("stored 5-gram LM: persisted-model scores are row-identical to the inline gate") {
     val s = spark
     import s.implicits._
