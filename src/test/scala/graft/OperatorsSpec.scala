@@ -450,6 +450,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == truth, s"exact_hits diverge from ground truth: got=$got truth=$truth")
   }
 
+  test("incremental dataset card: three snapshot updates reproduce the from-scratch card bit for bit") {
+    import graft.operators.DatasetCard
+    val sf = "/root/testdata/sf0.001"
+    val cardDir = java.nio.file.Files.createTempDirectory("graft_card").toString + "/card"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // three monotonic crawl snapshots covering the corpus
+    DatasetCard.update(spark, docs.filter(col("doc_id") < 150), cardDir)
+    DatasetCard.update(spark, docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), cardDir)
+    // an at-least-once replay of snapshot 2 plus the tail in one batch:
+    // the boundary drops the replayed rows, the tail lands once
+    DatasetCard.update(spark, docs.filter(col("doc_id") >= 150), cardDir)
+    val incremental = DatasetCard.card(spark, cardDir).collect().map(_.toString).toSeq
+    val scratch = SparkEntry.queries("q_train_dataset_card")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(incremental.nonEmpty && incremental == scratch,
+      s"inc=${incremental.take(3)} scratch=${scratch.take(3)}")
+    // the card itself reads partials only — never the documents table
+    val plan = DatasetCard.card(spark, cardDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), plan.take(400))
+    // a fully-replayed snapshot is a no-op
+    DatasetCard.update(spark, docs.filter(col("doc_id") < 300), cardDir)
+    assert(DatasetCard.card(spark, cardDir).collect().map(_.toString).toSeq == scratch,
+      "replayed snapshot changed the card")
+  }
+
   // -------------------------------------------------------------------------
   // SignatureStore: one lifecycle for the three incremental-dedup artifacts
   // -------------------------------------------------------------------------
