@@ -274,6 +274,29 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming dataset-card maintenance: fold each micro-batch of documents
+    * into the [[graft.operators.DatasetCard]] state — the datasheet stays
+    * current with ingest instead of being recomputed per release.
+    * Effectively-once for free: `DatasetCard.update` drops rows at or
+    * below its persisted monotonic boundary, so foreachBatch's
+    * at-least-once replay is a no-op (the same discipline as the index
+    * maintenance stream — no separate guard needed here). Per-batch work
+    * is O(delta) + a languages x sources partials merge. */
+  def startCardStream(
+      docsStream: DataFrame,
+      cardDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.DatasetCard.update(
+          batch.sparkSession, batch.toDF().dropDuplicates("doc_id"), cardDir)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming analytics over the event stream (SURVEY §2B streaming row):
     * tumbling event-time window counts with late-data drop. Watermark bounds
     * the window state; at 100 TB/day this shuffles once per window on

@@ -1006,6 +1006,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(sink).filter(col("vec_id") <= 100).count() == 100L)
   }
 
+  test("streaming dataset card: micro-batched snapshots converge to the from-scratch card") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val cardDir = s"$base/card_stream/card"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "lang", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    // two snapshots, the second delivered with an overlap (replay territory)
+    mem.addData(docs.filter(_._1 < 200).toSeq: _*)
+    mem.addData(docs.filter(_._1 >= 150).toSeq: _*)
+    val q = StreamingIngest.startCardStream(
+      mem.toDF().toDF("doc_id", "source", "lang", "text", "n_chars"),
+      cardDir, s"$base/card_stream/ckpt", Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val streamed = graft.operators.DatasetCard.card(spark, cardDir)
+      .collect().map(_.toString).toSeq
+    val scratch = SparkEntry.queries("q_train_dataset_card")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == scratch,
+      s"streamed=${streamed.take(3)} scratch=${scratch.take(3)}")
+  }
+
   test("streaming decontamination scrub: stored-filter verdicts match batch, replay effectively-once") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
