@@ -558,6 +558,33 @@ object VectorIndex {
       .orderBy("cell")
   }
 
+  /** Distribution-outlier filter served from the stored index — the
+    * `q_sim_outliers` verdicts (per-vector nearest coarse centroid, its
+    * cosine, and the below-threshold flag that marks junk/off-distribution
+    * embeddings for training-data triage) WITHOUT retraining: the stored
+    * `coarse` codebook IS the trained density model, so the whole operation
+    * is one broadcast of the codebook riding the corpus scan plus a
+    * per-vector top-1 window — no shuffle of the embeddings beyond the
+    * window's vec_id partitioning. Completes the lifecycle symmetry the
+    * range/sampling queries have: train once ([[buildIvfPq]]), score every
+    * crawl snapshot against the same codebook. */
+  def outliersFromIndex(
+      spark: SparkSession, sfDir: String, indexDir: String,
+      threshold: Double = 0.04): DataFrame = {
+    val coarse = spark.read.parquet(s"$indexDir/coarse")
+    val e = normalizedEmbeddings(spark, sfDir)
+    val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+    e.crossJoin(broadcast(coarse.select(col("cent_id"), col("cemb"))))
+      .select(col("vec_id"), col("cent_id"),
+        round(graft.functions.VectorFunctions.dot(col("emb"), col("cemb")), 6).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("nearest_cell"),
+        col("csim").as("max_cos"))
+      .withColumn("is_outlier", col("max_cos") < threshold)
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------------
   // delete / vacuum
   // ---------------------------------------------------------------------

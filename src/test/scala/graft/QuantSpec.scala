@@ -393,6 +393,17 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(new Path(idxBase, ".index.previous")))
   }
 
+  test("stored outlier filter: index-served verdicts are row-identical to the inline query") {
+    val idxBase = java.nio.file.Files.createTempDirectory("graft_vecidx_out").toString
+    val idx = s"$idxBase/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, sf, idx)
+    val stored = graft.operators.VectorIndex.outliersFromIndex(spark, sf, idx)
+      .collect().map(_.toString).toSeq
+    val inline = run("q_sim_outliers").collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == inline,
+      s"stored=${stored.take(3)} inline=${inline.take(3)}")
+  }
+
   test("pre-index erasure sticks: nDead==0 delete persists the tombstone, later append cannot index it") {
     val idxBase = java.nio.file.Files.createTempDirectory("graft_vecidx_pre").toString
     val idx = s"$idxBase/index"
