@@ -18,11 +18,34 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+# Verify.scala writes declared.json (every SparkEntry.queries key) and
+# failed.json (name -> exception message). A query that fails or silently
+# produces no output dir must show as a FAIL row, never vanish from the
+# denominator.
+def _load(fname, default):
+    p = os.path.join(outdir, fname)
+    return json.load(open(p)) if os.path.exists(p) else default
+
+declared = _load("declared.json", [])
+failed = _load("failed.json", {})
+
+out_dirs = sorted(d for d in os.listdir(outdir)
+                  if os.path.isdir(os.path.join(outdir, d)))
 results = {}
-for name in sorted(os.listdir(outdir)):
-    path = os.path.join(outdir, name)
-    if not os.path.isdir(path):
+for name in declared:
+    if name in failed:
+        results[name] = f"QUERY-FAIL {failed[name]}"
+    elif name not in out_dirs:
+        results[name] = "NO-OUTPUT (declared but no result dir and no failure record)"
+for name in out_dirs:
+    if declared and name not in declared:
+        results[name] = "UNDECLARED (output dir with no SparkEntry.queries key)"
+
+for name in out_dirs:
+    if name in results:
         continue
+    path = os.path.join(outdir, name)
     try:
         spark_df = pd.read_parquet(path)
     except Exception as e:

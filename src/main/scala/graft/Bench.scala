@@ -119,6 +119,22 @@ object Bench {
         f""""queries":$medians,"queries_min":$mins,"queries_max":$maxs,""" +
         f""""queries_isolated":$isolatedJson,""" +
         f""""stream_e2e_latency_sec":$streamLatency%.1f,"sf":"$sfDir"}""")
+    // The driver records only the LAST ~2000 bytes of stdout and parses a
+    // JSON line out of that window; the full line above is several KB, so
+    // every prior round landed "parsed": null (ADVICE r7). Print a compact
+    // summary LAST — total, stream latency, and the most expensive suite
+    // medians, trimmed until the line is guaranteed to fit the window with
+    // room for sbt's trailing "[success]" line.
+    val byCost = names.sortBy(n => -stat(n)._1)
+    def compact(k: Int): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$TimedRuns,""" +
+        f""""stream_e2e_latency_sec":$streamLatency%.1f,"sf":"$sfDir",""" +
+        s""""n_queries":${names.size},"queries":""" +
+        byCost.take(k).sorted
+          .map(n => "\"" + n + f"""":${stat(n)._1}%.2f""").mkString("{", ",", "}") +
+        "}"
+    println(Iterator.range(60, 0, -5).map(compact).find(_.length <= 1800)
+      .getOrElse(compact(0)))
     spark.stop()
   }
 

@@ -293,4 +293,45 @@ object VectorFunctions {
     val nrm = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
     transform(a, x => x / nrm)
   }
+
+  /** Shuffle-FREE nearest-centroid assignment, shared by the whole IVF /
+    * kmeans / outlier family.
+    *
+    * The previous idiom (crossJoin to n·k rows, then `row_number() OVER
+    * (PARTITION BY vec_id ORDER BY csim DESC, cent_id)`) was correct but
+    * exchanged n·k rows on vec_id — at 100 TB the assignment shuffle is the
+    * first line of the cluster bill. This shape does ZERO exchanges on the
+    * corpus: the centroid table (bounded — NCells rows) folds into ONE row
+    * holding a cent_id-sorted array, rides a broadcast nested-loop join onto
+    * the corpus scan, and each row computes its argmax with a higher-order
+    * `aggregate` fold. Ranking is identical to the window version —
+    * round(dot, 6) descending with lowest-cent_id tiebreak (the array is
+    * sorted ascending and the fold only replaces on STRICT improvement), so
+    * DuckDB mirror oracles written against the row_number() formulation
+    * hash-match unchanged.
+    *
+    * `corpus` must carry an `emb` column; `cents` must carry (cent_id, cemb).
+    * Adds `cent_id` and `csim` (the winning rounded cosine) to `e`'s
+    * columns. */
+  def nearestCentroid(corpus: org.apache.spark.sql.DataFrame,
+                      cents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val packed = cents.agg(
+      sort_array(collect_list(struct(col("cent_id"), col("cemb")))).as("__cents"))
+    corpus.crossJoin(broadcast(packed))
+      .withColumn("__best",
+        aggregate(
+          col("__cents"),
+          struct(lit(-2.0).as("s"), lit(-1L).as("c")),
+          (acc, ct) => {
+            val sim = round(dot(col("emb"), ct.getField("cemb")), 6)
+            when(sim > acc.getField("s"),
+              struct(sim.as("s"), ct.getField("cent_id").as("c")))
+              .otherwise(acc)
+          }))
+      .withColumn("cent_id", col("__best").getField("c"))
+      .withColumn("csim", col("__best").getField("s"))
+      .drop("__cents", "__best")
+  }
 }

@@ -71,16 +71,27 @@ object Tokenizer {
     * word table BEFORE the loop, so every iteration is vocabulary-sized;
     * `checkpointEvery` bounds lineage (the plan never carries more than K
     * folds). Returns (final vocab (w, n, s), ordered merge list). */
+  /** Checkpoints taken by the most recent trainLoop call (initial + cadence
+    * + final). Test-observable so the lineage-bound invariant — the plan
+    * never carries more than `checkpointEvery` merge folds — is asserted
+    * structurally instead of via a wall-clock ratio that flakes under
+    * parallel-suite load (r7 verdict item 3). */
+  private[graft] val lastRunCheckpoints = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def trainLoop(
       words: DataFrame, nMerges: Int, checkpointEvery: Int = 1)
       : (DataFrame, Seq[(Long, String, String, Long)]) = {
     val s = words.sparkSession
+    lastRunCheckpoints.set(0)
+    def ckpt(df: DataFrame): DataFrame = {
+      lastRunCheckpoints.incrementAndGet(); df.localCheckpoint()
+    }
     var vocab = words
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(col("w"), col("n"),
         trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
-      .localCheckpoint()
+    vocab = ckpt(vocab)
     val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
     var exhausted = false
     for (step <- 1 to nMerges if !exhausted) {
@@ -109,11 +120,11 @@ object Tokenizer {
           vocab = vocab.crossJoin(broadcast(top1))
             .withColumn("s", applyMergeCol(col("s"), col("__l"), col("__r")))
             .drop("__l", "__r")
-          if (step % checkpointEvery == 0) vocab = vocab.localCheckpoint()
+          if (step % checkpointEvery == 0) vocab = ckpt(vocab)
         case None => exhausted = true
       }
     }
-    (vocab.localCheckpoint(), merges.toSeq)
+    (ckpt(vocab), merges.toSeq)
   }
 
   private def fsOf(spark: SparkSession, dir: Path): FileSystem =

@@ -573,12 +573,8 @@ object VectorIndex {
       threshold: Double = 0.04): DataFrame = {
     val coarse = spark.read.parquet(s"$indexDir/coarse")
     val e = normalizedEmbeddings(spark, sfDir)
-    val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
-    e.crossJoin(broadcast(coarse.select(col("cent_id"), col("cemb"))))
-      .select(col("vec_id"), col("cent_id"),
-        round(graft.functions.VectorFunctions.dot(col("emb"), col("cemb")), 6).as("csim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    graft.functions.VectorFunctions
+      .nearestCentroid(e, coarse.select(col("cent_id"), col("cemb")))
       .select(col("vec_id"), col("cent_id").as("nearest_cell"),
         col("csim").as("max_cos"))
       .withColumn("is_outlier", col("max_cos") < threshold)

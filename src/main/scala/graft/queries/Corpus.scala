@@ -25,14 +25,26 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects by default; read nanos as long and convert to micros
-    * timestamps once at scan. REQUIRES `spark.sql.legacy.parquet.nanosAsLong
-    * =true` at session build (set by Engine.createSession, Verify, Bench and
-    * every spec harness). */
+  /** The events parquet's `ts` column has shipped in three physical layouts
+    * across testdata generations: TIMESTAMP(NANOS) surfaced as LONG (via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), TIMESTAMP(MICROS) without
+    * UTC-adjustment surfaced as TIMESTAMP_NTZ (Spark 4.1 default inference),
+    * and plain TIMESTAMP. Branch on the scanned dtype so every consumer sees
+    * one canonical `ts: TIMESTAMP` regardless of which parquet the driver
+    * generated. Sessions pin `spark.sql.session.timeZone=UTC`, so the
+    * NTZ→TZ cast is an identity relabel (no wall-clock shift) and matches
+    * DuckDB's naive-timestamp reading of the same file. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    t(spark, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported parquet dtype $other")
+    }
   }
 
   /** Register testdata tables as temp views for spark.sql-based queries. */

@@ -19,7 +19,7 @@ import Tables.t
   */
 object QuantQueries {
 
-  import graft.functions.VectorFunctions.{dot, l2Normalize}
+  import graft.functions.VectorFunctions.{dot, l2Normalize, nearestCentroid}
 
   private def rawEmbeddings(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
@@ -202,15 +202,9 @@ object QuantQueries {
   /** Assign every vector to its max-cosine centroid: broadcast the (tiny)
     * centroid table, one scan pass, per-vector argmax. Ranking key is
     * round(dot, 6) with centroid-id tiebreak — FP-stable across engines. */
-  private[graft] def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
-    e.crossJoin(broadcast(cents.select(col("cent_id"), col("cemb"))))
-      .select(col("vec_id"), col("emb"), col("cent_id"),
-        round(dot(col("emb"), col("cemb")), 6).as("csim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  private[graft] def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    nearestCentroid(e, cents.select(col("cent_id"), col("cemb")))
       .select("vec_id", "emb", "cent_id")
-  }
 
   /** DuckDB twin of one (assign, step) round; `prev` is the centroid CTE
     * name to assign against, `i` the round index for naming. */
@@ -1217,21 +1211,16 @@ object QuantQueries {
     "q_sim_binary_ivf",
     (s, d) => {
       val e = normalizedEmbeddings(s, d).cache()
-      val centroids = broadcast(CentroidSeed.seeds(e))
-      val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+      val centroids = CentroidSeed.seeds(e)
       val packed = withBinaryWords(
-        e.crossJoin(centroids)
-          .select(col("vec_id"), col("emb"), col("cent_id"),
-            round(dot(col("emb"), col("cemb")), 6).as("csim"))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
+        nearestCentroid(e, centroids)
           .select(col("vec_id"), col("emb"), col("cent_id").as("cell")))
         .select("vec_id", "cell", "w0", "w1")
       val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
       val probes = withBinaryWords(e.filter(col("vec_id") < 5))
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
           col("w0").as("q0"), col("w1").as("q1"))
-        .crossJoin(centroids)
+        .crossJoin(broadcast(centroids))
         .select(col("query_id"), col("q0"), col("q1"), col("cent_id"),
           round(dot(col("qemb"), col("cemb")), 6).as("csim"))
         .withColumn("rn", row_number().over(wProbe))
@@ -1295,12 +1284,7 @@ object QuantQueries {
     (s, d) => {
       val e = normalizedEmbeddings(s, d).cache()
       val c2 = trainedCodebook(e).cache()
-      val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
-      e.crossJoin(broadcast(c2.select(col("cent_id"), col("cemb"))))
-        .select(col("vec_id"), col("cent_id"),
-          round(dot(col("emb"), col("cemb")), 6).as("csim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      nearestCentroid(e, c2.select(col("cent_id"), col("cemb")))
         .select(col("vec_id"), col("cent_id").as("nearest_cell"),
           col("csim").as("max_cos"))
         .withColumn("is_outlier", col("max_cos") < 0.04)

@@ -31,7 +31,7 @@ import Tables.t
   */
 object SimilarityQueries {
 
-  import graft.functions.VectorFunctions.{dot, l2Normalize}
+  import graft.functions.VectorFunctions.{dot, l2Normalize, nearestCentroid}
 
   /** Exact all-pairs audits read only vec_id < this: 2M candidate pairs at
     * most, regardless of corpus size. At the driver's verify scales
@@ -441,18 +441,13 @@ object SimilarityQueries {
     "q_sim_ivf_ann",
     (s, d) => {
       val e = normalizedEmbeddings(s, d).cache()
-      val centroids = broadcast(CentroidSeed.seeds(e))
-      val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
-      val assigned = e.crossJoin(centroids)
-        .select(col("vec_id"), col("emb"), col("cent_id"),
-          round(dot(col("emb"), col("cemb")), 6).as("csim"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+      val centroids = CentroidSeed.seeds(e)
+      val assigned = nearestCentroid(e, centroids)
         .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
       val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-        .crossJoin(centroids)
+        .crossJoin(broadcast(centroids))
         .select(col("query_id"), col("qemb"), col("cent_id"),
           round(dot(col("qemb"), col("cemb")), 6).as("csim"))
         .withColumn("rn", row_number().over(wProbe))
@@ -525,15 +520,10 @@ object SimilarityQueries {
     "q_dedup_semantic",
     (s, d) => {
       val corpus = augmentedCorpus(s, d).cache()
-      val centroids = broadcast(CentroidSeed.seeds(corpus))
-      val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+      val centroids = CentroidSeed.seeds(corpus)
       // cached: the assigned frame feeds BOTH sides of the in-cell self-join
       // and csim/dot is its dominant per-row cost
-      val assigned = corpus.crossJoin(centroids)
-        .select(col("vec_id"), col("emb"), col("cent_id"),
-          round(dot(col("emb"), col("cemb")), 6).as("csim"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+      val assigned = nearestCentroid(corpus, centroids)
         .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
         .cache()
       val b = assigned.select(col("vec_id").as("vb"), col("emb").as("embb"), col("cell"))

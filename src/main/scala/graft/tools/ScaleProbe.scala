@@ -45,7 +45,10 @@ object ScaleProbe {
     "q_text_rep_ngrams", "q_text_bpe_apply", "q_text_dup_ngrams", "q_sim_binary_ivf",
     "q_text_nb_classifier", "q_contamination_bloom",
     "q_text_topics", "q_text_perplexity3", "q_text_perplexity5", "q_mix_quality",
-    "q_train_dataset_card")
+    "q_train_dataset_card",
+    // r8: the shuffle-free broadcast-argmax assignment family
+    "q_sim_ivf_trained", "q_sim_kmeans", "q_sim_outliers", "q_sim_ivf_ann",
+    "q_dedup_semantic")
 
   private val ReplicaIdOffset = 10000000L
 

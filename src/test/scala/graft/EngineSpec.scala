@@ -49,6 +49,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orphaned.isEmpty, s"oracles without a query: ${orphaned.toSeq.sorted.mkString(", ")}")
   }
 
+  test("analysis smoke: every declared query plan resolves against sf0.001") {
+    // Round-7 postmortem: 11 queries failed ANALYSIS (events ts dtype drift)
+    // yet the gate showed 136/136 green, because a query that throws before
+    // producing output simply vanished from the denominator. This guard
+    // resolves EVERY SparkEntry.queries plan against the smallest testdata so
+    // an analysis break is a named red test, never a silent shrink. Plans
+    // are analyzed, not executed — eager construction work (BPE merge loops,
+    // index trains) still runs, which is why this uses sf0.001.
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/events.parquet").exists())
+    val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sfDir).queryExecution.analyzed; None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | ").take(300)}")
+      }
+    }
+    assert(broken.isEmpty, s"\n${broken.size} queries fail analysis:\n${broken.mkString("\n")}")
+  }
+
   test("README query 1: json_extract_scalar equality predicates + LIMIT") {
     // /root/reference/README.md:89-109, Presto -> Spark SQL translation
     val rows = Engine.sql(spark,

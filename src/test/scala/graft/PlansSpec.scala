@@ -207,6 +207,27 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("centroid assignment is shuffle-free: no vec_id hash exchange anywhere in the IVF family") {
+    // r7 verdict, systemic perf item: the old assignment idiom (crossJoin to
+    // n·k rows + row_number() over PARTITION BY vec_id) exchanged the whole
+    // corpus on vec_id at every assign. The shared broadcast-argmax helper
+    // (VectorFunctions.nearestCentroid) folds the centroid array per row —
+    // the corpus side of the assignment must carry NO hash exchange on
+    // vec_id in any family member's plan. (Exchanges that remain are the
+    // one-row centroid collect, broadcasts, cell/cent_id rollups, and
+    // output sorts — none partition by vec_id.)
+    for (q <- Seq("q_sim_outliers", "q_sim_ivf_ann", "q_dedup_semantic",
+        "q_sim_binary_ivf", "q_sim_kmeans", "q_sim_ivf_trained")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning(vec_id"),
+        s"$q still shuffles the corpus on vec_id:\n$p")
+    }
+    // outliers is pure per-row assignment + rollup: the window operator
+    // itself must be gone, not just its shuffle
+    assert(!plan("q_sim_outliers").contains("Window"),
+      "q_sim_outliers should have no window operator at all")
+  }
+
   test("bounded exact audits: the vec_id bound is pushed down to the parquet scan") {
     // q_dedup_embed's FINAL plan cannot show the scan — Closure's per-round
     // localCheckpoints truncate lineage — so the pin targets the candidate
