@@ -22,16 +22,21 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    if (showPlan) fn(spark, sfDir).explain("formatted")
-    (1 to runs).foreach { i =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val df = fn(spark, sfDir)
-      val tc = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[runone] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
-        f"(construct ${(tc - t0) / 1e9}%.3f, execute ${(System.nanoTime() - tc) / 1e9}%.3f)")
+    // comma-separated names run sequentially in ONE JVM — the shape needed
+    // to reproduce bench cross-talk (query B timed after query A has warmed
+    // codegen caches / ImageIO state / GC pressure in the same process)
+    name.split(",").foreach { qn =>
+      val fn = SparkEntry.queries(qn)
+      if (showPlan) fn(spark, sfDir).explain("formatted")
+      (1 to runs).foreach { i =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        val tc = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[runone] $qn pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+          f"(construct ${(tc - t0) / 1e9}%.3f, execute ${(System.nanoTime() - tc) / 1e9}%.3f)")
+      }
     }
     spark.stop()
   }

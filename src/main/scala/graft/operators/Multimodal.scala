@@ -27,6 +27,16 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache backs every create*Stream call with a
+    * TEMP FILE; under a 32-thread decode the temp-dir churn is a measurable,
+    * PERSISTENT per-JVM tax — measured: q_multimodal_scenes warm passes ran
+    * 4.2–5.1 s in a fresh JVM but 7.5–8.5 s in a JVM that had run the JPEG
+    * leg first (the r7 bench isolated 6.9→11.0 s "regression" was exactly
+    * this, not a plan change). All graft media are small in-memory byte
+    * arrays, so memory-cached streams are strictly better. Runs once per
+    * JVM when the object loads — on a cluster, once per executor. */
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Rows processed per inner batch inside a partition — the `mapInPandas`
     * Arrow-batch analogue. Amortizes per-batch decoder setup and bounds
     * per-batch memory to batchSize x max media size. */

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Tables.t
@@ -124,6 +125,88 @@ object TrainingDataQueries {
       FROM documents
       WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 % 1000 < least(n_chars // 10, 500)
       ORDER BY doc_id"""))
+
+  private def sqlLg3(e: String): String =
+    s"(length(bin(CAST(($e) AS BIGINT)*CAST(($e) AS BIGINT)*CAST(($e) AS BIGINT))) - 1)"
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al., 2023),
+    * the hashed-n-gram importance-weighting selector used to pick
+    * target-distribution-like documents out of a web crawl: features are
+    * word unigrams + bigrams hashed into B=64 buckets (feature hashing —
+    * the same polyHash46 kernel as the NB classifier and topic vectorizer),
+    * the importance weight of bucket b is log p_target(b) − log p_raw(b),
+    * and a document's score is Σ_b n_b(doc)·λ_b plus the normalization
+    * constant n_feats·(log R − log T). Selection keeps score > 0 (importance
+    * weight > 1 — "more target-like than raw"); the paper's Gumbel-top-k
+    * resample adds RNG on top of the same score, deliberately left
+    * deterministic here (the reproducibility-under-retry property every
+    * other sampler in this file pins). Logs are integer-exact at third-bit
+    * resolution (floor(3·log2 x) = bitlen(x³)−1 — the device proven in
+    * q_text_surprisal/q_text_nb_classifier; x³ bounds the corpus at ~2M
+    * features per class, documented boundary — at real scale widen to the
+    * whole-bit device on the two totals). Scale shape: one (doc, bucket)
+    * count shuffle (the tf-idf shape); the λ table is B rows → broadcast;
+    * the two totals are one broadcast row. No pairwise stage anywhere; at
+    * 100 TB B rises (DSIR uses 10k buckets) and stays broadcastable. */
+  private val sampleDsir = Q(
+    "q_sample_dsir",
+    (s, d) => {
+      val lg3 = (c: Column) =>
+        when(c > 0, length(bin(c * c * c)) - 1).otherwise(0L).cast("long")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          col("source").isin("src0", "src1", "src2").as("is_target"),
+          split(col("text"), " ").as("ws"))
+      val feats = docs
+        .select(col("doc_id"), col("is_target"),
+          explode(concat(col("ws"),
+            when(size(col("ws")) >= 2, expr(
+              "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+              .otherwise(expr("CAST(array() AS array<string>)")))).as("f"))
+        .select(col("doc_id"), col("is_target"),
+          (graft.functions.VectorFunctions.polyHash(col("f")) % 64L).as("b"))
+      val lam = feats.groupBy("b").agg(
+          sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+          sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
+        .select(col("b"), (lg3(col("ct") + 1) - lg3(col("cr") + 1)).as("lam"))
+      val tot = feats.agg(
+        lg3(sum(when(col("is_target"), 0L).otherwise(1L))).as("lg_r"),
+        lg3(sum(when(col("is_target"), 1L).otherwise(0L))).as("lg_t"))
+      feats.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+        .join(broadcast(lam), Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_feats"),
+          sum(col("n") * col("lam")).as("s0"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_feats"),
+          (col("s0") + col("n_feats") * (col("lg_r") - col("lg_t"))).as("score_tb"))
+        .withColumn("selected", col("score_tb") > 0)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH docs AS (SELECT doc_id, source IN ('src0','src1','src2') AS is_target,
+              string_split(text, ' ') AS ws FROM documents),
+      fu AS (SELECT doc_id, is_target, unnest(ws) AS f FROM docs),
+      fb AS (SELECT doc_id, is_target, ws[i] || ' ' || ws[i+1] AS f
+             FROM docs, LATERAL unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+      fh AS (SELECT doc_id, is_target,
+               list_reduce(list_prepend(7::BIGINT,
+                   list_transform(range(1, length(f) + 1),
+                     i -> ord(substr(f, CAST(i AS INT), 1))::BIGINT)),
+                 (acc, c) -> (acc * 131 + c) % 70368744177664) % 64 AS b
+             FROM (SELECT * FROM fu UNION ALL SELECT * FROM fb)),
+      lam AS (SELECT b,
+                ${sqlLg3("sum(CASE WHEN is_target THEN 1 ELSE 0 END) + 1")}
+                - ${sqlLg3("sum(CASE WHEN is_target THEN 0 ELSE 1 END) + 1")} AS lam
+              FROM fh GROUP BY b),
+      tot AS (SELECT ${sqlLg3("sum(CASE WHEN is_target THEN 0 ELSE 1 END)")} AS lg_r,
+                ${sqlLg3("sum(CASE WHEN is_target THEN 1 ELSE 0 END)")} AS lg_t
+              FROM fh),
+      db AS (SELECT doc_id, b, count(*) AS n FROM fh GROUP BY doc_id, b)
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+             CAST(sum(n * lam) + sum(n) * (lg_r - lg_t) AS BIGINT) AS score_tb,
+             (sum(n * lam) + sum(n) * (lg_r - lg_t)) > 0 AS selected
+      FROM db JOIN lam USING (b), tot
+      GROUP BY doc_id, lg_r, lg_t ORDER BY doc_id"""))
 
   /** Context-window sequence packing (the "concatenate-and-split" layout
     * every pretraining run uses): documents are laid end to end in a
@@ -456,6 +539,6 @@ object TrainingDataQueries {
       FROM g, tot ORDER BY shard"""))
 
   val all: Seq[Q] =
-    Seq(chunk, contamination, sampleWeighted, packSequences, shuffleOrder, mixSources,
-      contaminationBloom, datasetCard, packBuckets, shards)
+    Seq(chunk, contamination, sampleWeighted, sampleDsir, packSequences, shuffleOrder,
+      mixSources, contaminationBloom, datasetCard, packBuckets, shards)
 }

@@ -501,4 +501,33 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("DSIR selection skews toward the target distribution and is deterministic") {
+    // the importance score's only job is to separate target-like from
+    // raw-like text: on the shared synthetic corpus the mean score of
+    // target-source docs (src0-2 — the same curated split the NB
+    // classifier uses) must exceed the mean score of the rest, and the
+    // selected set must over-represent target sources vs its share of the
+    // corpus. Deterministic: two runs produce identical rows (no RNG —
+    // the reproducibility property all samplers in TrainingDataQueries pin).
+    val d = "/root/testdata/sf0.01"
+    val run1 = SparkEntry.queries("q_sample_dsir")(spark, d).collect()
+    val run2 = SparkEntry.queries("q_sample_dsir")(spark, d).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq)
+    val src = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("source").isin("src0", "src1", "src2").as("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val (tgt, rest) = run1.partition(r => src(r.getLong(0)))
+    def meanScore(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getLong(2)).sum.toDouble / rs.length
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    assert(meanScore(tgt) > meanScore(rest),
+      s"target mean ${meanScore(tgt)} should exceed raw mean ${meanScore(rest)}")
+    val selected = run1.filter(_.getBoolean(3))
+    assert(selected.nonEmpty, "selection should keep some documents")
+    val tgtShareSelected = selected.count(r => src(r.getLong(0))).toDouble / selected.length
+    val tgtShareCorpus = tgt.length.toDouble / run1.length
+    assert(tgtShareSelected > tgtShareCorpus,
+      s"selected target share $tgtShareSelected should exceed corpus share $tgtShareCorpus")
+  }
 }

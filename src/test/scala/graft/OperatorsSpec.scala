@@ -302,6 +302,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(custom.nonEmpty && custom == builtin)
   }
 
+  test("custom sessionize agrees with session_window on exact-gap boundary ties") {
+    // The real-events parity test above can never see a tie (micros
+    // timestamps virtually never land exactly gap apart), so the one
+    // comparison against a Spark built-in was blind at the timeout
+    // boundary. Planted ties pin it: BOTH implementations merge an event
+    // arriving exactly gap after the previous one (custom: ts - last <=
+    // gap; session_window: windows [t, t+gap) merge when next.start <=
+    // prev.end), and split at gap + 1 microsecond.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val gapUs = 60L * 1000000L
+    val rows = Seq(
+      (1L, 0L), (1L, gapUs), (1L, 2 * gapUs), // exact-tie chain -> 1 session
+      (2L, 0L), (2L, gapUs + 1L),             // 1 us past the gap -> split
+      (3L, 5L),                               // singleton
+      (4L, 2 * gapUs), (4L, gapUs), (4L, 0L)) // tie chain arriving out of order
+    val ev = rows.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val custom = Sessionize.sessionize(ev, gapSeconds = 60).toDF()
+      .select(col("user_id"), col("session_start_micros"), col("n_events"), col("duration_s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    val builtin = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "60 seconds").as("w"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(
+        col("user_id"), unix_micros(col("t0")).as("start"), col("n"),
+        ((unix_micros(col("t1")) - unix_micros(col("t0"))) / 1000000L).cast("long").as("dur"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    assert(custom == builtin, s"custom=$custom builtin=$builtin")
+    // and the tie semantics explicitly: users 1 and 4 collapse to ONE
+    // session spanning 2 gaps; user 2 splits
+    assert(custom.count(_._1 == 1L) == 1 && custom.find(_._1 == 1L).get._3 == 3L)
+    assert(custom.count(_._1 == 4L) == 1 && custom.find(_._1 == 4L).get._4 == 120L)
+    assert(custom.count(_._1 == 2L) == 2)
+  }
+
   test("streaming sessionize: pre-session late chains emit eagerly (pinned deviation from batch replay)") {
     // DOCUMENTED DEVIATION (see Sessionize.fold): a late event more than a
     // gap before the open session's start is emitted as its own closed

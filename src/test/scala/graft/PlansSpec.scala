@@ -293,7 +293,8 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("wave 4-7 queries: no pairwise plans; broadcasts where promised") {
     // NB classifier / LM orders / mixture: count-table equi-joins + ONE
     // broadcast-against-constant totals row — never a real cartesian
-    Seq("q_text_nb_classifier", "q_text_perplexity3", "q_mix_quality").foreach { q =>
+    Seq("q_text_nb_classifier", "q_text_perplexity3", "q_mix_quality",
+        "q_sample_dsir").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: $p")
     }
