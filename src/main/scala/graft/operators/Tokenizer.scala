@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted BPE tokenizer — the build-once / encode-many lifecycle behind
@@ -23,29 +23,14 @@ import org.apache.spark.sql.functions._
   * driver-collected merge list on purpose (the packBitmaps precedent):
   * the merge table is vocabulary-sized by construction (256-50k rows —
   * every real tokenizer loads it into memory), the fold runs once per
-  * DISTINCT novel word (vocabulary-sized, never corpus-sized), and the
-  * 256-deep nested-lambda Column equivalent is exactly the plan-growth
-  * failure the trainer's checkpointing exists to avoid. */
+  * DISTINCT novel word (vocabulary-sized, never corpus-sized) — the same
+  * bounded-driver-compute argument the trainer itself rests on. */
 object Tokenizer {
 
-  /** Greedy left-to-right merge fold as a COLUMN (l/r fed from a broadcast
-    * one-row frame — step-invariant codegen source, janino cache hits; see
-    * the trainer below and PERF.md round-7). */
-  private[graft] def applyMergeCol(symsStr: Column, l: Column, r: Column): Column = {
-    val syms = split(symsStr, " ")
-    aggregate(
-      slice(syms, lit(2), size(syms) - 1),
-      element_at(syms, 1),
-      (acc, x) =>
-        when(substring_index(acc, " ", -1) === l && x === r,
-          concat(acc.substr(lit(1), length(acc) - length(l)), l, r))
-          .otherwise(concat(acc, lit(" "), x)))
-  }
-
-  /** The same greedy fold in plain Scala — the novel-word encode kernel.
-    * Bit-identical semantics to [[applyMergeCol]]: the accumulated last
-    * symbol blocks chain re-merging within one pass. */
-  private def applyMergeScala(syms: Array[String], l: String, r: String): Array[String] = {
+  /** The greedy left-to-right merge fold — shared by the trainer and the
+    * novel-word encode kernel: the accumulated last symbol blocks chain
+    * re-merging within one pass. */
+  private[graft] def applyMergeScala(syms: Array[String], l: String, r: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < syms.length) {
@@ -64,67 +49,65 @@ object Tokenizer {
       case (syms, (l, r)) => applyMergeScala(syms, l, r)
     }
 
-  /** The trainer loop (shared verbatim by the q_text_bpe_train family —
-    * TextQueries delegates here): count adjacent symbol pairs over the
-    * word-frequency table, take the top pair (count desc, then
-    * lexicographic), apply, recount. The corpus collapses to the distinct-
-    * word table BEFORE the loop, so every iteration is vocabulary-sized;
-    * `checkpointEvery` bounds lineage (the plan never carries more than K
-    * folds). Returns (final vocab (w, n, s), ordered merge list). */
-  /** Checkpoints taken by the most recent trainLoop call (initial + cadence
-    * + final). Test-observable so the lineage-bound invariant — the plan
-    * never carries more than `checkpointEvery` merge folds — is asserted
-    * structurally instead of via a wall-clock ratio that flakes under
-    * parallel-suite load (r7 verdict item 3). */
-  private[graft] val lastRunCheckpoints = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  def trainLoop(
-      words: DataFrame, nMerges: Int, checkpointEvery: Int = 1)
+  /** The trainer (shared verbatim by the q_text_bpe_train family —
+    * TextQueries delegates here): ONE distributed aggregate collapses the
+    * corpus to the word-frequency table — the only corpus-sized stage —
+    * and the greedy merge loop (count adjacent symbol pairs, take the top
+    * pair by count desc then lexicographic, apply, recount) runs on the
+    * DRIVER over that bounded table, exactly how production tokenizer
+    * trainers work (HuggingFace/SentencePiece load word counts in memory;
+    * GPT-2's merges.txt came from this shape). The previous implementation
+    * re-counted pairs distributively: 2 Spark jobs per merge made the
+    * 256-merge query the whole gate's dominant cost (15.9 s isolated at
+    * sf0.1 — r7 bench) for work that is VOCABULARY-sized by construction;
+    * the driver loop does identical arithmetic in-process in well under a
+    * second. Merges and final symbolizations are bit-identical (the loop
+    * applies [[applyMergeScala]], the pinned twin of the old Column fold),
+    * so the recursive-CTE DuckDB oracles replay unchanged. The collect is
+    * bounded by DISTINCT WORDS, not corpus rows; at web scale cap the
+    * vocabulary with a min-frequency filter before training (standard
+    * practice) — the dial is the operator's, never the data volume's.
+    * Returns (final vocab (w, n, s), ordered merge list (step, l, r, cnt)). */
+  def trainLoop(words: DataFrame, nMerges: Int)
       : (DataFrame, Seq[(Long, String, String, Long)]) = {
-    val s = words.sparkSession
-    lastRunCheckpoints.set(0)
-    def ckpt(df: DataFrame): DataFrame = {
-      lastRunCheckpoints.incrementAndGet(); df.localCheckpoint()
-    }
-    var vocab = words
+    val spark = words.sparkSession
+    import spark.implicits._
+    val wordCounts: Array[(String, Long)] = words
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(col("w"), col("n"),
-        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
-    vocab = ckpt(vocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1) // collect order is nondeterministic; the loop's sums are not
+    val syms: Array[Array[String]] = wordCounts.map(_._1.map(_.toString).toArray)
     val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
     var exhausted = false
     for (step <- 1 to nMerges if !exhausted) {
-      val withSyms = vocab.select(col("n"), split(col("s"), " ").as("sl"))
-      val top = withSyms.filter(size(col("sl")) >= 2)
-        .select(col("n"),
-          explode(transform(sequence(lit(1), size(col("sl")) - 1),
-            i => struct(
-              element_at(col("sl"), i).as("l"),
-              element_at(col("sl"), i + 1).as("r")))).as("p"))
-        .select(col("n"), col("p.l").as("l"), col("p.r").as("r"))
-        .groupBy("l", "r").agg(sum("n").as("cnt"))
-        .orderBy(desc("cnt"), asc("l"), asc("r"))
-        .take(1).headOption
-      top match {
-        case Some(rw) =>
-          val (l, r, cnt) = (rw.getString(0), rw.getString(1), rw.getLong(2))
-          merges += ((step.toLong, l, r, cnt))
-          val top1 = s.createDataFrame(
-            java.util.List.of(org.apache.spark.sql.Row(l, r)),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("__l",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("__r",
-                org.apache.spark.sql.types.StringType))))
-          vocab = vocab.crossJoin(broadcast(top1))
-            .withColumn("s", applyMergeCol(col("s"), col("__l"), col("__r")))
-            .drop("__l", "__r")
-          if (step % checkpointEvery == 0) vocab = ckpt(vocab)
-        case None => exhausted = true
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < syms.length) {
+        val ss = syms(wi)
+        val n = wordCounts(wi)._2
+        var i = 0
+        while (i < ss.length - 1) {
+          val k = (ss(i), ss(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // top pair: count desc, then (l, r) lexicographic — the exact
+        // orderBy(desc(cnt), asc(l), asc(r)).take(1) of the distributed loop
+        val ((l, r), cnt) = counts.minBy { case ((pl, pr), c) => (-c, pl, pr) }
+        merges += ((step.toLong, l, r, cnt))
+        var wj = 0
+        while (wj < syms.length) { syms(wj) = applyMergeScala(syms(wj), l, r); wj += 1 }
       }
     }
-    (ckpt(vocab), merges.toSeq)
+    val vocab = wordCounts.iterator.zip(syms.iterator)
+      .map { case ((w, n), ss) => (w, n, ss.mkString(" ")) }
+      .toSeq.toDF("w", "n", "s")
+    (vocab, merges.toSeq)
   }
 
   private def fsOf(spark: SparkSession, dir: Path): FileSystem =
@@ -134,7 +117,7 @@ object Tokenizer {
     * merge table + vocab cache under `tokDir`. */
   def buildTokenizer(
       spark: SparkSession, docs: DataFrame, tokDir: String,
-      nMerges: Int = 256, checkpointEvery: Int = 8): Unit = {
+      nMerges: Int = 256): Unit = {
     import spark.implicits._
     val dir = new Path(tokDir)
     val fs = fsOf(spark, dir)
@@ -142,7 +125,7 @@ object Tokenizer {
     val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
     val (vocab, merges) = trainLoop(
-      docs.select(explode(split(col("text"), " ")).as("w")), nMerges, checkpointEvery)
+      docs.select(explode(split(col("text"), " ")).as("w")), nMerges)
     merges.toDF("step", "l", "r", "cnt")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/merges")
     vocab.write.mode(SaveMode.Overwrite).parquet(s"$tmp/vocab")

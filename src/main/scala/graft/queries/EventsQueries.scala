@@ -186,6 +186,80 @@ object EventsQueries {
         CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Ordered 3-step funnel (view → click → purchase): per user, the earliest
+    * view, the earliest click strictly after it, the earliest purchase
+    * strictly after that — the event-sequence analytics shape (who
+    * progressed how far, in order) that a window-per-user formulation would
+    * solve with a corpus-wide sort; here each stage is a filtered per-user
+    * MIN + an equi-join on user_id, so the plan is three key-partitioned
+    * aggregates that co-partition under one hash (AQE reuses the exchange)
+    * and two broadcast-scalar rows for the totals. Output: stage, users
+    * reaching it, reach in basis points of all users. */
+  private val funnel = Q(
+    "q_events_funnel",
+    (s, d) => {
+      val e = ev(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") > col("t1")).groupBy("user_id").agg(min("us").as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("us") > col("t2")).groupBy("user_id").agg(min("us").as("t3"))
+      val tot = e.agg(count_distinct(col("user_id")).as("n_total"))
+      v.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_view"))
+        .unionByName(c.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_click")))
+        .unionByName(p.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase")))
+        .crossJoin(broadcast(tot))
+        .select(col("stage"), col("n"), expr("n * 10000 div n_total").as("reach_bp"))
+        .orderBy("stage")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id),
+      tot AS (SELECT count(DISTINCT user_id) AS n_total FROM e),
+      st AS (SELECT '1_view' AS stage, count(*) AS n FROM v
+             UNION ALL SELECT '2_click', count(*) FROM c
+             UNION ALL SELECT '3_purchase', count(*) FROM p)
+      SELECT stage, CAST(n AS BIGINT) AS n, n * 10000 // n_total AS reach_bp
+      FROM st, tot ORDER BY stage"""))
+
+  /** Cohort retention matrix: cohort = the day of a user's FIRST event,
+    * activity bucketed into week offsets from that day; cell = distinct
+    * users of the cohort active in that offset week, as basis points of the
+    * cohort's size. Two user-keyed aggregates + one (cohort, week) rollup —
+    * no windows, no corpus sort; integer day/week math end to end, so the
+    * oracle is exact. */
+  private val retention = Q(
+    "q_events_retention",
+    (s, d) => {
+      val e = ev(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      val cohort = e.groupBy("user_id").agg(min("day").as("c0"))
+      val active = e.join(cohort, "user_id")
+        .select(col("user_id"), col("c0"), expr("(day - c0) div 7").as("wk"))
+        .distinct()
+      val sizes = cohort.groupBy("c0").agg(count(lit(1)).as("cohort_n"))
+      active.groupBy("c0", "wk").agg(count(lit(1)).as("n_active"))
+        .join(sizes, "c0")
+        .select(col("c0").as("cohort_day"), col("wk").as("week_offset"),
+          col("n_active"), expr("n_active * 10000 div cohort_n").as("retention_bp"))
+        .orderBy("cohort_day", "week_offset")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      ch AS (SELECT user_id, min(day) AS c0 FROM e GROUP BY user_id),
+      act AS (SELECT DISTINCT e.user_id, c0, (day - c0) // 7 AS wk
+              FROM e JOIN ch USING (user_id)),
+      sz AS (SELECT c0, count(*) AS cohort_n FROM ch GROUP BY c0)
+      SELECT a.c0 AS cohort_day, a.wk AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_active,
+             count(*) * 10000 // cohort_n AS retention_bp
+      FROM act a JOIN sz USING (c0)
+      GROUP BY a.c0, a.wk, cohort_n ORDER BY cohort_day, week_offset"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple,
-    sessionize, saltedAgg, variantExtract)
+    sessionize, saltedAgg, variantExtract, funnel, retention)
 }

@@ -517,12 +517,11 @@ object TextQueries {
     * and inline tokenizations cannot drift; see there for the
     * lineage-checkpoint and codegen-cache cost arguments). */
   private def bpeTrainLoop(
-      s: SparkSession, d: String,
-      nMerges: Int = NBpeMerges, checkpointEvery: Int = 1)
+      s: SparkSession, d: String, nMerges: Int = NBpeMerges)
       : (DataFrame, Seq[(Long, String, String, Long)]) =
     graft.operators.Tokenizer.trainLoop(
       t(s, d, "documents").select(explode(split(col("text"), " ")).as("w")),
-      nMerges, checkpointEvery)
+      nMerges)
 
   private val bpeTrain = Q(
     "q_text_bpe_train",
@@ -560,7 +559,7 @@ object TextQueries {
     "q_text_bpe_train_256",
     (s, d) => {
       import s.implicits._
-      bpeTrainLoop(s, d, NBpeMerges256, checkpointEvery = 8)
+      bpeTrainLoop(s, d, NBpeMerges256)
         ._2.toDF("step", "l", "r", "cnt").orderBy("step")
     },
     Some(s"""WITH RECURSIVE rec AS (

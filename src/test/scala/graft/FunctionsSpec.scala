@@ -303,15 +303,6 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect())
     val (m256, t256) = timed(SparkEntry.queries("q_text_bpe_train_256")(s, dir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))))
-    // lineage bound, asserted structurally: the 256-merge run checkpoints at
-    // its cadence of 8 (initial snapshot + 256/8 cadence + final publish), so
-    // the plan between checkpoints never carries more than 8 merge folds and
-    // per-merge cost cannot compound. This replaces the old wall-clock ratio
-    // assertion, which flaked under parallel-suite CPU contention (r7: 61.7
-    // vs a <60 bar); the timing stays as info + PERF.md evidence only.
-    assert(graft.operators.Tokenizer.lastRunCheckpoints.get == 1 + 256 / 8 + 1,
-      s"expected 34 lineage checkpoints for 256 merges at cadence 8, " +
-        s"got ${graft.operators.Tokenizer.lastRunCheckpoints.get}")
 
     assert(m10.length == 10)
     assert(m256.length == 256, s"expected 256 merges, got ${m256.length}")
@@ -327,10 +318,10 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the 10-merge prefix is identical — more merges never rewrite history
     assert(m256.take(10).map(p => (p._2, p._3)).toSeq ==
       m10.map(r => (r.getString(1), r.getString(2))).toSeq)
-    // cost-shape evidence (info only — linearity is claimed in PERF.md from
-    // isolated probes; a wall-clock assert here is nondeterministic under
-    // parallel suites). The structural checkpoint-cadence assert above is
-    // what actually rejects lineage blowup.
+    // cost-shape evidence (info only): the trainer is one distributed
+    // word-count aggregate + a driver loop over the bounded vocabulary, so
+    // 25.6x the merges adds only driver arithmetic — wall stays flat where
+    // the old per-merge distributed recount paid 2 Spark jobs per merge
     info(f"bpe merges: 10 in ${t10}%.1f s, 256 in ${t256}%.1f s, ratio ${t256 / t10}%.1f")
   }
 
@@ -376,7 +367,7 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tokDir = java.nio.file.Files.createTempDirectory("graft_tok").toString + "/tok"
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     // same merge budget as the inline q_text_bpe_apply trainer
-    Tokenizer.buildTokenizer(spark, docs, tokDir, nMerges = 10, checkpointEvery = 1)
+    Tokenizer.buildTokenizer(spark, docs, tokDir, nMerges = 10)
     val stored = Tokenizer.encodeAgainst(spark, docs, tokDir)
       .collect().map(_.toString).toSeq
     val inline = SparkEntry.queries("q_text_bpe_apply")(spark, sf)
