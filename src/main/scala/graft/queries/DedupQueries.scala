@@ -729,7 +729,62 @@ object DedupQueries {
                                      'string_agg', ' '), '') AS clean_text
       FROM r ORDER BY doc_id"""))
 
+  /** Asymmetric n-gram CONTAINMENT (Broder 1997's other resemblance measure):
+    * |A ∩ B| / |A| over distinct 8-gram sets — the doc-in-doc detector.
+    * Jaccard is blind to a short document wholly quoted inside a long one
+    * (union is dominated by the long side); containment flags it at 100%.
+    * Candidates form through the same n-gram equi-join family as
+    * `q_contamination` — docs meet ONLY through shared grams, never all
+    * pairs — and grams shuffle as 46-bit polynomial hashes (8-byte keys, not
+    * strings; the oracle mirrors the hash so collisions — none at this
+    * corpus, ~n²/2⁴⁶ odds — cannot flip it). Per-gram fan-out is df², and
+    * 8-gram df is near 1 on natural text (boilerplate-heavy corpora cap df
+    * the way the contamination scrub documents). Output: ordered pairs at
+    * containment ≥ 50%.
+    */
+  private val containment = Q(
+    "q_dedup_containment",
+    (s, d) => {
+      val g = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 8), i -> concat_ws(' ', slice(toks, i + 1, 8)))"))
+          .as("ng"))
+        .select(col("doc_id"), graft.functions.VectorFunctions.polyHash(col("ng")).as("gh"))
+        .distinct()
+      val sz = g.groupBy("doc_id").agg(count(lit(1)).as("a_size"))
+      val a = g.select(col("doc_id").as("a_id"), col("gh"))
+      val b = g.select(col("doc_id").as("b_id"), col("gh"))
+      a.join(b, Seq("gh")).filter(col("a_id") =!= col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        .join(sz.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
+        .filter(col("shared") * 2 >= col("a_size"))
+        .select(col("a_id"), col("b_id"), col("shared"), col("a_size"),
+          expr("shared * 10000 div a_size").as("containment_bp"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE len(string_split(text, ' ')) >= 8),
+      g0 AS (SELECT doc_id, array_to_string(toks[i + 1:i + 8], ' ') AS ng
+             FROM (SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 8, 1)) AS i FROM d)),
+      g AS (SELECT DISTINCT doc_id, list_reduce(list_prepend(7::BIGINT,
+              list_transform(range(1, length(ng) + 1),
+                i -> ord(substr(ng, CAST(i AS INT), 1))::BIGINT)),
+              (acc, ch) -> (acc * 131 + ch) % 70368744177664) AS gh FROM g0),
+      sz AS (SELECT doc_id, count(*) AS a_size FROM g GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+            FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+      SELECT a_id, b_id, CAST(shared AS BIGINT) AS shared,
+             CAST(a_size AS BIGINT) AS a_size,
+             shared * 10000 // a_size AS containment_bp
+      FROM p JOIN sz ON sz.doc_id = a_id
+      WHERE shared * 2 >= a_size
+      ORDER BY a_id, b_id"""))
+
   val all: Seq[Q] =
     Seq(minhashLsh, minhashAudit, simhash, ngramJaccard, incremental, spanDedup,
-      substringDedup, substringIncremental, substringApply)
+      substringDedup, substringIncremental, substringApply, containment)
 }

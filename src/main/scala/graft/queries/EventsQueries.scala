@@ -260,6 +260,131 @@ object EventsQueries {
       FROM act a JOIN sz USING (c0)
       GROUP BY a.c0, a.wk, cohort_n ORDER BY cohort_day, week_offset"""))
 
+  /** Shared dense hourly spine: per-type hourly counts gap-filled to zero over
+    * each type's [min, max] hour range. The spine is `sequence()` + explode on
+    * a 5-row bounds aggregate — spine cardinality is types × hours, independent
+    * of event volume, so at 100 TB the only corpus-sized stage is the first
+    * hourly aggregate (one shuffle on a (type, hour) key whose cardinality is
+    * tiny); everything after runs on the bounded spine. */
+  private def hourlySpine(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val h = ev(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+    val spine = h.groupBy("event_type")
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+    spine.join(h, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n"), col("sum_v"))
+  }
+
+  /** Time-series resample: hourly counts gap-filled to zero plus a
+    * forward-filled (last-observation-carried-forward) hourly value — the
+    * interpolation shape every monitoring/time-series surface needs over an
+    * irregular event stream. Forward fill is `last(ignoreNulls)` over a
+    * per-type ordered window: partitioned by type, so no global sort; the
+    * window runs on the bounded spine, not the corpus. The rounded sum is
+    * carried (not recomputed), so both engines carry identical doubles. */
+  private val resample = Q(
+    "q_events_resample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourlySpine(s, d)
+        .select(col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH:00").as("hour_start"),
+          col("n"),
+          last(col("sum_v"), ignoreNulls = true).over(w).as("carried_v"))
+        .orderBy("event_type", "hour_start")
+    },
+    Some("""WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n,
+               round(sum(value), 2) AS sum_v
+        FROM events GROUP BY 1, 2),
+      bounds AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM h GROUP BY 1),
+      spine AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+                FROM bounds),
+      j AS (SELECT s.event_type, s.hr, coalesce(n, 0) AS n, sum_v
+            FROM spine s LEFT JOIN h USING (event_type, hr))
+      SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour_start,
+        CAST(n AS BIGINT) AS n,
+        last_value(sum_v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_v
+      FROM j ORDER BY event_type, hour_start"""))
+
+  /** Rolling z-score anomaly detection over the dense hourly series, integer-
+    * exact end to end: with S = Σ and Q = Σ² over the 24 fully-populated
+    * preceding hours, z² > 9 (|z| > 3 vs the trailing population variance)
+    * rearranges to (24n − S)² > 9(24Q − S²) — pure BIGINT cross-multiplication,
+    * no sqrt, no float, so the DuckDB oracle hashes bit-identically. The
+    * rolling window runs on the bounded spine (types × hours), never the
+    * corpus; requiring w_cnt = 24 skips the warm-up rows instead of flagging
+    * against a partial baseline. */
+  private val anomaly = Q(
+    "q_events_anomaly",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+      hourlySpine(s, d)
+        .select(col("event_type"), col("hr"), col("n"),
+          count(lit(1)).over(w).as("w_cnt"),
+          sum("n").over(w).as("s"),
+          sum(col("n") * col("n")).over(w).as("q"))
+        .filter(col("w_cnt") === 24 &&
+          (lit(24) * col("n") - col("s")) * (lit(24) * col("n") - col("s")) >
+            lit(9) * (lit(24) * col("q") - col("s") * col("s")))
+        .select(col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH:00").as("hour_start"),
+          col("n"), expr("s div 24").as("expected"))
+        .orderBy("event_type", "hour_start")
+    },
+    Some("""WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      bounds AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM h GROUP BY 1),
+      spine AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+                FROM bounds),
+      j AS (SELECT s.event_type, s.hr, coalesce(n, 0) AS n
+            FROM spine s LEFT JOIN h USING (event_type, hr)),
+      r AS (SELECT event_type, hr, n,
+              count(*) OVER w AS w_cnt, sum(n) OVER w AS s, sum(n*n) OVER w AS q
+            FROM j WINDOW w AS (PARTITION BY event_type ORDER BY hr
+              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour_start,
+        CAST(n AS BIGINT) AS n, s // 24 AS expected
+      FROM r WHERE w_cnt = 24 AND (24*n - s)*(24*n - s) > 9*(24*q - s*s)
+      ORDER BY event_type, hour_start"""))
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * lead() pairs each event with its successor (ordered by ts with event_id
+    * as the deterministic tiebreak), then one tiny (src, dst) aggregate with
+    * per-src probabilities in basis points. The only corpus-sized stage is
+    * the per-user window — one shuffle on user_id (high cardinality, no
+    * corpus-wide sort); the probability window runs on the ≤|types|² result. */
+  private val markov = Q(
+    "q_events_markov",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val src = Window.partitionBy("src")
+      ev(s, d)
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(seq).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .withColumn("prob_bp", expr("n * 10000 div sum(n) over (partition by src)"))
+        .orderBy("src", "dst")
+    },
+    Some("""WITH o AS (
+        SELECT user_id, event_type AS src,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events)
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+        count(*) * 10000 // sum(count(*)) OVER (PARTITION BY src) AS prob_bp
+      FROM o WHERE dst IS NOT NULL GROUP BY src, dst ORDER BY src, dst"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple,
-    sessionize, saltedAgg, variantExtract, funnel, retention)
+    sessionize, saltedAgg, variantExtract, funnel, retention, resample, anomaly, markov)
 }

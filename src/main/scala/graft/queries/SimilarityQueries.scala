@@ -679,8 +679,90 @@ object SimilarityQueries {
           dot(col("x.emb"), col("y.emb")) >= 0.9)
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("match_id"))
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of the two retrieval
+    * families this engine already serves: BM25 lexical rankings
+    * (`q_text_bm25`, qids 0-2) and exact dense cosine top-10
+    * (`q_sim_cosine_topk`, restricted to the same query ids — documents and
+    * embeddings share the 0-499 id domain). RRF(d) = Σ 1/(60 + rank) over
+    * the lists containing d, held integer-exact as ppm (1000000 div (60+rn))
+    * so both engines fuse and tie-break identically. Both inputs are reused
+    * VERBATIM via their declared Q fns — hybrid retrieval is a composition,
+    * not a third retriever. Scale shape: each retriever's plan is its own
+    * documented one; the fusion itself joins two ≤(queries × 10)-row lists
+    * on (qid, doc) — driver-invisible, broadcast-sized at any corpus scale.
+    */
+  private val rrfFusion = Q(
+    "q_sim_rrf",
+    (s, d) => {
+      val sparse = TextQueries.all.find(_.name == "q_text_bm25").get.fn(s, d)
+        .select(col("qid"), col("doc_id"), col("rn").as("rn_s"))
+      val dense = cosineTopk.fn(s, d)
+        .filter(col("query_id") < 3)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+          col("rn").as("rn_d"))
+      val w = Window.partitionBy("qid").orderBy(desc("rrf_ppm"), asc("doc_id"))
+      sparse.join(dense, Seq("qid", "doc_id"), "full")
+        .select(col("qid"), col("doc_id"),
+          (coalesce(expr("1000000 div (60 + rn_s)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + rn_d)"), lit(0L))).as("rrf_ppm"),
+          col("rn_s").isNotNull.as("in_sparse"),
+          col("rn_d").isNotNull.as("in_dense"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS t,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+      dfall AS (SELECT w AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tok GROUP BY w),
+      qt AS (SELECT CAST((rk - 1) // 4 AS BIGINT) AS qid, term FROM (
+               SELECT term, row_number() OVER (ORDER BY df, term) AS rk FROM dfall)
+             WHERE rk <= 12),
+      tf AS (SELECT t.doc_id, t.w AS term, CAST(count(*) AS BIGINT) AS tf
+             FROM tok t WHERE t.w IN (SELECT term FROM qt) GROUP BY t.doc_id, t.w),
+      idf AS (SELECT term,
+                CAST(length(bin(n*n*n*n)) - length(bin(df*df*df*df)) AS BIGINT) AS idf
+              FROM dfall, tot WHERE term IN (SELECT term FROM qt)),
+      sc AS (SELECT q.qid, f.doc_id,
+               CAST(sum((i.idf * f.tf * 11 * tot.t * 1000)
+                    // (20 * tot.t * f.tf + 6 * tot.t + 18 * d.dl * tot.n)) AS BIGINT)
+                 AS score_milli
+             FROM qt q JOIN tf f ON q.term = f.term
+               JOIN idf i ON i.term = q.term
+               JOIN dl d ON d.doc_id = f.doc_id, tot
+             GROUP BY q.qid, f.doc_id),
+      sp AS (SELECT qid, doc_id, rn FROM (
+               SELECT qid, doc_id,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rn FROM sc)
+             WHERE rn <= 10),
+      dn AS (SELECT query_id AS qid, neighbor_id AS doc_id, rn FROM (
+              SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         CAST(n.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                                n.vec_id) AS BIGINT) AS rn
+              FROM embeddings q, embeddings n
+              WHERE q.vec_id < 3 AND n.vec_id <> q.vec_id) sub
+            WHERE rn <= 10),
+      f AS (SELECT coalesce(sp.qid, dn.qid) AS qid,
+              coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+              coalesce(1000000 // (60 + sp.rn), 0)
+                + coalesce(1000000 // (60 + dn.rn), 0) AS rrf_ppm,
+              sp.rn IS NOT NULL AS in_sparse, dn.rn IS NOT NULL AS in_dense
+            FROM sp FULL JOIN dn ON sp.qid = dn.qid AND sp.doc_id = dn.doc_id)
+      SELECT qid, doc_id, rrf_ppm, in_sparse, in_dense, rn FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rn FROM f)
+      WHERE rn <= 5 ORDER BY qid, rn"""))
+
   val all: Seq[Q] = Seq(
     cosineTopk, neardupPairs, neardupLsh, embedDedup, embedDedupLsh,
     clusterStats, lshAnn, ivfAnn, multimodalMeta, semanticDedup, lshMultiprobe,
-    embedIncremental)
+    embedIncremental, rrfFusion)
 }

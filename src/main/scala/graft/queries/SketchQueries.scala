@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Tables.t
+
+/** Bounded-state sketch queries — the mergeable-summary family beside
+  * `q_agg_approx_distinct`/`q_agg_hll_merge`: heavy hitters without shuffling
+  * the key distribution, and count-min point estimates with a mirrored
+  * integer-exact oracle.
+  */
+object SketchQueries {
+
+  /** Exact heavy hitters through a bounded-state sketch: per-partition
+    * Misra-Gries (k=128 counters) → union of candidate keys (≤ partitions×k,
+    * broadcast) → exact recount restricted to candidates → threshold
+    * freq > n/k. The recount-then-threshold output EQUALS the plain
+    * groupBy-HAVING answer (candidate union is a superset of true frequent
+    * items — averaging argument, pinned in SketchesSpec), so the oracle is
+    * ordinary SQL. At 100 TB the win is what never happens: no shuffle of the
+    * full key distribution — the only wide stage is the recount over
+    * candidate-filtered rows, and its key cardinality is ≤ partitions×k.
+    */
+  private val heavyHitters = Q(
+    "q_agg_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val cands = ev.select(col("user_id")).as[Long]
+        .mapPartitions(it => graft.operators.Sketches.misraGries(it, 128).keysIterator)
+        .toDF("user_id").distinct()
+      val tot = ev.agg(count(lit(1)).as("n_tot"))
+      ev.select("user_id")
+        .join(broadcast(cands), Seq("user_id"), "leftsemi")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n") * 128 > col("n_tot"))
+        .select(col("user_id"), col("n"), expr("n * 10000 div n_tot").as("freq_bp"))
+        .orderBy("user_id")
+    },
+    Some("""WITH tot AS (SELECT count(*) AS n_tot FROM events)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             count(*) * 10000 // n_tot AS freq_bp
+      FROM events, tot GROUP BY user_id, n_tot
+      HAVING count(*) * 128 > n_tot ORDER BY user_id"""))
+
+  /** Bigrams of the space-tokenized text, exploded (narrow). */
+  private def bigrams(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bg"))
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) point estimates, built
+    * and probed end to end in integer arithmetic the DuckDB oracle replays
+    * exactly: d=3 rows × w=256 columns, the three row-hashes taken as 16-bit
+    * windows of ONE 46-bit polynomial state (the same independent-probe
+    * device as the bloom filter — affine probes off one hash would collide
+    * jointly). Cell(j,c) = Σ counts of keys mapping there; estimate =
+    * min over rows — ≥ exact by construction, the overestimate column shows
+    * each probe's collision cost at this fill (916 bigrams / 256 columns).
+    * Scale shape: the sketch is 768 summed cells regardless of corpus size —
+    * the mergeable fixed-size state a streaming or partitioned counter needs;
+    * probes meet it through a broadcast equi-join on (row, column).
+    */
+  private val countMin = Q(
+    "q_agg_countmin",
+    (s, d) => {
+      val withHash = bigrams(s, d)
+        .groupBy("bg").agg(count(lit(1)).as("n"))
+        .withColumn("h", graft.functions.VectorFunctions.polyHash(col("bg")))
+      val rc = array(
+        struct(lit(0).as("j"), expr("h % 65536 % 256").as("c")),
+        struct(lit(1).as("j"), expr("(h div 32768) % 65536 % 256").as("c")),
+        struct(lit(2).as("j"), expr("(h div 1073741824) % 65536 % 256").as("c")))
+      val cells = withHash
+        .select(col("n"), explode(rc).as("rc"))
+        .groupBy(col("rc.j").as("j"), col("rc.c").as("c"))
+        .agg(sum("n").as("cell"))
+      withHash.filter(col("n") >= 40)
+        .select(col("bg"), col("n"), explode(rc).as("rc"))
+        .select(col("bg"), col("n"), col("rc.j").as("j"), col("rc.c").as("c"))
+        .join(broadcast(cells), Seq("j", "c"))
+        .groupBy("bg", "n").agg(min("cell").as("est"))
+        .select(col("bg"), col("n"), col("est"),
+          (col("est") - col("n")).as("overestimate"))
+        .orderBy("bg")
+    },
+    Some("""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+      g AS (SELECT array_to_string(toks[i + 1:i + 2], ' ') AS bg
+            FROM (SELECT toks, unnest(generate_series(0, len(toks) - 2, 1)) AS i FROM d)),
+      c AS (SELECT bg, count(*) AS n FROM g GROUP BY bg),
+      hh AS (SELECT bg, n, list_reduce(list_prepend(7::BIGINT,
+               list_transform(range(1, length(bg) + 1),
+                 i -> ord(substr(bg, CAST(i AS INT), 1))::BIGINT)),
+               (acc, ch) -> (acc * 131 + ch) % 70368744177664) AS h FROM c),
+      cells AS (SELECT j, cc, CAST(sum(n) AS BIGINT) AS cell FROM (
+          SELECT n, unnest(list_value(0, 1, 2)) AS j,
+                 unnest(list_value(h % 65536 % 256, (h // 32768) % 65536 % 256,
+                   (h // 1073741824) % 65536 % 256)) AS cc
+          FROM hh) GROUP BY 1, 2),
+      pr AS (SELECT bg, n, unnest(list_value(0, 1, 2)) AS j,
+               unnest(list_value(h % 65536 % 256, (h // 32768) % 65536 % 256,
+                 (h // 1073741824) % 65536 % 256)) AS cc
+             FROM hh WHERE n >= 40)
+      SELECT bg, CAST(n AS BIGINT) AS n, min(cell) AS est,
+             min(cell) - CAST(n AS BIGINT) AS overestimate
+      FROM pr JOIN cells USING (j, cc)
+      GROUP BY bg, n ORDER BY bg"""))
+
+  val all: Seq[Q] = Seq(heavyHitters, countMin)
+}

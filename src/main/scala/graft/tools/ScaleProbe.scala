@@ -48,7 +48,10 @@ object ScaleProbe {
     "q_train_dataset_card",
     // r8: the shuffle-free broadcast-argmax assignment family
     "q_sim_ivf_trained", "q_sim_kmeans", "q_sim_outliers", "q_sim_ivf_ann",
-    "q_dedup_semantic")
+    "q_dedup_semantic",
+    // r8 second wave: sketches, containment, hybrid retrieval, event sequences
+    "q_dedup_containment", "q_agg_countmin", "q_sim_rrf",
+    "q_events_markov", "q_agg_heavy_hitters")
 
   private val ReplicaIdOffset = 10000000L
 
@@ -79,6 +82,18 @@ object ScaleProbe {
           (x, d) => x + lit(0.05f) * (((d * 7 + lit(i * 3)) % 11) - 5).cast("float"))
           .as("embedding"),
         col("label"))
+    }
+    // events grow by user population: each replica is a disjoint user cohort
+    // over the SAME time range — hourly densities rise N-fold (the linear
+    // aggregate term) while per-user sequence lengths stay constant (the
+    // window term), which is how production event volume actually scales
+    reps("events") { (e, i) =>
+      if (i == 0) e
+      else e.select(
+        (col("event_id") + lit(i * ReplicaIdOffset)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * ReplicaIdOffset)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
     }
     reps("customer") { (c, i) =>
       c.select(
