@@ -260,24 +260,17 @@ object EventsQueries {
       FROM act a JOIN sz USING (c0)
       GROUP BY a.c0, a.wk, cohort_n ORDER BY cohort_day, week_offset"""))
 
-  /** Shared dense hourly spine: per-type hourly counts gap-filled to zero over
-    * each type's [min, max] hour range. The spine is `sequence()` + explode on
-    * a 5-row bounds aggregate — spine cardinality is types × hours, independent
-    * of event volume, so at 100 TB the only corpus-sized stage is the first
-    * hourly aggregate (one shuffle on a (type, hour) key whose cardinality is
-    * tiny); everything after runs on the bounded spine. */
-  private def hourlySpine(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val h = ev(s, d)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
-    val spine = h.groupBy("event_type")
-      .agg(min("hr").as("h0"), max("hr").as("h1"))
-      .select(col("event_type"),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
-    spine.join(h, Seq("event_type", "hr"), "left")
-      .select(col("event_type"), col("hr"),
-        coalesce(col("n"), lit(0L)).as("n"), col("sum_v"))
-  }
+  /** Shared dense hourly spine ([[graft.operators.Monitoring.denseCounts]]):
+    * per-type hourly counts gap-filled to zero over each type's [min, max]
+    * hour range. Spine cardinality is types × hours, independent of event
+    * volume — at 100 TB the only corpus-sized stage is the first hourly
+    * aggregate (one shuffle on a tiny (type, hour) key); everything after
+    * runs on the bounded spine. */
+  private def hourlySpine(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.operators.Monitoring.denseCounts(
+      ev(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v")))
 
   /** Time-series resample: hourly counts gap-filled to zero plus a
     * forward-filled (last-observation-carried-forward) hourly value — the
@@ -324,22 +317,14 @@ object EventsQueries {
     * against a partial baseline. */
   private val anomaly = Q(
     "q_events_anomaly",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
-      hourlySpine(s, d)
-        .select(col("event_type"), col("hr"), col("n"),
-          count(lit(1)).over(w).as("w_cnt"),
-          sum("n").over(w).as("s"),
-          sum(col("n") * col("n")).over(w).as("q"))
-        .filter(col("w_cnt") === 24 &&
-          (lit(24) * col("n") - col("s")) * (lit(24) * col("n") - col("s")) >
-            lit(9) * (lit(24) * col("q") - col("s") * col("s")))
+    (s, d) =>
+      graft.operators.Monitoring.anomalies(
+        graft.operators.Monitoring.hourlyCounts(
+          ev(s, d).select(col("event_type"), col("ts"))))
         .select(col("event_type"),
           date_format(col("hr"), "yyyy-MM-dd HH:00").as("hour_start"),
-          col("n"), expr("s div 24").as("expected"))
-        .orderBy("event_type", "hour_start")
-    },
+          col("n"), col("expected"))
+        .orderBy("event_type", "hour_start"),
     Some("""WITH h AS (
         SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
         FROM events GROUP BY 1, 2),

@@ -297,6 +297,31 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Live anomaly monitor — the streaming twin of `q_events_anomaly`:
+    * per micro-batch, fold the batch's hourly partial counts into the
+    * persisted hourly store ([[graft.operators.Monitoring.updateHourly]],
+    * replay-guarded by the committed batch id swapped atomically WITH the
+    * store content) and republish the alerts table derived from the store
+    * alone through the IDENTICAL integer z-score gate the batch query and
+    * DuckDB oracle run. Per-batch cost: one O(delta) hourly aggregate plus
+    * analytics over the bounded types × hours store — event volume never
+    * re-enters. Input frame needs (event_type, ts: timestamp). */
+  def startAnomalyStream(
+      events: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Monitoring.updateHourly(
+          batch.sparkSession, batch.toDF(), storeDir, batchId)
+        graft.operators.Monitoring.publishAlerts(batch.sparkSession, storeDir)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming analytics over the event stream (SURVEY §2B streaming row):
     * tumbling event-time window counts with late-data drop. Watermark bounds
     * the window state; at 100 TB/day this shuffles once per window on

@@ -1078,4 +1078,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     runStream(s"$base/decon_ckpt2")
     assert(spark.read.parquet(outDir).count() == 2L, "replay duplicated verdicts")
   }
+
+  test("streaming anomaly monitor: micro-batched store converges to the batch gate; replay folds nothing") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Monitoring
+
+    val batchEvents = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("ts"))
+
+    // land the same events as 3 micro-batch files (micros-exact round trip)
+    val landing = s"$base/anomaly_landing"
+    Files.createDirectories(Paths.get(landing))
+    (0 until 3).foreach { i =>
+      batchEvents.filter(abs(hash(col("ts"))) % 3 === i)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        .coalesce(1).write.json(s"$landing/chunk$i")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("us",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(s"$landing/chunk*")
+      .select(col("event_type"), timestamp_micros(col("us")).as("ts"))
+
+    val storeDir = s"$base/anomaly_store"
+    val q = StreamingIngest.startAnomalyStream(
+      stream, storeDir, s"$base/anomaly_ckpt", Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] = df
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:00").as("h"), col("n"), col("expected"))
+      .collect().map(_.toString).toSet
+
+    // the store-derived alerts equal the one-shot batch gate over all events
+    val streamed = canon(Monitoring.readAlerts(spark, storeDir))
+    val batch = canon(Monitoring.anomalies(Monitoring.hourlyCounts(batchEvents)))
+    assert(streamed == batch,
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    assert(batch.nonEmpty, "gate must flag something on this corpus")
+
+    // replaying an already-committed batch id folds nothing (crash replay)
+    val before = Monitoring.readHourly(spark, storeDir)
+      .agg(sum("n")).head().getLong(0)
+    Monitoring.updateHourly(spark, batchEvents, storeDir, batchId = 0L)
+    val after = Monitoring.readHourly(spark, storeDir)
+      .agg(sum("n")).head().getLong(0)
+    assert(before == after, s"replay double-counted: $before -> $after")
+    assert(before == batchEvents.count(), "store total must equal event count")
+  }
 }
