@@ -121,6 +121,10 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match Bench's session: without this the 1x run can broadcast a side
+      // that the 10x run sort-merges, and the wall ratio measures a plan-
+      // shape flip instead of the operator's scaling
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -132,6 +136,12 @@ object ScaleProbe {
       spark.catalog.clearCache()
       fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
       spark.catalog.clearCache()
+      // settle the heap before timing (Bench's discipline): without this a
+      // heavy neighbor's garbage lands in THIS query's wall clock and 10x
+      // ratios read 3-4x high (measured: countmin 39 s contaminated vs
+      // 1.7 s in a fresh JVM on the identical 10x corpus)
+      System.gc()
+      Thread.sleep(500)
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
