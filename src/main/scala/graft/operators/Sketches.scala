@@ -1,5 +1,8 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
 /** Bounded-state frequency sketches.
@@ -58,5 +61,81 @@ object Sketches {
       val cut = counts(k) // (k+1)-th largest
       sum.iterator.collect { case (key, c) if c > cut => key -> (c - cut) }.toMap
     }
+  }
+
+  /** MG summary of a (single long-column) frame: per-partition sketches fold
+    * on the driver — the collect is ≤ partitions × k counter rows, bounded at
+    * any data volume (the bounded-state point of the operator). */
+  def summarize(keys: DataFrame, k: Int): Map[Long, Long] = {
+    val keyCol = keys.columns.head
+    val s = keys.sparkSession
+    import s.implicits._
+    keys.select(col(keyCol)).as[Long]
+      .mapPartitions(it => Iterator.single(misraGries(it, k)))
+      .collect()
+      .foldLeft(Map.empty[Long, Long])((a, b) => mergeMisraGries(a, b, k))
+  }
+
+  // ---- persisted streaming sketch (the top-talkers monitor state) -------
+
+  private def fsOf(spark: SparkSession, dir: Path): FileSystem =
+    FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+
+  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path): Unit = {
+    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
+    fs.delete(aside, true)
+    if (fs.exists(dir) && !fs.rename(dir, aside))
+      throw new java.io.IOException(s"sketch store: cannot move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      val rolledBack = fs.exists(aside) && fs.rename(aside, dir)
+      throw new java.io.IOException(s"sketch store: swap failed for $dir, " +
+        (if (rolledBack) "rolled back" else s"no rollback (see $aside)"))
+    }
+    fs.delete(aside, true)
+  }
+
+  private val MetaFile = "_graft_committed_batch" // '_' prefix: invisible to parquet reads
+
+  private def committedBatch(fs: FileSystem, dir: Path): Long = {
+    val p = new Path(dir, MetaFile)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        .trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** The stored MG summary as (key, cnt) rows (empty if never committed). */
+  def readSketch(spark: SparkSession, storeDir: String): Map[Long, Long] = {
+    val dir = new Path(s"$storeDir/sketch")
+    if (!fsOf(spark, dir).exists(dir)) Map.empty
+    else spark.read.parquet(dir.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Fold one micro-batch of keys into the stored MG summary — the
+    * streaming top-talkers monitor. MG summaries are mergeable with the
+    * additive-error guarantee intact, so the stored sketch after N batches
+    * carries the same bounds as a one-shot pass over their union:
+    * every key with total frequency > n/(k+1) is present and counters
+    * undercount by ≤ n/(k+1). Replay-safe like the other stores: the
+    * committed batch id swaps atomically with the sketch content. */
+  def updateStoredSketch(
+      spark: SparkSession, keys: DataFrame, storeDir: String,
+      k: Int, batchId: Long): Unit = {
+    val dir = new Path(s"$storeDir/sketch")
+    val fs = fsOf(spark, dir)
+    if (batchId <= committedBatch(fs, dir)) return // crash replay: already folded
+    val merged = mergeMisraGries(readSketch(spark, storeDir), summarize(keys, k), k)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    fs.delete(tmp, true)
+    import spark.implicits._
+    merged.toSeq.toDF("key", "cnt").coalesce(1).write.parquet(tmp.toString)
+    val out = fs.create(new Path(tmp, MetaFile), true)
+    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    atomicSwap(fs, dir, tmp)
   }
 }

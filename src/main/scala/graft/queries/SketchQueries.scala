@@ -110,5 +110,57 @@ object SketchQueries {
       FROM pr JOIN cells USING (j, cc)
       GROUP BY bg, n ORDER BY bg"""))
 
-  val all: Seq[Q] = Seq(heavyHitters, countMin)
+  /** EXACT global quantiles (p50/p90/p99) in two passes with no global sort —
+    * the scale path `percentile()`'s single-partition sort cannot take at
+    * 100 TB. Pass 1: a histogram aggregate on 655.36-unit value buckets
+    * (map-side combinable, ~160-row output at any corpus size) plus a total
+    * count; the cumulative-count window and the rank→bucket bracketing run
+    * on that bounded table. Pass 2: only rows of the ≤3 target buckets
+    * survive a broadcast semi-ish join, and the within-bucket ranking
+    * shuffles corpus/B rows. Target ranks are integer-exact
+    * ceil(p·n) = (p_bp·n + 9999) div 10000 — DuckDB's quantile_disc
+    * semantics, verified empirically — and the output is an actual element,
+    * so the independent oracle (not a mirror!) must match bit-for-bit.
+    * Prices are exact cents, so the LONG cents key orders identically to
+    * the double. At larger domains the same construction nests (bucket →
+    * sub-bucket) before any partition sort exceeds memory. */
+  private val quantileTwoPass = Q(
+    "q_agg_quantile_2pass",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, d, "lineitem")
+        .select(col("l_extendedprice").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("vc"))
+        .withColumn("bucket", expr("vc div 65536"))
+      val counts = li.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      // bounded bucket table: the no-partition window is ~160 rows by design
+      val wcum = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = counts
+        .withColumn("cum_before", coalesce(sum("cnt").over(wcum), lit(0L)))
+      val tot = li.agg(count(lit(1)).as("n"))
+      val targets = Seq(("p50", 5000L), ("p90", 9000L), ("p99", 9900L))
+        .toDF("pct", "p_bp")
+        .crossJoin(broadcast(tot))
+        .withColumn("r", expr("(p_bp * n + 9999) div 10000"))
+        .join(broadcast(cum),
+          col("r") > col("cum_before") && col("r") <= col("cum_before") + col("cnt"))
+        .select(col("pct"), col("bucket"), (col("r") - col("cum_before")).as("off"))
+      val w = Window.partitionBy("bucket", "pct").orderBy("vc")
+      li.join(broadcast(targets), Seq("bucket"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") === col("off"))
+        .select(col("pct"), col("x").as("value"))
+        .orderBy("pct")
+    },
+    Some("""SELECT * FROM (
+        SELECT 'p50' AS pct, quantile_disc(l_extendedprice, 0.5) AS value FROM lineitem
+        UNION ALL
+        SELECT 'p90', quantile_disc(l_extendedprice, 0.9) FROM lineitem
+        UNION ALL
+        SELECT 'p99', quantile_disc(l_extendedprice, 0.99) FROM lineitem)
+      ORDER BY pct"""))
+
+  val all: Seq[Q] = Seq(heavyHitters, countMin, quantileTwoPass)
 }

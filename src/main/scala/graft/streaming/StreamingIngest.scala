@@ -322,6 +322,30 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming top-talkers monitor — the live twin of
+    * `q_agg_heavy_hitters`'s sketch phase: each micro-batch's keys fold
+    * into a persisted Misra-Gries summary of at most k counters
+    * ([[graft.operators.Sketches.updateStoredSketch]]). MG summaries merge
+    * with the additive-error bound intact, so after any number of batches
+    * the store retains every key with total frequency > n/(k+1) and
+    * undercounts by ≤ n/(k+1) — bounded state forever, no watermark, no
+    * per-key streaming state. Input frame: one long key column. */
+  def startHeavyHittersStream(
+      keys: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      k: Int = 128,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    keys.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Sketches.updateStoredSketch(
+          batch.sparkSession, batch.toDF(), storeDir, k, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming analytics over the event stream (SURVEY §2B streaming row):
     * tumbling event-time window counts with late-data drop. Watermark bounds
     * the window state; at 100 TB/day this shuffles once per window on

@@ -315,6 +315,36 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!radius.contains("CartesianProduct"), radius)
   }
 
+  test("r8 sketch/containment/fusion/event-series family: no pairwise plans; bounded sides broadcast") {
+    Seq("q_dedup_containment", "q_agg_countmin", "q_agg_heavy_hitters",
+        "q_sim_rrf", "q_events_markov", "q_events_anomaly", "q_events_resample",
+        "q_agg_quantile_2pass").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    // heavy hitters: the recount touches the corpus through a BROADCAST
+    // left-semi on the bounded candidate union — the full key distribution
+    // must never shuffle
+    val hh = plan("q_agg_heavy_hitters")
+    assert(hh.contains("BroadcastHashJoin") && hh.contains("LeftSemi"), hh)
+    // count-min: probes meet the 768-cell sketch through a broadcast equi-join
+    assert(plan("q_agg_countmin").contains("BroadcastHashJoin"))
+    // containment: docs meet ONLY through the shared-gram equi-join
+    val cont = plan("q_dedup_containment")
+    assert(!cont.contains("BroadcastNestedLoopJoin"), cont)
+    // two-pass quantile: the only joins are the bounded bracketing join
+    // (3 percentiles x ~160 buckets) and the broadcast of <=3 target rows
+    // into the second scan — never an exchange-then-sort of the corpus
+    val qt = plan("q_agg_quantile_2pass")
+    assert(qt.contains("BroadcastHashJoin") || qt.contains("BroadcastNestedLoopJoin"), qt)
+    // anomaly/resample windows partition by event_type over the bounded
+    // spine — no global no-partition window over corpus-sized input
+    Seq("q_events_anomaly", "q_events_resample").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q lost its window")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
   test("q_sample_weighted / q_text_chunk: narrow shapes — no join anywhere") {
     assert(!plan("q_sample_weighted").contains("Join"))
     assert(!plan("q_text_chunk").contains("Join"))

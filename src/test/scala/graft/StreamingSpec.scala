@@ -1130,4 +1130,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(before == after, s"replay double-counted: $before -> $after")
     assert(before == batchEvents.count(), "store total must equal event count")
   }
+
+  test("streaming top-talkers: stored MG sketch keeps the merged-summary bounds across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+
+    val ids = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"))
+    val landing = s"$base/hh_landing"
+    Files.createDirectories(Paths.get(landing))
+    (0 until 3).foreach { i =>
+      ids.filter(abs(hash(col("user_id"))) % 3 === i)
+        .coalesce(1).write.json(s"$landing/chunk$i")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(s"$landing/chunk*")
+
+    val storeDir = s"$base/hh_store"
+    val k = 8 // below the 15 distinct users: evictions must actually happen
+    val q = StreamingIngest.startHeavyHittersStream(
+      stream, storeDir, s"$base/hh_ckpt", k, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val sketch = Sketches.readSketch(spark, storeDir)
+    assert(sketch.nonEmpty && sketch.size <= k, s"sketch size ${sketch.size}")
+    val exact = ids.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sketch.size < exact.size, "eviction must have pruned some keys")
+    val n = exact.values.sum
+    // merged-summary guarantees: frequent keys retained, bounded undercount
+    val mustKeep = exact.filter { case (_, c) => c * (k + 1) > n }.keySet
+    assert(mustKeep.subsetOf(sketch.keySet),
+      s"lost frequent keys: ${mustKeep -- sketch.keySet}")
+    sketch.foreach { case (key, c) =>
+      assert(c <= exact(key), s"overcount for $key")
+      assert(exact(key) - c <= n / (k + 1), s"undercount past bound for $key")
+    }
+    // crash replay of an already-committed batch folds nothing
+    val before = sketch
+    Sketches.updateStoredSketch(spark, ids, storeDir, k, batchId = 1L)
+    assert(Sketches.readSketch(spark, storeDir) == before, "replay mutated the sketch")
+  }
 }
