@@ -370,6 +370,30 @@ object EventsQueries {
         count(*) * 10000 // sum(count(*)) OVER (PARTITION BY src) AS prob_bp
       FROM o WHERE dst IS NOT NULL GROUP BY src, dst ORDER BY src, dst"""))
 
+  /** Batch sliding windows (2 h window, 1 h slide) — the batch twin of the
+    * streaming `slidingCounts`: Spark's `window()` assigns each event to
+    * width/slide = 2 overlapping windows; the oracle replays the assignment
+    * as an explicit 2-element unnest (start hours h and h−1). One shuffle on
+    * the low-cardinality (window, type) key, same as the tumbling form. */
+  private val sliding = Q(
+    "q_events_sliding",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00").as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type"),
+    Some("""WITH w AS (
+        SELECT event_type,
+          unnest(list_value(date_trunc('hour', ts),
+                            date_trunc('hour', ts) - INTERVAL 1 HOUR)) AS ws
+        FROM events)
+      SELECT strftime(ws, '%Y-%m-%d %H:00') AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM w GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple,
-    sessionize, saltedAgg, variantExtract, funnel, retention, resample, anomaly, markov)
+    sessionize, saltedAgg, variantExtract, funnel, retention, resample, anomaly, markov, sliding)
 }

@@ -761,8 +761,62 @@ object SimilarityQueries {
           ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rn FROM f)
       WHERE rn <= 5 ORDER BY qid, rn"""))
 
+  /** Matryoshka-style ADAPTIVE retrieval (Kusupati et al. 2022 / adaptive
+    * two-stage search): rank the whole corpus by the cosine of a 32-dim
+    * PREFIX of the 64-dim vectors (half the scan FLOPs/bytes), keep a
+    * k'=80 shortlist, then rerank only the shortlist at full dimension.
+    * On this corpus's iid embeddings the prefix carries only half the
+    * signal — measured recall@10 is 8-9/10 (pinned ≥ 40/50 in QuantSpec's
+    * sibling style below) — while MRL-TRAINED embeddings concentrate
+    * information in the prefix by construction, making the same plan
+    * near-lossless in production. Scale shape: the corpus-sized stage
+    * touches only the truncated prefix (a column-pruned narrow scan at
+    * rest if prefixes are stored split), and full vectors are read for
+    * 80 rows per query. The oracle replays both stages. */
+  private val adaptive = Q(
+    "q_sim_adaptive",
+    (s, d) => {
+      val vecs = embeddings(s, d).select(col("vec_id"),
+        l2Normalize(col("emb")).as("emb"),
+        l2Normalize(slice(col("emb"), 1, 32)).as("emb32"))
+      val q = broadcast(vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("emb").as("qemb"), col("emb32").as("qemb32")))
+      val w1 = Window.partitionBy("query_id").orderBy(desc("t_cos"), asc("neighbor_id"))
+      val shortlist = vecs.join(q, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("emb32"), col("qemb32")), 6).as("t_cos"),
+          col("emb"), col("qemb"))
+        .withColumn("srn", row_number().over(w1))
+        .filter(col("srn") <= 80)
+      val w2 = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+      shortlist
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot(col("emb"), col("qemb")), 6).as("cos_sim"))
+        .withColumn("rn", row_number().over(w2).cast("long"))
+        .filter(col("rn") <= 10)
+        .orderBy("query_id", "rn")
+    },
+    Some("""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      sl AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               round(list_cosine_similarity(n.de[1:32], q.de[1:32]), 6) AS t_cos,
+               n.de AS nde, q.de AS qde
+             FROM e0 q, e0 n WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id),
+      s2 AS (SELECT query_id, neighbor_id, nde, qde,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY t_cos DESC, neighbor_id) AS srn
+             FROM sl)
+      SELECT query_id, neighbor_id, cos_sim, rn FROM (
+        SELECT query_id, neighbor_id,
+          round(list_cosine_similarity(nde, qde), 6) AS cos_sim,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY round(list_cosine_similarity(nde, qde), 6) DESC, neighbor_id)
+            AS BIGINT) AS rn
+        FROM s2 WHERE srn <= 80)
+      WHERE rn <= 10 ORDER BY query_id, rn"""))
+
   val all: Seq[Q] = Seq(
     cosineTopk, neardupPairs, neardupLsh, embedDedup, embedDedupLsh,
     clusterStats, lshAnn, ivfAnn, multimodalMeta, semanticDedup, lshMultiprobe,
-    embedIncremental, rrfFusion)
+    embedIncremental, rrfFusion, adaptive)
 }

@@ -622,4 +622,23 @@ class QuantSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ratio = graft.operators.VectorIndex.driftRatio(spark, sf, idx, minVecId = 300)
     assert(ratio > 0.0)
   }
+
+  test("adaptive retrieval: 32-dim prefix shortlist + full rerank holds recall@10 vs exact cosine") {
+    // sf0.01 (500 vectors) so the k'=80 shortlist is a real subset — at
+    // sf0.001 the shortlist covers the corpus and the test would be vacuous
+    val d = "/root/testdata/sf0.01"
+    def pairs(name: String) = SparkEntry.queries(name)(spark, d)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q_sim_cosine_topk")
+    val adapt = pairs("q_sim_adaptive")
+    assert(exact.size == 50 && adapt.size == 50)
+    val recall = (exact & adapt).size
+    // measured 43/50 on this corpus's iid embeddings (the prefix carries
+    // only its proportional share of signal here; MRL-trained embeddings
+    // concentrate it by construction)
+    assert(recall >= 40, s"recall@10 dropped: $recall/50")
+    assert(recall < 50, "iid corpus should show SOME prefix loss — if this " +
+      "fires the shortlist likely covers the corpus and the test went vacuous")
+  }
 }
