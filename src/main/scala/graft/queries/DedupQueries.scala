@@ -753,6 +753,11 @@ object DedupQueries {
           .as("ng"))
         .select(col("doc_id"), graft.functions.VectorFunctions.polyHash(col("ng")).as("gh"))
         .distinct()
+      // NOT cached although consumed 3x: the gram table is corpus-sized, and
+      // pinning corpus-sized state is exactly what a 100 TB plan must never
+      // do. Measured at 10x: recomputing the three narrow scan+distinct legs
+      // runs 13-15 s steady, while a cache swings 10-26 s as the 75M-row
+      // frame churns the storage pool — recompute is both cheaper and flat
       val sz = g.groupBy("doc_id").agg(count(lit(1)).as("a_size"))
       val a = g.select(col("doc_id").as("a_id"), col("gh"))
       val b = g.select(col("doc_id").as("b_id"), col("gh"))

@@ -70,6 +70,8 @@ object SketchQueries {
       val withHash = bigrams(s, d)
         .groupBy("bg").agg(count(lit(1)).as("n"))
         .withColumn("h", graft.functions.VectorFunctions.polyHash(col("bg")))
+        .cache() // cells + probes both fold off this vocabulary-sized table;
+                 // without the cache each recomputes the corpus bigram count
       val rc = array(
         struct(lit(0).as("j"), expr("h % 65536 % 256").as("c")),
         struct(lit(1).as("j"), expr("(h div 32768) % 65536 % 256").as("c")),
