@@ -164,5 +164,35 @@ object SketchQueries {
         SELECT 'p99', quantile_disc(l_extendedprice, 0.99) FROM lineitem)
       ORDER BY pct"""))
 
-  val all: Seq[Q] = Seq(heavyHitters, countMin, quantileTwoPass)
+  /** Per-group top-3 through the typed bounded-buffer aggregate
+    * ([[graft.functions.TopKByValue]]) instead of a window: the window
+    * formulation (`q_window_topk`) shuffles every row to its group's
+    * reducer and sorts; the aggregate keeps ≤k pairs per group per map
+    * task and merges partials, so the exchange carries partitions ×
+    * groups × k rows — ranking with count/sum economics. The oracle IS
+    * the window formulation, proving the two agree row-for-row (ties
+    * resolved by the shared (value DESC, id ASC) order). PlansSpec pins
+    * the partial-aggregate shape (ObjectHashAggregate before and after
+    * the exchange). */
+  private val topkAgg = Q(
+    "q_sort_topk_group",
+    (s, d) => {
+      val topk = udaf(graft.functions.TopKByValue(3))
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+          col("col._1").as("o_totalprice"), col("col._2").as("o_orderkey"))
+        .orderBy("o_orderpriority", "rk")
+    },
+    Some("""SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_totalprice, o_orderkey
+      FROM (
+        SELECT o_orderpriority, o_totalprice, o_orderkey,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders)
+      WHERE rk <= 3 ORDER BY o_orderpriority, rk"""))
+
+  val all: Seq[Q] = Seq(heavyHitters, countMin, quantileTwoPass, topkAgg)
 }

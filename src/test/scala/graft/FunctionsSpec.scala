@@ -521,4 +521,24 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tgtShareSelected > tgtShareCorpus,
       s"selected target share $tgtShareSelected should exceed corpus share $tgtShareCorpus")
   }
+
+  test("TopKByValue: partial merges equal the one-shot pass; ties break by id; buffer stays bounded") {
+    val agg = graft.functions.TopKByValue(3)
+    val rows = Seq((5.0, 10L), (7.0, 3L), (5.0, 2L), (9.0, 8L), (7.0, 1L),
+      (1.0, 4L), (9.0, 9L), (3.0, 6L))
+    val oneShot = agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+    // every 2-way split of the stream must merge to the identical result
+    (1 until rows.size).foreach { cut =>
+      val (a, b) = rows.splitAt(cut)
+      val merged = agg.finish(agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce)))
+      assert(merged == oneShot, s"cut=$cut: $merged vs $oneShot")
+      assert(merged.size == 3)
+    }
+    // ties (9.0 at ids 8,9) resolve id-ascending, matching the oracle window
+    assert(oneShot == Seq((9.0, 8L), (9.0, 9L), (7.0, 1L)))
+    // the reduce fast-path never grows the buffer past k
+    val big = (0 until 1000).map(i => (i.toDouble, i.toLong))
+    assert(big.foldLeft(agg.zero)(agg.reduce).size == 3)
+  }
 }

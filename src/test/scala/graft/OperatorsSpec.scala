@@ -57,6 +57,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("runtime bloom-filter join pruning reaches the fact-side scan (the selective-join 100 TB story)") {
+    val s = spark
+    // the complement of AQE skew handling: when a SHUFFLE join's build side
+    // is selective, Catalyst injects a bloom filter of the build keys into
+    // the probe-side scan, so most fact rows die at the scan instead of
+    // crossing the shuffle. Thresholds scaled down for local data;
+    // production uses the 10 MB creation-side default — the MECHANISM is
+    // what's pinned.
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    try {
+      val li = s.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      val sel = s.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .filter(col("o_orderkey") % 10 === 0) // selective build side
+      val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(joined.collect().nonEmpty)
+      val p = joined.queryExecution.executedPlan.toString
+      // the injected probe renders as might_contain(subquery, xxhash64(key))
+      // on the FACT side's Filter; the build renders as bloom_filter_agg
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${p.take(4000)}")
+      assert(p.contains("might_contain(Subquery") ||
+        p.linesIterator.exists(l => l.contains("might_contain") && l.contains("l_orderkey")),
+        "bloom probe did not land on the lineitem fact side")
+    } finally {
+      s.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      s.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    }
+  }
+
   test("json_array_contains agrees with the native from_json formulation; Presto edges") {
     val s = spark
     import s.implicits._

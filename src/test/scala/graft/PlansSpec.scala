@@ -345,6 +345,17 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_sort_topk_group: the typed top-k aggregate partial-aggregates before the exchange") {
+    val p = plan("q_sort_topk_group")
+    // partial ObjectHashAggregate (map side, bounded k-row buffers) +
+    // final after the group exchange — ranking with count/sum economics;
+    // a window formulation would instead sort every row per group
+    assert(p.contains("ObjectHashAggregate"), p)
+    val objAggCount = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(objAggCount >= 2, s"expected partial+final ObjectHashAggregate, got $objAggCount:\n$p")
+    assert(!p.contains("Window"), "top-k agg must not fall back to a window")
+  }
+
   test("q_sample_weighted / q_text_chunk: narrow shapes — no join anywhere") {
     assert(!plan("q_sample_weighted").contains("Join"))
     assert(!plan("q_text_chunk").contains("Join"))
