@@ -538,7 +538,44 @@ object TrainingDataQueries {
              n_tokens * 64 * 10000 // total_tokens AS load_bp
       FROM g, tot ORDER BY shard"""))
 
+  /** Temperature-scaled multilingual rebalancing (the τ-sampling of every
+    * multilingual pretraining recipe, τ = 0.5): language l keeps documents
+    * at rate ∝ 1/√n_l, normalized so the SMALLEST language keeps everything
+    * — sampled mass per language goes as √n_l, flattening the head without
+    * starving the tail (en 218→119 here while fr 64→64). Arithmetic is
+    * floor(√(10⁶·n_min div n_l)) — isqrt of an integer: IEEE sqrt is
+    * correctly rounded and an integer's true root is never within half an
+    * ulp of a wrong integer below 2⁵², so floor agrees bit-for-bit across
+    * engines with no float-boundary hazard. Selection reuses the stateless
+    * multiplicative id-hash (reshuffle-stable, RNG-free). One 5-row rate
+    * table broadcast onto the scan — narrow at any corpus size. */
+  private val mixTemperature = Q(
+    "q_mix_temperature",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val rates = counts.crossJoin(broadcast(counts.agg(min("n").as("n_min"))))
+        .select(col("lang"),
+          floor(sqrt(expr("CAST(1000000 * n_min div n AS DOUBLE)")))
+            .cast("long").as("keep_permille"))
+      docs.join(broadcast(rates), Seq("lang"))
+        .filter((col("doc_id") % 1000003L * 2654435761L % 4294967296L) % 1000L
+          < col("keep_permille"))
+        .select(col("doc_id"), col("lang"), col("keep_permille"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      mn AS (SELECT min(n) AS n_min FROM c),
+      rates AS (SELECT lang,
+                  CAST(floor(sqrt(CAST(1000000 * n_min // n AS DOUBLE))) AS BIGINT)
+                    AS keep_permille
+                FROM c, mn)
+      SELECT d.doc_id, d.lang, keep_permille
+      FROM documents d JOIN rates USING (lang)
+      WHERE ((d.doc_id % 1000003) * 2654435761) % 4294967296 % 1000 < keep_permille
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Q] =
     Seq(chunk, contamination, sampleWeighted, sampleDsir, packSequences, shuffleOrder,
-      mixSources, contaminationBloom, datasetCard, packBuckets, shards)
+      mixSources, contaminationBloom, datasetCard, packBuckets, shards, mixTemperature)
 }
