@@ -115,6 +115,56 @@ object Sketches {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  /** Count-min cell table of a (single string-column) frame: d=3 rows ×
+    * w=256 columns, row-hashes taken as three 16-bit windows of the 46-bit
+    * polynomial state (the q_agg_countmin layout). CM is a LINEAR sketch —
+    * cell tables of disjoint batches ADD to the cell table of their union
+    * exactly — which is what makes the stored form below incrementally
+    * maintainable with zero error drift. */
+  def countMinCells(keys: DataFrame): DataFrame = {
+    val keyCol = keys.columns.head
+    val h = keys.select(col(keyCol).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .withColumn("h", graft.functions.VectorFunctions.polyHash(col("k")))
+    val rc = array(
+      struct(lit(0).as("j"), expr("h % 65536 % 256").as("c")),
+      struct(lit(1).as("j"), expr("(h div 32768) % 65536 % 256").as("c")),
+      struct(lit(2).as("j"), expr("(h div 1073741824) % 65536 % 256").as("c")))
+    h.select(col("n"), explode(rc).as("rc"))
+      .groupBy(col("rc.j").as("j"), col("rc.c").as("c"))
+      .agg(sum("n").as("cell"))
+  }
+
+  /** The stored CM cell table (empty if never committed). */
+  def readCountMin(spark: SparkSession, storeDir: String): DataFrame = {
+    val dir = new Path(s"$storeDir/cm")
+    if (fsOf(spark, dir).exists(dir)) spark.read.parquet(dir.toString)
+    else spark.range(0).select(lit(0).as("j"), lit(0L).as("c"), lit(0L).as("cell"))
+  }
+
+  /** Fold one micro-batch of string keys into the stored count-min table —
+    * by linearity the stored cells after N batches equal the one-shot
+    * cells of the union, bit-for-bit (pinned in StreamingSpec). Replay-safe
+    * via the committed-batch-id-inside-the-swap discipline. The store is
+    * 768 summed cells at any volume — the fixed-size distributed-counter
+    * state the MG store's frequency twin. */
+  def updateStoredCountMin(
+      spark: SparkSession, keys: DataFrame, storeDir: String, batchId: Long): Unit = {
+    val dir = new Path(s"$storeDir/cm")
+    val fs = fsOf(spark, dir)
+    if (batchId <= committedBatch(fs, dir)) return // crash replay: already folded
+    val merged = readCountMin(spark, storeDir)
+      .unionByName(countMinCells(keys))
+      .groupBy("j", "c").agg(sum("cell").as("cell"))
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    fs.delete(tmp, true)
+    merged.coalesce(1).write.parquet(tmp.toString)
+    val out = fs.create(new Path(tmp, MetaFile), true)
+    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    atomicSwap(fs, dir, tmp)
+  }
+
   /** Fold one micro-batch of keys into the stored MG summary — the
     * streaming top-talkers monitor. MG summaries are mergeable with the
     * additive-error guarantee intact, so the stored sketch after N batches

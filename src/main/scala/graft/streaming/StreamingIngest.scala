@@ -346,6 +346,28 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming count-min maintenance — the frequency twin of the MG
+    * top-talkers store: each micro-batch's keys fold into the persisted
+    * 768-cell table ([[graft.operators.Sketches.updateStoredCountMin]]).
+    * CM is a linear sketch, so the stored cells after any number of
+    * batches equal a one-shot build over their union BIT-FOR-BIT (pinned
+    * in StreamingSpec) — no error drift from incremental maintenance,
+    * fixed-size state forever. Input frame: one string key column. */
+  def startCountMinStream(
+      keys: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    keys.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Sketches.updateStoredCountMin(
+          batch.sparkSession, batch.toDF(), storeDir, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming analytics over the event stream (SURVEY §2B streaming row):
     * tumbling event-time window counts with late-data drop. Watermark bounds
     * the window state; at 100 TB/day this shuffles once per window on

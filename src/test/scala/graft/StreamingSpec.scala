@@ -1174,4 +1174,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Sketches.updateStoredSketch(spark, ids, storeDir, k, batchId = 1L)
     assert(Sketches.readSketch(spark, storeDir) == before, "replay mutated the sketch")
   }
+
+  test("streaming count-min: stored cells equal the one-shot build bit-for-bit (linearity)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+
+    def toBigrams(df: org.apache.spark.sql.DataFrame) = df
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bg"))
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val landing = s"$base/cm_landing"
+    Files.createDirectories(Paths.get(landing))
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i).coalesce(1).write.json(s"$landing/chunk$i")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = toBigrams(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(s"$landing/chunk*"))
+
+    val storeDir = s"$base/cm_store"
+    val q = StreamingIngest.startCountMinStream(
+      stream, storeDir, s"$base/cm_ckpt", Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    def cells(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long)] = df
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = cells(Sketches.readCountMin(spark, storeDir))
+    val oneShot = cells(Sketches.countMinCells(toBigrams(docs)))
+    assert(stored == oneShot,
+      s"linearity broken: stored-only=${stored -- oneShot} oneshot-only=${oneShot -- stored}")
+    assert(stored.nonEmpty)
+    // crash replay folds nothing
+    Sketches.updateStoredCountMin(spark, toBigrams(docs), storeDir, batchId = 0L)
+    assert(cells(Sketches.readCountMin(spark, storeDir)) == stored, "replay mutated the cells")
+  }
 }
