@@ -394,6 +394,40 @@ object EventsQueries {
              CAST(count(*) AS BIGINT) AS n
       FROM w GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
+  /** k-anonymity audit — the privacy-analytics complement of the GDPR
+    * erasure operators (Retention / deleteFromIndex / tombstones): group
+    * the corpus by a quasi-identifier tuple (event type, coarse user
+    * bucket, hour-of-day) and surface every equivalence class smaller than
+    * k=5 — the rows a release would have to suppress or generalize, with
+    * the total suppression burden in basis points. One corpus aggregate on
+    * the QI key (low cardinality, map-side combinable), then thresholding
+    * on the bounded class table. */
+  private val kanon = Q(
+    "q_privacy_kanon",
+    (s, d) => {
+      val classes = ev(s, d)
+        .select(col("event_type"), (col("user_id") % 10).as("ubucket"),
+          hour(col("ts")).cast("long").as("hod"))
+        .groupBy("event_type", "ubucket", "hod")
+        .agg(count(lit(1)).as("class_size"))
+      val tot = ev(s, d).agg(count(lit(1)).as("n_tot"))
+      classes.filter(col("class_size") < 5)
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"), col("ubucket"), col("hod"), col("class_size"),
+          expr("class_size * 10000 div n_tot").as("suppress_bp"))
+        .orderBy("event_type", "ubucket", "hod")
+    },
+    Some("""WITH c AS (
+        SELECT event_type, user_id % 10 AS ubucket,
+               CAST(extract(hour FROM ts) AS BIGINT) AS hod, count(*) AS class_size
+        FROM events GROUP BY 1, 2, 3),
+      tot AS (SELECT count(*) AS n_tot FROM events)
+      SELECT event_type, ubucket, hod, CAST(class_size AS BIGINT) AS class_size,
+             class_size * 10000 // n_tot AS suppress_bp
+      FROM c, tot WHERE class_size < 5
+      ORDER BY event_type, ubucket, hod"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple,
-    sessionize, saltedAgg, variantExtract, funnel, retention, resample, anomaly, markov, sliding)
+    sessionize, saltedAgg, variantExtract, funnel, retention, resample, anomaly, markov, sliding,
+    kanon)
 }
