@@ -427,7 +427,66 @@ object EventsQueries {
       FROM c, tot WHERE class_size < 5
       ORDER BY event_type, ubucket, hod"""))
 
+  /** l-diversity audit — k-anonymity's blind spot: a class can be large
+    * (k-safe) yet still leak if every member shares the same sensitive
+    * value, so an attacker who places a target in the class learns the
+    * attribute without identifying the row. Over the SAME quasi-identifier
+    * tuple as [[kanon]], count distinct sensitive values (the integer-
+    * bucketed measurement `value`) per class and surface every class below
+    * l=3 with its size — the classes a release must generalize even after
+    * the k-audit passes. Same scale shape as kanon: one corpus aggregate on
+    * the low-cardinality QI key (count-distinct over a bounded sensitive
+    * domain is map-side partial), thresholding on the bounded class table. */
+  private val ldiversity = Q(
+    "q_privacy_ldiversity",
+    (s, d) =>
+      ev(s, d)
+        .select(col("event_type"), (col("user_id") % 10).as("ubucket"),
+          hour(col("ts")).cast("long").as("hod"),
+          floor(col("value")).cast("long").as("sens"))
+        .groupBy("event_type", "ubucket", "hod")
+        .agg(count(lit(1)).as("class_size"), countDistinct("sens").as("l_distinct"))
+        .filter(col("l_distinct") < 3)
+        .orderBy("event_type", "ubucket", "hod"),
+    Some("""SELECT event_type, user_id % 10 AS ubucket,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS class_size,
+             CAST(count(DISTINCT CAST(floor(value) AS BIGINT)) AS BIGINT) AS l_distinct
+      FROM events GROUP BY 1, 2, 3 HAVING count(DISTINCT CAST(floor(value) AS BIGINT)) < 3
+      ORDER BY event_type, ubucket, hod"""))
+
+  /** Frequent 3-step behavioral sequences — the order-k extension of the
+    * [[markov]] first-order matrix: two lead()s over the same per-user
+    * event-time window pair each event with its next two, then a tiny
+    * (s1,s2,s3) aggregate keeps the top 10 under a total order (count desc,
+    * then the triple itself), so the limit is deterministic under count
+    * ties. Scale shape is identical to markov: the only corpus-sized stage
+    * is the user_id-keyed window (ONE shuffle, reused for both leads — no
+    * corpus-wide sort); the ranking runs on the ≤|types|³ triple table. */
+  private val sequences = Q(
+    "q_events_sequences",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev(s, d)
+        .select(col("user_id"), col("event_type").as("s1"),
+          lead(col("event_type"), 1).over(seq).as("s2"),
+          lead(col("event_type"), 2).over(seq).as("s3"))
+        .filter(col("s3").isNotNull)
+        .groupBy("s1", "s2", "s3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+        .limit(10)
+    },
+    Some("""WITH o AS (
+        SELECT event_type AS s1,
+          lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+          lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+        FROM events)
+      SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE s3 IS NOT NULL GROUP BY 1, 2, 3
+      ORDER BY n DESC, s1, s2, s3 LIMIT 10"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple,
     sessionize, saltedAgg, variantExtract, funnel, retention, resample, anomaly, markov, sliding,
-    kanon)
+    kanon, ldiversity, sequences)
 }

@@ -815,8 +815,69 @@ object SimilarityQueries {
         FROM s2 WHERE srn <= 80)
       WHERE rn <= 10 ORDER BY query_id, rn"""))
 
+  /** ANN recall evaluation — the quality dial every approximate index is
+    * tuned against: recall@5 of the IVF path vs the exact ranking, per
+    * query. Composes the two DECLARED legs verbatim (the rrf precedent):
+    * [[cosineTopk]] truncated to 5 is the ground truth, [[ivfAnn]] the
+    * candidate; one left join on (query, neighbor) over two ≤25-row lists
+    * counts the hits, in exact basis points (hits·2000, no floats). Scale
+    * shape: the exact leg is the AUDIT cost — one broadcast-query corpus
+    * pass over a bounded query sample, the same economics as
+    * q_sim_neardup_pairs' audit bound — while the ANN leg is the production
+    * path; a deployment reruns this on a sampled query set whenever the
+    * nprobe/NCells dial moves, and the comparison itself never touches the
+    * corpus. */
+  private val recallEval = Q(
+    "q_sim_recall_eval",
+    (s, d) => {
+      val exact = cosineTopk.fn(s, d).filter(col("rn") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = ivfAnn.fn(s, d)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      exact.join(ann, col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+        .groupBy("query_id")
+        .agg(count(col("an")).as("hits"))
+        .select(col("query_id"), col("hits"), (col("hits") * lit(2000L)).as("recall_bp"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH $sqlNormalized,
+      ${CentroidSeed.sqlSeedCte("cent")},
+      assigned AS (
+        SELECT vec_id, emb, cell FROM (
+          SELECT ev.vec_id, ev.emb, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY round(list_dot_product(ev.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e ev, cent c) sub WHERE rn = 1),
+      probes AS (
+        SELECT query_id, qemb, cell FROM (
+          SELECT q.vec_id AS query_id, q.emb AS qemb, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e q, cent c WHERE q.vec_id < 5) sub WHERE rn <= 4),
+      ann AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY round(list_dot_product(a.emb, p.qemb), 6) DESC, a.vec_id) AS rn
+          FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id) sub
+        WHERE rn <= 5),
+      exact AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(n0.de, q0.de), 6) DESC, n.vec_id) AS rn
+          FROM e q JOIN e0 q0 ON q.vec_id = q0.vec_id,
+               e n JOIN e0 n0 ON n.vec_id = n0.vec_id
+          WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id) sub
+        WHERE rn <= 5)
+      SELECT x.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+             CAST(count(a.neighbor_id) * 2000 AS BIGINT) AS recall_bp
+      FROM exact x LEFT JOIN ann a
+        ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+      GROUP BY x.query_id ORDER BY x.query_id"""))
+
   val all: Seq[Q] = Seq(
     cosineTopk, neardupPairs, neardupLsh, embedDedup, embedDedupLsh,
     clusterStats, lshAnn, ivfAnn, multimodalMeta, semanticDedup, lshMultiprobe,
-    embedIncremental, rrfFusion, adaptive)
+    embedIncremental, rrfFusion, adaptive, recallEval)
 }

@@ -1339,8 +1339,68 @@ object TextQueries {
              count(*) OVER (PARTITION BY cent_id) AS topic_size
       FROM a2 ORDER BY doc_id"""))
 
+  /** Lexical diversity — the quality signal [[quality]]'s surface ratios
+    * miss: a doc can have perfect stopword/punctuation stats while cycling
+    * a tiny vocabulary (the classic SEO-spam/boilerplate shape). Two exact
+    * integer measures per doc: type-token ratio in basis points and the
+    * Simpson diversity index 1 − Σ(cᵢ/n)² in ppm, computed as
+    * (n²−Σcᵢ²)·10⁶ div n² — all-integer, so the hash can never wobble on
+    * float summation order. ANSI-overflow-safe to ~3M tokens/doc (n²·10⁶ <
+    * 2⁶³); web-corpus docs are orders of magnitude below that. Scale shape:
+    * the computation is doc-LOCAL, so it must not shuffle — instead of the
+    * reflexive explode → (doc_id, word) groupBy → doc_id rollup (two
+    * corpus-token-scale exchanges), sort each doc's token array in place
+    * and fold run lengths: one O(L log L) per-row pass, ZERO aggregate
+    * exchanges, only the final presentation sort. The fold's word-sentinel
+    * is NULL (never equal to any token, including the empty string a
+    * double-space splits out), so the first run always opens correctly. */
+  /** Run-length fold over the doc's sorted token array: returns
+    * struct(sumc2: Σ count², types: distinct-token count) without any
+    * exchange — see [[lexDiversity]]. Factored for direct unit testing. */
+  private[graft] def lexStats(textCol: Column): Column = {
+    val sorted = sort_array(split(textCol, " "))
+    aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("sumc2"), lit(0L).as("types")),
+      (acc, w) => struct(
+        w.as("prev"),
+        when(w === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L)).as("run"),
+        when(w === acc("prev"), acc("sumc2"))
+          .otherwise(acc("sumc2") + acc("run") * acc("run")).as("sumc2"),
+        when(w === acc("prev"), acc("types"))
+          .otherwise(acc("types") + lit(1L)).as("types")),
+      acc => struct(
+        (acc("sumc2") + acc("run") * acc("run")).as("sumc2"),
+        acc("types").as("types")))
+  }
+
+  private val lexDiversity = Q(
+    "q_text_diversity",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          lexStats(col("text")).as("st"))
+        .select(col("doc_id"), col("n_tokens"), col("st.types").as("n_types"),
+          col("st.sumc2").as("sum_c2"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          expr("n_types * 10000 div n_tokens").as("ttr_bp"),
+          expr("(n_tokens * n_tokens - sum_c2) * 1000000 div (n_tokens * n_tokens)")
+            .as("simpson_ppm"))
+        .orderBy("doc_id"),
+    Some("""WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      c AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_types,
+        CAST(count(*) * 10000 // sum(c) AS BIGINT) AS ttr_bp,
+        CAST((sum(c)*sum(c) - sum(c*c)) * 1000000 // (sum(c)*sum(c)) AS BIGINT)
+          AS simpson_ppm
+      FROM c GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
     perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
-    nbClassifier, perplexity3, perplexity5, topics, mixQuality, bpeTrain256)
+    nbClassifier, perplexity3, perplexity5, topics, mixQuality, bpeTrain256,
+    lexDiversity)
 }

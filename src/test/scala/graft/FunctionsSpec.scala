@@ -541,4 +541,23 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val big = (0 until 1000).map(i => (i.toDouble, i.toLong))
     assert(big.foldLeft(agg.zero)(agg.reduce).size == 3)
   }
+
+  test("lexStats run-length fold: hand-computed type counts and Σc² per edge case") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      "a a b",        // runs a:2 b:1 -> types 2, sumc2 5
+      "x",            // single token  -> types 1, sumc2 1
+      "z z z z",      // one run       -> types 1, sumc2 16
+      "b a b a",      // unsorted input-> sorted runs a:2 b:2 -> types 2, sumc2 8
+      "a  b")         // double space splits an EMPTY token: "" is a real
+                      // type ("" sorts first; the NULL sentinel must not
+                      // merge it into a phantom first run) -> types 3, sumc2 3
+      .toDF("text")
+    val got = rows
+      .select(queries.TextQueries.lexStats(col("text")).as("st"))
+      .select(col("st.types"), col("st.sumc2"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 5L), (1L, 1L), (1L, 16L), (2L, 8L), (3L, 3L)))
+  }
 }

@@ -428,4 +428,34 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("* Filter"), p)
     assert(df.count() > 0)
   }
+
+  test("r8 diversity/privacy/sequence family: doc-local stays shuffle-free; windows keyed, top-k never global-sorts") {
+    // lexical diversity is doc-LOCAL: the run-length fold must keep it a
+    // pure scan→project — no aggregate, no join, the ONLY exchange is the
+    // final presentation sort (the explode→groupBy formulation this
+    // replaced shuffled the corpus at token scale, twice)
+    val div = plan("q_text_diversity")
+    assert(!div.contains("HashAggregate") && !div.contains("Join"), div)
+    assert("Exchange".r.findAllIn(
+      div.linesIterator.takeWhile(!_.startsWith("(1)")).mkString("\n")).size <= 2, div)
+    // l-diversity: one corpus aggregate on the QI key (distinct-count is
+    // two-level HashAggregate, both map-side partial) — no join, no window
+    val ldiv = plan("q_privacy_ldiversity")
+    assert(!ldiv.contains("Join") && !ldiv.contains("Window"), ldiv)
+    // 3-step sequences: the corpus touches ONE user_id-keyed window (both
+    // leads share it — a second Sort/Window pair would mean the frames
+    // diverged), then the bounded triple table ranks via
+    // TakeOrderedAndProject, never a global Sort of the corpus
+    val seqp = plan("q_events_sequences")
+    assert("\\bWindow\\b".r.findAllIn(
+      seqp.linesIterator.takeWhile(!_.startsWith("(1)")).mkString("\n")).size == 1, seqp)
+    assert(seqp.contains("TakeOrderedAndProject"), seqp)
+    assert(!seqp.contains("CartesianProduct"), seqp)
+    // recall eval: both legs meet the corpus through broadcasts (query
+    // sample, centroids, probes) — the only non-broadcast join is the
+    // bounded exact×ann list compare; never a cartesian of the corpus
+    val rec = plan("q_sim_recall_eval")
+    assert(!rec.contains("CartesianProduct"), rec)
+    assert(rec.contains("BroadcastHashJoin") || rec.contains("BroadcastNestedLoopJoin"), rec)
+  }
 }
