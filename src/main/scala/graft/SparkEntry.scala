@@ -10,7 +10,8 @@ object SparkEntry {
     Relational.all ++ EventsQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ PipelineQueries.all ++
       SinkQueries.all ++ MultimodalQueries.all ++ TemporalQueries.all ++
-      TrainingDataQueries.all ++ QuantQueries.all ++ SketchQueries.all
+      TrainingDataQueries.all ++ QuantQueries.all ++ SketchQueries.all ++
+      ProfileQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -63,5 +63,35 @@ object SinkQueries {
       WHERE year = strftime(now(), '%Y')
       GROUP BY source ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(ndjsonSink, partitionPrune)
+  /** Parquet aggregate pushdown — the scan-level endgame of the pruning
+    * family: an unfiltered COUNT/MIN/MAX resolves from parquet FOOTER
+    * statistics (row-group counts + column min/max), so the scan reads
+    * metadata pages instead of data — at 100 TB the difference between a
+    * cluster-wide table pass and a file-listing-sized planning step. The
+    * capability lives in the V2 parquet reader behind
+    * `spark.sql.parquet.aggregatePushdown`; both switches are set on an
+    * ISOLATED `newSession()` (shared SparkContext, private SQLConf) so the
+    * rest of the corpus keeps its pinned V1 plan shapes. MIN/MAX target
+    * integer keys — footer stats for them are exact by format contract.
+    * PlansSpec pins `PushedAggregation` in the scan node. */
+  private val aggPushdown = Q(
+    "q_scan_agg_pushdown",
+    (s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      Tables.t(s2, d, "lineitem")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"),
+          min(col("l_linenumber")).cast("long").as("min_line"),
+          max(col("l_linenumber")).cast("long").as("max_line"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+        min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        CAST(min(l_linenumber) AS BIGINT) AS min_line,
+        CAST(max(l_linenumber) AS BIGINT) AS max_line
+      FROM lineitem"""))
+
+  val all: Seq[Q] = Seq(ndjsonSink, partitionPrune, aggPushdown)
 }

@@ -1353,10 +1353,10 @@ object TextQueries {
     * and fold run lengths: one O(L log L) per-row pass, ZERO aggregate
     * exchanges, only the final presentation sort. The fold's word-sentinel
     * is NULL (never equal to any token, including the empty string a
-    * double-space splits out), so the first run always opens correctly. */
-  /** Run-length fold over the doc's sorted token array: returns
-    * struct(sumc2: Σ count², types: distinct-token count) without any
-    * exchange — see [[lexDiversity]]. Factored for direct unit testing. */
+    * double-space splits out), so the first run always opens correctly.
+    *
+    * `lexStats` is the run-length fold itself — struct(sumc2: Σ count²,
+    * types: distinct-token count) — factored for direct unit testing. */
   private[graft] def lexStats(textCol: Column): Column = {
     val sorted = sort_array(split(textCol, " "))
     aggregate(

@@ -575,7 +575,43 @@ object TrainingDataQueries {
       WHERE ((d.doc_id % 1000003) * 2654435761) % 4294967296 % 1000 < keep_permille
       ORDER BY d.doc_id"""))
 
+  /** Curriculum ordering — easy-first training order without a global
+    * sort: the phase label comes from FIXED thresholds on a deterministic
+    * difficulty proxy (here doc length; production plugs in any scored
+    * signal — perplexity, quality — the same way), NOT from ntile/quantile
+    * ranking, so assigning a doc to its phase is a narrow per-row CASE and
+    * the corpus is never totally ordered. Within a phase the order is
+    * decorrelated from the difficulty signal by the q_shuffle_order device:
+    * the multiplicative id-hash keys 32 independent shard windows per
+    * phase, so the heaviest stage is row_number over phases × 32 bounded
+    * partitions. Readers stream phases in label order, shards round-robin
+    * within a phase — the standard curriculum schedule, reproducible from
+    * pure integer math (the oracle replays it exactly). */
+  private val curriculum = Q(
+    "q_train_curriculum",
+    (s, d) => {
+      val w = Window.partitionBy("phase", "bucket").orderBy(asc("h"), asc("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (col("doc_id") % 1000003L * 2654435761L % 4294967296L).as("h"))
+        .withColumn("phase",
+          when(col("n_chars") < 150, 1L).when(col("n_chars") < 250, 2L).otherwise(3L))
+        .withColumn("bucket", col("h") % 32L)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("doc_id", "phase", "bucket", "pos")
+        .orderBy("phase", "bucket", "pos")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id,
+               CASE WHEN n_chars < 150 THEN 1 WHEN n_chars < 250 THEN 2 ELSE 3 END AS phase,
+               ((doc_id % 1000003) * 2654435761) % 4294967296 AS h
+        FROM documents)
+      SELECT doc_id, CAST(phase AS BIGINT) AS phase, h % 32 AS bucket,
+             CAST(row_number() OVER (PARTITION BY phase, h % 32 ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM d ORDER BY phase, bucket, pos"""))
+
   val all: Seq[Q] =
     Seq(chunk, contamination, sampleWeighted, sampleDsir, packSequences, shuffleOrder,
-      mixSources, contaminationBloom, datasetCard, packBuckets, shards, mixTemperature)
+      mixSources, contaminationBloom, datasetCard, packBuckets, shards, mixTemperature,
+      curriculum)
 }

@@ -368,6 +368,30 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming data-quality gate — the live twin of
+    * `q_profile_constraints`'s additive rules: each micro-batch's one-row
+    * violation aggregate folds into the persisted constraint ledger
+    * ([[graft.operators.DataQuality.updateStoredLedger]]). Violation
+    * counters are additive, so the cumulative ledger equals the one-shot
+    * audit of the drained union bit-for-bit (pinned in StreamingSpec);
+    * state is |rules| rows forever. A scheduler reads
+    * [[graft.operators.DataQuality.ledgerStatus]] to gate downstream jobs.
+    * Input frame needs the events columns the rules reference. */
+  def startConstraintStream(
+      events: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.DataQuality.updateStoredLedger(
+          batch.sparkSession, batch.toDF(), storeDir, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming analytics over the event stream (SURVEY §2B streaming row):
     * tumbling event-time window counts with late-data drop. Watermark bounds
     * the window state; at 100 TB/day this shuffles once per window on

@@ -51,7 +51,10 @@ object ScaleProbe {
     "q_dedup_semantic",
     // r8 second wave: sketches, containment, hybrid retrieval, event sequences
     "q_dedup_containment", "q_agg_countmin", "q_sim_rrf",
-    "q_events_markov", "q_agg_heavy_hitters")
+    "q_events_markov", "q_agg_heavy_hitters",
+    // r8 third wave: diversity/privacy/sequence/recall family
+    "q_text_diversity", "q_privacy_ldiversity", "q_events_sequences",
+    "q_sim_recall_eval")
 
   private val ReplicaIdOffset = 10000000L
 

@@ -560,4 +560,24 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((2L, 5L), (1L, 1L), (1L, 16L), (2L, 8L), (3L, 3L)))
   }
+
+  test("lexStats property: fold agrees with an independent groupBy-count reference on random corpora") {
+    val s = spark
+    import s.implicits._
+    // 150 random docs over a small alphabet (forces rich run structure),
+    // lengths 1..40 — one batched DataFrame, one Spark job
+    val rng = new scala.util.Random(4242)
+    val docs = Seq.fill(150) {
+      Seq.fill(1 + rng.nextInt(40))(s"w${rng.nextInt(7)}").mkString(" ")
+    }
+    val expected = docs.map { text =>
+      val counts = text.split(" ", -1).groupBy(identity).map(_._2.length.toLong)
+      (counts.size.toLong, counts.map(c => c * c).sum)
+    }
+    val got = docs.toDF("text")
+      .select(queries.TextQueries.lexStats(col("text")).as("st"))
+      .select(col("st.types"), col("st.sumc2"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
 }

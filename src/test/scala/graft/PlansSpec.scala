@@ -458,4 +458,39 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rec.contains("CartesianProduct"), rec)
     assert(rec.contains("BroadcastHashJoin") || rec.contains("BroadcastNestedLoopJoin"), rec)
   }
+
+  test("q_scan_agg_pushdown: COUNT/MIN/MAX resolve from parquet footer stats") {
+    val p = plan("q_scan_agg_pushdown")
+    assert(p.contains("PushedAggregation: [COUNT(*)"), p)
+    assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_linenumber)"), p)
+    // the switch must stay on the isolated newSession: a later V1-pinned
+    // query built from the SHARED session keeps its FileScan shape
+    val v1 = plan("q_proj_filter")
+    assert(v1.contains("Scan parquet") && !v1.contains("PushedAggregation"), v1)
+  }
+
+  test("q_profile family: one corpus pass — no join, no window, never a scan per column") {
+    // multi-column exact distinct = grouping-sets Expand over ONE scan
+    // (a per-column-subquery formulation would scan the corpus N times);
+    // the single-distinct constraints query instead gets Catalyst's keyed
+    // pre-aggregate (partial dedup on event_id before the exchange)
+    val pc = plan("q_profile_columns")
+    assert(pc.contains("Expand"), s"q_profile_columns lost the single-pass multi-distinct shape")
+    Seq("q_profile_columns", "q_profile_constraints").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window"), p)
+      assert("Scan parquet".r.findAllIn(p).size <= 2, s"$q scans the corpus more than once: $p")
+    }
+  }
+
+  test("q_train_curriculum: threshold phases, no global sort, windows over bounded shard partitions") {
+    val p = plan("q_train_curriculum")
+    assert(!p.contains("Join"), p)
+    // exactly one Sort/Window pair for the (phase, bucket) position window
+    // plus the final presentation sort — a global ntile/rank formulation
+    // would add an unpartitioned window over the whole corpus
+    val tree = p.linesIterator.takeWhile(!_.startsWith("(1)")).mkString("\n")
+    assert("\\bWindow\\b".r.findAllIn(tree).size == 1, p)
+    assert(p.contains("phase"), p)
+  }
 }

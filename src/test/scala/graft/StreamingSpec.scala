@@ -1217,4 +1217,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Sketches.updateStoredCountMin(spark, toBigrams(docs), storeDir, batchId = 0L)
     assert(cells(Sketches.readCountMin(spark, storeDir)) == stored, "replay mutated the cells")
   }
+
+  test("streaming constraint ledger: cumulative counts equal the one-shot audit (additivity)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.DataQuality
+
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "value", "props")
+    val landing = s"$base/dq_landing"
+    Files.createDirectories(Paths.get(landing))
+    (0 until 3).foreach { i =>
+      events.filter(col("event_id") % 3 === i).coalesce(1).write.json(s"$landing/chunk$i")
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(s"$landing/chunk*")
+
+    val storeDir = s"$base/dq_store"
+    val q = StreamingIngest.startConstraintStream(
+      stream, storeDir, s"$base/dq_ckpt", Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] = df
+      .select("constraint", "violations", "n_rows")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = rows(DataQuality.readLedger(spark, storeDir))
+    val oneShot = rows(DataQuality.violationCounts(events))
+    assert(stored == oneShot,
+      s"additivity broken: stored-only=${stored -- oneShot} oneshot-only=${oneShot -- stored}")
+    assert(stored.map(_._1) == DataQuality.eventRules.map(_._1).toSet)
+    // the scheduler view derives pass flags from the same ledger
+    val status = DataQuality.ledgerStatus(spark, storeDir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    val violated = oneShot.filter(_._2 > 0).map(_._1)
+    assert(violated.forall(c => !status(c)), s"violated rules must not pass: $violated")
+    assert((status.keySet -- violated).forall(status), "clean rules must pass")
+    // crash replay folds nothing
+    DataQuality.updateStoredLedger(spark, events, storeDir, batchId = 0L)
+    assert(rows(DataQuality.readLedger(spark, storeDir)) == stored, "replay mutated the ledger")
+  }
 }
