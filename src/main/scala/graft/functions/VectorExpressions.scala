@@ -127,6 +127,35 @@ object VectorOps {
     * the fold hashes code points and this hashes UTF-8 bytes — the graft
     * corpora are ASCII (the frames-query invariant); both sides of every
     * caller use one form consistently. */
+  /** Run-length lexical stats of a space-separated string: [distinct-token
+    * count, Σ count²] over its token multiset — the kernel twin of the
+    * declarative fold `TextQueries.lexStats` (row-identical by
+    * construction: both stats are order-independent aggregations of the
+    * same token counts; `UTF8String.split` carries Spark's own
+    * `split(text, ' ')` semantics, empty tokens included). One sort + one
+    * fused counting pass per row instead of a per-element interpreted
+    * lambda tree — the same upgrade economics as [[dot]]. */
+  def lexStats(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = s.split(org.apache.spark.unsafe.types.UTF8String.fromString(" "), -1)
+    java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]]) // UTF8String binary order
+    var types = 0L
+    var sumc2 = 0L
+    var run = 0L
+    var prev: org.apache.spark.unsafe.types.UTF8String = null
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      if (prev != null && w.equals(prev)) run += 1L
+      else {
+        if (prev != null) sumc2 += run * run
+        types += 1L; run = 1L; prev = w
+      }
+      i += 1
+    }
+    if (prev != null) sumc2 += run * run
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(types, sumc2))
+  }
+
   def polyHash46(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val n = s.numBytes()
     var acc = 7L
@@ -238,6 +267,23 @@ case class PolyHash46(child: Expression)
     copy(child = newChild)
 }
 
+/** lexStats(text) over a string column: [types, Σcount²] of the token
+  * multiset; null-safe, codegen'd (see [[VectorOps.lexStats]]). */
+case class LexStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.lexStats(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.lexStats($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): LexStats =
+    copy(child = newChild)
+}
+
 /** simhash64(hashes) over an array<long> of per-token hashes; codegen'd. */
 case class SimHash64(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -272,6 +318,10 @@ object VectorFunctions {
   /** 46-bit polynomial string hash (codegen'd; see [[PolyHash46]]). */
   def polyHash(s: Column): Column =
     graftshim.column(PolyHash46(graftshim.expression(s)))
+  /** [types, Σcount²] lexical stats of a space-separated string (codegen'd;
+    * see [[LexStats]]). */
+  def lexStats(text: Column): Column =
+    graftshim.column(LexStats(graftshim.expression(text)))
 
   /** Bit positions -> packed bitmap words. A Scala UDF on purpose: it runs
     * once per DOCUMENT (not per candidate pair), and the equivalent nested

@@ -118,5 +118,63 @@ object ProfileQueries {
              violations = 0 AS passed
       FROM u ORDER BY "constraint""""))
 
-  val all: Seq[Q] = Seq(profile, constraints)
+  /** Distribution drift (PSI) — the train-vs-serve monitoring staple: split
+    * the corpus into a reference window and a current window (first vs
+    * second half of the time range here; production compares yesterday's
+    * table to today's), histogram a monitored column into FIXED integer
+    * bins, and report counts, proportions, and the Population Stability
+    * Index contribution per bin (a monitor sums psi_term against the
+    * conventional 0.1 watch / 0.25 alert thresholds). Two aggregates over
+    * the corpus (bin counts — map-side partial, with the one-row midpoint
+    * frame broadcast), then all PSI math runs on the BOUNDED bin table. Bin proportions are exact integer basis points;
+    * the ln-ratio factor is the one inherently-float step, computed from
+    * those integer bp on both engines and rounded through decimal(24,6)
+    * (the established cross-engine float discipline), with empty bins
+    * Laplace-floored to 1 bp so the log never sees zero. */
+  private val drift = Q(
+    "q_profile_drift",
+    (s, d) => {
+      val e = ev(s, d)
+      val mid = e.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))
+        .select(expr("lo + (hi - lo) div 2").as("mid"))
+      val binned = e.crossJoin(broadcast(mid))
+        .select(least(floor(col("value") / 20), lit(9L)).as("bin"),
+          (unix_micros(col("ts")) <= col("mid")).as("is_ref"))
+        .groupBy("bin")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val tot = binned.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+      binned.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          greatest(expr("n_ref * 10000 div t_ref"), lit(1L)).as("ref_bp"),
+          greatest(expr("n_cur * 10000 div t_cur"), lit(1L)).as("cur_bp"))
+        .select(col("bin"), col("n_ref"), col("n_cur"), col("ref_bp"), col("cur_bp"),
+          round((((col("cur_bp") - col("ref_bp")) / lit(10000.0)) *
+            log(col("cur_bp") / col("ref_bp").cast("double"))).cast("decimal(24,6)"), 6)
+            .cast("double").as("psi_term"))
+        .orderBy("bin")
+    },
+    Some("""WITH m AS (
+        SELECT epoch_us(min(ts)) + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS mid
+        FROM events),
+      b AS (
+        SELECT least(CAST(floor(value / 20) AS BIGINT), 9) AS bin,
+               sum(CASE WHEN epoch_us(ts) <= m.mid THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN epoch_us(ts) > m.mid THEN 1 ELSE 0 END) AS n_cur
+        FROM events, m GROUP BY 1),
+      t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM b),
+      p AS (
+        SELECT bin, n_ref, n_cur,
+               greatest(n_ref * 10000 // t_ref, 1) AS ref_bp,
+               greatest(n_cur * 10000 // t_cur, 1) AS cur_bp
+        FROM b, t)
+      SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+             CAST(ref_bp AS BIGINT) AS ref_bp, CAST(cur_bp AS BIGINT) AS cur_bp,
+             CAST(round(CAST((cur_bp - ref_bp) / 10000.0 *
+                        ln(cur_bp / CAST(ref_bp AS DOUBLE)) AS DECIMAL(24,6)), 6)
+                  AS DOUBLE) AS psi_term
+      FROM p ORDER BY bin"""))
+
+  val all: Seq[Q] = Seq(profile, constraints, drift)
 }

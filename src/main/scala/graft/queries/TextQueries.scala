@@ -1378,11 +1378,13 @@ object TextQueries {
   private val lexDiversity = Q(
     "q_text_diversity",
     (s, d) =>
+      // the codegen'd kernel (graft.functions.LexStats) carries the hot
+      // path; the declarative fold above stays as its pinned parity twin
       t(s, d, "documents")
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          lexStats(col("text")).as("st"))
-        .select(col("doc_id"), col("n_tokens"), col("st.types").as("n_types"),
-          col("st.sumc2").as("sum_c2"))
+          graft.functions.VectorFunctions.lexStats(col("text")).as("st"))
+        .select(col("doc_id"), col("n_tokens"), col("st").getItem(0).as("n_types"),
+          col("st").getItem(1).as("sum_c2"))
         .select(col("doc_id"), col("n_tokens"), col("n_types"),
           expr("n_types * 10000 div n_tokens").as("ttr_bp"),
           expr("(n_tokens * n_tokens - sum_c2) * 1000000 div (n_tokens * n_tokens)")

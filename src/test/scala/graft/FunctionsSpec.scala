@@ -579,5 +579,12 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("st.types"), col("st.sumc2"))
       .as[(Long, Long)].collect().toSeq
     assert(got == expected)
+    // the codegen'd kernel (the declared query's hot path) is row-identical
+    // to both the declarative fold and the reference
+    val kernel = docs.toDF("text")
+      .select(functions.VectorFunctions.lexStats(col("text")).as("st"))
+      .select(col("st").getItem(0), col("st").getItem(1))
+      .as[(Long, Long)].collect().toSeq
+    assert(kernel == expected)
   }
 }

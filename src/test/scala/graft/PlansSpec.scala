@@ -481,6 +481,12 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!p.contains("Join") && !p.contains("Window"), p)
       assert("Scan parquet".r.findAllIn(p).size <= 2, s"$q scans the corpus more than once: $p")
     }
+    // drift: the corpus meets only broadcast one-row frames (midpoint,
+    // totals); PSI math runs on the bounded bin table — no window, no
+    // corpus-side sort-merge join
+    val dr = plan("q_profile_drift")
+    assert(!dr.contains("SortMergeJoin") && !dr.contains("Window"), dr)
+    assert(dr.contains("BroadcastNestedLoopJoin") || dr.contains("BroadcastHashJoin"), dr)
   }
 
   test("q_train_curriculum: threshold phases, no global sort, windows over bounded shard partitions") {
