@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bitmap_jaccard"),
       info(classOf[BitmapJaccard], "bitmap_jaccard", "bitmap_jaccard(a, b) - Jaccard of packed bitmap sets"),
       (children: Seq[Expression]) => BitmapJaccard(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("lex_stats"),
+      info(classOf[LexStats], "lex_stats",
+        "lex_stats(text) - [distinct tokens, sum of squared token counts] of a space-separated string"),
+      (children: Seq[Expression]) => LexStats(children(0))))
     // Presto source compatibility (reference README queries run verbatim):
     // DOCUMENTED DEVIATION: Presto's json_extract returns JSON-encoded text
     // (a string scalar comes back QUOTED, '"x"'); get_json_object returns the

@@ -276,12 +276,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     lsh.groupBy(_._1).foreach { case (_, rows) => assert(rows.length <= 5) }
   }
 
-  test("vec_dot and bitmap_jaccard usable from SQL via extensions") {
+  test("vec_dot, bitmap_jaccard, lex_stats usable from SQL via extensions") {
     val rows = spark.sql(
       """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
-                bitmap_jaccard(array(1L, 2L), array(1L, 1L)) AS j""").collect()
+                bitmap_jaccard(array(1L, 2L), array(1L, 1L)) AS j,
+                lex_stats('a a b') AS ls""").collect()
     assert(rows.head.getDouble(0) == 11.0)
     assert(math.abs(rows.head.getDouble(1) - 1.0 / 3) < 1e-12)
+    assert(rows.head.getSeq[Long](2) == Seq(2L, 5L)) // types 2, 2²+1²
   }
 
   test("streaming sessionize: sessions emit on event-time timeout") {
