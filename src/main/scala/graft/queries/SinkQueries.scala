@@ -93,5 +93,53 @@ object SinkQueries {
         CAST(max(l_linenumber) AS BIGINT) AS max_line
       FROM lineitem"""))
 
-  val all: Seq[Q] = Seq(ndjsonSink, partitionPrune, aggPushdown)
+  /** Z-order layout audit — the data-skipping arithmetic of
+    * [[graft.operators.Zorder]] surfaced in the gate: Morton-interleave
+    * (l_partkey, l_suppkey), assign each row to its would-be file by the
+    * code's high bits (a contiguous z-interval = a compact rectangle family
+    * in key space), and emit per-file min/max zone maps plus whether a
+    * fixed box predicate would have to open the file. On the arrival-order
+    * layout every file spans the whole key range (every file is a box
+    * hit); on the z-layout the hits collapse to the files whose rectangles
+    * actually touch the box — the ratio IS the scan savings OPTIMIZE
+    * ZORDER buys. One bounded groupBy on the file id (map-side partial);
+    * the bit-twiddle is pure column algebra shared with the operator, and
+    * the oracle replays the five mask/shift spreads verbatim. The 2^16
+    * z-interval per file is the layout dial (the operator's targetFiles);
+    * at production key widths it rises with the keyspace. */
+  private val zorderLayout = Q(
+    "q_maint_zorder",
+    (s, d) => {
+      val z = graft.operators.Zorder.mortonCode(col("l_partkey"), col("l_suppkey"))
+      Tables.t(s, d, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"),
+          call_function("shiftright", z, lit(16)).as("file_id"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("p").as("min_p"), max("p").as("max_p"),
+          min("sk").as("min_s"), max("sk").as("max_s"))
+        .withColumn("box_hit",
+          col("min_p") <= 200L && col("max_p") >= 100L &&
+            col("min_s") <= 20L && col("max_s") >= 10L)
+        .orderBy("file_id")
+    },
+    Some("""WITH x0 AS (SELECT l_partkey AS p, l_suppkey AS sk,
+            (l_partkey & 4294967295) AS sa, (l_suppkey & 4294967295) AS sb FROM lineitem),
+      x1 AS (SELECT p, sk, ((sa | (sa << 16)) & 281470681808895) AS sa,
+                           ((sb | (sb << 16)) & 281470681808895) AS sb FROM x0),
+      x2 AS (SELECT p, sk, ((sa | (sa << 8)) & 71777214294589695) AS sa,
+                           ((sb | (sb << 8)) & 71777214294589695) AS sb FROM x1),
+      x3 AS (SELECT p, sk, ((sa | (sa << 4)) & 1085102592571150095) AS sa,
+                           ((sb | (sb << 4)) & 1085102592571150095) AS sb FROM x2),
+      x4 AS (SELECT p, sk, ((sa | (sa << 2)) & 3689348814741910323) AS sa,
+                           ((sb | (sb << 2)) & 3689348814741910323) AS sb FROM x3),
+      x5 AS (SELECT p, sk, ((sa | (sa << 1)) & 6148914691236517205) AS sa,
+                           ((sb | (sb << 1)) & 6148914691236517205) AS sb FROM x4),
+      f AS (SELECT p, sk, (sa | (sb << 1)) >> 16 AS file_id FROM x5)
+      SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+             min(p) AS min_p, max(p) AS max_p, min(sk) AS min_s, max(sk) AS max_s,
+             (min(p) <= 200 AND max(p) >= 100 AND min(sk) <= 20 AND max(sk) >= 10) AS box_hit
+      FROM f GROUP BY file_id ORDER BY file_id"""))
+
+  val all: Seq[Q] = Seq(ndjsonSink, partitionPrune, aggPushdown, zorderLayout)
 }

@@ -54,7 +54,9 @@ object ScaleProbe {
     "q_events_markov", "q_agg_heavy_hitters",
     // r8 third wave: diversity/privacy/sequence/recall family
     "q_text_diversity", "q_privacy_ldiversity", "q_events_sequences",
-    "q_sim_recall_eval")
+    "q_sim_recall_eval",
+    // r8 fourth wave: profiling/DQ family (events-backed)
+    "q_profile_columns", "q_profile_constraints", "q_profile_drift")
 
   private val ReplicaIdOffset = 10000000L
 

@@ -489,6 +489,15 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dr.contains("BroadcastNestedLoopJoin") || dr.contains("BroadcastHashJoin"), dr)
   }
 
+  test("q_maint_zorder: morton layout audit is one bounded aggregate — no join, no window, no global sort") {
+    val p = plan("q_maint_zorder")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // the bit-spread is column algebra inside the scan projection; the only
+    // exchanges are the bounded file_id aggregate + presentation sort
+    assert(p.contains("HashAggregate"), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
   test("q_train_curriculum: threshold phases, no global sort, windows over bounded shard partitions") {
     val p = plan("q_train_curriculum")
     assert(!p.contains("Join"), p)
