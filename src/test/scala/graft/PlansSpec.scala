@@ -498,6 +498,14 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Scan parquet".r.findAllIn(p).size <= 2, p)
   }
 
+  test("q_graph_pagerank: iterative rounds over the cached co-partitioned adjacency; no cartesian, top-k never global-sorts") {
+    val p = plan("q_graph_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    // the adjacency is built once and reused every round from the cache
+    assert(p.contains("InMemoryRelation"), "edge list must be cached across rounds")
+    assert(p.contains("TakeOrderedAndProject"), "final top-20 must not global-sort")
+  }
+
   test("q_train_curriculum: threshold phases, no global sort, windows over bounded shard partitions") {
     val p = plan("q_train_curriculum")
     assert(!p.contains("Join"), p)
