@@ -47,8 +47,12 @@ object GraphQueries {
         .repartition(col("src"))
         .sortWithinPartitions("src")
         .cache()
+      // vertex state persists beside the adjacency (the Pregel split):
+      // without the cache every round re-aggregates degrees from the edge
+      // cache — 5 redundant passes
       val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg"))
+        .cache()
       val nF = broadcast(nodes.agg(count(lit(1)).as("n")))
       var ranks = nodes.crossJoin(nF)
         .select(col("node"), col("deg"), col("n"), expr(s"$Mass div n").as("rank"))
