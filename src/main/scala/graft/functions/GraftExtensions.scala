@@ -30,7 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("lex_stats"),
       info(classOf[LexStats], "lex_stats",
-        "lex_stats(text) - [distinct tokens, sum of squared token counts] of a space-separated string"),
+        "lex_stats(text) - [distinct tokens, sum of squared token counts, token count] of a space-separated string"),
       (children: Seq[Expression]) => LexStats(children(0))))
     // Presto source compatibility (reference README queries run verbatim):
     // DOCUMENTED DEVIATION: Presto's json_extract returns JSON-encoded text

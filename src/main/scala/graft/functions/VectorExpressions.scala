@@ -128,13 +128,14 @@ object VectorOps {
     * corpora are ASCII (the frames-query invariant); both sides of every
     * caller use one form consistently. */
   /** Run-length lexical stats of a space-separated string: [distinct-token
-    * count, Σ count²] over its token multiset — the kernel twin of the
-    * declarative fold `TextQueries.lexStats` (row-identical by
-    * construction: both stats are order-independent aggregations of the
+    * count, Σ count², token count] over its token multiset — the kernel
+    * twin of the declarative fold `TextQueries.lexStats` (row-identical by
+    * construction: the stats are order-independent aggregations of the
     * same token counts; `UTF8String.split` carries Spark's own
     * `split(text, ' ')` semantics, empty tokens included). One sort + one
     * fused counting pass per row instead of a per-element interpreted
-    * lambda tree — the same upgrade economics as [[dot]]. */
+    * lambda tree — the same upgrade economics as [[dot]]. The token count
+    * rides along so callers never pay a second `split` for it. */
   def lexStats(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val toks = s.split(org.apache.spark.unsafe.types.UTF8String.fromString(" "), -1)
     java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]]) // UTF8String binary order
@@ -153,7 +154,8 @@ object VectorOps {
       i += 1
     }
     if (prev != null) sumc2 += run * run
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(types, sumc2))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(types, sumc2, toks.length.toLong))
   }
 
   def polyHash46(s: org.apache.spark.unsafe.types.UTF8String): Long = {
@@ -267,8 +269,8 @@ case class PolyHash46(child: Expression)
     copy(child = newChild)
 }
 
-/** lexStats(text) over a string column: [types, Σcount²] of the token
-  * multiset; null-safe, codegen'd (see [[VectorOps.lexStats]]). */
+/** lexStats(text) over a string column: [types, Σcount², n_tokens] of the
+  * token multiset; null-safe, codegen'd (see [[VectorOps.lexStats]]). */
 case class LexStats(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType =
@@ -318,8 +320,8 @@ object VectorFunctions {
   /** 46-bit polynomial string hash (codegen'd; see [[PolyHash46]]). */
   def polyHash(s: Column): Column =
     graftshim.column(PolyHash46(graftshim.expression(s)))
-  /** [types, Σcount²] lexical stats of a space-separated string (codegen'd;
-    * see [[LexStats]]). */
+  /** [types, Σcount², n_tokens] lexical stats of a space-separated string
+    * (codegen'd; see [[LexStats]]). */
   def lexStats(text: Column): Column =
     graftshim.column(LexStats(graftshim.expression(text)))
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,11 +33,17 @@ object DataQuality {
     "value_non_negative" -> (col("value") < 0))
 
   /** One-row wide violation aggregate of a batch: n_rows + one violation
-    * count per rule — a single map-side-partial pass over the delta. */
+    * count per rule — a single map-side-partial pass over the delta. The
+    * sums are zero-coalesced: over an EMPTY batch (streams deliver them —
+    * recovery no-data batches, triggers firing before files land)
+    * `sum(when(...))` is NULL, and a NULL folded into the ledger would turn
+    * `passed` into NULL — a gate that neither passes nor blocks. */
   def violationWide(df: DataFrame): DataFrame =
     df.agg(
       count(lit(1)).as("n_rows"),
-      eventRules.map { case (n, p) => sum(when(p, 1L).otherwise(0L)).as(n) }: _*)
+      eventRules.map { case (n, p) =>
+        coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L)).as(n)
+      }: _*)
 
   /** Long form: (constraint, violations, n_rows), one row per rule. */
   def violationCounts(df: DataFrame): DataFrame = {
@@ -46,41 +52,15 @@ object DataQuality {
     violationWide(df).select(expr(stackExpr), col("n_rows"))
   }
 
-  // --- persisted ledger (committed-batch-id-inside-the-swap discipline) ---
-
-  private val MetaFile = "_graft_committed_batch" // '_' prefix: invisible to parquet reads
-
-  private def fsOf(spark: SparkSession, dir: Path): FileSystem =
-    FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
-
-  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path): Unit = {
-    val aside = new Path(dir.getParent, s".${dir.getName}.old")
-    fs.delete(aside, true)
-    if (fs.exists(dir) && !fs.rename(dir, aside))
-      throw new java.io.IOException(s"ledger swap: cannot move $dir aside")
-    if (!fs.rename(tmp, dir)) {
-      if (fs.exists(aside)) fs.rename(aside, dir) // restore; next batch retries
-      throw new java.io.IOException(s"ledger swap: cannot publish $tmp")
-    }
-    fs.delete(aside, true)
-  }
-
-  private def committedBatch(fs: FileSystem, dir: Path): Long = {
-    val meta = new Path(dir, MetaFile)
-    if (!fs.exists(meta)) -1L
-    else {
-      val in = fs.open(meta)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        .trim.toLong
-      finally in.close()
-    }
-  }
+  // --- persisted ledger ([[StoreCommit]] discipline) ---
 
   /** The stored ledger: (constraint, violations, n_rows); empty before the
-    * first fold. */
+    * first fold. Recovers a crash-windowed swap before reading. */
   def readLedger(spark: SparkSession, storeDir: String): DataFrame = {
     val dir = new Path(s"$storeDir/ledger")
-    if (fsOf(spark, dir).exists(dir)) spark.read.parquet(dir.toString)
+    val fs = StoreCommit.fsOf(spark, dir)
+    StoreCommit.recover(fs, dir)
+    if (fs.exists(dir)) spark.read.parquet(dir.toString)
     else spark.range(0).select(lit("").as("constraint"),
       lit(0L).as("violations"), lit(0L).as("n_rows"))
   }
@@ -92,8 +72,8 @@ object DataQuality {
   def updateStoredLedger(
       spark: SparkSession, batch: DataFrame, storeDir: String, batchId: Long): Unit = {
     val dir = new Path(s"$storeDir/ledger")
-    val fs = fsOf(spark, dir)
-    if (batchId <= committedBatch(fs, dir)) return // crash replay: already folded
+    val fs = StoreCommit.fsOf(spark, dir)
+    if (batchId <= StoreCommit.committedBatch(fs, dir)) return // replay: already folded
     val merged = readLedger(spark, storeDir)
       .unionByName(violationCounts(batch))
       .groupBy("constraint")
@@ -101,10 +81,8 @@ object DataQuality {
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     fs.delete(tmp, true)
     merged.coalesce(1).write.parquet(tmp.toString)
-    val out = fs.create(new Path(tmp, MetaFile), true)
-    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    atomicSwap(fs, dir, tmp)
+    StoreCommit.writeMeta(fs, tmp, batchId)
+    StoreCommit.swap(fs, dir, tmp)
   }
 
   /** Scheduler-facing view of the ledger: adds the pass flag, stable order. */

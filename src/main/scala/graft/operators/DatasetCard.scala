@@ -35,22 +35,15 @@ object DatasetCard {
   private def fsOf(spark: SparkSession, dir: Path): FileSystem =
     FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
 
-  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path, aside: Path): Unit = {
-    fs.delete(aside, true)
-    if (fs.exists(dir) && !fs.rename(dir, aside))
-      throw new java.io.IOException(s"dataset card: cannot move $dir aside")
-    if (!fs.rename(tmp, dir)) {
-      val rolledBack = fs.exists(aside) && fs.rename(aside, dir)
-      throw new java.io.IOException(
-        s"dataset card: swap failed for $dir, " +
-          (if (rolledBack) "rolled back to the previous state"
-           else s"no previous state to roll back to (or rollback failed - see $aside)"))
-    }
-    fs.delete(aside, true)
-  }
+  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path, aside: Path): Unit =
+    StoreCommit.swap(fs, dir, tmp) // shared two-rename discipline + recoverable aside
 
   private def exists(spark: SparkSession, p: String): Boolean = {
     val path = new Path(p)
+    // subpaths live inside the swapped card root: restore a crash-windowed
+    // swap of the PARENT before probing the child
+    val root = path.getParent
+    StoreCommit.recover(fsOf(spark, root), root)
     fsOf(spark, path).exists(path)
   }
 
@@ -66,6 +59,7 @@ object DatasetCard {
     import spark.implicits._
     val dir = new Path(cardDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
@@ -121,6 +115,8 @@ object DatasetCard {
     * the full query over everything processed so far. Work is
     * languages x sources rows — free at any corpus size. */
   def card(spark: SparkSession, cardDir: String): DataFrame = {
+    val root = new Path(cardDir)
+    StoreCommit.recover(fsOf(spark, root), root) // crash-windowed swap
     spark.read.parquet(s"$cardDir/partials").createOrReplaceTempView("card_partials")
     spark.sql("""WITH tot AS (SELECT sum(n_docs) AS total_docs FROM card_partials)
       SELECT CASE WHEN grouping(source) = 1 THEN 'ALL' ELSE source END AS src,

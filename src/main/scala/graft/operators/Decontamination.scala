@@ -92,24 +92,14 @@ object Decontamination {
   private def fsOf(spark: SparkSession, dir: Path): FileSystem =
     FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
 
-  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path, aside: Path): Unit = {
-    fs.delete(aside, true)
-    if (fs.exists(dir) && !fs.rename(dir, aside))
-      throw new java.io.IOException(s"bloom filter: cannot move $dir aside")
-    if (!fs.rename(tmp, dir)) {
-      val rolledBack = fs.exists(aside) && fs.rename(aside, dir)
-      throw new java.io.IOException(
-        s"bloom filter: swap failed for $dir, " +
-          (if (rolledBack) "rolled back to the previous filter"
-           else s"no previous filter to roll back to (or rollback failed - see $aside)"))
-    }
-    fs.delete(aside, true)
-  }
+  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path, aside: Path): Unit =
+    StoreCommit.swap(fs, dir, tmp) // shared two-rename discipline + recoverable aside
 
   /** Build and atomically publish the filter from a benchmark document
     * table: bloom words + the exact n-gram confirm set. */
   def buildFilter(spark: SparkSession, benchDocs: DataFrame, filterDir: String): Unit = {
     val dir = new Path(filterDir)
+    StoreCommit.recover(fsOf(spark, dir), dir) // crash-windowed swap
     val fs = fsOf(spark, dir)
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     fs.delete(tmp, true)
@@ -124,6 +114,8 @@ object Decontamination {
     * bloom-flagged, and exact-confirmed counts (the q_contamination_bloom
     * output shape, served from disk instead of inline training). */
   def scrub(spark: SparkSession, docs: DataFrame, filterDir: String): DataFrame = {
+    val root = new Path(filterDir)
+    StoreCommit.recover(fsOf(spark, root), root) // crash-windowed swap
     val grams = docNgrams(docs)
     val flagged = probe(grams, bloomRow(spark.read.parquet(s"$filterDir/bloom")))
       .filter(col("bloom_hit"))

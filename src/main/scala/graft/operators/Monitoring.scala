@@ -73,48 +73,18 @@ object Monitoring {
 
   // ---- persisted hourly store ----------------------------------------
 
-  private def fsOf(spark: SparkSession, dir: Path): FileSystem =
-    FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
-
-  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path): Unit = {
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
-    fs.delete(aside, true)
-    if (fs.exists(dir) && !fs.rename(dir, aside))
-      throw new java.io.IOException(s"monitoring store: cannot move $dir aside")
-    if (!fs.rename(tmp, dir)) {
-      val rolledBack = fs.exists(aside) && fs.rename(aside, dir)
-      throw new java.io.IOException(
-        s"monitoring store: swap failed for $dir, " +
-          (if (rolledBack) "rolled back" else s"no rollback (see $aside)"))
-    }
-    fs.delete(aside, true)
-  }
-
-  // files starting with '_' are invisible to Spark's parquet FileIndex, so
-  // the replay cursor can live inside the data directory and swap with it
-  private val MetaFile = "_graft_committed_batch"
-
-  private def committedBatch(fs: FileSystem, dir: Path): Long = {
-    val p = new Path(dir, MetaFile)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        .trim.toLong
-      finally in.close()
-    }
-  }
-
-  private def writeMeta(fs: FileSystem, dir: Path, batchId: Long): Unit = {
-    val out = fs.create(new Path(dir, MetaFile), true)
-    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  // store plumbing lives in [[StoreCommit]] (shared swap/recover/cursor)
+  private def fsOf(spark: SparkSession, dir: Path) = StoreCommit.fsOf(spark, dir)
+  private def committedBatch(fs: FileSystem, dir: Path) = StoreCommit.committedBatch(fs, dir)
+  private def writeMeta(fs: FileSystem, dir: Path, batchId: Long) = StoreCommit.writeMeta(fs, dir, batchId)
+  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path) = StoreCommit.swap(fs, dir, tmp)
 
   /** The live hourly table (empty frame if nothing committed yet). */
   def readHourly(spark: SparkSession, storeDir: String): DataFrame = {
     val dir = new Path(s"$storeDir/hourly")
-    if (fsOf(spark, dir).exists(dir)) spark.read.parquet(dir.toString)
+    val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir)
+    if (fs.exists(dir)) spark.read.parquet(dir.toString)
     else spark.range(0).select(
       lit("").as("event_type"), lit(null).cast("timestamp").as("hr"), lit(0L).as("n"))
   }
@@ -151,6 +121,9 @@ object Monitoring {
   }
 
   /** The live alerts table. */
-  def readAlerts(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/alerts")
+  def readAlerts(spark: SparkSession, storeDir: String): DataFrame = {
+    val dir = new Path(s"$storeDir/alerts")
+    StoreCommit.recover(fsOf(spark, dir), dir)
+    spark.read.parquet(dir.toString)
+  }
 }

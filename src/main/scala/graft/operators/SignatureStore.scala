@@ -41,30 +41,24 @@ object SignatureStore {
   private def fsOf(spark: SparkSession, dir: Path): FileSystem =
     FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
 
-  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path, aside: Path): Unit = {
-    fs.delete(aside, true)
-    if (fs.exists(dir) && !fs.rename(dir, aside))
-      throw new java.io.IOException(s"signature store: cannot move $dir aside")
-    if (!fs.rename(tmp, dir)) {
-      val rolledBack = fs.exists(aside) && fs.rename(aside, dir)
-      throw new java.io.IOException(
-        s"signature store: swap failed for $dir, " +
-          (if (rolledBack) "rolled back to the previous store"
-           else s"no previous store to roll back to (or rollback failed - see $aside)"))
-    }
-    fs.delete(aside, true)
-  }
+  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path, aside: Path): Unit =
+    StoreCommit.swap(fs, dir, tmp) // shared two-rename discipline + recoverable aside
 
   private def tombstonesOf(
       spark: SparkSession, storeDir: String, idCol: String): DataFrame = {
+    val root = new Path(storeDir) // the swap unit is the whole store root
+    StoreCommit.recover(fsOf(spark, root), root)
     val t = new Path(s"$storeDir/tombstones")
     if (fsOf(spark, t).exists(t)) spark.read.parquet(t.toString)
     else spark.range(0).select(col("id").as(idCol))
   }
 
   /** The live signature table (for scrub/incremental-dedup joins). */
-  def read(spark: SparkSession, storeDir: String): DataFrame =
+  def read(spark: SparkSession, storeDir: String): DataFrame = {
+    val root = new Path(storeDir) // the swap unit is the whole store root
+    StoreCommit.recover(fsOf(spark, root), root)
     spark.read.parquet(s"$storeDir/sigs")
+  }
 
   /** Build (or rebuild) and atomically publish. A rebuild RESPECTS existing
     * tombstones — re-signing the corpus must not resurrect an erased id. */

@@ -78,39 +78,17 @@ object Sketches {
 
   // ---- persisted streaming sketch (the top-talkers monitor state) -------
 
-  private def fsOf(spark: SparkSession, dir: Path): FileSystem =
-    FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
-
-  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path): Unit = {
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
-    fs.delete(aside, true)
-    if (fs.exists(dir) && !fs.rename(dir, aside))
-      throw new java.io.IOException(s"sketch store: cannot move $dir aside")
-    if (!fs.rename(tmp, dir)) {
-      val rolledBack = fs.exists(aside) && fs.rename(aside, dir)
-      throw new java.io.IOException(s"sketch store: swap failed for $dir, " +
-        (if (rolledBack) "rolled back" else s"no rollback (see $aside)"))
-    }
-    fs.delete(aside, true)
-  }
-
-  private val MetaFile = "_graft_committed_batch" // '_' prefix: invisible to parquet reads
-
-  private def committedBatch(fs: FileSystem, dir: Path): Long = {
-    val p = new Path(dir, MetaFile)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        .trim.toLong
-      finally in.close()
-    }
-  }
+  // store plumbing lives in [[StoreCommit]] (shared swap/recover/cursor)
+  private def fsOf(spark: SparkSession, dir: Path) = StoreCommit.fsOf(spark, dir)
+  private def committedBatch(fs: FileSystem, dir: Path) = StoreCommit.committedBatch(fs, dir)
+  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path) = StoreCommit.swap(fs, dir, tmp)
 
   /** The stored MG summary as (key, cnt) rows (empty if never committed). */
   def readSketch(spark: SparkSession, storeDir: String): Map[Long, Long] = {
     val dir = new Path(s"$storeDir/sketch")
-    if (!fsOf(spark, dir).exists(dir)) Map.empty
+    val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir)
+    if (!fs.exists(dir)) Map.empty
     else spark.read.parquet(dir.toString)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
@@ -138,7 +116,9 @@ object Sketches {
   /** The stored CM cell table (empty if never committed). */
   def readCountMin(spark: SparkSession, storeDir: String): DataFrame = {
     val dir = new Path(s"$storeDir/cm")
-    if (fsOf(spark, dir).exists(dir)) spark.read.parquet(dir.toString)
+    val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir)
+    if (fs.exists(dir)) spark.read.parquet(dir.toString)
     else spark.range(0).select(lit(0).as("j"), lit(0L).as("c"), lit(0L).as("cell"))
   }
 
@@ -159,9 +139,7 @@ object Sketches {
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     fs.delete(tmp, true)
     merged.coalesce(1).write.parquet(tmp.toString)
-    val out = fs.create(new Path(tmp, MetaFile), true)
-    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    StoreCommit.writeMeta(fs, tmp, batchId)
     atomicSwap(fs, dir, tmp)
   }
 
@@ -183,9 +161,7 @@ object Sketches {
     fs.delete(tmp, true)
     import spark.implicits._
     merged.toSeq.toDF("key", "cnt").coalesce(1).write.parquet(tmp.toString)
-    val out = fs.create(new Path(tmp, MetaFile), true)
-    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    StoreCommit.writeMeta(fs, tmp, batchId)
     atomicSwap(fs, dir, tmp)
   }
 }

@@ -50,6 +50,10 @@ object VectorIndex {
     FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
 
   private def readMetaOpt(spark: SparkSession, indexDir: String): Option[Row] = {
+    // every search/maintenance entry reads the meta first, so recovering a
+    // crash-windowed swap here covers the whole read surface
+    val root = new Path(indexDir)
+    StoreCommit.recover(fsOf(spark, root), root)
     val meta = new Path(s"$indexDir/meta")
     if (!fsOf(spark, meta).exists(meta)) None
     else spark.read.parquet(meta.toString).collect().headOption
@@ -132,6 +136,7 @@ object VectorIndex {
       spark: SparkSession, fs: FileSystem, indexDir: String,
       requested: DataFrame): Unit = {
     val tsDir = new Path(s"$indexDir/tombstones")
+    StoreCommit.recover(fsOf(spark, tsDir), tsDir)
     val tsTmp = new Path(s"$indexDir/.tombstones.building")
     val tsAside = new Path(s"$indexDir/.tombstones.previous")
     fs.delete(tsTmp, true)
@@ -150,19 +155,8 @@ object VectorIndex {
 
   /** Atomic publish: move the live index aside, swap the staged one in,
     * roll back on failure. Tolerates a missing live dir (first build). */
-  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path, aside: Path): Unit = {
-    fs.delete(aside, true)
-    if (fs.exists(dir) && !fs.rename(dir, aside))
-      throw new java.io.IOException(s"vector index: cannot move $dir aside")
-    if (!fs.rename(tmp, dir)) {
-      val rolledBack = fs.exists(aside) && fs.rename(aside, dir)
-      throw new java.io.IOException(
-        s"vector index: swap failed for $dir, " +
-          (if (rolledBack) "rolled back to the previous index"
-           else s"no previous index to roll back to (or rollback failed - see $aside)"))
-    }
-    fs.delete(aside, true)
-  }
+  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path, aside: Path): Unit =
+    StoreCommit.swap(fs, dir, tmp) // shared two-rename discipline + recoverable aside
 
   // ---------------------------------------------------------------------
   // build
@@ -182,6 +176,7 @@ object VectorIndex {
       trainBound: Long = Long.MaxValue): Unit = {
     val dir = new Path(indexDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     fs.delete(tmp, true)
     val tombstones = tombstonesOf(spark, indexDir).cache()
@@ -222,6 +217,7 @@ object VectorIndex {
       trainBound: Long = Long.MaxValue): Unit = {
     val dir = new Path(indexDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     fs.delete(tmp, true)
     val tombstones = tombstonesOf(spark, indexDir).cache()
@@ -300,6 +296,7 @@ object VectorIndex {
       spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Unit = {
     val dir = new Path(indexDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
@@ -604,6 +601,7 @@ object VectorIndex {
     import spark.implicits._
     val dir = new Path(indexDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
@@ -644,6 +642,7 @@ object VectorIndex {
   def vacuumIndex(spark: SparkSession, indexDir: String, targetFiles: Int = 4): Unit = {
     val dir = new Path(indexDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
@@ -753,6 +752,7 @@ object VectorIndex {
       bound: Long = Long.MaxValue): Unit = {
     val dir = new Path(indexDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     fs.delete(tmp, true)
     val tombstones = tombstonesOf(spark, indexDir).cache()
@@ -782,6 +782,7 @@ object VectorIndex {
     requireFlavor(spark, indexDir, FlavorBinary, "appendBinary")
     val dir = new Path(indexDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
@@ -831,6 +832,7 @@ object VectorIndex {
       bound: Long = Long.MaxValue): Unit = {
     val dir = new Path(indexDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     fs.delete(tmp, true)
     val tombstones = tombstonesOf(spark, indexDir).cache()
@@ -866,6 +868,7 @@ object VectorIndex {
     requireFlavor(spark, indexDir, FlavorSq8, "appendSq8")
     val dir = new Path(indexDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
@@ -916,6 +919,7 @@ object VectorIndex {
     import spark.implicits._
     val dir = new Path(indexDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
@@ -948,6 +952,7 @@ object VectorIndex {
     import spark.implicits._
     val dir = new Path(indexDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
     val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)

@@ -44,6 +44,45 @@ object SinkQueries {
       FROM read_json_auto('$NdjsonDir/*.json.gz')
       ORDER BY source, coalesce(sourceip, ''), coalesce(eventname, '')"""))
 
+  private val CsvDir = "/tmp/graft_events_csv"
+
+  private var csvWritten = false
+  private def ensureCsv(events: org.apache.spark.sql.DataFrame): Unit = synchronized {
+    if (!csvWritten) {
+      events
+        .select(col("eventid"), coalesce(col("source"), lit("(none)")).as("source"),
+          coalesce(col("category"), lit("(none)")).as("category"),
+          coalesce(col("severity"), lit("(none)")).as("severity"))
+        .write.mode("overwrite").option("header", "true").csv(CsvDir)
+      csvWritten = true // only after a successful write
+    }
+  }
+
+  /** CSV round-trip — the remaining interchange format next to parquet and
+    * gzip NDJSON: events → header CSV → schema-on-read scan, checked by
+    * DuckDB parsing the SAME files Spark wrote (quoting parity is the real
+    * test — both sides speak RFC-4180). Group keys are written
+    * null-coalesced to a NON-EMPTY sentinel: an empty-string coalesce
+    * would be no defense at all, because Spark writes '' as a quoted empty
+    * field and DuckDB's read_csv_auto turns quoted empties back into NULL
+    * (allow_quoted_nulls default) — the exact null-convention divergence
+    * (Spark sorts nulls first, DuckDB last) the coalesce exists to keep
+    * out of the compare. A printable sentinel survives the round trip
+    * identically in both parsers. */
+  private val csvScan = Q(
+    "q_scan_csv",
+    (s, d) => {
+      ensureCsv(PipelineQueries.eventsFrame(s))
+      s.read.option("header", "true").csv(CsvDir)
+        .groupBy("source", "category", "severity")
+        .agg(count(lit(1)).as("n"), countDistinct("eventid").as("n_ids"))
+        .orderBy("source", "category", "severity")
+    },
+    Some(s"""SELECT source, category, severity, count(*) AS n,
+        count(DISTINCT eventid) AS n_ids
+      FROM read_csv_auto('$CsvDir/*.csv', header = true)
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   /** Partition pruning over the hour-partitioned events table: the filter on
     * partition columns prunes directories at planning time (Catalyst
     * PruneFileSourcePartitions) — the moral equivalent of the reference's
@@ -141,5 +180,5 @@ object SinkQueries {
              (min(p) <= 200 AND max(p) >= 100 AND min(sk) <= 20 AND max(sk) >= 10) AS box_hit
       FROM f GROUP BY file_id ORDER BY file_id"""))
 
-  val all: Seq[Q] = Seq(ndjsonSink, partitionPrune, aggPushdown, zorderLayout)
+  val all: Seq[Q] = Seq(ndjsonSink, partitionPrune, aggPushdown, zorderLayout, csvScan)
 }

@@ -1379,12 +1379,13 @@ object TextQueries {
     "q_text_diversity",
     (s, d) =>
       // the codegen'd kernel (graft.functions.LexStats) carries the hot
-      // path; the declarative fold above stays as its pinned parity twin
+      // path and emits the token count too, so the text is tokenized
+      // exactly once per row; the declarative fold above stays as its
+      // pinned parity twin
       t(s, d, "documents")
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          graft.functions.VectorFunctions.lexStats(col("text")).as("st"))
-        .select(col("doc_id"), col("n_tokens"), col("st").getItem(0).as("n_types"),
-          col("st").getItem(1).as("sum_c2"))
+        .select(col("doc_id"), graft.functions.VectorFunctions.lexStats(col("text")).as("st"))
+        .select(col("doc_id"), col("st").getItem(2).as("n_tokens"),
+          col("st").getItem(0).as("n_types"), col("st").getItem(1).as("sum_c2"))
         .select(col("doc_id"), col("n_tokens"), col("n_types"),
           expr("n_types * 10000 div n_tokens").as("ttr_bp"),
           expr("(n_tokens * n_tokens - sum_c2) * 1000000 div (n_tokens * n_tokens)")

@@ -583,8 +583,10 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // to both the declarative fold and the reference
     val kernel = docs.toDF("text")
       .select(functions.VectorFunctions.lexStats(col("text")).as("st"))
-      .select(col("st").getItem(0), col("st").getItem(1))
-      .as[(Long, Long)].collect().toSeq
-    assert(kernel == expected)
+      .select(col("st").getItem(0), col("st").getItem(1), col("st").getItem(2))
+      .as[(Long, Long, Long)].collect().toSeq
+    val expectedWithN = (docs zip expected).map { case (t, (ty, sc)) =>
+      (ty, sc, t.split(" ", -1).length.toLong) }
+    assert(kernel == expectedWithN)
   }
 }

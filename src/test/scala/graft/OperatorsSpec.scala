@@ -283,7 +283,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
                 lex_stats('a a b') AS ls""").collect()
     assert(rows.head.getDouble(0) == 11.0)
     assert(math.abs(rows.head.getDouble(1) - 1.0 / 3) < 1e-12)
-    assert(rows.head.getSeq[Long](2) == Seq(2L, 5L)) // types 2, 2²+1²
+    assert(rows.head.getSeq[Long](2) == Seq(2L, 5L, 3L)) // types 2, 2²+1², 3 tokens
   }
 
   test("streaming sessionize: sessions emit on event-time timeout") {

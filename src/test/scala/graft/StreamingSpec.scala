@@ -1259,5 +1259,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // crash replay folds nothing
     DataQuality.updateStoredLedger(spark, events, storeDir, batchId = 0L)
     assert(rows(DataQuality.readLedger(spark, storeDir)) == stored, "replay mutated the ledger")
+
+    // crash INSIDE the swap window: the store dir moved aside but the new
+    // version never renamed in (process died between the two renames).
+    // Every reader/guard must restore the last committed version instead
+    // of seeing an empty store — before StoreCommit.recover, this state
+    // silently reset the ledger and the next fold re-counted from zero.
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$storeDir/ledger")
+    val fs = graft.operators.StoreCommit.fsOf(spark, dir)
+    assert(fs.rename(dir, new Path(dir.getParent, s".${dir.getName}.previous")),
+      "test setup: simulate the crash window")
+    assert(rows(DataQuality.readLedger(spark, storeDir)) == stored,
+      "reader did not restore the crash-windowed store")
+    // and the replay cursor survived with it: the already-folded batch
+    // still folds nothing after recovery
+    DataQuality.updateStoredLedger(spark, events, storeDir, batchId = 1L)
+    assert(rows(DataQuality.readLedger(spark, storeDir)) == stored,
+      "post-recovery replay mutated the ledger")
   }
 }
