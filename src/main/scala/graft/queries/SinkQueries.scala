@@ -180,5 +180,48 @@ object SinkQueries {
              (min(p) <= 200 AND max(p) >= 100 AND min(sk) <= 20 AND max(sk) >= 10) AS box_hit
       FROM f GROUP BY file_id ORDER BY file_id"""))
 
-  val all: Seq[Q] = Seq(ndjsonSink, partitionPrune, aggPushdown, zorderLayout, csvScan)
+  private val EvolveDir = "/tmp/graft_docs_evolve"
+
+  private var evolveWritten = false
+  private def ensureEvolve(docs: org.apache.spark.sql.DataFrame): Unit = synchronized {
+    if (!evolveWritten) {
+      // generation 1: the old writer's schema (no n_chars column)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$EvolveDir/v1")
+      // generation 2: the widened schema a later writer ships
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$EvolveDir/v2")
+      evolveWritten = true // only after a successful write
+    }
+  }
+
+  /** Schema evolution — the lake reality every long-lived table hits: files
+    * written before a column existed sit beside files written after.
+    * Spark's `mergeSchema` unions the footers and nulls the missing column
+    * in old files; DuckDB replays the identical semantics with
+    * `union_by_name`. The aggregate separates "rows from old files"
+    * (n_chars IS NULL) from real data — the count/coalesce discipline any
+    * widened-column rollup needs. Schema merge is a FOOTER operation
+    * (planning-time, one small read per file), not a data rewrite — the
+    * whole point vs. an eager backfill of 100 TB. */
+  private val schemaEvolution = Q(
+    "q_scan_schema_evolution",
+    (s, d) => {
+      ensureEvolve(Tables.t(s, d, "documents"))
+      s.read.option("mergeSchema", "true").parquet(s"$EvolveDir/v1", s"$EvolveDir/v2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          count(col("n_chars")).as("n_new_schema"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+        .orderBy("lang")
+    },
+    Some(s"""SELECT lang, count(*) AS n,
+        CAST(count(n_chars) AS BIGINT) AS n_new_schema,
+        CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars
+      FROM read_parquet(['$EvolveDir/v1/*.parquet', '$EvolveDir/v2/*.parquet'],
+                        union_by_name = true)
+      GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Q] =
+    Seq(ndjsonSink, partitionPrune, aggPushdown, zorderLayout, csvScan, schemaEvolution)
 }

@@ -56,7 +56,9 @@ object ScaleProbe {
     "q_text_diversity", "q_privacy_ldiversity", "q_events_sequences",
     "q_sim_recall_eval",
     // r8 fourth wave: profiling/DQ family (events-backed)
-    "q_profile_columns", "q_profile_constraints", "q_profile_drift")
+    "q_profile_columns", "q_profile_constraints", "q_profile_drift",
+    // r8 fifth wave: graph + layout (lineitem-backed, keys remapped *10+i)
+    "q_graph_pagerank", "q_maint_zorder")
 
   private val ReplicaIdOffset = 10000000L
 
@@ -110,6 +112,20 @@ object ScaleProbe {
       p.select(
         (col("p_partkey") * 10 + lit(i)).as("p_partkey"),
         col("p_name"), col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+    }
+    // lineitem replicas remap every key *10+i — the part↔supplier graph
+    // becomes 10 DISJOINT subgraphs (more parts, more suppliers, same
+    // degree structure), which is how a 10x corpus actually grows; naive
+    // row copies would instead multiply every edge weight by 10 and leave
+    // the graph size constant
+    reps("lineitem") { (li, i) =>
+      li.select(
+        (col("l_orderkey") * 10 + lit(i)).as("l_orderkey"),
+        (col("l_partkey") * 10 + lit(i)).as("l_partkey"),
+        (col("l_suppkey") * 10 + lit(i)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
     }
   }
 
