@@ -91,4 +91,80 @@ object DataQuality {
       .select(col("constraint"), col("violations"), col("n_rows"),
         (col("violations") === 0L).as("passed"))
       .orderBy("constraint")
+
+  // --- distribution drift (PSI) monitor: stored reference histogram +
+  // --- additive current-window bins, the live twin of q_profile_drift ---
+
+  /** Fixed monitored-value binning shared by the batch drift query and the
+    * streaming monitor (width 20 capped at bin 9 — the operator's dial). */
+  def driftBin(value: Column): Column = least(floor(value / 20), lit(9L))
+
+  /** Per-bin PSI contribution from exact basis-point proportions — the
+    * identical decimal(24,6)-routed formula the batch query and DuckDB
+    * oracle compute, so stream and batch can be compared row-for-row. */
+  def psiTerm(refBp: Column, curBp: Column): Column =
+    round((((curBp - refBp) / lit(10000.0)) * log(curBp / refBp.cast("double")))
+      .cast("decimal(24,6)"), 6).cast("double")
+
+  private def binCounts(events: DataFrame, as: String): DataFrame =
+    events.select(driftBin(col("value")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(as))
+
+  /** Freeze the reference distribution (e.g. the training window) — a
+    * build-once bounded table of (bin, n_ref). */
+  def buildDriftReference(spark: SparkSession, events: DataFrame, storeDir: String): Unit = {
+    val dir = new Path(s"$storeDir/drift_ref")
+    val fs = StoreCommit.fsOf(spark, dir)
+    StoreCommit.recover(fs, dir)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    fs.delete(tmp, true)
+    binCounts(events, "n_ref").coalesce(1).write.parquet(tmp.toString)
+    StoreCommit.swap(fs, dir, tmp)
+  }
+
+  private def readBins(spark: SparkSession, dir: Path, as: String): DataFrame = {
+    val fs = StoreCommit.fsOf(spark, dir)
+    StoreCommit.recover(fs, dir)
+    if (fs.exists(dir)) spark.read.parquet(dir.toString)
+    else spark.range(0).select(lit(0L).as("bin"), lit(0L).as(as))
+  }
+
+  /** Fold one micro-batch's bin counts into the stored current-window
+    * histogram — additive like the ledger, so the store equals a one-shot
+    * histogram of the drained union; replay-guarded by the committed
+    * cursor. State is ≤10 rows forever. */
+  def updateDriftCurrent(
+      spark: SparkSession, batch: DataFrame, storeDir: String, batchId: Long): Unit = {
+    val dir = new Path(s"$storeDir/drift_cur")
+    val fs = StoreCommit.fsOf(spark, dir)
+    if (batchId <= StoreCommit.committedBatch(fs, dir)) return // replay: already folded
+    val merged = readBins(spark, dir, "n_cur")
+      .unionByName(binCounts(batch, "n_cur"))
+      .groupBy("bin").agg(sum("n_cur").as("n_cur"))
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    fs.delete(tmp, true)
+    merged.coalesce(1).write.parquet(tmp.toString)
+    StoreCommit.writeMeta(fs, tmp, batchId)
+    StoreCommit.swap(fs, dir, tmp)
+  }
+
+  /** Per-bin drift table from the two bounded histograms — the same output
+    * shape (and the same integer-bp + Laplace-floor + decimal-routed PSI
+    * math) as the declared `q_profile_drift`, derived from the stores
+    * alone: O(bins), the corpus never re-enters. */
+  def driftStatus(spark: SparkSession, storeDir: String): DataFrame = {
+    val ref = readBins(spark, new Path(s"$storeDir/drift_ref"), "n_ref")
+    val cur = readBins(spark, new Path(s"$storeDir/drift_cur"), "n_cur")
+    val joined = ref.join(cur, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        greatest(expr("n_ref * 10000 div t_ref"), lit(1L)).as("ref_bp"),
+        greatest(expr("n_cur * 10000 div t_cur"), lit(1L)).as("cur_bp"))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("ref_bp"), col("cur_bp"),
+        psiTerm(col("ref_bp"), col("cur_bp")).as("psi_term"))
+      .orderBy("bin")
+  }
 }

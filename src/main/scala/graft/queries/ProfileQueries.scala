@@ -139,7 +139,7 @@ object ProfileQueries {
         max(unix_micros(col("ts"))).as("hi"))
         .select(expr("lo + (hi - lo) div 2").as("mid"))
       val binned = e.crossJoin(broadcast(mid))
-        .select(least(floor(col("value") / 20), lit(9L)).as("bin"),
+        .select(graft.operators.DataQuality.driftBin(col("value")).as("bin"),
           (unix_micros(col("ts")) <= col("mid")).as("is_ref"))
         .groupBy("bin")
         .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
@@ -150,9 +150,7 @@ object ProfileQueries {
           greatest(expr("n_ref * 10000 div t_ref"), lit(1L)).as("ref_bp"),
           greatest(expr("n_cur * 10000 div t_cur"), lit(1L)).as("cur_bp"))
         .select(col("bin"), col("n_ref"), col("n_cur"), col("ref_bp"), col("cur_bp"),
-          round((((col("cur_bp") - col("ref_bp")) / lit(10000.0)) *
-            log(col("cur_bp") / col("ref_bp").cast("double"))).cast("decimal(24,6)"), 6)
-            .cast("double").as("psi_term"))
+          graft.operators.DataQuality.psiTerm(col("ref_bp"), col("cur_bp")).as("psi_term"))
         .orderBy("bin")
     },
     Some("""WITH m AS (

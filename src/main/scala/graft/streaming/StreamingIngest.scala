@@ -392,6 +392,30 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming drift monitor — the live twin of `q_profile_drift`: the
+    * reference histogram is frozen once
+    * ([[graft.operators.DataQuality.buildDriftReference]], e.g. over the
+    * training window), and each micro-batch's bin counts fold additively
+    * into the stored current-window histogram. Both stores are ≤bins rows
+    * forever; [[graft.operators.DataQuality.driftStatus]] re-derives the
+    * per-bin PSI table from them alone with the IDENTICAL integer-bp +
+    * decimal-routed math the batch query and DuckDB oracle run (stream ==
+    * batch pinned in StreamingSpec). Input frame needs a `value` column. */
+  def startDriftStream(
+      events: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.DataQuality.updateDriftCurrent(
+          batch.sparkSession, batch.toDF(), storeDir, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming analytics over the event stream (SURVEY §2B streaming row):
     * tumbling event-time window counts with late-data drop. Watermark bounds
     * the window state; at 100 TB/day this shuffles once per window on

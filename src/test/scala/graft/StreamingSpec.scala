@@ -1278,4 +1278,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(DataQuality.readLedger(spark, storeDir)) == stored,
       "post-recovery replay mutated the ledger")
   }
+
+  test("streaming drift monitor: stored-histogram PSI equals the batch q_profile_drift row-for-row") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.DataQuality
+
+    // replicate the batch query's reference/current split exactly: first
+    // half of the time range is the frozen reference, second half streams
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.queries.Tables.events(spark, sf)
+    val mid = events
+      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+      .select(expr("lo + (hi - lo) div 2").as("mid")).head().getLong(0)
+    val ref = events.filter(unix_micros(col("ts")) <= mid)
+    val cur = events.filter(unix_micros(col("ts")) > mid)
+      .select("event_id", "user_id", "event_type", "value")
+
+    val storeDir = s"$base/drift_store"
+    DataQuality.buildDriftReference(spark, ref, storeDir)
+
+    val landing = s"$base/drift_landing"
+    Files.createDirectories(Paths.get(landing))
+    (0 until 3).foreach { i =>
+      cur.filter(col("event_id") % 3 === i).coalesce(1).write.json(s"$landing/chunk$i")
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(s"$landing/chunk*")
+    val q = StreamingIngest.startDriftStream(
+      stream, storeDir, s"$base/drift_ckpt", Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val live = rows(DataQuality.driftStatus(spark, storeDir))
+    val batch = rows(SparkEntry.queries("q_profile_drift")(spark, sf))
+    assert(live == batch, s"stream != batch:\nlive=$live\nbatch=$batch")
+    assert(live.nonEmpty)
+    // replay folds nothing
+    DataQuality.updateDriftCurrent(spark, cur, storeDir, batchId = 0L)
+    assert(rows(DataQuality.driftStatus(spark, storeDir)) == live, "replay mutated the bins")
+  }
 }
