@@ -402,6 +402,67 @@ object EventsQueries {
     * the total suppression burden in basis points. One corpus aggregate on
     * the QI key (low cardinality, map-side combinable), then thresholding
     * on the bounded class table. */
+  /** Change-point detection (Page–Hinkley) — the sustained-shift
+    * complement of [[anomaly]]'s spike gate: a level change too small to
+    * trip any single-hour z-score accumulates in the cumulative deviation
+    * from the frozen first-24h reference, and the PH statistic (cumdev
+    * minus its running minimum) crosses the threshold at the DETECTION
+    * hour, which is what this reports — one row per drifted type, the
+    * first hour the statistic exceeded six reference-hours of traffic.
+    * Everything is integer (deviations scaled by 24, so the reference mean
+    * never becomes a fraction) and window-expressible — the classic CUSUM
+    * max-recursion is NOT (it needs per-row state); PH's
+    * cumsum-minus-running-min form is the standard reformulation that is.
+    * Scale shape: one corpus hourly aggregate; every window runs on the
+    * bounded types × hours spine, exactly like [[anomaly]]. */
+  private val changepoint = Q(
+    "q_events_changepoint",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("event_type").orderBy("hr")
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = ev(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+      val ref = ranked.filter(col("rn") <= 24)
+        .groupBy("event_type").agg(sum("n").as("s24"), count(lit(1)).as("w_ref"))
+      val flagged = ranked.join(ref, "event_type")
+        .filter(col("w_ref") === 24 && col("rn") > 24)
+        .withColumn("dev", lit(24L) * col("n") - col("s24"))
+        .withColumn("cum", sum("dev").over(wCum))
+        .withColumn("runmin", min("cum").over(wCum))
+        .withColumn("ph", col("cum") - col("runmin"))
+        .filter(col("ph") > lit(6L) * col("s24"))
+      flagged
+        .withColumn("firstrn", row_number().over(wOrd).cast("long"))
+        .filter(col("firstrn") === 1)
+        .select(col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH:00").as("detected_at"),
+          col("n"), col("ph"))
+        .orderBy("event_type")
+    },
+    Some("""WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, hr, n,
+              row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn FROM h),
+      ref AS (SELECT event_type, sum(n) AS s24, count(*) AS w_ref
+              FROM r WHERE rn <= 24 GROUP BY 1),
+      sc AS (SELECT r.event_type, r.hr, r.n, ref.s24, 24*r.n - ref.s24 AS dev
+             FROM r JOIN ref USING (event_type)
+             WHERE ref.w_ref = 24 AND r.rn > 24),
+      c AS (SELECT *, sum(dev) OVER (PARTITION BY event_type ORDER BY hr
+                                     ROWS UNBOUNDED PRECEDING) AS cum FROM sc),
+      p AS (SELECT *, min(cum) OVER (PARTITION BY event_type ORDER BY hr
+                                     ROWS UNBOUNDED PRECEDING) AS runmin FROM c),
+      f AS (SELECT event_type, hr, n, cum - runmin AS ph,
+              row_number() OVER (PARTITION BY event_type ORDER BY hr) AS frn
+            FROM p WHERE cum - runmin > 6*s24)
+      SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS detected_at,
+             CAST(n AS BIGINT) AS n, CAST(ph AS BIGINT) AS ph
+      FROM f WHERE frn = 1 ORDER BY event_type"""))
+
   private val kanon = Q(
     "q_privacy_kanon",
     (s, d) => {
@@ -488,5 +549,5 @@ object EventsQueries {
 
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple,
     sessionize, saltedAgg, variantExtract, funnel, retention, resample, anomaly, markov, sliding,
-    kanon, ldiversity, sequences)
+    kanon, ldiversity, sequences, changepoint)
 }

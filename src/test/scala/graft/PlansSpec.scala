@@ -457,6 +457,14 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rec = plan("q_sim_recall_eval")
     assert(!rec.contains("CartesianProduct"), rec)
     assert(rec.contains("BroadcastHashJoin") || rec.contains("BroadcastNestedLoopJoin"), rec)
+    // change-point: one corpus hourly aggregate; every window (rank, cum,
+    // running-min, first-crossing) partitions by event_type over the
+    // bounded hourly spine — no unpartitioned window, no cartesian
+    val cp = plan("q_events_changepoint")
+    assert(!cp.contains("CartesianProduct"), cp)
+    assert(cp.contains("windowspecdefinition(event_type"),
+      s"change-point windows must partition by event_type:\n$cp")
+    assert(!cp.contains("windowspecdefinition()"), "no unpartitioned window over the corpus")
   }
 
   test("q_scan_agg_pushdown: COUNT/MIN/MAX resolve from parquet footer stats") {

@@ -1308,8 +1308,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       StructField("event_type", StringType), StructField("value", DoubleType)))
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").json(s"$landing/chunk*")
+    // NOT "$base/drift_ckpt": the ingest-dedup test at the top of this
+    // suite already owns that checkpoint, and reusing it trips Spark's
+    // stateful-operator metadata check (dedupeWithinWatermark vs none)
     val q = StreamingIngest.startDriftStream(
-      stream, storeDir, s"$base/drift_ckpt", Trigger.AvailableNow())
+      stream, storeDir, s"$base/psi_ckpt", Trigger.AvailableNow())
     q.awaitTermination(120000)
 
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
