@@ -55,12 +55,13 @@ object DataQuality {
   // --- persisted ledger ([[StoreCommit]] discipline) ---
 
   /** The stored ledger: (constraint, violations, n_rows); empty before the
-    * first fold. Recovers a crash-windowed swap before reading. */
+    * first fold. Read-side crash tolerance is NON-mutating (readableRoot);
+    * the writer's committedBatch guard performs the actual restore. */
   def readLedger(spark: SparkSession, storeDir: String): DataFrame = {
     val dir = new Path(s"$storeDir/ledger")
     val fs = StoreCommit.fsOf(spark, dir)
-    StoreCommit.recover(fs, dir)
-    if (fs.exists(dir)) spark.read.parquet(dir.toString)
+    val src = StoreCommit.readableRoot(fs, dir) // non-mutating: see StoreCommit
+    if (fs.exists(src)) spark.read.parquet(src.toString)
     else spark.range(0).select(lit("").as("constraint"),
       lit(0L).as("violations"), lit(0L).as("n_rows"))
   }
@@ -124,8 +125,8 @@ object DataQuality {
 
   private def readBins(spark: SparkSession, dir: Path, as: String): DataFrame = {
     val fs = StoreCommit.fsOf(spark, dir)
-    StoreCommit.recover(fs, dir)
-    if (fs.exists(dir)) spark.read.parquet(dir.toString)
+    val src = StoreCommit.readableRoot(fs, dir) // non-mutating: see StoreCommit
+    if (fs.exists(src)) spark.read.parquet(src.toString)
     else spark.range(0).select(lit(0L).as("bin"), lit(0L).as(as))
   }
 
@@ -151,7 +152,13 @@ object DataQuality {
   /** Per-bin drift table from the two bounded histograms — the same output
     * shape (and the same integer-bp + Laplace-floor + decimal-routed PSI
     * math) as the declared `q_profile_drift`, derived from the stores
-    * alone: O(bins), the corpus never re-enters. */
+    * alone: O(bins), the corpus never re-enters. When EITHER window is
+    * still empty (reference not yet frozen, or polled before the first
+    * micro-batch commits) the result is the EMPTY table, never a
+    * fabricated one: a zero total would make every `bp` a div-0 NULL,
+    * Laplace-floor to 1, and report confident-looking drift computed from
+    * zero observations — a scheduler must see "no data yet", not an
+    * alarm. */
   def driftStatus(spark: SparkSession, storeDir: String): DataFrame = {
     val ref = readBins(spark, new Path(s"$storeDir/drift_ref"), "n_ref")
     val cur = readBins(spark, new Path(s"$storeDir/drift_cur"), "n_cur")
@@ -160,6 +167,7 @@ object DataQuality {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
     joined.crossJoin(broadcast(tot))
+      .filter(col("t_ref") > 0L && col("t_cur") > 0L)
       .select(col("bin"), col("n_ref"), col("n_cur"),
         greatest(expr("n_ref * 10000 div t_ref"), lit(1L)).as("ref_bp"),
         greatest(expr("n_cur * 10000 div t_cur"), lit(1L)).as("cur_bp"))

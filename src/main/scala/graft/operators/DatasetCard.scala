@@ -35,22 +35,28 @@ object DatasetCard {
   private def fsOf(spark: SparkSession, dir: Path): FileSystem =
     FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
 
-  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path, aside: Path): Unit =
+  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path): Unit =
     StoreCommit.swap(fs, dir, tmp) // shared two-rename discipline + recoverable aside
 
-  private def exists(spark: SparkSession, p: String): Boolean = {
-    val path = new Path(p)
-    // subpaths live inside the swapped card root: restore a crash-windowed
-    // swap of the PARENT before probing the child
-    val root = path.getParent
-    StoreCommit.recover(fsOf(spark, root), root)
+  /** Resolve the card root a READER should use — non-mutating (a reader
+    * must never rename mid-swap; the writer's own recover restores the
+    * main dir), falling back to the crash aside when the root is absent. */
+  private def readRoot(spark: SparkSession, cardDir: String): Path = {
+    val dir = new Path(cardDir)
+    StoreCommit.readableRoot(fsOf(spark, dir), dir)
+  }
+
+  private def exists(spark: SparkSession, root: Path, child: String): Boolean = {
+    val path = new Path(root, child)
     fsOf(spark, path).exists(path)
   }
 
   /** The processed-id boundary; Long.MinValue before the first update. */
-  def boundary(spark: SparkSession, cardDir: String): Long =
-    if (!exists(spark, s"$cardDir/meta")) Long.MinValue
-    else spark.read.parquet(s"$cardDir/meta").head().getLong(0)
+  def boundary(spark: SparkSession, cardDir: String): Long = {
+    val root = readRoot(spark, cardDir)
+    if (!exists(spark, root, "meta")) Long.MinValue
+    else spark.read.parquet(new Path(root, "meta").toString).head().getLong(0)
+  }
 
   /** Fold a delta of documents (doc_id, source, lang, text, n_chars) into
     * the card state. Replay-safe: rows at or below the stored boundary are
@@ -61,7 +67,6 @@ object DatasetCard {
     val fs = fsOf(spark, dir)
     StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
 
     val bound = boundary(spark, cardDir)
@@ -70,11 +75,12 @@ object DatasetCard {
         size(split(col("text"), " ")).cast("long").as("n_toks"),
         xxhash64(col("text")).as("th"))
       .cache()
+    // the writer recovered the main dir above, so these read it directly
     val storedSeen =
-      if (exists(spark, s"$cardDir/firstseen")) spark.read.parquet(s"$cardDir/firstseen")
+      if (exists(spark, dir, "firstseen")) spark.read.parquet(s"$cardDir/firstseen")
       else spark.range(0).select(col("id").as("th"), col("id").as("first_id"))
     val storedPartials =
-      if (exists(spark, s"$cardDir/partials")) spark.read.parquet(s"$cardDir/partials")
+      if (exists(spark, dir, "partials")) spark.read.parquet(s"$cardDir/partials")
       else Seq.empty[(String, String, Long, Long, Long, Long)]
         .toDF("source", "lang", "n_docs", "n_tokens", "n_chars", "n_dups")
 
@@ -106,7 +112,7 @@ object DatasetCard {
     Seq(newBound).toDF("max_doc_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
     fresh.unpersist()
-    atomicSwap(fs, dir, tmp, aside)
+    atomicSwap(fs, dir, tmp)
   }
 
   /** The datasheet, from partials alone — the `q_train_dataset_card`
@@ -115,9 +121,9 @@ object DatasetCard {
     * the full query over everything processed so far. Work is
     * languages x sources rows — free at any corpus size. */
   def card(spark: SparkSession, cardDir: String): DataFrame = {
-    val root = new Path(cardDir)
-    StoreCommit.recover(fsOf(spark, root), root) // crash-windowed swap
-    spark.read.parquet(s"$cardDir/partials").createOrReplaceTempView("card_partials")
+    val root = readRoot(spark, cardDir) // non-mutating read resolution
+    spark.read.parquet(new Path(root, "partials").toString)
+      .createOrReplaceTempView("card_partials")
     spark.sql("""WITH tot AS (SELECT sum(n_docs) AS total_docs FROM card_partials)
       SELECT CASE WHEN grouping(source) = 1 THEN 'ALL' ELSE source END AS src,
              CASE WHEN grouping(lang) = 1 THEN 'ALL' ELSE lang END AS lng,

@@ -92,7 +92,7 @@ object Decontamination {
   private def fsOf(spark: SparkSession, dir: Path): FileSystem =
     FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
 
-  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path, aside: Path): Unit =
+  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path): Unit =
     StoreCommit.swap(fs, dir, tmp) // shared two-rename discipline + recoverable aside
 
   /** Build and atomically publish the filter from a benchmark document
@@ -107,20 +107,22 @@ object Decontamination {
     grams.write.mode(SaveMode.Overwrite).parquet(s"$tmp/grams")
     bloomTable(spark.read.parquet(s"$tmp/grams"))
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/bloom")
-    atomicSwap(fs, dir, tmp, new Path(dir.getParent, s".${dir.getName}.previous"))
+    atomicSwap(fs, dir, tmp)
   }
 
   /** Scrub a document batch against the STORED filter: per-doc n-gram,
     * bloom-flagged, and exact-confirmed counts (the q_contamination_bloom
     * output shape, served from disk instead of inline training). */
   def scrub(spark: SparkSession, docs: DataFrame, filterDir: String): DataFrame = {
-    val root = new Path(filterDir)
-    StoreCommit.recover(fsOf(spark, root), root) // crash-windowed swap
+    // non-mutating read resolution (a reader must never rename mid-swap)
+    val root = StoreCommit.readableRoot(
+      fsOf(spark, new Path(filterDir)), new Path(filterDir))
     val grams = docNgrams(docs)
-    val flagged = probe(grams, bloomRow(spark.read.parquet(s"$filterDir/bloom")))
+    val flagged = probe(grams,
+        bloomRow(spark.read.parquet(new Path(root, "bloom").toString)))
       .filter(col("bloom_hit"))
     val exact = flagged
-      .join(spark.read.parquet(s"$filterDir/grams"), Seq("ng"), "leftsemi")
+      .join(spark.read.parquet(new Path(root, "grams").toString), Seq("ng"), "leftsemi")
       .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
     grams.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
       .join(flagged.groupBy("doc_id").agg(count(lit(1)).as("bloom_hits")),

@@ -83,8 +83,8 @@ object Monitoring {
   def readHourly(spark: SparkSession, storeDir: String): DataFrame = {
     val dir = new Path(s"$storeDir/hourly")
     val fs = fsOf(spark, dir)
-    StoreCommit.recover(fs, dir)
-    if (fs.exists(dir)) spark.read.parquet(dir.toString)
+    val src = StoreCommit.readableRoot(fs, dir) // non-mutating: see StoreCommit
+    if (fs.exists(src)) spark.read.parquet(src.toString)
     else spark.range(0).select(
       lit("").as("event_type"), lit(null).cast("timestamp").as("hr"), lit(0L).as("n"))
   }
@@ -123,7 +123,7 @@ object Monitoring {
   /** The live alerts table. */
   def readAlerts(spark: SparkSession, storeDir: String): DataFrame = {
     val dir = new Path(s"$storeDir/alerts")
-    StoreCommit.recover(fsOf(spark, dir), dir)
-    spark.read.parquet(dir.toString)
+    spark.read.parquet(
+      StoreCommit.readableRoot(fsOf(spark, dir), dir).toString) // non-mutating
   }
 }

@@ -41,23 +41,25 @@ object SignatureStore {
   private def fsOf(spark: SparkSession, dir: Path): FileSystem =
     FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
 
-  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path, aside: Path): Unit =
+  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path): Unit =
     StoreCommit.swap(fs, dir, tmp) // shared two-rename discipline + recoverable aside
 
   private def tombstonesOf(
       spark: SparkSession, storeDir: String, idCol: String): DataFrame = {
-    val root = new Path(storeDir) // the swap unit is the whole store root
-    StoreCommit.recover(fsOf(spark, root), root)
-    val t = new Path(s"$storeDir/tombstones")
+    // non-mutating read resolution — the swap unit is the whole store root
+    val root = StoreCommit.readableRoot(
+      fsOf(spark, new Path(storeDir)), new Path(storeDir))
+    val t = new Path(root, "tombstones")
     if (fsOf(spark, t).exists(t)) spark.read.parquet(t.toString)
     else spark.range(0).select(col("id").as(idCol))
   }
 
   /** The live signature table (for scrub/incremental-dedup joins). */
   def read(spark: SparkSession, storeDir: String): DataFrame = {
-    val root = new Path(storeDir) // the swap unit is the whole store root
-    StoreCommit.recover(fsOf(spark, root), root)
-    spark.read.parquet(s"$storeDir/sigs")
+    // non-mutating read resolution — the swap unit is the whole store root
+    val root = StoreCommit.readableRoot(
+      fsOf(spark, new Path(storeDir)), new Path(storeDir))
+    spark.read.parquet(new Path(root, "sigs").toString)
   }
 
   /** Build (or rebuild) and atomically publish. A rebuild RESPECTS existing
@@ -67,15 +69,15 @@ object SignatureStore {
       idCol: String = "doc_id"): Unit = {
     val dir = new Path(storeDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // writer-side crash restore
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
     val tombstones = tombstonesOf(spark, storeDir, idCol)
     sigs.join(broadcast(tombstones.select(idCol)), Seq(idCol), "left_anti")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/sigs")
     tombstones.select(idCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/tombstones")
-    atomicSwap(fs, dir, tmp, aside)
+    atomicSwap(fs, dir, tmp)
   }
 
   /** Append a delta of signatures — replay-idempotent (ids already stored
@@ -86,8 +88,8 @@ object SignatureStore {
       idCol: String = "doc_id"): Unit = {
     val dir = new Path(storeDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // writer-side crash restore
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
     val existing = read(spark, storeDir)
     val tombstones = tombstonesOf(spark, storeDir, idCol)
@@ -98,7 +100,7 @@ object SignatureStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/sigs")
     tombstones.select(idCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/tombstones")
-    atomicSwap(fs, dir, tmp, aside)
+    atomicSwap(fs, dir, tmp)
   }
 
   /** GDPR erase: drop the ids' signature rows and persist the ids as
@@ -111,8 +113,8 @@ object SignatureStore {
     import spark.implicits._
     val dir = new Path(storeDir)
     val fs = fsOf(spark, dir)
+    StoreCommit.recover(fs, dir) // writer-side crash restore
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
     val requested = ids.toDF(idCol)
     val existing = read(spark, storeDir)
@@ -122,7 +124,7 @@ object SignatureStore {
     tombstonesOf(spark, storeDir, idCol).select(idCol)
       .unionByName(requested).distinct()
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/tombstones")
-    atomicSwap(fs, dir, tmp, aside)
+    atomicSwap(fs, dir, tmp)
     nDead
   }
 }

@@ -87,9 +87,9 @@ object Sketches {
   def readSketch(spark: SparkSession, storeDir: String): Map[Long, Long] = {
     val dir = new Path(s"$storeDir/sketch")
     val fs = fsOf(spark, dir)
-    StoreCommit.recover(fs, dir)
-    if (!fs.exists(dir)) Map.empty
-    else spark.read.parquet(dir.toString)
+    val src = StoreCommit.readableRoot(fs, dir) // non-mutating: see StoreCommit
+    if (!fs.exists(src)) Map.empty
+    else spark.read.parquet(src.toString)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -117,8 +117,8 @@ object Sketches {
   def readCountMin(spark: SparkSession, storeDir: String): DataFrame = {
     val dir = new Path(s"$storeDir/cm")
     val fs = fsOf(spark, dir)
-    StoreCommit.recover(fs, dir)
-    if (fs.exists(dir)) spark.read.parquet(dir.toString)
+    val src = StoreCommit.readableRoot(fs, dir) // non-mutating: see StoreCommit
+    if (fs.exists(src)) spark.read.parquet(src.toString)
     else spark.range(0).select(lit(0).as("j"), lit(0L).as("c"), lit(0L).as("cell"))
   }
 

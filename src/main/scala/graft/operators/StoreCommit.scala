@@ -33,11 +33,32 @@ object StoreCommit {
 
   /** Crash restore: if the store dir is absent but the swap aside exists,
     * the process died inside the rename window — put the last committed
-    * version back. Idempotent; call before any read of the store. */
+    * version back. MUTATES the store, so it belongs to the single-writer
+    * update path ONLY (each store has one serialized writer — the
+    * foreachBatch loop or the maintenance job). A concurrent READER must
+    * never call this: mid-swap it would rename the aside back between the
+    * writer's two renames and corrupt the publish — use [[readableRoot]]
+    * instead. Tolerates racing itself: if the rename fails because the
+    * dir reappeared (the writer finished), that is success. */
   def recover(fs: FileSystem, dir: Path): Unit = {
     val aside = asideOf(dir)
-    if (!fs.exists(dir) && fs.exists(aside) && !fs.rename(aside, dir))
+    if (!fs.exists(dir) && fs.exists(aside) &&
+        !fs.rename(aside, dir) && !fs.exists(dir))
       throw new java.io.IOException(s"store: cannot restore $dir from crash aside $aside")
+  }
+
+  /** Non-mutating read-side resolution: the path a READER should load —
+    * the store dir if present, else the crash aside (the last committed
+    * version, readable in place), else the store dir (caller sees
+    * not-yet-built). Safe under a concurrent writer's swap because it
+    * renames nothing; the writer's own recover()/swap() puts the main dir
+    * back on its next cycle. */
+  def readableRoot(fs: FileSystem, dir: Path): Path = {
+    if (fs.exists(dir)) dir
+    else {
+      val aside = asideOf(dir)
+      if (fs.exists(aside)) aside else dir
+    }
   }
 
   /** The committed batch id inside the store (−1 before the first commit).

@@ -49,12 +49,16 @@ object VectorIndex {
   private def fsOf(spark: SparkSession, dir: Path): FileSystem =
     FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
 
+  /** Non-mutating read-side root: the index dir, or its crash aside when a
+    * swap died mid-window (see [[StoreCommit.readableRoot]] — a READER must
+    * never rename; the writers recover the main dir at their own entry). */
+  private def readRootOf(spark: SparkSession, indexDir: String): String = {
+    val dir = new Path(indexDir)
+    StoreCommit.readableRoot(fsOf(spark, dir), dir).toString
+  }
+
   private def readMetaOpt(spark: SparkSession, indexDir: String): Option[Row] = {
-    // every search/maintenance entry reads the meta first, so recovering a
-    // crash-windowed swap here covers the whole read surface
-    val root = new Path(indexDir)
-    StoreCommit.recover(fsOf(spark, root), root)
-    val meta = new Path(s"$indexDir/meta")
+    val meta = new Path(readRootOf(spark, indexDir), "meta")
     if (!fsOf(spark, meta).exists(meta)) None
     else spark.read.parquet(meta.toString).collect().headOption
   }
@@ -111,7 +115,8 @@ object VectorIndex {
     * resurrect them (GDPR deletes must stick even if the corpus row is
     * purged on a different cadence). Empty frame when none recorded. */
   private def tombstonesOf(spark: SparkSession, indexDir: String): DataFrame = {
-    val t = new Path(s"$indexDir/tombstones")
+    val t0 = new Path(s"$indexDir/tombstones")
+    val t = StoreCommit.readableRoot(fsOf(spark, t0), t0) // non-mutating
     if (fsOf(spark, t).exists(t)) spark.read.parquet(t.toString)
     else spark.range(0).select(col("id").as("vec_id"))
   }
@@ -138,13 +143,11 @@ object VectorIndex {
     val tsDir = new Path(s"$indexDir/tombstones")
     StoreCommit.recover(fsOf(spark, tsDir), tsDir)
     val tsTmp = new Path(s"$indexDir/.tombstones.building")
-    val tsAside = new Path(s"$indexDir/.tombstones.previous")
     fs.delete(tsTmp, true)
-    fs.delete(tsAside, true)
     tombstonesOf(spark, indexDir).select("vec_id")
       .unionByName(requested.select("vec_id")).distinct()
       .write.mode(SaveMode.Overwrite).parquet(tsTmp.toString)
-    atomicSwap(fs, tsDir, tsTmp, tsAside)
+    atomicSwap(fs, tsDir, tsTmp)
   }
 
   /** Drop tombstoned ids from a (vec_id, ...) frame. The tombstone set is
@@ -155,7 +158,7 @@ object VectorIndex {
 
   /** Atomic publish: move the live index aside, swap the staged one in,
     * roll back on failure. Tolerates a missing live dir (first build). */
-  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path, aside: Path): Unit =
+  private def atomicSwap(fs: FileSystem, dir: Path, tmp: Path): Unit =
     StoreCommit.swap(fs, dir, tmp) // shared two-rename discipline + recoverable aside
 
   // ---------------------------------------------------------------------
@@ -201,7 +204,7 @@ object VectorIndex {
     writeTombstonesIfAny(spark, fs, tmp, tombstones)
     Seq(e, c2, subs, pqc1, assigned, tombstones).foreach(_.unpersist())
 
-    atomicSwap(fs, dir, tmp, new Path(dir.getParent, s".${dir.getName}.previous"))
+    atomicSwap(fs, dir, tmp)
   }
 
   /** Residual-PQ index build (FAISS `by_residual=true`, its default): same
@@ -246,7 +249,7 @@ object VectorIndex {
     writeTombstonesIfAny(spark, fs, tmp, tombstones)
     Seq(e, c2, cells, resid, subs, pqc1, assigned, tombstones).foreach(_.unpersist())
 
-    atomicSwap(fs, dir, tmp, new Path(dir.getParent, s".${dir.getName}.previous"))
+    atomicSwap(fs, dir, tmp)
   }
 
   /** One bounded collect over the already-cached code assignment: the
@@ -298,9 +301,7 @@ object VectorIndex {
     val fs = fsOf(spark, dir)
     StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
-    fs.delete(aside, true)
 
     val flavor = flavorOf(spark, indexDir)
     val tombstones = tombstonesOf(spark, indexDir).cache()
@@ -336,7 +337,7 @@ object VectorIndex {
     copyTombstonesIfPresent(spark, fs, indexDir, tmp)
     Seq(coarse, pqc1, newCells, tombstones).foreach(_.unpersist())
 
-    atomicSwap(fs, dir, tmp, aside)
+    atomicSwap(fs, dir, tmp)
   }
 
   // ---------------------------------------------------------------------
@@ -355,10 +356,11 @@ object VectorIndex {
       nprobe: Int = 3,
       k: Int = 5): DataFrame = {
     requireFlavor(spark, indexDir, FlavorPlain, "searchIvfPq")
-    val coarse = spark.read.parquet(s"$indexDir/coarse")
-    val cells = spark.read.parquet(s"$indexDir/cells")
-    val pqc1 = spark.read.parquet(s"$indexDir/pq_codebook")
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val idx = readRootOf(spark, indexDir)
+    val coarse = spark.read.parquet(s"$idx/coarse")
+    val cells = spark.read.parquet(s"$idx/cells")
+    val pqc1 = spark.read.parquet(s"$idx/pq_codebook")
+    val codes = spark.read.parquet(s"$idx/codes")
 
     val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
     val probes = normalizedEmbeddings(spark, sfDir).filter(col("vec_id") < nQueries)
@@ -400,10 +402,11 @@ object VectorIndex {
       nprobe: Int = 3,
       k: Int = 5): DataFrame = {
     requireFlavor(spark, indexDir, FlavorResidual, "searchIvfPqResidual")
-    val coarse = spark.read.parquet(s"$indexDir/coarse")
-    val cells = spark.read.parquet(s"$indexDir/cells")
-    val pqc1 = spark.read.parquet(s"$indexDir/pq_codebook")
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val idx = readRootOf(spark, indexDir)
+    val coarse = spark.read.parquet(s"$idx/coarse")
+    val cells = spark.read.parquet(s"$idx/cells")
+    val pqc1 = spark.read.parquet(s"$idx/pq_codebook")
+    val codes = spark.read.parquet(s"$idx/codes")
 
     val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
     val probes = normalizedEmbeddings(spark, sfDir).filter(col("vec_id") < nQueries)
@@ -512,8 +515,9 @@ object VectorIndex {
       nQueries: Int = 5,
       nprobe: Int = 3,
       threshold: Double = 0.3): DataFrame = {
-    val coarse = spark.read.parquet(s"$indexDir/coarse")
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    val idx = readRootOf(spark, indexDir)
+    val coarse = spark.read.parquet(s"$idx/coarse")
+    val cells = spark.read.parquet(s"$idx/cells")
     val e = normalizedEmbeddings(spark, sfDir)
     val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
     val probes = e.filter(col("vec_id") < nQueries)
@@ -542,7 +546,7 @@ object VectorIndex {
     * [[rangeSearchIndex]]. */
   def sampleFromIndex(
       spark: SparkSession, indexDir: String, cap: Int = 40): DataFrame = {
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    val cells = spark.read.parquet(s"${readRootOf(spark, indexDir)}/cells")
     val w = Window.partitionBy("cell").orderBy("h", "vec_id")
     cells
       .withColumn("h",
@@ -568,7 +572,7 @@ object VectorIndex {
   def outliersFromIndex(
       spark: SparkSession, sfDir: String, indexDir: String,
       threshold: Double = 0.04): DataFrame = {
-    val coarse = spark.read.parquet(s"$indexDir/coarse")
+    val coarse = spark.read.parquet(s"${readRootOf(spark, indexDir)}/coarse")
     val e = normalizedEmbeddings(spark, sfDir)
     graft.functions.VectorFunctions
       .nearestCentroid(e, coarse.select(col("cent_id"), col("cemb")))
@@ -603,9 +607,7 @@ object VectorIndex {
     val fs = fsOf(spark, dir)
     StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
-    fs.delete(aside, true)
 
     val requested = vecIds.toDF("vec_id")
     val oldCells = spark.read.parquet(s"$indexDir/cells")
@@ -626,7 +628,7 @@ object VectorIndex {
       .distinct()
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/tombstones")
 
-    atomicSwap(fs, dir, tmp, aside)
+    atomicSwap(fs, dir, tmp)
     nDead
   }
 
@@ -644,9 +646,7 @@ object VectorIndex {
     val fs = fsOf(spark, dir)
     StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
-    fs.delete(aside, true)
 
     spark.read.parquet(s"$indexDir/coarse")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/coarse")
@@ -659,7 +659,7 @@ object VectorIndex {
     copyMetaIfPresent(spark, fs, indexDir, tmp)
     copyTombstonesIfPresent(spark, fs, indexDir, tmp)
 
-    atomicSwap(fs, dir, tmp, aside)
+    atomicSwap(fs, dir, tmp)
   }
 
   // ---------------------------------------------------------------------
@@ -683,7 +683,7 @@ object VectorIndex {
     val em = microEmbeddings(spark, sfDir).filter(pred)
     flavor match {
       case FlavorResidual =>
-        val coarse = spark.read.parquet(s"$indexDir/coarse")
+        val coarse = spark.read.parquet(s"${readRootOf(spark, indexDir)}/coarse")
         val e = normalizedEmbeddings(spark, sfDir).filter(pred)
         val cells = kmeansAssign(e, coarse).select(col("vec_id"), col("cent_id").as("cell"))
         subVectors(em.join(cells, "vec_id")
@@ -707,7 +707,7 @@ object VectorIndex {
   def driftRatio(
       spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Double = {
     val flavor = flavorOf(spark, indexDir)
-    val pqc1 = spark.read.parquet(s"$indexDir/pq_codebook")
+    val pqc1 = spark.read.parquet(s"${readRootOf(spark, indexDir)}/pq_codebook")
     val baseStats = readMetaOpt(spark, indexDir).flatMap { r =>
       for (n <- metaLongOpt(r, "base_n"); err <- metaLongOpt(r, "base_total_err"))
         yield (n, err)
@@ -770,7 +770,7 @@ object VectorIndex {
     writeTombstonesIfAny(spark, fs, tmp, tombstones)
     Seq(bits, tombstones).foreach(_.unpersist())
 
-    atomicSwap(fs, dir, tmp, new Path(dir.getParent, s".${dir.getName}.previous"))
+    atomicSwap(fs, dir, tmp)
   }
 
   /** Append vectors `vec_id >= minVecId` to a binary index: pack the delta
@@ -784,9 +784,7 @@ object VectorIndex {
     val fs = fsOf(spark, dir)
     StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
-    fs.delete(aside, true)
 
     val tombstones = tombstonesOf(spark, indexDir).cache()
     val oldBits = spark.read.parquet(s"$indexDir/bits").filter(col("vec_id") < minVecId)
@@ -797,7 +795,7 @@ object VectorIndex {
     writeTombstonesIfAny(spark, fs, tmp, tombstones)
     tombstones.unpersist()
 
-    atomicSwap(fs, dir, tmp, aside)
+    atomicSwap(fs, dir, tmp)
   }
 
   /** Serve a binary search from the stored `bits` table — row-identical to
@@ -809,7 +807,7 @@ object VectorIndex {
       nQueries: Int = 5, shortlistK: Int = 20, k: Int = 5): DataFrame = {
     requireFlavor(spark, indexDir, FlavorBinary, "searchBinary")
     binarySearch(
-      spark.read.parquet(s"$indexDir/bits"),
+      spark.read.parquet(s"${readRootOf(spark, indexDir)}/bits"),
       normalizedEmbeddings(spark, sfDir),
       nQueries, shortlistK, k)
   }
@@ -855,7 +853,7 @@ object VectorIndex {
     writeTombstonesIfAny(spark, fs, tmp, tombstones)
     Seq(codes, tombstones).foreach(_.unpersist())
 
-    atomicSwap(fs, dir, tmp, new Path(dir.getParent, s".${dir.getName}.previous"))
+    atomicSwap(fs, dir, tmp)
   }
 
   /** Append vectors `vec_id >= minVecId` to an SQ8 index, encoding them
@@ -870,9 +868,7 @@ object VectorIndex {
     val fs = fsOf(spark, dir)
     StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
-    fs.delete(aside, true)
 
     val tombstones = tombstonesOf(spark, indexDir).cache()
     val calib = spark.read.parquet(s"$indexDir/calib")
@@ -888,7 +884,7 @@ object VectorIndex {
     writeTombstonesIfAny(spark, fs, tmp, tombstones)
     tombstones.unpersist()
 
-    atomicSwap(fs, dir, tmp, aside)
+    atomicSwap(fs, dir, tmp)
   }
 
   /** Serve an SQ8 search from the stored tables — row-identical to
@@ -905,8 +901,9 @@ object VectorIndex {
     // the logical plan is identical across calls, so the CacheManager
     // cannot tell the old index from the new one
     val withDq = sq8WithDq(
-      spark.read.parquet(s"$indexDir/codes")
-        .crossJoin(broadcast(spark.read.parquet(s"$indexDir/calib"))))
+      spark.read.parquet(s"${readRootOf(spark, indexDir)}/codes")
+        .crossJoin(broadcast(
+          spark.read.parquet(s"${readRootOf(spark, indexDir)}/calib"))))
     sq8Search(withDq, nQueries, k)
   }
 
@@ -921,9 +918,7 @@ object VectorIndex {
     val fs = fsOf(spark, dir)
     StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
-    fs.delete(aside, true)
 
     val requested = vecIds.toDF("vec_id")
     val oldCodes = spark.read.parquet(s"$indexDir/codes")
@@ -939,7 +934,7 @@ object VectorIndex {
       .distinct()
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/tombstones")
 
-    atomicSwap(fs, dir, tmp, aside)
+    atomicSwap(fs, dir, tmp)
     nDead
   }
 
@@ -954,9 +949,7 @@ object VectorIndex {
     val fs = fsOf(spark, dir)
     StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
     val tmp = new Path(dir.getParent, s".${dir.getName}.building")
-    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
-    fs.delete(aside, true)
 
     val requested = vecIds.toDF("vec_id")
     val oldBits = spark.read.parquet(s"$indexDir/bits")
@@ -970,7 +963,7 @@ object VectorIndex {
       .distinct()
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/tombstones")
 
-    atomicSwap(fs, dir, tmp, aside)
+    atomicSwap(fs, dir, tmp)
     nDead
   }
 }

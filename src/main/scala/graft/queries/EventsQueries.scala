@@ -394,14 +394,6 @@ object EventsQueries {
              CAST(count(*) AS BIGINT) AS n
       FROM w GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
-  /** k-anonymity audit — the privacy-analytics complement of the GDPR
-    * erasure operators (Retention / deleteFromIndex / tombstones): group
-    * the corpus by a quasi-identifier tuple (event type, coarse user
-    * bucket, hour-of-day) and surface every equivalence class smaller than
-    * k=5 — the rows a release would have to suppress or generalize, with
-    * the total suppression burden in basis points. One corpus aggregate on
-    * the QI key (low cardinality, map-side combinable), then thresholding
-    * on the bounded class table. */
   /** Change-point detection (Page–Hinkley) — the sustained-shift
     * complement of [[anomaly]]'s spike gate: a level change too small to
     * trip any single-hour z-score accumulates in the cumulative deviation
@@ -463,6 +455,14 @@ object EventsQueries {
              CAST(n AS BIGINT) AS n, CAST(ph AS BIGINT) AS ph
       FROM f WHERE frn = 1 ORDER BY event_type"""))
 
+  /** k-anonymity audit — the privacy-analytics complement of the GDPR
+    * erasure operators (Retention / deleteFromIndex / tombstones): group
+    * the corpus by a quasi-identifier tuple (event type, coarse user
+    * bucket, hour-of-day) and surface every equivalence class smaller than
+    * k=5 — the rows a release would have to suppress or generalize, with
+    * the total suppression burden in basis points. One corpus aggregate on
+    * the QI key (low cardinality, map-side combinable), then thresholding
+    * on the bounded class table. */
   private val kanon = Q(
     "q_privacy_kanon",
     (s, d) => {

@@ -182,16 +182,19 @@ object SinkQueries {
 
   private val EvolveDir = "/tmp/graft_docs_evolve"
 
-  private var evolveWritten = false
-  private def ensureEvolve(docs: org.apache.spark.sql.DataFrame): Unit = synchronized {
-    if (!evolveWritten) {
+  // memo keyed on the dataset dir: the fixture CONTENT depends on d (one
+  // JVM runs the gate at sf0.01 and then bench/RunOne at sf0.1 — a bare
+  // boolean would silently serve the first dataset's files to the second)
+  private var evolveFor: Option[String] = None
+  private def ensureEvolve(docs: org.apache.spark.sql.DataFrame, d: String): Unit = synchronized {
+    if (!evolveFor.contains(d)) {
       // generation 1: the old writer's schema (no n_chars column)
       docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
         .write.mode("overwrite").parquet(s"$EvolveDir/v1")
       // generation 2: the widened schema a later writer ships
       docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
         .write.mode("overwrite").parquet(s"$EvolveDir/v2")
-      evolveWritten = true // only after a successful write
+      evolveFor = Some(d) // only after a successful write
     }
   }
 
@@ -207,7 +210,7 @@ object SinkQueries {
   private val schemaEvolution = Q(
     "q_scan_schema_evolution",
     (s, d) => {
-      ensureEvolve(Tables.t(s, d, "documents"))
+      ensureEvolve(Tables.t(s, d, "documents"), d)
       s.read.option("mergeSchema", "true").parquet(s"$EvolveDir/v1", s"$EvolveDir/v2")
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),

@@ -1270,11 +1270,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fs = graft.operators.StoreCommit.fsOf(spark, dir)
     assert(fs.rename(dir, new Path(dir.getParent, s".${dir.getName}.previous")),
       "test setup: simulate the crash window")
+    // READERS serve the aside WITHOUT renaming (a mid-swap writer must not
+    // find the main dir resurrected under it — the r8 review's race)...
     assert(rows(DataQuality.readLedger(spark, storeDir)) == stored,
-      "reader did not restore the crash-windowed store")
-    // and the replay cursor survived with it: the already-folded batch
-    // still folds nothing after recovery
+      "reader did not serve the crash-windowed aside")
+    assert(!fs.exists(dir), "a reader must never mutate the store")
+    // ...the WRITER restores the main dir on its next cycle, and the replay
+    // cursor survives with the content: the already-folded batch folds nothing
     DataQuality.updateStoredLedger(spark, events, storeDir, batchId = 1L)
+    assert(fs.exists(dir), "writer did not restore the crash-windowed store")
     assert(rows(DataQuality.readLedger(spark, storeDir)) == stored,
       "post-recovery replay mutated the ledger")
   }
