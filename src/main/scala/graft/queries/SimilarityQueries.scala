@@ -876,8 +876,88 @@ object SimilarityQueries {
         ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
       GROUP BY x.query_id ORDER BY x.query_id"""))
 
+  /** Recall@5 of the hyperplane-LSH path — [[recallEval]]'s twin over the
+    * OTHER ANN family, reported as the single-probe vs multiprobe pair so
+    * the query IS the trade-off chart a deployment reads before picking
+    * k/L/probes: on an iid corpus a single k=6 table holds a true neighbor
+    * with probability ≈ P(agree)⁶ (measured 0 of 25 here — the honest
+    * baseline), and the 7-bucket multiprobe of the SAME table starts
+    * recovering neighbors at 7× the candidate cost (2 of 25). Both read
+    * low because iid top-5 neighbors sit at cos ≈ 0.5 — LSH's hardest
+    * regime; at the near-dup cos ≈ 0.98 the identical geometry reaches
+    * 0.998 per-pair candidate probability with L=8 tables
+    * ([[neardupLsh]]) — the other end of the curve this query charts.
+    * Same audit economics as the IVF eval: the exact leg is one
+    * broadcast-query corpus pass over the bounded query sample; the
+    * compare joins never touch the corpus. */
+  private val recallLsh = Q(
+    "q_sim_recall_lsh",
+    (s, d) => {
+      val exact = cosineTopk.fn(s, d).filter(col("rn") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val one = lshAnn.fn(s, d)
+        .select(col("query_id").as("aq1"), col("neighbor_id").as("an1"))
+      val multi = lshMultiprobe.fn(s, d)
+        .select(col("query_id").as("aqm"), col("neighbor_id").as("anm"))
+      exact
+        .join(one, col("query_id") === col("aq1") && col("neighbor_id") === col("an1"), "left")
+        .join(multi, col("query_id") === col("aqm") && col("neighbor_id") === col("anm"), "left")
+        .groupBy("query_id")
+        .agg(count(col("an1")).as("hits_1probe"), count(col("anm")).as("hits_multiprobe"))
+        .select(col("query_id"),
+          col("hits_1probe"), (col("hits_1probe") * lit(2000L)).as("recall_1probe_bp"),
+          col("hits_multiprobe"), (col("hits_multiprobe") * lit(2000L)).as("recall_multi_bp"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH $sqlNormalized,
+      ${sqlPlanesCte(lshAnnPlanes)},
+      b AS (SELECT vec_id, emb, ${sqlBucketExpr("emb", "0", 6)} AS bucket
+            FROM e, pl),
+      q AS (SELECT vec_id AS query_id, emb AS qemb, bucket FROM b WHERE vec_id < 5),
+      ann1 AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.query_id, n.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(n.emb, q.qemb), 6) DESC, n.vec_id) AS rn
+          FROM b n JOIN q ON n.bucket = q.bucket AND n.vec_id <> q.query_id) sub
+        WHERE rn <= 5),
+      mprobes AS (SELECT query_id, qemb,
+                    unnest(list_prepend(bucket,
+                      list_transform(range(0, 6), j -> xor(bucket, 1 << j)))) AS bucket
+                  FROM q),
+      mcand AS (SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id,
+                  round(list_dot_product(n.emb, p.qemb), 6) AS cos_sim
+                FROM b n JOIN mprobes p ON n.bucket = p.bucket AND n.vec_id <> p.query_id),
+      annm AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM mcand) sub
+        WHERE rn <= 5),
+      exact AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT qq.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY qq.vec_id
+                   ORDER BY round(list_cosine_similarity(n0.de, q0.de), 6) DESC, n.vec_id) AS rn
+          FROM e qq JOIN e0 q0 ON qq.vec_id = q0.vec_id,
+               e n JOIN e0 n0 ON n.vec_id = n0.vec_id
+          WHERE qq.vec_id < 5 AND n.vec_id <> qq.vec_id) sub
+        WHERE rn <= 5)
+      SELECT x.query_id,
+             CAST(count(a1.neighbor_id) AS BIGINT) AS hits_1probe,
+             CAST(count(a1.neighbor_id) * 2000 AS BIGINT) AS recall_1probe_bp,
+             CAST(count(am.neighbor_id) AS BIGINT) AS hits_multiprobe,
+             CAST(count(am.neighbor_id) * 2000 AS BIGINT) AS recall_multi_bp
+      FROM exact x
+      LEFT JOIN ann1 a1
+        ON x.query_id = a1.query_id AND x.neighbor_id = a1.neighbor_id
+      LEFT JOIN annm am
+        ON x.query_id = am.query_id AND x.neighbor_id = am.neighbor_id
+      GROUP BY x.query_id ORDER BY x.query_id"""))
+
   val all: Seq[Q] = Seq(
     cosineTopk, neardupPairs, neardupLsh, embedDedup, embedDedupLsh,
     clusterStats, lshAnn, ivfAnn, multimodalMeta, semanticDedup, lshMultiprobe,
-    embedIncremental, rrfFusion, adaptive, recallEval)
+    embedIncremental, rrfFusion, adaptive, recallEval, recallLsh)
 }
