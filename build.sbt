@@ -1,5 +1,15 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// The bench driver records only the last ~2000 bytes of stdout and parses a
+// JSON line out of that window; sbt's "[success] Total time" footer printed
+// AFTER the forked main's compact JSON line was what kept BENCH_r*.json at
+// "parsed": null (round-8 verdict #3). Failures still log at [error].
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// ... and sbt's logger prefixes every forked-stdout line with "[info] ",
+// which a strict JSON parse of the tail's last line would choke on: give
+// the forked JVM the real stdout/stderr instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 name := "defendadatalakespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -68,9 +68,23 @@ for name in out_dirs:
         results[name] = f"ROWCOUNT-MISMATCH spark={len(s)} duck={len(d)}"
         continue
     # normalize: timestamps to naive strings, floats exact (both rounded)
+    # The driver's hash is DTYPE-SENSITIVE: an int64 Spark column vs a
+    # float64 oracle column (DuckDB HUGEINT window sums render as float64
+    # in pandas) hash-mismatches even when every value is elementwise
+    # equal (round-8 verdict: q_events_anomaly / q_events_markov). Mirror
+    # that here: an integer/float kind split between the two sides is a
+    # FAIL before any value compare, so an uncast HUGEINT can never pass
+    # locally and fail remotely.
     bad = None
     for c in s.columns:
         sv, dv = s[c], d[c]
+        sk, dk = sv.dtype.kind, dv.dtype.kind
+        num = set("iuf")
+        if sk in num and dk in num and (sk == "f") != (dk == "f"):
+            bad = (f"DTYPE-MISMATCH col={c} spark={sv.dtype} duck={dv.dtype} "
+                   f"(driver hash is dtype-sensitive: wrap the oracle "
+                   f"expression in CAST(... AS BIGINT)?)")
+            break
         if str(sv.dtype).startswith("datetime") or str(dv.dtype).startswith("datetime"):
             sv = pd.to_datetime(sv).dt.tz_localize(None) if getattr(sv.dtype, "tz", None) else pd.to_datetime(sv)
             dv = pd.to_datetime(dv).dt.tz_localize(None) if getattr(dv.dtype, "tz", None) else pd.to_datetime(dv)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR with a
   * noop-format write as the action — forces full evaluation of every column
@@ -21,10 +22,12 @@ import org.apache.spark.sql.SparkSession
   * the suite result alone cannot distinguish a query regression from bench
   * cross-talk. Two mitigations: an explicit GC + settle between timed
   * passes, and an ISOLATION re-run at the end — every query whose suite
-  * median crosses `IsolateThresholdSec` is re-timed alone (GC + settle
-  * first, median of three) and reported as `queries_isolated` alongside
-  * the suite numbers. A query slow in-suite but fast isolated is bench
-  * cross-talk; slow in both is a real plan cost.
+  * median crosses `IsolateThresholdSec` is re-timed in a FRESH child JVM
+  * (one RunOne batch; round 8 showed the old same-JVM tail re-run
+  * inheriting 480 plans' worth of JVM-lifetime state) and reported as
+  * `queries_isolated` alongside the suite numbers. A query slow in-suite
+  * but fast isolated is bench cross-talk; slow in both is a real plan
+  * cost.
   */
 object Bench {
   private val TimedRuns = 3
@@ -87,26 +90,15 @@ object Bench {
     val total = names.map(n => stat(n)._1).sum
 
     // isolation re-run: queries whose suite median is past the threshold
-    // are re-timed alone on a settled heap — the cross-talk discriminator
-    val flagged = ordered.filter { case (name, _) => stat(name)._1 >= IsolateThresholdSec }
-    val isolated = flagged.map { case (name, fn) =>
-      // a failed attempt must NOT contribute its elapsed time: timing a
-      // crash looks "fast" and would defeat the cross-talk discriminator —
-      // failures are dropped and an all-failed query reports null
-      val xs = (1 to TimedRuns).flatMap { _ =>
-        spark.catalog.clearCache()
-        gcSettle()
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] isolated $name failed: $e"); None
-        }
-      }.sorted
-      name -> (if (xs.isEmpty) None else Some(xs(xs.length / 2)))
-    }
+    // are re-timed in a FRESH JVM (RunOne batch) — the round-8 isolation
+    // phase ran at the tail of a 480-plan JVM and inherited its lifetime
+    // state (codegen caches, humongous-region fragmentation), making the
+    // column untrustworthy: fresh-JVM RunOne showed suite-median parity on
+    // unchanged code while the in-JVM tail showed 2-3x (PERF.md r8). The
+    // child pays one cold start for the whole batch; pass 1 per query is
+    // its codegen warmup and is dropped from the median.
+    val flagged = ordered.collect { case (name, _) if stat(name)._1 >= IsolateThresholdSec => name }
+    val isolated = isolateFreshJvm(flagged, sfDir, cpus)
     val isolatedJson = isolated.map {
       case (n, Some(t)) => "\"" + n + f"""":$t%.3f"""
       case (n, None) => "\"" + n + "\":null"
@@ -133,9 +125,60 @@ object Bench {
         byCost.take(k).sorted
           .map(n => "\"" + n + f"""":${stat(n)._1}%.2f""").mkString("{", ",", "}") +
         "}"
-    println(Iterator.range(60, 0, -5).map(compact).find(_.length <= 1800)
-      .getOrElse(compact(0)))
+    val compactLine = Iterator.range(60, 0, -5).map(compact).find(_.length <= 1800)
+      .getOrElse(compact(0))
+    // durable artifact the driver (or a human) can read regardless of any
+    // stdout-window truncation; the full line goes here too
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), compactLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH.json write failed: $e") }
     spark.stop()
+    // LAST stdout line (build.sbt sets showSuccess := false so sbt appends
+    // no footer after the forked JVM exits): the driver's ~2000-byte tail
+    // parser must see this
+    println(compactLine)
+  }
+
+  /** Fresh-JVM isolation: spawn ONE child JVM (same classpath, module
+    * opens, heap, and core count as this one) running the RunOne batch in
+    * settle mode, and take each query's median over its post-warmup passes.
+    * A query missing from the child's output (crash, timeout) reports
+    * null — a failed attempt must never contribute its elapsed time. */
+  private def isolateFreshJvm(
+      names: Seq[String], sfDir: String, cpus: String): Seq[(String, Option[Double])] = {
+    if (names.isEmpty) return Seq.empty
+    val passes = TimedRuns + 1 // pass 1 = codegen warmup, dropped below
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val moduleOpens = org.apache.spark.launcher.JavaModuleOptions
+        .defaultModuleOptions().trim.split("\\s+").toSeq
+      val heap = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.filter(_.startsWith("-Xmx")).toSeq
+      val cmd = Seq(javaBin) ++ moduleOpens ++ heap ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", sys.props("java.class.path"),
+        "graft.RunOne", names.mkString(","), sfDir, passes.toString, "settle")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      if (!proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) proc.destroyForcibly()
+      val line = """\[runone\] (\S+) pass (\d+): ([0-9.]+) s""".r
+      val byQuery = line.findAllMatchIn(out).toSeq
+        .map(m => (m.group(1), m.group(2).toInt, m.group(3).toDouble))
+        .groupBy(_._1)
+      names.map { n =>
+        val xs = byQuery.getOrElse(n, Seq.empty)
+          .collect { case (_, pass, t) if pass > 1 => t }.sorted
+        n -> (if (xs.isEmpty) None else Some(xs(xs.length / 2)))
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] fresh-JVM isolation failed: $e")
+        names.map(_ -> None)
+    }
   }
 
   /** Measured sample-drop → partition-visible wall time under the

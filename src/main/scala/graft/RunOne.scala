@@ -24,10 +24,14 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated names run sequentially in ONE JVM — the shape needed
     // to reproduce bench cross-talk (query B timed after query A has warmed
-    // codegen caches / ImageIO state / GC pressure in the same process)
+    // codegen caches / ImageIO state / GC pressure in the same process);
+    // with "settle", each query starts from an explicitly settled heap
+    // (the mode Bench's fresh-JVM isolation phase drives)
+    val settle = args.contains("settle")
     name.split(",").foreach { qn =>
       val fn = SparkEntry.queries(qn)
       if (showPlan) fn(spark, sfDir).explain("formatted")
+      if (settle) { System.gc(); Thread.sleep(500) }
       (1 to runs).foreach { i =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()

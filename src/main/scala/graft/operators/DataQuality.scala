@@ -97,8 +97,12 @@ object DataQuality {
   // --- additive current-window bins, the live twin of q_profile_drift ---
 
   /** Fixed monitored-value binning shared by the batch drift query and the
-    * streaming monitor (width 20 capped at bin 9 — the operator's dial). */
-  def driftBin(value: Column): Column = least(floor(value / 20), lit(9L))
+    * streaming monitor (width 20, clamped to [0, 9] — the operator's dial).
+    * Callers must pre-filter NULL values: least()/greatest() ignore NULLs
+    * on both engines, so an unfiltered NULL would silently land in a clamp
+    * bin and skew the PSI denominator (round-8 advice). */
+  def driftBin(value: Column): Column =
+    least(greatest(floor(value / 20), lit(0L)), lit(9L))
 
   /** Per-bin PSI contribution from exact basis-point proportions — the
     * identical decimal(24,6)-routed formula the batch query and DuckDB
@@ -108,7 +112,8 @@ object DataQuality {
       .cast("decimal(24,6)"), 6).cast("double")
 
   private def binCounts(events: DataFrame, as: String): DataFrame =
-    events.select(driftBin(col("value")).as("bin"))
+    events.filter(col("value").isNotNull)
+      .select(driftBin(col("value")).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as(as))
 
   /** Freeze the reference distribution (e.g. the training window) — a

@@ -65,16 +65,21 @@ object Tokenizer {
     * applies [[applyMergeScala]], the pinned twin of the old Column fold),
     * so the recursive-CTE DuckDB oracles replay unchanged. The collect is
     * bounded by DISTINCT WORDS, not corpus rows; at web scale cap the
-    * vocabulary with a min-frequency filter before training (standard
-    * practice) — the dial is the operator's, never the data volume's.
+    * vocabulary with `minFreq` — words below the frequency floor are
+    * dropped BEFORE the driver collect (standard tokenizer-trainer
+    * practice: rare words carry negligible pair mass but dominate distinct
+    * counts under Zipf), so the collected table is bounded by the
+    * operator's dial, never the data volume. The default (1) keeps every
+    * word — the oracle-mirrored gate configuration.
     * Returns (final vocab (w, n, s), ordered merge list (step, l, r, cnt)). */
-  def trainLoop(words: DataFrame, nMerges: Int)
+  def trainLoop(words: DataFrame, nMerges: Int, minFreq: Long = 1L)
       : (DataFrame, Seq[(Long, String, String, Long)]) = {
     val spark = words.sparkSession
     import spark.implicits._
     val wordCounts: Array[(String, Long)] = words
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minFreq) // map-side-combined HAVING: the cap runs distributed
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1) // collect order is nondeterministic; the loop's sums are not
     val syms: Array[Array[String]] = wordCounts.map(_._1.map(_.toString).toArray)
@@ -117,7 +122,7 @@ object Tokenizer {
     * merge table + vocab cache under `tokDir`. */
   def buildTokenizer(
       spark: SparkSession, docs: DataFrame, tokDir: String,
-      nMerges: Int = 256): Unit = {
+      nMerges: Int = 256, minFreq: Long = 1L): Unit = {
     import spark.implicits._
     val dir = new Path(tokDir)
     val fs = fsOf(spark, dir)
@@ -125,7 +130,7 @@ object Tokenizer {
     val aside = new Path(dir.getParent, s".${dir.getName}.previous")
     fs.delete(tmp, true)
     val (vocab, merges) = trainLoop(
-      docs.select(explode(split(col("text"), " ")).as("w")), nMerges)
+      docs.select(explode(split(col("text"), " ")).as("w")), nMerges, minFreq)
     merges.toDF("step", "l", "r", "cnt")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/merges")
     vocab.write.mode(SaveMode.Overwrite).parquet(s"$tmp/vocab")

@@ -25,18 +25,33 @@ object CentroidSeed {
   /** Fixed codebook size — corpus-independent by construction. */
   val NCells = 8
 
+  /** The √n dial (FAISS guidance), floored at [[NCells]]: in-cell pair work
+    * stays ~linear as the corpus grows (n/√n cells × (√n)² pairs/cell = n).
+    * Both engines compute it identically — IEEE-754 sqrt is correctly
+    * rounded, so Spark's driver-side `Math.sqrt` and DuckDB's `sqrt` agree
+    * bit-for-bit and `floor` of the shared double cannot drift. */
+  def sqrtCells(n: Long): Int =
+    math.max(NCells, math.floor(math.sqrt(n.toDouble)).toInt)
+
+  /** DuckDB twin of [[sqrtCells]] as a scalar-subquery LIMIT expression. */
+  def sqlSqrtCellsLimit(from: String): String =
+    s"(SELECT greatest($NCells, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM $from)"
+
   /** The seed sample: (cent_id, cemb) from an embeddings frame with
     * (vec_id, emb) columns. */
-  def seeds(e: DataFrame): DataFrame =
+  def seeds(e: DataFrame, cells: Int = NCells): DataFrame =
     e.select(col("vec_id").as("cent_id"), col("emb").as("cemb"),
         (col("vec_id") % lit(1000003L) * lit(2654435761L) % lit(4294967296L)).as("h"))
       .orderBy(asc("h"), asc("cent_id"))
-      .limit(NCells)
+      .limit(cells)
       .select("cent_id", "cemb")
 
   /** DuckDB twin of [[seeds]] as a CTE body; `from` names the source CTE
-    * with (vec_id, emb) columns (default the normalized corpus `e`). */
-  def sqlSeedCte(name: String, from: String = "e"): String =
+    * with (vec_id, emb) columns (default the normalized corpus `e`);
+    * `limitSql` is the codebook-size expression (a literal by default, or
+    * [[sqlSqrtCellsLimit]] for the live √n dial). */
+  def sqlSeedCte(name: String, from: String = "e",
+      limitSql: String = NCells.toString): String =
     s"""$name AS (SELECT vec_id AS cent_id, emb AS cemb FROM $from
-       ORDER BY ((vec_id % 1000003) * 2654435761) % 4294967296, vec_id LIMIT $NCells)"""
+       ORDER BY ((vec_id % 1000003) * 2654435761) % 4294967296, vec_id LIMIT $limitSql)"""
 }

@@ -338,7 +338,7 @@ object EventsQueries {
             FROM j WINDOW w AS (PARTITION BY event_type ORDER BY hr
               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
       SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour_start,
-        CAST(n AS BIGINT) AS n, s // 24 AS expected
+        CAST(n AS BIGINT) AS n, CAST(s // 24 AS BIGINT) AS expected
       FROM r WHERE w_cnt = 24 AND (24*n - s)*(24*n - s) > 9*(24*q - s*s)
       ORDER BY event_type, hour_start"""))
 
@@ -367,7 +367,7 @@ object EventsQueries {
           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
         FROM events)
       SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
-        count(*) * 10000 // sum(count(*)) OVER (PARTITION BY src) AS prob_bp
+        CAST(count(*) * 10000 // sum(count(*)) OVER (PARTITION BY src) AS BIGINT) AS prob_bp
       FROM o WHERE dst IS NOT NULL GROUP BY src, dst ORDER BY src, dst"""))
 
   /** Batch sliding windows (2 h window, 1 h slide) — the batch twin of the

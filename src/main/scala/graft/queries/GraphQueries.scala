@@ -30,47 +30,64 @@ object GraphQueries {
     * order (rank desc, node), never a global sort. The DuckDB oracle is
     * GENERATED from the same Scala loop, so the two engines necessarily
     * run the identical recurrence. */
+  /** The distributed pagerank pipeline: (top-20 frame, the cached frames
+    * the caller must unpersist once the result is materialized). Exposed
+    * for PlansSpec, which pins the distributed plan's shape. */
+  private[graft] def pagerankFrames(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val half = t(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    // hash-partition the adjacency on src ONCE, sorted within partitions,
+    // and cache that layout: every round's contribution join then reuses
+    // the cached partitioning (the InMemoryRelation reports it, so no
+    // per-round edge exchange) and only the small changing ranks side
+    // moves — the Pregel economics. Deliberately NOT a broadcast: the
+    // node/rank table is corpus-sized at web scale; co-partitioned
+    // shuffle joins are the shape that survives 100x.
+    val edges = half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
+      .cache()
+    // vertex state persists beside the adjacency (the Pregel split):
+    // without the cache every round re-aggregates degrees from the edge
+    // cache — 5 redundant passes
+    val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .cache()
+    val nF = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var ranks = nodes.crossJoin(nF)
+      .select(col("node"), col("deg"), col("n"), expr(s"$Mass div n").as("rank"))
+    (1 to Iters).foreach { _ =>
+      val contrib = edges
+        .join(ranks.select(col("node"), expr("rank div deg").as("c")),
+          col("src") === col("node"))
+        .groupBy("dst").agg(sum("c").as("in_sum"))
+      ranks = nodes.crossJoin(nF)
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"), col("n"),
+          (expr(s"(15 * ($Mass div n)) div 100") +
+            expr("(85 * coalesce(in_sum, 0)) div 100")).as("rank"))
+    }
+    val out = ranks
+      .select(col("node"), (col("node") % 2).as("is_supplier"), col("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+    (out, Seq(edges, nodes))
+  }
+
   private val pagerank = Q(
     "q_graph_pagerank",
     (s, d) => {
-      val half = t(s, d, "lineitem")
-        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      // hash-partition the adjacency on src ONCE, sorted within partitions,
-      // and cache that layout: every round's contribution join then reuses
-      // the cached partitioning (the InMemoryRelation reports it, so no
-      // per-round edge exchange) and only the small changing ranks side
-      // moves — the Pregel economics. Deliberately NOT a broadcast: the
-      // node/rank table is corpus-sized at web scale; co-partitioned
-      // shuffle joins are the shape that survives 100x.
-      val edges = half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src"))
-        .sortWithinPartitions("src")
-        .cache()
-      // vertex state persists beside the adjacency (the Pregel split):
-      // without the cache every round re-aggregates degrees from the edge
-      // cache — 5 redundant passes
-      val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .select(col("src").as("node"), col("deg"))
-        .cache()
-      val nF = broadcast(nodes.agg(count(lit(1)).as("n")))
-      var ranks = nodes.crossJoin(nF)
-        .select(col("node"), col("deg"), col("n"), expr(s"$Mass div n").as("rank"))
-      (1 to Iters).foreach { _ =>
-        val contrib = edges
-          .join(ranks.select(col("node"), expr("rank div deg").as("c")),
-            col("src") === col("node"))
-          .groupBy("dst").agg(sum("c").as("in_sum"))
-        ranks = nodes.crossJoin(nF)
-          .join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"), col("deg"), col("n"),
-            (expr(s"(15 * ($Mass div n)) div 100") +
-              expr("(85 * coalesce(in_sum, 0)) div 100")).as("rank"))
-      }
-      ranks
-        .select(col("node"), (col("node") % 2).as("is_supplier"), col("rank"))
-        .orderBy(col("rank").desc, col("node"))
-        .limit(20)
+      // materialize the bounded top-20 and release both cached frames in a
+      // finally — repeated bench/probe invocations in a shared session must
+      // not accumulate InMemoryRelations in the storage pool
+      val (out, cached) = pagerankFrames(s, d)
+      try {
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        s.createDataFrame(rows, out.schema)
+      } finally cached.foreach(_.unpersist(false))
     },
     Some {
       val iterCtes = (1 to Iters).map { k =>

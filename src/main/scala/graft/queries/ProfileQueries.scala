@@ -138,7 +138,7 @@ object ProfileQueries {
       val mid = e.agg(min(unix_micros(col("ts"))).as("lo"),
         max(unix_micros(col("ts"))).as("hi"))
         .select(expr("lo + (hi - lo) div 2").as("mid"))
-      val binned = e.crossJoin(broadcast(mid))
+      val binned = e.filter(col("value").isNotNull).crossJoin(broadcast(mid))
         .select(graft.operators.DataQuality.driftBin(col("value")).as("bin"),
           (unix_micros(col("ts")) <= col("mid")).as("is_ref"))
         .groupBy("bin")
@@ -157,10 +157,10 @@ object ProfileQueries {
         SELECT epoch_us(min(ts)) + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS mid
         FROM events),
       b AS (
-        SELECT least(CAST(floor(value / 20) AS BIGINT), 9) AS bin,
+        SELECT least(greatest(CAST(floor(value / 20) AS BIGINT), 0), 9) AS bin,
                sum(CASE WHEN epoch_us(ts) <= m.mid THEN 1 ELSE 0 END) AS n_ref,
                sum(CASE WHEN epoch_us(ts) > m.mid THEN 1 ELSE 0 END) AS n_cur
-        FROM events, m GROUP BY 1),
+        FROM events, m WHERE value IS NOT NULL GROUP BY 1),
       t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM b),
       p AS (
         SELECT bin, n_ref, n_cur,

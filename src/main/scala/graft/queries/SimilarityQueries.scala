@@ -510,17 +510,23 @@ object SimilarityQueries {
     * corpus. The documented recall boundary is inherent to the method —
     * a near-dup pair straddling a cell boundary is not compared (the paper
     * accepts the same miss; the hyperplane-LSH path `q_dedup_embed_lsh`
-    * covers boundary-free blocking). Cells here are the fixed-size
-    * deterministic [[CentroidSeed]] sample over the twin-planted corpus;
-    * production raises NCells toward √n (FAISS guidance), keeping in-cell
-    * pair space ~linear — the dial is the operator's, never the data's.
-    * The oracle replays seeding, assignment, in-cell compare, and the
-    * keep rule end to end. */
+    * covers boundary-free blocking). The cell count is the LIVE √n dial
+    * ([[CentroidSeed.sqrtCells]], FAISS guidance, floored at NCells): with
+    * ~√n cells the in-cell pair space stays ~LINEAR in n — n/√n cells ×
+    * (√n)² pairs each — where a fixed cell count would grow (n/k)² per
+    * cell (the round-8 scale-killer). The oracle computes the identical
+    * cell count from the same corpus (correctly-rounded IEEE sqrt on both
+    * engines) and replays seeding, assignment, in-cell compare, and the
+    * keep rule end to end — the pagerank generated-oracle technique. */
   private val semanticDedup = Q(
     "q_dedup_semantic",
     (s, d) => {
       val corpus = augmentedCorpus(s, d).cache()
-      val centroids = CentroidSeed.seeds(corpus)
+      // one bounded aggregate over the (cached) corpus sets the dial; the
+      // scalar feeds .limit(), exactly how a production IVF build sizes
+      // its codebook before training
+      val ncells = CentroidSeed.sqrtCells(corpus.count())
+      val centroids = CentroidSeed.seeds(corpus, ncells)
       // cached: the assigned frame feeds BOTH sides of the in-cell self-join
       // and csim/dot is its dominant per-row cost
       val assigned = nearestCentroid(corpus, centroids)
@@ -536,7 +542,8 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
     Some(s"""WITH $sqlNormalized, $sqlAugmented,
-      ${CentroidSeed.sqlSeedCte("c0", from = "corpus")},
+      ${CentroidSeed.sqlSeedCte("c0", from = "corpus",
+        limitSql = CentroidSeed.sqlSqrtCellsLimit("corpus"))},
       assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (
           SELECT cv.vec_id, cv.emb, c.cent_id,
                  row_number() OVER (PARTITION BY cv.vec_id

@@ -113,12 +113,26 @@ object SinkQueries {
     * rest of the corpus keeps its pinned V1 plan shapes. MIN/MAX target
     * integer keys — footer stats for them are exact by format contract.
     * PlansSpec pins `PushedAggregation` in the scan node. */
-  private val aggPushdown = Q(
-    "q_scan_agg_pushdown",
-    (s, d) => {
+  // one configured child session per parent (bench runs median-of-3 plus
+  // probes; a fresh newSession() per invocation would leak a session
+  // per run on the shared SparkContext) — same synchronized-memo pattern
+  // as ensureCsv/ensureEvolve
+  private val pushdownSessions =
+    new java.util.IdentityHashMap[SparkSession, SparkSession]()
+  private def pushdownSession(s: SparkSession): SparkSession = synchronized {
+    Option(pushdownSessions.get(s)).getOrElse {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.sources.useV1SourceList", "")
       s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      pushdownSessions.put(s, s2)
+      s2
+    }
+  }
+
+  private val aggPushdown = Q(
+    "q_scan_agg_pushdown",
+    (s, d) => {
+      val s2 = pushdownSession(s)
       Tables.t(s2, d, "lineitem")
         .agg(count(lit(1)).as("n_rows"),
           min(col("l_orderkey")).as("min_okey"),

@@ -397,6 +397,26 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("documents.parquet"), plan.take(400))
   }
 
+  test("BPE min-frequency cap bounds the collected vocabulary and its merges") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Tokenizer
+    // "lo" x3, "hi" x1: with minFreq=2 the singleton never reaches the
+    // driver, so no merge may be built from its pairs and the vocab table
+    // is exactly the words at/above the floor
+    val words = Seq("lo", "lo", "lo", "hi").toDF("w")
+    val (vocabAll, mergesAll) = Tokenizer.trainLoop(words, nMerges = 4)
+    val (vocabCap, mergesCap) = Tokenizer.trainLoop(words, nMerges = 4, minFreq = 2L)
+    assert(vocabAll.count() == 2 && vocabCap.count() == 1,
+      "cap must bound the collected word table to words with n >= minFreq")
+    assert(mergesAll.exists { case (_, l, r, _) => l == "h" && r == "i" })
+    assert(!mergesCap.exists { case (_, l, r, _) => l == "h" && r == "i" },
+      s"sub-floor word leaked into training: $mergesCap")
+    // the surviving word trains identically either way
+    assert(mergesCap.map(m => (m._2, m._3)) ==
+      mergesAll.filter { case (_, l, r, _) => !(l == "h" && r == "i") }.map(m => (m._2, m._3)))
+  }
+
   test("stored 5-gram LM: persisted-model scores are row-identical to the inline gate") {
     val s = spark
     import s.implicits._

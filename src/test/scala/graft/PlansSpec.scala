@@ -507,11 +507,18 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q_graph_pagerank: iterative rounds over the cached co-partitioned adjacency; no cartesian, top-k never global-sorts") {
-    val p = plan("q_graph_pagerank")
-    assert(!p.contains("CartesianProduct"), p)
-    // the adjacency is built once and reused every round from the cache
-    assert(p.contains("InMemoryRelation"), "edge list must be cached across rounds")
-    assert(p.contains("TakeOrderedAndProject"), "final top-20 must not global-sort")
+    // the declared query collects the bounded top-20 and unpersists its
+    // caches (so bench loops don't leak storage); pin the DISTRIBUTED plan
+    // via the exposed pipeline instead
+    spark.catalog.clearCache()
+    val (out, cached) = graft.queries.GraphQueries.pagerankFrames(spark, sf)
+    try {
+      val p = out.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!p.contains("CartesianProduct"), p)
+      // the adjacency is built once and reused every round from the cache
+      assert(p.contains("InMemoryRelation"), "edge list must be cached across rounds")
+      assert(p.contains("TakeOrderedAndProject"), "final top-20 must not global-sort")
+    } finally cached.foreach(_.unpersist(true))
   }
 
   test("q_train_curriculum: threshold phases, no global sort, windows over bounded shard partitions") {

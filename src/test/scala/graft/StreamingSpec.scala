@@ -147,6 +147,72 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(producerSide == fileSide)
   }
 
+  test("producer path is source-agnostic: a raw TCP socket source runs the identical cascade (no pipeline code forked)") {
+    // the §3.2 direct-producer path again, but over a REAL external source:
+    // a TCP socket plays the delivery stream, each line one producer record
+    // framed "origin,base64(payload)" (base64 of the whole sample is one
+    // line, so multi-line JSON payloads survive the line-oriented wire
+    // format exactly like Firehose Record.data). The mapping into
+    // eventsFromProducer is ONE selectExpr — everything downstream is the
+    // same cascade object the file and memory paths run.
+    val samples = new java.io.File("/root/reference/lambdas/tests/samples")
+      .listFiles().sortBy(_.getName)
+    val contents = samples.map(f => f.getName -> Files.readString(f.toPath)).toSeq
+
+    // expected side: the file-path cascade over the same five samples
+    val landing = s"$base/landing_socket_twin"
+    Files.createDirectories(Paths.get(landing))
+    contents.foreach { case (n, c) => Files.writeString(Paths.get(landing, n), c) }
+    val fq = StreamingIngest.eventsStream(spark, landing)
+      .writeStream.format("memory").queryName("socket_twin_file_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    fq.awaitTermination(120000)
+
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val writer = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val w = new java.io.PrintWriter(sock.getOutputStream, true)
+        contents.foreach { case (n, c) =>
+          w.println(n + "," + java.util.Base64.getEncoder.encodeToString(c.getBytes("UTF-8")))
+        }
+        w.flush() // leave the socket open: the source treats EOF as stream end
+      } catch { case _: Throwable => () }
+    })
+    writer.setDaemon(true)
+    writer.start()
+
+    val records = spark.readStream.format("socket")
+      .option("host", "127.0.0.1").option("port", server.getLocalPort).load()
+      .selectExpr(
+        "substring(value, 1, instr(value, ',') - 1) AS origin",
+        "substring(value, instr(value, ',') + 1) AS data")
+    val sq = StreamingIngest.eventsFromProducer(records)
+      .writeStream.format("memory").queryName("socket_cascade_out")
+      .outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (spark.table("socket_cascade_out").count() < 5 && System.nanoTime() < deadline)
+        Thread.sleep(250)
+    } finally {
+      sq.stop()
+      server.close()
+    }
+
+    def canonS(tbl: String): Seq[String] = spark.sql(
+      s"""SELECT source, category, severity, utctimestamp, summary,
+            to_json(tags) AS tags, to_json(plugins) AS plugins,
+            regexp_replace(details,
+              '"_utcprocessedtimestamp":"[^"]+"',
+              '"_utcprocessedtimestamp":"X"') AS details,
+            dedup_key
+          FROM $tbl""").collect().map(_.toString).sorted.toSeq
+    val socketSide = canonS("socket_cascade_out")
+    assert(socketSide.length == 5, s"expected 5 events, got ${socketSide.length}")
+    assert(socketSide == canonS("socket_twin_file_out"),
+      "socket-source cascade output must be field-identical to the file path")
+  }
+
   test("batch ingest scales across many small files") {
     val landing = s"$base/many"
     Files.createDirectories(Paths.get(landing))
