@@ -6,7 +6,12 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private val corpus: Seq[Q] =
+  /** The raw declaration list, pre-Map: EngineSpec guards against duplicate
+    * names here — `queries.toMap` keeps the LAST entry per name, so a name
+    * collision would silently drop a query from the gate instead of
+    * failing it (caught live in round 9: a second "q_train_split" shadowed
+    * the first and the gate shrank by one without a red row). */
+  private[graft] val corpus: Seq[Q] =
     Relational.all ++ EventsQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ PipelineQueries.all ++
       SinkQueries.all ++ MultimodalQueries.all ++ TemporalQueries.all ++

@@ -25,10 +25,14 @@ object CentroidSeed {
   /** Fixed codebook size — corpus-independent by construction. */
   val NCells = 8
 
-  /** The √n dial (FAISS guidance), floored at [[NCells]]: in-cell pair work
-    * stays ~linear as the corpus grows (n/√n cells × (√n)² pairs/cell = n).
-    * Both engines compute it identically — IEEE-754 sqrt is correctly
-    * rounded, so Spark's driver-side `Math.sqrt` and DuckDB's `sqrt` agree
+  /** The √n dial (FAISS guidance), floored at [[NCells]]: cell population
+    * stays ~√n, so per-cell pair work is ~n and TOTAL in-cell pair work is
+    * ~n^1.5 — sub-quadratic, where any fixed cell count k degenerates to
+    * (n/k)² per cell (the round-8 scale-killer). A deployment wanting fully
+    * linear pair work sets cells ∝ n/target-cell-size instead; the point
+    * the live dial pins is that cell count grows WITH the corpus. Both
+    * engines compute it identically — IEEE-754 sqrt is correctly rounded,
+    * so Spark's driver-side `Math.sqrt` and DuckDB's `sqrt` agree
     * bit-for-bit and `floor` of the shared double cannot drift. */
   def sqrtCells(n: Long): Int =
     math.max(NCells, math.floor(math.sqrt(n.toDouble)).toInt)

@@ -547,7 +547,53 @@ object EventsQueries {
       FROM o WHERE s3 IS NOT NULL GROUP BY 1, 2, 3
       ORDER BY n DESC, s1, s2, s3 LIMIT 10"""))
 
+  /** Bot/automation detection by inter-arrival REGULARITY — the security
+    * analytic the reference's alert consumers run over CloudTrail-style
+    * events (machines fire on a clock; humans are bursty): per-user gap
+    * variance over the event sequence, most-regular 20 users surfaced.
+    * Integer-exact via the n·Σg² − (Σg)² identity on whole-second gaps
+    * (bounded: gap ≤ corpus time range in seconds, squared and summed per
+    * user stays well inside int64), divided down to sample variance with
+    * integer div — no float mass anywhere. Scale shape: ONE shuffle on the
+    * high-cardinality user key shared by the lag window and the aggregate
+    * (no re-exchange between them), then TakeOrderedAndProject for the
+    * bounded top-20 — never a global sort. */
+  private val regularity = Q(
+    "q_events_regularity",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts) div 1000000").as("t_s"),
+          col("ts"))
+        .withColumn("gap", col("t_s") - lag(col("t_s"), 1).over(seq))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sum_gap_s"),
+          sum(expr("gap * gap")).as("sum_gap2"))
+        .filter(col("n_gaps") >= 2)
+        .select(col("user_id"), col("n_gaps"), col("sum_gap_s"),
+          expr("(n_gaps * sum_gap2 - sum_gap_s * sum_gap_s) div (n_gaps * (n_gaps - 1))")
+            .as("var_s2"))
+        .orderBy(col("var_s2"), col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH g AS (
+        SELECT user_id,
+          epoch_us(ts) // 1000000
+            - lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events),
+      a AS (
+        SELECT user_id, count(*) AS n_gaps, sum(gap) AS sum_gap_s, sum(gap * gap) AS sum_gap2
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id HAVING count(*) >= 2)
+      SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+        CAST(sum_gap_s AS BIGINT) AS sum_gap_s,
+        CAST((n_gaps * sum_gap2 - sum_gap_s * sum_gap_s) // (n_gaps * (n_gaps - 1)) AS BIGINT)
+          AS var_s2
+      FROM a ORDER BY var_s2, user_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple,
     sessionize, saltedAgg, variantExtract, funnel, retention, resample, anomaly, markov, sliding,
-    kanon, ldiversity, sequences, changepoint)
+    kanon, ldiversity, sequences, changepoint, regularity)
 }

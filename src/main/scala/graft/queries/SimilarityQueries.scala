@@ -511,10 +511,12 @@ object SimilarityQueries {
     * a near-dup pair straddling a cell boundary is not compared (the paper
     * accepts the same miss; the hyperplane-LSH path `q_dedup_embed_lsh`
     * covers boundary-free blocking). The cell count is the LIVE √n dial
-    * ([[CentroidSeed.sqrtCells]], FAISS guidance, floored at NCells): with
-    * ~√n cells the in-cell pair space stays ~LINEAR in n — n/√n cells ×
-    * (√n)² pairs each — where a fixed cell count would grow (n/k)² per
-    * cell (the round-8 scale-killer). The oracle computes the identical
+    * ([[CentroidSeed.sqrtCells]], FAISS guidance, floored at NCells): cell
+    * population stays ~√n, so total in-cell pair work is ~n^1.5 —
+    * sub-quadratic and probe-verified ≲2.5× wall at 10× rows — where a
+    * fixed cell count degenerates to (n/k)² per cell (the round-8
+    * scale-killer; cells ∝ n is the fully-linear setting of the same
+    * dial). The oracle computes the identical
     * cell count from the same corpus (correctly-rounded IEEE sqrt on both
     * engines) and replays seeding, assignment, in-cell compare, and the
     * keep rule end to end — the pagerank generated-oracle technique. */

@@ -610,8 +610,67 @@ object TrainingDataQueries {
              CAST(row_number() OVER (PARTITION BY phase, h % 32 ORDER BY h, doc_id) AS BIGINT) AS pos
       FROM d ORDER BY phase, bucket, pos"""))
 
+  /** Proportional-allocation STRATIFIED sampling: equalize strata by
+    * sampling each language at the rate that yields ~`TargetPerStratum`
+    * docs — the standard rebalancing move when a corpus is dominated by one
+    * language/source and the training mix wants per-stratum parity.
+    * Per-stratum rates derive from one BOUNDED aggregate (|strata| rows,
+    * map-side combined) broadcast back onto the scan; membership is the
+    * same stateless Knuth-hash threshold as `q_sample_weighted`, so the
+    * sample is reshuffle-stable and coordination-free. At 100 TB: one scan,
+    * zero corpus shuffles — the rate table stays broadcastable at any
+    * corpus size because strata are operator-enumerated, never data-sized. */
+  private val sampleStratified = Q(
+    "q_sample_stratified",
+    (s, d) => {
+      val targetPerStratum = 50L
+      val docs = t(s, d, "documents")
+      val rates = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+        .select(col("lang"),
+          least(lit(10000L), expr(s"$targetPerStratum * 10000 div n_s")).as("rate_bp"))
+      docs.join(broadcast(rates), "lang")
+        .filter(expr("((doc_id % 1000003) * 2654435761) % 4294967296 % 10000") < col("rate_bp"))
+        .select(col("doc_id"), col("lang"), col("rate_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH s AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+        r AS (SELECT lang, CAST(least(10000, 50 * 10000 // n_s) AS BIGINT) AS rate_bp FROM s)
+      SELECT d.doc_id, d.lang, r.rate_bp
+      FROM documents d JOIN r USING (lang)
+      WHERE ((d.doc_id % 1000003) * 2654435761) % 4294967296 % 10000 < r.rate_bp
+      ORDER BY d.doc_id"""))
+
+  /** Deterministic train/val/test THREE-way split accounting (98/1/1 by
+    * Knuth-hash bucket — finer-grained and better-mixed than
+    * `q_train_split`'s mod-10 two-way split: doc_id % 10 correlates with
+    * any id-periodic collection order, the multiplicative hash does not):
+    * the split assignment is the same stateless integer-hash device as the
+    * samplers — any worker, any retry, any re-shard assigns a document to
+    * the same split with NO split manifest to store or coordinate. The
+    * query audits the split: per (split, lang) doc counts and char mass,
+    * the table a training run checks before/after materializing shards.
+    * One aggregate over the scan (bounded |splits|x|langs| output). */
+  private val trainSplit3 = Q(
+    "q_train_split3",
+    (s, d) =>
+      t(s, d, "documents")
+        .withColumn("b", expr("((doc_id % 1000003) * 2654435761) % 4294967296 % 100"))
+        .withColumn("split",
+          when(col("b") < 96, "train").when(col("b") < 98, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("split", "lang"),
+    Some("""WITH d AS (
+        SELECT lang, n_chars,
+               ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 AS b
+        FROM documents)
+      SELECT CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split,
+             lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM d GROUP BY 1, 2 ORDER BY split, lang"""))
+
   val all: Seq[Q] =
     Seq(chunk, contamination, sampleWeighted, sampleDsir, packSequences, shuffleOrder,
       mixSources, contaminationBloom, datasetCard, packBuckets, shards, mixTemperature,
-      curriculum)
+      curriculum, sampleStratified, trainSplit3)
 }

@@ -49,6 +49,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orphaned.isEmpty, s"oracles without a query: ${orphaned.toSeq.sorted.mkString(", ")}")
   }
 
+  test("declared query names are unique (a duplicate silently shadows its twin in the queries Map)") {
+    // queries.toMap keeps the last entry per name: a name collision makes a
+    // query VANISH from the gate with every remaining row still green —
+    // the same silent-shrink failure mode as the round-7 analysis bug
+    val dups = SparkEntry.corpus.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: ${dups.toSeq.sorted.mkString(", ")}")
+  }
+
   test("analysis smoke: every declared query plan resolves against sf0.001") {
     // Round-7 postmortem: 11 queries failed ANALYSIS (events ts dtype drift)
     // yet the gate showed 136/136 green, because a query that throws before

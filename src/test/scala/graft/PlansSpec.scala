@@ -521,6 +521,32 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally cached.foreach(_.unpersist(true))
   }
 
+  test("q_sample_stratified: rate table broadcasts; membership filter never reads text; no corpus shuffle") {
+    val p = plan("q_sample_stratified")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("hashpartitioning(doc_id"), s"corpus shuffled on doc_id:\n$p")
+    // the sampler decides membership from (doc_id, lang) alone — a scan
+    // that drags `text` along reads the whole corpus body for a filter
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("text"), s"unpruned scan:\n$readSchemas")
+  }
+
+  test("q_train_split3: one aggregate over the scan, no join, no window") {
+    val p = plan("q_train_split3")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_events_regularity: lag window and aggregate share ONE user exchange; top-20 never global-sorts") {
+    val p = plan("q_events_regularity")
+    assert(p.contains("TakeOrderedAndProject"), "bounded top-20 must not global-sort:\n" + p)
+    // the window partitioning on user_id must be REUSED by the groupBy —
+    // a second user_id exchange between them is the regression this pins
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      s"window and aggregate re-exchange the corpus on user_id:\n$p")
+  }
+
   test("q_train_curriculum: threshold phases, no global sort, windows over bounded shard partitions") {
     val p = plan("q_train_curriculum")
     assert(!p.contains("Join"), p)
