@@ -98,13 +98,18 @@ object Bench {
     // child pays one cold start for the whole batch; pass 1 per query is
     // its codegen warmup and is dropped from the median.
     val flagged = ordered.collect { case (name, _) if stat(name)._1 >= IsolateThresholdSec => name }
+
+    // everything that needs THIS session runs before the child: the parent
+    // then stops its SparkContext so the timing child has the box to
+    // itself — a resident idle 32-thread/32g parent is still memory
+    // pressure and scheduler noise the isolated numbers must not inherit
+    val streamLatency = streamingLatencyProbe(spark)
+    spark.stop()
     val isolated = isolateFreshJvm(flagged, sfDir, cpus)
     val isolatedJson = isolated.map {
       case (n, Some(t)) => "\"" + n + f"""":$t%.3f"""
       case (n, None) => "\"" + n + "\":null"
     }.mkString("{", ",", "}")
-
-    val streamLatency = streamingLatencyProbe(spark)
 
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$TimedRuns,""" +
@@ -131,7 +136,6 @@ object Bench {
     // stdout-window truncation; the full line goes here too
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), compactLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] BENCH.json write failed: $e") }
-    spark.stop()
     // LAST stdout line (build.sbt sets showSuccess := false so sbt appends
     // no footer after the forked JVM exits): the driver's ~2000-byte tail
     // parser must see this
@@ -165,6 +169,9 @@ object Bench {
       val proc = pb.start()
       val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
       if (!proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) proc.destroyForcibly()
+      // per-pass lines to stderr: the bench log keeps the raw evidence, so
+      // an anomalous isolated median is diagnosable after the fact
+      System.err.print(out)
       val line = """\[runone\] (\S+) pass (\d+): ([0-9.]+) s""".r
       val byQuery = line.findAllMatchIn(out).toSeq
         .map(m => (m.group(1), m.group(2).toInt, m.group(3).toDouble))

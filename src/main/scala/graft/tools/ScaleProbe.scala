@@ -58,7 +58,10 @@ object ScaleProbe {
     // r8 fourth wave: profiling/DQ family (events-backed)
     "q_profile_columns", "q_profile_constraints", "q_profile_drift",
     // r8 fifth wave: graph + layout (lineitem-backed, keys remapped *10+i)
-    "q_graph_pagerank", "q_maint_zorder")
+    "q_graph_pagerank", "q_maint_zorder",
+    // r9: stratified sampler + split audit (documents), regularity (events
+    // — disjoint user cohorts, so per-user gap structure is preserved)
+    "q_sample_stratified", "q_train_split3", "q_events_regularity")
 
   private val ReplicaIdOffset = 10000000L
 
