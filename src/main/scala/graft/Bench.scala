@@ -167,8 +167,22 @@ object Bench {
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      if (!proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) proc.destroyForcibly()
+      // drain stdout on a separate thread: a blocking readAllBytes on THIS
+      // thread would wait for EOF before waitFor ever ran, so a hung child
+      // would hang the whole bench with the 30 min timeout dead code
+      val outBuf = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val reader = new Thread(() =>
+        try outBuf.set(new String(proc.getInputStream.readAllBytes(), "UTF-8"))
+        catch { case _: Throwable => () })
+      reader.setDaemon(true)
+      reader.start()
+      if (!proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) {
+        System.err.println("[bench] isolation child timed out; killing it")
+        proc.destroyForcibly()
+        proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      reader.join(30000) // destroy closes the pipe -> reader sees EOF
+      val out = outBuf.get
       // per-pass lines to stderr: the bench log keeps the raw evidence, so
       // an anomalous isolated median is diagnosable after the fact
       System.err.print(out)

@@ -126,4 +126,89 @@ object Monitoring {
     spark.read.parquet(
       StoreCommit.readableRoot(fsOf(spark, dir), dir).toString) // non-mutating
   }
+
+  // ---- per-user inter-arrival regularity store (bot detection, live) ----
+  //
+  // The streaming twin of q_events_regularity: per-user gap variance is
+  // mergeable once the state carries (n_gaps, Σgap, Σgap², last_t) — the
+  // cross-BATCH-BOUNDARY gap is recovered by joining the stored last_t to
+  // each batch's first event time. State is O(users) rows (grows with the
+  // user population, never event volume), and the per-batch fold touches
+  // exactly one micro-batch of events plus the bounded store. Assumes
+  // per-user event-time-ordered arrival ACROSS batches (the monotone-source
+  // property every append-only event feed has); out-of-order WITHIN a
+  // micro-batch is handled by the in-batch sort.
+
+  /** Per-user gap statistics of one (user_id, event_id, ts) frame in
+    * (ts, event_id) order — the within-batch partial of the fold. */
+  def gapPartials(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("t_s"), col("ts"))
+      .withColumn("gap", col("t_s") - lag("t_s", 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("gap").isNotNull, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(sum("gap"), lit(0L)).as("sum_gap"),
+        coalesce(sum(expr("gap * gap")), lit(0L)).as("sum_gap2"),
+        min("t_s").as("first_t"), max("t_s").as("last_t"))
+  }
+
+  /** The live per-user regularity state (empty frame if nothing committed). */
+  def readRegularity(spark: SparkSession, storeDir: String): DataFrame = {
+    val dir = new Path(s"$storeDir/regularity")
+    val fs = fsOf(spark, dir)
+    val src = StoreCommit.readableRoot(fs, dir) // non-mutating
+    if (fs.exists(src)) spark.read.parquet(src.toString)
+    else spark.range(0).select(lit(0L).as("user_id"), lit(0L).as("n_gaps"),
+      lit(0L).as("sum_gap"), lit(0L).as("sum_gap2"), lit(0L).as("last_t"))
+  }
+
+  /** Fold one micro-batch of (user_id, event_id, ts) events into the stored
+    * per-user gap state. The boundary gap (batch's first event minus the
+    * stored last_t) is what makes the drained store equal a one-shot
+    * aggregate of the full stream bit-for-bit. Replay-guarded like every
+    * other store. */
+  def updateRegularity(
+      spark: SparkSession, batch: DataFrame, storeDir: String, batchId: Long): Unit = {
+    val dir = new Path(s"$storeDir/regularity")
+    val fs = fsOf(spark, dir)
+    if (batchId <= committedBatch(fs, dir)) return // replay: already folded
+    val p = gapPartials(batch)
+      .withColumnRenamed("n_gaps", "p_n").withColumnRenamed("sum_gap", "p_s")
+      .withColumnRenamed("sum_gap2", "p_q").withColumnRenamed("last_t", "p_last")
+    val s0 = readRegularity(spark, storeDir)
+      .withColumnRenamed("n_gaps", "s_n").withColumnRenamed("sum_gap", "s_s")
+      .withColumnRenamed("sum_gap2", "s_q").withColumnRenamed("last_t", "s_last")
+    // boundary gap exists iff the user has stored state AND batch events
+    val g0 = when(col("s_last").isNotNull && col("first_t").isNotNull,
+      col("first_t") - col("s_last"))
+    val merged = s0.join(p, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        (coalesce(col("s_n"), lit(0L)) + coalesce(col("p_n"), lit(0L)) +
+          when(g0.isNotNull, 1L).otherwise(0L)).as("n_gaps"),
+        (coalesce(col("s_s"), lit(0L)) + coalesce(col("p_s"), lit(0L)) +
+          coalesce(g0, lit(0L))).as("sum_gap"),
+        (coalesce(col("s_q"), lit(0L)) + coalesce(col("p_q"), lit(0L)) +
+          coalesce(g0 * g0, lit(0L))).as("sum_gap2"),
+        coalesce(col("p_last"), col("s_last")).as("last_t"))
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    fs.delete(tmp, true)
+    merged.coalesce(1).write.parquet(tmp.toString)
+    writeMeta(fs, tmp, batchId)
+    atomicSwap(fs, dir, tmp)
+  }
+
+  /** Scheduler-facing view: the same top-20 most-regular-users table the
+    * batch `q_events_regularity` computes, derived from the store alone. */
+  def regularityStatus(spark: SparkSession, storeDir: String): DataFrame =
+    readRegularity(spark, storeDir)
+      .filter(col("n_gaps") >= 2)
+      .select(col("user_id"), col("n_gaps"), col("sum_gap").as("sum_gap_s"),
+        expr("(n_gaps * sum_gap2 - sum_gap * sum_gap) div (n_gaps * (n_gaps - 1))")
+          .as("var_s2"))
+      .orderBy(col("var_s2"), col("user_id"))
+      .limit(20)
 }

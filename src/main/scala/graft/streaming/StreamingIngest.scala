@@ -322,6 +322,28 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming bot-regularity monitor — the live twin of
+    * `q_events_regularity`: each micro-batch of (user_id, event_id, ts)
+    * events folds into a persisted per-user (n_gaps, Σgap, Σgap², last_t)
+    * table ([[graft.operators.Monitoring.updateRegularity]]); the stored
+    * last_t recovers the cross-batch-boundary gap, so the drained store
+    * equals the one-shot aggregate bit-for-bit (StreamingSpec pins it).
+    * State is O(users), never O(events). */
+  def startRegularityStream(
+      events: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Monitoring.updateRegularity(
+          batch.sparkSession, batch.toDF(), storeDir, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming top-talkers monitor — the live twin of
     * `q_agg_heavy_hitters`'s sketch phase: each micro-batch's keys fold
     * into a persisted Misra-Gries summary of at most k counters

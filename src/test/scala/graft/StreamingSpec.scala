@@ -1197,6 +1197,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(before == batchEvents.count(), "store total must equal event count")
   }
 
+  test("streaming regularity monitor: boundary-gap fold makes the drained store equal the batch top-20 bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Monitoring
+
+    val sf = "/root/testdata/sf0.001"
+    val batchEvents = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"))
+
+    // three CHRONOLOGICAL slices (per-user in-order arrival across batches
+    // — the monotone-source property the monitor documents); a hash split
+    // would scramble gap adjacency and the fold could not equal the batch
+    val Seq(lo, hi) = batchEvents
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toSeq
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * (hi - lo) / 3
+    val landing = s"$base/regularity_landing"
+    Files.createDirectories(Paths.get(landing))
+    Seq(
+      col("us") < cut1,
+      col("us") >= cut1 && col("us") < cut2,
+      col("us") >= cut2).zipWithIndex.foreach { case (pred, i) =>
+      batchEvents.select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .filter(pred)
+        .coalesce(1).write.json(s"$landing/chunk$i")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("us",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(s"$landing/chunk*")
+      .select(col("user_id"), col("event_id"), timestamp_micros(col("us")).as("ts"))
+
+    val storeDir = s"$base/regularity_store"
+    val q = StreamingIngest.startRegularityStream(
+      stream, storeDir, s"$base/regularity_ckpt", Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val live = rows(Monitoring.regularityStatus(spark, storeDir))
+    val batch = rows(SparkEntry.queries("q_events_regularity")(spark, sf))
+    assert(live.nonEmpty, "monitor surfaced nothing")
+    assert(live == batch,
+      s"live-only=${live.toSet -- batch.toSet} batch-only=${batch.toSet -- live.toSet}")
+
+    // crash replay: re-folding an already-committed batch id changes nothing
+    Monitoring.updateRegularity(spark, batchEvents, storeDir, batchId = 0L)
+    assert(rows(Monitoring.regularityStatus(spark, storeDir)) == live,
+      "replay mutated the per-user gap state")
+  }
+
   test("streaming top-talkers: stored MG sketch keeps the merged-summary bounds across micro-batches") {
     import org.apache.spark.sql.functions._
     import graft.operators.Sketches
