@@ -501,6 +501,74 @@ object SimilarityQueries {
     Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_len
       FROM documents ORDER BY doc_id"""))
 
+  /** FILTERED ANN — approximate search under a metadata predicate, the
+    * vector-DB capability every retrieval stack names (Qdrant/Milvus/
+    * pgvector "filtered search"): top-k neighbors restricted to vectors
+    * with an even label. Strategy is PRE-FILTER: the predicate applies at
+    * the SCAN (plan-pinned: `label` reaches PushedFilters), the codebook
+    * seeds from the eligible segment, and candidate generation never
+    * touches an ineligible vector — at selectivity like this (~50%) the
+    * right choice, vs post-filter (rank then discard), which under-fills
+    * top-k whenever a cell is predicate-sparse. Same scale shape as
+    * `q_sim_ivf_ann`: corpus meets queries only through the cell equi-join,
+    * assignment is broadcast-argmax, zero vec_id exchanges. */
+  private val annFiltered = Q(
+    "q_sim_ann_filtered",
+    (s, d) => {
+      val all = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          l2Normalize(col("embedding").cast("array<double>")).as("emb"),
+          col("label"))
+      val corpus = all.filter(col("label") % 2 === 0)
+        .select(col("vec_id"), col("emb")).cache()
+      val centroids = CentroidSeed.seeds(corpus)
+      val assigned = nearestCentroid(corpus, centroids)
+        .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+      val probes = all.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+        .crossJoin(broadcast(centroids))
+        .select(col("query_id"), col("qemb"), col("cent_id"),
+          round(dot(col("qemb"), col("cemb")), 6).as("csim"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 4) // nprobe
+        .select(col("query_id"), col("qemb"), col("cent_id").as("cell"))
+      val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("emb"), col("qemb")), 6).as("cos_sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    },
+    Some(s"""WITH $sqlNormalized,
+      f0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
+             FROM embeddings WHERE label % 2 = 0),
+      f AS (SELECT vec_id,
+              list_transform(de, x -> x / sqrt(list_reduce(list_transform(de, y -> y*y), (a, b) -> a + b))) AS emb
+            FROM f0),
+      ${CentroidSeed.sqlSeedCte("cent", from = "f")},
+      assigned AS (
+        SELECT vec_id, emb, cell FROM (
+          SELECT fv.vec_id, fv.emb, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY fv.vec_id
+                   ORDER BY round(list_dot_product(fv.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM f fv, cent c) sub WHERE rn = 1),
+      probes AS (
+        SELECT query_id, qemb, cell FROM (
+          SELECT q.vec_id AS query_id, q.emb AS qemb, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e q, cent c WHERE q.vec_id < 5) sub WHERE rn <= 4)
+      SELECT query_id, neighbor_id, cos_sim, rn FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(list_dot_product(a.emb, p.qemb), 6) AS cos_sim,
+               CAST(row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY round(list_dot_product(a.emb, p.qemb), 6) DESC, a.vec_id) AS BIGINT) AS rn
+        FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id) sub
+      WHERE rn <= 5 ORDER BY query_id, rn"""))
+
   /** SemDeDup (Abbas et al., 2023) — semantic dedup WITHIN coarse-quantizer
     * cells: cluster the corpus, then compare embeddings only against
     * same-cell members and drop every vector with an earlier near-duplicate
@@ -968,5 +1036,5 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(
     cosineTopk, neardupPairs, neardupLsh, embedDedup, embedDedupLsh,
     clusterStats, lshAnn, ivfAnn, multimodalMeta, semanticDedup, lshMultiprobe,
-    embedIncremental, rrfFusion, adaptive, recallEval, recallLsh)
+    embedIncremental, rrfFusion, adaptive, recallEval, recallLsh, annFiltered)
 }

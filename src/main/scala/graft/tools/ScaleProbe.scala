@@ -61,7 +61,8 @@ object ScaleProbe {
     "q_graph_pagerank", "q_maint_zorder",
     // r9: stratified sampler + split audit (documents), regularity (events
     // — disjoint user cohorts, so per-user gap structure is preserved)
-    "q_sample_stratified", "q_train_split3", "q_events_regularity")
+    "q_sample_stratified", "q_train_split3", "q_events_regularity",
+    "q_sim_ann_filtered")
 
   private val ReplicaIdOffset = 10000000L
 

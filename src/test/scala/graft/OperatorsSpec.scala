@@ -226,6 +226,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall { case (v, k) => k < v }, "keeper must precede the dropped vector")
   }
 
+  test("filtered ann: every neighbor satisfies the predicate; full top-5 per query") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_sim_ann_filtered")(spark, d)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val evenLabels = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // pre-filter correctness: an ineligible vector must NEVER surface —
+    // the failure mode post-filtering silently allows when k is refilled
+    assert(out.nonEmpty && out.forall { case (_, n) => evenLabels.contains(n) },
+      s"odd-label neighbor leaked: ${out.filterNot(p => evenLabels.contains(p._2)).take(3)}")
+    // ~50% selectivity leaves every probed cell populated: top-5 fills
+    val perQuery = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.values.forall(_ == 5), perQuery.toString)
+  }
+
   test("ivf ann: scores exact for returned pairs, bounded shape, decent recall") {
     val d = "/root/testdata/sf0.001"
     val ivf = SparkEntry.queries("q_sim_ivf_ann")(spark, d)

@@ -217,7 +217,8 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one-row centroid collect, broadcasts, cell/cent_id rollups, and
     // output sorts — none partition by vec_id.)
     for (q <- Seq("q_sim_outliers", "q_sim_ivf_ann", "q_dedup_semantic",
-        "q_sim_binary_ivf", "q_sim_kmeans", "q_sim_ivf_trained")) {
+        "q_sim_binary_ivf", "q_sim_kmeans", "q_sim_ivf_trained",
+        "q_sim_ann_filtered")) {
       val p = plan(q)
       assert(!p.contains("hashpartitioning(vec_id"),
         s"$q still shuffles the corpus on vec_id:\n$p")
@@ -519,6 +520,15 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(p.contains("InMemoryRelation"), "edge list must be cached across rounds")
       assert(p.contains("TakeOrderedAndProject"), "final top-20 must not global-sort")
     } finally cached.foreach(_.unpersist(true))
+  }
+
+  test("q_sim_ann_filtered: the metadata predicate reaches the parquet scan (pre-filter, not post-rank discard)") {
+    val p = plan("q_sim_ann_filtered")
+    // PushedFilters on label: the scan skips ineligible vectors before any
+    // vector math — the whole point of the pre-filter strategy
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("label"), s"label predicate not pushed:\n$pushed")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q_sample_stratified: rate table broadcasts; membership filter never reads text; no corpus shuffle") {
