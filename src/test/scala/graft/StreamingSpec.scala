@@ -1255,6 +1255,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replay mutated the per-user gap state")
   }
 
+  test("regularity fold is split-invariant: any chronological cut sequence equals the one-shot partials") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Monitoring
+
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    // one-shot ground truth: gapPartials over the whole table, state cols only
+    def canonState(df: org.apache.spark.sql.DataFrame): Set[String] = df
+      .select("user_id", "n_gaps", "sum_gap", "sum_gap2", "last_t")
+      .collect().map(_.toString).toSet
+    val oneShot = canonState(Monitoring.gapPartials(events))
+    val Seq(lo, hi) = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toSeq
+
+    val rng = new scala.util.Random(7L)
+    (1 to 3).foreach { trial =>
+      // 2-4 random chronological cuts -> 3-5 chunks
+      val cuts = Seq.fill(2 + rng.nextInt(3))(lo + 1 + math.abs(rng.nextLong()) % (hi - lo))
+        .distinct.sorted
+      val bounds = (Seq(lo) ++ cuts ++ Seq(hi + 1)).sliding(2).toSeq
+      val store = s"$base/regularity_prop_$trial"
+      bounds.zipWithIndex.foreach { case (Seq(a, b), i) =>
+        val chunk = events.filter(
+          unix_micros(col("ts")) >= a && unix_micros(col("ts")) < b)
+        Monitoring.updateRegularity(spark, chunk, store, batchId = i.toLong)
+      }
+      val folded = canonState(Monitoring.readRegularity(spark, store))
+      assert(folded == oneShot,
+        s"trial $trial cuts=$cuts: folded-only=${folded -- oneShot} oneshot-only=${oneShot -- folded}")
+    }
+  }
+
   test("streaming top-talkers: stored MG sketch keeps the merged-summary bounds across micro-batches") {
     import org.apache.spark.sql.functions._
     import graft.operators.Sketches
