@@ -21,11 +21,12 @@ import scala.jdk.CollectionConverters._
   * driver rounds running, with its bench neighbors uniformly elevated), so
   * the suite result alone cannot distinguish a query regression from bench
   * cross-talk. Two mitigations: an explicit GC + settle between timed
-  * passes, and an ISOLATION re-run at the end — every query whose suite
-  * median crosses `IsolateThresholdSec` is re-timed in a FRESH child JVM
-  * (one RunOne batch; round 8 showed the old same-JVM tail re-run
-  * inheriting 480 plans' worth of JVM-lifetime state) and reported as
-  * `queries_isolated` alongside the suite numbers. A query slow in-suite
+  * passes, and an ISOLATION run in a FRESH child JVM at bench START —
+  * before any suite work, when the box is quiet (round 8's tail re-run
+  * inherited 480 plans of JVM-lifetime state; round 9 showed even a fresh
+  * child reads 2-10x high after 20 minutes of full-tilt suite work, no
+  * matter how the parent is sequenced). The flagged set is the previous
+  * run's expensive suite medians from BENCH.json. A query slow in-suite
   * but fast isolated is bench cross-talk; slow in both is a real plan
   * cost.
   */
@@ -41,6 +42,28 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // isolation child runs FIRST, on a genuinely quiet box. Both r9 attempts
+    // to run it after the suite read 2-10x high on the eager-construction
+    // queries (minhash pass at 100 s vs 6 s standalone) however the parent
+    // was sequenced — 20 minutes of full-tilt suite work leaves the machine
+    // in a state the child inherits no matter who stopped what. The flagged
+    // set comes from the PREVIOUS run's BENCH.json (the compact artifact
+    // carries the most expensive suite medians — exactly the isolation
+    // candidates); a query new since the last run joins the set next run.
+    val isolated: Seq[(String, Option[Double])] = {
+      val prior =
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("BENCH.json")), "UTF-8")
+          """"(q_[a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+            .map(m => (m.group(1), m.group(2).toDouble)).toSeq
+        } catch { case _: Throwable => Seq.empty }
+      val flagged = prior.filter(_._2 >= IsolateThresholdSec).map(_._1)
+        .filter(SparkEntry.queries.contains).distinct.sorted
+      isolateFreshJvm(flagged, sfDir, cpus)
+    }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -97,15 +120,7 @@ object Bench {
     // unchanged code while the in-JVM tail showed 2-3x (PERF.md r8). The
     // child pays one cold start for the whole batch; pass 1 per query is
     // its codegen warmup and is dropped from the median.
-    val flagged = ordered.collect { case (name, _) if stat(name)._1 >= IsolateThresholdSec => name }
-
-    // everything that needs THIS session runs before the child: the parent
-    // then stops its SparkContext so the timing child has the box to
-    // itself — a resident idle 32-thread/32g parent is still memory
-    // pressure and scheduler noise the isolated numbers must not inherit
     val streamLatency = streamingLatencyProbe(spark)
-    spark.stop()
-    val isolated = isolateFreshJvm(flagged, sfDir, cpus)
     val isolatedJson = isolated.map {
       case (n, Some(t)) => "\"" + n + f"""":$t%.3f"""
       case (n, None) => "\"" + n + "\":null"
@@ -136,6 +151,7 @@ object Bench {
     // stdout-window truncation; the full line goes here too
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), compactLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] BENCH.json write failed: $e") }
+    spark.stop()
     // LAST stdout line (build.sbt sets showSuccess := false so sbt appends
     // no footer after the forked JVM exits): the driver's ~2000-byte tail
     // parser must see this
