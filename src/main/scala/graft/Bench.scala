@@ -112,14 +112,6 @@ object Bench {
     val maxs = fmt(_._3)
     val total = names.map(n => stat(n)._1).sum
 
-    // isolation re-run: queries whose suite median is past the threshold
-    // are re-timed in a FRESH JVM (RunOne batch) — the round-8 isolation
-    // phase ran at the tail of a 480-plan JVM and inherited its lifetime
-    // state (codegen caches, humongous-region fragmentation), making the
-    // column untrustworthy: fresh-JVM RunOne showed suite-median parity on
-    // unchanged code while the in-JVM tail showed 2-3x (PERF.md r8). The
-    // child pays one cold start for the whole batch; pass 1 per query is
-    // its codegen warmup and is dropped from the median.
     val streamLatency = streamingLatencyProbe(spark)
     val isolatedJson = isolated.map {
       case (n, Some(t)) => "\"" + n + f"""":$t%.3f"""
