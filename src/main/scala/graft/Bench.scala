@@ -56,7 +56,13 @@ object Bench {
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get("BENCH.json")), "UTF-8")
-          """"(q_[a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+          // anchor to the "queries" object ONLY: the artifact may carry
+          // other q_*:number maps (min/max/isolated columns) whose values
+          // are NOT suite medians — a query flagged off its max would
+          // waste an isolation slot on jitter (r9 ADVICE)
+          val qSection = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse("")
+          """"(q_[a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(qSection)
             .map(m => (m.group(1), m.group(2).toDouble)).toSeq
         } catch { case _: Throwable => Seq.empty }
       val flagged = prior.filter(_._2 >= IsolateThresholdSec).map(_._1)
@@ -113,15 +119,32 @@ object Bench {
     val total = names.map(n => stat(n)._1).sum
 
     val streamLatency = streamingLatencyProbe(spark)
-    val isolatedJson = isolated.map {
+
+    // same-run fallback for queries that crossed the threshold THIS run but
+    // weren't in the prior artifact's flagged set (first run, deleted
+    // BENCH.json, or a newly-added slow query — r9 ADVICE): isolate them
+    // now, in a fresh child, but report under a SEPARATE key — the box is
+    // no longer quiet after 10+ minutes of suite work (r9 measured even a
+    // fresh child reading 2-10x high post-suite), so these numbers carry a
+    // hot-box caveat the clean pre-suite column must not inherit. Next run
+    // they join the quiet pre-suite set via this run's BENCH.json.
+    val alreadyIsolated = isolated.map(_._1).toSet
+    val newlySlow = names
+      .filter(n => stat(n)._1 >= IsolateThresholdSec && !alreadyIsolated(n))
+      .sorted
+    val hotbox = isolateFreshJvm(newlySlow, sfDir, cpus)
+
+    def isoJson(xs: Seq[(String, Option[Double])]): String = xs.map {
       case (n, Some(t)) => "\"" + n + f"""":$t%.3f"""
       case (n, None) => "\"" + n + "\":null"
     }.mkString("{", ",", "}")
+    val isolatedJson = isoJson(isolated)
+    val hotboxJson = isoJson(hotbox)
 
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$TimedRuns,""" +
         f""""queries":$medians,"queries_min":$mins,"queries_max":$maxs,""" +
-        f""""queries_isolated":$isolatedJson,""" +
+        f""""queries_isolated":$isolatedJson,"queries_isolated_hotbox":$hotboxJson,""" +
         f""""stream_e2e_latency_sec":$streamLatency%.1f,"sf":"$sfDir"}""")
     // The driver records only the LAST ~2000 bytes of stdout and parses a
     // JSON line out of that window; the full line above is several KB, so

@@ -28,18 +28,26 @@ object RunOne {
     // with "settle", each query starts from an explicitly settled heap
     // (the mode Bench's fresh-JVM isolation phase drives)
     val settle = args.contains("settle")
+    // each query's passes run under their own try/catch: one crashing query
+    // must cost exactly its own isolation number, never abort the batch and
+    // null out every later query's column (r9 ADVICE)
     name.split(",").foreach { qn =>
-      val fn = SparkEntry.queries(qn)
-      if (showPlan) fn(spark, sfDir).explain("formatted")
-      if (settle) { System.gc(); Thread.sleep(500) }
-      (1 to runs).foreach { i =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val df = fn(spark, sfDir)
-        val tc = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        println(f"[runone] $qn pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
-          f"(construct ${(tc - t0) / 1e9}%.3f, execute ${(System.nanoTime() - tc) / 1e9}%.3f)")
+      try {
+        val fn = SparkEntry.queries(qn)
+        if (showPlan) fn(spark, sfDir).explain("formatted")
+        if (settle) { System.gc(); Thread.sleep(500) }
+        (1 to runs).foreach { i =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          val tc = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          println(f"[runone] $qn pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+            f"(construct ${(tc - t0) / 1e9}%.3f, execute ${(System.nanoTime() - tc) / 1e9}%.3f)")
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[runone] $qn FAILED: $e")
       }
     }
     spark.stop()

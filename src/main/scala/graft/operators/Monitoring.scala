@@ -202,12 +202,17 @@ object Monitoring {
   }
 
   /** Scheduler-facing view: the same top-20 most-regular-users table the
-    * batch `q_events_regularity` computes, derived from the store alone. */
+    * batch `q_events_regularity` computes, derived from the store alone.
+    * The n·Σg² − (Σg)² numerator runs in decimal(38,0) exactly like the
+    * batch query (n·Σg² can cross int64 for heavy users; r9 ADVICE) so
+    * stream and batch stay bit-for-bit. */
   def regularityStatus(spark: SparkSession, storeDir: String): DataFrame =
     readRegularity(spark, storeDir)
       .filter(col("n_gaps") >= 2)
       .select(col("user_id"), col("n_gaps"), col("sum_gap").as("sum_gap_s"),
-        expr("(n_gaps * sum_gap2 - sum_gap * sum_gap) div (n_gaps * (n_gaps - 1))")
+        expr("""cast((cast(n_gaps as decimal(38,0)) * sum_gap2
+                      - cast(sum_gap as decimal(38,0)) * sum_gap)
+                     div (n_gaps * (n_gaps - 1)) as bigint)""")
           .as("var_s2"))
       .orderBy(col("var_s2"), col("user_id"))
       .limit(20)

@@ -551,10 +551,15 @@ object EventsQueries {
     * analytic the reference's alert consumers run over CloudTrail-style
     * events (machines fire on a clock; humans are bursty): per-user gap
     * variance over the event sequence, most-regular 20 users surfaced.
-    * Integer-exact via the n·Σg² − (Σg)² identity on whole-second gaps
-    * (bounded: gap ≤ corpus time range in seconds, squared and summed per
-    * user stays well inside int64), divided down to sample variance with
-    * integer div — no float mass anywhere. Scale shape: ONE shuffle on the
+    * Integer-exact via the n·Σg² − (Σg)² identity on whole-second gaps.
+    * The per-user partials (n, Σg, Σg²) each fit int64 comfortably, but the
+    * numerator n·Σg² is bounded only by n·range² — a heavy user (~10⁴+ gaps
+    * with the gap mass near the corpus range) crosses 9.2e18, where Spark
+    * would wrap silently while DuckDB raises (r9 ADVICE). So the numerator
+    * is computed in 128-bit space on BOTH engines — decimal(38,0) here,
+    * HUGEINT in the oracle — and only the final per-user variance (≤ range²,
+    * always int64) is cast back down. Still no float mass anywhere.
+    * Scale shape: ONE shuffle on the
     * high-cardinality user key shared by the lag window and the aggregate
     * (no re-exchange between them), then TakeOrderedAndProject for the
     * bounded top-20 — never a global sort. */
@@ -574,7 +579,9 @@ object EventsQueries {
           sum(expr("gap * gap")).as("sum_gap2"))
         .filter(col("n_gaps") >= 2)
         .select(col("user_id"), col("n_gaps"), col("sum_gap_s"),
-          expr("(n_gaps * sum_gap2 - sum_gap_s * sum_gap_s) div (n_gaps * (n_gaps - 1))")
+          expr("""cast((cast(n_gaps as decimal(38,0)) * sum_gap2
+                        - cast(sum_gap_s as decimal(38,0)) * sum_gap_s)
+                       div (n_gaps * (n_gaps - 1)) as bigint)""")
             .as("var_s2"))
         .orderBy(col("var_s2"), col("user_id"))
         .limit(20)
@@ -589,7 +596,9 @@ object EventsQueries {
         FROM g WHERE gap IS NOT NULL GROUP BY user_id HAVING count(*) >= 2)
       SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
         CAST(sum_gap_s AS BIGINT) AS sum_gap_s,
-        CAST((n_gaps * sum_gap2 - sum_gap_s * sum_gap_s) // (n_gaps * (n_gaps - 1)) AS BIGINT)
+        CAST((CAST(n_gaps AS HUGEINT) * sum_gap2
+              - CAST(sum_gap_s AS HUGEINT) * sum_gap_s)
+             // (n_gaps * (n_gaps - 1)) AS BIGINT)
           AS var_s2
       FROM a ORDER BY var_s2, user_id LIMIT 20"""))
 

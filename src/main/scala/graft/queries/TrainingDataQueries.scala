@@ -640,7 +640,9 @@ object TrainingDataQueries {
       WHERE ((d.doc_id % 1000003) * 2654435761) % 4294967296 % 10000 < r.rate_bp
       ORDER BY d.doc_id"""))
 
-  /** Deterministic train/val/test THREE-way split accounting (98/1/1 by
+  /** Deterministic train/val/test THREE-way split accounting (98/1/1 —
+    * b < 98 train, b < 99 val, else test; r9 shipped 96/2/2 against a
+    * 98/1/1 doc, reconciled to the documented ratio this round — by
     * Knuth-hash bucket — finer-grained and better-mixed than
     * `q_train_split`'s mod-10 two-way split: doc_id % 10 correlates with
     * any id-periodic collection order, the multiplicative hash does not):
@@ -656,7 +658,7 @@ object TrainingDataQueries {
       t(s, d, "documents")
         .withColumn("b", expr("((doc_id % 1000003) * 2654435761) % 4294967296 % 100"))
         .withColumn("split",
-          when(col("b") < 96, "train").when(col("b") < 98, "val").otherwise("test"))
+          when(col("b") < 98, "train").when(col("b") < 99, "val").otherwise("test"))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("split", "lang"),
@@ -664,7 +666,7 @@ object TrainingDataQueries {
         SELECT lang, n_chars,
                ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 AS b
         FROM documents)
-      SELECT CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split,
+      SELECT CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split,
              lang, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM d GROUP BY 1, 2 ORDER BY split, lang"""))
