@@ -590,6 +590,80 @@ object Relational {
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY') sub
       ORDER BY c_custkey"""))
 
+  /** INTERSECT ALL — the multiset intersection Presto supports and the
+    * DISTINCT form can't express (`README.md:116` "any valid Presto SQL"):
+    * each o_custkey appears min(multiplicity_left, multiplicity_right)
+    * times. Same scale shape as the DISTINCT form: Catalyst rewrites
+    * bag-intersect to an aggregate + join on the value (one shuffle on
+    * the key), never a sort of either side. */
+  private val setIntersectAll = Q(
+    "q_set_intersect_all",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersectAll(o.filter(col("o_totalprice") > 100000).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice > 100000) sub
+      ORDER BY o_custkey"""))
+
+  /** EXCEPT ALL — multiset difference: each o_custkey keeps
+    * max(0, multiplicity_left − multiplicity_right) copies. */
+  private val setExceptAll = Q(
+    "q_set_except_all",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .exceptAll(o.filter(col("o_totalprice") > 100000).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice > 100000) sub
+      ORDER BY o_custkey"""))
+
+  /** approx_percentile — the workhorse Presto percentile in practice
+    * (exact percentile sorts every group; the sketch is the 100 TB path).
+    * Sketch estimates differ across engines (Spark: Greenwald-Khanna,
+    * DuckDB: t-digest), so like `q_agg_approx_distinct` the declared check
+    * is the CONTRACT, not the estimate: each engine's own approximate
+    * percentile must land inside the exact [p−0.02, p+0.02] quantile band
+    * (GK at accuracy 10000 guarantees rank error ≤ n/10000 ≪ 0.02n; the
+    * t-digest's median-region error is an order below the band), plus the
+    * exact median hash-anchored through the decimal-round device the exact
+    * twin `q_agg_percentile` uses. */
+  private val aggApproxPercentile = Q(
+    "q_agg_approx_percentile",
+    (s, d) =>
+      t(s, d, "orders")
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.5)).cast("decimal(24,6)"), 2)
+            .cast("double").as("exact_median"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("a50"),
+          percentile(col("o_totalprice"), lit(0.48)).as("lo50"),
+          percentile(col("o_totalprice"), lit(0.52)).as("hi50"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("a90"),
+          percentile(col("o_totalprice"), lit(0.88)).as("lo90"),
+          percentile(col("o_totalprice"), lit(0.92)).as("hi90"))
+        .select(
+          col("exact_median"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_in_band"),
+          (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("p90_in_band")),
+    Some("""SELECT
+        CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(24,6)), 2) AS DOUBLE)
+          AS exact_median,
+        approx_quantile(o_totalprice, 0.5)
+          BETWEEN quantile_cont(o_totalprice, 0.48) AND quantile_cont(o_totalprice, 0.52)
+          AS p50_in_band,
+        approx_quantile(o_totalprice, 0.9)
+          BETWEEN quantile_cont(o_totalprice, 0.88) AND quantile_cont(o_totalprice, 0.92)
+          AS p90_in_band
+      FROM orders"""))
+
   // -- scalar function families -------------------------------------------------
 
   private val stringFns = Q(
@@ -920,12 +994,12 @@ object Relational {
     projFilter,
     dateIntervals,
     aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggGroupingSets,
-    aggPivot, aggPercentile, aggStats, aggApproxDistinct, aggHllMerge,
+    aggPivot, aggPercentile, aggApproxPercentile, aggStats, aggApproxDistinct, aggHllMerge,
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
     joinTheta, joinBucketed, joinFuzzy, joinFuzzyVarlen,
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange,
     sortTopk, sortNullsOffset,
-    setUnion, setUnionAll, setIntersect, setExcept,
+    setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
     stringFns, dateFns, mathFns, arrayFns, mapFns, explodeFn, explodePos,
     subqueryIn, subqueryScalar, subqueryExists)
 }

@@ -28,6 +28,17 @@ import Tables.t
   *
   * All float math is widened to double and ranking keys are rounded to 6
   * decimals in BOTH engines, so IEEE noise cannot reorder the top-k.
+  *
+  * Cache lifecycle: several queries here `.cache()` a frame that feeds both
+  * sides of a self-join (band tables, cell assignments, eligible segments).
+  * The queries RETURN lazy plans, so an unpersist-in-finally inside the
+  * builder (the pagerank pattern) is impossible — the cache must outlive
+  * query construction until the CALLER executes the plan. The intended
+  * release path is session-level: Bench/Verify/RunOne call
+  * `spark.catalog.clearCache()` between queries, and any long-lived session
+  * embedding these should do the same after consuming a result. Repeated
+  * invocations without it accumulate InMemoryRelations (r9 ADVICE — this
+  * note documents the contract rather than materializing eagerly).
   */
 object SimilarityQueries {
 
@@ -512,36 +523,41 @@ object SimilarityQueries {
     * top-k whenever a cell is predicate-sparse. Same scale shape as
     * `q_sim_ivf_ann`: corpus meets queries only through the cell equi-join,
     * assignment is broadcast-argmax, zero vec_id exchanges. */
+  /** PRE-filter ANN body, predicate `label % labelMod = 0` — shared by the
+    * declared `q_sim_ann_filtered` (labelMod 2) and the OperatorsSpec
+    * selectivity-crossover pin (sparse labelMod). */
+  private[graft] def annPreFilterFrame(s: SparkSession, d: String, labelMod: Int): DataFrame = {
+    val all = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        l2Normalize(col("embedding").cast("array<double>")).as("emb"),
+        col("label"))
+    val corpus = all.filter(col("label") % labelMod === 0)
+      .select(col("vec_id"), col("emb")).cache()
+    val centroids = CentroidSeed.seeds(corpus)
+    val assigned = nearestCentroid(corpus, centroids)
+      .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+    val probes = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qemb"), col("cent_id"),
+        round(dot(col("qemb"), col("cemb")), 6).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 4) // nprobe
+      .select(col("query_id"), col("qemb"), col("cent_id").as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("emb"), col("qemb")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy("query_id", "rn")
+  }
+
   private val annFiltered = Q(
     "q_sim_ann_filtered",
-    (s, d) => {
-      val all = t(s, d, "embeddings")
-        .select(col("vec_id"),
-          l2Normalize(col("embedding").cast("array<double>")).as("emb"),
-          col("label"))
-      val corpus = all.filter(col("label") % 2 === 0)
-        .select(col("vec_id"), col("emb")).cache()
-      val centroids = CentroidSeed.seeds(corpus)
-      val assigned = nearestCentroid(corpus, centroids)
-        .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
-      val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
-      val probes = all.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-        .crossJoin(broadcast(centroids))
-        .select(col("query_id"), col("qemb"), col("cent_id"),
-          round(dot(col("qemb"), col("cemb")), 6).as("csim"))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= 4) // nprobe
-        .select(col("query_id"), col("qemb"), col("cent_id").as("cell"))
-      val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
-      assigned.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(dot(col("emb"), col("qemb")), 6).as("cos_sim"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
-        .orderBy("query_id", "rn")
-    },
+    (s, d) => annPreFilterFrame(s, d, 2),
     Some(s"""WITH $sqlNormalized,
       f0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
              FROM embeddings WHERE label % 2 = 0),
@@ -567,6 +583,94 @@ object SimilarityQueries {
                CAST(row_number() OVER (PARTITION BY p.query_id
                  ORDER BY round(list_dot_product(a.emb, p.qemb), 6) DESC, a.vec_id) AS BIGINT) AS rn
         FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id) sub
+      WHERE rn <= 5 ORDER BY query_id, rn"""))
+
+  /** POST-filter ANN body, predicate `label % labelMod = 0`: index the FULL
+    * corpus, over-fetch `overFetch` candidates per query, THEN discard
+    * ineligible hits and re-rank to top-5 — shared by the declared
+    * `q_sim_ann_postfilter` (labelMod 2, overFetch 20) and the
+    * OperatorsSpec crossover pin (sparse labelMod, where the under-fill
+    * this strategy risks actually materializes). */
+  private[graft] def annPostFilterFrame(
+      s: SparkSession, d: String, labelMod: Int, overFetch: Int): DataFrame = {
+    val all = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        l2Normalize(col("embedding").cast("array<double>")).as("emb"),
+        col("label"))
+    val corpus = all.select(col("vec_id"), col("emb"))
+    val centroids = CentroidSeed.seeds(corpus)
+    val assigned = nearestCentroid(corpus, centroids)
+      .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cent_id"))
+    val probes = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qemb"), col("cent_id"),
+        round(dot(col("qemb"), col("cemb")), 6).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 4) // nprobe
+      .select(col("query_id"), col("qemb"), col("cent_id").as("cell"))
+    val wFetch = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+    val fetched = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("emb"), col("qemb")), 6).as("cos_sim"))
+      .withColumn("rn_fetch", row_number().over(wFetch))
+      .filter(col("rn_fetch") <= overFetch)
+    val labels = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+    val wRank = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+    fetched.join(labels, fetched("neighbor_id") === labels("vec_id"))
+      .filter(col("label") % labelMod === 0)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy("query_id", "rn")
+  }
+
+  /** FILTERED ANN, POST-filter strategy — the other side of the documented
+    * vector-DB tradeoff (`q_sim_ann_filtered` is the PRE-filter side): the
+    * index covers the FULL corpus, the query over-fetches k' = 20
+    * candidates through the usual cell equi-join, and the predicate runs
+    * LAST — rank then discard, refill from the survivors. When the
+    * predicate is selective the probed cells can be predicate-sparse and
+    * top-k under-fills (pinned in OperatorsSpec with a sparse label class);
+    * its advantage is sharing ONE index across every predicate instead of
+    * a codebook per filtered segment. At ~50% selectivity pre-filter wins
+    * (eligible-only candidates always fill k); post-filter is the right
+    * call only when predicates are many/ad-hoc and selectivity is mild.
+    * Scale shape is unchanged: cell equi-join candidates, broadcast-argmax
+    * assignment, plus one bounded (queries × k') equi-join to labels. */
+  private val annPostFiltered = Q(
+    "q_sim_ann_postfilter",
+    (s, d) => annPostFilterFrame(s, d, 2, 20),
+    Some(s"""WITH $sqlNormalized,
+      ${CentroidSeed.sqlSeedCte("cent")},
+      assigned AS (
+        SELECT vec_id, emb, cell FROM (
+          SELECT fv.vec_id, fv.emb, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY fv.vec_id
+                   ORDER BY round(list_dot_product(fv.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e fv, cent c) sub WHERE rn = 1),
+      probes AS (
+        SELECT query_id, qemb, cell FROM (
+          SELECT q.vec_id AS query_id, q.emb AS qemb, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.emb, c.cemb), 6) DESC, c.cent_id) AS rn
+          FROM e q, cent c WHERE q.vec_id < 5) sub WHERE rn <= 4),
+      fetched AS (
+        SELECT query_id, neighbor_id, cos_sim FROM (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 round(list_dot_product(a.emb, p.qemb), 6) AS cos_sim,
+                 row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY round(list_dot_product(a.emb, p.qemb), 6) DESC, a.vec_id) AS rn_fetch
+          FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id) sub
+        WHERE rn_fetch <= 20)
+      SELECT query_id, neighbor_id, cos_sim, rn FROM (
+        SELECT f.query_id, f.neighbor_id, f.cos_sim,
+               CAST(row_number() OVER (PARTITION BY f.query_id
+                 ORDER BY f.cos_sim DESC, f.neighbor_id) AS BIGINT) AS rn
+        FROM fetched f JOIN embeddings l ON l.vec_id = f.neighbor_id
+        WHERE l.label % 2 = 0) sub
       WHERE rn <= 5 ORDER BY query_id, rn"""))
 
   /** SemDeDup (Abbas et al., 2023) — semantic dedup WITHIN coarse-quantizer
@@ -1036,5 +1140,6 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(
     cosineTopk, neardupPairs, neardupLsh, embedDedup, embedDedupLsh,
     clusterStats, lshAnn, ivfAnn, multimodalMeta, semanticDedup, lshMultiprobe,
-    embedIncremental, rrfFusion, adaptive, recallEval, recallLsh, annFiltered)
+    embedIncremental, rrfFusion, adaptive, recallEval, recallLsh, annFiltered,
+    annPostFiltered)
 }

@@ -243,6 +243,64 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perQuery.values.forall(_ == 5), perQuery.toString)
   }
 
+  test("filtered ann crossover: pre-filter fills top-k where post-filter under-fills on a sparse predicate") {
+    import graft.queries.SimilarityQueries
+    val d = "/root/testdata/sf0.001"
+
+    def perQueryCounts(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("query_id").collect().map(_.getLong(0))
+        .groupBy(identity).view.mapValues(_.size).toMap
+
+    // ~50% selectivity (label % 2): the mild regime where BOTH strategies
+    // fill top-5 — and where pre-filter still wins on guarantees: every
+    // pre-filter neighbor is eligible by construction (pinned in the
+    // filtered-ann test above); post-filter matches that only because the
+    // over-fetch happened to carry >= 5 eligible rows per query
+    val post50 = perQueryCounts(SimilarityQueries.annPostFilterFrame(spark, d, 2, 20))
+    assert(post50.values.forall(_ == 5), s"mild selectivity should fill: $post50")
+
+    // recall vs the FILTERED brute-force ground truth (top-5 by cosine among
+    // eligible vectors): pre-filter ranks the entire eligible segment through
+    // its own cells, post-filter sees only eligible rows that survived the
+    // unfiltered top-20 — its candidate set is a subset, so recall can only
+    // be <= pre-filter's. Pin the direction.
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("label"), graft.functions.VectorFunctions.l2Normalize(
+        col("embedding").cast("array<double>")).as("emb"))
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val wTruth = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+    val truth = e.filter(col("label") % 2 === 0).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(graft.functions.VectorFunctions.dot(col("emb"), col("qemb")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTruth)).filter(col("rn") <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val recallPre = recall(SimilarityQueries.annPreFilterFrame(spark, d, 2))
+    val recallPost = recall(SimilarityQueries.annPostFilterFrame(spark, d, 2, 20))
+    assert(recallPre >= recallPost,
+      s"pre-filter recall $recallPre must be >= post-filter $recallPost at ~50% selectivity")
+
+    // SPARSE predicate (label % 10 = 0, ~11% of the corpus): the unfiltered
+    // top-20 over-fetch carries ~2 eligible rows per query, so post-filter
+    // UNDER-FILLS top-5 — the documented failure mode of rank-then-discard.
+    // Pre-filter on the same predicate indexes only the eligible segment and
+    // fills strictly more result slots.
+    val postSparse = perQueryCounts(SimilarityQueries.annPostFilterFrame(spark, d, 10, 20))
+    val postSlots = postSparse.values.sum
+    assert(postSparse.isEmpty || postSparse.values.exists(_ < 5) || postSparse.size < 5,
+      s"sparse post-filter should under-fill somewhere: $postSparse")
+    val preSparse = perQueryCounts(SimilarityQueries.annPreFilterFrame(spark, d, 10))
+    val preSlots = preSparse.values.sum
+    assert(preSlots > postSlots,
+      s"pre-filter must fill more slots than post-filter when sparse: $preSlots vs $postSlots")
+  }
+
   test("ivf ann: scores exact for returned pairs, bounded shape, decent recall") {
     val d = "/root/testdata/sf0.001"
     val ivf = SparkEntry.queries("q_sim_ivf_ann")(spark, d)
