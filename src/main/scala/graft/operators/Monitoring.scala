@@ -133,11 +133,38 @@ object Monitoring {
   // mergeable once the state carries (n_gaps, Σgap, Σgap², last_t) — the
   // cross-BATCH-BOUNDARY gap is recovered by joining the stored last_t to
   // each batch's first event time. State is O(users) rows (grows with the
-  // user population, never event volume), and the per-batch fold touches
-  // exactly one micro-batch of events plus the bounded store. Assumes
-  // per-user event-time-ordered arrival ACROSS batches (the monotone-source
-  // property every append-only event feed has); out-of-order WITHIN a
-  // micro-batch is handled by the in-batch sort.
+  // user population, never event volume) — the ONLY store in the repo whose
+  // size tracks a data population, so unlike the bounded ledgers it must
+  // never be rewritten whole per batch (r9 verdict: at CloudTrail-scale
+  // user counts a full-state coalesce(1) rewrite is an O(users)
+  // single-task I/O floor under every batch). The state is therefore
+  // HASH-BUCKETED on user_id (`regularity/bucket=k/`, [[RegularityBuckets]]
+  // dirs, each its own atomic-swap + replay-cursor unit): a fold reads and
+  // rewrites ONLY the buckets the batch touches, one file per bucket, and
+  // an untouched bucket's files are byte-identical across the fold (pinned
+  // in StreamingSpec). Per-batch cost is O(delta + touched-buckets'
+  // state); a small batch touching few users leaves most of the store
+  // undisturbed. Assumes per-user event-time-ordered arrival ACROSS
+  // batches (the monotone-source property every append-only event feed
+  // has); out-of-order WITHIN a micro-batch is handled by the in-batch
+  // sort.
+
+  /** Bucket count for the regularity store layout. Sandbox-sized here so
+    * the spec exercises multi-bucket folds and untouched buckets; a
+    * CloudTrail-scale deployment raises it (e.g. 4096) so each bucket's
+    * file stays executor-memory-sized — the dial trades per-fold task
+    * count against file size, never correctness (bucket is a pure
+    * function of user_id). */
+  val RegularityBuckets = 8
+
+  /** The store bucket of a user — pure function of user_id (Murmur3, like
+    * the repo's other hash-partitioning devices), so any fold, any replay,
+    * any reader agrees with no bucket manifest to coordinate. */
+  def regularityBucket(userId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(hash(userId), lit(RegularityBuckets))
+
+  private def bucketDir(storeDir: String, k: Int): Path =
+    new Path(s"$storeDir/regularity/bucket=$k")
 
   /** Per-user gap statistics of one (user_id, event_id, ts) frame in
     * (ts, event_id) order — the within-batch partial of the fold. */
@@ -155,30 +182,61 @@ object Monitoring {
         min("t_s").as("first_t"), max("t_s").as("last_t"))
   }
 
-  /** The live per-user regularity state (empty frame if nothing committed). */
-  def readRegularity(spark: SparkSession, storeDir: String): DataFrame = {
-    val dir = new Path(s"$storeDir/regularity")
-    val fs = fsOf(spark, dir)
-    val src = StoreCommit.readableRoot(fs, dir) // non-mutating
-    if (fs.exists(src)) spark.read.parquet(src.toString)
-    else spark.range(0).select(lit(0L).as("user_id"), lit(0L).as("n_gaps"),
+  private def emptyRegularity(spark: SparkSession): DataFrame =
+    spark.range(0).select(lit(0L).as("user_id"), lit(0L).as("n_gaps"),
       lit(0L).as("sum_gap"), lit(0L).as("sum_gap2"), lit(0L).as("last_t"))
+
+  /** The readable roots of a set of buckets — swap-safe per bucket
+    * (readableRoot, non-mutating), only dirs that exist. */
+  private def readableBuckets(
+      spark: SparkSession, storeDir: String, ks: Seq[Int]): Seq[Path] =
+    ks.flatMap { k =>
+      val dir = bucketDir(storeDir, k)
+      val fs = fsOf(spark, dir)
+      val src = StoreCommit.readableRoot(fs, dir) // non-mutating
+      if (fs.exists(src)) Some(src) else None
+    }
+
+  /** The live per-user regularity state — ONE multi-path parquet read over
+    * every committed bucket dir (empty frame if nothing committed yet). */
+  def readRegularity(spark: SparkSession, storeDir: String): DataFrame = {
+    val roots = readableBuckets(spark, storeDir, 0 until RegularityBuckets)
+    if (roots.isEmpty) emptyRegularity(spark)
+    else spark.read.parquet(roots.map(_.toString): _*)
   }
 
   /** Fold one micro-batch of (user_id, event_id, ts) events into the stored
     * per-user gap state. The boundary gap (batch's first event minus the
     * stored last_t) is what makes the drained store equal a one-shot
-    * aggregate of the full stream bit-for-bit. Replay-guarded like every
-    * other store. */
+    * aggregate of the full stream bit-for-bit.
+    *
+    * Bucketed fold: only the buckets the batch touches are read, merged,
+    * and swapped — every other bucket's files are not opened, let alone
+    * rewritten. The replay cursor is PER BUCKET: a crash between bucket
+    * swaps leaves some buckets already carrying this batch; on replay
+    * their cursor skips them and only the still-behind buckets fold — the
+    * fold is idempotent per bucket, so the torn publish heals to exactly
+    * one application of the batch everywhere. */
   def updateRegularity(
       spark: SparkSession, batch: DataFrame, storeDir: String, batchId: Long): Unit = {
-    val dir = new Path(s"$storeDir/regularity")
-    val fs = fsOf(spark, dir)
-    if (batchId <= committedBatch(fs, dir)) return // replay: already folded
-    val p = gapPartials(batch)
+    val root = new Path(s"$storeDir/regularity")
+    val fs = fsOf(spark, root)
+    val partials = gapPartials(batch)
+      .withColumn("bucket", regularityBucket(col("user_id")))
+    // the touched set is bounded by RegularityBuckets, never by users
+    val touchedAll = partials.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    // per-bucket replay guard (committedBatch runs crash recover() first —
+    // this is the single-writer update path)
+    val touched = touchedAll.filter(k =>
+      batchId > committedBatch(fs, bucketDir(storeDir, k)))
+    if (touched.isEmpty) return // replay: every touched bucket already folded
+    val p = partials.filter(col("bucket").isin(touched: _*)).drop("bucket")
       .withColumnRenamed("n_gaps", "p_n").withColumnRenamed("sum_gap", "p_s")
       .withColumnRenamed("sum_gap2", "p_q").withColumnRenamed("last_t", "p_last")
-    val s0 = readRegularity(spark, storeDir)
+    val storedRoots = readableBuckets(spark, storeDir, touched)
+    val s0 = (if (storedRoots.isEmpty) emptyRegularity(spark)
+              else spark.read.parquet(storedRoots.map(_.toString): _*))
       .withColumnRenamed("n_gaps", "s_n").withColumnRenamed("sum_gap", "s_s")
       .withColumnRenamed("sum_gap2", "s_q").withColumnRenamed("last_t", "s_last")
     // boundary gap exists iff the user has stored state AND batch events
@@ -194,11 +252,21 @@ object Monitoring {
         (coalesce(col("s_q"), lit(0L)) + coalesce(col("p_q"), lit(0L)) +
           coalesce(g0 * g0, lit(0L))).as("sum_gap2"),
         coalesce(col("p_last"), col("s_last")).as("last_t"))
-    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+      .withColumn("bucket", regularityBucket(col("user_id")))
+    // one job writes every touched bucket: repartition on the bucket column
+    // puts each bucket wholly in one task -> ONE file per bucket dir (the
+    // per-bucket replacement for the old whole-state coalesce(1))
+    val tmp = new Path(root.getParent, s".${root.getName}.building")
     fs.delete(tmp, true)
-    merged.coalesce(1).write.parquet(tmp.toString)
-    writeMeta(fs, tmp, batchId)
-    atomicSwap(fs, dir, tmp)
+    merged.repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(tmp.toString)
+    touched.foreach { k =>
+      val tb = new Path(tmp, s"bucket=$k")
+      if (!fs.exists(tb)) fs.mkdirs(tb) // touched bucket always has rows; belt-and-braces
+      writeMeta(fs, tb, batchId)
+      atomicSwap(fs, bucketDir(storeDir, k), tb)
+    }
+    fs.delete(tmp, true)
   }
 
   /** Scheduler-facing view: the same top-20 most-regular-users table the

@@ -1255,6 +1255,67 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replay mutated the per-user gap state")
   }
 
+  test("bucketed regularity store: a fold reads and rewrites ONLY touched buckets — untouched bucket files stay byte-identical") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Monitoring
+
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val store = s"$base/regularity_bucketed"
+
+    // batch 0: the full corpus populates (at 15 distinct users) several of
+    // the 8 bucket dirs
+    Monitoring.updateRegularity(spark, events, store, 0L)
+    val bucketDirs = (0 until Monitoring.RegularityBuckets)
+      .map(k => k -> Paths.get(s"$store/regularity/bucket=$k"))
+      .filter { case (_, p) => Files.isDirectory(p) }.toMap
+    assert(bucketDirs.size >= 2, s"need multiple populated buckets, got ${bucketDirs.keys}")
+
+    def snapshot(k: Int): Map[String, Seq[Byte]] = {
+      val d = bucketDirs(k)
+      Files.list(d).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(Files.isRegularFile(_))
+        .map(f => f.getFileName.toString -> Files.readAllBytes(f).toSeq)
+        .toMap
+    }
+    val before = bucketDirs.keys.map(k => k -> snapshot(k)).toMap
+
+    // batch 1: events of users in exactly ONE bucket, shifted 30 days later
+    // — past the whole corpus range, so per-user arrival stays monotone
+    // ACROSS the batches (the property the monitor documents) — the fold
+    // must open and swap that bucket alone
+    val k0 = events.select(Monitoring.regularityBucket(col("user_id")).as("b"))
+      .head().getInt(0)
+    val batch1 = events.filter(Monitoring.regularityBucket(col("user_id")) === k0)
+      .withColumn("ts", col("ts") + expr("interval 30 days"))
+    assert(batch1.count() > 0)
+    Monitoring.updateRegularity(spark, batch1, store, 1L)
+
+    bucketDirs.keys.foreach { k =>
+      val after = snapshot(k)
+      if (k == k0) {
+        assert(after != before(k), s"touched bucket $k0 must change")
+        assert(after(graft.operators.StoreCommit.MetaFile).map(_.toChar).mkString.trim == "1",
+          "touched bucket's replay cursor must advance")
+      } else {
+        assert(after == before(k),
+          s"untouched bucket $k was rewritten: ${after.keySet} vs ${before(k).keySet}")
+      }
+    }
+
+    // and the folded state equals the one-shot partials over the full
+    // chronological concatenation — the split-invariance contract re-proven
+    // across a single-bucket fold on the bucketed layout
+    val folded = Monitoring.readRegularity(spark, store)
+      .select("user_id", "n_gaps", "sum_gap", "sum_gap2", "last_t")
+      .collect().map(_.toString).toSet
+    val oneShot = Monitoring.gapPartials(events.unionByName(batch1))
+      .select("user_id", "n_gaps", "sum_gap", "sum_gap2", "last_t")
+      .collect().map(_.toString).toSet
+    assert(folded == oneShot,
+      s"folded-only=${folded -- oneShot} oneshot-only=${oneShot -- folded}")
+  }
+
   test("regularity fold is split-invariant: any chronological cut sequence equals the one-shot partials") {
     import org.apache.spark.sql.functions._
     import graft.operators.Monitoring
