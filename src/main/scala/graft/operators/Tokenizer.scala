@@ -118,6 +118,104 @@ object Tokenizer {
   private def fsOf(spark: SparkSession, dir: Path): FileSystem =
     FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
 
+  /** UNIGRAM-LM trainer (Kudo 2018, the SentencePiece `--model_type=unigram`
+    * family) beside the BPE trainer — Viterbi hard-EM over a seeded
+    * candidate vocabulary, held INTEGER-EXACT so the DuckDB oracle can
+    * replay every step bit-for-bit (the pagerank/BPE generated-oracle
+    * technique):
+    *
+    *   - seed: every positional substring of length 1..maxPieceLen of the
+    *     distinct-word table, scored by corpus frequency; ALL single chars
+    *     (coverage guarantee) plus the top `seedSize` multi-char candidates
+    *     by (freq desc, piece asc);
+    *   - E-step: per distinct word, the Viterbi segmentation under the
+    *     current vocabulary with the float-free objective (fewest pieces,
+    *     then largest piece-count sum, then lexicographically smallest
+    *     piece sequence) — the integer stand-in for max Σ log p(piece),
+    *     whose fewest-then-most-frequent preference it shares, with none of
+    *     the cross-engine libm drift real log-probs would import;
+    *   - M-step: piece counts re-estimated from the segmentations
+    *     (weighted by word frequency); multi-char pieces that went unused
+    *     are pruned, single chars always survive (SentencePiece's
+    *     required-character set);
+    *   - `iters` rounds, then the final vocabulary (piece, cnt) with
+    *     cnt > 0.
+    *
+    * Scale shape: identical to [[trainLoop]] — ONE distributed aggregate
+    * collapses the corpus to the distinct-word table (the only
+    * corpus-sized stage; `minFreq` caps it under Zipf exactly as in BPE),
+    * and the EM loop runs on the driver over that bounded table, which is
+    * how SentencePiece itself trains (in-memory over a sentence sample).
+    * Per-iteration cost is O(words · len · maxPieceLen) — vocabulary-sized,
+    * never corpus-sized. Words longer than `maxWordLen` are skipped in
+    * BOTH engines (the generated oracle unrolls the Viterbi DP to a fixed
+    * position bound; SentencePiece likewise caps candidate lengths). */
+  def unigramTrainLoop(
+      words: DataFrame, maxPieceLen: Int = 4, seedSize: Int = 24,
+      iters: Int = 3, minFreq: Long = 1L, maxWordLen: Int = 12): Seq[(String, Long)] = {
+    val wordCounts: Array[(String, Long)] = words
+      .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minFreq) // distributed cap, as in trainLoop
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    // positional substring seed frequencies (overlaps counted per position)
+    val seedCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    for {
+      (w, n) <- wordCounts
+      st <- 0 until w.length
+      l <- 1 to math.min(maxPieceLen, w.length - st)
+    } {
+      val p = w.substring(st, st + l)
+      seedCounts.update(p, seedCounts.getOrElse(p, 0L) + n)
+    }
+    val chars = seedCounts.keysIterator.filter(_.length == 1).toSeq
+    val multi = seedCounts.iterator.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    var vocab: Map[String, Long] =
+      (chars.map(c => c -> seedCounts(c)) ++ multi).toMap
+    for (_ <- 1 to iters) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, n) <- wordCounts; p <- viterbi(w, vocab, maxPieceLen))
+        counts.update(p, counts.getOrElse(p, 0L) + n)
+      vocab = vocab.iterator.flatMap { case (p, _) =>
+        val c = counts.getOrElse(p, 0L)
+        if (p.length == 1) Some(p -> c) // coverage: chars always survive
+        else if (c > 0) Some(p -> c)
+        else None
+      }.toMap
+    }
+    vocab.toSeq.filter(_._2 > 0).sortBy { case (p, c) => (-c, p) }
+  }
+
+  /** The integer-exact Viterbi segmentation: over prefix lengths, keep the
+    * best (fewest pieces, then largest count sum, then lexicographically
+    * smallest space-joined piece sequence) — the exact total order the
+    * generated DuckDB oracle's row_number() replays. Always total because
+    * every corpus character is in the vocabulary. */
+  private[graft] def viterbi(
+      w: String, vocab: Map[String, Long], maxPieceLen: Int): Seq[String] = {
+    final case class St(k: Int, csum: Long, seg: String)
+    val best = new Array[St](w.length + 1)
+    best(0) = St(0, 0L, "")
+    for (i <- 1 to w.length) {
+      var b: St = null
+      for (j <- math.max(0, i - maxPieceLen) until i) {
+        val prev = best(j)
+        if (prev != null) vocab.get(w.substring(j, i)).foreach { cnt =>
+          val piece = w.substring(j, i)
+          val cand = St(prev.k + 1, prev.csum + cnt,
+            if (prev.seg.isEmpty) piece else prev.seg + " " + piece)
+          if (b == null || cand.k < b.k ||
+              (cand.k == b.k && (cand.csum > b.csum ||
+                (cand.csum == b.csum && cand.seg < b.seg)))) b = cand
+        }
+      }
+      best(i) = b
+    }
+    best(w.length).seg.split(" ").toSeq
+  }
+
   /** Train on a document table (doc_id, text) and atomically publish the
     * merge table + vocab cache under `tokDir`. */
   def buildTokenizer(

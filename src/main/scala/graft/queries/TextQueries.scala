@@ -673,6 +673,92 @@ object TextQueries {
                AS compression_bp
       FROM enc GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---- unigram-LM (SentencePiece-style) tokenizer training ----------------
+
+  private val UniMaxPieceLen = 4
+  private val UniSeedSize = 24
+  private val UniIters = 3
+  private val UniMaxWordLen = 12
+
+  /** The generated DuckDB twin of [[graft.operators.Tokenizer.unigramTrainLoop]]:
+    * seed substring counts, then `iters` EM rounds, each round's Viterbi DP
+    * unrolled over prefix lengths 1..maxWordLen (every level one CTE picking
+    * the per-word best extension by the trainer's exact total order —
+    * fewest pieces, then count-sum desc, then lexicographic piece
+    * sequence), counts re-estimated from the segmentations, unused
+    * multi-char pieces pruned. The whole recurrence re-runs from raw data
+    * in DuckDB — nothing is echoed from the Spark side. */
+  private def unigramOracleSql(
+      maxPieceLen: Int, seedSize: Int, iters: Int, maxWordLen: Int): String = {
+    def dpCtes(t: Int): String = {
+      val levels = (1 to maxWordLen).map { i =>
+        val branches = (math.max(0, i - maxPieceLen) until i).map { j =>
+          s"""SELECT d.w, d.n, d.k + 1 AS k, d.csum + v.cnt AS csum,
+                   CASE WHEN d.seg = '' THEN v.piece ELSE d.seg || ' ' || v.piece END AS seg
+            FROM dp${t}_$j d JOIN vocab${t - 1} v ON v.piece = substr(d.w, ${j + 1}, ${i - j})
+            WHERE length(d.w) >= $i"""
+        }.mkString("\n            UNION ALL\n            ")
+        s"""dp${t}_$i AS MATERIALIZED (
+          SELECT w, n, k, csum, seg FROM (
+            SELECT c.w, c.n, c.k, c.csum, c.seg,
+                   row_number() OVER (PARTITION BY c.w
+                     ORDER BY c.k, c.csum DESC, c.seg) AS rn
+            FROM ($branches) c) sub WHERE rn = 1)"""
+      }
+      val fin = (1 to maxWordLen)
+        .map(i => s"SELECT w, n, seg FROM dp${t}_$i WHERE length(w) = $i")
+        .mkString(" UNION ALL ")
+      s"""dp${t}_0 AS MATERIALIZED (SELECT w, n, 0 AS k, CAST(0 AS BIGINT) AS csum, '' AS seg FROM words),
+        ${levels.mkString(",\n        ")},
+        fin$t AS MATERIALIZED ($fin),
+        cnt$t AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+                  FROM (SELECT n, unnest(string_split(seg, ' ')) AS piece FROM fin$t) u
+                  GROUP BY piece),
+        vocab$t AS MATERIALIZED (
+          SELECT v.piece, COALESCE(c.cnt, 0) AS cnt
+          FROM vocab${t - 1} v LEFT JOIN cnt$t c USING (piece)
+          WHERE length(v.piece) = 1 OR COALESCE(c.cnt, 0) > 0)"""
+    }
+    s"""WITH words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE w <> '' AND length(w) <= $maxWordLen GROUP BY w),
+      seed AS MATERIALIZED (
+        SELECT substr(w.w, CAST(st.s AS INT), CAST(l.l AS INT)) AS piece,
+               CAST(sum(w.n) AS BIGINT) AS cnt
+        FROM words w
+        JOIN LATERAL (SELECT unnest(range(1, length(w.w) + 1)) AS s) st ON true
+        JOIN LATERAL (SELECT unnest(range(1, ${maxPieceLen + 1})) AS l) l ON true
+        WHERE st.s + l.l - 1 <= length(w.w)
+        GROUP BY 1),
+      vocab0 AS MATERIALIZED (
+        SELECT piece, cnt FROM seed WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+          FROM seed WHERE length(piece) > 1) m WHERE rn <= $seedSize),
+      ${(1 to iters).map(dpCtes).mkString(",\n      ")}
+      SELECT piece, cnt FROM vocab$iters WHERE cnt > 0 ORDER BY cnt DESC, piece"""
+  }
+
+  /** Unigram-LM tokenizer training (Kudo 2018; SentencePiece's default
+    * model type) beside the BPE family — the trainer loop lives in
+    * [[graft.operators.Tokenizer.unigramTrainLoop]] (see there for the
+    * integer-exact Viterbi hard-EM and the bounded-driver-compute scale
+    * argument). Output: the final (piece, cnt) vocabulary. The oracle
+    * re-runs seed → 3 EM rounds → prune entirely in DuckDB SQL. */
+  private val unigramTrain = Q(
+    "q_text_unigram_train",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Tokenizer.unigramTrainLoop(
+        t(s, d, "documents").select(explode(split(col("text"), " ")).as("w")),
+        UniMaxPieceLen, UniSeedSize, UniIters, 1L, UniMaxWordLen)
+        .toDF("piece", "cnt")
+        .orderBy(desc("cnt"), asc("piece"))
+    },
+    Some(unigramOracleSql(UniMaxPieceLen, UniSeedSize, UniIters, UniMaxWordLen)))
+
   /** The two LM gates composed — the `q_text_train_prep`-style filter the
     * bigram LM exists for, emitting its DISAGREEMENT with the unigram
     * score: each document is admitted by a gate when its score sits at or
@@ -1405,5 +1491,5 @@ object TextQueries {
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
     perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
     nbClassifier, perplexity3, perplexity5, topics, mixQuality, bpeTrain256,
-    lexDiversity)
+    lexDiversity, unigramTrain)
 }

@@ -66,9 +66,18 @@ object ScaleProbe {
 
   private val ReplicaIdOffset = 10000000L
 
+  /** Key multiplier for the *mult+i remap: the smallest power of 10 that
+    * fits every replica index — at n=10 the historical *10+i, at n=100
+    * *100+i (a plain *10+i would COLLIDE replicas: 5*10+1 = 4*10+11). */
+  private def keyMult(n: Int): Long =
+    Iterator.iterate(10L)(_ * 10).dropWhile(_ < n).next()
+
   private def buildHeavyCorpus(
-      spark: SparkSession, sfDir: String, n: Int, outDir: String): Unit = {
+      spark: SparkSession, sfDir: String, n: Int, outDir: String,
+      tables: Set[String]): Unit = {
+    val mult = keyMult(n)
     def reps(name: String)(perturb: (DataFrame, Int) => DataFrame): Unit = {
+      if (!tables.contains(name)) return
       val base = spark.read.parquet(s"$sfDir/$name.parquet")
       (0 until n).map(i => perturb(base, i))
         .reduce(_ unionByName _)
@@ -85,12 +94,16 @@ object ScaleProbe {
         col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
+    // noise period: (31d + i) mod 101 — prime > 100, so no two replicas
+    // below 101 share a noise pattern (the old (7d + 3i) mod 11 repeated
+    // every 11 replicas, fine at 10x, cosine-1 twins at 100x)
     reps("embeddings") { (e, i) =>
       if (i == 0) e
       else e.select(
         (col("vec_id") + lit(i * ReplicaIdOffset)).as("vec_id"),
         transform(col("embedding"),
-          (x, d) => x + lit(0.05f) * (((d * 7 + lit(i * 3)) % 11) - 5).cast("float"))
+          (x, d) => x + lit(0.05f) *
+            ((((d * 31 + lit(i)) * 7) % 101 % 11) - 5).cast("float"))
           .as("embedding"),
         col("label"))
     }
@@ -108,13 +121,13 @@ object ScaleProbe {
     }
     reps("customer") { (c, i) =>
       c.select(
-        (col("c_custkey") * 10 + lit(i)).as("c_custkey"),
-        format_string("Customer#%09d", col("c_custkey") * 10 + lit(i)).as("c_name"),
+        (col("c_custkey") * mult + lit(i)).as("c_custkey"),
+        format_string("Customer#%09d", col("c_custkey") * mult + lit(i)).as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     }
     reps("part") { (p, i) =>
       p.select(
-        (col("p_partkey") * 10 + lit(i)).as("p_partkey"),
+        (col("p_partkey") * mult + lit(i)).as("p_partkey"),
         col("p_name"), col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
     }
     // lineitem replicas remap every key *10+i — the part↔supplier graph
@@ -124,18 +137,25 @@ object ScaleProbe {
     // the graph size constant
     reps("lineitem") { (li, i) =>
       li.select(
-        (col("l_orderkey") * 10 + lit(i)).as("l_orderkey"),
-        (col("l_partkey") * 10 + lit(i)).as("l_partkey"),
-        (col("l_suppkey") * 10 + lit(i)).as("l_suppkey"),
+        (col("l_orderkey") * mult + lit(i)).as("l_orderkey"),
+        (col("l_partkey") * mult + lit(i)).as("l_partkey"),
+        (col("l_suppkey") * mult + lit(i)).as("l_suppkey"),
         col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate"))
     }
   }
 
+  private val AllHeavyTables =
+    Set("documents", "embeddings", "events", "customer", "part", "lineitem")
+
   private def heavyMain(args: Array[String]): Unit = {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val n = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 5th arg: comma-separated tables to replicate (a 100x build
+    // of every table costs minutes and GBs; a targeted probe needs only
+    // the tables its queries scan)
+    val tables = args.lift(4).map(_.split(",").toSet).getOrElse(AllHeavyTables)
     // optional 4th arg: comma-separated subset of HeavyQueries to probe
     val selected = args.lift(3)
       .map(_.split(",").toSet)
@@ -154,7 +174,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val big = s"/tmp/graft_scaleprobe_${n}x"
-    buildHeavyCorpus(spark, sfDir, n, big)
+    buildHeavyCorpus(spark, sfDir, n, big, tables)
 
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)

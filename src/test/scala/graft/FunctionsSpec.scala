@@ -417,6 +417,34 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       mergesAll.filter { case (_, l, r, _) => !(l == "h" && r == "i") }.map(m => (m._2, m._3)))
   }
 
+  test("unigram-LM trainer: hand-computed EM on a tiny corpus, char fallback and pruning") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Tokenizer
+    // Corpus: ab x3, abab x2, cab x1 (maxPieceLen 2, seedSize 2, 2 EM rounds).
+    // Seed (positional substring freq): a=8, b=8, c=1, ab=8, ba=2, ca=1.
+    //   vocab0 = chars {a:8, b:8, c:1} + top-2 multi {ab:8, ba:2}.
+    // EM round 1 Viterbi (fewest pieces, then count-sum, then lexicographic):
+    //   "ab"   -> [ab]            (k=1 beats a+b at k=2)
+    //   "abab" -> [ab, ab]        (k=2, csum 16 beats [a, ba, b] shapes)
+    //   "cab"  -> [c, ab]         ("ca" missed the seed cut; k=2, csum 9
+    //                              beats [c, a]+b at k=3)
+    //   counts: ab = 3 + 2*2 + 1 = 8, c = 1, a = 0, b = 0, ba = 0
+    //   prune: ba dropped (multi-char, unused); a, b survive at 0 (chars).
+    // EM round 2 under {a:0, b:0, c:1, ab:8}: identical segmentations,
+    // identical counts -> fixed point.
+    // Output (cnt > 0, by cnt desc then piece): [(ab, 8), (c, 1)].
+    val words = (Seq.fill(3)("ab") ++ Seq.fill(2)("abab") ++ Seq("cab")).toDF("w")
+    val out = Tokenizer.unigramTrainLoop(
+      words, maxPieceLen = 2, seedSize = 2, iters = 2)
+    assert(out == Seq(("ab", 8L), ("c", 1L)), out.toString)
+
+    // coverage invariant: the post-prune vocabulary (chars kept at count 0)
+    // still segments every training word via char fallback
+    assert(Tokenizer.viterbi("cab", Map("a" -> 0L, "b" -> 0L, "c" -> 1L, "ab" -> 8L), 2)
+      == Seq("c", "ab"))
+  }
+
   test("stored 5-gram LM: persisted-model scores are row-identical to the inline gate") {
     val s = spark
     import s.implicits._

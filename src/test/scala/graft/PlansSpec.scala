@@ -531,6 +531,17 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_sim_ann_postfilter: bounded candidate set broadcasts onto the label join; no vec_id exchange") {
+    val p = plan("q_sim_ann_postfilter")
+    // the post-filter's label lookup joins a BOUNDED frame (queries x
+    // overFetch rows) against the corpus — it must broadcast, never
+    // shuffle the corpus on vec_id; assignment stays broadcast-argmax
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"post-filter shuffles the corpus on vec_id:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sample_stratified: rate table broadcasts; membership filter never reads text; no corpus shuffle") {
     val p = plan("q_sample_stratified")
     assert(p.contains("BroadcastHashJoin"), p)
