@@ -153,6 +153,19 @@ object Tokenizer {
   def unigramTrainLoop(
       words: DataFrame, maxPieceLen: Int = 4, seedSize: Int = 24,
       iters: Int = 3, minFreq: Long = 1L, maxWordLen: Int = 12): Seq[(String, Long)] = {
+    val (vocab, _) =
+      unigramCore(words, maxPieceLen, seedSize, iters, minFreq, maxWordLen)
+    vocab.toSeq.filter(_._2 > 0).sortBy { case (p, c) => (-c, p) }
+  }
+
+  /** The final vocabulary INCLUDING zero-count coverage chars, plus the
+    * collected word-count table — shared by the trainer (which filters to
+    * cnt > 0 for the published vocab) and the encoder (which segments
+    * under the full map so char fallback stays available). */
+  private def unigramCore(
+      words: DataFrame, maxPieceLen: Int, seedSize: Int,
+      iters: Int, minFreq: Long, maxWordLen: Int)
+      : (Map[String, Long], Array[(String, Long)]) = {
     val wordCounts: Array[(String, Long)] = words
       .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -185,7 +198,22 @@ object Tokenizer {
         else None
       }.toMap
     }
-    vocab.toSeq.filter(_._2 > 0).sortBy { case (p, c) => (-c, p) }
+    (vocab, wordCounts)
+  }
+
+  /** ENCODE table under the trained unigram vocabulary: one more Viterbi
+    * pass over the distinct-word table with the FINAL vocab (zero-count
+    * chars included, so every trained word segments) — (w, n_sym) rows,
+    * vocabulary-sized. The mirrored oracle runs the same extra DP round
+    * (dp level iters+1) against its vocab{iters} CTE. */
+  def unigramEncodeTable(
+      words: DataFrame, maxPieceLen: Int = 4, seedSize: Int = 24,
+      iters: Int = 3, minFreq: Long = 1L, maxWordLen: Int = 12): Seq[(String, Long)] = {
+    val (vocab, wordCounts) =
+      unigramCore(words, maxPieceLen, seedSize, iters, minFreq, maxWordLen)
+    wordCounts.map { case (w, _) =>
+      (w, viterbi(w, vocab, maxPieceLen).length.toLong)
+    }.toSeq
   }
 
   /** The integer-exact Viterbi segmentation: over prefix lengths, keep the
@@ -214,6 +242,75 @@ object Tokenizer {
       best(i) = b
     }
     best(w.length).seg.split(" ").toSeq
+  }
+
+  /** Train a unigram tokenizer on a document table (doc_id, text) and
+    * atomically publish the artifact under `tokDir` — the same
+    * build-once/encode-many lifecycle as [[buildTokenizer]]:
+    *
+    *   vocab/   the FULL final vocabulary (piece, cnt) including zero-count
+    *            coverage chars — what a SentencePiece .model ships
+    *   enc/     the trained words' symbol counts (w, n_sym) — an encode
+    *            cache for known words, exactly the BPE vocab/ device
+    */
+  def buildUnigramTokenizer(
+      spark: SparkSession, docs: DataFrame, tokDir: String,
+      maxPieceLen: Int = 4, seedSize: Int = 24, iters: Int = 3,
+      minFreq: Long = 1L, maxWordLen: Int = 12): Unit = {
+    import spark.implicits._
+    val dir = new Path(tokDir)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    fs.delete(tmp, true)
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+    val (vocab, wordCounts) =
+      unigramCore(words, maxPieceLen, seedSize, iters, minFreq, maxWordLen)
+    vocab.toSeq.sortBy { case (p, c) => (-c, p) }.toDF("piece", "cnt")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/vocab")
+    wordCounts.map { case (w, _) =>
+      (w, viterbi(w, vocab, maxPieceLen).length.toLong)
+    }.toSeq.toDF("w", "n_sym")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/enc")
+    StoreCommit.swap(fs, dir, tmp)
+  }
+
+  /** Tokenize a document table against the STORED unigram artifact (the
+    * `q_text_unigram_apply` output shape) with no retraining: known words
+    * hit the stored encode cache via a word-keyed equi-join; NOVEL words
+    * replay Viterbi under the stored vocabulary — driver-collected
+    * (vocabulary-sized by construction), run once per DISTINCT novel word,
+    * the same bounded argument as [[encodeAgainst]]. Words outside the
+    * trained length bound char-fallback to length(w) symbols, as in the
+    * declared query. */
+  def unigramEncodeAgainst(
+      spark: SparkSession, docs: DataFrame, tokDir: String,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12): DataFrame = {
+    val vocab: Map[String, Long] = spark.read.parquet(s"$tokDir/vocab")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val known = spark.read.parquet(s"$tokDir/enc")
+    val novelCount = udf((w: String) =>
+      // a novel word may contain chars the training corpus never saw —
+      // those positions can't be covered by the stored vocab, so fall
+      // back to 1 symbol per uncovered char (k stays integer-exact)
+      if (w.isEmpty || w.length > maxWordLen) w.length.toLong
+      else if (w.forall(c => vocab.contains(c.toString)))
+        viterbi(w, vocab, maxPieceLen).length.toLong
+      else w.length.toLong)
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val novel = toks.select("w").distinct()
+      .join(known.select("w"), Seq("w"), "left_anti")
+      .withColumn("n_sym", novelCount(col("w")))
+    toks
+      .join(known.unionByName(novel), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_sym_pre"),
+        sum(coalesce(col("n_sym"), length(col("w")).cast("long"))).cast("long")
+          .as("n_sym_post"))
+      .withColumn("compression_bp", expr("n_sym_post * 10000 div n_sym_pre"))
+      .orderBy("doc_id")
   }
 
   /** Train on a document table (doc_id, text) and atomically publish the

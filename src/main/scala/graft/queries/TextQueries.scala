@@ -688,29 +688,34 @@ object TextQueries {
     * sequence), counts re-estimated from the segmentations, unused
     * multi-char pieces pruned. The whole recurrence re-runs from raw data
     * in DuckDB — nothing is echoed from the Spark side. */
-  private def unigramOracleSql(
-      maxPieceLen: Int, seedSize: Int, iters: Int, maxWordLen: Int): String = {
-    def dpCtes(t: Int): String = {
-      val levels = (1 to maxWordLen).map { i =>
-        val branches = (math.max(0, i - maxPieceLen) until i).map { j =>
-          s"""SELECT d.w, d.n, d.k + 1 AS k, d.csum + v.cnt AS csum,
-                   CASE WHEN d.seg = '' THEN v.piece ELSE d.seg || ' ' || v.piece END AS seg
-            FROM dp${t}_$j d JOIN vocab${t - 1} v ON v.piece = substr(d.w, ${j + 1}, ${i - j})
-            WHERE length(d.w) >= $i"""
-        }.mkString("\n            UNION ALL\n            ")
-        s"""dp${t}_$i AS MATERIALIZED (
-          SELECT w, n, k, csum, seg FROM (
-            SELECT c.w, c.n, c.k, c.csum, c.seg,
-                   row_number() OVER (PARTITION BY c.w
-                     ORDER BY c.k, c.csum DESC, c.seg) AS rn
-            FROM ($branches) c) sub WHERE rn = 1)"""
-      }
-      val fin = (1 to maxWordLen)
-        .map(i => s"SELECT w, n, seg FROM dp${t}_$i WHERE length(w) = $i")
-        .mkString(" UNION ALL ")
-      s"""dp${t}_0 AS MATERIALIZED (SELECT w, n, 0 AS k, CAST(0 AS BIGINT) AS csum, '' AS seg FROM words),
+  /** Viterbi DP round `t` as unrolled CTEs: dp{t}_0..dp{t}_maxWordLen plus
+    * fin{t} (each word's best segmentation under vocab{t-1}). */
+  private def uniDpLevels(t: Int, maxPieceLen: Int, maxWordLen: Int): String = {
+    val levels = (1 to maxWordLen).map { i =>
+      val branches = (math.max(0, i - maxPieceLen) until i).map { j =>
+        s"""SELECT d.w, d.n, d.k + 1 AS k, d.csum + v.cnt AS csum,
+                 CASE WHEN d.seg = '' THEN v.piece ELSE d.seg || ' ' || v.piece END AS seg
+          FROM dp${t}_$j d JOIN vocab${t - 1} v ON v.piece = substr(d.w, ${j + 1}, ${i - j})
+          WHERE length(d.w) >= $i"""
+      }.mkString("\n            UNION ALL\n            ")
+      s"""dp${t}_$i AS MATERIALIZED (
+        SELECT w, n, k, csum, seg FROM (
+          SELECT c.w, c.n, c.k, c.csum, c.seg,
+                 row_number() OVER (PARTITION BY c.w
+                   ORDER BY c.k, c.csum DESC, c.seg) AS rn
+          FROM ($branches) c) sub WHERE rn = 1)"""
+    }
+    val fin = (1 to maxWordLen)
+      .map(i => s"SELECT w, n, seg FROM dp${t}_$i WHERE length(w) = $i")
+      .mkString(" UNION ALL ")
+    s"""dp${t}_0 AS MATERIALIZED (SELECT w, n, 0 AS k, CAST(0 AS BIGINT) AS csum, '' AS seg FROM words),
         ${levels.mkString(",\n        ")},
-        fin$t AS MATERIALIZED ($fin),
+        fin$t AS MATERIALIZED ($fin)"""
+  }
+
+  /** EM round `t`: the DP round plus count re-estimation and the prune. */
+  private def uniEmRound(t: Int, maxPieceLen: Int, maxWordLen: Int): String =
+    s"""${uniDpLevels(t, maxPieceLen, maxWordLen)},
         cnt$t AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
                   FROM (SELECT n, unnest(string_split(seg, ' ')) AS piece FROM fin$t) u
                   GROUP BY piece),
@@ -718,8 +723,12 @@ object TextQueries {
           SELECT v.piece, COALESCE(c.cnt, 0) AS cnt
           FROM vocab${t - 1} v LEFT JOIN cnt$t c USING (piece)
           WHERE length(v.piece) = 1 OR COALESCE(c.cnt, 0) > 0)"""
-    }
-    s"""WITH words AS MATERIALIZED (
+
+  /** Shared oracle prefix: distinct-word counts, substring seed, vocab0,
+    * and `iters` EM rounds. */
+  private def uniChainSql(
+      maxPieceLen: Int, seedSize: Int, iters: Int, maxWordLen: Int): String =
+    s"""words AS MATERIALIZED (
         SELECT w, CAST(count(*) AS BIGINT) AS n
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
         WHERE w <> '' AND length(w) <= $maxWordLen GROUP BY w),
@@ -737,9 +746,34 @@ object TextQueries {
         SELECT piece, cnt FROM (
           SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
           FROM seed WHERE length(piece) > 1) m WHERE rn <= $seedSize),
-      ${(1 to iters).map(dpCtes).mkString(",\n      ")}
+      ${(1 to iters).map(uniEmRound(_, maxPieceLen, maxWordLen)).mkString(",\n      ")}"""
+
+  private def unigramOracleSql(
+      maxPieceLen: Int, seedSize: Int, iters: Int, maxWordLen: Int): String =
+    s"""WITH ${uniChainSql(maxPieceLen, seedSize, iters, maxWordLen)}
       SELECT piece, cnt FROM vocab$iters WHERE cnt > 0 ORDER BY cnt DESC, piece"""
-  }
+
+  /** Apply oracle: the training chain, ONE more DP round under the final
+    * vocab{iters} (round iters+1, no count/prune stage), then the
+    * bpe_apply-shaped per-document rollup; untrained words (too long, or
+    * empty tokens) char-fallback to length(w) symbols on both engines. */
+  private def unigramApplyOracleSql(
+      maxPieceLen: Int, seedSize: Int, iters: Int, maxWordLen: Int): String =
+    s"""WITH ${uniChainSql(maxPieceLen, seedSize, iters, maxWordLen)},
+      ${uniDpLevels(iters + 1, maxPieceLen, maxWordLen)},
+      enc0 AS (SELECT w, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_sym
+               FROM fin${iters + 1}),
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      enc AS (SELECT doc_id, t.w,
+                COALESCE(e.n_sym, length(t.w)) AS n_sym,
+                length(t.w) AS n_chars_w
+              FROM tok t LEFT JOIN enc0 e ON t.w = e.w)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n_chars_w) AS BIGINT) AS n_sym_pre,
+             CAST(sum(n_sym) AS BIGINT) AS n_sym_post,
+             CAST(sum(n_sym) AS BIGINT) * 10000 // CAST(sum(n_chars_w) AS BIGINT)
+               AS compression_bp
+      FROM enc GROUP BY doc_id ORDER BY doc_id"""
 
   /** Unigram-LM tokenizer training (Kudo 2018; SentencePiece's default
     * model type) beside the BPE family — the trainer loop lives in
@@ -758,6 +792,36 @@ object TextQueries {
         .orderBy(desc("cnt"), asc("piece"))
     },
     Some(unigramOracleSql(UniMaxPieceLen, UniSeedSize, UniIters, UniMaxWordLen)))
+
+  /** Unigram ENCODE — tokenize the corpus with the vocabulary
+    * `q_text_unigram_train` learns (the apply half, mirroring
+    * `q_text_bpe_apply`'s output shape): per-document word count, pre/post
+    * symbol counts, compression in basis points. The encode segments the
+    * DISTINCT-WORD table (one extra Viterbi pass under the final vocab,
+    * zero-count coverage chars included) and joins the corpus-sized token
+    * stream back on the word key — vocabulary-sized compute, one
+    * word-keyed equi-join, exactly the BPE-apply scale shape. */
+  private val unigramApply = Q(
+    "q_text_unigram_apply",
+    (s, d) => {
+      import s.implicits._
+      val enc = graft.operators.Tokenizer.unigramEncodeTable(
+        t(s, d, "documents").select(explode(split(col("text"), " ")).as("w")),
+        UniMaxPieceLen, UniSeedSize, UniIters, 1L, UniMaxWordLen)
+        .toDF("w", "n_sym")
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(broadcast(enc), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_sym_pre"),
+          sum(coalesce(col("n_sym"), length(col("w")).cast("long"))).cast("long")
+            .as("n_sym_post"))
+        .withColumn("compression_bp", expr("n_sym_post * 10000 div n_sym_pre"))
+        .orderBy("doc_id")
+    },
+    Some(unigramApplyOracleSql(UniMaxPieceLen, UniSeedSize, UniIters, UniMaxWordLen)))
 
   /** The two LM gates composed — the `q_text_train_prep`-style filter the
     * bigram LM exists for, emitting its DISAGREEMENT with the unigram
@@ -1491,5 +1555,5 @@ object TextQueries {
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
     perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
     nbClassifier, perplexity3, perplexity5, topics, mixQuality, bpeTrain256,
-    lexDiversity, unigramTrain)
+    lexDiversity, unigramTrain, unigramApply)
 }

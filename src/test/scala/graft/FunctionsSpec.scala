@@ -445,6 +445,33 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq("c", "ab"))
   }
 
+  test("stored unigram tokenizer: persisted-artifact encode is row-identical to the inline apply") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Tokenizer
+    val sf = "/root/testdata/sf0.001"
+    val tokDir = java.nio.file.Files.createTempDirectory("graft_uni").toString + "/tok"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    Tokenizer.buildUnigramTokenizer(spark, docs, tokDir)
+    val stored = Tokenizer.unigramEncodeAgainst(spark, docs, tokDir)
+      .collect().map(_.toString).toSeq
+    val inline = SparkEntry.queries("q_text_unigram_apply")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == inline,
+      s"stored=${stored.take(3)} inline=${inline.take(3)}")
+    // a DELTA with one known word, one novel-but-coverable word, and one
+    // word with a char the training corpus never saw encodes from the
+    // stored artifact alone — never the training corpus
+    val delta = Seq((9001L, "qqqq ZZ")).toDF("doc_id", "text")
+    val scored = Tokenizer.unigramEncodeAgainst(spark, delta, tokDir)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), plan.take(400))
+    val r = scored.head()
+    // 2 words; "ZZ" has untrained chars -> char fallback (2 syms), "qqqq"
+    // segments (or char-falls-back) to at most 4 -> n_sym_post <= 6
+    assert(r.getLong(1) == 2L && r.getLong(3) <= 6L, r.toString)
+  }
+
   test("stored 5-gram LM: persisted-model scores are row-identical to the inline gate") {
     val s = spark
     import s.implicits._
