@@ -62,7 +62,13 @@ object ScaleProbe {
     // r9: stratified sampler + split audit (documents), regularity (events
     // — disjoint user cohorts, so per-user gap structure is preserved)
     "q_sample_stratified", "q_train_split3", "q_events_regularity",
-    "q_sim_ann_filtered")
+    "q_sim_ann_filtered",
+    // r10: post-filter ANN, multiset set ops + percentile/collect family
+    // (orders-backed — orders replicate keys *mult+i like customer), and
+    // the unigram trainer (suffixed replica words stay <= maxWordLen 12)
+    "q_sim_ann_postfilter", "q_set_intersect_all", "q_set_except_all",
+    "q_agg_approx_percentile", "q_agg_collect", "q_agg_histogram",
+    "q_text_unigram_train", "q_text_unigram_apply")
 
   private val ReplicaIdOffset = 10000000L
 
@@ -119,6 +125,19 @@ object ScaleProbe {
         (col("user_id") + lit(i * ReplicaIdOffset)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }
+    // orders replicas: keys remapped like customer (same *mult+i scheme,
+    // so an orders<->customer join at Nx still matches); value columns
+    // (status, price, date, priority) keep their distributions — the
+    // multiset set ops and percentile family then see N-fold multiplicity
+    // growth with an unchanged value distribution, which is how genuine
+    // order volume scales
+    reps("orders") { (o, i) =>
+      o.select(
+        (col("o_orderkey") * mult + lit(i)).as("o_orderkey"),
+        (col("o_custkey") * mult + lit(i)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    }
     reps("customer") { (c, i) =>
       c.select(
         (col("c_custkey") * mult + lit(i)).as("c_custkey"),
@@ -147,7 +166,7 @@ object ScaleProbe {
   }
 
   private val AllHeavyTables =
-    Set("documents", "embeddings", "events", "customer", "part", "lineitem")
+    Set("documents", "embeddings", "events", "customer", "part", "lineitem", "orders")
 
   private def heavyMain(args: Array[String]): Unit = {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
