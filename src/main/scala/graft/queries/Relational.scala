@@ -672,20 +672,31 @@ object Relational {
   /** array_agg — the Presto collection aggregate. Collection order is
     * nondeterministic in BOTH engines (partial aggregation), so the
     * declared form is the deterministic one a correct query must use
-    * anyway: sort the collected array, take a bounded slice. Scale shape:
-    * map-side partial collect_list, one shuffle on the group key; the
-    * slice bounds the row width (an unbounded per-group array is the
-    * anti-pattern — at 100 TB a group can exceed executor memory, so the
-    * declared contract keeps collection bounded). */
+    * anyway: the 20 smallest values per group, sorted. Scale shape: the
+    * BOUND is applied BEFORE any collection — a per-group row_number
+    * keeps 20 rows per group, and only those reach collect_list, so no
+    * aggregation buffer ever holds an unbounded array (collect-then-slice
+    * is the 100 TB memory anti-pattern: with 5 priority groups, a whole
+    * corpus lands in 5 buffers). The window and the aggregate share ONE
+    * exchange on the group key (plan-pinned). Ties among equal o_custkey
+    * values make row identity arbitrary but the kept multiset exact. */
   private val aggCollect = Q(
     "q_agg_collect",
-    (s, d) =>
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_custkey")
+      val wAll = Window.partitionBy("o_orderpriority")
       t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_custkey"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") <= 20)
         .groupBy("o_orderpriority")
         .agg(
-          slice(sort_array(collect_list(col("o_custkey"))), 1, 20).as("first_custs"),
-          count(lit(1)).as("n"))
-        .orderBy("o_orderpriority"),
+          sort_array(collect_list(col("o_custkey"))).as("first_custs"),
+          max("n").as("n"))
+        .orderBy("o_orderpriority")
+    },
     Some("""SELECT o_orderpriority,
         list_sort(list(o_custkey))[1:20] AS first_custs,
         count(*) AS n

@@ -542,6 +542,15 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_agg_collect: bound applied before collection; window and aggregate share one group-key exchange") {
+    val p = plan("q_agg_collect")
+    // the row_number bound must precede collect_list (no unbounded
+    // aggregation buffer), and the window's hash partitioning on the
+    // group key must be reused by the groupBy — one exchange total
+    assert("Exchange hashpartitioning\\(o_orderpriority".r.findAllIn(p).size <= 1,
+      s"window and aggregate re-exchange on the group key:\n$p")
+  }
+
   test("q_sample_stratified: rate table broadcasts; membership filter never reads text; no corpus shuffle") {
     val p = plan("q_sample_stratified")
     assert(p.contains("BroadcastHashJoin"), p)
