@@ -724,6 +724,34 @@ object Relational {
       SELECT o_orderpriority, list_sort(list(e)) AS histogram
       FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Error-safe function family — Presto's `TRY(...)` idiom, the construct
+    * an Athena security-log user leans on constantly for dirty data
+    * (`README.md:116` "any valid Presto SQL"): failed casts and zero
+    * divisions yield NULL instead of failing the query. Spark spells it
+    * try_cast / try_divide (ANSI mode makes the non-try forms THROW, so
+    * the try family is the only sanctioned dirty-data path); DuckDB
+    * mirrors with TRY_CAST and an explicit zero guard. */
+  private val tryFns = Q(
+    "q_try_fns",
+    (s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          expr("try_cast(o_orderpriority as int)").as("bad_cast"),
+          expr("try_cast(substr(o_orderpriority, 1, 1) as bigint)").as("prio_num"),
+          expr("try_cast(o_orderstatus as timestamp)").cast("string").as("bad_ts"),
+          expr("""round(cast(try_divide(o_totalprice, o_custkey % 3) as decimal(24,6)), 2)
+                  """).cast("double").as("safe_div"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+        TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+        CAST(TRY_CAST(o_orderstatus AS TIMESTAMP) AS VARCHAR) AS bad_ts,
+        CAST(round(CAST(CASE WHEN o_custkey % 3 = 0 THEN NULL
+                             ELSE o_totalprice / (o_custkey % 3) END AS DECIMAL(24,6)), 2)
+             AS DOUBLE) AS safe_div
+      FROM orders ORDER BY o_orderkey"""))
+
   // -- scalar function families -------------------------------------------------
 
   private val stringFns = Q(
@@ -1061,6 +1089,6 @@ object Relational {
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange,
     sortTopk, sortNullsOffset,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
-    stringFns, dateFns, mathFns, arrayFns, mapFns, explodeFn, explodePos,
+    stringFns, dateFns, mathFns, arrayFns, mapFns, explodeFn, explodePos, tryFns,
     subqueryIn, subqueryScalar, subqueryExists)
 }
