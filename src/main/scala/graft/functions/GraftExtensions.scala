@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GetJsonObject, If, Literal}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, GetJsonObject, If, Literal}
+import org.apache.spark.sql.types.{StringType, TimestampType}
 
 /** SparkSessionExtensions hook: registers the custom codegen'd expressions
   * as SQL functions, so `spark.sql("... vec_dot(a, b) ...")` works exactly
@@ -63,5 +63,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // string-probe json_array_contains rewrites to the codegen-native
     // array_contains(from_json(...)) form during optimization
     ext.injectOptimizerRule(_ => RewriteJsonArrayContains)
+
+    // ---- Presto temporal spellings -------------------------------------
+    // from_iso8601_timestamp is registered verbatim (a plain timestamp
+    // cast under the session-UTC convention covers the same offset-bearing
+    // forms). Presto's date_diff('hour', t1, t2) / date_add('hour', n, ts)
+    // CANNOT be registered: Spark 4's parser reserves those names for its
+    // own unquoted-unit spellings (date_diff(HOUR, t1, t2) /
+    // date_add(HOUR, n, ts)) and rejects the quoted unit before any
+    // function registry is consulted. DOCUMENTED DEVIATION: a pasted
+    // Presto query drops the quotes around the unit — one token — and gets
+    // Spark's native form with the same truncate-toward-zero instant
+    // semantics (pinned in OperatorsSpec).
+    ext.injectFunction((
+      new FunctionIdentifier("from_iso8601_timestamp"),
+      info(classOf[Cast], "from_iso8601_timestamp",
+        "from_iso8601_timestamp(str) - Presto ISO-8601 parse; Spark's timestamp cast " +
+          "accepts the same offset-bearing forms (session UTC)"),
+      (children: Seq[Expression]) => Cast(children(0), TimestampType)))
   }
 }

@@ -26,6 +26,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("Presto temporal compat: from_iso8601_timestamp verbatim; date_diff/date_add via the one-token unquoted-unit edit") {
+    // from_iso8601_timestamp registers verbatim; date_diff/date_add are
+    // parser-reserved in Spark 4 for the UNQUOTED-unit spelling — the
+    // documented one-token edit from Presto SQL. Pin that the native form
+    // preserves Presto's truncate-toward-zero instant semantics.
+    val r = spark.sql("""
+      SELECT cast(from_iso8601_timestamp('2019-09-04T17:54:59+00:00') as string) AS ts,
+             cast(from_iso8601_timestamp('2019-09-04T19:54:59+02:00') as string) AS ts_off,
+             date_diff(HOUR, timestamp'2020-06-19 01:00:00',
+                             timestamp'2020-06-19 04:30:00') AS dh,
+             date_diff(HOUR, timestamp'2020-06-19 04:30:00',
+                             timestamp'2020-06-19 01:00:00') AS dh_neg,
+             date_diff(DAY,  timestamp'2020-06-21 01:00:00',
+                             timestamp'2020-06-19 01:00:00') AS dd_neg,
+             cast(date_add(MINUTE, -90, timestamp'2020-06-19 01:00:00') as string) AS back,
+             cast(date_add(WEEK, 2, timestamp'2020-06-19 01:00:00') as string) AS fwd
+    """).head()
+    assert(r.getString(0) == "2019-09-04 17:54:59") // offset normalized to session UTC
+    assert(r.getString(1) == "2019-09-04 17:54:59") // +02:00 normalizes to the same instant
+    assert(r.getLong(2) == 3L, "3.5 h truncates toward zero (Presto semantics)")
+    assert(r.getLong(3) == -3L, s"-3.5 h must truncate toward zero, got ${r.getLong(3)}")
+    assert(r.getLong(4) == -2L)
+    assert(r.getString(5) == "2020-06-18 23:30:00")
+    assert(r.getString(6) == "2020-07-03 01:00:00")
+  }
+
   test("AQE splits skewed join partitions at runtime (the 100 TB skew story)") {
     val s = spark
     import s.implicits._
