@@ -143,6 +143,57 @@ object Sketches {
     atomicSwap(fs, dir, tmp)
   }
 
+  /** KMV (k-minimum-values / bottom-k) sketch of a (single long-column)
+    * frame: the k smallest Knuth-hash values over DISTINCT keys, each with
+    * the smallest key attaining it. One structure, two uses: a
+    * DETERMINISTIC uniform sample of the distinct-key population (the
+    * coordination-free stand-in for reservoir sampling — any worker, any
+    * batch order, any replay converges on the same k rows because the
+    * sample is a pure function of the key set), and a distinct-count
+    * estimator ((k−1)·2³² div h_k, integer-exact so both engines agree
+    * bit-for-bit — no tolerance contract needed, unlike HLL). Mergeable as
+    * a lattice: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)),
+    * which is what makes the stored form below incrementally maintainable
+    * with zero drift. Bounded: k rows at any corpus size. */
+  def kmvSketch(keys: DataFrame, k: Int): DataFrame = {
+    val keyCol = keys.columns.head
+    keys.select(col(keyCol).as("key")).distinct()
+      .select(col("key"),
+        expr("(key % 1000003 * 2654435761) % 4294967296").as("h"))
+      .groupBy("h").agg(min("key").as("sample_key"))
+      .orderBy("h").limit(k) // TakeOrderedAndProject: per-partition heap, no global sort
+  }
+
+  /** The stored KMV sketch (empty if never committed). */
+  def readKmv(spark: SparkSession, storeDir: String): DataFrame = {
+    val dir = new Path(s"$storeDir/kmv")
+    val fs = fsOf(spark, dir)
+    val src = StoreCommit.readableRoot(fs, dir) // non-mutating: see StoreCommit
+    if (fs.exists(src)) spark.read.parquet(src.toString)
+    else spark.range(0).select(lit(0L).as("h"), lit(0L).as("sample_key"))
+  }
+
+  /** Fold one micro-batch of long keys into the stored bottom-k — by the
+    * lattice-merge property the stored sketch after N batches equals the
+    * one-shot sketch of their union BIT-FOR-BIT (pinned in StreamingSpec).
+    * Replay-safe via the committed-batch-id-inside-the-swap discipline. */
+  def updateStoredKmv(
+      spark: SparkSession, keys: DataFrame, storeDir: String,
+      k: Int, batchId: Long): Unit = {
+    val dir = new Path(s"$storeDir/kmv")
+    val fs = fsOf(spark, dir)
+    if (batchId <= committedBatch(fs, dir)) return // crash replay: already folded
+    val merged = readKmv(spark, storeDir)
+      .unionByName(kmvSketch(keys, k))
+      .groupBy("h").agg(min("sample_key").as("sample_key"))
+      .orderBy("h").limit(k)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    fs.delete(tmp, true)
+    merged.coalesce(1).write.parquet(tmp.toString)
+    StoreCommit.writeMeta(fs, tmp, batchId)
+    atomicSwap(fs, dir, tmp)
+  }
+
   /** Fold one micro-batch of keys into the stored MG summary — the
     * streaming top-talkers monitor. MG summaries are mergeable with the
     * additive-error guarantee intact, so the stored sketch after N batches

@@ -194,5 +194,52 @@ object SketchQueries {
         FROM orders)
       WHERE rk <= 3 ORDER BY o_orderpriority, rk"""))
 
-  val all: Seq[Q] = Seq(heavyHitters, countMin, quantileTwoPass, topkAgg)
+  /** KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002) — the third
+    * distinct-count device beside exact `countDistinct` and the HLL
+    * contract rows, and the one that is fully DETERMINISTIC across
+    * engines: the k smallest Knuth-hash values over distinct customers
+    * double as a coordination-free uniform sample of the key population
+    * (the reservoir-sampling stand-in: a pure function of the key set, so
+    * any re-shard or replay converges on the same rows) and yield the
+    * estimator (k−1)·2³² div h_k in pure integer math — hash-exact against
+    * the oracle, no tolerance band needed. Scale shape: one distinct
+    * aggregate, then TakeOrderedAndProject for the bottom-k (per-partition
+    * heap + driver merge of k rows, never a global sort); the sketch is k
+    * rows at any corpus size and merges as a lattice (streaming twin in
+    * [[graft.operators.Sketches.updateStoredKmv]]). */
+  private val kmv = Q(
+    "q_agg_kmv",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 16
+      val bottom = graft.operators.Sketches
+        .kmvSketch(t(s, d, "orders").select("o_custkey"), k)
+        // rank window runs over the already-bounded k rows
+        .withColumn("rank", row_number().over(Window.orderBy("h")).cast("long"))
+      val est = bottom.agg(max("h").as("hk"))
+      val exact = t(s, d, "orders")
+        .agg(countDistinct("o_custkey").as("exact_distinct"))
+      bottom.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+        .select(col("rank"), col("h"), col("sample_key"),
+          expr(s"(${k - 1} * 4294967296) div hk").as("est_distinct"),
+          col("exact_distinct"))
+        .orderBy("rank")
+    },
+    Some("""WITH dh AS (
+        SELECT h, min(key) AS sample_key FROM (
+          SELECT DISTINCT o_custkey AS key,
+                 (o_custkey % 1000003 * 2654435761) % 4294967296 AS h
+          FROM orders) t GROUP BY h),
+      bottom AS (
+        SELECT h, sample_key,
+               CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank
+        FROM dh ORDER BY h LIMIT 16),
+      e AS (SELECT max(h) AS hk FROM bottom),
+      x AS (SELECT count(DISTINCT o_custkey) AS exact_distinct FROM orders)
+      SELECT rank, h, sample_key,
+             CAST(15 * 4294967296 // hk AS BIGINT) AS est_distinct,
+             CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+      FROM bottom, e, x ORDER BY rank"""))
+
+  val all: Seq[Q] = Seq(heavyHitters, countMin, quantileTwoPass, topkAgg, kmv)
 }

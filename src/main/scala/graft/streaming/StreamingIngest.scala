@@ -390,6 +390,29 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming KMV maintenance — the bottom-k distinct sketch kept current
+    * from a live key feed ([[graft.operators.Sketches.updateStoredKmv]]).
+    * The sketch merges as a lattice (bottom-k of bottom-ks equals the
+    * one-shot bottom-k of the union, bit-for-bit — pinned in
+    * StreamingSpec), so the stored k rows are simultaneously a live
+    * deterministic uniform sample of the distinct-key population and an
+    * integer-exact distinct-count estimator; state is k rows forever. */
+  def startKmvStream(
+      keys: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      k: Int = 16,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    keys.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Sketches.updateStoredKmv(
+          batch.sparkSession, batch.toDF(), storeDir, k, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming data-quality gate — the live twin of
     * `q_profile_constraints`'s additive rules: each micro-batch's one-row
     * violation aggregate folds into the persisted constraint ledger

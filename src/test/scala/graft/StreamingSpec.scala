@@ -1392,6 +1392,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sketches.readSketch(spark, storeDir) == before, "replay mutated the sketch")
   }
 
+  test("streaming KMV: stored bottom-k equals the one-shot sketch bit-for-bit (lattice merge)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+
+    val ids = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"))
+    val landing = s"$base/kmv_landing"
+    Files.createDirectories(Paths.get(landing))
+    (0 until 3).foreach { i =>
+      ids.filter(abs(hash(col("user_id"))) % 3 === i)
+        .coalesce(1).write.json(s"$landing/chunk$i")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(s"$landing/chunk*")
+
+    val storeDir = s"$base/kmv_store"
+    val k = 8 // below the 15 distinct users, so the bottom-k actually prunes
+    val q = StreamingIngest.startKmvStream(
+      stream, storeDir, s"$base/kmv_ckpt", k, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy("h").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val stored = rows(Sketches.readKmv(spark, storeDir))
+    val oneShot = rows(Sketches.kmvSketch(ids, k))
+    assert(stored.size == k && stored == oneShot,
+      s"stored=$stored oneShot=$oneShot")
+    // the sample is a pure function of the key SET: re-sharding the feed
+    // (different chunking above) cannot change it — stored == one-shot IS
+    // that invariance, since the chunks hash-scramble arrival order
+
+    // crash replay of an already-committed batch folds nothing
+    Sketches.updateStoredKmv(spark, ids, storeDir, k, batchId = 1L)
+    assert(rows(Sketches.readKmv(spark, storeDir)) == stored,
+      "replay mutated the sketch")
+  }
+
   test("streaming count-min: stored cells equal the one-shot build bit-for-bit (linearity)") {
     import org.apache.spark.sql.functions._
     import graft.operators.Sketches
