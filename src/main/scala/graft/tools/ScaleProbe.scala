@@ -68,7 +68,9 @@ object ScaleProbe {
     // the unigram trainer (suffixed replica words stay <= maxWordLen 12)
     "q_sim_ann_postfilter", "q_set_intersect_all", "q_set_except_all",
     "q_agg_approx_percentile", "q_agg_collect", "q_agg_histogram",
-    "q_text_unigram_train", "q_text_unigram_apply")
+    "q_text_unigram_train", "q_text_unigram_apply",
+    // r10 second wave: error-safe fns + KMV bottom-k (orders-backed)
+    "q_try_fns", "q_agg_kmv")
 
   private val ReplicaIdOffset = 10000000L
 
