@@ -445,6 +445,38 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq("c", "ab"))
   }
 
+  test("unigram Viterbi equals brute-force best segmentation under the exact total order (200 random trials)") {
+    import graft.operators.Tokenizer
+    // enumerate every segmentation of w into vocab pieces of length <= maxLen
+    def allSegs(w: String, vocab: Map[String, Long], maxLen: Int): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(maxLen, w.length)).flatMap { l =>
+        val p = w.take(l)
+        if (vocab.contains(p)) allSegs(w.drop(l), vocab, maxLen).map(p +: _)
+        else Seq.empty
+      }
+    val rng = new scala.util.Random(42L)
+    val alphabet = "abc"
+    (1 to 200).foreach { trial =>
+      val w = Seq.fill(1 + rng.nextInt(7))(alphabet(rng.nextInt(3))).mkString
+      val maxLen = 2 + rng.nextInt(2) // 2..3
+      // vocab: ALL single chars (the trainer's coverage invariant) plus a
+      // random subset of w's substrings, with random counts incl. ties
+      val subs = (for {
+        st <- 0 until w.length; l <- 2 to math.min(maxLen, w.length - st)
+      } yield w.substring(st, st + l)).distinct.filter(_ => rng.nextBoolean())
+      val vocab: Map[String, Long] =
+        (alphabet.map(c => c.toString -> rng.nextInt(3).toLong) ++
+          subs.map(p => p -> rng.nextInt(5).toLong)).toMap
+      val got = Tokenizer.viterbi(w, vocab, maxLen)
+      val best = allSegs(w, vocab, maxLen)
+        .map(seg => (seg.length, seg.map(vocab).sum, seg.mkString(" ")))
+        .minBy { case (k, csum, s) => (k, -csum, s) }
+      assert((got.length, got.map(vocab).sum, got.mkString(" ")) == best,
+        s"trial $trial w=$w vocab=$vocab got=$got best=$best")
+    }
+  }
+
   test("stored unigram tokenizer: persisted-artifact encode is row-identical to the inline apply") {
     val s = spark
     import s.implicits._

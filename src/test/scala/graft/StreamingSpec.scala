@@ -1432,6 +1432,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replay mutated the sketch")
   }
 
+  test("KMV fold is split-invariant: any partition sequence of the key stream equals the one-shot bottom-k") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+
+    val ids = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"))
+    val k = 8
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy("h").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val oneShot = rows(Sketches.kmvSketch(ids, k))
+    val rng = new scala.util.Random(11L)
+    (1 to 3).foreach { trial =>
+      val parts = 2 + rng.nextInt(3) // 2-4 arbitrary (non-chronological) splits
+      val salt = rng.nextInt(1000)
+      val store = s"$base/kmv_prop_$trial"
+      (0 until parts).foreach { i =>
+        val chunk = ids.filter(abs(hash(col("user_id") + salt)) % parts === i)
+        Sketches.updateStoredKmv(spark, chunk, store, k, batchId = i.toLong)
+      }
+      assert(rows(Sketches.readKmv(spark, store)) == oneShot,
+        s"trial $trial parts=$parts salt=$salt diverged from one-shot")
+    }
+  }
+
   test("streaming count-min: stored cells equal the one-shot build bit-for-bit (linearity)") {
     import org.apache.spark.sql.functions._
     import graft.operators.Sketches
