@@ -752,6 +752,64 @@ object Relational {
              AS DOUBLE) AS safe_div
       FROM orders ORDER BY o_orderkey"""))
 
+  /** URL extraction — Presto's url_extract_host/path/query/parameter
+    * family, the Athena staple for CloudFront/WAF/proxy security logs
+    * (the reference's domain). Spark spells them all through one codegen'd
+    * `parse_url`; the oracle extracts the same components with independent
+    * regexes, so Spark's parser is checked against a second
+    * implementation, not an echo. URLs are built from customer columns
+    * (the synthetic tables carry no URL column), identically on both
+    * engines. */
+  private val urlFns = Q(
+    "q_string_url",
+    (s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          concat(lit("https://node"), col("c_nationkey"),
+            lit(".example.com/seg/"), col("c_mktsegment"),
+            lit("?n="), col("c_nationkey"), lit("&k="), col("c_custkey")).as("url"))
+        .select(col("c_custkey"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'QUERY', 'n')").as("n_param"))
+        .orderBy("c_custkey"),
+    Some("""WITH u AS (
+        SELECT c_custkey,
+               'https://node' || c_nationkey || '.example.com/seg/' || c_mktsegment
+                 || '?n=' || c_nationkey || '&k=' || c_custkey AS url
+        FROM customer)
+      SELECT c_custkey, url,
+        regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        regexp_extract(url, '\?([^#]*)', 1) AS query,
+        regexp_extract(url, '[?&]n=([^&#]*)', 1) AS n_param
+      FROM u ORDER BY c_custkey"""))
+
+  /** Bitwise function family — bitwise_and/or/xor and shifts (Presto
+    * spells them as functions, Spark as operators; same two's-complement
+    * BIGINT semantics, integer-exact on both engines). */
+  private val bitwiseFns = Q(
+    "q_bitwise_fns",
+    (s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          expr("c_custkey & 255").as("band"),
+          expr("c_custkey | 4096").as("bor"),
+          expr("c_custkey ^ c_nationkey").as("bxor"),
+          expr("shiftleft(c_nationkey, 8)").cast("long").as("shl"),
+          expr("shiftright(c_custkey, 3)").as("shr"),
+          expr("~c_nationkey").cast("long").as("bnot"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+        c_custkey & 255 AS band,
+        c_custkey | 4096 AS bor,
+        xor(c_custkey, CAST(c_nationkey AS BIGINT)) AS bxor,
+        CAST(c_nationkey AS BIGINT) << 8 AS shl,
+        c_custkey >> 3 AS shr,
+        CAST(~c_nationkey AS BIGINT) AS bnot
+      FROM customer ORDER BY c_custkey"""))
+
   // -- scalar function families -------------------------------------------------
 
   private val stringFns = Q(
@@ -1090,5 +1148,6 @@ object Relational {
     sortTopk, sortNullsOffset,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
     stringFns, dateFns, mathFns, arrayFns, mapFns, explodeFn, explodePos, tryFns,
+    urlFns, bitwiseFns,
     subqueryIn, subqueryScalar, subqueryExists)
 }
