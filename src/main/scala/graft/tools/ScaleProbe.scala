@@ -69,8 +69,9 @@ object ScaleProbe {
     "q_sim_ann_postfilter", "q_set_intersect_all", "q_set_except_all",
     "q_agg_approx_percentile", "q_agg_collect", "q_agg_histogram",
     "q_text_unigram_train", "q_text_unigram_apply",
-    // r10 second wave: error-safe fns + KMV bottom-k (orders-backed)
-    "q_try_fns", "q_agg_kmv")
+    // r10 second wave: error-safe fns + KMV bottom-k (orders-backed),
+    // URL + bitwise families (customer-backed)
+    "q_try_fns", "q_agg_kmv", "q_string_url", "q_bitwise_fns")
 
   private val ReplicaIdOffset = 10000000L
 
