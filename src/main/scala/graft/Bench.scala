@@ -62,8 +62,17 @@ object Bench {
           // waste an isolation slot on jitter (r9 ADVICE)
           val qSection = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
             .map(_.group(1)).getOrElse("")
-          """"(q_[a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(qSection)
+          val medians = """"(q_[a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(qSection)
             .map(m => (m.group(1), m.group(2).toDouble)).toSeq
+          // hot-box NAMES (values unused): a query isolated on the hot box
+          // last run needs a quiet-box number THIS run, even if the compact
+          // artifact's top-k trim dropped its median from "queries" — else
+          // it re-lands in the hot-box column forever
+          val hotSection = """"queries_isolated_hotbox":\{([^}]*)\}""".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          val hotNames = """"(q_[a-z0-9_]+)":""".r.findAllMatchIn(hotSection)
+            .map(m => (m.group(1), IsolateThresholdSec)).toSeq
+          medians ++ hotNames
         } catch { case _: Throwable => Seq.empty }
       val flagged = prior.filter(_._2 >= IsolateThresholdSec).map(_._1)
         .filter(SparkEntry.queries.contains).distinct.sorted
@@ -159,7 +168,10 @@ object Bench {
         s""""n_queries":${names.size},"queries":""" +
         byCost.take(k).sorted
           .map(n => "\"" + n + f"""":${stat(n)._1}%.2f""").mkString("{", ",", "}") +
-        "}"
+        // hot-box column rides in the artifact so next run promotes these
+        // names into the quiet pre-suite set even if the top-k trim drops
+        // their medians from "queries" (the forever-hot-box escape hatch)
+        s""","queries_isolated_hotbox":$hotboxJson}"""
     val compactLine = Iterator.range(60, 0, -5).map(compact).find(_.length <= 1800)
       .getOrElse(compact(0))
     // durable artifact the driver (or a human) can read regardless of any

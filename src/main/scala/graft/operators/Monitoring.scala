@@ -221,16 +221,43 @@ object Monitoring {
       spark: SparkSession, batch: DataFrame, storeDir: String, batchId: Long): Unit = {
     val root = new Path(s"$storeDir/regularity")
     val fs = fsOf(spark, root)
+    // layout guard: a store written by the pre-bucketed code has parquet
+    // files directly under regularity/ — reading it as "no buckets = empty"
+    // would silently drop all accumulated state AND re-fold replayed
+    // batches (double counts). Fail loudly instead; the migration is a
+    // one-off re-fold of the old rows through this same function.
+    if (fs.exists(root) && fs.listStatus(root).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")))
+      throw new IllegalStateException(
+        s"$root holds a pre-bucketed (flat) regularity store; migrate it " +
+          "by folding its rows into a fresh bucketed store before resuming")
+    // the swap's rename target is regularity/bucket=k — the PARENT must
+    // exist or the first publish of a bucket degrades to the filesystem's
+    // non-atomic fallback (or fails outright on HDFS), breaking the
+    // cursor-moves-with-content crash discipline
+    fs.mkdirs(root)
+    // persisted: the fold needs partials twice (the touched-bucket collect
+    // and the merged write) — without the persist the corpus-sized window
+    // aggregate, the only corpus-sized stage of the fold, runs twice
     val partials = gapPartials(batch)
       .withColumn("bucket", regularityBucket(col("user_id")))
-    // the touched set is bounded by RegularityBuckets, never by users
-    val touchedAll = partials.select("bucket").distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    // per-bucket replay guard (committedBatch runs crash recover() first —
-    // this is the single-writer update path)
-    val touched = touchedAll.filter(k =>
-      batchId > committedBatch(fs, bucketDir(storeDir, k)))
-    if (touched.isEmpty) return // replay: every touched bucket already folded
+      .persist()
+    try {
+      // the touched set is bounded by RegularityBuckets, never by users
+      val touchedAll = partials.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      // per-bucket replay guard (committedBatch runs crash recover() first —
+      // this is the single-writer update path)
+      val touched = touchedAll.filter(k =>
+        batchId > committedBatch(fs, bucketDir(storeDir, k)))
+      if (touched.isEmpty) return // replay: every touched bucket already folded
+      updateTouchedBuckets(spark, partials, storeDir, batchId, root, fs, touched)
+    } finally partials.unpersist(false)
+  }
+
+  private def updateTouchedBuckets(
+      spark: SparkSession, partials: DataFrame, storeDir: String,
+      batchId: Long, root: Path, fs: FileSystem, touched: Seq[Int]): Unit = {
     val p = partials.filter(col("bucket").isin(touched: _*)).drop("bucket")
       .withColumnRenamed("n_gaps", "p_n").withColumnRenamed("sum_gap", "p_s")
       .withColumnRenamed("sum_gap2", "p_q").withColumnRenamed("last_t", "p_last")

@@ -597,7 +597,10 @@ object SimilarityQueries {
       .select(col("vec_id"),
         l2Normalize(col("embedding").cast("array<double>")).as("emb"),
         col("label"))
-    val corpus = all.select(col("vec_id"), col("emb"))
+    // cached like the pre-filter twin: the normalized corpus feeds the
+    // codebook seed AND the assignment — uncached, the scan + l2 fold
+    // run once per consumer (release path: the header's clearCache contract)
+    val corpus = all.select(col("vec_id"), col("emb")).cache()
     val centroids = CentroidSeed.seeds(corpus)
     val assigned = nearestCentroid(corpus, centroids)
       .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))

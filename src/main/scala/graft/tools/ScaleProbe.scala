@@ -214,10 +214,19 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
     println(s"""{"probe":"heavy_scale","replication":$n,"queries":[""")
+    // one failing query (e.g. a table missing from the tables-subset arg)
+    // must cost one null line, never abort the probe and discard every
+    // completed measurement
     val lines = selected.map { q =>
-      val t1 = time(q, sfDir)
-      val tn = time(q, big)
-      f"""{"query":"$q","sec_1x":$t1%.2f,"sec_${n}x":$tn%.2f,"wall_ratio":${tn / t1}%.2f,"per_row_ratio":${tn / t1 / n}%.3f}"""
+      try {
+        val t1 = time(q, sfDir)
+        val tn = time(q, big)
+        f"""{"query":"$q","sec_1x":$t1%.2f,"sec_${n}x":$tn%.2f,"wall_ratio":${tn / t1}%.2f,"per_row_ratio":${tn / t1 / n}%.3f}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[scaleprobe] $q failed: $e")
+          s"""{"query":"$q","error":"${e.getClass.getSimpleName}"}"""
+      }
     }
     println(lines.mkString(",\n"))
     println("]}")

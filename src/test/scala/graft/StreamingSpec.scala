@@ -1316,6 +1316,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"folded-only=${folded -- oneShot} oneshot-only=${oneShot -- folded}")
   }
 
+  test("bucketed regularity store refuses a pre-bucketed flat layout instead of silently reading it as empty") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Monitoring
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("ts")).limit(50)
+    val store = s"$base/regularity_flat"
+    // simulate the old layout: parquet files directly under regularity/
+    Monitoring.gapPartials(events).coalesce(1)
+      .write.parquet(s"$store/regularity")
+    val e = intercept[IllegalStateException](
+      Monitoring.updateRegularity(spark, events, store, 0L))
+    assert(e.getMessage.contains("pre-bucketed"), e.getMessage)
+  }
+
   test("regularity fold is split-invariant: any chronological cut sequence equals the one-shot partials") {
     import org.apache.spark.sql.functions._
     import graft.operators.Monitoring
