@@ -67,6 +67,20 @@ for name in out_dirs:
     if len(s) != len(d):
         results[name] = f"ROWCOUNT-MISMATCH spark={len(s)} duck={len(d)}"
         continue
+    # Mirror the driver's row-sort: it sort_values's BY ALL COLUMNS before
+    # hashing, and that step CRASHES on array/map-typed columns
+    # (TypeError: unhashable type 'numpy.ndarray' — round-10 verdict:
+    # q_agg_collect / q_agg_histogram recorded `err` on the driver while
+    # this checker's in-order compare passed them). Replicate the sort so
+    # any driver-only crash class is red locally too.
+    try:
+        s = s.sort_values(by=list(s.columns), kind="mergesort").reset_index(drop=True)
+        d = d.sort_values(by=list(d.columns), kind="mergesort").reset_index(drop=True)
+    except Exception as e:
+        results[name] = (f"SORT-FAIL {type(e).__name__}: {e} (driver sorts by all "
+                         f"columns before hashing; array/map-typed output columns "
+                         f"crash it — serialize with array_join)")
+        continue
     # normalize: timestamps to naive strings, floats exact (both rounded)
     # The driver's hash is DTYPE-SENSITIVE: an int64 Spark column vs a
     # float64 oracle column (DuckDB HUGEINT window sums render as float64

@@ -679,7 +679,10 @@ object Relational {
     * is the 100 TB memory anti-pattern: with 5 priority groups, a whole
     * corpus lands in 5 buffers). The window and the aggregate share ONE
     * exchange on the group key (plan-pinned). Ties among equal o_custkey
-    * values make row identity arbitrary but the kept multiset exact. */
+    * values make row identity arbitrary but the kept multiset exact.
+    * The collected array is serialized with array_join — declared outputs
+    * must be scalar-typed so the cross-engine sort+hash gate can consume
+    * them (same convention as q_array_fns). */
   private val aggCollect = Q(
     "q_agg_collect",
     (s, d) => {
@@ -693,12 +696,13 @@ object Relational {
         .filter(col("rn") <= 20)
         .groupBy("o_orderpriority")
         .agg(
-          sort_array(collect_list(col("o_custkey"))).as("first_custs"),
+          array_join(sort_array(collect_list(col("o_custkey"))), ",")
+            .as("first_custs"),
           max("n").as("n"))
         .orderBy("o_orderpriority")
     },
     Some("""SELECT o_orderpriority,
-        list_sort(list(o_custkey))[1:20] AS first_custs,
+        array_to_string(list_sort(list(o_custkey))[1:20], ',') AS first_custs,
         count(*) AS n
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
@@ -716,12 +720,12 @@ object Relational {
         .select(col("o_orderpriority"),
           concat_ws(":", col("o_orderstatus"), col("cnt")).as("e"))
         .groupBy("o_orderpriority")
-        .agg(sort_array(collect_list(col("e"))).as("histogram"))
+        .agg(array_join(sort_array(collect_list(col("e"))), ",").as("histogram"))
         .orderBy("o_orderpriority"),
     Some("""WITH c AS (
         SELECT o_orderpriority, o_orderstatus || ':' || CAST(count(*) AS VARCHAR) AS e
         FROM orders GROUP BY o_orderpriority, o_orderstatus)
-      SELECT o_orderpriority, list_sort(list(e)) AS histogram
+      SELECT o_orderpriority, array_to_string(list_sort(list(e)), ',') AS histogram
       FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   /** Error-safe function family — Presto's `TRY(...)` idiom, the construct

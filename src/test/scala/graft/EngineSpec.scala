@@ -76,6 +76,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(broken.isEmpty, s"\n${broken.size} queries fail analysis:\n${broken.mkString("\n")}")
   }
 
+  test("no declared query outputs a top-level array/map column (driver gate cannot sort+hash them)") {
+    // Round-10 postmortem: q_agg_collect / q_agg_histogram shipped
+    // array-typed result columns; the driver sort_values's by every column
+    // before hashing and pandas crashes on numpy-array cells, so both rows
+    // recorded `err` — merged with NO cross-engine verification. The repo
+    // convention is to serialize collections with array_join (q_array_fns).
+    // This guard makes any array/map-typed declared output a named red test.
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/events.parquet").exists())
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+      } catch { case _: Throwable => Nil } // analysis failures are the previous test's job
+    }
+    assert(offenders.isEmpty,
+      s"array/map-typed declared outputs (serialize with array_join):\n${offenders.mkString("\n")}")
+  }
+
   test("README query 1: json_extract_scalar equality predicates + LIMIT") {
     // /root/reference/README.md:89-109, Presto -> Spark SQL translation
     val rows = Engine.sql(spark,
