@@ -186,6 +186,34 @@ object EventsQueries {
         CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** json_parse → json_format round-trip (r10 verdict task 8): the
+    * reference's clients `json.loads(details)` per returned row
+    * (/root/reference/README.md:180-185), so a migrant's
+    * `to_json(from_json(x))` normalize-then-reserialize idiom must be
+    * lossless for the typed payload. This row pins the full cycle — parse
+    * to a typed struct, serialize back, re-extract from the serialized
+    * form — against the oracle rebuilding the same normalized JSON text,
+    * byte-for-byte (both engines emit compact `{"k":N}`). Narrow per-row
+    * projection, no shuffle at any scale. */
+  private val jsonRoundtrip = Q(
+    "q_events_json_roundtrip",
+    (s, d) =>
+      ev(s, d)
+        .select(
+          col("event_id"),
+          to_json(from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))).as("props_norm"))
+        .withColumn("k2", get_json_object(col("props_norm"), "$.k").cast("long"))
+        .orderBy("event_id"),
+    Some("""WITH norm AS (
+        SELECT event_id,
+          to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT)))
+            AS props_norm
+        FROM events)
+      SELECT event_id, props_norm,
+        CAST(json_extract_string(props_norm, '$.k') AS BIGINT) AS k2
+      FROM norm ORDER BY event_id"""))
+
   /** Ordered 3-step funnel (view → click → purchase): per user, the earliest
     * view, the earliest click strictly after it, the earliest purchase
     * strictly after that — the event-sequence analytics shape (who
@@ -602,7 +630,7 @@ object EventsQueries {
           AS var_s2
       FROM a ORDER BY var_s2, user_id LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple,
+  val all: Seq[Q] = Seq(jsonExtract, jsonRoundtrip, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple,
     sessionize, saltedAgg, variantExtract, funnel, retention, resample, anomaly, markov, sliding,
     kanon, ldiversity, sequences, changepoint, regularity)
 }

@@ -192,6 +192,87 @@ object Relational {
         CAST(round(CAST(covar_samp(l_quantity, l_extendedprice) AS DECIMAL(24,6)), 2) AS DOUBLE) AS cov_qp
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Presto min_by/max_by — "the argument at the extremum of another
+    * expression", the idiomatic per-group argmax an Athena user reaches for
+    * before discovering window functions. Ties on the raw price would make
+    * the winner physical-order-dependent in BOTH engines (each keeps
+    * whichever extremum row it sees first), so the ordering value is a
+    * composite integer — price cents then orderkey — unique per group:
+    * deterministic at any parallelism, same expression both sides. One
+    * hash aggregate with map-side partials; the argmax state is one
+    * (value, arg) pair per group, mergeable, so at 100 TB this is exactly
+    * a sum-shaped aggregate — never a window sort. */
+  private val aggMinMaxBy = Q(
+    "q_agg_minmax_by",
+    (s, d) =>
+      t(s, d, "orders")
+        .withColumn("score",
+          round(col("o_totalprice") * 100).cast("long") * 100000000L + col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          max_by(col("o_orderkey"), col("score")).as("priciest_key"),
+          min_by(col("o_orderkey"), col("score")).as("cheapest_key"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+        max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey)
+          AS priciest_key,
+        min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey)
+          AS cheapest_key,
+        count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Linear-regression aggregate family (regr_slope/intercept/r2/count/avgx
+    * — ANSI + Presto; Spark ships them natively since 3.4). The moment
+    * state is mergeable (one 6-tuple per group), so this is a sum-shaped
+    * aggregate at any scale. Both engines accumulate in double with
+    * different summation orders, so every continuous output rounds through
+    * the decimal convention; regr_count is exact. */
+  private val aggRegr = Q(
+    "q_agg_regr",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")).cast("decimal(24,6)"), 2)
+            .cast("double").as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")).cast("decimal(24,6)"), 2)
+            .cast("double").as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")).cast("decimal(24,12)"), 6)
+            .cast("double").as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pairs"),
+          round(regr_avgx(col("l_extendedprice"), col("l_quantity")).cast("decimal(24,6)"), 4)
+            .cast("double").as("avg_x"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+        CAST(round(CAST(regr_slope(l_extendedprice, l_quantity) AS DECIMAL(24,6)), 2) AS DOUBLE) AS slope,
+        CAST(round(CAST(regr_intercept(l_extendedprice, l_quantity) AS DECIMAL(24,6)), 2) AS DOUBLE) AS icept,
+        CAST(round(CAST(regr_r2(l_extendedprice, l_quantity) AS DECIMAL(24,12)), 6) AS DOUBLE) AS r2,
+        CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+        CAST(round(CAST(regr_avgx(l_extendedprice, l_quantity) AS DECIMAL(24,6)), 4) AS DOUBLE) AS avg_x
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Boolean aggregates (bool_and/bool_or — ANSI EVERY/ANY; Presto ships
+    * both) plus the filtered-count idiom. Three one-bit mergeable states —
+    * map-side combine reduces each partition to a single row per group. */
+  private val aggBool = Q(
+    "q_agg_bool",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          bool_and(col("l_quantity") > 0).as("all_pos_qty"),
+          bool_or(col("l_discount") > 0.09).as("any_deep_disc"),
+          count_if(col("l_tax") > 0.05).as("n_high_tax"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+        bool_and(l_quantity > 0) AS all_pos_qty,
+        bool_or(l_discount > 0.09) AS any_deep_disc,
+        CAST(count(*) FILTER (l_tax > 0.05) AS BIGINT) AS n_high_tax,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Mergeable HLL sketches (DataSketches) — the 100 TB distinct-count
     * pattern: build one tiny sketch per partition slice (here: per month),
     * then union sketches instead of ever rescanning rows. Sketch state is
@@ -471,6 +552,46 @@ object Relational {
         FROM orders
         WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY CAST(floor(o_totalprice / 50000) AS BIGINT)),
                wu AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)) sub
+      ORDER BY o_orderpriority, o_orderkey"""))
+
+  /** Distribution-window family completion (r10 verdict task 5): ntile +
+    * nth_value rank the UNIQUE total order (ties would make their output
+    * physical-order-dependent), percent_rank + cume_dist rank the
+    * tie-bearing price-bucket ordering (real peer-group semantics, still
+    * deterministic — every member of a peer group gets the same value).
+    * nth_value reads an explicit full-partition ROWS frame so every row
+    * sees the same 2nd-highest key (the default running frame would emit
+    * NULL for row 1 — legal but a pointless asymmetry to hash). One
+    * partitioning (o_orderpriority) serves all three specs, so Catalyst
+    * plans a single exchange with per-spec sorts. */
+  private val windowDist = Q(
+    "q_window_dist",
+    (s, d) => {
+      val bucket = floor(col("o_totalprice") / 50000).cast("long")
+      val wTies = Window.partitionBy("o_orderpriority").orderBy(bucket)
+      val wUniq = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val wFull = wUniq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(
+          col("o_orderpriority"), col("o_orderkey"),
+          ntile(5).over(wUniq).cast("long").as("pentile"),
+          round(percent_rank().over(wTies).cast("decimal(24,12)"), 6).cast("double").as("prank"),
+          round(cume_dist().over(wTies).cast("decimal(24,12)"), 6).cast("double").as("cdist"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, pentile, prank, cdist, second_key FROM (
+        SELECT o_orderpriority, o_orderkey,
+          CAST(ntile(5) OVER wu AS BIGINT) AS pentile,
+          CAST(round(CAST(percent_rank() OVER wt AS DECIMAL(24,12)), 6) AS DOUBLE) AS prank,
+          CAST(round(CAST(cume_dist() OVER wt AS DECIMAL(24,12)), 6) AS DOUBLE) AS cdist,
+          nth_value(o_orderkey, 2) OVER wf AS second_key
+        FROM orders
+        WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY CAST(floor(o_totalprice / 50000) AS BIGINT)),
+               wu AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey),
+               wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) sub
       ORDER BY o_orderpriority, o_orderkey"""))
 
   /** RANGE frame (value-based, vs the ROWS frame in q_window_lag): peers
@@ -910,6 +1031,35 @@ object Relational {
         array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS uniq_sorted
       FROM part ORDER BY p_partkey"""))
 
+  /** Presto's array-lambda (higher-order function) surface — an Athena user
+    * reshapes JSON-derived arrays with `transform/filter/reduce(arr, x -> …)`
+    * (reference README.md:116 "any valid Presto SQL"); Spark's
+    * `transform`/`filter`/`aggregate` built-ins are the codegen'd twins (no
+    * UDF, the lambda compiles into the same whole-stage codegen span as the
+    * projection). Collection outputs serialize with array_join per the
+    * driver-gate convention (r10 verdict task 1); the fold result is a plain
+    * BIGINT. At 100 TB this is a narrow per-row projection — no shuffle. */
+  private val arrayLambda = Q(
+    "q_array_lambda",
+    (s, d) =>
+      t(s, d, "part")
+        .withColumn("words", split(col("p_name"), " "))
+        .select(
+          col("p_partkey"),
+          array_join(transform(col("words"), w => length(w).cast("string")), ",")
+            .as("word_lens"),
+          array_join(filter(col("words"), w => length(w) > 5), ",").as("long_words"),
+          aggregate(col("words"), lit(0L), (acc, w) => acc + length(w)).as("chars_total"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+        array_to_string(list_transform(string_split(p_name, ' '),
+          x -> CAST(length(x) AS VARCHAR)), ',') AS word_lens,
+        COALESCE(array_to_string(list_filter(string_split(p_name, ' '),
+          x -> length(x) > 5), ','), '') AS long_words,
+        CAST(list_aggregate(list_transform(string_split(p_name, ' '),
+          x -> length(x)), 'sum') AS BIGINT) AS chars_total
+      FROM part ORDER BY p_partkey"""))
+
   private val explodeFn = Q(
     "q_explode",
     (s, d) =>
@@ -946,6 +1096,70 @@ object Relational {
         CAST(list_aggregate(list_transform(list_distinct(string_split(p_name, ' ')[1:3]),
              x -> length(x)), 'sum') AS BIGINT) AS vals_sum
       FROM part ORDER BY p_partkey"""))
+
+  /** Presto's MAP higher-order functions — transform_keys /
+    * transform_values / map_filter, the map twins of q_array_lambda's
+    * array lambdas (Spark ships all three natively; codegen'd, no UDF).
+    * The oracle computes the same values from DuckDB lists — the check is
+    * on results, not on both engines sharing a map lambda type (same
+    * contract as q_map_fns). Map-typed intermediates never leave the
+    * projection; outputs serialize per the driver-gate convention. */
+  private val mapLambda = Q(
+    "q_map_lambda",
+    (s, d) =>
+      t(s, d, "part")
+        .withColumn("words", array_distinct(slice(split(col("p_name"), " "), 1, 3)))
+        .withColumn(
+          "m",
+          map_from_arrays(col("words"), transform(col("words"), w => length(w))))
+        .select(
+          col("p_partkey"),
+          array_join(array_sort(map_keys(transform_keys(col("m"), (k, _) => upper(k)))), ",")
+            .as("keys_upper"),
+          aggregate(
+            map_values(transform_values(col("m"), (_, v) => v * 2)),
+            lit(0L), (a, x) => a + x).as("vals_doubled_sum"),
+          size(map_filter(col("m"), (_, v) => v > 5)).cast("long").as("n_long_keys"))
+        .orderBy("p_partkey"),
+    Some("""WITH w AS (
+        SELECT p_partkey, list_distinct(string_split(p_name, ' ')[1:3]) AS words FROM part)
+      SELECT p_partkey,
+        array_to_string(list_sort(list_transform(words, x -> upper(x))), ',') AS keys_upper,
+        CAST(list_aggregate(list_transform(words, x -> 2 * length(x)), 'sum') AS BIGINT)
+          AS vals_doubled_sum,
+        CAST(len(list_filter(words, x -> length(x) > 5)) AS BIGINT) AS n_long_keys
+      FROM w ORDER BY p_partkey"""))
+
+  /** Array generation + reshaping surface — sequence (Presto's
+    * sequence/DuckDB generate_series), slice, flatten, arrays_overlap.
+    * All narrow per-row projections; the generated arrays are bounded
+    * (≤4 elements) so output size is row-proportional at any scale. */
+  private val arrayGen = Q(
+    "q_array_gen",
+    (s, d) => {
+      val sq = sequence(lit(1L), col("n_nationkey").cast("long") % 4 + 1)
+      t(s, d, "nation")
+        .select(
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          array_join(transform(sq, i => i.cast("string")), ",").as("seq_str"),
+          array_join(transform(slice(sq, 2, 2), i => i.cast("string")), ",").as("mid_str"),
+          aggregate(sq, lit(0L), (a, x) => a + x).as("seq_sum"),
+          size(flatten(array(sq, sq))).cast("long").as("flat_n"),
+          arrays_overlap(sq, array(lit(3L), lit(4L))).as("hits_34"))
+        .orderBy("n_nationkey")
+    },
+    Some("""WITH g AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+               generate_series(1, CAST(n_nationkey AS BIGINT) % 4 + 1) AS sq
+        FROM nation)
+      SELECT n_nationkey,
+        array_to_string(list_transform(sq, x -> CAST(x AS VARCHAR)), ',') AS seq_str,
+        COALESCE(array_to_string(list_transform(sq[2:3], x -> CAST(x AS VARCHAR)), ','), '')
+          AS mid_str,
+        CAST(list_aggregate(sq, 'sum') AS BIGINT) AS seq_sum,
+        CAST(len(flatten([sq, sq])) AS BIGINT) AS flat_n,
+        len(list_intersect(sq, [3, 4])) > 0 AS hits_34
+      FROM g ORDER BY n_nationkey"""))
 
   /** posexplode — UNNEST WITH ORDINALITY semantics (position travels with
     * the element; the oracle zips DuckDB's lockstep unnests). */
@@ -1145,13 +1359,14 @@ object Relational {
     dateIntervals,
     aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggGroupingSets,
     aggPivot, aggPercentile, aggApproxPercentile, aggStats, aggApproxDistinct, aggHllMerge,
-    aggCollect, aggHistogram,
+    aggCollect, aggHistogram, aggMinMaxBy, aggRegr, aggBool,
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
     joinTheta, joinBucketed, joinFuzzy, joinFuzzyVarlen,
-    windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange,
+    windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange, windowDist,
     sortTopk, sortNullsOffset,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
-    stringFns, dateFns, mathFns, arrayFns, mapFns, explodeFn, explodePos, tryFns,
+    stringFns, dateFns, mathFns, arrayFns, arrayLambda, mapFns, mapLambda, arrayGen,
+    explodeFn, explodePos, tryFns,
     urlFns, bitwiseFns,
     subqueryIn, subqueryScalar, subqueryExists)
 }

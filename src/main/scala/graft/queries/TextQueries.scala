@@ -277,6 +277,46 @@ object TextQueries {
           + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
       ORDER BY doc_id"""))
 
+  /** Sliding-window document chunking with overlap — THE long-document
+    * preparation shape for a fixed-context training pipeline: windows of
+    * W=40 words at stride S=30, so consecutive chunks share W−S words and
+    * no cross-boundary context is lost. Fully declarative: one explode
+    * over per-document start offsets (sequence 1..n step S), each chunk a
+    * slice + join — a narrow per-row expansion emitting ~n/S rows per
+    * document, no shuffle beyond the determinism ORDER BY. chunk_id is
+    * arithmetic ((start−1) div S), not positional, so both engines derive
+    * it without ordinality plumbing. The tail chunk is kept short (its
+    * true word count is declared) rather than dropped — padding/packing
+    * policy belongs to the trainer, not the chunker. */
+  private val textChunking = Q(
+    "q_text_chunking",
+    (s, d) => {
+      val W = 40
+      val S = 30
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n", size(col("ws")).cast("long"))
+        .select(col("doc_id"), col("ws"), col("n"),
+          explode(sequence(lit(1L), col("n"), lit(S.toLong))).as("start"))
+        .select(
+          col("doc_id"),
+          expr(s"(start - 1) div $S").as("chunk_id"),
+          col("start"),
+          least(lit(W.toLong), col("n") - col("start") + 1).as("n_chunk_words"),
+          array_join(slice(col("ws"), col("start"), lit(W)), " ").as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        st AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+                      unnest(generate_series(1, CAST(len(ws) AS BIGINT), 30)) AS start
+               FROM w)
+      SELECT doc_id,
+        (start - 1) // 30 AS chunk_id,
+        start,
+        least(40, n - start + 1) AS n_chunk_words,
+        array_to_string(ws[start : start + 39], ' ') AS chunk
+      FROM st ORDER BY doc_id, chunk_id"""))
+
   /** Language-balanced resampling: cap each language at K docs (smallest ids
     * win — deterministic, reproducible) — the downsampling step that stops
     * an overrepresented language from dominating a training mix. One window
@@ -679,6 +719,16 @@ object TextQueries {
   private val UniSeedSize = 24
   private val UniIters = 3
   private val UniMaxWordLen = 12
+  /** The declared rows pass minFreq=2 so the trainer's driver-side
+    * distinct-word collect is CAPPED in the exact form the gate certifies
+    * (r10 verdict task 6 — the cap existed but the declared form ran it
+    * at 1, i.e. off). Under Zipf ~half the distinct vocabulary is
+    * hapax legomena, so even this smallest real floor halves the
+    * collected table; a corpus-scale caller raises it further (the knob
+    * is the trainLoop/unigramTrainLoop `minFreq` parameter; OperatorsSpec
+    * pins that the floor drops singleton words from training AND that
+    * apply still char-fallback-covers them). */
+  private val UniMinFreq = 2L
 
   /** The generated DuckDB twin of [[graft.operators.Tokenizer.unigramTrainLoop]]:
     * seed substring counts, then `iters` EM rounds, each round's Viterbi DP
@@ -727,11 +777,13 @@ object TextQueries {
   /** Shared oracle prefix: distinct-word counts, substring seed, vocab0,
     * and `iters` EM rounds. */
   private def uniChainSql(
-      maxPieceLen: Int, seedSize: Int, iters: Int, maxWordLen: Int): String =
+      maxPieceLen: Int, seedSize: Int, iters: Int, maxWordLen: Int,
+      minFreq: Long): String =
     s"""words AS MATERIALIZED (
         SELECT w, CAST(count(*) AS BIGINT) AS n
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-        WHERE w <> '' AND length(w) <= $maxWordLen GROUP BY w),
+        WHERE w <> '' AND length(w) <= $maxWordLen GROUP BY w
+        HAVING count(*) >= $minFreq),
       seed AS MATERIALIZED (
         SELECT substr(w.w, CAST(st.s AS INT), CAST(l.l AS INT)) AS piece,
                CAST(sum(w.n) AS BIGINT) AS cnt
@@ -749,8 +801,9 @@ object TextQueries {
       ${(1 to iters).map(uniEmRound(_, maxPieceLen, maxWordLen)).mkString(",\n      ")}"""
 
   private def unigramOracleSql(
-      maxPieceLen: Int, seedSize: Int, iters: Int, maxWordLen: Int): String =
-    s"""WITH ${uniChainSql(maxPieceLen, seedSize, iters, maxWordLen)}
+      maxPieceLen: Int, seedSize: Int, iters: Int, maxWordLen: Int,
+      minFreq: Long): String =
+    s"""WITH ${uniChainSql(maxPieceLen, seedSize, iters, maxWordLen, minFreq)}
       SELECT piece, cnt FROM vocab$iters WHERE cnt > 0 ORDER BY cnt DESC, piece"""
 
   /** Apply oracle: the training chain, ONE more DP round under the final
@@ -758,8 +811,9 @@ object TextQueries {
     * bpe_apply-shaped per-document rollup; untrained words (too long, or
     * empty tokens) char-fallback to length(w) symbols on both engines. */
   private def unigramApplyOracleSql(
-      maxPieceLen: Int, seedSize: Int, iters: Int, maxWordLen: Int): String =
-    s"""WITH ${uniChainSql(maxPieceLen, seedSize, iters, maxWordLen)},
+      maxPieceLen: Int, seedSize: Int, iters: Int, maxWordLen: Int,
+      minFreq: Long): String =
+    s"""WITH ${uniChainSql(maxPieceLen, seedSize, iters, maxWordLen, minFreq)},
       ${uniDpLevels(iters + 1, maxPieceLen, maxWordLen)},
       enc0 AS (SELECT w, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_sym
                FROM fin${iters + 1}),
@@ -787,11 +841,11 @@ object TextQueries {
       import s.implicits._
       graft.operators.Tokenizer.unigramTrainLoop(
         t(s, d, "documents").select(explode(split(col("text"), " ")).as("w")),
-        UniMaxPieceLen, UniSeedSize, UniIters, 1L, UniMaxWordLen)
+        UniMaxPieceLen, UniSeedSize, UniIters, UniMinFreq, UniMaxWordLen)
         .toDF("piece", "cnt")
         .orderBy(desc("cnt"), asc("piece"))
     },
-    Some(unigramOracleSql(UniMaxPieceLen, UniSeedSize, UniIters, UniMaxWordLen)))
+    Some(unigramOracleSql(UniMaxPieceLen, UniSeedSize, UniIters, UniMaxWordLen, UniMinFreq)))
 
   /** Unigram ENCODE — tokenize the corpus with the vocabulary
     * `q_text_unigram_train` learns (the apply half, mirroring
@@ -807,7 +861,7 @@ object TextQueries {
       import s.implicits._
       val enc = graft.operators.Tokenizer.unigramEncodeTable(
         t(s, d, "documents").select(explode(split(col("text"), " ")).as("w")),
-        UniMaxPieceLen, UniSeedSize, UniIters, 1L, UniMaxWordLen)
+        UniMaxPieceLen, UniSeedSize, UniIters, UniMinFreq, UniMaxWordLen)
         .toDF("w", "n_sym")
       t(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -821,7 +875,7 @@ object TextQueries {
         .withColumn("compression_bp", expr("n_sym_post * 10000 div n_sym_pre"))
         .orderBy("doc_id")
     },
-    Some(unigramApplyOracleSql(UniMaxPieceLen, UniSeedSize, UniIters, UniMaxWordLen)))
+    Some(unigramApplyOracleSql(UniMaxPieceLen, UniSeedSize, UniIters, UniMaxWordLen, UniMinFreq)))
 
   /** The two LM gates composed — the `q_text_train_prep`-style filter the
     * bigram LM exists for, emitting its DISAGREEMENT with the unigram
@@ -1555,5 +1609,5 @@ object TextQueries {
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
     perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
     nbClassifier, perplexity3, perplexity5, topics, mixQuality, bpeTrain256,
-    lexDiversity, unigramTrain, unigramApply)
+    lexDiversity, unigramTrain, unigramApply, textChunking)
 }

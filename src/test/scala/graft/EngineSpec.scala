@@ -57,7 +57,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dups.isEmpty, s"duplicate query names: ${dups.toSeq.sorted.mkString(", ")}")
   }
 
-  test("analysis smoke: every declared query plan resolves against sf0.001") {
+  test("analysis smoke: every declared query resolves and outputs only atomic columns") {
     // Round-7 postmortem: 11 queries failed ANALYSIS (events ts dtype drift)
     // yet the gate showed 136/136 green, because a query that throws before
     // producing output simply vanished from the denominator. This guard
@@ -65,37 +65,37 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // an analysis break is a named red test, never a silent shrink. Plans
     // are analyzed, not executed — eager construction work (BPE merge loops,
     // index trains) still runs, which is why this uses sf0.001.
+    //
+    // Round-10 postmortem, folded into the SAME loop so each query is
+    // constructed once (r11 ADVICE — the separate guard re-paid every
+    // eager-construction cost): q_agg_collect / q_agg_histogram shipped
+    // array-typed result columns; the driver sort_values's by every column
+    // before hashing and pandas crashes on unhashable cells (numpy arrays;
+    // a StructType column materializes as dict cells and dies the same
+    // way), so both rows recorded `err` — merged with NO cross-engine
+    // verification. The repo convention is to serialize collections with
+    // array_join (q_array_fns). Any NON-ATOMIC top-level output type
+    // (array, map, struct — anything pandas can't sort) is a named red
+    // test here.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sfDir/events.parquet").exists())
     val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try { fn(spark, sfDir).queryExecution.analyzed; None }
-      catch { case e: Throwable =>
-        Some(s"$name: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | ").take(300)}")
+      try {
+        val df = fn(spark, sfDir)
+        df.queryExecution.analyzed
+        df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+              f.dataType.isInstanceOf[MapType] ||
+              f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: non-atomic output ${f.dataType.simpleString} " +
+              "(driver gate cannot sort+hash it; serialize with array_join/to_json)"
+        }
+      } catch { case e: Throwable =>
+        Seq(s"$name: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | ").take(300)}")
       }
     }
-    assert(broken.isEmpty, s"\n${broken.size} queries fail analysis:\n${broken.mkString("\n")}")
-  }
-
-  test("no declared query outputs a top-level array/map column (driver gate cannot sort+hash them)") {
-    // Round-10 postmortem: q_agg_collect / q_agg_histogram shipped
-    // array-typed result columns; the driver sort_values's by every column
-    // before hashing and pandas crashes on numpy-array cells, so both rows
-    // recorded `err` — merged with NO cross-engine verification. The repo
-    // convention is to serialize collections with array_join (q_array_fns).
-    // This guard makes any array/map-typed declared output a named red test.
-    import org.apache.spark.sql.types.{ArrayType, MapType}
-    val sfDir = "/root/testdata/sf0.001"
-    assume(new java.io.File(s"$sfDir/events.parquet").exists())
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try {
-        fn(spark, sfDir).schema.fields.collect {
-          case f if f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] =>
-            s"$name.${f.name}: ${f.dataType.simpleString}"
-        }
-      } catch { case _: Throwable => Nil } // analysis failures are the previous test's job
-    }
-    assert(offenders.isEmpty,
-      s"array/map-typed declared outputs (serialize with array_join):\n${offenders.mkString("\n")}")
+    assert(broken.isEmpty, s"\n${broken.size} declared-query failures:\n${broken.mkString("\n")}")
   }
 
   test("README query 1: json_extract_scalar equality predicates + LIMIT") {

@@ -445,6 +445,33 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq("c", "ab"))
   }
 
+  test("unigram minFreq floor: singletons drop from training yet still encode via char fallback (the declared rows' bound, minFreq=2)") {
+    // r10 verdict task 6: the DECLARED q_text_unigram_train/apply rows now
+    // pass minFreq=2, so the trainer's driver-side distinct-word collect is
+    // capped in the exact form the gate certifies. This pins the floor's
+    // two contract halves: (a) a sub-floor word contributes nothing to the
+    // vocabulary or the encode table; (b) the apply path still covers it —
+    // the corpus-stream join misses and falls back to length(w) symbols,
+    // which is exactly what the mirrored DuckDB oracle's HAVING + COALESCE
+    // computes. A corpus-scale caller raises the same knob further.
+    val s = spark
+    import s.implicits._
+    import graft.operators.Tokenizer
+    val words = (Seq.fill(3)("ab") ++ Seq.fill(2)("abab") ++ Seq("zq")).toDF("w")
+    val capped = Tokenizer.unigramTrainLoop(
+      words, maxPieceLen = 2, seedSize = 4, iters = 2, minFreq = 2L)
+    assert(capped.forall { case (p, _) => !p.contains("z") && !p.contains("q") },
+      s"sub-floor word leaked into the vocabulary: $capped")
+    val enc = Tokenizer.unigramEncodeTable(
+      words, maxPieceLen = 2, seedSize = 4, iters = 2, minFreq = 2L)
+    assert(!enc.exists(_._1 == "zq"),
+      s"encode table must only cover words at/above the floor: $enc")
+    // uncapped control: identical corpus at minFreq=1 trains and encodes it
+    val open = Tokenizer.unigramEncodeTable(
+      words, maxPieceLen = 2, seedSize = 4, iters = 2, minFreq = 1L)
+    assert(open.exists(_._1 == "zq"))
+  }
+
   test("unigram Viterbi equals brute-force best segmentation under the exact total order (200 random trials)") {
     import graft.operators.Tokenizer
     // enumerate every segmentation of w into vocab pieces of length <= maxLen
