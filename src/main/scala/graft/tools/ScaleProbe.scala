@@ -71,7 +71,12 @@ object ScaleProbe {
     "q_text_unigram_train", "q_text_unigram_apply",
     // r10 second wave: error-safe fns + KMV bottom-k (orders-backed),
     // URL + bitwise families (customer-backed)
-    "q_try_fns", "q_agg_kmv", "q_string_url", "q_bitwise_fns")
+    "q_try_fns", "q_agg_kmv", "q_string_url", "q_bitwise_fns",
+    // r12: lambda/aggregate widening (part/orders/lineitem/events-backed)
+    // and the sliding-window chunker (documents). q_array_gen is excluded:
+    // it projects the 25-row nation dim — constant-size, nothing to scale.
+    "q_array_lambda", "q_map_lambda", "q_window_dist", "q_agg_minmax_by",
+    "q_agg_regr", "q_agg_bool", "q_events_json_roundtrip", "q_text_chunking")
 
   private val ReplicaIdOffset = 10000000L
 
