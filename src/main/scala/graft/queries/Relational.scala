@@ -961,6 +961,34 @@ object Relational {
         CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END AS is_small
       FROM part ORDER BY p_partkey"""))
 
+  /** Second string-function wave — the Presto helpers the first row left
+    * out: split_part, strpos, lpad/rpad, reverse, translate, repeat, and
+    * levenshtein (the scalar edit-distance fn; the JOIN on it is
+    * q_join_fuzzy's job). All codegen'd built-ins, narrow projection. */
+  private val stringFns2 = Q(
+    "q_string_fns2",
+    (s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          split_part(col("p_name"), lit(" "), lit(2)).as("word2"),
+          instr(col("p_name"), "a").cast("long").as("first_a"),
+          lpad(col("p_brand"), 12, "#").as("brand_pad"),
+          reverse(col("p_type")).as("type_rev"),
+          translate(col("p_name"), "aeiou", "_____").as("devoweled"),
+          repeat(lit("ab"), 3).as("ab3"),
+          levenshtein(col("p_brand"), col("p_type")).cast("long").as("edit_dist"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+        split_part(p_name, ' ', 2) AS word2,
+        CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        lpad(p_brand, 12, '#') AS brand_pad,
+        reverse(p_type) AS type_rev,
+        translate(p_name, 'aeiou', '_____') AS devoweled,
+        repeat('ab', 3) AS ab3,
+        CAST(levenshtein(p_brand, p_type) AS BIGINT) AS edit_dist
+      FROM part ORDER BY p_partkey"""))
+
   private val dateFns = Q(
     "q_date_fns",
     (s, d) =>
@@ -984,6 +1012,34 @@ object Relational {
         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Second date-function wave: quarter, last_day, ISO week, day-of-week,
+    * calendar-month shifts. dow is normalized to 0=Sunday on both engines
+    * (Spark's dayofweek is 1-based Sunday, DuckDB's 0-based); the month
+    * index is plain integer arithmetic so no engine's fractional
+    * months_between convention is in the hash. */
+  private val dateFns2 = Q(
+    "q_date_fns2",
+    (s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow0"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd").as("plus2m"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - (1995 * 12 + 1))
+            .cast("long").as("mo_idx"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        CAST(dayofweek(o_orderdate) AS BIGINT) AS dow0,
+        CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+        CAST(year(o_orderdate) * 12 + month(o_orderdate) - (1995 * 12 + 1) AS BIGINT) AS mo_idx
       FROM orders ORDER BY o_orderkey"""))
 
   private val mathFns = Q(
@@ -1160,6 +1216,39 @@ object Relational {
         CAST(len(flatten([sq, sq])) AS BIGINT) AS flat_n,
         len(list_intersect(sq, [3, 4])) > 0 AS hits_34
       FROM g ORDER BY n_nationkey"""))
+
+  /** Pairwise array combination (Presto zip_with) + membership/edit surface
+    * (array_position, array_remove, array_union). The oracle computes the
+    * zip through a single list_transform (same elementwise values) and
+    * normalizes the engines' divergent empties: DuckDB list_position is
+    * NULL where Spark array_position is 0, so the oracle COALESCEs. Union
+    * output is sorted — Spark's array_union order is first-occurrence,
+    * DuckDB's list_distinct is unspecified; sorting is the only
+    * cross-engine canonical form. */
+  private val arrayZip = Q(
+    "q_array_zip",
+    (s, d) =>
+      t(s, d, "part")
+        .withColumn("words", split(col("p_name"), " "))
+        .select(
+          col("p_partkey"),
+          array_join(
+            zip_with(col("words"), transform(col("words"), w => length(w)),
+              (w, l) => concat(w, lit(":"), l.cast("string"))), ",").as("tagged"),
+          array_position(col("words"), "green").cast("long").as("green_pos"),
+          array_join(array_remove(col("words"), "green"), ",").as("no_green"),
+          array_join(array_sort(array_union(col("words"), array(lit("extra")))), ",")
+            .as("with_extra"))
+        .orderBy("p_partkey"),
+    Some("""WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+      SELECT p_partkey,
+        array_to_string(list_transform(words,
+          x -> x || ':' || CAST(length(x) AS VARCHAR)), ',') AS tagged,
+        CAST(COALESCE(list_position(words, 'green'), 0) AS BIGINT) AS green_pos,
+        COALESCE(array_to_string(list_filter(words, x -> x <> 'green'), ','), '') AS no_green,
+        array_to_string(list_sort(list_distinct(list_concat(words, ['extra']))), ',')
+          AS with_extra
+      FROM w ORDER BY p_partkey"""))
 
   /** posexplode — UNNEST WITH ORDINALITY semantics (position travels with
     * the element; the oracle zips DuckDB's lockstep unnests). */
@@ -1365,8 +1454,8 @@ object Relational {
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange, windowDist,
     sortTopk, sortNullsOffset,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
-    stringFns, dateFns, mathFns, arrayFns, arrayLambda, mapFns, mapLambda, arrayGen,
-    explodeFn, explodePos, tryFns,
+    stringFns, stringFns2, dateFns, dateFns2, mathFns, arrayFns, arrayLambda,
+    mapFns, mapLambda, arrayGen, arrayZip, explodeFn, explodePos, tryFns,
     urlFns, bitwiseFns,
     subqueryIn, subqueryScalar, subqueryExists)
 }

@@ -317,6 +317,51 @@ object TextQueries {
         array_to_string(ws[start : start + 39], ' ') AS chunk
       FROM st ORDER BY doc_id, chunk_id"""))
 
+  /** Sequence packing — the concat-and-cut step after q_text_chunking: the
+    * token stream (documents in deterministic doc_id order within a
+    * language shard) is conceptually concatenated and cut every B=256
+    * tokens, and each document learns which pack its first token lands in,
+    * at what offset, and how many packs it spans. The naive formulation
+    * (greedy first-fit bin packing) is inherently sequential — the 100 TB
+    * anti-pattern; THIS formulation is one windowed prefix-sum per shard
+    * (a single shuffle on lang) followed by pure arithmetic, which is how
+    * GPT-style training pipelines actually pack (split documents across
+    * sequence boundaries rather than solve bin packing). At corpus scale
+    * the shard key becomes (lang, hash-bucket) so no window partition
+    * outgrows an executor; determinism is unchanged because the prefix
+    * sum orders by doc_id either way. */
+  private val textPacking = Q(
+    "q_text_packing",
+    (s, d) => {
+      val B = 256L
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(
+          col("doc_id"), col("lang"), col("n_tokens"),
+          expr(s"(cum - n_tokens) div $B").as("pack_id"),
+          expr(s"(cum - n_tokens) % $B").as("pack_offset"),
+          (expr(s"(cum - 1) div $B") - expr(s"(cum - n_tokens) div $B") + 1)
+            .as("n_packs_spanned"))
+        .orderBy("lang", "doc_id")
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM tok)
+      SELECT doc_id, lang, n_tokens,
+        (cum - n_tokens) // 256 AS pack_id,
+        (cum - n_tokens) % 256 AS pack_offset,
+        (cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS n_packs_spanned
+      FROM c ORDER BY lang, doc_id"""))
+
   /** Language-balanced resampling: cap each language at K docs (smallest ids
     * win — deterministic, reproducible) — the downsampling step that stops
     * an overrepresented language from dominating a training mix. One window
@@ -1609,5 +1654,5 @@ object TextQueries {
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
     perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
     nbClassifier, perplexity3, perplexity5, topics, mixQuality, bpeTrain256,
-    lexDiversity, unigramTrain, unigramApply, textChunking)
+    lexDiversity, unigramTrain, unigramApply, textChunking, textPacking)
 }

@@ -76,7 +76,9 @@ object ScaleProbe {
     // and the sliding-window chunker (documents). q_array_gen is excluded:
     // it projects the 25-row nation dim — constant-size, nothing to scale.
     "q_array_lambda", "q_map_lambda", "q_window_dist", "q_agg_minmax_by",
-    "q_agg_regr", "q_agg_bool", "q_events_json_roundtrip", "q_text_chunking")
+    "q_agg_regr", "q_agg_bool", "q_events_json_roundtrip", "q_text_chunking",
+    // r12 second wave: string/date/zip widening + the sequence packer
+    "q_string_fns2", "q_date_fns2", "q_array_zip", "q_text_packing")
 
   private val ReplicaIdOffset = 10000000L
 
