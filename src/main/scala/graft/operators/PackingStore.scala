@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental sequence packing — the persisted twin of `q_text_packing`.
+  *
+  * The batch query packs a WHOLE corpus by one windowed prefix-sum per
+  * language shard; a training pipeline, however, receives documents in
+  * append-only batches and must extend the pack layout WITHOUT recomputing
+  * (or even rescanning) what is already packed. The only state the
+  * concat-and-cut packer needs is one number per shard — the cumulative
+  * token total — so this store persists:
+  *
+  *   assignments/  (doc_id, lang, n_tokens, pack_id, pack_offset,
+  *                  n_packs_spanned) — immutable once written
+  *   cursors/      (lang, cum) — the running token total per shard
+  *   _graft_committed_batch — the replay cursor ([[StoreCommit]] meta),
+  *                  swapped atomically WITH the content
+  *
+  * `append(batchId)` folds one micro-batch: a batch-local prefix-sum per
+  * shard (the same single-shuffle window as the batch query) is offset by
+  * the stored cursor base, so each document's global pack arithmetic is
+  * identical to what the one-shot packer would compute — OperatorsSpec
+  * pins incremental == one-shot bit-for-bit for doc_id-monotonic batches
+  * (the append-only log order; out-of-order arrivals still pack
+  * deterministically by arrival, they just differ from a from-scratch
+  * repack, exactly as a real packed corpus would). Replay is effectively
+  * once via the committed-batch cursor: a replayed batchId is a no-op
+  * BEFORE any computation, so content and cursor can never diverge.
+  * Crash mid-swap restores via the [[StoreCommit]] aside discipline.
+  *
+  * At 100 TB: the cursor table is shard-count-sized (bytes), the
+  * per-batch window is delta-sized, and the one O(store) term is the
+  * union-rewrite of `assignments/` on publish — the same accepted shape
+  * as [[SignatureStore.append]]; when that term matters, the layout
+  * generalizes exactly as the bucketed regularity store did
+  * ([[Monitoring]]): `shard=<lang-hash>/` subdirs with per-shard swaps
+  * and per-batch data files, turning publish I/O into O(delta + touched
+  * shards). The arithmetic and invariants above are unchanged by that
+  * layout, which is why the single-root form is the one the spec pins. */
+object PackingStore {
+
+  val DefaultBudget = 256L
+
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+
+  /** Pack a token table given per-shard base offsets (lang, base). */
+  private def packWithBase(tok: DataFrame, base: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok
+      .withColumn("cum_local", sum("n_tokens").over(w))
+      .join(base, Seq("lang"), "left")
+      .withColumn("cum", col("cum_local") + coalesce(col("base"), lit(0L)))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("pack_id"),
+        expr(s"(cum - n_tokens) % $budget").as("pack_offset"),
+        (expr(s"(cum - 1) div $budget") - expr(s"(cum - n_tokens) div $budget") + 1)
+          .as("n_packs_spanned"))
+  }
+
+  /** The live pack-assignment table. */
+  def read(spark: SparkSession, storeDir: String): DataFrame = {
+    val dir = new Path(storeDir)
+    val root = StoreCommit.readableRoot(StoreCommit.fsOf(spark, dir), dir)
+    spark.read.parquet(new Path(root, "assignments").toString)
+  }
+
+  /** The per-shard running token totals. */
+  def cursors(spark: SparkSession, storeDir: String): DataFrame = {
+    val dir = new Path(storeDir)
+    val root = StoreCommit.readableRoot(StoreCommit.fsOf(spark, dir), dir)
+    spark.read.parquet(new Path(root, "cursors").toString)
+  }
+
+  /** One-shot build from a full corpus (batch 0 of the incremental life). */
+  def build(
+      spark: SparkSession, docs: DataFrame, storeDir: String,
+      budget: Long = DefaultBudget): Unit =
+    publish(spark, storeDir, batchId = 0L,
+      assignments = packWithBase(
+        tokens(docs),
+        spark.range(0).select(lit("").as("lang"), lit(0L).as("base")), budget))
+
+  /** Fold one append-only micro-batch; replayed batchIds are a no-op. */
+  def append(
+      spark: SparkSession, docs: DataFrame, storeDir: String, batchId: Long,
+      budget: Long = DefaultBudget): Unit = {
+    val dir = new Path(storeDir)
+    val fs = StoreCommit.fsOf(spark, dir)
+    if (StoreCommit.committedBatch(fs, dir) >= batchId) return // replay: done
+    val existing = read(spark, storeDir)
+    val base = cursors(spark, storeDir).select(col("lang"), col("cum").as("base"))
+    // safety net inside one batch: an id already assigned never re-packs
+    // (the batchId cursor already makes full-batch replays a no-op)
+    val fresh = tokens(docs)
+      .join(existing.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    publish(spark, storeDir, batchId,
+      assignments = existing.unionByName(packWithBase(fresh, base, budget)))
+  }
+
+  /** Derive cursors from assignments, stamp the batch, swap atomically. */
+  private def publish(
+      spark: SparkSession, storeDir: String, batchId: Long,
+      assignments: DataFrame): Unit = {
+    val dir = new Path(storeDir)
+    val fs = StoreCommit.fsOf(spark, dir)
+    StoreCommit.recover(fs, dir)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.building")
+    fs.delete(tmp, true)
+    val a = assignments.cache()
+    try {
+      a.write.mode(SaveMode.Overwrite).parquet(s"$tmp/assignments")
+      // cursor = total tokens per shard; derived from the SAME frame that
+      // was just published, so content and cursor cannot diverge
+      a.groupBy("lang").agg(sum("n_tokens").as("cum"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/cursors")
+      StoreCommit.writeMeta(fs, tmp, batchId)
+      StoreCommit.swap(fs, dir, tmp)
+    } finally a.unpersist()
+  }
+}

@@ -480,6 +480,51 @@ object Relational {
       JOIN nation ON n_regionkey < r_regionkey
       ORDER BY r_regionkey, n_nationkey"""))
 
+  /** Correlated LATERAL subquery — Presto/ANSI's per-row derived table
+    * (top-2 orders per customer here). Catalyst DECORRELATES the
+    * limit+sort lateral into a window-rank over one equi-join, so the
+    * physical plan is q_window_topk's shape (one shuffle on the join key),
+    * not a per-row re-execution — which is the whole point of running it
+    * through the optimizer instead of a driver loop. Customers with no
+    * orders drop (inner lateral), matching the oracle. */
+  private val joinLateral = Q(
+    "q_join_lateral",
+    (s, d) => {
+      Tables.views(s, d, "customer", "orders")
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+               FROM customer c,
+               LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+               ORDER BY c.c_custkey, t.o_orderkey""")
+    },
+    Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c.c_custkey, t.o_orderkey"""))
+
+  /** listagg / string_agg — the ANSI ordered string-concatenation
+    * aggregate (Presto ships listagg; Spark since 4.0). WITHIN GROUP
+    * ordering makes the result deterministic; grouped over the tiny
+    * nation dim so the concatenated payload stays bounded — unbounded
+    * listagg at corpus scale is q_agg_collect's bounded-before-collect
+    * problem, documented there. */
+  private val aggListagg = Q(
+    "q_agg_listagg",
+    (s, d) => {
+      Tables.views(s, d, "nation")
+      s.sql("""SELECT CAST(n_regionkey AS BIGINT) AS region,
+                      listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM nation GROUP BY n_regionkey ORDER BY region""")
+    },
+    Some("""SELECT CAST(n_regionkey AS BIGINT) AS region,
+        string_agg(n_name, ',' ORDER BY n_name) AS names,
+        count(*) AS n
+      FROM nation GROUP BY n_regionkey ORDER BY region"""))
+
   // -- window functions --------------------------------------------------------
 
   private val windowTopkPerGroup = Q(
@@ -1068,6 +1113,75 @@ object Relational {
         CAST(l_quantity AS BIGINT) % 5 AS qmod
       FROM lineitem ORDER BY l_orderkey, l_linenumber, charge, absd"""))
 
+  /** Transcendental/comparison math wave: exp, ln, log2, sqrt, power,
+    * signum, greatest/least. Every continuous output rounds through the
+    * decimal convention (both engines' libm results agree well past 6dp;
+    * the rounding pins the hash against last-bit formatting drift). */
+  private val mathFns2 = Q(
+    "q_math_fns2",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          round(exp(col("l_discount")).cast("decimal(24,12)"), 6).cast("double").as("e_disc"),
+          round(log(col("l_extendedprice")).cast("decimal(24,12)"), 6).cast("double").as("ln_price"),
+          round(log2(col("l_quantity")).cast("decimal(24,12)"), 6).cast("double").as("log2_qty"),
+          round(sqrt(col("l_quantity")).cast("decimal(24,12)"), 6).cast("double").as("sqrt_qty"),
+          round(pow(lit(1) + col("l_tax"), 2).cast("decimal(24,12)"), 6).cast("double").as("taxf_sq"),
+          signum(col("l_discount") - 0.05).cast("long").as("sgn_disc"),
+          greatest(col("l_quantity"), lit(25.0)).as("qty_floor25"),
+          least(col("l_discount"), col("l_tax")).as("min_rate"))
+        .orderBy("l_orderkey", "l_linenumber", "e_disc", "ln_price"),
+    Some("""SELECT l_orderkey, l_linenumber,
+        CAST(round(CAST(exp(l_discount) AS DECIMAL(24,12)), 6) AS DOUBLE) AS e_disc,
+        CAST(round(CAST(ln(l_extendedprice) AS DECIMAL(24,12)), 6) AS DOUBLE) AS ln_price,
+        CAST(round(CAST(log2(l_quantity) AS DECIMAL(24,12)), 6) AS DOUBLE) AS log2_qty,
+        CAST(round(CAST(sqrt(l_quantity) AS DECIMAL(24,12)), 6) AS DOUBLE) AS sqrt_qty,
+        CAST(round(CAST(power(1 + l_tax, 2) AS DECIMAL(24,12)), 6) AS DOUBLE) AS taxf_sq,
+        CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn_disc,
+        greatest(l_quantity, 25.0) AS qty_floor25,
+        least(l_discount, l_tax) AS min_rate
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, e_disc, ln_price"""))
+
+  /** Cryptographic digest surface (Presto md5/sha256): content-addressed
+    * keys are how a lake dedups payloads and builds stable row ids; both
+    * engines emit lowercase hex. Narrow projection, codegen'd. */
+  private val stringHash = Q(
+    "q_string_hash",
+    (s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          md5(col("p_name").cast("binary")).as("name_md5"),
+          sha2(col("p_name").cast("binary"), 256).as("name_sha256"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+        md5(p_name) AS name_md5,
+        sha256(p_name) AS name_sha256
+      FROM part ORDER BY p_partkey"""))
+
+  /** width_bucket (ANSI/Presto equi-width binning) rolled into the
+    * histogram-count shape it exists for. The oracle replays Spark's
+    * bucket formula arithmetically (DuckDB has no width_bucket); the
+    * 50000.0 bucket width is exactly representable so the floor is
+    * FP-stable on both engines. */
+  private val aggWidthBucket = Q(
+    "q_agg_width_bucket",
+    (s, d) =>
+      t(s, d, "orders")
+        .select(width_bucket(col("o_totalprice"), lit(0d), lit(600000d), lit(12)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+    Some("""SELECT CASE WHEN o_totalprice < 0 THEN 0
+                        WHEN o_totalprice >= 600000 THEN 13
+                        ELSE CAST(floor(o_totalprice / (600000.0 / 12)) AS BIGINT) + 1
+                   END AS bucket,
+          count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY bucket"""))
+
   private val arrayFns = Q(
     "q_array_fns",
     (s, d) =>
@@ -1450,11 +1564,12 @@ object Relational {
     aggPivot, aggPercentile, aggApproxPercentile, aggStats, aggApproxDistinct, aggHllMerge,
     aggCollect, aggHistogram, aggMinMaxBy, aggRegr, aggBool,
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
-    joinTheta, joinBucketed, joinFuzzy, joinFuzzyVarlen,
+    joinTheta, joinBucketed, joinFuzzy, joinFuzzyVarlen, joinLateral, aggListagg,
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange, windowDist,
     sortTopk, sortNullsOffset,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
-    stringFns, stringFns2, dateFns, dateFns2, mathFns, arrayFns, arrayLambda,
+    stringFns, stringFns2, stringHash, dateFns, dateFns2, mathFns, mathFns2,
+    aggWidthBucket, arrayFns, arrayLambda,
     mapFns, mapLambda, arrayGen, arrayZip, explodeFn, explodePos, tryFns,
     urlFns, bitwiseFns,
     subqueryIn, subqueryScalar, subqueryExists)

@@ -1140,9 +1140,70 @@ object SimilarityQueries {
         ON x.query_id = am.query_id AND x.neighbor_id = am.neighbor_id
       GROUP BY x.query_id ORDER BY x.query_id"""))
 
+  /** Matryoshka (MRL) truncated-prefix retrieval — two-stage ANN for
+    * nested-representation embeddings (Kusupati et al. 2022): stage 1
+    * scores every corpus vector in the d'=16 PREFIX subspace (a 4x
+    * cheaper dot per pair — with MRL-trained vectors the prefix is itself
+    * a valid embedding) and over-fetches top-30 candidates per query;
+    * stage 2 reranks ONLY those candidates at full d=64 and keeps top-10.
+    * Scale shape: the corpus-sized pass touches 16 of 64 dims (broadcast
+    * tiny query side, no corpus shuffle beyond the per-query top-k), and
+    * the full-dimension joins are bounded by queries x 30 rows. The
+    * oracle replays the identical two stages, so any prefix-space recall
+    * loss is engine-consistent and the hash compares the whole pipeline. */
+  private val matryoshka = Q(
+    "q_sim_matryoshka",
+    (s, d) => {
+      val full = normalizedEmbeddings(s, d)
+      val trunc = embeddings(s, d)
+        .select(col("vec_id"), l2Normalize(slice(col("emb"), 1, 16)).as("temb"))
+      val q = broadcast(trunc.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("temb").as("qtemb")))
+      val wT = Window.partitionBy("query_id").orderBy(desc("cos_trunc"), asc("neighbor_id"))
+      val cand = trunc.join(q, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("temb"), col("qtemb")), 6).as("cos_trunc"))
+        .withColumn("crn", row_number().over(wT))
+        .filter(col("crn") <= 30)
+        .select("query_id", "neighbor_id")
+      // full-dimension rerank only on the bounded candidate set
+      val qFull = broadcast(full.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb")))
+      val wF = Window.partitionBy("query_id").orderBy(desc("cos_full"), asc("neighbor_id"))
+      cand
+        .join(full.select(col("vec_id").as("neighbor_id"), col("emb").as("nemb")), "neighbor_id")
+        .join(qFull, "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot(col("nemb"), col("qemb")), 6).as("cos_full"))
+        .withColumn("rn", row_number().over(wF).cast("long"))
+        .filter(col("rn") <= 10)
+        .orderBy("query_id", "rn")
+    },
+    Some(s"""WITH $sqlNormalized,
+      t0 AS (SELECT vec_id, de[1:16] AS dt FROM e0),
+      tr AS (SELECT vec_id,
+               list_transform(dt, x -> x / sqrt(list_reduce(list_transform(dt, y -> y*y), (a, b) -> a + b))) AS temb
+             FROM t0),
+      cand AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(n.temb, q.temb), 6) DESC, n.vec_id) AS crn
+          FROM tr q, tr n WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id) sub
+        WHERE crn <= 30)
+      SELECT query_id, neighbor_id, cos_full, rn FROM (
+        SELECT c.query_id, c.neighbor_id,
+               round(list_dot_product(ne.emb, qe.emb), 6) AS cos_full,
+               CAST(row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY round(list_dot_product(ne.emb, qe.emb), 6) DESC, c.neighbor_id) AS BIGINT) AS rn
+        FROM cand c
+        JOIN e ne ON ne.vec_id = c.neighbor_id
+        JOIN e qe ON qe.vec_id = c.query_id) sub
+      WHERE rn <= 10 ORDER BY query_id, rn"""))
+
   val all: Seq[Q] = Seq(
     cosineTopk, neardupPairs, neardupLsh, embedDedup, embedDedupLsh,
     clusterStats, lshAnn, ivfAnn, multimodalMeta, semanticDedup, lshMultiprobe,
     embedIncremental, rrfFusion, adaptive, recallEval, recallLsh, annFiltered,
-    annPostFiltered)
+    annPostFiltered, matryoshka)
 }

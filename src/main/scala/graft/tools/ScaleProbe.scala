@@ -78,7 +78,11 @@ object ScaleProbe {
     "q_array_lambda", "q_map_lambda", "q_window_dist", "q_agg_minmax_by",
     "q_agg_regr", "q_agg_bool", "q_events_json_roundtrip", "q_text_chunking",
     // r12 second wave: string/date/zip widening + the sequence packer
-    "q_string_fns2", "q_date_fns2", "q_array_zip", "q_text_packing")
+    "q_string_fns2", "q_date_fns2", "q_array_zip", "q_text_packing",
+    // r12 third wave: matryoshka two-stage ANN (embeddings) + decorrelated
+    // lateral top-k (customer/orders). q_agg_listagg is excluded: it
+    // aggregates the 25-row nation dim — constant-size, nothing to scale.
+    "q_sim_matryoshka", "q_join_lateral")
 
   private val ReplicaIdOffset = 10000000L
 

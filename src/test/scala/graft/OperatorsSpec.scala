@@ -758,4 +758,59 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.count() == n0 - SimilarityQueries.embedBandTable(
       raw.filter(col("vec_id") === 7L)).count(), "append replay duplicated band rows")
   }
+
+  test("packing store: incremental appends equal the one-shot pack bit-for-bit; replay is a no-op; crash aside restores") {
+    import graft.operators.{PackingStore, StoreCommit}
+    import org.apache.hadoop.fs.Path
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, lang: String, nWords: Int) =
+      (id, lang, Seq.fill(nWords)("w").mkString(" "))
+    // shard "en": 300+200+150 tokens crosses several 256-budgets; "de"
+    // exercises the base-offset path from a different cursor state
+    val b0 = Seq(doc(1, "en", 300), doc(2, "en", 200), doc(3, "de", 100))
+      .toDF("doc_id", "lang", "text")
+    val b1 = Seq(doc(4, "en", 150), doc(5, "de", 400))
+      .toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack").toString + "/packing"
+    PackingStore.build(spark, b0, dir)
+    PackingStore.append(spark, b1, dir, batchId = 1L)
+    val incr = PackingStore.read(spark, dir)
+      .orderBy("lang", "doc_id").collect().map(_.toString).toSeq
+    // one-shot pack over the union — the equality target
+    PackingStore.build(spark, b0.unionByName(b1), dir + "_ref")
+    val ref = PackingStore.read(spark, dir + "_ref")
+      .orderBy("lang", "doc_id").collect().map(_.toString).toSeq
+    assert(incr == ref,
+      s"incremental pack diverged from one-shot:\n$incr\nvs\n$ref")
+    // the cursor equals each shard's token total
+    val cur = PackingStore.cursors(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cur == Map("en" -> 650L, "de" -> 500L), cur.toString)
+    // replayed batch: a no-op BEFORE computation — content and cursor unchanged
+    PackingStore.append(spark, b1, dir, batchId = 1L)
+    assert(PackingStore.read(spark, dir).count() == 5L, "replay re-packed rows")
+    assert(PackingStore.cursors(spark, dir).collect()
+      .map(r => r.getLong(1)).sum == 1150L, "replay moved a cursor")
+    // crash inside the swap window: dir gone, aside present -> reader restores
+    val fs = StoreCommit.fsOf(spark, new Path(dir))
+    fs.rename(new Path(dir), new Path(new Path(dir).getParent, ".packing.previous"))
+    assert(PackingStore.read(spark, dir).count() == 5L,
+      "reader did not restore from the crash aside")
+  }
+
+  test("packing store one-shot build equals the declared q_text_packing row over the documents corpus") {
+    import graft.operators.PackingStore
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_doc").toString + "/packing"
+    PackingStore.build(spark,
+      spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang", "text"), dir)
+    val store = PackingStore.read(spark, dir)
+      .orderBy("lang", "doc_id").collect().map(_.toString).toSeq
+    val declared = SparkEntry.queries("q_text_packing")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(store.nonEmpty && store == declared,
+      "store arithmetic diverged from the oracle-checked declared row")
+  }
 }
