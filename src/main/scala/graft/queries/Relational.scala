@@ -1377,6 +1377,29 @@ object Relational {
       SELECT p_partkey, CAST(unnest(range(len(words))) AS BIGINT) AS pos, unnest(words) AS word
       FROM w ORDER BY p_partkey, pos"""))
 
+  /** Presto's multi-array UNNEST(a, b) — LOCKSTEP expansion (element i of
+    * every array shares a row, shorter arrays pad with NULL; here lengths
+    * match by construction). Spark has no multi-arg explode, so the
+    * idiomatic translation is arrays_zip → explode → project — the struct
+    * is a projection-internal detail, the declared output stays atomic.
+    * The oracle uses DuckDB's native lockstep unnest of two lists. */
+  private val explodeMulti = Q(
+    "q_explode_multi",
+    (s, d) =>
+      t(s, d, "part")
+        .withColumn("words", split(col("p_name"), " "))
+        .withColumn("lens", transform(col("words"), w => length(w).cast("long")))
+        .select(col("p_partkey"), explode(arrays_zip(col("words"), col("lens"))).as("z"))
+        .select(
+          col("p_partkey"), col("z.words").as("word"), col("z.lens").as("wlen"))
+        .orderBy("p_partkey", "word", "wlen"),
+    Some("""WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+      SELECT p_partkey, word, wlen FROM (
+        SELECT p_partkey, unnest(words) AS word,
+               unnest(list_transform(words, x -> CAST(length(x) AS BIGINT))) AS wlen
+        FROM w) sub
+      ORDER BY p_partkey, word, wlen"""))
+
   // -- subqueries (via spark.sql so Catalyst does the decorrelation) -----------
 
   private val subqueryIn = Q(
@@ -1570,7 +1593,7 @@ object Relational {
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
     stringFns, stringFns2, stringHash, dateFns, dateFns2, mathFns, mathFns2,
     aggWidthBucket, arrayFns, arrayLambda,
-    mapFns, mapLambda, arrayGen, arrayZip, explodeFn, explodePos, tryFns,
+    mapFns, mapLambda, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti, tryFns,
     urlFns, bitwiseFns,
     subqueryIn, subqueryScalar, subqueryExists)
 }
