@@ -323,23 +323,42 @@ object TextQueries {
     * tokens, and each document learns which pack its first token lands in,
     * at what offset, and how many packs it spans. The naive formulation
     * (greedy first-fit bin packing) is inherently sequential — the 100 TB
-    * anti-pattern; THIS formulation is one windowed prefix-sum per shard
-    * (a single shuffle on lang) followed by pure arithmetic, which is how
-    * GPT-style training pipelines actually pack (split documents across
-    * sequence boundaries rather than solve bin packing). At corpus scale
-    * the shard key becomes (lang, hash-bucket) so no window partition
-    * outgrows an executor; determinism is unchanged because the prefix
-    * sum orders by doc_id either way. */
+    * anti-pattern; THIS formulation is a distributed prefix-sum followed
+    * by pure arithmetic, which is how GPT-style training pipelines
+    * actually pack (split documents across sequence boundaries rather
+    * than solve bin packing). The prefix-sum is TWO-LEVEL (inline note
+    * below) so no window partition ever exceeds a fixed doc bucket — the
+    * plan that still works when one language is 40 TB of the corpus. */
   private val textPacking = Q(
     "q_text_packing",
     (s, d) => {
       val B = 256L
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "documents")
+      // TWO-LEVEL prefix scan: a single `partitionBy(lang)` window would
+      // put an entire language's corpus in ONE window partition — a
+      // handful of giant partitions at 100 TB, the classic window-skew
+      // killer. Instead: (1) a bounded window inside each contiguous
+      // doc_id bucket of G docs, (2) a per-(lang,bucket) sum table —
+      // corpus_size/G rows, trivially small — whose own prefix sum gives
+      // each bucket's base offset, (3) base + local = the IDENTICAL
+      // global cumulative sum (pinned bit-for-bit against the store's
+      // single-window arithmetic in OperatorsSpec). No window partition
+      // ever exceeds G docs, and the base join broadcasts.
+      val G = 4096L
+      val tok = t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("bkt", expr(s"doc_id div $G"))
+      val wLoc = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBase = Window.partitionBy("lang").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bases = tok.groupBy("lang", "bkt").agg(sum("n_tokens").as("bkt_sum"))
+        .select(col("lang"), col("bkt"),
+          coalesce(sum("bkt_sum").over(wBase), lit(0L)).as("base"))
+      tok
+        .withColumn("cum_loc", sum("n_tokens").over(wLoc))
+        .join(broadcast(bases), Seq("lang", "bkt"))
+        .withColumn("cum", col("cum_loc") + col("base"))
         .select(
           col("doc_id"), col("lang"), col("n_tokens"),
           expr(s"(cum - n_tokens) div $B").as("pack_id"),
