@@ -88,13 +88,23 @@ object PackingStore {
         tokens(docs),
         spark.range(0).select(lit("").as("lang"), lit(0L).as("base")), budget))
 
-  /** Fold one append-only micro-batch; replayed batchIds are a no-op. */
+  /** Fold one append-only micro-batch; replayed batchIds are a no-op.
+    * A first append on a not-yet-built store initializes it (the
+    * streaming path starts from nothing — batch 0 IS the build). */
   def append(
       spark: SparkSession, docs: DataFrame, storeDir: String, batchId: Long,
       budget: Long = DefaultBudget): Unit = {
     val dir = new Path(storeDir)
     val fs = StoreCommit.fsOf(spark, dir)
     if (StoreCommit.committedBatch(fs, dir) >= batchId) return // replay: done
+    val emptyBase = spark.range(0).select(lit("").as("lang"), lit(0L).as("base"))
+    val hasStore = fs.exists(
+      new Path(StoreCommit.readableRoot(fs, dir), "assignments"))
+    if (!hasStore) {
+      publish(spark, storeDir, batchId,
+        assignments = packWithBase(tokens(docs), emptyBase, budget))
+      return
+    }
     val existing = read(spark, storeDir)
     val base = cursors(spark, storeDir).select(col("lang"), col("cum").as("base"))
     // safety net inside one batch: an id already assigned never re-packs

@@ -413,6 +413,30 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming sequence packing — the live twin of `q_text_packing`: each
+    * micro-batch of documents extends the persisted pack layout through
+    * [[graft.operators.PackingStore.append]] (per-shard token cursors,
+    * batch-id replay no-op, atomic swap; batch 0 initializes the store).
+    * For doc_id-monotonic feeds — the append-only log order a landing
+    * directory of crawl output naturally has — the stored assignments
+    * equal the one-shot pack of everything seen, pinned in StreamingSpec;
+    * out-of-order arrivals still pack deterministically by arrival. */
+  def startPackingStream(
+      docs: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      budget: Long = graft.operators.PackingStore.DefaultBudget,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.PackingStore.append(
+          batch.sparkSession, batch.toDF(), storeDir, batchId, budget)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming data-quality gate — the live twin of
     * `q_profile_constraints`'s additive rules: each micro-batch's one-row
     * violation aggregate folds into the persisted constraint ledger

@@ -1446,6 +1446,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replay mutated the sketch")
   }
 
+  test("streaming packing: micro-batched appends equal the one-shot pack of everything seen (doc-monotonic feed)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.PackingStore
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val landing = s"$base/pack_landing"
+    Files.createDirectories(Paths.get(landing))
+    // doc_id-RANGE chunks, written in id order — the append-only log
+    // order the packer's one-shot-equality contract requires (the file
+    // source processes oldest-first, and each sequential write lands a
+    // later mod time)
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    Seq(
+      docs.filter(col("doc_id") <= cut1),
+      docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+      docs.filter(col("doc_id") > cut2)
+    ).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.coalesce(1).write.json(s"$landing/chunk$i")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(s"$landing/chunk*")
+
+    val storeDir = s"$base/pack_store"
+    val q = StreamingIngest.startPackingStream(
+      stream, storeDir, s"$base/pack_ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("lang", "doc_id").collect().map(_.toString).toSeq
+    PackingStore.build(spark, docs, s"$base/pack_ref")
+    val stored = rows(PackingStore.read(spark, storeDir))
+    val oneShot = rows(PackingStore.read(spark, s"$base/pack_ref"))
+    assert(stored.nonEmpty && stored == oneShot,
+      s"streamed pack diverged from one-shot (first diff: ${
+        stored.zip(oneShot).find { case (a, b) => a != b }})")
+
+    // crash replay of an already-committed batch folds nothing
+    PackingStore.append(spark, docs, storeDir, batchId = 0L)
+    assert(rows(PackingStore.read(spark, storeDir)) == stored,
+      "replay mutated the pack layout")
+  }
+
   test("KMV fold is split-invariant: any partition sequence of the key stream equals the one-shot bottom-k") {
     import org.apache.spark.sql.functions._
     import graft.operators.Sketches
