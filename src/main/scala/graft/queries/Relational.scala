@@ -252,6 +252,44 @@ object Relational {
         CAST(round(CAST(regr_avgx(l_extendedprice, l_quantity) AS DECIMAL(24,6)), 4) AS DOUBLE) AS avg_x
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Higher-moment aggregates (Presto skewness/kurtosis). The engines'
+    * BUILT-INS disagree by definition — Spark computes population moments
+    * (skew = m3/m2^1.5, kurtosis = m4/m2^2 − 3), DuckDB bias-corrected
+    * sample moments — so the oracle replays Spark's definition from raw
+    * power sums (avg(x), avg(x²), avg(x³), avg(x⁴)): a first-principles
+    * check of the moment algebra rather than a vendor-vs-vendor
+    * coincidence. One mergeable moment tuple per group; sum-shaped. */
+  private val aggMoments = Q(
+    "q_agg_moments",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(skewness(col("l_quantity")).cast("decimal(24,12)"), 6)
+            .cast("double").as("skew_qty"),
+          round(kurtosis(col("l_quantity")).cast("decimal(24,12)"), 6)
+            .cast("double").as("kurt_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""WITH m AS (
+        SELECT l_returnflag,
+               avg(l_quantity) AS m1, avg(l_quantity*l_quantity) AS p2,
+               avg(l_quantity*l_quantity*l_quantity) AS p3,
+               avg(l_quantity*l_quantity*l_quantity*l_quantity) AS p4,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag),
+      c AS (
+        SELECT l_returnflag, n,
+               p2 - m1*m1 AS m2,
+               p3 - 3*m1*p2 + 2*m1*m1*m1 AS m3,
+               p4 - 4*m1*p3 + 6*m1*m1*p2 - 3*m1*m1*m1*m1 AS m4
+        FROM m)
+      SELECT l_returnflag,
+        CAST(round(CAST(m3 / power(m2, 1.5) AS DECIMAL(24,12)), 6) AS DOUBLE) AS skew_qty,
+        CAST(round(CAST(m4 / (m2*m2) - 3 AS DECIMAL(24,12)), 6) AS DOUBLE) AS kurt_qty,
+        n
+      FROM c ORDER BY l_returnflag"""))
+
   /** Boolean aggregates (bool_and/bool_or — ANSI EVERY/ANY; Presto ships
     * both) plus the filtered-count idiom. Three one-bit mergeable states —
     * map-side combine reduces each partition to a single row per group. */
@@ -1006,6 +1044,30 @@ object Relational {
         CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END AS is_small
       FROM part ORDER BY p_partkey"""))
 
+  /** Conditional-expression surface declared explicitly (if/nullif/
+    * coalesce appear INSIDE many rows, but a Presto migrant types them
+    * directly) plus printf-style formatting. All codegen'd projections. */
+  private val condFns = Q(
+    "q_cond_fns",
+    (s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 200000, "big").otherwise("small").as("size_tag"),
+          nullif(col("o_orderpriority"), lit("1-URGENT")).as("prio_or_null"),
+          coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("URGENT!"))
+            .as("prio_norm"),
+          format_string("%07d", col("o_orderkey")).as("key_padded"),
+          (col("o_orderstatus") === "O").cast("boolean").as("is_open"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_tag,
+        nullif(o_orderpriority, '1-URGENT') AS prio_or_null,
+        coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio_norm,
+        printf('%07d', o_orderkey) AS key_padded,
+        o_orderstatus = 'O' AS is_open
+      FROM orders ORDER BY o_orderkey"""))
+
   /** Second string-function wave — the Presto helpers the first row left
     * out: split_part, strpos, lpad/rpad, reverse, translate, repeat, and
     * levenshtein (the scalar edit-distance fn; the JOIN on it is
@@ -1585,13 +1647,13 @@ object Relational {
     dateIntervals,
     aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggGroupingSets,
     aggPivot, aggPercentile, aggApproxPercentile, aggStats, aggApproxDistinct, aggHllMerge,
-    aggCollect, aggHistogram, aggMinMaxBy, aggRegr, aggBool,
+    aggCollect, aggHistogram, aggMinMaxBy, aggRegr, aggBool, aggMoments,
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
     joinTheta, joinBucketed, joinFuzzy, joinFuzzyVarlen, joinLateral, aggListagg,
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange, windowDist,
     sortTopk, sortNullsOffset,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
-    stringFns, stringFns2, stringHash, dateFns, dateFns2, mathFns, mathFns2,
+    condFns, stringFns, stringFns2, stringHash, dateFns, dateFns2, mathFns, mathFns2,
     aggWidthBucket, arrayFns, arrayLambda,
     mapFns, mapLambda, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti, tryFns,
     urlFns, bitwiseFns,

@@ -82,7 +82,8 @@ object ScaleProbe {
     // r12 third wave: matryoshka two-stage ANN (embeddings) + decorrelated
     // lateral top-k (customer/orders). q_agg_listagg is excluded: it
     // aggregates the 25-row nation dim — constant-size, nothing to scale.
-    "q_sim_matryoshka", "q_join_lateral", "q_explode_multi")
+    "q_sim_matryoshka", "q_join_lateral", "q_explode_multi", "q_agg_moments",
+    "q_cond_fns")
 
   private val ReplicaIdOffset = 10000000L
 
