@@ -16,7 +16,7 @@ object SparkEntry {
       DedupQueries.all ++ SimilarityQueries.all ++ PipelineQueries.all ++
       SinkQueries.all ++ MultimodalQueries.all ++ TemporalQueries.all ++
       TrainingDataQueries.all ++ QuantQueries.all ++ SketchQueries.all ++
-      ProfileQueries.all ++ GraphQueries.all
+      ProfileQueries.all ++ GraphQueries.all ++ ChangeDataQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

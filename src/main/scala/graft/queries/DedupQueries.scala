@@ -789,7 +789,64 @@ object DedupQueries {
       WHERE shared * 2 >= a_size
       ORDER BY a_id, b_id"""))
 
+  /** URL-canonicalization dedup — the CommonCrawl-style pre-text dedup
+    * pass every pretraining pipeline runs first (WET record URLs arrive
+    * with mixed-case hosts, tracking params, fragments, and trailing-slash
+    * variants that all name one page). Synthetic messy URLs are built from
+    * doc_id arithmetic (both engines derive the identical corpus), then
+    * canonicalized with a portable regexp chain: strip #fragment, strip
+    * utm_* tracking params, case-fold scheme+host only (paths stay
+    * case-sensitive per RFC 3986), trim the trailing slash. groupBy
+    * canonical → duplicate count + min-doc_id keeper: one hash shuffle on
+    * the canonical key, output bounded by the canonical-space size, never
+    * by corpus rows — the shape that holds at 100 TB. */
+  private val dedupUrl = Q(
+    "q_dedup_url",
+    (s, d) => {
+      val url = concat(
+        lit("HTTP://WWW.Host"), col("doc_id") % 50, lit(".COM/path/"), col("doc_id") % 20,
+        when(col("doc_id") % 3 === 0,
+          concat(lit("/?id="), col("doc_id") % 5, lit("&utm_source=feed")))
+          .otherwise(lit("/")),
+        when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit("")))
+      val noFrag = regexp_replace(url, "#.*$", "")
+      val noUtm = regexp_replace(noFrag, "[?&]utm_[a-z_]+=[^&#]*", "")
+      val lowered = concat(
+        lower(regexp_extract(noUtm, "^([^/]+//[^/]+)", 1)),
+        regexp_extract(noUtm, "^[^/]+//[^/]+(.*)$", 1))
+      val canon = regexp_replace(lowered, "/$", "")
+      t(s, d, "documents")
+        .select(col("doc_id"), canon.as("canonical"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
+        .orderBy("canonical")
+    },
+    Some("""WITH u AS (
+        SELECT doc_id,
+               concat('HTTP://WWW.Host', doc_id % 50, '.COM/path/', doc_id % 20,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN concat('/?id=', doc_id % 5, '&utm_source=feed')
+                      ELSE '/' END,
+                 CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               regexp_replace(
+                 concat(
+                   lower(regexp_extract(
+                     regexp_replace(regexp_replace(url, '#.*$', ''),
+                                    '[?&]utm_[a-z_]+=[^&#]*', ''),
+                     '^([^/]+//[^/]+)', 1)),
+                   regexp_extract(
+                     regexp_replace(regexp_replace(url, '#.*$', ''),
+                                    '[?&]utm_[a-z_]+=[^&#]*', ''),
+                     '^[^/]+//[^/]+(.*)$', 1)),
+                 '/$', '') AS canonical
+        FROM u)
+      SELECT canonical, count(*) AS n_dups, min(doc_id) AS keeper
+      FROM c GROUP BY canonical ORDER BY canonical"""))
+
   val all: Seq[Q] =
     Seq(minhashLsh, minhashAudit, simhash, ngramJaccard, incremental, spanDedup,
-      substringDedup, substringIncremental, substringApply, containment)
+      substringDedup, substringIncremental, substringApply, containment, dedupUrl)
 }

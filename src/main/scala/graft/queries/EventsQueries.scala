@@ -335,6 +335,76 @@ object EventsQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_v
       FROM j ORDER BY event_type, hour_start"""))
 
+  /** Linear gap interpolation over the dense hourly series — the missing
+    * half of `q_events_resample`'s forward fill: each absent bucket takes
+    * the straight line between its nearest observed neighbors
+    * (pv + (nv−pv)·(t−tp)/(tn−tp)), with edge gaps clamped to the one
+    * neighbor that exists. Neighbor lookup is IGNORE NULLS first/last over
+    * the two one-sided frames — per-type ordered windows on the BOUNDED
+    * spine (types × hours), never the corpus, so at 100 TB the only
+    * corpus-sized stage stays the hourly pre-aggregate. Inputs are the
+    * per-bucket rounded sums both engines already carry bit-identically
+    * (see `q_events_resample`), and the interpolation expression has one
+    * fixed evaluation order, so the doubles match without tolerance. */
+  private val interpolate = Q(
+    "q_events_interpolate",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wb = Window.partitionBy("event_type").orderBy("hi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("event_type").orderBy("hi")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsHi = when(col("sum_v").isNotNull, col("hi"))
+      val ctx = hourlySpine(s, d)
+        .withColumn("hi", expr("unix_timestamp(hr) div 3600"))
+        .withColumn("pv", last(col("sum_v"), ignoreNulls = true).over(wb))
+        .withColumn("ph", last(obsHi, ignoreNulls = true).over(wb))
+        .withColumn("nv", first(col("sum_v"), ignoreNulls = true).over(wf))
+        .withColumn("nh", first(obsHi, ignoreNulls = true).over(wf))
+      ctx
+        .select(
+          col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH:00").as("hour_start"),
+          when(col("sum_v").isNotNull, col("sum_v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * (col("hi") - col("ph")) / (col("nh") - col("ph")))
+            .cast("decimal(24,6)").cast("double").as("value"),
+          when(col("sum_v").isNotNull, lit("observed"))
+            .otherwise(lit("interpolated")).as("kind"))
+        .orderBy("event_type", "hour_start")
+    },
+    Some("""WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               round(sum(value), 2) AS sum_v
+        FROM events GROUP BY 1, 2),
+      bounds AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM h GROUP BY 1),
+      spine AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+                FROM bounds),
+      j AS (SELECT s.event_type, s.hr, epoch_us(s.hr) // 3600000000 AS hi, sum_v
+            FROM spine s LEFT JOIN h USING (event_type, hr)),
+      ctx AS (
+        SELECT event_type, hr, hi, sum_v,
+          last_value(sum_v IGNORE NULLS) OVER wb AS pv,
+          last_value(CASE WHEN sum_v IS NOT NULL THEN hi END IGNORE NULLS) OVER wb AS ph,
+          first_value(sum_v IGNORE NULLS) OVER wf AS nv,
+          first_value(CASE WHEN sum_v IS NOT NULL THEN hi END IGNORE NULLS) OVER wf AS nh
+        FROM j
+        WINDOW wb AS (PARTITION BY event_type ORDER BY hi
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY event_type ORDER BY hi
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour_start,
+        CAST(CAST(CASE
+          WHEN sum_v IS NOT NULL THEN sum_v
+          WHEN pv IS NULL THEN nv
+          WHEN nv IS NULL THEN pv
+          ELSE pv + (nv - pv) * (hi - ph) / (nh - ph) END
+          AS DECIMAL(24,6)) AS DOUBLE) AS value,
+        CASE WHEN sum_v IS NOT NULL THEN 'observed' ELSE 'interpolated' END AS kind
+      FROM ctx ORDER BY event_type, hour_start"""))
+
   /** Rolling z-score anomaly detection over the dense hourly series, integer-
     * exact end to end: with S = Σ and Q = Σ² over the 24 fully-populated
     * preceding hours, z² > 9 (|z| > 3 vs the trailing population variance)
@@ -591,6 +661,51 @@ object EventsQueries {
     * high-cardinality user key shared by the lag window and the aggregate
     * (no re-exchange between them), then TakeOrderedAndProject for the
     * bounded top-20 — never a global sort. */
+  /** Spark's NATIVE session-window operator in batch (`session_window` —
+    * the same merging-interval machinery Structured Streaming uses for
+    * live sessionization) against the classic gaps-and-islands SQL
+    * formulation in the oracle: two entirely different algorithms, one
+    * contract. The 8-hour gap sits at the corpus's median inter-event
+    * spacing, so the row exercises both merges and splits. Window
+    * boundary semantics are half-open — an event exactly gap-after its
+    * predecessor starts a NEW session — mirrored as `>= INTERVAL` in the
+    * islands break mark. Session span subtracts FLOOR-truncated epoch
+    * seconds (unix_timestamp both sides; DuckDB's date_diff counts the
+    * same second-boundary crossings), so sub-second phases cannot skew
+    * the difference differently per engine. Scale: one hash shuffle on
+    * user_id; each user's sessions merge independently — the same
+    * bounded-skew contract as every per-user window here, and unlike the
+    * custom `q_sessionize` state fold it needs no mapGroups at all. */
+  private val windowSession = Q(
+    "q_window_session",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("sw"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("span_sec"))
+        .select(
+          col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("span_sec"))
+        .orderBy("user_id", "session_start"),
+    Some("""WITH m AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR
+                    THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      g AS (
+        SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM m)
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             count(*) AS n_events,
+             CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_sec
+      FROM g GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
   private val regularity = Q(
     "q_events_regularity",
     (s, d) => {
@@ -631,6 +746,6 @@ object EventsQueries {
       FROM a ORDER BY var_s2, user_id LIMIT 20"""))
 
   val all: Seq[Q] = Seq(jsonExtract, jsonRoundtrip, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple,
-    sessionize, saltedAgg, variantExtract, funnel, retention, resample, anomaly, markov, sliding,
-    kanon, ldiversity, sequences, changepoint, regularity)
+    sessionize, saltedAgg, variantExtract, funnel, retention, resample, interpolate, anomaly, markov, sliding,
+    kanon, ldiversity, sequences, changepoint, regularity, windowSession)
 }

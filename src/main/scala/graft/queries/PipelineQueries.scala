@@ -155,5 +155,64 @@ object PipelineQueries {
         strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S+00:00') AS utc_iso
       FROM orders ORDER BY o_orderkey"""))
 
-  val all: Seq[Q] = Seq(pipelineEvents, readme1, readme2, udfIsIp, udfToUtc, udfToUtcFuzzy)
+  /** IPv4/CIDR arithmetic over synthetic dotted quads built from lineitem
+    * keys (same ground-truth trick as `q_udf_is_ip`): the Spark side
+    * PARSES the string back (split → cast → shift-pack, the `aton` a
+    * security analyst actually runs), classifies each address against the
+    * RFC1918 blocks with the real CIDR shift-compare
+    * (addr >> (32-prefix) == net >> (32-prefix); 2753 = 172.16.0.0 >> 20,
+    * 49320 = 192*256+168), and aggregates per class. The DuckDB oracle
+    * never parses — it replays the classification from the generating
+    * octet arithmetic first-principles, so a parse bug cannot cancel out.
+    * Sum-shaped: map-side combine reduces each partition to ≤8 class rows
+    * before the shuffle. */
+  private val netCidr = Q(
+    "q_net_cidr",
+    (s, d) => {
+      Tables.views(s, d, "lineitem")
+      s.sql("""
+        WITH ips AS (
+          SELECT concat_ws('.', l_orderkey % 223 + 1, l_partkey % 256,
+                           l_suppkey % 256, (l_linenumber * 37) % 256) AS ip
+          FROM lineitem),
+        parsed AS (
+          SELECT CAST(split(ip, '\\.')[0] AS BIGINT) * 16777216
+               + CAST(split(ip, '\\.')[1] AS BIGINT) * 65536
+               + CAST(split(ip, '\\.')[2] AS BIGINT) * 256
+               + CAST(split(ip, '\\.')[3] AS BIGINT) AS aton
+          FROM ips),
+        classed AS (
+          SELECT shiftright(aton, 24) = 10 AS in_10_8,
+                 shiftright(aton, 20) = 2753 AS in_172_12,
+                 shiftright(aton, 16) = 49320 AS in_192168_16,
+                 count(*) AS n,
+                 min(aton) AS min_aton,
+                 max(aton) AS max_aton
+          FROM parsed GROUP BY 1, 2, 3)
+        SELECT in_10_8, in_172_12, in_192168_16,
+               in_10_8 OR in_172_12 OR in_192168_16 AS is_private,
+               n, min_aton, max_aton
+        FROM classed ORDER BY 1, 2, 3""")
+    },
+    Some("""WITH o AS (
+        SELECT CAST(l_orderkey % 223 + 1 AS BIGINT) AS o1,
+               CAST(l_partkey % 256 AS BIGINT) AS o2,
+               CAST(l_suppkey % 256 AS BIGINT) AS o3,
+               CAST((l_linenumber * 37) % 256 AS BIGINT) AS o4
+        FROM lineitem),
+      classed AS (
+        SELECT o1 = 10 AS in_10_8,
+               (o1 = 172 AND o2 BETWEEN 16 AND 31) AS in_172_12,
+               (o1 = 192 AND o2 = 168) AS in_192168_16,
+               count(*) AS n,
+               min(o1*16777216 + o2*65536 + o3*256 + o4) AS min_aton,
+               max(o1*16777216 + o2*65536 + o3*256 + o4) AS max_aton
+        FROM o GROUP BY 1, 2, 3)
+      SELECT in_10_8, in_172_12, in_192168_16,
+             in_10_8 OR in_172_12 OR in_192168_16 AS is_private,
+             n, min_aton, max_aton
+      FROM classed ORDER BY 1, 2, 3"""))
+
+  val all: Seq[Q] = Seq(pipelineEvents, readme1, readme2, udfIsIp, udfToUtc, udfToUtcFuzzy,
+    netCidr)
 }

@@ -170,6 +170,33 @@ object Relational {
         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** UNPIVOT — pivot's inverse (ANSI/DuckDB UNPIVOT; Presto clients write
+    * it as a CROSS JOIN UNNEST over (name, value) pairs; Spark has the
+    * first-class `unpivot`). Wide-to-long is a NARROW per-row expansion —
+    * Spark plans it as an Expand node (k output rows per input row, no
+    * shuffle, no join), so it costs one scan at any scale. Measures are
+    * cast to one decimal type first because unpivot requires a common
+    * value type — the same coercion UNPIVOT does implicitly in DuckDB. */
+  private val unpivotFn = Q(
+    "q_unpivot",
+    (s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          col("p_size").cast("decimal(18,2)").as("size"),
+          col("p_retailprice").cast("decimal(18,2)").as("retailprice"))
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")),
+          "measure", "value")
+        .select(col("p_partkey"), col("measure"), col("value").cast("double").as("value"))
+        .orderBy("p_partkey", "measure"),
+    Some("""WITH p AS (SELECT p_partkey, CAST(p_size AS DECIMAL(18,2)) AS size,
+                 CAST(p_retailprice AS DECIMAL(18,2)) AS retailprice FROM part)
+      SELECT p_partkey, measure, CAST(value AS DOUBLE) AS value
+      FROM (UNPIVOT p ON size, retailprice INTO NAME measure VALUE value)
+      ORDER BY p_partkey, measure"""))
+
   /** Statistical aggregates: stddev / variance / correlation / covariance.
     * All are single-pass mergeable moments (partial agg below the shuffle,
     * like sum/count), so they cost the same one low-cardinality shuffle as
@@ -289,6 +316,90 @@ object Relational {
         CAST(round(CAST(m4 / (m2*m2) - 3 AS DECIMAL(24,12)), 6) AS DOUBLE) AS kurt_qty,
         n
       FROM c ORDER BY l_returnflag"""))
+
+  /** Bitwise aggregates (Presto/Trino bitwise_and_agg / bitwise_or_agg,
+    * plus the XOR fold — Spark and DuckDB both spell them bit_and/bit_or/
+    * bit_xor). XOR-folding a key column is the classic order-independent
+    * reconciliation checksum for 100 TB table compares: one 64-bit
+    * mergeable state per group, map-side combine reduces each partition
+    * to a single row per group before the shuffle. */
+  private val aggBitwise = Q(
+    "q_agg_bitwise",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          bit_and(col("l_partkey")).as("and_pk"),
+          bit_or(col("l_partkey")).as("or_pk"),
+          bit_xor(col("l_partkey") * 2654435761L + col("l_orderkey")).as("xor_checksum"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+        bit_and(l_partkey) AS and_pk,
+        bit_or(l_partkey) AS or_pk,
+        bit_xor(CAST(l_partkey AS BIGINT) * 2654435761 + l_orderkey) AS xor_checksum,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Median absolute deviation — the robust dispersion statistic behind
+    * outlier gates that stddev-based z-scores get wrong under heavy tails
+    * (one corrupt feed value inflates σ and hides every other anomaly;
+    * the MAD barely moves). Both medians are the LOWER median picked by
+    * rank — element (n+1) div 2 under a total order with event_id
+    * tie-break — so the statistic is an actual corpus element, never an
+    * interpolated double, and the row is bit-exact across engines (the
+    * cross-engine interpolation burn from round(double) never arises).
+    * Shape: two (event_type)-keyed window ranks + one broadcast-sized
+    * join back (|types| rows) — the corpus shuffles twice on the group
+    * key and nothing else; the final outlier count reuses the second
+    * pass's deviations. */
+  private val aggMad = Q(
+    "q_agg_mad",
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"), col("event_id"), col("value"))
+      val byType = Window.partitionBy("event_type")
+      val ranked = ev
+        .withColumn("rn", row_number().over(byType.orderBy("value", "event_id")))
+        .withColumn("cnt", count(lit(1)).over(byType))
+      val med = ranked.filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("value").as("med"))
+      val devs = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val rankedDev = devs
+        .withColumn("rn", row_number().over(byType.orderBy("dev", "event_id")))
+        .withColumn("cnt", count(lit(1)).over(byType))
+      val mad = rankedDev.filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("dev").as("mad"))
+      devs.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          first("med").as("med"),
+          first("mad").as("mad"),
+          count(lit(1)).as("n"),
+          count(when(col("dev") > col("mad") * 3, 1)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, event_id, value FROM events),
+      ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM ev),
+      med AS (SELECT event_type, value AS med FROM ranked WHERE rn = (cnt + 1) // 2),
+      devs AS MATERIALIZED (
+        SELECT ev.event_type, ev.event_id, med, abs(value - med) AS dev
+        FROM ev JOIN med USING (event_type)),
+      rdev AS (
+        SELECT event_type, dev,
+               row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM devs),
+      mad AS (SELECT event_type, dev AS mad FROM rdev WHERE rn = (cnt + 1) // 2)
+      SELECT event_type, min(med) AS med, min(mad) AS mad,
+             count(*) AS n,
+             CAST(count(*) FILTER (WHERE dev > mad * 3) AS BIGINT) AS n_outliers
+      FROM devs JOIN mad USING (event_type)
+      GROUP BY event_type ORDER BY event_type"""))
 
   /** Boolean aggregates (bool_and/bool_or — ANSI EVERY/ANY; Presto ships
     * both) plus the filtered-count idiom. Three one-bit mergeable states —
@@ -518,6 +629,96 @@ object Relational {
       JOIN nation ON n_regionkey < r_regionkey
       ORDER BY r_regionkey, n_nationkey"""))
 
+  /** Null-safe equi-join (ANSI IS NOT DISTINCT FROM; Spark's `<=>`):
+    * NULL keys PAIR instead of dropping — the semantics migrants hit when
+    * joining on nullable enrichment columns. Keys are made nullable with
+    * nullif (nation 3 → NULL on both sides), so the row proves both
+    * halves: NULL==NULL matches (the nation-3 group survives under the
+    * 'NULL' label) and ordinary keys join as usual. Executes as a plain
+    * hash join — Spark plans `<=>` as an equi-join key, NOT a nested
+    * loop, which is why it scales like q_join_inner. Aggregated per key
+    * class to keep the declared output bounded. */
+  private val joinNullsafe = Q(
+    "q_join_nullsafe",
+    (s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"), nullif(col("c_nationkey"), lit(3)).as("ck"))
+        .join(
+          t(s, d, "supplier")
+            .select(col("s_suppkey"), nullif(col("s_nationkey"), lit(3)).as("sk")),
+          col("ck") <=> col("sk"))
+        .groupBy(coalesce(col("ck").cast("string"), lit("NULL")).as("key_class"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min("c_custkey").as("min_cust"),
+          max("s_suppkey").as("max_supp"))
+        .orderBy("key_class"),
+    Some("""SELECT coalesce(CAST(ck AS VARCHAR), 'NULL') AS key_class,
+        count(*) AS n_pairs,
+        min(c_custkey) AS min_cust,
+        max(s_suppkey) AS max_supp
+      FROM (SELECT c_custkey, nullif(c_nationkey, 3) AS ck FROM customer) c
+      JOIN (SELECT s_suppkey, nullif(s_nationkey, 3) AS sk FROM supplier) s
+        ON ck IS NOT DISTINCT FROM sk
+      GROUP BY 1 ORDER BY key_class"""))
+
+  /** Multiway star join — the TPC-H Q5 shape (local-supplier revenue by
+    * nation): two FACT tables meet on their natural key (lineitem⋈orders,
+    * the one unavoidable big shuffle), then the dimension spine
+    * (supplier, customer, nation⋈region) hangs off it. nation⋈region is
+    * pre-reduced and EXPLICITLY broadcast; supplier/customer are left to
+    * Catalyst/AQE — broadcast at sandbox scale, shuffle-hash at 100 TB
+    * where they are fact-sized, with the c_nationkey = s_nationkey
+    * residual riding the custkey equi-join rather than forcing a second
+    * shuffle. The o_orderdate range filter sits under the first join so
+    * partition-level stats can prune before any exchange. Revenue is an
+    * exact decimal product summed in decimal(38,4) (the int64-overflow /
+    * float-associativity double burn), cast to double only at the
+    * output. */
+  private val joinStar = Q(
+    "q_join_star",
+    (s, d) => {
+      val nationAsia = t(s, d, "nation")
+        .join(
+          t(s, d, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val orders = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val items = t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .as("rev"))
+      items
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nationAsia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum("rev").cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
   /** Correlated LATERAL subquery — Presto/ANSI's per-row derived table
     * (top-2 orders per customer here). Catalyst DECORRELATES the
     * limit+sort lateral into a window-rank over one equi-join, so the
@@ -675,6 +876,46 @@ object Relational {
                wu AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey),
                wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) sub
+      ORDER BY o_orderpriority, o_orderkey"""))
+
+  /** Bounded ROWS frames — the sliding-window shapes the other window
+    * rows leave out: a trailing 3-row moving average, a centered
+    * 1-before/1-after sum, and first/last_value over the full partition
+    * (last_value needs the explicit UNBOUNDED FOLLOWING upper bound — the
+    * default frame ends at CURRENT ROW and silently returns the current
+    * row instead, in BOTH engines). ORDER BY o_orderkey is unique within
+    * each partition, so the row frames are deterministic. One exchange on
+    * o_orderpriority serves all four. */
+  private val windowFrames = Q(
+    "q_window_frames",
+    (s, d) => {
+      val base = Window.partitionBy("o_orderpriority").orderBy(col("o_orderkey"))
+      val trail = base.rowsBetween(-2, Window.currentRow)
+      val center = base.rowsBetween(-1, 1)
+      val full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(
+          col("o_orderpriority"), col("o_orderkey"),
+          round(avg("o_totalprice").over(trail).cast("decimal(24,6)"), 2)
+            .cast("double").as("trail_avg3"),
+          round(sum("o_totalprice").over(center).cast("decimal(24,6)"), 2)
+            .cast("double").as("center_sum3"),
+          first("o_orderkey").over(full).as("first_key"),
+          last("o_orderkey").over(full).as("last_key"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey,
+        CAST(round(CAST(avg(o_totalprice) OVER wt AS DECIMAL(24,6)), 2) AS DOUBLE) AS trail_avg3,
+        CAST(round(CAST(sum(o_totalprice) OVER wc AS DECIMAL(24,6)), 2) AS DOUBLE) AS center_sum3,
+        first_value(o_orderkey) OVER wf AS first_key,
+        last_value(o_orderkey) OVER wf AS last_key
+      FROM orders
+      WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             wc AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+             wf AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY o_orderpriority, o_orderkey"""))
 
   /** RANGE frame (value-based, vs the ROWS frame in q_window_lag): peers
@@ -1096,6 +1337,68 @@ object Relational {
         CAST(levenshtein(p_brand, p_type) AS BIGINT) AS edit_dist
       FROM part ORDER BY p_partkey"""))
 
+  /** Presto's regexp family in one declared row — regexp_like,
+    * regexp_extract, regexp_extract_all (serialized per the array
+    * convention), global regexp_replace, and regexp_count — the surface a
+    * security-lake migrant leans on hardest (the reference's Athena
+    * queries live on string munging). Patterns are dialect-portable
+    * (character classes + anchors + alternation only, no lookaround);
+    * the oracle replays them in DuckDB's RE2, where regexp_replace needs
+    * the explicit 'g' flag (Spark replaces globally by default — a burned
+    * pitfall) and regexp_count is replayed as len(regexp_extract_all).
+    * All codegen'd projections over a narrow scan. */
+  private val regexpFns = Q(
+    "q_regexp_fns",
+    (s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          col("p_name").rlike("^[aeiou]").as("starts_vowel"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          array_join(regexp_extract_all(col("p_name"), lit("([a-z]+)"), lit(1)), ",")
+            .as("words_csv"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("devoweled"),
+          regexp_count(col("p_name"), lit("[a-z]+")).cast("long").as("n_words"),
+          col("p_type").rlike("^(ECONOMY|PROMO)").as("is_econ_promo"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+        regexp_matches(p_name, '^[aeiou]') AS starts_vowel,
+        regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        coalesce(array_to_string(regexp_extract_all(p_name, '([a-z]+)', 1), ','), '') AS words_csv,
+        regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+        CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
+        regexp_matches(p_type, '^(ECONOMY|PROMO)') AS is_econ_promo
+      FROM part ORDER BY p_partkey"""))
+
+  /** Presto's binary-codec surface (to_base64/from_base64, to_hex/
+    * from_hex, codepoint, chr) — the encode/decode idioms a security lake
+    * lives on (encoded payloads, hex IOCs). Spark spells them base64/
+    * unbase64/hex/unhex/ascii/char over explicit UTF-8 encode/decode;
+    * both round-trips are declared (decode∘from∘to == id), so a silent
+    * padding or case mismatch between the codecs cannot pass. All
+    * codegen'd; narrow scan. */
+  private val encodingFns = Q(
+    "q_encoding_fns",
+    (s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          base64(encode(col("p_name"), "UTF-8")).as("b64"),
+          decode(unbase64(base64(encode(col("p_name"), "UTF-8"))), "UTF-8").as("b64_rt"),
+          hex(encode(col("p_name"), "UTF-8")).as("hexed"),
+          decode(unhex(hex(encode(col("p_name"), "UTF-8"))), "UTF-8").as("hex_rt"),
+          ascii(col("p_name")).cast("long").as("first_cp"),
+          expr("char(65 + p_partkey % 26)").as("letter"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+        to_base64(encode(p_name)) AS b64,
+        decode(from_base64(to_base64(encode(p_name)))) AS b64_rt,
+        hex(p_name) AS hexed,
+        decode(unhex(hex(p_name))) AS hex_rt,
+        CAST(ascii(p_name) AS BIGINT) AS first_cp,
+        chr(CAST(65 + p_partkey % 26 AS INTEGER)) AS letter
+      FROM part ORDER BY p_partkey"""))
+
   private val dateFns = Q(
     "q_date_fns",
     (s, d) =>
@@ -1290,6 +1593,43 @@ object Relational {
           x -> length(x) > 5), ','), '') AS long_words,
         CAST(list_aggregate(list_transform(string_split(p_name, ' '),
           x -> length(x)), 'sum') AS BIGINT) AS chars_total
+      FROM part ORDER BY p_partkey"""))
+
+  /** Comparator-lambda sort (Presto `array_sort(array, (l, r) -> ...)`;
+    * Spark's two-arg `array_sort`) — the custom collation an Athena user
+    * reaches for when natural order is wrong. Sorts each part's words by
+    * (length, then alpha); the natural sort rides along so the row proves
+    * the comparator actually CHANGED the order. The oracle has no lambda
+    * comparator, so it replays the same total order by the schwartzian
+    * prefix trick: pack a zero-padded length key before each word,
+    * natural-sort, strip — an independent formulation, not a mirror of
+    * the comparator. Narrow per-row HOF; no shuffle before the output
+    * sort. */
+  private val arraySortLambda = Q(
+    "q_array_sort_lambda",
+    (s, d) =>
+      t(s, d, "part")
+        .withColumn("words", split(col("p_name"), " "))
+        .select(
+          col("p_partkey"),
+          array_join(array_sort(col("words")), ",").as("natural_sort"),
+          array_join(
+            array_sort(col("words"), (l, r) =>
+              when(length(l) < length(r), -1)
+                .when(length(l) > length(r), 1)
+                .when(l < r, -1)
+                .when(l > r, 1)
+                .otherwise(0)),
+            ",").as("by_len_sort"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+        array_to_string(list_sort(string_split(p_name, ' ')), ',') AS natural_sort,
+        array_to_string(
+          list_transform(
+            list_sort(list_transform(string_split(p_name, ' '),
+              w -> lpad(CAST(len(w) AS VARCHAR), 2, '0') || w)),
+            s -> s[3:]),
+          ',') AS by_len_sort
       FROM part ORDER BY p_partkey"""))
 
   private val explodeFn = Q(
@@ -1509,6 +1849,40 @@ object Relational {
 
   // -- interval arithmetic -----------------------------------------------------
 
+  /** Time-zone conversion (Presto AT TIME ZONE; Spark from_utc_timestamp)
+    * — only the UTC→local direction is declared because it is a total
+    * function (every instant has exactly one local rendering), so DST is
+    * exercised (NY flips -5/-4 across the corpus) without the fall-back
+    * ambiguity the local→UTC direction carries. The oracle's double
+    * AT TIME ZONE chain (naive AT 'UTC' → instant AT zone → naive local)
+    * is session-timezone independent in DuckDB — verified under a
+    * non-UTC session — matching Spark's session-tz-free from_utc_
+    * timestamp. The derived offset column pins the actual UTC offset in
+    * hours, so a tzdata skew between engines cannot hide in formatting. */
+  private val dateTz = Q(
+    "q_date_tz",
+    (s, d) => {
+      val ts = col("o_orderdate").cast("timestamp")
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          date_format(from_utc_timestamp(ts, "America/New_York"), "yyyy-MM-dd HH:mm")
+            .as("ny_local"),
+          date_format(from_utc_timestamp(ts, "Asia/Tokyo"), "yyyy-MM-dd HH:mm")
+            .as("tokyo_local"),
+          ((unix_timestamp(from_utc_timestamp(ts, "America/New_York"))
+            - unix_timestamp(ts)) / 3600).cast("long").as("ny_offset_h"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+        strftime((CAST(o_orderdate AS TIMESTAMP) AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York',
+                 '%Y-%m-%d %H:%M') AS ny_local,
+        strftime((CAST(o_orderdate AS TIMESTAMP) AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo',
+                 '%Y-%m-%d %H:%M') AS tokyo_local,
+        CAST((epoch((CAST(o_orderdate AS TIMESTAMP) AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York')
+              - epoch(CAST(o_orderdate AS TIMESTAMP))) / 3600 AS BIGINT) AS ny_offset_h
+      FROM orders ORDER BY o_orderkey"""))
+
   private val dateIntervals = Q(
     "q_date_intervals",
     (s, d) =>
@@ -1646,15 +2020,20 @@ object Relational {
     projFilter,
     dateIntervals,
     aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggGroupingSets,
-    aggPivot, aggPercentile, aggApproxPercentile, aggStats, aggApproxDistinct, aggHllMerge,
-    aggCollect, aggHistogram, aggMinMaxBy, aggRegr, aggBool, aggMoments,
+    aggPivot, unpivotFn, aggPercentile, aggApproxPercentile, aggStats, aggApproxDistinct, aggHllMerge,
+    aggCollect, aggHistogram, aggMinMaxBy, aggRegr, aggBool, aggBitwise, aggMoments,
+    aggMad,
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
-    joinTheta, joinBucketed, joinFuzzy, joinFuzzyVarlen, joinLateral, aggListagg,
+    joinTheta, joinBucketed, joinFuzzy, joinFuzzyVarlen, joinLateral, joinNullsafe,
+    joinStar,
+    aggListagg,
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange, windowDist,
+    windowFrames,
     sortTopk, sortNullsOffset,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
-    condFns, stringFns, stringFns2, stringHash, dateFns, dateFns2, mathFns, mathFns2,
-    aggWidthBucket, arrayFns, arrayLambda,
+    condFns, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
+    dateFns, dateFns2, dateTz, mathFns, mathFns2,
+    aggWidthBucket, arrayFns, arrayLambda, arraySortLambda,
     mapFns, mapLambda, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti, tryFns,
     urlFns, bitwiseFns,
     subqueryIn, subqueryScalar, subqueryExists)

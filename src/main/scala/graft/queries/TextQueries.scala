@@ -1669,9 +1669,57 @@ object TextQueries {
           AS simpson_ppm
       FROM c GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Inverted-index build — the materialization behind `q_text_bm25`'s
+    * retrieval: per-term document frequency, collection term frequency,
+    * and the head of the (sorted) posting list. The posting head is
+    * bounded BEFORE collection (the q_agg_collect convention): a
+    * row_number over (term, doc_id) keeps ≤ 8 ids per term — Spark plans
+    * the rank-filter as WindowGroupLimit, so per-term state never exceeds
+    * the cap even for stopword-grade terms — and only then collects and
+    * serializes. Scale shape: one shuffle on the term key for the stats,
+    * one for the capped ranking, a term-keyed equi-join to zip them;
+    * postings beyond the head live in the (term-partitioned) full index a
+    * real deployment writes as a bucketed table — the declared row is the
+    * index's summary surface. df ≥ 3 prunes the hapax tail in BOTH
+    * engines. */
+  private val invertedIndex = Q(
+    "q_text_inverted_index",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+        .filter(col("term") =!= "" && length(col("term")) >= 3)
+      val stats = terms.groupBy("term")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"))
+      val headed = terms.distinct()
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("term").orderBy("doc_id")))
+        .filter(col("rn") <= 8)
+        .groupBy("term")
+        .agg(array_join(sort_array(collect_list("doc_id")), ",").as("postings_head"))
+      stats.join(headed, "term")
+        .filter(col("df") >= 3)
+        .select(col("term"), col("df"), col("tf"), col("postings_head"))
+        .orderBy("term")
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents),
+      terms AS (SELECT doc_id, term FROM tok WHERE term <> '' AND len(term) >= 3),
+      idx AS (
+        SELECT term,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(count(*) AS BIGINT) AS tf,
+               array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 8), ',')
+                 AS postings_head
+        FROM terms GROUP BY term)
+      SELECT term, df, tf, postings_head FROM idx WHERE df >= 3 ORDER BY term"""))
+
   val all: Seq[Q] = Seq(quality, tokenCount, langId, fingerprint, dedupExact, trainPrep,
     tfidf, trainSplit, redact, langBalance, repetition, surprisal, bpeMerges,
     perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
     nbClassifier, perplexity3, perplexity5, topics, mixQuality, bpeTrain256,
-    lexDiversity, unigramTrain, unigramApply, textChunking, textPacking)
+    lexDiversity, unigramTrain, unigramApply, textChunking, textPacking,
+    invertedIndex)
 }

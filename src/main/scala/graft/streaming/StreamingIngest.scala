@@ -437,6 +437,31 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming CDC apply — the live twin of `q_cdc_upsert`: each
+    * micro-batch of changelog records (key, seq, op, payload) folds into
+    * the persisted snapshot through [[graft.operators.SnapshotStore.apply]]
+    * (latest-wins compaction + one full-outer key join, tombstoned
+    * deletes, batch-id replay no-op, atomic swap; batch 0 initializes the
+    * store when no bulk load preceded it). The fold is split-invariant —
+    * max-seq-per-key wins regardless of how the changelog was cut into
+    * micro-batches, even out of order — so the stored snapshot equals the
+    * one-shot merge of everything seen, pinned in StreamingSpec. */
+  def startCdcStream(
+      changes: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      keyCol: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.SnapshotStore.apply(
+          batch.sparkSession, batch.toDF(), storeDir, batchId, keyCol)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming data-quality gate — the live twin of
     * `q_profile_constraints`'s additive rules: each micro-batch's one-row
     * violation aggregate folds into the persisted constraint ledger

@@ -83,7 +83,20 @@ object ScaleProbe {
     // lateral top-k (customer/orders). q_agg_listagg is excluded: it
     // aggregates the 25-row nation dim — constant-size, nothing to scale.
     "q_sim_matryoshka", "q_join_lateral", "q_explode_multi", "q_agg_moments",
-    "q_cond_fns")
+    "q_cond_fns", "q_regexp_fns", "q_net_cidr", "q_window_frames",
+    "q_encoding_fns", "q_join_nullsafe", "q_agg_bitwise", "q_dedup_url",
+    "q_date_tz",
+    // r12 sixth wave: warehouse maintenance (CDC merge, SCD2 islands),
+    // wide-to-long, time-series interpolation, triangle join, inverted
+    // index. All orders/events/part/documents-backed.
+    "q_cdc_upsert", "q_scd2", "q_unpivot", "q_events_interpolate",
+    "q_graph_triangles", "q_text_inverted_index",
+    // r12 seventh wave: bounded-round label propagation (orders-backed
+    // referral graph) + comparator-lambda sort (part-backed)
+    "q_graph_components", "q_array_sort_lambda",
+    // r12 eighth wave: Q5-shaped star join (lineitem/orders facts vs
+    // constant dims), robust MAD outlier gate, native session windows
+    "q_join_star", "q_agg_mad", "q_window_session")
 
   private val ReplicaIdOffset = 10000000L
 
@@ -178,10 +191,35 @@ object ScaleProbe {
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate"))
     }
+    // supplier is a pure DIM side (q_join_nullsafe enriches the replicated
+    // customer facts against it): copied UNREPLICATED — 10x data means 10x
+    // facts against the same dimension table, which is exactly how that
+    // join scales in production
+    if (tables.contains("supplier"))
+      spark.read.parquet(s"$sfDir/supplier.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    // "supplier_rep": supplier as a REPLICATED side instead — disjoint
+    // *mult+i subgraphs matching lineitem's l_suppkey remap, so the star
+    // join's l_suppkey = s_suppkey edges scale with the corpus the way a
+    // real supplier base grows with order volume (q_join_star's shape;
+    // mutually exclusive with the unreplicated "supplier" copy)
+    if (tables.contains("supplier_rep"))
+      (0 until n).map { i =>
+        spark.read.parquet(s"$sfDir/supplier.parquet").select(
+          (col("s_suppkey") * mult + lit(i)).as("s_suppkey"),
+          col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    // constant reference dims (25 / 5 rows): copied through whenever a
+    // probed query's join spine needs them
+    for (dim <- Seq("nation", "region") if tables.contains(dim))
+      spark.read.parquet(s"$sfDir/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
   }
 
   private val AllHeavyTables =
-    Set("documents", "embeddings", "events", "customer", "part", "lineitem", "orders")
+    Set("documents", "embeddings", "events", "customer", "part", "lineitem",
+      "orders", "supplier")
 
   private def heavyMain(args: Array[String]): Unit = {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")

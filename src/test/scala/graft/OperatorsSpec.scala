@@ -813,4 +813,52 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.nonEmpty && store == declared,
       "store arithmetic diverged from the oracle-checked declared row")
   }
+
+  test("snapshot store: split-invariant CDC fold equals the one-shot merge and the declared row; stale updates fence; replay no-op") {
+    import graft.operators.SnapshotStore
+    import graft.queries.ChangeDataQueries
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/orders.parquet").exists())
+    val base = ChangeDataQueries.cdcBase(spark, sf)
+    val chg = ChangeDataQueries.cdcChangelog(spark, sf)
+    // the fencing scenario must be non-vacuous: some key carries BOTH the
+    // seq-3 update and the seq-4 delete (o_orderkey % 78 == 0)
+    assert(chg.filter(col("o_orderkey") % 78 === 0).count() > 0L)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("o_orderkey"), col("price").cast("double"))
+        .orderBy("o_orderkey").collect().map(_.toString).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    // reference: one-shot apply of the whole changelog
+    val ref = s"$tmp/ref"
+    SnapshotStore.build(spark, base, ref)
+    SnapshotStore.apply(spark, chg, ref, batchId = 1L, keyCol = "o_orderkey")
+    // ADVERSARIAL split: the high-seq half (updates seq 3, deletes seq 4)
+    // arrives BEFORE the low-seq half (inserts seq 1, updates seq 2), so
+    // every row of batch 2 that hits a batch-1 key is stale
+    val dir = s"$tmp/ooo"
+    SnapshotStore.build(spark, base, dir)
+    SnapshotStore.apply(spark, chg.filter(col("seq") > 2), dir,
+      batchId = 1L, keyCol = "o_orderkey")
+    SnapshotStore.apply(spark, chg.filter(col("seq") <= 2), dir,
+      batchId = 2L, keyCol = "o_orderkey")
+    assert(rows(SnapshotStore.read(spark, dir)) == rows(SnapshotStore.read(spark, ref)),
+      "out-of-order batch split diverged from the one-shot merge")
+    // tombstones persist and fence: every %13 key is stored deleted, and
+    // none reappears in the live view despite batch 2's stale updates
+    val dead = SnapshotStore.readAll(spark, dir).filter(col(SnapshotStore.TombstoneCol))
+    assert(dead.filter(col("o_orderkey") % 13 =!= 0).count() == 0L)
+    assert(SnapshotStore.read(spark, dir).filter(col("o_orderkey") % 13 === 0).count() == 0L,
+      "stale update resurrected a deleted key")
+    // replayed batchId: a no-op before any computation
+    val before = rows(SnapshotStore.readAll(spark, dir))
+    SnapshotStore.apply(spark, chg.filter(col("seq") <= 2), dir,
+      batchId = 2L, keyCol = "o_orderkey")
+    assert(rows(SnapshotStore.readAll(spark, dir)) == before, "replay mutated the store")
+    // the live view equals the oracle-checked declared row (key, price)
+    val declared = SparkEntry.queries("q_cdc_upsert")(spark, sf)
+      .select(col("o_orderkey"), col("price")).orderBy("o_orderkey")
+      .collect().map(_.toString).toSeq
+    assert(rows(SnapshotStore.read(spark, ref)) == declared,
+      "store merge diverged from the oracle-checked declared row")
+  }
 }

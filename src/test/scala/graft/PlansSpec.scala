@@ -577,6 +577,76 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"window and aggregate re-exchange the corpus on user_id:\n$p")
   }
 
+  test("q_join_star: Q5-shaped star join — every join an equi-join, the nation/region spine broadcast, date filter pushed to the orders scan") {
+    val p = plan("q_join_star")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the pre-reduced nation⋈region spine must come in as a broadcast
+    assert(p.contains("BroadcastHashJoin"), s"dimension spine not broadcast:\n$p")
+    // the o_orderdate range must reach the parquet scan as a pushed filter
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined,
+      s"date filter did not reach the orders scan:\n$p")
+  }
+
+  test("q_agg_mad / q_window_session: per-key windows and session merges never collapse to a single partition") {
+    for (q <- Seq("q_agg_mad", "q_window_session")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition, "), s"$q went global:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+    // the MAD medians come back as broadcast-sized joins, not shuffles of
+    // the corpus against |types| rows
+    assert(plan("q_agg_mad").contains("BroadcastHashJoin"),
+      s"median join-back should broadcast:\n${plan("q_agg_mad")}")
+  }
+
+  test("q_unpivot: wide-to-long is an Expand projection — no join, no shuffle before the output sort") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), s"unpivot should plan as Expand:\n$p")
+    assert(!p.contains("Join"), p)
+    // the only exchange is the final presentation sort's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), s"unpivot must not hash-shuffle:\n$p")
+  }
+
+  test("q_text_inverted_index: posting-list cap is a WindowGroupLimit; stats and postings meet on the term key") {
+    val p = plan("q_text_inverted_index")
+    // rn <= 8 must push into the window as a group-limit (partial before
+    // the exchange), so per-term state is capped even for stopword terms
+    assert(p.contains("WindowGroupLimit"), s"posting cap must push into the window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_cdc_upsert: latest-wins compaction is a window group limit; apply is ONE full-outer key join") {
+    val p = plan("q_cdc_upsert")
+    assert(p.contains("FullOuter"), s"merge apply must be a full outer join:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rn=1 compaction should group-limit:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_scd2 / q_events_interpolate: islands and neighbor windows stay key-partitioned — never a single-partition window") {
+    for (q <- Seq("q_scd2", "q_events_interpolate")) {
+      val p = plan(q)
+      val tree = p.linesIterator.takeWhile(!_.startsWith("(1)")).mkString("\n")
+      assert(!tree.contains("Join") || q == "q_events_interpolate", s"$q:\n$p")
+      // every Window must carry a partition spec (user_id / event_type);
+      // SinglePartition under a Window is the 1000x skew killer
+      assert(!p.contains("Exchange SinglePartition, "), s"$q window went global:\n$p")
+      assert(p.contains("Window"), s"$q:\n$p")
+    }
+  }
+
+  test("q_graph_triangles: wedges meet through equi-joins, never an all-pairs plan") {
+    spark.catalog.clearCache()
+    val (out, cached) = graft.queries.GraphQueries.triangleFrames(spark, sf)
+    try {
+      val p = out.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!p.contains("CartesianProduct"), s"all-pairs plan:\n$p")
+      // the two wedge/closure joins are equi-joins (hash or sort-merge);
+      // the only nested-loop is the broadcast of the 1-row max/total scalars
+      val equiJoins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).size
+      assert(equiJoins >= 2, s"expected >=2 equi-joins for wedge+closure:\n$p")
+    } finally cached.foreach(_.unpersist(false))
+  }
+
   test("q_train_curriculum: threshold phases, no global sort, windows over bounded shard partitions") {
     val p = plan("q_train_curriculum")
     assert(!p.contains("Join"), p)

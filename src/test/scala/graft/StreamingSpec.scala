@@ -1498,6 +1498,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replay mutated the pack layout")
   }
 
+  test("streaming CDC apply: micro-batched changelog folds to the one-shot merge (split-invariant, tombstones fence)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SnapshotStore
+    import graft.queries.ChangeDataQueries
+
+    val sf = "/root/testdata/sf0.001"
+    val cdcBase = ChangeDataQueries.cdcBase(spark, sf)
+    val chg = ChangeDataQueries.cdcChangelog(spark, sf)
+    val landing = s"$base/cdc_landing"
+    Files.createDirectories(Paths.get(landing))
+    // seq-DESCENDING chunks — the adversarial order (stale rows arrive
+    // last); the fold is split-invariant so the result must not care
+    Seq(chg.filter(col("seq") > 2), chg.filter(col("seq") <= 2))
+      .zipWithIndex.foreach { case (chunk, i) =>
+        chunk.coalesce(1).write.json(s"$landing/chunk$i")
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.DecimalType(18, 2)),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(s"$landing/chunk*")
+
+    val storeDir = s"$base/cdc_store"
+    SnapshotStore.build(spark, cdcBase, storeDir) // the bulk load
+    val q = StreamingIngest.startCdcStream(
+      stream, storeDir, s"$base/cdc_ckpt", keyCol = "o_orderkey",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("o_orderkey"), col("price").cast("double"))
+        .orderBy("o_orderkey").collect().map(_.toString).toSeq
+    SnapshotStore.build(spark, cdcBase, s"$base/cdc_ref")
+    SnapshotStore.apply(spark, chg, s"$base/cdc_ref", batchId = 1L,
+      keyCol = "o_orderkey")
+    val stored = rows(SnapshotStore.read(spark, storeDir))
+    assert(stored.nonEmpty && stored == rows(SnapshotStore.read(spark, s"$base/cdc_ref")),
+      "streamed CDC snapshot diverged from the one-shot merge")
+    // deleted keys stay dead through the live view
+    assert(SnapshotStore.read(spark, storeDir)
+      .filter(col("o_orderkey") % 13 === 0).count() == 0L)
+  }
+
   test("KMV fold is split-invariant: any partition sequence of the key stream equals the one-shot bottom-k") {
     import org.apache.spark.sql.functions._
     import graft.operators.Sketches
