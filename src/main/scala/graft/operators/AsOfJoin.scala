@@ -85,4 +85,53 @@ object AsOfJoin {
         keys.map(col) ++ leftPayload.map(col) ++
           rightCols.map(c => col(s"$rowC.$c").as(prefix + c)): _*)
   }
+
+  /** Forward as-of join: for each left row, the single EARLIEST right row
+    * with `right.time >= left.time` on the same keys ("next state after
+    * the event" — time-to-next-action, forward attribution). Same
+    * join-free union + ONE key shuffle + window shape as [[backward]],
+    * mirrored: left rows tag 0 so a tied right row sorts AFTER them and
+    * stays visible (inclusive ties, matching DuckDB
+    * `ASOF LEFT JOIN ... ON l.t <= r.t`), and the running aggregate is
+    * `first(ignoreNulls)` over the FOLLOWING frame. Among right rows with
+    * identical (keys, time) the first by union order wins — the same
+    * time-uniqueness caveat as backward. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val tagC = "__asof_tag"
+    val timeC = "__asof_t"
+    val rowC = "__asof_row"
+    val leftPayload = left.columns.toSeq.filterNot(keys.contains)
+    val rStruct = struct(rightCols.map(col): _*)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
+
+    val rSide = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as(timeC), lit(1).as(tagC), rStruct.as(rowC)) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lSide = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as(timeC), lit(0).as(tagC), lit(null).cast(rStructType).as(rowC)) ++
+        leftPayload.map(col): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(timeC).asc, col(tagC).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    rSide
+      .unionByName(lSide)
+      .withColumn(rowC, first(col(rowC), ignoreNulls = true).over(w))
+      .filter(col(tagC) === 0)
+      .select(
+        keys.map(col) ++ leftPayload.map(col) ++
+          rightCols.map(c => col(s"$rowC.$c").as(prefix + c)): _*)
+  }
 }

@@ -614,6 +614,86 @@ object EventsQueries {
       FROM events GROUP BY 1, 2, 3 HAVING count(DISTINCT CAST(floor(value) AS BIGINT)) < 3
       ORDER BY event_type, ubucket, hod"""))
 
+  /** t-closeness audit — the distribution leak k-anonymity AND l-diversity
+    * both miss: a class can be large (k-safe) and value-diverse (l-safe)
+    * yet still leak because its sensitive-value DISTRIBUTION differs from
+    * the corpus's (an attacker learns "this class skews high"). Over the
+    * same quasi-identifier tuple as [[kanon]]/[[ldiversity]], the total-
+    * variation distance between each class's sensitive histogram (the
+    * 8-bucketed measurement) and the global one, in EXACT integer basis
+    * points: TV = ½·Σ|g_v/n_q − c_v/n| becomes
+    * 5000·Σ|g_v·n − c_v·n_q| div (n_q·n) by cross-multiplication — no
+    * float division anywhere, and the products run in decimal(38,0)
+    * (HUGEINT in the oracle) so corpus² cannot overflow at any scale.
+    * Classes with TV ≥ t = 0.2 (2000 bp) are the release blockers. Scale
+    * shape: TWO corpus aggregates (per-class-per-value and global-per-
+    * value counts, both map-side combinable on bounded keys); the
+    * distance grid is |classes|×8 rows — driver-free, broadcast-sized.
+    * Absent (class, value) cells are REINSTATED by the grid left-join —
+    * dropping them would undercount exactly the skewed classes the audit
+    * exists to catch. Every class is emitted with a `blocks_release` flag
+    * (TV ≥ t) rather than filtered: at large SF the law of large numbers
+    * shrinks every class's TV below any fixed t and a filtered row would
+    * collapse to the trivially-green empty table. */
+  private val tcloseness = Q(
+    "q_privacy_tcloseness",
+    (s, d) => {
+      val e = ev(s, d).select(
+        col("event_type"), (col("user_id") % 10).as("ubucket"),
+        hour(col("ts")).cast("long").as("hod"),
+        (floor(col("value")).cast("long") % 8).as("sens"))
+      val cls = e.groupBy("event_type", "ubucket", "hod", "sens")
+        .agg(count(lit(1)).as("g"))
+      val clsTot = cls.groupBy("event_type", "ubucket", "hod")
+        .agg(sum("g").as("n_q"))
+      val glob = e.groupBy("sens").agg(count(lit(1)).as("c"))
+      val tot = e.agg(count(lit(1)).as("n"))
+      clsTot
+        .crossJoin(broadcast(glob))
+        .join(cls, Seq("event_type", "ubucket", "hod", "sens"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          abs(coalesce(col("g"), lit(0L)).cast("decimal(38,0)") * col("n") -
+            col("c").cast("decimal(38,0)") * col("n_q")))
+        .groupBy("event_type", "ubucket", "hod", "n_q", "n")
+        .agg(sum("term").as("dev"))
+        .select(
+          col("event_type"), col("ubucket"), col("hod"),
+          col("n_q").as("class_size"),
+          expr("(CAST(5000 AS DECIMAL(38,0)) * dev) div (CAST(n_q AS DECIMAL(38,0)) * n)")
+            .cast("long").as("tv_bp"))
+        .withColumn("blocks_release", col("tv_bp") >= 2000)
+        .orderBy("event_type", "ubucket", "hod")
+    },
+    Some("""WITH e AS (
+        SELECT event_type, user_id % 10 AS ubucket,
+               CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+               CAST(floor(value) AS BIGINT) % 8 AS sens
+        FROM events),
+      cls AS MATERIALIZED (
+        SELECT event_type, ubucket, hod, sens, count(*) AS g
+        FROM e GROUP BY 1, 2, 3, 4),
+      clstot AS (SELECT event_type, ubucket, hod, CAST(sum(g) AS BIGINT) AS n_q
+                 FROM cls GROUP BY 1, 2, 3),
+      gv AS (SELECT sens, count(*) AS c FROM e GROUP BY 1),
+      tot AS (SELECT count(*) AS n FROM e),
+      grid AS (
+        SELECT t.event_type, t.ubucket, t.hod, t.n_q, gl.sens, gl.c, tot.n,
+               COALESCE(cl.g, 0) AS g
+        FROM clstot t CROSS JOIN gv gl CROSS JOIN tot
+        LEFT JOIN cls cl ON cl.event_type = t.event_type
+          AND cl.ubucket = t.ubucket AND cl.hod = t.hod AND cl.sens = gl.sens),
+      dist AS (
+        SELECT event_type, ubucket, hod, n_q,
+               CAST(5000 AS HUGEINT) * sum(abs(CAST(g AS HUGEINT) * n - CAST(c AS HUGEINT) * n_q))
+                 // (CAST(n_q AS HUGEINT) * min(n)) AS tv
+        FROM grid GROUP BY 1, 2, 3, 4)
+      SELECT event_type, ubucket, hod, n_q AS class_size,
+             CAST(tv AS BIGINT) AS tv_bp,
+             tv >= 2000 AS blocks_release
+      FROM dist
+      ORDER BY event_type, ubucket, hod"""))
+
   /** Frequent 3-step behavioral sequences — the order-k extension of the
     * [[markov]] first-order matrix: two lead()s over the same per-user
     * event-time window pair each event with its next two, then a tiny
@@ -706,6 +786,41 @@ object EventsQueries {
       FROM g GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 
+  /** Time-valued RANGE frame — the trailing-hour rolling aggregate every
+    * monitoring query wants, as ONE window over epoch micros
+    * (`RANGE BETWEEN 3600e6 PRECEDING AND CURRENT ROW`): no spine join, no
+    * self-join, each event's frame found by the sorted range scan. Differs
+    * from `q_window_range` (price-valued frame) in the ORDER key being
+    * time, and from `q_events_sliding` (tumbling/sliding buckets) in being
+    * exact per-event trailing — the three shapes a migrant conflates.
+    * Peers at the same microsecond are IN the frame regardless of
+    * tie-order, so the aggregate is deterministic; the rolling sum runs
+    * over per-element decimal casts (order-independent, exact) with the
+    * double cast only at output. One hash shuffle on event_type; each
+    * type's timeline sorts independently. */
+  private val windowTimeRange = Q(
+    "q_window_time_range",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(
+          col("event_type"), col("event_id"), col("us"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,4)")).over(w)
+            .cast("double").as("sum_1h"))
+        .orderBy("event_type", "us", "event_id")
+    },
+    Some("""SELECT event_type, event_id, epoch_us(ts) AS us,
+        CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_type, us, event_id"""))
+
   private val regularity = Q(
     "q_events_regularity",
     (s, d) => {
@@ -747,5 +862,6 @@ object EventsQueries {
 
   val all: Seq[Q] = Seq(jsonExtract, jsonRoundtrip, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple,
     sessionize, saltedAgg, variantExtract, funnel, retention, resample, interpolate, anomaly, markov, sliding,
-    kanon, ldiversity, sequences, changepoint, regularity, windowSession)
+    kanon, ldiversity, tcloseness, sequences, changepoint, regularity, windowSession,
+    windowTimeRange)
 }

@@ -719,6 +719,54 @@ object Relational {
         AND o_orderdate <  TIMESTAMP '1998-01-01'
       GROUP BY n_name ORDER BY revenue DESC, n_name"""))
 
+  /** Salted skew join — the MANUAL skew-handling algebra, declared (AQE's
+    * automatic skew split is pinned on an executed plan in OperatorsSpec;
+    * this row proves the hand-rolled form gives the identical answer,
+    * because AQE only rescues SORT-MERGE joins and a skewed key meeting a
+    * non-broadcastable dim through a shuffled-hash join still needs the
+    * salt). The probe key is engineered skewed — HALF of lineitem lands
+    * on key 0 — so an unsalted shuffle join would put 50% of the corpus
+    * in one task at any scale. Salting: the fact side takes a
+    * deterministic salt in [0, R); the dim side cross-joins the salt
+    * domain (R=8 replicas of a |keys|-row table — bytes), and the join
+    * runs on (k, salt), spreading the hot key over R tasks. The ORACLE is
+    * the PLAIN unsalted join: the row certifies result-equivalence of the
+    * rewrite, not just that it runs. Weighted sums in exact decimal. */
+  private val joinSalted = Q(
+    "q_join_salted",
+    (s, d) => {
+      val R = 8
+      val facts = t(s, d, "lineitem").select(
+        when(col("l_orderkey") % 10 < 5, lit(0L))
+          .otherwise(col("l_orderkey") % 1000).as("k"),
+        col("l_quantity"), col("l_returnflag"),
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(R)).as("salt"))
+      val dim = t(s, d, "orders")
+        .select((col("o_orderkey") % 1000).as("k")).distinct()
+        .withColumn("factor", col("k") * 7 % 13 + 1)
+        .withColumn("salt", explode(sequence(lit(0L), lit(R - 1L))))
+      facts.join(dim, Seq("k", "salt"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)") * col("factor"))
+            .cast("double").as("weighted_qty"),
+          countDistinct("k").as("n_keys"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH facts AS (
+        SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0 ELSE l_orderkey % 1000 END AS k,
+               l_quantity, l_returnflag
+        FROM lineitem),
+      dim AS (
+        SELECT k, k * 7 % 13 + 1 AS factor
+        FROM (SELECT DISTINCT o_orderkey % 1000 AS k FROM orders))
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * factor) AS DOUBLE) AS weighted_qty,
+             CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+      FROM facts JOIN dim USING (k)
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Correlated LATERAL subquery — Presto/ANSI's per-row derived table
     * (top-2 orders per customer here). Catalyst DECORRELATES the
     * limit+sort lateral into a window-rank over one equi-join, so the
@@ -2025,7 +2073,7 @@ object Relational {
     aggMad,
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
     joinTheta, joinBucketed, joinFuzzy, joinFuzzyVarlen, joinLateral, joinNullsafe,
-    joinStar,
+    joinStar, joinSalted,
     aggListagg,
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange, windowDist,
     windowFrames,

@@ -239,6 +239,45 @@ object SinkQueries {
                         union_by_name = true)
       GROUP BY lang ORDER BY lang"""))
 
+  private val OrcRoot = "/tmp/graft_part_orc"
+
+  private val orcWritten = scala.collection.mutable.Set[String]()
+  private def ensureOrc(s: SparkSession, d: String): String = synchronized {
+    val dir = s"$OrcRoot/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!orcWritten.contains(dir)) {
+      Tables.t(s, d, "part").write.mode("overwrite").orc(dir)
+      orcWritten += dir // only after a successful write
+    }
+    dir
+  }
+
+  /** ORC round-trip — the third columnar interchange format beside parquet
+    * and the row formats above: part → ORC (zlib default) → scan →
+    * aggregate. DuckDB has no ORC reader, so the oracle computes the SAME
+    * aggregate from the SOURCE parquet — a cross-format contract that is
+    * STRONGER than same-file parsing parity: any value corrupted anywhere
+    * in the ORC write/read cycle (encoding, predicate metadata, decimal
+    * rescale) surfaces as an aggregate mismatch. Sums run in exact
+    * decimal; the output dir is keyed by sfDir so scale factors never
+    * share files. */
+  private val orcScan = Q(
+    "q_scan_orc",
+    (s, d) => {
+      val dir = ensureOrc(s, d)
+      s.read.orc(dir)
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("p_size").cast("long")).as("sum_size"),
+          sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, count(*) AS n,
+        CAST(sum(p_size) AS BIGINT) AS sum_size,
+        CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM part GROUP BY p_brand ORDER BY p_brand"""))
+
   val all: Seq[Q] =
-    Seq(ndjsonSink, partitionPrune, aggPushdown, zorderLayout, csvScan, schemaEvolution)
+    Seq(ndjsonSink, partitionPrune, aggPushdown, zorderLayout, csvScan, schemaEvolution,
+      orcScan)
 }

@@ -74,5 +74,39 @@ object TemporalQueries {
        AND epoch_us(b.ts) - epoch_us(a.ts) <= 7200000000
       ORDER BY a_id, b_id"""))
 
-  val all: Seq[Q] = Seq(asof, range)
+  /** Forward as-of: each signup matched to the user's NEXT purchase (time
+    * to convert). Same join-free union+shuffle+window operator as
+    * `q_join_asof`, mirrored to the FOLLOWING frame
+    * ([[graft.operators.AsOfJoin.forward]]); the oracle is DuckDB's native
+    * forward `ASOF LEFT JOIN` (`l.ts <= r.ts`) — an independent algorithm
+    * for the same contract, ties inclusive on both sides. */
+  private val asofForward = Q(
+    "q_join_asof_forward",
+    (s, d) => {
+      val e = events(s, d)
+      val signups = e
+        .filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts")
+      val purchases = e
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin
+        .forward(signups, purchases, Seq("user_id"), "ts", "ts", Seq("ts", "value"), prefix = "p_")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("ts")).as("s_us"),
+          unix_micros(col("p_ts")).as("p_us"),
+          (unix_micros(col("p_ts")) - unix_micros(col("ts"))).as("wait_us"),
+          col("p_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+           p AS (SELECT user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase')
+      SELECT s.event_id, s.user_id, epoch_us(s.ts) AS s_us, epoch_us(p_ts) AS p_us,
+             epoch_us(p_ts) - epoch_us(s.ts) AS wait_us, p_value
+      FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts <= p.p_ts
+      ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(asof, range, asofForward)
 }

@@ -96,7 +96,12 @@ object ScaleProbe {
     "q_graph_components", "q_array_sort_lambda",
     // r12 eighth wave: Q5-shaped star join (lineitem/orders facts vs
     // constant dims), robust MAD outlier gate, native session windows
-    "q_join_star", "q_agg_mad", "q_window_session")
+    "q_join_star", "q_agg_mad", "q_window_session",
+    // r12 ninth wave: salted skew join (lineitem facts), ORC round-trip
+    // (part), forward as-of + trailing-hour range window + t-closeness
+    // audit (events)
+    "q_join_salted", "q_scan_orc", "q_join_asof_forward",
+    "q_window_time_range", "q_privacy_tcloseness")
 
   private val ReplicaIdOffset = 10000000L
 

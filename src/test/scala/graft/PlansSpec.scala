@@ -256,15 +256,17 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rnLines.forall(_.contains("bucket")), rnLines.mkString("\n"))
   }
 
-  test("q_join_asof: as-of is union + one key shuffle + window — NO Join node") {
-    val p = plan("q_join_asof")
-    assert(!p.contains("Join"), p)
-    assert(p.contains("Window"), p)
-    assert(p.contains("Union"), p)
-    // one hashpartitioning Exchange for the window; the only other Exchange
-    // is the final ORDER BY's rangepartitioning
-    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
-    assert(hashEx == 1, s"expected exactly 1 hash Exchange, plan:\n$p")
+  test("q_join_asof / q_join_asof_forward: as-of is union + one key shuffle + window — NO Join node") {
+    for (q <- Seq("q_join_asof", "q_join_asof_forward")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+      assert(p.contains("Window"), s"$q:\n$p")
+      assert(p.contains("Union"), s"$q:\n$p")
+      // one hashpartitioning Exchange for the window; the only other
+      // Exchange is the final ORDER BY's rangepartitioning
+      val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+      assert(hashEx == 1, s"$q: expected exactly 1 hash Exchange, plan:\n$p")
+    }
   }
 
   test("q_join_range: interval binning keeps the range join an equi-join — no BNLJ/cartesian") {
@@ -597,6 +599,15 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the corpus against |types| rows
     assert(plan("q_agg_mad").contains("BroadcastHashJoin"),
       s"median join-back should broadcast:\n${plan("q_agg_mad")}")
+  }
+
+  test("q_join_salted: the join carries the salt key — the hot key spreads over R tasks, never one") {
+    val p = plan("q_join_salted")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the equi-join condition must include BOTH k and salt; a plan that
+    // dropped the salt re-concentrates 50% of the corpus on key 0
+    assert("keys \\[2\\]: \\[k#\\d+L?, salt#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"join does not carry (k, salt) as its equi-keys:\n$p")
   }
 
   test("q_unpivot: wide-to-long is an Expand projection — no join, no shuffle before the output sort") {

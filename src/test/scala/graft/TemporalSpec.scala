@@ -79,6 +79,43 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(1L) === None)
   }
 
+  private def asofFwdRows(
+      left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, java.lang.Long)]): Map[Long, Option[Long]] = {
+    val s = spark
+    import s.implicits._
+    val l = left.toDF("k", "t", "lid")
+    val r = right.toDF("k", "t", "rv")
+    AsOfJoin
+      .forward(l, r, Seq("k"), "t", "t", Seq("t", "rv"), prefix = "r_")
+      .collect()
+      .map(row => row.getAs[Long]("lid") ->
+        Option(row.getAs[java.lang.Long]("r_rv")).map(_.longValue()))
+      .toMap
+  }
+
+  test("asof forward: equal timestamps are inclusive; no-next rows get NULL; keys never cross") {
+    val m = asofFwdRows(
+      left = Seq((1L, 100L, 1L), (1L, 200L, 2L), (2L, 50L, 3L)),
+      right = Seq((1L, 100L, 7L: java.lang.Long)))
+    assert(m(1L) === Some(7L)) // tie is visible forward too
+    assert(m(2L) === None)     // nothing after 200 on key 1
+    assert(m(3L) === None)     // key 2 never sees key 1's rows
+  }
+
+  test("asof forward: the EARLIEST following right row wins, and a NULL payload on it stays NULL") {
+    val m = asofFwdRows(
+      left = Seq((1L, 50L, 1L)),
+      right = Seq((1L, 100L, 9L: java.lang.Long), (1L, 250L, 7L: java.lang.Long)))
+    assert(m(1L) === Some(9L))
+    // the struct discipline: a matched row whose payload is NULL must not
+    // reach FORWARD to a later row's value
+    val n = asofFwdRows(
+      left = Seq((1L, 50L, 1L)),
+      right = Seq((1L, 100L, null: java.lang.Long), (1L, 250L, 7L: java.lang.Long)))
+    assert(n(1L) === None)
+  }
+
   test("range: gap == maxGap is included, gap == 0 excluded, bin boundary crossed") {
     val s = spark
     import s.implicits._
