@@ -462,6 +462,28 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming SCD2 history — the live twin of `q_scd2`: each micro-batch
+    * of events extends the persisted validity-interval table through
+    * [[graft.operators.HistoryStore.append]] (batch-local islands, ONE
+    * user-keyed cursor join, open-interval merge-or-close, batch-id replay
+    * no-op, atomic swap; batch 0 initializes the store). For ts-monotonic
+    * feeds the stored history equals the one-shot gaps-and-islands rebuild
+    * row-for-row, pinned in StreamingSpec. */
+  def startScd2Stream(
+      events: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.HistoryStore.append(
+          batch.sparkSession, batch.toDF(), storeDir, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming data-quality gate — the live twin of
     * `q_profile_constraints`'s additive rules: each micro-batch's one-row
     * violation aggregate folds into the persisted constraint ledger

@@ -1547,6 +1547,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("o_orderkey") % 13 === 0).count() == 0L)
   }
 
+  test("streaming SCD2: micro-batched events equal the one-shot islands rebuild (ts-monotonic feed)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.HistoryStore
+
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+    val cuts = ev.select(
+      percentile_approx(col("ts").cast("long"), lit(0.5), lit(100000)).as("c1"))
+      .head()
+    val c1 = cuts.getLong(0)
+    val landing = s"$base/scd2_landing"
+    Files.createDirectories(Paths.get(landing))
+    // ts ships as epoch MICROS (a long): the JSON writer's default
+    // timestamp format is millisecond-precision and a silent micro
+    // truncation would reorder ties vs the parquet-built reference
+    Seq(ev.filter(col("ts").cast("long") <= c1), ev.filter(col("ts").cast("long") > c1))
+      .zipWithIndex.foreach { case (chunk, i) =>
+        chunk.withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+          .coalesce(1).write.json(s"$landing/chunk$i")
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(s"$landing/chunk*")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+
+    val storeDir = s"$base/scd2_store"
+    val q = StreamingIngest.startScd2Stream(
+      stream, storeDir, s"$base/scd2_ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("user_id", "version").collect().map(_.toString).toSeq
+    HistoryStore.append(spark, ev, s"$base/scd2_ref", 0L) // one-shot build
+    val stored = rows(HistoryStore.read(spark, storeDir))
+    assert(stored.nonEmpty && stored == rows(HistoryStore.read(spark, s"$base/scd2_ref")),
+      "streamed history diverged from the one-shot rebuild")
+  }
+
   test("KMV fold is split-invariant: any partition sequence of the key stream equals the one-shot bottom-k") {
     import org.apache.spark.sql.functions._
     import graft.operators.Sketches
