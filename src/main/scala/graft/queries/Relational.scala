@@ -767,6 +767,45 @@ object Relational {
       FROM facts JOIN dim USING (k)
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Recursive CTE — Spark 4.1's `WITH RECURSIVE` (SPARK-24497; planned as
+    * an iterative UnionLoop) against DuckDB's native recursive CTE: the
+    * hierarchy-traversal idiom (org charts, BOM explosions, graph
+    * reachability) that previously forced the driver-side loops the graph
+    * rows use. The hierarchy is derived, not stored: parent(k) = k div 10
+    * makes customers a forest rooted at custkeys < 10, so BOTH engines
+    * construct the identical edges from first principles and the recursion
+    * depth is log10(max key) — it grows by ONE level per 10x of corpus,
+    * the scale-stable shape for an iterative plan (each round is one
+    * frontier⋈customer equi-join; the frontier is level-sized). Per-depth
+    * aggregate output keeps the row bounded at any SF. */
+  private val recursiveCte = Q(
+    "q_recursive_cte",
+    (s, d) => {
+      t(s, d, "customer").select("c_custkey")
+        .createOrReplaceTempView("graft_rcte_customer")
+      s.sql("""
+        WITH RECURSIVE anc(custkey, root, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM graft_rcte_customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, a.root, a.depth + 1
+          FROM graft_rcte_customer c JOIN anc a ON c.c_custkey div 10 = a.custkey
+          WHERE c.c_custkey >= 10)
+        SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n,
+               CAST(count(DISTINCT root) AS BIGINT) AS n_roots,
+               CAST(sum(custkey) AS BIGINT) AS key_sum
+        FROM anc GROUP BY depth ORDER BY depth""")
+    },
+    Some("""WITH RECURSIVE anc(custkey, root, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, a.root, a.depth + 1
+        FROM customer c JOIN anc a ON c.c_custkey // 10 = a.custkey
+        WHERE c.c_custkey >= 10)
+      SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n,
+             CAST(count(DISTINCT root) AS BIGINT) AS n_roots,
+             CAST(sum(custkey) AS BIGINT) AS key_sum
+      FROM anc GROUP BY depth ORDER BY depth"""))
+
   /** Correlated LATERAL subquery — Presto/ANSI's per-row derived table
     * (top-2 orders per customer here). Catalyst DECORRELATES the
     * limit+sort lateral into a window-rank over one equi-join, so the
@@ -2078,6 +2117,7 @@ object Relational {
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange, windowDist,
     windowFrames,
     sortTopk, sortNullsOffset,
+    recursiveCte,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
     condFns, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
     dateFns, dateFns2, dateTz, mathFns, mathFns2,

@@ -101,7 +101,11 @@ object ScaleProbe {
     // (part), forward as-of + trailing-hour range window + t-closeness
     // audit (events)
     "q_join_salted", "q_scan_orc", "q_join_asof_forward",
-    "q_window_time_range", "q_privacy_tcloseness")
+    "q_window_time_range", "q_privacy_tcloseness",
+    // r12 tenth wave: WITH RECURSIVE hierarchy traversal (customer-backed;
+    // *mult+i key remap DEEPENS the derived div-10 forest by one level —
+    // exactly the recursion-depth growth a 10x corpus should cost)
+    "q_recursive_cte")
 
   private val ReplicaIdOffset = 10000000L
 
