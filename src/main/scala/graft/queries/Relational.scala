@@ -1682,6 +1682,35 @@ object Relational {
           x -> length(x)), 'sum') AS BIGINT) AS chars_total
       FROM part ORDER BY p_partkey"""))
 
+  /** Quantifier lambdas — `exists` / `forall` (Presto `any_match` /
+    * `all_match`), completing the HOF family beside transform/filter/
+    * aggregate: per-part word-list predicates (any long word? all words
+    * alphabetic? any word starting with a vowel?). DuckDB has no
+    * quantifier built-ins, so the oracle derives each from list_filter
+    * cardinality (`len(filter) > 0` / `len(filter) = len(list)`) — an
+    * independent formulation that also pins the short-circuit semantics
+    * against the exhaustive one. Codegen'd narrow projection; no
+    * shuffle before the output sort. */
+  private val arrayQuantifiers = Q(
+    "q_array_quantifiers",
+    (s, d) =>
+      t(s, d, "part")
+        .withColumn("words", split(col("p_name"), " "))
+        .select(
+          col("p_partkey"),
+          exists(col("words"), w => length(w) > 8).as("any_long"),
+          forall(col("words"), w => w.rlike("^[a-z]+$")).as("all_alpha"),
+          exists(col("words"), w => w.rlike("^[aeiou]")).as("any_vowel_start"),
+          size(col("words")).cast("long").as("n_words"))
+        .orderBy("p_partkey"),
+    Some("""WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+      SELECT p_partkey,
+        len(list_filter(words, x -> length(x) > 8)) > 0 AS any_long,
+        len(list_filter(words, x -> regexp_matches(x, '^[a-z]+$'))) = len(words) AS all_alpha,
+        len(list_filter(words, x -> regexp_matches(x, '^[aeiou]'))) > 0 AS any_vowel_start,
+        CAST(len(words) AS BIGINT) AS n_words
+      FROM w ORDER BY p_partkey"""))
+
   /** Comparator-lambda sort (Presto `array_sort(array, (l, r) -> ...)`;
     * Spark's two-arg `array_sort`) — the custom collation an Athena user
     * reaches for when natural order is wrong. Sorts each part's words by
@@ -2121,7 +2150,7 @@ object Relational {
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
     condFns, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
     dateFns, dateFns2, dateTz, mathFns, mathFns2,
-    aggWidthBucket, arrayFns, arrayLambda, arraySortLambda,
+    aggWidthBucket, arrayFns, arrayLambda, arraySortLambda, arrayQuantifiers,
     mapFns, mapLambda, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti, tryFns,
     urlFns, bitwiseFns,
     subqueryIn, subqueryScalar, subqueryExists)

@@ -105,7 +105,9 @@ object ScaleProbe {
     // r12 tenth wave: WITH RECURSIVE hierarchy traversal (customer-backed;
     // *mult+i key remap DEEPENS the derived div-10 forest by one level —
     // exactly the recursion-depth growth a 10x corpus should cost)
-    "q_recursive_cte")
+    "q_recursive_cte",
+    // quantifier HOFs (part-backed narrow projection)
+    "q_array_quantifiers")
 
   private val ReplicaIdOffset = 10000000L
 

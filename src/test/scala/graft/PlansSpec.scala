@@ -601,6 +601,12 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"median join-back should broadcast:\n${plan("q_agg_mad")}")
   }
 
+  test("q_recursive_cte: WITH RECURSIVE plans as the iterative loop — no cartesian, frontier join is an equi-join") {
+    val p = plan("q_recursive_cte")
+    assert(p.contains("UnionLoop"), s"recursion should plan as UnionLoop:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_join_salted: the join carries the salt key — the hot key spreads over R tasks, never one") {
     val p = plan("q_join_salted")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
