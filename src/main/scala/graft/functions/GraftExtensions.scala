@@ -75,6 +75,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Presto query drops the quotes around the unit — one token — and gets
     // Spark's native form with the same truncate-toward-zero instant
     // semantics (pinned in OperatorsSpec).
+    //
+    // DOCUMENTED DEVIATION #2 — window GROUPS frame mode: Presto (and
+    // DuckDB) accept `GROUPS BETWEEN k PRECEDING AND CURRENT ROW`; Spark
+    // 4's parser has no GROUPS mode (ParseException before analysis, so
+    // no extension hook can intercept it either). The mechanical rewrite
+    // is exact: dense_rank() over the same (PARTITION BY, ORDER BY) spec,
+    // then the aggregate over RANGE BETWEEN k PRECEDING AND CURRENT ROW
+    // on that rank — rank-distance IS peer-group distance, and RANGE's
+    // current-row end includes all peers, matching GROUPS' frame-end
+    // semantics. q_window_groups proves the rewrite equals DuckDB's
+    // native GROUPS frame row-for-row; OperatorsSpec pins the parser
+    // rejection so a Spark release that adds GROUPS retires this note.
     ext.injectFunction((
       new FunctionIdentifier("from_iso8601_timestamp"),
       info(classOf[Cast], "from_iso8601_timestamp",

@@ -107,12 +107,16 @@ object PackingStore {
     }
     val existing = read(spark, storeDir)
     val base = cursors(spark, storeDir).select(col("lang"), col("cum").as("base"))
-    // safety net inside one batch: an id already assigned never re-packs
-    // (the batchId cursor already makes full-batch replays a no-op)
-    val fresh = tokens(docs)
-      .join(existing.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    // Contract: the feed is APPEND-ONLY and batch-deduplicated — a doc_id
+    // never re-arrives under a NEW batchId (full-batch replays are already
+    // a no-op via the committedBatch cursor above). The defensive anti-join
+    // that used to re-check every incoming id against the store cost a
+    // second full O(store) parquet scan per micro-batch on top of the
+    // accepted O(store) publish rewrite, to guard a feed shape the
+    // contract forbids anyway (r12 ADVICE) — per-batch work is now
+    // O(delta) reads + the one publish rewrite.
     publish(spark, storeDir, batchId,
-      assignments = existing.unionByName(packWithBase(fresh, base, budget)))
+      assignments = existing.unionByName(packWithBase(tokens(docs), base, budget)))
   }
 
   /** Derive cursors from assignments, stamp the batch, swap atomically. */

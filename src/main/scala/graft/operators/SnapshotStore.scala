@@ -79,7 +79,15 @@ object SnapshotStore {
     *
     * `changes` columns: `keyCol`, `seqCol` (total order per key across
     * the WHOLE changelog), `opCol` (= `deleteOp` for deletes), payload.
-    */
+    *
+    * Precondition for FULL split invariance: `seqCol` is unique per key.
+    * Duplicated (key, seq) rows inside one batch now resolve
+    * deterministically (op, then payload-hash tie-break below), but a
+    * duplicate pair SPLIT ACROSS batches still resolves stored-row-wins
+    * (the strict `>` in the fold) — which may differ from the tie-break
+    * winner had both rows shared a batch. Under a seq-unique changelog
+    * (every real CDC source: LSN/SCN/binlog offset) the distinction is
+    * vacuous. */
   def apply(
       spark: SparkSession, changes: DataFrame, storeDir: String,
       batchId: Long, keyCol: String, seqCol: String = "seq",
@@ -89,10 +97,19 @@ object SnapshotStore {
     if (StoreCommit.committedBatch(fs, dir) >= batchId) return // replay: done
     val payloadCols = changes.columns.toSeq
       .filterNot(c => c == keyCol || c == seqCol || c == opCol)
-    // batch-local latest-wins compaction — rn=1 plans as a WindowGroupLimit
+    // batch-local latest-wins compaction — rn=1 plans as a WindowGroupLimit.
+    // seq desc alone leaves the winner NONDETERMINISTIC when two change
+    // rows inside one batch share (key, seq) — the split-invariance proof
+    // assumes per-key seq uniqueness but nothing upstream enforces it
+    // (r12 ADVICE). Deterministic tie-break: op first (a delete outranks
+    // an upsert at the same seq — the conservative read for a contract
+    // violation), then a payload hash, so any two runs over any batch
+    // split of the same duplicated changelog pick the SAME row.
+    val tieBreak = xxhash64((col(opCol) +: payloadCols.map(col)): _*)
     val latest = changes
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(keyCol).orderBy(col(seqCol).desc)))
+        Window.partitionBy(keyCol)
+          .orderBy(col(seqCol).desc, col(opCol).asc, tieBreak.asc)))
       .filter(col("_rn") === 1)
       .select(
         col(keyCol) +:

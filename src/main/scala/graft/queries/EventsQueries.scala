@@ -860,7 +860,54 @@ object EventsQueries {
           AS var_s2
       FROM a ORDER BY var_s2, user_id LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(jsonExtract, jsonRoundtrip, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple,
+  /** json_array_length / json_object_keys — Presto `json_size` /
+    * `json_array_length`, the JSON ACCESSOR family's last undeclared
+    * members (get_json_object, json_tuple, variant, and the byte-exact
+    * round-trip are q_events_json/_tuple/_variant/_json_roundtrip). The
+    * `details`-shaped document is synthesized per row from events columns
+    * (an object holding a scalar, a VARIABLE-LENGTH array, and a number)
+    * so both the array-length path and the key enumeration have
+    * row-varying answers; the oracle builds the same document with
+    * DuckDB's struct_pack→to_json and interrogates it with its native
+    * json_array_length/json_keys. Both engines parse their OWN rendering
+    * — the check is on the accessor results, which only agree if path
+    * navigation and length/key semantics agree. Scale shape: per-row
+    * projection into one low-cardinality hash aggregate, no UDF, one
+    * shuffle. */
+  private val jsonSize = Q(
+    "q_events_json_size",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("doc", to_json(struct(
+          col("event_type").as("type"),
+          sequence(lit(0L), pmod(col("event_id"), lit(4L))).as("ids"),
+          col("user_id").as("uid"))))
+        .select(
+          col("event_id"),
+          json_array_length(get_json_object(col("doc"), "$.ids"))
+            .cast("long").as("ids_len"),
+          size(json_object_keys(col("doc"))).cast("long").as("n_keys"),
+          array_join(array_sort(json_object_keys(col("doc"))), "|").as("keys"))
+        .groupBy("ids_len", "n_keys", "keys")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+        .orderBy("ids_len"),
+    Some("""WITH j AS (
+        SELECT event_id,
+          to_json(struct_pack(type := event_type,
+                              ids := generate_series(0, event_id % 4),
+                              uid := user_id)) AS doc
+        FROM events),
+      f AS (
+        SELECT event_id,
+          CAST(json_array_length(doc, '$.ids') AS BIGINT) AS ids_len,
+          CAST(len(json_keys(doc)) AS BIGINT) AS n_keys,
+          array_to_string(list_sort(json_keys(doc)), '|') AS keys
+        FROM j)
+      SELECT ids_len, n_keys, keys, count(*) AS n,
+        CAST(sum(event_id) AS BIGINT) AS sum_id
+      FROM f GROUP BY ids_len, n_keys, keys ORDER BY ids_len"""))
+
+  val all: Seq[Q] = Seq(jsonExtract, jsonRoundtrip, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple, jsonSize,
     sessionize, saltedAgg, variantExtract, funnel, retention, resample, interpolate, anomaly, markov, sliding,
     kanon, ldiversity, tcloseness, sequences, changepoint, regularity, windowSession,
     windowTimeRange)

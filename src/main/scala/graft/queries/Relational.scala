@@ -322,7 +322,14 @@ object Relational {
     * bit_xor). XOR-folding a key column is the classic order-independent
     * reconciliation checksum for 100 TB table compares: one 64-bit
     * mergeable state per group, map-side combine reduces each partition
-    * to a single row per group before the shuffle. */
+    * to a single row per group before the shuffle. The mixed key is
+    * pre-reduced mod 2^31 BEFORE the Knuth-constant multiply so the
+    * product is bounded by 2^31 * 2654435761 ≈ 5.7e18 < Long.MaxValue at
+    * ANY corpus size — the raw `l_partkey * c` form throws under ANSI
+    * mode once keys pass ~3.5e9 (≈ SF 17k), exactly the 100 TB regime the
+    * checksum exists for (r12 ADVICE). The mod costs nothing the checksum
+    * cares about: XOR over a deterministic per-row function of the keys
+    * is equally order-independent and collision-sparse either way. */
   private val aggBitwise = Q(
     "q_agg_bitwise",
     (s, d) =>
@@ -331,13 +338,16 @@ object Relational {
         .agg(
           bit_and(col("l_partkey")).as("and_pk"),
           bit_or(col("l_partkey")).as("or_pk"),
-          bit_xor(col("l_partkey") * 2654435761L + col("l_orderkey")).as("xor_checksum"),
+          bit_xor(
+            pmod(col("l_partkey"), lit(2147483648L)) * 2654435761L +
+              pmod(col("l_orderkey"), lit(2147483648L))).as("xor_checksum"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag,
         bit_and(l_partkey) AS and_pk,
         bit_or(l_partkey) AS or_pk,
-        bit_xor(CAST(l_partkey AS BIGINT) * 2654435761 + l_orderkey) AS xor_checksum,
+        bit_xor((CAST(l_partkey AS BIGINT) % 2147483648) * 2654435761
+                + (CAST(l_orderkey AS BIGINT) % 2147483648)) AS xor_checksum,
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
@@ -1026,6 +1036,57 @@ object Relational {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
                    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
       ORDER BY o_custkey, o_orderkey"""))
+
+  /** Window GROUPS frame mode — DOCUMENTED DEVIATION (the window twin of
+    * the date_diff/date_add parser reservation, GraftExtensions.scala):
+    * Presto supports `GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW`;
+    * Spark's parser has no GROUPS mode at all (`ParseException` — pinned
+    * in OperatorsSpec; DuckDB 1.0.0 rejects it too, "not implemented
+    * yet"). The equivalent Spark plan is mechanical and exact: rank peer
+    * groups with `dense_rank` over the same (partition, order) spec, then
+    * aggregate over a RANGE frame on the rank — rows with rank in
+    * [dr−k, dr] are precisely "the last k peer groups through the END of
+    * the current row's group", which is what GROUPS CURRENT ROW means
+    * (frame end = last peer). Because the local DuckDB cannot speak
+    * native GROUPS either, the oracle derives the semantics from FIRST
+    * PRINCIPLES instead of mirroring the rewrite: aggregate each peer
+    * group to one row, take current + lag(previous) group totals, and
+    * join back to rows — an independent construction, so agreement
+    * actually certifies the rewrite. Scale shape: two window passes over
+    * ONE exchange on the partition key (rank and frame share the
+    * (o_orderpriority, sort) spec); sums fold integer keys so the
+    * equality is bit-exact, no float rounding device needed. */
+  private val windowGroups = Q(
+    "q_window_groups",
+    (s, d) => {
+      val byDate = Window.partitionBy("o_orderpriority").orderBy(col("o_orderdate"))
+      val grpFrame = Window.partitionBy("o_orderpriority").orderBy(col("dr"))
+        .rangeBetween(-1, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("dr", dense_rank().over(byDate))
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          col("dr").cast("long").as("dr"),
+          sum("o_custkey").over(grpFrame).as("grp_sum"),
+          count(lit(1)).over(grpFrame).as("grp_n"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH g AS (
+        SELECT o_orderpriority, o_orderdate,
+          CAST(sum(o_custkey) AS BIGINT) AS gsum, count(*) AS gn
+        FROM orders GROUP BY o_orderpriority, o_orderdate),
+      w AS (
+        SELECT o_orderpriority, o_orderdate,
+          CAST(dense_rank() OVER wo AS BIGINT) AS dr,
+          CAST(gsum + COALESCE(lag(gsum) OVER wo, 0) AS BIGINT) AS grp_sum,
+          gn + COALESCE(lag(gn) OVER wo, 0) AS grp_n
+        FROM g
+        WINDOW wo AS (PARTITION BY o_orderpriority ORDER BY o_orderdate))
+      SELECT o.o_orderkey, o.o_orderpriority, w.dr, w.grp_sum, w.grp_n
+      FROM orders o
+      JOIN w ON o.o_orderpriority = w.o_orderpriority
+            AND o.o_orderdate = w.o_orderdate
+      ORDER BY o.o_orderkey"""))
 
   // -- sort / limit / top-k ----------------------------------------------------
 
@@ -1818,6 +1879,57 @@ object Relational {
         CAST(len(list_filter(words, x -> length(x) > 5)) AS BIGINT) AS n_long_keys
       FROM w ORDER BY p_partkey"""))
 
+  /** str_to_map — Presto `split_to_map(s, '&', '=')`, Spark's built-in
+    * `str_to_map` (codegen'd, no UDF): the idiomatic way to rip `k=v&k=v`
+    * payloads out of a string column without a full JSON parse. The
+    * reference's users live in string payloads (`details` blobs queried
+    * with "any valid Presto SQL", /root/reference/README.md:112-116), and
+    * querystring-shaped fields are the ones JSON accessors don't reach.
+    * The payload is synthesized from orders columns so the parse is
+    * verifiable; extraction (element_at), cardinality (size), and the
+    * sorted-keys serialization all come out of the ONE parsed map. The
+    * oracle replays the parse with DuckDB list functions — the check is
+    * on parsed results, not on both engines sharing a map type (the
+    * q_map_fns contract). Scale shape: a per-row projection feeding one
+    * low-cardinality hash aggregate — no shuffle before the group-by,
+    * whole-stage codegen end to end. */
+  private val mapParse = Q(
+    "q_map_parse",
+    (s, d) =>
+      t(s, d, "orders")
+        .withColumn("payload", concat(
+          lit("status="), col("o_orderstatus"),
+          lit("&prio="), col("o_orderpriority"),
+          lit("&cust="), col("o_custkey")))
+        .withColumn("m", str_to_map(col("payload"), lit("&"), lit("=")))
+        .select(
+          element_at(col("m"), "status").as("status"),
+          element_at(col("m"), "prio").as("prio"),
+          element_at(col("m"), "cust").cast("long").as("cust"),
+          size(col("m")).cast("long").as("n_keys"),
+          array_join(array_sort(map_keys(col("m"))), "|").as("keys"))
+        .groupBy("status", "prio", "n_keys", "keys")
+        .agg(count(lit(1)).as("n"), sum("cust").as("sum_cust"))
+        .orderBy("status", "prio"),
+    Some("""WITH kv AS (
+        SELECT list_transform(
+            string_split('status=' || o_orderstatus || '&prio=' || o_orderpriority
+                         || '&cust=' || CAST(o_custkey AS VARCHAR), '&'),
+            x -> string_split(x, '=')) AS pairs
+        FROM orders),
+      f AS (
+        SELECT
+          list_filter(pairs, x -> x[1] = 'status')[1][2] AS status,
+          list_filter(pairs, x -> x[1] = 'prio')[1][2] AS prio,
+          CAST(list_filter(pairs, x -> x[1] = 'cust')[1][2] AS BIGINT) AS cust,
+          CAST(len(pairs) AS BIGINT) AS n_keys,
+          array_to_string(list_sort(list_transform(pairs, x -> x[1])), '|') AS keys
+        FROM kv)
+      SELECT status, prio, n_keys, keys,
+        count(*) AS n, CAST(sum(cust) AS BIGINT) AS sum_cust
+      FROM f GROUP BY status, prio, n_keys, keys
+      ORDER BY status, prio"""))
+
   /** Array generation + reshaping surface — sequence (Presto's
     * sequence/DuckDB generate_series), slice, flatten, arrays_overlap.
     * All narrow per-row projections; the generated arrays are bounded
@@ -2144,14 +2256,14 @@ object Relational {
     joinStar, joinSalted,
     aggListagg,
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange, windowDist,
-    windowFrames,
+    windowFrames, windowGroups,
     sortTopk, sortNullsOffset,
     recursiveCte,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
     condFns, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
     dateFns, dateFns2, dateTz, mathFns, mathFns2,
     aggWidthBucket, arrayFns, arrayLambda, arraySortLambda, arrayQuantifiers,
-    mapFns, mapLambda, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti, tryFns,
+    mapFns, mapLambda, mapParse, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti, tryFns,
     urlFns, bitwiseFns,
     subqueryIn, subqueryScalar, subqueryExists)
 }

@@ -277,7 +277,57 @@ object SinkQueries {
         CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM part GROUP BY p_brand ORDER BY p_brand"""))
 
+  /** TABLESAMPLE — Presto `TABLESAMPLE BERNOULLI(10)` / Spark
+    * `TABLESAMPLE (10 PERCENT)`, the exploration-time scan dial
+    * ("any valid Presto SQL", /root/reference/README.md:116). Sampling is
+    * engine-local randomness, so like q_agg_approx_percentile the declared
+    * check is the CONTRACT, not the row set: (1) the sampled cardinality
+    * lands inside the 6σ binomial band around p·n — each engine replays
+    * the band arithmetic from its OWN exact count, and P(outside) ≈ 2e-9
+    * at ANY corpus size since the band is computed from n itself; (2) the
+    * sample is a SUBSET of the source (left-anti probe must be empty).
+    * Spark's PERCENT sampling is per-row Bernoulli on the scan (no
+    * pre-count, no global pass — the 100 TB shape); REPEATABLE pins the
+    * seed so reruns are stable. DuckDB mirrors with
+    * `USING SAMPLE ... (bernoulli, seed)`. The anti-join dedupes nothing
+    * and broadcasts nothing big: its build side is the sample itself. */
+  private val tablesample = Q(
+    "q_scan_tablesample",
+    (s, d) => {
+      Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        WITH samp AS (
+          SELECT l_orderkey, l_linenumber
+          FROM lineitem TABLESAMPLE (10 PERCENT) REPEATABLE (42)),
+        tot AS (SELECT count(*) AS n FROM lineitem),
+        cnt AS (SELECT count(*) AS k FROM samp),
+        miss AS (
+          SELECT count(*) AS m FROM samp s
+          LEFT ANTI JOIN lineitem l
+            ON s.l_orderkey = l.l_orderkey AND s.l_linenumber = l.l_linenumber)
+        SELECT tot.n AS n_source,
+          cnt.k >= CAST(floor(0.1 * tot.n - 6 * sqrt(0.09 * tot.n)) AS BIGINT) AND
+          cnt.k <= CAST(ceil(0.1 * tot.n + 6 * sqrt(0.09 * tot.n)) AS BIGINT) AS in_band,
+          miss.m = 0 AS subset_ok
+        FROM tot, cnt, miss""")
+    },
+    Some("""WITH samp AS MATERIALIZED (
+        SELECT l_orderkey, l_linenumber
+        FROM lineitem USING SAMPLE 10 PERCENT (bernoulli, 42)),
+      tot AS (SELECT count(*) AS n FROM lineitem),
+      cnt AS (SELECT count(*) AS k FROM samp),
+      miss AS (
+        SELECT count(*) AS m FROM samp s
+        WHERE NOT EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = s.l_orderkey AND l.l_linenumber = s.l_linenumber))
+      SELECT CAST(tot.n AS BIGINT) AS n_source,
+        cnt.k >= CAST(floor(0.1 * tot.n - 6 * sqrt(0.09 * tot.n)) AS BIGINT) AND
+        cnt.k <= CAST(ceil(0.1 * tot.n + 6 * sqrt(0.09 * tot.n)) AS BIGINT) AS in_band,
+        miss.m = 0 AS subset_ok
+      FROM tot, cnt, miss"""))
+
   val all: Seq[Q] =
     Seq(ndjsonSink, partitionPrune, aggPushdown, zorderLayout, csvScan, schemaEvolution,
-      orcScan)
+      orcScan, tablesample)
 }

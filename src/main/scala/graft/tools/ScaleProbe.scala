@@ -120,6 +120,12 @@ object ScaleProbe {
   private def buildHeavyCorpus(
       spark: SparkSession, sfDir: String, n: Int, outDir: String,
       tables: Set[String]): Unit = {
+    // "supplier" (unreplicated dim) and "supplier_rep" (replicated *mult+i
+    // subgraphs) both land at $outDir/supplier.parquet — requesting both
+    // used to let the second write silently clobber the first (r12 ADVICE)
+    require(!(tables.contains("supplier") && tables.contains("supplier_rep")),
+      "tables 'supplier' and 'supplier_rep' are mutually exclusive — both " +
+        "write supplier.parquet; pick the one the probed query's join shape needs")
     val mult = keyMult(n)
     def reps(name: String)(perturb: (DataFrame, Int) => DataFrame): Unit = {
       if (!tables.contains(name)) return
@@ -235,15 +241,35 @@ object ScaleProbe {
   private def heavyMain(args: Array[String]): Unit = {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val n = args.lift(2).map(_.toInt).getOrElse(10)
-    // optional 5th arg: comma-separated tables to replicate (a 100x build
-    // of every table costs minutes and GBs; a targeted probe needs only
-    // the tables its queries scan)
-    val tables = args.lift(4).map(_.split(",").toSet).getOrElse(AllHeavyTables)
     // optional 4th arg: comma-separated subset of HeavyQueries to probe
     val selected = args.lift(3)
       .map(_.split(",").toSet)
       .map(want => HeavyQueries.filter(want.contains))
       .getOrElse(HeavyQueries)
+    // optional 5th arg: comma-separated tables to replicate (a 100x build
+    // of every table costs minutes and GBs; a targeted probe needs only
+    // the tables its queries scan). Defaulted probes of q_join_star get
+    // the REPLICATED supplier: its l_suppkey = s_suppkey edge matches
+    // lineitem's *mult+i remap only against supplier_rep — against the
+    // unreplicated copy ~(n-1)/n of fact suppkeys dangle and the measured
+    // ratio is of a mostly-empty join (r12 ADVICE). q_join_nullsafe keeps
+    // preferring the unreplicated dim; when both are probed in one
+    // defaulted run, star-join correctness of the corpus wins and the
+    // nullsafe ratio carries a warning (its dim now grows with n — the
+    // conservative direction).
+    val defaultTables =
+      if (selected.contains("q_join_star")) {
+        if (selected.contains("q_join_nullsafe"))
+          System.err.println("[scaleprobe] WARNING: q_join_star selected -> " +
+            "supplier_rep replaces the unreplicated supplier dim; " +
+            "q_join_nullsafe's ratio this run includes an n-growing dim side")
+        AllHeavyTables - "supplier" + "supplier_rep"
+      } else AllHeavyTables
+    val tables = args.lift(4).map(_.split(",").toSet).getOrElse(defaultTables)
+    if (selected.contains("q_join_star") && tables.contains("supplier"))
+      System.err.println("[scaleprobe] WARNING: q_join_star probed against the " +
+        "UNREPLICATED supplier copy — most fact suppkeys dangle at Nx and the " +
+        "wall ratio measures a distorted (mostly-empty) join; use supplier_rep")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

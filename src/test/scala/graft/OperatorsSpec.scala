@@ -52,6 +52,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(6) == "2020-07-03 01:00:00")
   }
 
+  test("window GROUPS frame mode is parser-rejected; the dense_rank RANGE rewrite is the documented equivalent") {
+    // DOCUMENTED DEVIATION (q_window_groups + GraftExtensions scaladoc):
+    // Presto supports GROUPS BETWEEN k PRECEDING AND CURRENT ROW; Spark
+    // 4's parser has no GROUPS frame mode at all (and DuckDB 1.0.0
+    // rejects it too — the q_window_groups oracle derives the semantics
+    // from group-level lag totals instead). Pin the rejection so a future
+    // Spark release that adds it retires the deviation loudly.
+    val err = intercept[Exception] {
+      spark.sql("""SELECT sum(id) OVER (ORDER BY id
+                   GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM range(5)""")
+    }
+    assert(err.getClass.getSimpleName == "ParseException",
+      s"expected ParseException for GROUPS frame, got $err")
+    // The mechanical rewrite: dense_rank over the same (partition, order)
+    // spec, then RANGE BETWEEN k PRECEDING AND CURRENT ROW on the rank.
+    // Hand-checked micro-corpus with TIES (the case that separates GROUPS
+    // from ROWS and RANGE-on-value): values (a,1)(b,1)(c,2)(d,3)(e,3);
+    // GROUPS 1 PRECEDING..CURRENT ROW sums: row a,b -> group{1} = a+b;
+    // c -> groups{1,2}; d,e -> groups{2,3}.
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1, 10L), ("b", 1, 20L), ("c", 2, 3L), ("d", 3, 4L), ("e", 3, 5L))
+      .toDF("id", "ord", "v")
+    import org.apache.spark.sql.expressions.Window
+    val dr = org.apache.spark.sql.functions.dense_rank()
+      .over(Window.orderBy("ord"))
+    val frame = Window.orderBy("dr").rangeBetween(-1, Window.currentRow)
+    val out = df.withColumn("dr", dr)
+      .select(col("id"), sum("v").over(frame).as("gsum"))
+      .orderBy("id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 30L, "b" -> 30L, "c" -> 33L, "d" -> 12L, "e" -> 12L),
+      s"GROUPS rewrite mismatch: $out")
+  }
+
   test("AQE splits skewed join partitions at runtime (the 100 TB skew story)") {
     val s = spark
     import s.implicits._
