@@ -126,8 +126,23 @@ object TrainingDataQueries {
       WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 % 1000 < least(n_chars // 10, 500)
       ORDER BY doc_id"""))
 
-  private def sqlLg3(e: String): String =
-    s"(length(bin(CAST(($e) AS BIGINT)*CAST(($e) AS BIGINT)*CAST(($e) AS BIGINT))) - 1)"
+  /** floor(3·log2 x) in pure integer ops, overflow-safe at ANY count.
+    * Below 2^20 it is the exact x³ bit-length device (x³ < 2^60). At or
+    * above 2^20 the cube would overflow a 64-bit long — the r13 full-gate
+    * run at 10x sf0.1 caught exactly that (ANSI ARITHMETIC_OVERFLOW on the
+    * corpus totals; the class of bug only data growth surfaces) — so the
+    * argument is first truncated to its top 20 bits: for x = t·2^e + r
+    * with t ∈ [2^19, 2^20), floor(3·log2(t·2^e)) = 3e + bitlen(t³) − 1.
+    * Truncation perturbs the log by < 3/(t·ln2) < 2^-17 — below third-bit
+    * resolution except within 2^-17 of a boundary — and both engines
+    * apply the IDENTICAL truncation, so the compare stays bit-exact at
+    * every scale. */
+  private def sqlLg3(e: String): String = {
+    val x = s"CAST(($e) AS BIGINT)"
+    val t = s"($x >> (length(bin($x)) - 20))"
+    s"""(CASE WHEN $x < 1048576 THEN length(bin($x*$x*$x)) - 1
+         ELSE 3*(length(bin($x)) - 20) + length(bin($t*$t*$t)) - 1 END)"""
+  }
 
   /** DSIR — Data Selection via Importance Resampling (Xie et al., 2023),
     * the hashed-n-gram importance-weighting selector used to pick
@@ -140,19 +155,29 @@ object TrainingDataQueries {
     * weight > 1 — "more target-like than raw"); the paper's Gumbel-top-k
     * resample adds RNG on top of the same score, deliberately left
     * deterministic here (the reproducibility-under-retry property every
-    * other sampler in this file pins). Logs are integer-exact at third-bit
-    * resolution (floor(3·log2 x) = bitlen(x³)−1 — the device proven in
-    * q_text_surprisal/q_text_nb_classifier; x³ bounds the corpus at ~2M
-    * features per class, documented boundary — at real scale widen to the
-    * whole-bit device on the two totals). Scale shape: one (doc, bucket)
+    * other sampler in this file pins). Logs are integer third-bit
+    * resolution via the overflow-safe widened device (see [[sqlLg3]]):
+    * the original bitlen(x³)−1 form overflowed on the corpus totals the
+    * moment the r13 full gate ran at 10x sf0.1 — ~2M features per class
+    * was its documented boundary and real data crossed it — so counts
+    * ≥ 2^20 now truncate to their top 20 bits before cubing, identical
+    * formula on both engines, valid at any corpus size. Scale shape: one
+    * (doc, bucket)
     * count shuffle (the tf-idf shape); the λ table is B rows → broadcast;
     * the two totals are one broadcast row. No pairwise stage anywhere; at
     * 100 TB B rises (DSIR uses 10k buckets) and stays broadcastable. */
   private val sampleDsir = Q(
     "q_sample_dsir",
     (s, d) => {
-      val lg3 = (c: Column) =>
-        when(c > 0, length(bin(c * c * c)) - 1).otherwise(0L).cast("long")
+      // mirror of sqlLg3 (see its scaladoc): exact x³ device below 2^20,
+      // top-20-bit truncated device above — overflow-safe at any scale
+      val lg3 = (c: Column) => {
+        val t = call_function("shiftright", c, length(bin(c)) - lit(20))
+        when(c < 1048576L, length(bin(c * c * c)) - 1)
+          .otherwise((length(bin(c)) - lit(20)) * lit(3) +
+            length(bin(t * t * t)) - lit(1))
+          .cast("long")
+      }
       val docs = t(s, d, "documents")
         .select(col("doc_id"),
           col("source").isin("src0", "src1", "src2").as("is_target"),
