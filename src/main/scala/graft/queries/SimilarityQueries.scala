@@ -960,23 +960,33 @@ object SimilarityQueries {
   private val adaptive = Q(
     "q_sim_adaptive",
     (s, d) => {
+      // The normalized full vector is aliased "nemb", NOT "emb": aliasing
+      // it back to the input's name while a LATER sibling expression also
+      // references col("emb") trips a Spark 4.1 lateral-column-alias
+      // hazard — the sibling's OUTER slice resolved to the input column
+      // but the lambda-bound references INSIDE its l2Normalize aggregate
+      // re-resolved to the new (normalized) sibling output, silently
+      // scaling every prefix by norm64/norm32. Invisible at 1x (all
+      // norms ~1) and caught by the r13 10x-corpus gate when replica
+      // noise spread the norms (shortlists lost true winners; see
+      // OperatorsSpec "lateral-alias shadowing" pin).
       val vecs = embeddings(s, d).select(col("vec_id"),
-        l2Normalize(col("emb")).as("emb"),
+        l2Normalize(col("emb")).as("nemb"),
         l2Normalize(slice(col("emb"), 1, 32)).as("emb32"))
       val q = broadcast(vecs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
-          col("emb").as("qemb"), col("emb32").as("qemb32")))
+          col("nemb").as("qemb"), col("emb32").as("qemb32")))
       val w1 = Window.partitionBy("query_id").orderBy(desc("t_cos"), asc("neighbor_id"))
       val shortlist = vecs.join(q, col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(dot(col("emb32"), col("qemb32")), 6).as("t_cos"),
-          col("emb"), col("qemb"))
+          col("nemb"), col("qemb"))
         .withColumn("srn", row_number().over(w1))
         .filter(col("srn") <= 80)
       val w2 = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
       shortlist
         .select(col("query_id"), col("neighbor_id"),
-          round(dot(col("emb"), col("qemb")), 6).as("cos_sim"))
+          round(dot(col("nemb"), col("qemb")), 6).as("cos_sim"))
         .withColumn("rn", row_number().over(w2).cast("long"))
         .filter(col("rn") <= 10)
         .orderBy("query_id", "rn")

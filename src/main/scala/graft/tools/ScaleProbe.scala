@@ -320,8 +320,40 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Build-only mode: materialize the perturbed-replica corpus and exit —
+    * the input for the FULL-gate-at-scale run (r12 verdict task 1), where
+    * graft.Verify + the DuckDB oracle then replay the entire declared
+    * corpus against the Nx data instead of probing wall-clock.
+    *
+    * Run: sbt 'runMain graft.tools.ScaleProbe corpus <sfDir> <n> <outDir> [tables]'
+    */
+  private def corpusMain(args: Array[String]): Unit = {
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val n = args.lift(2).map(_.toInt).getOrElse(10)
+    val outDir = args.lift(3).getOrElse(s"/tmp/graft_gatecorpus_${n}x")
+    // default: every replicable table plus the constant dims — the full
+    // gate scans everything. supplier_rep (not the unreplicated dim): the
+    // star join's l_suppkey remap only matches the replicated copy, and
+    // correctness of every other supplier consumer is unaffected by WHICH
+    // consistent supplier table both engines read.
+    val tables = args.lift(4).map(_.split(",").toSet)
+      .getOrElse(AllHeavyTables - "supplier" + "supplier_rep" + "nation" + "region")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildHeavyCorpus(spark, sfDir, n, outDir, tables)
+    println(s"""{"probe":"corpus_build","replication":$n,"out":"$outDir","tables":"${tables.toSeq.sorted.mkString(",")}"}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("heavy")) { heavyMain(args); return }
+    if (args.headOption.contains("corpus")) { corpusMain(args); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
