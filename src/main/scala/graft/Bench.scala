@@ -209,11 +209,22 @@ object Bench {
     * opens, heap, and core count as this one) running the RunOne batch in
     * settle mode, and take each query's median over its post-warmup passes.
     * A query missing from the child's output (crash, timeout) reports
-    * null — a failed attempt must never contribute its elapsed time. */
+    * null — a failed attempt must never contribute its elapsed time.
+    *
+    * THREE warmup passes, not one (r12 verdict task 2): the flagged set
+    * is dominated by construction-heavy queries whose wall is ~95%
+    * driver-side plan building + eager actions (minhash signatures,
+    * graph-round unrolling), and that path is JIT-compiled code that
+    * keeps getting faster for ~5 invocations — measured solo on a quiet
+    * box, q_dedup_minhash reads 19.8 / 8.6 / 7.3 / 6.1 s across passes
+    * 1-4 (PERF.md r13). A single dropped pass leaves the median
+    * JIT-cold by up to 3x (the r12 artifact's 20.6 s vs the builder's
+    * 6.5 s quiet number — same code, different JIT temperature). */
+  private val IsolationWarmupPasses = 3
   private def isolateFreshJvm(
       names: Seq[String], sfDir: String, cpus: String): Seq[(String, Option[Double])] = {
     if (names.isEmpty) return Seq.empty
-    val passes = TimedRuns + 1 // pass 1 = codegen warmup, dropped below
+    val passes = TimedRuns + IsolationWarmupPasses
     try {
       val javaBin = java.nio.file.Paths.get(
         sys.props("java.home"), "bin", "java").toString
@@ -255,7 +266,7 @@ object Bench {
         .groupBy(_._1)
       names.map { n =>
         val xs = byQuery.getOrElse(n, Seq.empty)
-          .collect { case (_, pass, t) if pass > 1 => t }.sorted
+          .collect { case (_, pass, t) if pass > IsolationWarmupPasses => t }.sorted
         n -> (if (xs.isEmpty) None else Some(xs(xs.length / 2)))
       }
     } catch {
