@@ -45,9 +45,14 @@ for name in out_dirs:
     if declared and name not in declared:
         results[name] = "UNDECLARED (output dir with no SparkEntry.queries key)"
 
+import time
 for name in out_dirs:
     if name in results:
         continue
+    # live progress: big gate corpora make some oracles minutes-long —
+    # without this line a stuck run is indistinguishable from a slow one
+    print(f"[run ] {name}", file=sys.stderr, flush=True)
+    _t0 = time.time()
     path = os.path.join(outdir, name)
     try:
         spark_df = pd.read_parquet(path)
@@ -58,9 +63,25 @@ for name in out_dirs:
         results[name] = f"rows-only: {len(spark_df)} rows"
         continue
     try:
-        duck_df = con.execute(oracle[name]).fetchdf()
+        # bound each oracle: at gate-corpus scale a handful of DuckDB
+        # rewrites (e.g. shingle self-joins) can run for hours; interrupt
+        # and record ORACLE-TIMEOUT instead of wedging the whole gate
+        import threading
+        _done = threading.Event()
+        _TO = float(os.environ.get("ORACLE_TIMEOUT_SEC", "900"))
+        def _killer():
+            if not _done.wait(_TO):
+                try: con.interrupt()
+                except Exception: pass
+        threading.Thread(target=_killer, daemon=True).start()
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        finally:
+            _done.set()
     except Exception as e:
-        results[name] = f"ORACLE-FAIL {type(e).__name__}: {e}"
+        kind = "ORACLE-TIMEOUT" if "INTERRUPT" in str(e).upper() \
+            else f"ORACLE-FAIL {type(e).__name__}"
+        results[name] = f"{kind}: {str(e)[:200]}"
         continue
     s = spark_df[sorted(spark_df.columns)]
     d = duck_df[sorted(duck_df.columns)]
@@ -115,6 +136,8 @@ for name in out_dirs:
             bad = f"VALUE-MISMATCH col={c} row={i} spark={sv.iloc[i]!r} duck={dv.iloc[i]!r} (dtypes {sv.dtype}/{dv.dtype})"
             break
     results[name] = bad or "OK"
+    print(f"[done] {name}: {results[name][:60]} ({time.time()-_t0:.1f}s)",
+          file=sys.stderr, flush=True)
 
 n_ok = sum(1 for v in results.values() if v == "OK")
 n_rows_only = sum(1 for v in results.values() if str(v).startswith("rows-only"))

@@ -107,7 +107,12 @@ object ScaleProbe {
     // exactly the recursion-depth growth a 10x corpus should cost)
     "q_recursive_cte",
     // quantifier HOFs (part-backed narrow projection)
-    "q_array_quantifiers")
+    "q_array_quantifiers",
+    // r13: the dialect-edge rows — str_to_map payload rip (orders),
+    // GROUPS-frame rewrite (orders), JSON accessor family close (events),
+    // Bernoulli-sample contract (lineitem)
+    "q_map_parse", "q_window_groups", "q_events_json_size",
+    "q_scan_tablesample")
 
   private val ReplicaIdOffset = 10000000L
 
