@@ -128,11 +128,13 @@ object Decontamination {
       .join(flagged.groupBy("doc_id").agg(count(lit(1)).as("bloom_hits")),
         Seq("doc_id"), "left")
       .join(exact, Seq("doc_id"), "left")
+      // coalesce in its OWN projection — re-aliasing a referenced input
+      // name in one select is the lateral-alias hazard (EngineSpec lint)
+      .withColumn("bloom_hits", coalesce(col("bloom_hits"), lit(0L)))
+      .withColumn("exact_hits", coalesce(col("exact_hits"), lit(0L)))
       .select(
-        col("doc_id"), col("n_ngrams"),
-        coalesce(col("bloom_hits"), lit(0L)).as("bloom_hits"),
-        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
-        (coalesce(col("exact_hits"), lit(0L)) > 0).as("is_contaminated"))
+        col("doc_id"), col("n_ngrams"), col("bloom_hits"), col("exact_hits"),
+        (col("exact_hits") > 0).as("is_contaminated"))
   }
 
   /** Streaming twin: scrub each micro-batch of documents against the

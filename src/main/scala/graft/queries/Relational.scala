@@ -1065,10 +1065,12 @@ object Relational {
       t(s, d, "orders")
         .withColumn("dr", dense_rank().over(byDate))
         .select(
-          col("o_orderkey"), col("o_orderpriority"),
-          col("dr").cast("long").as("dr"),
+          col("o_orderkey"), col("o_orderpriority"), col("dr"),
           sum("o_custkey").over(grpFrame).as("grp_sum"),
           count(lit(1)).over(grpFrame).as("grp_n"))
+        // cast in a SEPARATE projection: casting dr in the same select the
+        // frame references it would self-shadow (EngineSpec lint)
+        .withColumn("dr", col("dr").cast("long"))
         .orderBy("o_orderkey")
     },
     Some("""WITH g AS (
@@ -1937,10 +1939,15 @@ object Relational {
   private val arrayGen = Q(
     "q_array_gen",
     (s, d) => {
-      val sq = sequence(lit(1L), col("n_nationkey").cast("long") % 4 + 1)
-      t(s, d, "nation")
+      // key cast in its OWN projection: casting n_nationkey in the same
+      // select whose siblings embed sq (which references n_nationkey)
+      // would self-shadow a referenced input name (EngineSpec lint)
+      val base = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"))
+      val sq = sequence(lit(1L), col("n_nationkey") % 4 + 1)
+      base
         .select(
-          col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_nationkey"),
           array_join(transform(sq, i => i.cast("string")), ",").as("seq_str"),
           array_join(transform(slice(sq, 2, 2), i => i.cast("string")), ",").as("mid_str"),
           aggregate(sq, lit(0L), (a, x) => a + x).as("seq_sum"),

@@ -1123,12 +1123,15 @@ object TextQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(
-          col("doc_id"), col("n").cast("long").as("n"),
+          col("doc_id"), col("n"),
           col("gram").as("top_gram"), col("cnt").as("top_cnt"),
           expr("cnt * length(gram) * 10000 div n_chars").as("frac_bp"),
           (expr("cnt * length(gram) * 10000 div n_chars") >
             when(col("n") === 2, 2000L).when(col("n") === 3, 1800L).otherwise(1600L))
             .as("flagged"))
+        // cast in a SEPARATE projection: casting n in the select whose
+        // flagged threshold references it would self-shadow (EngineSpec lint)
+        .withColumn("n", col("n").cast("long"))
         .orderBy("doc_id", "n")
     },
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
@@ -1196,13 +1199,16 @@ object TextQueries {
         .groupBy("doc_id", "n_chars", "n")
         .agg(count(lit(1)).as("covered_tokens"), sum("wlen").as("covered_chars"))
         .select(
-          col("doc_id"), col("n").cast("long").as("n"),
+          col("doc_id"), col("n"),
           col("covered_tokens"), col("covered_chars"),
           expr("covered_chars * 10000 div n_chars").as("dup_bp"),
           (expr("covered_chars * 10000 div n_chars") >
             when(col("n") === 2, 2000L).when(col("n") === 3, 1800L)
               .when(col("n") === 4, 1600L).when(col("n") === 5, 1500L)
               .otherwise(1400L)).as("flagged"))
+        // cast in a SEPARATE projection: casting n in the select whose
+        // flagged threshold references it would self-shadow (EngineSpec lint)
+        .withColumn("n", col("n").cast("long"))
         .orderBy("doc_id", "n")
     },
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,

@@ -369,14 +369,19 @@ object TrainingDataQueries {
         .join(perNg.filter(col("bloom_hit")).groupBy("doc_id")
           .agg(count(lit(1)).as("bloom_hits")), Seq("doc_id"), "left")
         .join(exact, Seq("doc_id"), "left")
+        // coalesce each hit column in its OWN projection: re-aliasing
+        // bloom_hits/exact_hits in the same select whose fp_hits /
+        // is_contaminated siblings reference them would self-shadow
+        // referenced input names (EngineSpec lint)
+        .withColumn("bloom_hits", coalesce(col("bloom_hits"), lit(0L)))
+        .withColumn("exact_hits", coalesce(col("exact_hits"), lit(0L)))
         .select(
           col("doc_id"),
           col("n_ngrams"),
-          coalesce(col("bloom_hits"), lit(0L)).as("bloom_hits"),
-          coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
-          (coalesce(col("bloom_hits"), lit(0L)) - coalesce(col("exact_hits"), lit(0L)))
-            .as("fp_hits"),
-          (coalesce(col("exact_hits"), lit(0L)) > 0).as("is_contaminated"))
+          col("bloom_hits"),
+          col("exact_hits"),
+          (col("bloom_hits") - col("exact_hits")).as("fp_hits"),
+          (col("exact_hits") > 0).as("is_contaminated"))
         .orderBy("doc_id")
     },
     Some("""WITH d AS (SELECT doc_id,

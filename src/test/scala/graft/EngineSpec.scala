@@ -83,8 +83,40 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.queryExecution.analyzed
-        df.schema.fields.collect {
+        val analyzed = df.queryExecution.analyzed
+        // Round-13 postmortem, folded into the SAME loop: aliasing a
+        // COMPUTED projection output to an input column's name while a
+        // LATER sibling expression references that input trips Spark
+        // 4.1's lateral-column-alias resolution — the sibling's outer
+        // refs bind to the input but its HOF-lambda innards re-bind to
+        // the new sibling output (q_sim_adaptive returned wrong
+        // neighbors; only the 10x-scale gate caught it). The repo rule
+        // "never self-shadow a referenced input name" is enforced here
+        // as a named red test over every declared plan.
+        import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        val shadowHazards = analyzed.collect {
+          case p: Project =>
+            val childAttrs = p.child.output.groupBy(_.name)
+            p.projectList.zipWithIndex.flatMap {
+              case (a: Alias, i)
+                  if childAttrs.contains(a.name) &&
+                    !a.child.isInstanceOf[AttributeReference] =>
+                val ids = childAttrs(a.name).map(_.exprId).toSet
+                val laterRef = p.projectList.drop(i + 1).exists(_.exists {
+                  case ar: AttributeReference => ids(ar.exprId)
+                  case _ => false
+                })
+                if (laterRef)
+                  Seq(s"$name: projection aliases a computed expression to input " +
+                    s"name '${a.name}' while a later sibling references that input " +
+                    "— the Spark 4.1 lateral-alias lambda-binding hazard " +
+                    "(rename the alias; see OperatorsSpec lateral-alias pin)")
+                else Nil
+              case _ => Nil
+            }
+        }.flatten.distinct
+        shadowHazards ++ df.schema.fields.collect {
           case f if f.dataType.isInstanceOf[ArrayType] ||
               f.dataType.isInstanceOf[MapType] ||
               f.dataType.isInstanceOf[StructType] =>
