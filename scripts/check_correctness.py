@@ -12,13 +12,17 @@ import pandas as pd
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-con = duckdb.connect()
-for p in glob.glob(f"{sfdir}/*.parquet"):
-    name = os.path.basename(p).replace(".parquet", "")
-    # driver testdata tables are single files; ScaleProbe gate corpora are
-    # Spark-written DIRECTORIES named <table>.parquet — glob inside those
-    src = f"{p}/*.parquet" if os.path.isdir(p) else p
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+def _connect():
+    c = duckdb.connect()
+    for p in glob.glob(f"{sfdir}/*.parquet"):
+        name = os.path.basename(p).replace(".parquet", "")
+        # driver testdata tables are single files; ScaleProbe gate corpora
+        # are Spark-written DIRECTORIES named <table>.parquet — glob inside
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        c.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+    return c
+
+con = _connect()
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
@@ -68,20 +72,40 @@ for name in out_dirs:
         # and record ORACLE-TIMEOUT instead of wedging the whole gate
         import threading
         _done = threading.Event()
+        _lock = threading.Lock()
         _TO = float(os.environ.get("ORACLE_TIMEOUT_SEC", "900"))
+        # The killer re-checks _done UNDER THE LOCK before interrupting, and
+        # the query thread sets _done under the same lock the moment
+        # fetchdf() returns — so an interrupt can never fire after this
+        # oracle completed and abort/taint the NEXT oracle on the shared
+        # connection (r13 ADVICE: the old Event-only handshake had a window
+        # between fetchdf() returning and _done.set()).
         def _killer():
             if not _done.wait(_TO):
-                try: con.interrupt()
-                except Exception: pass
+                with _lock:
+                    if not _done.is_set():
+                        try: con.interrupt()
+                        except Exception: pass
         threading.Thread(target=_killer, daemon=True).start()
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
         finally:
-            _done.set()
+            with _lock:
+                _done.set()
     except Exception as e:
-        kind = "ORACLE-TIMEOUT" if "INTERRUPT" in str(e).upper() \
+        # classify by ELAPSED TIME, not by substring-matching the message
+        # (r13 ADVICE): any exception surfacing after the deadline on this
+        # connection is the interrupt; anything earlier is a real failure.
+        kind = "ORACLE-TIMEOUT" if time.time() - _t0 >= _TO \
             else f"ORACLE-FAIL {type(e).__name__}"
         results[name] = f"{kind}: {str(e)[:200]}"
+        if kind == "ORACLE-TIMEOUT":
+            # belt-and-braces: rebuild the shared connection after an
+            # interrupt so no lingering cancel flag can abort the next
+            # oracle even if the handshake above ever misses
+            try: con.close()
+            except Exception: pass
+            con = _connect()
         continue
     s = spark_df[sorted(spark_df.columns)]
     d = duck_df[sorted(duck_df.columns)]

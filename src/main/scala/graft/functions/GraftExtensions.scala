@@ -87,11 +87,71 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // semantics. q_window_groups proves the rewrite equals DuckDB's
     // native GROUPS frame row-for-row; OperatorsSpec pins the parser
     // rejection so a Spark release that adds GROUPS retires this note.
+    //
+    // DOCUMENTED DEVIATION #3 — window frame EXCLUDE clause: Presto and
+    // DuckDB accept `... EXCLUDE CURRENT ROW / GROUP / TIES`; Spark 4's
+    // parser has no EXCLUDE clause (ParseException before analysis —
+    // pinned in OperatorsSpec beside the GROUPS pin). The mechanical
+    // rewrite for EXCLUDE CURRENT ROW is exact: aggregate the full frame,
+    // subtract the current row's contribution, and NULL-guard on the
+    // excluded frame being empty (sum over an empty frame is NULL, not
+    // 0). q_window_exclude proves the rewrite equals DuckDB's NATIVE
+    // EXCLUDE CURRENT ROW row-for-row. EXCLUDE GROUP/TIES compose the
+    // same way with the peer-group aggregates q_window_groups builds
+    // (subtract the current PEER GROUP's total instead of the row's).
     ext.injectFunction((
       new FunctionIdentifier("from_iso8601_timestamp"),
       info(classOf[Cast], "from_iso8601_timestamp",
         "from_iso8601_timestamp(str) - Presto ISO-8601 parse; Spark's timestamp cast " +
           "accepts the same offset-bearing forms (session UTC)"),
       (children: Seq[Expression]) => Cast(children(0), TimestampType)))
+
+    // ---- Presto Unicode + Joda-pattern temporal spellings ----------------
+    // normalize(s[, form]): Presto Unicode normalization (NFC default);
+    // Spark has no spelling at all. Codegen'd expression over the JDK
+    // normalizer (TextCompat.scala) — the canonicalize-before-dedup-key
+    // idiom q_string_normalize declares.
+    ext.injectFunction((
+      new FunctionIdentifier("normalize"),
+      info(classOf[UnicodeNormalize], "normalize",
+        "normalize(s[, form]) - Presto Unicode normalization; form in NFC (default), NFD, NFKC, NFKD"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s)    => UnicodeNormalize(s, Literal("NFC"))
+        case Seq(s, f) => UnicodeNormalize(s, f)
+        case _ => throw new IllegalArgumentException(
+          s"normalize expects 1 or 2 arguments, got ${children.size}")
+      }))
+    // format_datetime(ts, joda) / parse_datetime(str, joda): Presto's
+    // formatter dialect is Joda-Time, NOT java.time — 'Y' alone would
+    // silently format week-based years. The pattern is translated at
+    // resolution time (TextOps.jodaToJava) and the call lowers onto
+    // Spark's native codegen'd DateFormatClass / ParseToTimestamp, so the
+    // hot path is exactly a built-in date_format/to_timestamp. The pattern
+    // must be a literal (every published Presto query writes it inline);
+    // a computed pattern throws with a named error rather than
+    // misformatting.
+    def jodaLit(e: Expression, fn: String): Expression = e match {
+      case Literal(p: org.apache.spark.unsafe.types.UTF8String, org.apache.spark.sql.types.StringType) =>
+        Literal(TextOps.jodaToJava(p.toString))
+      case _ => throw new IllegalArgumentException(
+        s"$fn requires a literal Joda pattern (Presto queries write it inline); " +
+          "got a non-literal expression")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("format_datetime"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.DateFormatClass], "format_datetime",
+        "format_datetime(ts, pattern) - Presto Joda-pattern timestamp formatting; " +
+          "lowers to date_format with the translated java.time pattern"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+          Cast(children(0), TimestampType), jodaLit(children(1), "format_datetime"))))
+    ext.injectFunction((
+      new FunctionIdentifier("parse_datetime"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.ParseToTimestamp], "parse_datetime",
+        "parse_datetime(str, pattern) - Presto Joda-pattern timestamp parse; " +
+          "lowers to to_timestamp with the translated java.time pattern (session UTC)"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(
+          children(0), jodaLit(children(1), "parse_datetime"))))
   }
 }

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Presto text/temporal source-compatibility helpers that need real logic
+  * (not just a registry alias): Unicode normalization and the Joda-pattern
+  * datetime formatter dialect.
+  *
+  * Reference surface: `/root/reference/README.md:116` ("any valid Presto
+  * SQL") — Presto ships `normalize(s[, form])` and the Joda-patterned
+  * `format_datetime`/`parse_datetime`, Spark has neither spelling.
+  */
+object TextOps {
+
+  /** Unicode-normalize `s` per `form` (NFC/NFD/NFKC/NFKD — Presto's set).
+    * java.text.Normalizer is the canonical JDK implementation; invalid
+    * forms throw (Presto raises INVALID_FUNCTION_ARGUMENT the same way). */
+  def normalize(s: UTF8String, form: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(
+        s.toString, java.text.Normalizer.Form.valueOf(form.toString.toUpperCase)))
+
+  /** Translate a Joda-Time pattern (Presto's `format_datetime`/
+    * `parse_datetime` dialect) to Spark's datetime pattern dialect.
+    *
+    * Most letters coincide; the two DANGEROUS divergences are handled
+    * explicitly rather than passed through:
+    *   - Joda `Y` = year-of-era, but Spark/java.time `Y` = WEEK-BASED
+    *     year — passing it through would format Dec 29-31 into the next
+    *     year silently. Mapped to `y` (identical for CE dates).
+    *   - Joda's week-based fields (`x` weekyear, `w` week, `e` numeric
+    *     day-of-week) and `C` (century) have NO Spark equivalent — Spark
+    *     4 bans week-based fields outright — so they are REJECTED with a
+    *     named error instead of silently misformatting.
+    * Quoted literal sections (including the `''` escape) pass through
+    * verbatim; both dialects quote identically. */
+  def jodaToJava(pattern: String): String = {
+    val out = new StringBuilder(pattern.length)
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == '\'') { // literal section: copy verbatim through the closing quote
+        out.append(c); i += 1
+        var closed = false
+        while (i < pattern.length && !closed) {
+          out.append(pattern.charAt(i))
+          if (pattern.charAt(i) == '\'') closed = true
+          i += 1
+        }
+      } else if (c.isLetter) {
+        var j = i
+        while (j < pattern.length && pattern.charAt(j) == c) j += 1
+        val n = j - i
+        val mapped = c match {
+          // letters whose meaning coincides in both dialects
+          case 'y' | 'M' | 'd' | 'H' | 'h' | 'K' | 'k' | 'm' | 's' | 'S' |
+              'a' | 'E' | 'D' | 'G' | 'z' =>
+            c.toString * n
+          case 'Y' => "y" * n // Joda year-of-era; java Y is week-based (hazard)
+          case 'Z' => // Joda: Z=+0800, ZZ=+08:00, ZZZ=zone id
+            if (n == 1) "Z" else if (n == 2) "XXX" else "VV"
+          case 'x' | 'w' | 'e' | 'C' =>
+            throw new IllegalArgumentException(
+              s"Joda pattern letter '$c' (week-based/century field) has no Spark " +
+                "datetime-pattern equivalent (Spark 4 bans week-based fields); " +
+                "rewrite the pattern with y/M/d/D")
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported Joda pattern letter '$other' in '$pattern'")
+        }
+        out.append(mapped); i = j
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+}
+
+/** Column-level entry points for the DataFrame API (the declared rows run
+  * under plain driver sessions where only built-ins resolve by name; the
+  * SQL spellings are registered by [[GraftExtensions]] for
+  * Engine.createSession users and pinned equivalent in FunctionsSpec). */
+object TextFunctions {
+  import org.apache.spark.sql.{graftshim, Column}
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  /** Presto normalize(s, form) as a Column (codegen'd; see [[UnicodeNormalize]]). */
+  def normalize(s: Column, form: String = "NFC"): Column =
+    graftshim.column(UnicodeNormalize(graftshim.expression(s), Literal(form)))
+
+  /** Presto format_datetime(ts, jodaPattern) as a Column — the pattern
+    * translates ONCE here, then the call is exactly a native date_format. */
+  def formatDatetime(ts: Column, jodaPattern: String): Column =
+    graftshim.column(org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+      graftshim.expression(ts), Literal(TextOps.jodaToJava(jodaPattern))))
+
+  /** Presto parse_datetime(str, jodaPattern) as a Column (native to_timestamp). */
+  def parseDatetime(str: Column, jodaPattern: String): Column =
+    graftshim.column(new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(
+      graftshim.expression(str), Literal(TextOps.jodaToJava(jodaPattern))))
+}
+
+/** Presto `normalize(s [, form])` — Unicode normalization (default NFC).
+  * Codegen'd so it stays inside whole-stage codegen when used as a
+  * canonicalize-before-dedup key (the dedup stack keys on raw text;
+  * NFC-canonicalization first is standard LLM-corpus practice —
+  * q_string_normalize declares exactly that shape). */
+case class UnicodeNormalize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(s: Any, form: Any): Any =
+    TextOps.normalize(s.asInstanceOf[UTF8String], form.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, f) => s"graft.functions.TextOps.normalize($s, $f)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UnicodeNormalize =
+    copy(left = newLeft, right = newRight)
+}

@@ -130,6 +130,24 @@ object PackingStore {
     fs.delete(tmp, true)
     val a = assignments.cache()
     try {
+      // Contract invariant, checked where it is FREE to check (r13 ADVICE):
+      // the feed is append-only and batch-deduplicated, so a doc_id must
+      // appear exactly once in the merged assignment table. The O(delta)
+      // append path no longer re-checks incoming ids against the store, so
+      // a contract-violating feed (a doc_id re-arriving under a NEW
+      // batchId — e.g. a misconfigured upstream replay) would otherwise
+      // write duplicate pack assignments silently. The publish rewrite is
+      // already O(store) over this exact cached frame, so one piggybacked
+      // duplicate-count aggregation surfaces the violation loudly instead
+      // of corrupting the store.
+      val dup = a.groupBy("doc_id").count().filter(col("count") > 1L).limit(1)
+        .collect()
+      if (dup.nonEmpty)
+        throw new IllegalStateException(
+          s"PackingStore.append: doc_id ${dup.head.get(0)} appears " +
+            s"${dup.head.getLong(1)} times in the merged assignment table — " +
+            "the feed violated the append-only contract (a doc_id re-arrived " +
+            "under a new batchId); refusing to publish a corrupted store")
       a.write.mode(SaveMode.Overwrite).parquet(s"$tmp/assignments")
       // cursor = total tokens per shard; derived from the SAME frame that
       // was just published, so content and cursor cannot diverge

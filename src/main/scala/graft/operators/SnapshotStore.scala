@@ -104,12 +104,19 @@ object SnapshotStore {
     // (r12 ADVICE). Deterministic tie-break: op first (a delete outranks
     // an upsert at the same seq — the conservative read for a contract
     // violation), then a payload hash, so any two runs over any batch
-    // split of the same duplicated changelog pick the SAME row.
+    // split of the same duplicated changelog pick the SAME row. The
+    // delete-wins term compares against `deleteOp` DIRECTLY rather than
+    // sorting op strings lexically — "D" < "I"/"U" made the plain asc sort
+    // look right, but deleteOp is caller-supplied, and an op vocabulary
+    // like ("append", deleteOp = "delete") would have silently inverted
+    // the documented conservative rule while staying deterministic
+    // (r13 ADVICE).
     val tieBreak = xxhash64((col(opCol) +: payloadCols.map(col)): _*)
     val latest = changes
       .withColumn("_rn", row_number().over(
         Window.partitionBy(keyCol)
-          .orderBy(col(seqCol).desc, col(opCol).asc, tieBreak.asc)))
+          .orderBy(col(seqCol).desc, (col(opCol) === deleteOp).desc,
+            col(opCol).asc, tieBreak.asc)))
       .filter(col("_rn") === 1)
       .select(
         col(keyCol) +:

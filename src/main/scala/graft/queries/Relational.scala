@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Tables.t
+import graft.functions.{TextFunctions => TF}
 
 /** SURVEY.md §2B relational corpus over the TPC-H-ish testdata.
   *
@@ -861,6 +862,42 @@ object Relational {
         count(*) AS n
       FROM nation GROUP BY n_regionkey ORDER BY region"""))
 
+  /** Presto `multimap_agg(k, v)` — the key→array-of-values collection
+    * aggregate (r13 verdict missing #4; map_agg/histogram/array_agg are
+    * q_agg_histogram/q_agg_collect's). Spark has no multimap_agg spelling;
+    * the idiomatic plan is the same shape Presto executes underneath: a
+    * two-level aggregation (group → key collects its value list, then
+    * group collects its key→list entries). Output is serialized per the
+    * repo's array_join convention (the driver gate cannot sort+hash a map
+    * column) with BOTH levels sorted, so the string is deterministic. The
+    * o_orderkey bound keeps the per-cell payload bounded — unbounded
+    * per-key value lists at corpus scale are q_agg_collect's documented
+    * bounded-before-collect problem. Scale shape: two exchanges, both on
+    * grouping keys, partial aggregation on each. */
+  private val aggMultimap = Q(
+    "q_agg_multimap",
+    (s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderkey") < 3000)
+        .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
+        .agg(array_join(array_sort(collect_list(col("o_orderkey").cast("string"))), "|")
+          .as("vs"))
+        .groupBy("prio")
+        .agg(
+          array_join(array_sort(collect_list(concat(col("status"), lit(":"), col("vs")))), ",")
+            .as("multimap"),
+          count(lit(1)).as("n_keys"))
+        .orderBy("prio"),
+    Some("""WITH kv AS (
+        SELECT o_orderpriority AS prio, o_orderstatus AS status,
+          string_agg(CAST(o_orderkey AS VARCHAR), '|'
+                     ORDER BY CAST(o_orderkey AS VARCHAR)) AS vs
+        FROM orders WHERE o_orderkey < 3000 GROUP BY 1, 2)
+      SELECT prio,
+        string_agg(status || ':' || vs, ',' ORDER BY status || ':' || vs) AS multimap,
+        count(*) AS n_keys
+      FROM kv GROUP BY prio ORDER BY prio"""))
+
   // -- window functions --------------------------------------------------------
 
   private val windowTopkPerGroup = Q(
@@ -1089,6 +1126,49 @@ object Relational {
       JOIN w ON o.o_orderpriority = w.o_orderpriority
             AND o.o_orderdate = w.o_orderdate
       ORDER BY o.o_orderkey"""))
+
+  /** Window frame EXCLUDE clause — DOCUMENTED DEVIATION #3 (r13 verdict
+    * missing #3; the third parser gap beside date_diff units and GROUPS):
+    * Presto and DuckDB accept `ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+    * EXCLUDE CURRENT ROW`; Spark 4's parser has no EXCLUDE clause at all
+    * (ParseException — pinned in OperatorsSpec). The mechanical rewrite is
+    * exact for EXCLUDE CURRENT ROW: aggregate over the FULL frame, then
+    * subtract the current row's contribution (sum − x, count − 1); when
+    * the excluded frame is EMPTY (a 1-row partition) the standard demands
+    * NULL where the subtraction would yield 0, so both aggregates guard on
+    * the excluded count. The oracle runs DuckDB's NATIVE EXCLUDE CURRENT
+    * ROW — agreement certifies the rewrite against an independent
+    * implementation, the q_window_groups standing. Integer sums keep the
+    * equality bit-exact; the avg replays the round-decimal device. One
+    * exchange on the partition key serves all three outputs. */
+  private val windowExclude = Q(
+    "q_window_exclude",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_orderkey"))
+        .rowsBetween(-2, 2)
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          (sum("o_custkey").over(w) - col("o_custkey")).cast("long").as("x_sum"),
+          (count(lit(1)).over(w) - 1).cast("long").as("x_n"))
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          when(col("x_n") > 0, col("x_sum")).as("excl_sum"),
+          col("x_n").as("excl_n"),
+          when(col("x_n") > 0,
+            round((col("x_sum").cast("double") / col("x_n")).cast("decimal(24,6)"), 2)
+              .cast("double")).as("excl_avg"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+        CAST(sum(o_custkey) OVER w AS BIGINT) AS excl_sum,
+        CAST(count(*) OVER w AS BIGINT) AS excl_n,
+        CAST(round(CAST(CAST(sum(o_custkey) OVER w AS DOUBLE)
+                        / (count(*) OVER w) AS DECIMAL(24,6)), 2) AS DOUBLE) AS excl_avg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)
+      ORDER BY o_orderkey"""))
 
   // -- sort / limit / top-k ----------------------------------------------------
 
@@ -1548,6 +1628,51 @@ object Relational {
         CAST(ascii(p_name) AS BIGINT) AS first_cp,
         chr(CAST(65 + p_partkey % 26 AS INTEGER)) AS letter
       FROM part ORDER BY p_partkey"""))
+
+  /** Presto `normalize(s [, form])` — Unicode NFC/NFKC normalization
+    * (r13 verdict missing #1). The corpus text is ASCII, so the row
+    * CONSTRUCTS a mixed-normalization column: odd part keys get the
+    * DECOMPOSED "e" + U+0301 combining acute, even keys the PRECOMPOSED
+    * U+00E9 — byte-different, canonically equal. The declared output is
+    * the canonicalize-before-dedup-key idiom the dedup stack needs
+    * (normalize → md5 key): without NFC first, the two spellings of the
+    * same text land in different dedup buckets. NFC is oracled against
+    * DuckDB's native nfc_normalize; NFKC (compatibility mapping — the
+    * U+FB01 "fi" ligature folds to "fi") has no DuckDB twin, so its
+    * expected value is constructed from first principles in the oracle
+    * (the input ligature is a literal this row itself plants).
+    * Codegen'd expression (TextCompat.scala), registered via
+    * GraftExtensions — scale shape: a narrow projection, no exchange. */
+  private val stringNormalize = Q(
+    "q_string_normalize",
+    (s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"), col("p_brand"),
+          concat(
+            col("p_name"), lit(" caf"),
+            when(col("p_partkey") % 2 === 1, lit("e\u0301"))
+              .otherwise(lit("\u00e9"))).as("raw"))
+        .select(
+          col("p_partkey"),
+          graft.functions.TextFunctions.normalize(col("raw")).as("norm"),
+          (graft.functions.TextFunctions.normalize(col("raw")) =!= col("raw"))
+            .as("nfc_changed"),
+          md5(graft.functions.TextFunctions.normalize(col("raw"))).as("dedup_key"),
+          graft.functions.TextFunctions.normalize(
+            concat(lit("\ufb01"), col("p_brand")), "NFKC").as("nfkc_demo"))
+        .orderBy("p_partkey"),
+    Some("""WITH r AS (
+        SELECT p_partkey, p_brand,
+          p_name || ' caf' ||
+            CASE WHEN p_partkey % 2 = 1 THEN 'e' || chr(769) ELSE chr(233) END AS raw
+        FROM part)
+      SELECT p_partkey,
+        nfc_normalize(raw) AS norm,
+        nfc_normalize(raw) != raw AS nfc_changed,
+        md5(nfc_normalize(raw)) AS dedup_key,
+        'fi' || p_brand AS nfkc_demo
+      FROM r ORDER BY p_partkey"""))
 
   private val dateFns = Q(
     "q_date_fns",
@@ -2134,6 +2259,49 @@ object Relational {
         strftime(o_orderdate - INTERVAL 1 WEEK, '%Y-%m-%d') AS minus_1w
       FROM orders ORDER BY o_orderkey"""))
 
+  /** Presto `format_datetime`/`parse_datetime` — the JODA-pattern dialect
+    * (r13 verdict missing #2). Athena users format timestamps constantly,
+    * and Presto's pattern language is Joda, not java.time: a pasted
+    * pattern with 'Y' (Joda year-of-era) would silently become Spark's
+    * WEEK-BASED year. GraftExtensions registers both names; the pattern
+    * translates at resolution time (TextOps.jodaToJava — week-based Joda
+    * fields are rejected by name, never misformatted) and the call lowers
+    * onto the native codegen'd date_format/to_timestamp, so the hot path
+    * IS a built-in. The row formats with four pattern shapes (ISO, texty
+    * month/day names, zero-padded day-of-year, the hazardous bare 'Y'),
+    * parses the ISO form back, and asserts the round trip — the oracle
+    * replays them as DuckDB strftime/strptime %-codes. FunctionsSpec pins
+    * the translator table + the week-field rejection. Narrow projection,
+    * no exchange. */
+  private val datePrestoFmt = Q(
+    "q_date_presto_fmt",
+    (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("ts"))
+        .select(
+          col("o_orderkey"),
+          TF.formatDatetime(col("ts"), "yyyy-MM-dd HH:mm:ss").as("iso"),
+          TF.formatDatetime(col("ts"), "EEE, dd MMM yyyy").as("texty"),
+          TF.formatDatetime(col("ts"), "DDD").as("doy"),
+          TF.formatDatetime(col("ts"), "Y").as("year_of_era"),
+          TF.parseDatetime(
+            TF.formatDatetime(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            "yyyy-MM-dd HH:mm:ss").as("parsed_back"),
+          (TF.parseDatetime(
+            TF.formatDatetime(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            "yyyy-MM-dd HH:mm:ss") === col("ts")).as("round_trip_ok"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS iso,
+        strftime(CAST(o_orderdate AS TIMESTAMP), '%a, %d %b %Y') AS texty,
+        strftime(CAST(o_orderdate AS TIMESTAMP), '%j') AS doy,
+        CAST(year(o_orderdate) AS VARCHAR) AS year_of_era,
+        strptime(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+                 '%Y-%m-%d %H:%M:%S') AS parsed_back,
+        strptime(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+                 '%Y-%m-%d %H:%M:%S') = CAST(o_orderdate AS TIMESTAMP) AS round_trip_ok
+      FROM orders ORDER BY o_orderkey"""))
+
   /** Fuzzy join (record linkage by edit distance) — the data-cleaning join
     * none of the equi/theta variants cover: match records whose keys differ
     * by a typo. Routed through [[graft.operators.FuzzyJoin]]'s deletion-
@@ -2261,14 +2429,15 @@ object Relational {
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
     joinTheta, joinBucketed, joinFuzzy, joinFuzzyVarlen, joinLateral, joinNullsafe,
     joinStar, joinSalted,
-    aggListagg,
+    aggListagg, aggMultimap,
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange, windowDist,
-    windowFrames, windowGroups,
+    windowFrames, windowGroups, windowExclude,
     sortTopk, sortNullsOffset,
     recursiveCte,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
     condFns, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
-    dateFns, dateFns2, dateTz, mathFns, mathFns2,
+    stringNormalize,
+    dateFns, dateFns2, dateTz, datePrestoFmt, mathFns, mathFns2,
     aggWidthBucket, arrayFns, arrayLambda, arraySortLambda, arrayQuantifiers,
     mapFns, mapLambda, mapParse, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti, tryFns,
     urlFns, bitwiseFns,

@@ -115,10 +115,12 @@ object TextQueries {
     // (tools/gen_expected.py) — a genuine two-implementation check of the
     // tokenize -> chained-hash fold. The md5(text) join discriminates the
     // scale factor (same doc_ids carry different text per sf).
+    // GLOB (not a fixed 3-SF union): the gate ritual adds *_gate*.parquet
+    // rows for each perturbed corpus, so this row rides scale gates
+    // directly (r13 verdict task 8); (doc_id, md5(text)) keys each corpus
+    // to its own rows and DISTINCT folds shared replica-0 rows.
     Some("""WITH exp AS (
-        SELECT * FROM '/root/repo/src/test/resources/expected/fingerprint_sf0.001.parquet'
-        UNION ALL SELECT * FROM '/root/repo/src/test/resources/expected/fingerprint_sf0.01.parquet'
-        UNION ALL SELECT * FROM '/root/repo/src/test/resources/expected/fingerprint_sf0.1.parquet')
+        SELECT * FROM read_parquet('/root/repo/src/test/resources/expected/fingerprint_*.parquet'))
       SELECT DISTINCT d.doc_id, e.fingerprint
       FROM documents d JOIN exp e ON d.doc_id = e.doc_id AND md5(d.text) = e.text_md5
       ORDER BY d.doc_id"""))

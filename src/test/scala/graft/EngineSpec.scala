@@ -93,7 +93,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         // neighbors; only the 10x-scale gate caught it). The repo rule
         // "never self-shadow a referenced input name" is enforced here
         // as a named red test over every declared plan.
-        import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+        import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, HigherOrderFunction}
         import org.apache.spark.sql.catalyst.plans.logical.Project
         val shadowHazards = analyzed.collect {
           case p: Project =>
@@ -103,10 +103,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
                   if childAttrs.contains(a.name) &&
                     !a.child.isInstanceOf[AttributeReference] =>
                 val ids = childAttrs(a.name).map(_.exprId).toSet
-                val laterRef = p.projectList.drop(i + 1).exists(_.exists {
-                  case ar: AttributeReference => ids(ar.exprId)
-                  case _ => false
-                })
+                // Narrowed to the ACTUAL hazard shape (r13 ADVICE): the
+                // Spark 4.1 mis-binding only corrupts lambda-bound (HOF)
+                // references — a later sibling whose plain outer reference
+                // reads the shadowed input resolves correctly. Flag only
+                // later siblings that BOTH reference the shadowed input's
+                // exprId AND contain a higher-order function, so legitimate
+                // plans stop paying the extra de-shadowing projections.
+                val laterRef = p.projectList.drop(i + 1).exists { sib =>
+                  sib.exists {
+                    case ar: AttributeReference => ids(ar.exprId)
+                    case _ => false
+                  } && sib.exists {
+                    case _: HigherOrderFunction => true
+                    case _ => false
+                  }
+                }
                 if (laterRef)
                   Seq(s"$name: projection aliases a computed expression to input " +
                     s"name '${a.name}' while a later sibling references that input " +
@@ -253,5 +265,30 @@ FROM "defenda_data_lake"."events"
     assert(details("success") == JBool(false))
     assert(result("summary").asInstanceOf[JString].value ==
       "a@b.c login_failure from IP ")
+  }
+
+  test("Presto normalize / format_datetime / parse_datetime resolve as SQL spellings") {
+    // the declared rows use the Column wrappers (plain driver sessions);
+    // this session carries GraftExtensions, so the Presto SQL spellings
+    // must resolve and agree with the wrappers (q_string_normalize /
+    // q_date_presto_fmt semantics)
+    val decomposed = "cafe\u0301"
+    val r = spark.sql(
+      s"""SELECT normalize('$decomposed') AS n1,
+                 normalize('\ufb01x', 'NFKC') AS n2,
+                 format_datetime(TIMESTAMP '2024-03-05 07:08:09', 'yyyy-MM-dd HH:mm') AS f,
+                 format_datetime(TIMESTAMP '2024-12-30 00:00:00', 'Y') AS yoe,
+                 parse_datetime('2024-03-05 07:08:09', 'yyyy-MM-dd HH:mm:ss') AS p""")
+      .collect()(0)
+    assert(r.getString(0) == "caf\u00e9")
+    assert(r.getString(1) == "fix")
+    assert(r.getString(2) == "2024-03-05 07:08")
+    // the Joda-Y hazard: java week-based Y would say "2025" for Dec 30 2024
+    assert(r.getString(3) == "2024")
+    assert(r.getTimestamp(4).toInstant.toString == "2024-03-05T07:08:09Z")
+    // a non-literal pattern must throw a NAMED error, never misformat
+    val err = intercept[Exception](
+      spark.sql("SELECT format_datetime(TIMESTAMP '2024-01-01', substring('yy', 1, 2))").collect())
+    assert(err.getMessage.contains("literal Joda pattern"), err.getMessage)
   }
 }

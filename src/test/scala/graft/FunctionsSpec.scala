@@ -25,6 +25,60 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("TextOps.jodaToJava: coinciding letters pass, Y maps to y, week fields reject (pure JVM)") {
+    import graft.functions.TextOps.jodaToJava
+    // the common Presto/Athena patterns translate verbatim
+    assert(jodaToJava("yyyy-MM-dd HH:mm:ss") == "yyyy-MM-dd HH:mm:ss")
+    assert(jodaToJava("EEE, dd MMM yyyy") == "EEE, dd MMM yyyy")
+    assert(jodaToJava("DDD") == "DDD")
+    // THE hazard: Joda Y = year-of-era, java Y = week-based year — Dec 29
+    // can format into the NEXT year. Must map to y, never pass through.
+    assert(jodaToJava("Y") == "y")
+    assert(jodaToJava("YYYY-MM-dd") == "yyyy-MM-dd")
+    // quoted literal sections pass verbatim, including letters inside them
+    assert(jodaToJava("yyyy'T'HH 'o''clock'") == "yyyy'T'HH 'o''clock'")
+    // offsets: Z=+0800, ZZ=+08:00, ZZZ=zone id
+    assert(jodaToJava("Z") == "Z")
+    assert(jodaToJava("ZZ") == "XXX")
+    assert(jodaToJava("ZZZ") == "VV")
+    // week-based Joda fields have NO Spark equivalent (Spark 4 bans
+    // week-based fields) — rejected by name, never silently misformatted
+    for (bad <- Seq("xxxx-ww", "e", "C"))
+      assert(intercept[IllegalArgumentException](jodaToJava(bad))
+        .getMessage.contains("week-based"), s"expected week-field rejection for '$bad'")
+    assert(intercept[IllegalArgumentException](jodaToJava("Q"))
+      .getMessage.contains("unsupported"))
+  }
+
+  test("TextOps.normalize: NFC composes, NFD decomposes, NFKC folds compatibility chars (pure JVM)") {
+    import graft.functions.TextOps.normalize
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val decomposed = u("cafe\u0301") // e + combining acute
+    val composed = u("caf\u00e9")   // precomposed e-acute
+    assert(normalize(decomposed, u("NFC")) == composed)
+    assert(normalize(composed, u("NFD")) == decomposed)
+    // NFC is NOT the identity on compatibility characters; NFKC folds them
+    val lig = u("\ufb01x") // fi-ligature + x
+    assert(normalize(lig, u("NFC")) == lig)
+    assert(normalize(lig, u("NFKC")) == u("fix"))
+    // form is case-insensitive (Presto accepts nfc); invalid forms throw
+    assert(normalize(decomposed, u("nfc")) == composed)
+    intercept[IllegalArgumentException](normalize(composed, u("NFX")))
+  }
+
+  test("parse_datetime/format_datetime round-trip through the Column API (session UTC)") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq("2024-03-05 07:08:09", "1995-12-31 23:59:59").toDF("raw")
+      .select(TF.parseDatetime(col("raw"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+      .select(TF.formatDatetime(col("ts"), "yyyy-MM-dd HH:mm:ss").as("back"),
+        TF.formatDatetime(col("ts"), "EEE").as("dow"))
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("2024-03-05 07:08:09", "1995-12-31 23:59:59"))
+    assert(rows.map(_.getString(1)).toSeq == Seq("Tue", "Sun"))
+  }
+
   test("VectorOps.dot and norm (pure JVM)") {
     val a = ArrayData.toArrayData(Array(1.0, 2.0, 3.0))
     val b = ArrayData.toArrayData(Array(4.0, 5.0, 6.0))

@@ -118,6 +118,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"GROUPS rewrite mismatch: $out")
   }
 
+  test("window frame EXCLUDE clause is parser-rejected; the subtract-current rewrite is the documented equivalent") {
+    // DOCUMENTED DEVIATION #3 (q_window_exclude + GraftExtensions
+    // scaladoc): Presto and DuckDB accept `ROWS BETWEEN ... EXCLUDE
+    // CURRENT ROW`; Spark 4's parser has no EXCLUDE clause. Pin the
+    // rejection so a Spark release that adds it retires the deviation
+    // loudly (the declared row already certifies the rewrite against
+    // DuckDB's NATIVE EXCLUDE CURRENT ROW).
+    val err = intercept[Exception] {
+      spark.sql("""SELECT sum(id) OVER (ORDER BY id
+                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)
+                   FROM range(5)""")
+    }
+    assert(err.getClass.getSimpleName == "ParseException",
+      s"expected ParseException for frame EXCLUDE, got $err")
+    // Hand-checked micro-corpus incl. the empty-excluded-frame edge (a
+    // 1-row partition must yield NULL, not 0 — sum over an empty frame):
+    // partition p1 rows (a 10)(b 20)(c 3) with ROWS 1 PRECEDING..1
+    // FOLLOWING EXCLUDE CURRENT ROW -> a: {b}=20, b: {a,c}=13, c: {b}=20;
+    // partition p2 row (d 4) -> frame minus current is EMPTY -> NULL.
+    val s = spark
+    import s.implicits._
+    val df = Seq(("p1", "a", 10L), ("p1", "b", 20L), ("p1", "c", 3L), ("p2", "d", 4L))
+      .toDF("p", "id", "v")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("p").orderBy("id").rowsBetween(-1, 1)
+    val out = df
+      .select(col("id"),
+        (sum("v").over(w) - col("v")).as("xs"),
+        (count(lit(1)).over(w) - 1).as("xn"))
+      .select(col("id"), when(col("xn") > 0, col("xs")).as("excl_sum"))
+      .orderBy("id").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(out == Map("a" -> 20L, "b" -> 13L, "c" -> 20L, "d" -> null),
+      s"EXCLUDE CURRENT ROW rewrite mismatch: $out")
+  }
+
   test("AQE splits skewed join partitions at runtime (the 100 TB skew story)") {
     val s = spark
     import s.implicits._

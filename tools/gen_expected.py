@@ -206,8 +206,28 @@ def main():
     outdir = os.path.join(os.path.dirname(__file__), "..",
                           "src", "test", "resources", "expected")
     os.makedirs(outdir, exist_ok=True)
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        docs = pd.read_parquet(f"/root/testdata/{sf}/documents.parquet")
+    # Default: the three driver testdata SFs (committed fixtures). With
+    # arguments `<tag> <documents-path> [<tag> <path> ...]`, generate for
+    # ANY corpus — the scale-gate ritual runs this against each perturbed
+    # gate corpus so the three hash-defined rows ride the gate DIRECTLY
+    # (no replica-0 subset carve-outs): the oracle SQL globs
+    # expected/<family>_*.parquet and the md5(text)+doc_id join keys each
+    # corpus to its own rows (r13 verdict task 8). Gate files are named
+    # *_gate*.parquet and gitignored; the three sf fixtures stay committed.
+    import sys
+    if len(sys.argv) > 1:
+        assert len(sys.argv) % 2 == 1, "usage: gen_expected.py [<tag> <documents-path>]..."
+        targets = list(zip(sys.argv[1::2], sys.argv[2::2]))
+    else:
+        targets = [(sf, f"/root/testdata/{sf}/documents.parquet")
+                   for sf in ("sf0.001", "sf0.01", "sf0.1")]
+    for sf, path in targets:
+        if os.path.isdir(path):  # Spark-written directory table
+            import glob as _glob
+            parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            docs = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
+        else:
+            docs = pd.read_parquet(path)
         docs = docs.sort_values("doc_id").reset_index(drop=True)
         md5 = docs["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
 
@@ -221,13 +241,29 @@ def main():
         sigs = docs["text"].map(simhash).tolist()
         ids = docs["doc_id"].tolist()
         md5s = md5.tolist()
-        rows = []
         n = len(sigs)
-        for a in range(n):
-            for b in range(a + 1, n):
-                ham = bin(sigs[a] ^ sigs[b]).count("1")
-                if ham <= 3:
-                    rows.append((ids[a], md5s[a], ids[b], md5s[b], ham))
+        # candidate generation via the SAME pigeonhole the engine uses
+        # (4 chunks of 16 bits: hamming <= 3 => at least one chunk equal,
+        # PROVABLE recall 1.0) — the old all-pairs loop was O(n^2) and
+        # wedges on 10x gate corpora, exactly the class the q_dedup_ngram
+        # oracle rewrite retired (r13)
+        buckets = {}
+        for i, s in enumerate(sigs):
+            for c in range(4):
+                buckets.setdefault((c, (s >> (16 * c)) & 0xFFFF), []).append(i)
+        cand = set()
+        for members in buckets.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, b = members[x], members[y]
+                    if a > b:
+                        a, b = b, a
+                    cand.add((a, b))
+        rows = []
+        for a, b in sorted(cand):
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= 3:
+                rows.append((ids[a], md5s[a], ids[b], md5s[b], ham))
         sh = pd.DataFrame(
             rows, columns=["doc_a", "text_md5_a", "doc_b", "text_md5_b", "hamming"])
         sh["doc_a"] = sh["doc_a"].astype("int64")
