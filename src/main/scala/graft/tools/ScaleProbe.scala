@@ -112,7 +112,12 @@ object ScaleProbe {
     // GROUPS-frame rewrite (orders), JSON accessor family close (events),
     // Bernoulli-sample contract (lineitem)
     "q_map_parse", "q_window_groups", "q_events_json_size",
-    "q_scan_tablesample")
+    "q_scan_tablesample",
+    // r14: the dialect-edge rows — Unicode normalize dedup-key (part),
+    // Joda-pattern datetime compat (orders), frame-EXCLUDE rewrite
+    // (orders), multimap_agg (orders)
+    "q_string_normalize", "q_date_presto_fmt", "q_window_exclude",
+    "q_agg_multimap")
 
   private val ReplicaIdOffset = 10000000L
 
