@@ -98,7 +98,8 @@ object TextQueries {
     * fold the running hash with each token through xxhash64 (a polynomial
     * `acc*P + h(w)` would overflow Long under ANSI mode; the hash-chain is
     * equally deterministic and cannot overflow). Codegen'd higher-order
-    * `aggregate`; no DuckDB twin, so rows-only check + ScalaTest pin. */
+    * `aggregate`; DuckDB cannot express xxhash64, so the oracle is the
+    * independent from-spec fixture table below (+ ScalaTest pin). */
   private val fingerprint = Q(
     "q_text_fingerprint",
     (s, d) =>
