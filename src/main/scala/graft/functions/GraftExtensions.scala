@@ -145,6 +145,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.DateFormatClass(
           Cast(children(0), TimestampType), jodaLit(children(1), "format_datetime"))))
+    // hamming_distance is Presto's; jaro_winkler_similarity is the
+    // record-linkage metric the fuzzy-join family scores with (DuckDB's
+    // spelling, matching its exact variant — see StringMetrics scaladoc)
+    ext.injectFunction((
+      new FunctionIdentifier("hamming_distance"),
+      info(classOf[HammingDistance], "hamming_distance",
+        "hamming_distance(s1, s2) - positions where equal-length strings differ (Presto)"),
+      (children: Seq[Expression]) => HammingDistance(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler_similarity"),
+      info(classOf[JaroWinklerSim], "jaro_winkler_similarity",
+        "jaro_winkler_similarity(s1, s2) - Jaro-Winkler similarity in [0,1] " +
+          "(boost threshold 0.7, prefix cap 4, scale 0.1; empty operands score 0)"),
+      (children: Seq[Expression]) => JaroWinklerSim(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("parse_datetime"),
       info(classOf[org.apache.spark.sql.catalyst.expressions.ParseToTimestamp], "parse_datetime",

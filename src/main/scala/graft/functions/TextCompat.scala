@@ -78,6 +78,109 @@ object TextOps {
   }
 }
 
+/** Record-linkage string metrics the fuzzy-join family needs beyond
+  * levenshtein. The Jaro-Winkler variant here matches the one DuckDB ships
+  * (the common C reference): boost threshold 0.7 (prefix bonus only when
+  * jaro > 0.7), prefix cap 4, scale 0.1, and the EMPTY-string convention
+  * that any empty operand scores 0 — including '' vs '' (a deliberate
+  * deviation from "equal strings score 1", pinned in FunctionsSpec, so the
+  * oracle and the engine can never disagree on degenerate rows). */
+object StringMetrics {
+
+  /** Jaro similarity (match window + transposition count). */
+  def jaro(a: String, b: String): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    if (a == b) return 1.0
+    val la = a.length
+    val lb = b.length
+    val w = math.max(0, math.max(la, lb) / 2 - 1)
+    val fa = new Array[Boolean](la)
+    val fb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - w)
+      val hi = math.min(lb - 1, i + w)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!fb(j) && b.charAt(j) == a.charAt(i)) {
+          fa(i) = true; fb(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (fa(i)) {
+        while (!fb(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val tr = t / 2
+    (m.toDouble / la + m.toDouble / lb + (m - tr).toDouble / m) / 3.0
+  }
+
+  /** Jaro-Winkler: prefix bonus (cap 4, scale 0.1) when jaro > 0.7. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val sa = a.toString
+    val sb = b.toString
+    val j = jaro(sa, sb)
+    if (j <= 0.7) return j
+    var l = 0
+    val n = math.min(4, math.min(sa.length, sb.length))
+    while (l < n && sa.charAt(l) == sb.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  /** Presto `hamming_distance(s1, s2)`: positions where equal-length
+    * strings differ; throws on a length mismatch (Presto behavior). */
+  def hamming(a: UTF8String, b: UTF8String): Long = {
+    val sa = a.toString
+    val sb = b.toString
+    if (sa.length != sb.length)
+      throw new IllegalArgumentException(
+        s"hamming_distance requires equal-length strings (${sa.length} vs ${sb.length})")
+    var d = 0L
+    var i = 0
+    while (i < sa.length) { if (sa.charAt(i) != sb.charAt(i)) d += 1; i += 1 }
+    d
+  }
+}
+
+/** Jaro-Winkler similarity as a codegen'd expression (record-linkage
+  * scoring beside the fuzzy join's levenshtein verify). */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringMetrics.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StringMetrics.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Presto `hamming_distance(s1, s2)` as a codegen'd expression. */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringMetrics.hamming(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StringMetrics.hamming($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the DataFrame API (the declared rows run
   * under plain driver sessions where only built-ins resolve by name; the
   * SQL spellings are registered by [[GraftExtensions]] for
@@ -100,6 +203,14 @@ object TextFunctions {
   def parseDatetime(str: Column, jodaPattern: String): Column =
     graftshim.column(new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(
       graftshim.expression(str), Literal(TextOps.jodaToJava(jodaPattern))))
+
+  /** Jaro-Winkler similarity (codegen'd; see [[JaroWinklerSim]]). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    graftshim.column(JaroWinklerSim(graftshim.expression(a), graftshim.expression(b)))
+
+  /** Presto hamming_distance (codegen'd; see [[HammingDistance]]). */
+  def hammingDistance(a: Column, b: Column): Column =
+    graftshim.column(HammingDistance(graftshim.expression(a), graftshim.expression(b)))
 }
 
 /** Presto `normalize(s [, form])` — Unicode normalization (default NFC).

@@ -907,8 +907,44 @@ object EventsQueries {
         CAST(sum(event_id) AS BIGINT) AS sum_id
       FROM f GROUP BY ids_len, n_keys, keys ORDER BY ids_len"""))
 
+  /** Per-user EWMA (exponential smoothing, alpha = 0.3) — the classic
+    * ORDER-SENSITIVE recursive signal a plain window aggregate cannot
+    * express (y_t = 0.7*y_{t-1} + 0.3*x_t has unbounded lookback with
+    * exponentially decaying weights). The scale-honest form: per-user
+    * event sequences are BOUNDED (the same per-user-state premise as
+    * sessionize/SCD2), so each user's ordered values fold through the
+    * codegen'd `aggregate` HOF — one shuffle on user_id, no window over
+    * the corpus, and the fold order is pinned by the (ts, event_id)
+    * struct sort so the doubles are bit-reproducible. The oracle replays
+    * the identical left fold with DuckDB's ordered array_agg +
+    * list_reduce (first-element seed, matched by slice-from-2). */
+  private val ewma = Q(
+    "q_events_ewma",
+    (s, d) =>
+      ev(s, d)
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+          .as("seq"))
+        .select(
+          col("user_id"),
+          size(col("seq")).cast("long").as("n"),
+          round(
+            expr("""aggregate(
+                transform(slice(seq, 2, size(seq) - 1), e -> e.value),
+                element_at(seq, 1).value,
+                (acc, x) -> acc * 0.7D + x * 0.3D)""").cast("decimal(24,8)"), 6)
+            .cast("double").as("ewma"))
+        .orderBy("user_id"),
+    Some("""WITH s AS (
+        SELECT user_id, array_agg(value ORDER BY ts, event_id) AS vs
+        FROM events GROUP BY user_id)
+      SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+        CAST(round(CAST(list_reduce(vs, (a, x) -> a * 0.7 + x * 0.3)
+                        AS DECIMAL(24,8)), 6) AS DOUBLE) AS ewma
+      FROM s ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(jsonExtract, jsonRoundtrip, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple, jsonSize,
     sessionize, saltedAgg, variantExtract, funnel, retention, resample, interpolate, anomaly, markov, sliding,
     kanon, ldiversity, tcloseness, sequences, changepoint, regularity, windowSession,
-    windowTimeRange)
+    windowTimeRange, ewma)
 }

@@ -898,6 +898,94 @@ object Relational {
         count(*) AS n_keys
       FROM kv GROUP BY prio ORDER BY prio"""))
 
+  /** Presto `numeric_histogram(b, v)` semantics — an EQUI-HEIGHT histogram
+    * — in the scale-safe two-pass form: pass 1 computes the 7 inner
+    * boundaries as EXACT interpolated percentiles (Spark's `percentile`
+    * aggregate — partial-agg'd, no global sort; the naive ntile spelling
+    * would funnel the whole table through ONE window partition, the
+    * classic scale-killer), pass 2 assigns each row to
+    * `1 + |{boundaries < v}|` against the BROADCAST boundary array and
+    * folds per-bucket count/min/max. Boundaries round through the
+    * decimal(24,6) device BEFORE assignment on BOTH engines, so a
+    * boundary-straddling value cannot land in different buckets from
+    * float noise. The oracle replays the same construction from DuckDB's
+    * quantile_cont (the identical type-7 interpolation) — bucket counts,
+    * membership, and edges all hash-compared. */
+  private val aggEquiheight = Q(
+    "q_agg_equiheight",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val bounds = o.agg(
+        expr("""transform(
+            percentile(o_totalprice, array(0.125D,0.25D,0.375D,0.5D,0.625D,0.75D,0.875D)),
+            b -> cast(round(cast(b as decimal(24,6)), 4) as double))""").as("bs"))
+      o.crossJoin(broadcast(bounds))
+        .select(col("o_totalprice"),
+          (size(expr("filter(bs, b -> b < o_totalprice)")) + 1).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          round(min("o_totalprice").cast("decimal(24,6)"), 2).cast("double").as("lo"),
+          round(max("o_totalprice").cast("decimal(24,6)"), 2).cast("double").as("hi"))
+        .orderBy("bucket")
+    },
+    Some("""WITH b AS (
+        SELECT list_transform(
+            quantile_cont(o_totalprice, [0.125,0.25,0.375,0.5,0.625,0.75,0.875]),
+            x -> CAST(round(CAST(x AS DECIMAL(24,6)), 4) AS DOUBLE)) AS bs
+        FROM orders),
+      assigned AS (
+        SELECT o_totalprice,
+          CAST(1 + len(list_filter(b.bs, x -> x < o_totalprice)) AS BIGINT) AS bucket
+        FROM orders, b)
+      SELECT bucket, count(*) AS n,
+        CAST(round(CAST(min(o_totalprice) AS DECIMAL(24,6)), 2) AS DOUBLE) AS lo,
+        CAST(round(CAST(max(o_totalprice) AS DECIMAL(24,6)), 2) AS DOUBLE) AS hi
+      FROM assigned GROUP BY bucket ORDER BY bucket"""))
+
+  /** Presto `reduce_agg(v, init, merge, combine)` — the generic fold
+    * aggregate Spark has no spelling for. The idiomatic plan for a
+    * commutative reduction is sorted-collect + the codegen'd `aggregate`
+    * HOF: collecting in a CANONICAL order makes the float fold
+    * deterministic (Presto itself only promises a deterministic result
+    * for commutative/associative lambdas — this form strengthens that to
+    * bit-reproducible), and the oracle replays the identical left fold
+    * with DuckDB's list_reduce (whose seed is the FIRST ELEMENT, matched
+    * here by folding `slice(seq, 2, n-1)` from `element_at(seq, 1)`).
+    * The reduction is a compound product Π(1 + price/10^7) — the
+    * portfolio-return shape a plain sum/avg cannot express. Bounded-group
+    * contract like q_agg_listagg: the o_orderkey bound keeps per-group
+    * collects bounded; an unbounded reduce_agg at corpus scale is
+    * exactly q_agg_collect's documented bounded-before-collect problem. */
+  private val aggReduce = Q(
+    "q_agg_reduce",
+    (s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderpriority"),
+          struct(col("o_orderkey"), (lit(1.0) + col("o_totalprice") / 1e7).as("term"))
+            .as("kv"))
+        .groupBy("o_orderpriority")
+        .agg(array_sort(collect_list(col("kv"))).as("seq"))
+        .select(
+          col("o_orderpriority"),
+          size(col("seq")).cast("long").as("n"),
+          round(
+            expr("""aggregate(
+                transform(slice(seq, 2, size(seq) - 1), e -> e.term),
+                element_at(seq, 1).term,
+                (acc, x) -> acc * x)""").cast("decimal(24,10)"), 8)
+            .cast("double").as("compound"))
+        .orderBy("o_orderpriority"),
+    Some("""WITH s AS (
+        SELECT o_orderpriority,
+          array_agg(1.0 + o_totalprice / 1e7 ORDER BY o_orderkey) AS vs
+        FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderpriority)
+      SELECT o_orderpriority, CAST(len(vs) AS BIGINT) AS n,
+        CAST(round(CAST(list_reduce(vs, (a, x) -> a * x) AS DECIMAL(24,10)), 8) AS DOUBLE)
+          AS compound
+      FROM s ORDER BY o_orderpriority"""))
+
   // -- window functions --------------------------------------------------------
 
   private val windowTopkPerGroup = Q(
@@ -1168,6 +1256,77 @@ object Relational {
       FROM orders
       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)
+      ORDER BY o_orderkey"""))
+
+  /** The FULL frame-EXCLUDE mode matrix (closes deviation #3 beyond
+    * q_window_exclude's CURRENT ROW case): Presto/DuckDB's `EXCLUDE GROUP /
+    * TIES / NO OTHERS` on a VALUE-RANGE frame. On a RANGE frame the whole
+    * peer group of the current row lies inside the frame by construction
+    * (peers share the ORDER BY value), so the rewrites are exact algebra
+    * over two window passes sharing ONE exchange on the partition key:
+    *
+    *   frame aggregates   sum/count over (part ORDER BY v RANGE k PRECEDING..CURRENT)
+    *   peer aggregates    sum/count over (part, v) — the unordered peer window
+    *   EXCLUDE GROUP      frame_sum − peer_sum     (NULL when frame == peers)
+    *   EXCLUDE TIES       frame_sum − peer_sum + x (current row stays)
+    *   EXCLUDE CURRENT    frame_sum − x            (NULL when frame == {row};
+    *                      impossible here — peers ⊆ frame — so no guard)
+    *   EXCLUDE NO OTHERS  frame_sum                (the default, declared to
+    *                      pin that the matrix is mutually consistent)
+    *
+    * This decomposition is NOT valid for ROWS frames (a peer can fall
+    * outside a row-counted frame) — the scaladoc on q_window_exclude's
+    * deviation note says exactly that, and this row is the RANGE-side
+    * proof. dayofmonth as the ORDER BY value makes peer groups large, so
+    * GROUP/TIES genuinely differ from CURRENT ROW everywhere. The oracle
+    * runs DuckDB's NATIVE four EXCLUDE spellings — four independent
+    * implementations against four rewrites in one row. */
+  private val windowExcludeModes = Q(
+    "q_window_exclude_modes",
+    (s, d) => {
+      val frame = Window.partitionBy("o_orderpriority").orderBy(col("v"))
+        .rangeBetween(-2, Window.currentRow)
+      // the peer set IS the zero-width RANGE frame — spelled on the SAME
+      // (partition, order) spec as `frame` so both windows ride one
+      // exchange + one sort (a partitionBy(prio, v) spelling would add a
+      // second hash exchange for the identical peer aggregates)
+      val peers = Window.partitionBy("o_orderpriority").orderBy(col("v"))
+        .rangeBetween(Window.currentRow, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"),
+          dayofmonth(col("o_orderdate")).cast("long").as("v"))
+        .select(
+          col("o_orderkey"), col("o_orderpriority"), col("v"),
+          sum("o_custkey").over(frame).as("f_sum"),
+          count(lit(1)).over(frame).as("f_n"),
+          sum("o_custkey").over(peers).as("p_sum"),
+          count(lit(1)).over(peers).as("p_n"),
+          col("o_custkey"))
+        .select(
+          col("o_orderkey"), col("o_orderpriority"), col("v"),
+          when(col("f_n") > col("p_n"), col("f_sum") - col("p_sum"))
+            .as("excl_group"),
+          (col("f_sum") - col("p_sum") + col("o_custkey")).as("excl_ties"),
+          (col("f_sum") - col("o_custkey")).as("excl_current"),
+          col("f_sum").as("excl_none"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, CAST(v AS BIGINT) AS v,
+        CAST(sum(o_custkey) OVER wg AS BIGINT) AS excl_group,
+        CAST(sum(o_custkey) OVER wt AS BIGINT) AS excl_ties,
+        CAST(sum(o_custkey) OVER wc AS BIGINT) AS excl_current,
+        CAST(sum(o_custkey) OVER wn AS BIGINT) AS excl_none
+      FROM (SELECT o_orderkey, o_orderpriority, o_custkey,
+                   dayofmonth(o_orderdate) AS v FROM orders)
+      WINDOW
+        wg AS (PARTITION BY o_orderpriority ORDER BY v
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE GROUP),
+        wt AS (PARTITION BY o_orderpriority ORDER BY v
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE TIES),
+        wc AS (PARTITION BY o_orderpriority ORDER BY v
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW),
+        wn AS (PARTITION BY o_orderpriority ORDER BY v
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE NO OTHERS)
       ORDER BY o_orderkey"""))
 
   // -- sort / limit / top-k ----------------------------------------------------
@@ -1672,6 +1831,43 @@ object Relational {
         nfc_normalize(raw) != raw AS nfc_changed,
         md5(nfc_normalize(raw)) AS dedup_key,
         'fi' || p_brand AS nfkc_demo
+      FROM r ORDER BY p_partkey"""))
+
+  /** Record-linkage string metrics beside levenshtein: Jaro-Winkler
+    * similarity (the fuzzy-join family's scoring metric — codegen'd
+    * expression, TextCompat.scala; variant matches DuckDB's exactly:
+    * boost threshold 0.7, prefix cap 4, empty operands score 0) and
+    * Presto's `hamming_distance` (equal-length position diff). The row
+    * builds same-length comparison pairs by deterministic character
+    * translation, so hamming's length contract holds by construction,
+    * and routes the double scores through the decimal round device
+    * (both engines fold (m/la + m/lb + (m-t)/m)/3 in doubles; identical
+    * op order makes them bit-equal, the round pins it). Narrow
+    * projection, no exchange. */
+  private val stringMetrics = Q(
+    "q_string_metrics",
+    (s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+          translate(col("p_name"), "aeo", "eoa").as("typo"),
+          translate(col("p_brand"), "0123456789", "1234567890").as("shifted"))
+        .select(
+          col("p_partkey"),
+          round(TF.jaroWinkler(col("p_name"), col("typo")).cast("decimal(24,8)"), 6)
+            .cast("double").as("jw_typo"),
+          round(TF.jaroWinkler(col("p_brand"), col("p_type")).cast("decimal(24,8)"), 6)
+            .cast("double").as("jw_cross"),
+          TF.hammingDistance(col("p_brand"), col("shifted")).as("ham_digits"))
+        .orderBy("p_partkey"),
+    Some("""WITH r AS (
+        SELECT p_partkey, p_name, p_brand, p_type,
+          translate(p_name, 'aeo', 'eoa') AS typo,
+          translate(p_brand, '0123456789', '1234567890') AS shifted
+        FROM part)
+      SELECT p_partkey,
+        CAST(round(CAST(jaro_winkler_similarity(p_name, typo) AS DECIMAL(24,8)), 6) AS DOUBLE) AS jw_typo,
+        CAST(round(CAST(jaro_winkler_similarity(p_brand, p_type) AS DECIMAL(24,8)), 6) AS DOUBLE) AS jw_cross,
+        CAST(hamming(p_brand, shifted) AS BIGINT) AS ham_digits
       FROM r ORDER BY p_partkey"""))
 
   private val dateFns = Q(
@@ -2429,14 +2625,14 @@ object Relational {
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
     joinTheta, joinBucketed, joinFuzzy, joinFuzzyVarlen, joinLateral, joinNullsafe,
     joinStar, joinSalted,
-    aggListagg, aggMultimap,
+    aggListagg, aggMultimap, aggEquiheight, aggReduce,
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange, windowDist,
-    windowFrames, windowGroups, windowExclude,
+    windowFrames, windowGroups, windowExclude, windowExcludeModes,
     sortTopk, sortNullsOffset,
     recursiveCte,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
     condFns, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
-    stringNormalize,
+    stringNormalize, stringMetrics,
     dateFns, dateFns2, dateTz, datePrestoFmt, mathFns, mathFns2,
     aggWidthBucket, arrayFns, arrayLambda, arraySortLambda, arrayQuantifiers,
     mapFns, mapLambda, mapParse, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti, tryFns,

@@ -670,6 +670,39 @@ object TrainingDataQueries {
       WHERE ((d.doc_id % 1000003) * 2654435761) % 4294967296 % 10000 < r.rate_bp
       ORDER BY d.doc_id"""))
 
+  /** Distributed RESERVOIR sampling — exactly k per stratum, the device a
+    * classical single-pass reservoir cannot distribute: rank every row by
+    * a deterministic per-row hash and keep the k SMALLEST per group. Any
+    * worker over any shard computes the same ranks, partial top-k folds
+    * per partition before the merge (Spark plans the rn<=k filter as a
+    * WindowGroupLimit — per-partition heap pushdown BELOW the exchange,
+    * so the shuffle carries at most k rows per group per input partition,
+    * not the corpus). Versus q_sample_stratified's rate-hash (expected-
+    * size sample, zero coordination), this is the EXACT-size form — the
+    * "give me exactly 10k eval docs per language" request. md5 (not
+    * xxhash64) keys the rank so the DuckDB oracle replays the identical
+    * sample — both engines hash the same decimal-rendered doc_id string. */
+  private val sampleReservoir = Q(
+    "q_sample_reservoir",
+    (s, d) => {
+      val k = 10
+      val rankKey = md5(concat(col("doc_id").cast("string"), lit("|"), col("lang")))
+      val w = Window.partitionBy("lang").orderBy(col("rk"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), rankKey.as("rk"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .select("lang", "rn", "doc_id", "rk")
+        .orderBy("lang", "rn")
+    },
+    Some("""SELECT lang, rn, doc_id, rk FROM (
+        SELECT lang, doc_id,
+          md5(CAST(doc_id AS VARCHAR) || '|' || lang) AS rk,
+          CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || lang), doc_id) AS BIGINT) AS rn
+        FROM documents)
+      WHERE rn <= 10 ORDER BY lang, rn"""))
+
   /** Deterministic train/val/test THREE-way split accounting (98/1/1 —
     * b < 98 train, b < 99 val, else test; r9 shipped 96/2/2 against a
     * 98/1/1 doc, reconciled to the documented ratio this round — by
@@ -704,5 +737,5 @@ object TrainingDataQueries {
   val all: Seq[Q] =
     Seq(chunk, contamination, sampleWeighted, sampleDsir, packSequences, shuffleOrder,
       mixSources, contaminationBloom, datasetCard, packBuckets, shards, mixTemperature,
-      curriculum, sampleStratified, trainSplit3)
+      curriculum, sampleStratified, trainSplit3, sampleReservoir)
 }

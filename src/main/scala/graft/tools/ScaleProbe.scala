@@ -117,7 +117,13 @@ object ScaleProbe {
     // Joda-pattern datetime compat (orders), frame-EXCLUDE rewrite
     // (orders), multimap_agg (orders)
     "q_string_normalize", "q_date_presto_fmt", "q_window_exclude",
-    "q_agg_multimap")
+    "q_agg_multimap",
+    // r14 second wave: the full EXCLUDE-mode matrix (orders), hash-rank
+    // reservoir sampling (documents), equi-height histogram (orders)
+    "q_window_exclude_modes", "q_sample_reservoir", "q_agg_equiheight",
+    // r14 third wave: record-linkage metrics (part), reduce_agg fold
+    // (orders), per-user EWMA (events)
+    "q_string_metrics", "q_agg_reduce", "q_events_ewma")
 
   private val ReplicaIdOffset = 10000000L
 

@@ -66,6 +66,30 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](normalize(composed, u("NFX")))
   }
 
+  test("StringMetrics: Jaro-Winkler matches the DuckDB variant incl. its degenerate-case quirks (pure JVM)") {
+    import graft.functions.StringMetrics.{jaro, jaroWinkler, hamming}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String) = jaroWinkler(u(a), u(b))
+    // hand-checked classics (also verified against DuckDB 1.0's
+    // jaro_winkler_similarity while authoring the oracle)
+    assert(math.abs(jaro("martha", "marhta") - 0.9444444444444445) < 1e-15)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    // boost threshold 0.7: BELOW it the prefix bonus must NOT apply even
+    // with a 2-char common prefix (jaro = 0.5277..., unboosted)
+    assert(math.abs(jw("abcdef", "abzzzzzz") - 0.5277777777777778) < 1e-15)
+    // the DuckDB empty-operand convention: ANY empty side scores 0,
+    // including '' vs '' (deviation from "equal strings score 1" — pinned
+    // so engine and oracle can never disagree on degenerate rows)
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0)
+    assert(jw("same", "same") == 1.0)
+    assert(jw("ab", "zzzz") == 0.0) // zero matches
+    // hamming: equal-length position diff; length mismatch throws (Presto)
+    assert(hamming(u("duck"), u("luck")) == 1L)
+    assert(hamming(u("abc"), u("abc")) == 0L)
+    intercept[IllegalArgumentException](hamming(u("ab"), u("abc")))
+  }
+
   test("parse_datetime/format_datetime round-trip through the Column API (session UTC)") {
     val s = spark
     import s.implicits._
