@@ -943,6 +943,44 @@ object Relational {
         CAST(round(CAST(max(o_totalprice) AS DECIMAL(24,6)), 2) AS DOUBLE) AS hi
       FROM assigned GROUP BY bucket ORDER BY bucket"""))
 
+  /** Presto `geometric_mean` + `entropy` in one row. geometric_mean is
+    * exp(avg(ln x)) — both engines spell it identically, so the only
+    * divergence risk is partial-sum order on the doubles, absorbed by the
+    * decimal round device. entropy: Presto's is Shannon entropy over a
+    * count column; the Spark side computes it from FIRST PRINCIPLES as
+    * H = log2(T) − (Σ c·log2 c)/T over the per-status counts (two
+    * bounded aggregations, partial-agg'd, no window), while the oracle
+    * calls DuckDB's NATIVE entropy() over the raw values — an
+    * independent implementation, so agreement certifies the formula, not
+    * a shared spelling. Scale shape: two low-cardinality hash aggregates. */
+  private val aggEntropy = Q(
+    "q_agg_entropy",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val geo = o.groupBy("o_orderpriority")
+        .agg(
+          round(exp(avg(log(col("o_totalprice")))).cast("decimal(24,6)"), 2)
+            .cast("double").as("geo_mean"),
+          count(lit(1)).as("n"))
+      val ent = o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).cast("double").as("c"))
+        .groupBy("o_orderpriority")
+        .agg(
+          round((log2(sum("c")) - sum(col("c") * log2(col("c"))) / sum("c"))
+            .cast("decimal(24,8)"), 6).cast("double").as("status_entropy"))
+      geo.join(ent, "o_orderpriority").orderBy("o_orderpriority")
+    },
+    Some("""WITH g AS (
+        SELECT o_orderpriority,
+          CAST(round(CAST(exp(avg(ln(o_totalprice))) AS DECIMAL(24,6)), 2) AS DOUBLE)
+            AS geo_mean,
+          count(*) AS n,
+          CAST(round(CAST(entropy(o_orderstatus) AS DECIMAL(24,8)), 6) AS DOUBLE)
+            AS status_entropy
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, geo_mean, n, status_entropy
+      FROM g ORDER BY o_orderpriority"""))
+
   /** Presto `reduce_agg(v, init, merge, combine)` — the generic fold
     * aggregate Spark has no spelling for. The idiomatic plan for a
     * commutative reduction is sorted-collect + the codegen'd `aggregate`
@@ -2257,6 +2295,56 @@ object Relational {
     * sequence/DuckDB generate_series), slice, flatten, arrays_overlap.
     * All narrow per-row projections; the generated arrays are bounded
     * (≤4 elements) so output size is row-proportional at any scale. */
+  /** Presto `ngrams(array, n)` — word n-gram extraction as a standalone
+    * declared fn (the same sequence+slice device q_contamination uses
+    * inline, here in its Presto-surface form). Spark has no ngrams
+    * built-in; the codegen'd HOF composition is exact: one window start
+    * per position, each n-gram serialized space-joined, the list
+    * serialized per the array_join convention (nested arrays cannot ride
+    * the gate). Bigram + trigram columns over part names (4-6 words);
+    * docs-scale n-gram work stays with the dedup family. Narrow
+    * projection, no exchange. */
+  private val arrayNgrams = Q(
+    "q_array_ngrams",
+    (s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          split(concat(col("p_name"), lit(" "), col("p_type")), " ").as("ws"))
+        .select(
+          col("p_partkey"),
+          // size guards on BOTH grams: Spark's sequence(0, n) DESCENDS
+          // when n < 0 (step inferred -1), so an unguarded 1-word name
+          // would fabricate ngrams from negative starts
+          when(size(col("ws")) >= 2,
+            array_join(
+              transform(
+                sequence(lit(0), size(col("ws")) - 2),
+                i => array_join(slice(col("ws"), i + 1, lit(2)), " ")), "|"))
+            .otherwise("").as("bigrams"),
+          when(size(col("ws")) >= 3,
+            array_join(
+              transform(
+                sequence(lit(0), size(col("ws")) - 3),
+                i => array_join(slice(col("ws"), i + 1, lit(3)), " ")), "|"))
+            .otherwise("").as("trigrams"),
+          greatest(size(col("ws")) - 1, lit(0)).cast("long").as("n_bigrams"))
+        .orderBy("p_partkey"),
+    Some("""WITH w AS (SELECT p_partkey,
+          string_split(p_name || ' ' || p_type, ' ') AS ws FROM part)
+      SELECT p_partkey,
+        CASE WHEN len(ws) >= 2 THEN
+          coalesce(array_to_string(
+            [array_to_string(ws[i + 1:i + 2], ' ')
+             FOR i IN range(0, len(ws) - 1)], '|'), '')
+        ELSE '' END AS bigrams,
+        CASE WHEN len(ws) >= 3 THEN
+          coalesce(array_to_string(
+            [array_to_string(ws[i + 1:i + 3], ' ')
+             FOR i IN range(0, len(ws) - 2)], '|'), '')
+        ELSE '' END AS trigrams,
+        CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_bigrams
+      FROM w ORDER BY p_partkey"""))
+
   private val arrayGen = Q(
     "q_array_gen",
     (s, d) => {
@@ -2625,7 +2713,7 @@ object Relational {
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
     joinTheta, joinBucketed, joinFuzzy, joinFuzzyVarlen, joinLateral, joinNullsafe,
     joinStar, joinSalted,
-    aggListagg, aggMultimap, aggEquiheight, aggReduce,
+    aggListagg, aggMultimap, aggEquiheight, aggReduce, aggEntropy,
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange, windowDist,
     windowFrames, windowGroups, windowExclude, windowExcludeModes,
     sortTopk, sortNullsOffset,
@@ -2634,7 +2722,7 @@ object Relational {
     condFns, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
     stringNormalize, stringMetrics,
     dateFns, dateFns2, dateTz, datePrestoFmt, mathFns, mathFns2,
-    aggWidthBucket, arrayFns, arrayLambda, arraySortLambda, arrayQuantifiers,
+    aggWidthBucket, arrayFns, arrayLambda, arraySortLambda, arrayQuantifiers, arrayNgrams,
     mapFns, mapLambda, mapParse, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti, tryFns,
     urlFns, bitwiseFns,
     subqueryIn, subqueryScalar, subqueryExists)

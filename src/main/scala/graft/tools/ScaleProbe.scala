@@ -123,7 +123,10 @@ object ScaleProbe {
     "q_window_exclude_modes", "q_sample_reservoir", "q_agg_equiheight",
     // r14 third wave: record-linkage metrics (part), reduce_agg fold
     // (orders), per-user EWMA (events)
-    "q_string_metrics", "q_agg_reduce", "q_events_ewma")
+    "q_string_metrics", "q_agg_reduce", "q_events_ewma",
+    // r14 fourth wave: geometric_mean + entropy aggregates (orders),
+    // Presto ngrams (part)
+    "q_agg_entropy", "q_array_ngrams")
 
   private val ReplicaIdOffset = 10000000L
 
