@@ -126,6 +126,57 @@ object TextQueries {
       FROM documents d JOIN exp e ON d.doc_id = e.doc_id AND md5(d.text) = e.text_md5
       ORDER BY d.doc_id"""))
 
+  /** Presto `cosine_similarity(map, map)` — sparse-vector cosine over
+    * word-count maps, exercised as intra-document lexical self-similarity
+    * (first-half vs second-half count vectors): high cosine = the halves
+    * repeat each other's vocabulary, a repetition signal the quality
+    * family's n-gram detectors complement. Spark spells the sparse maps
+    * with `map_from_entries` + count-per-distinct-word HOFs and folds the
+    * dot product over `map_keys` with `try_element_at` (ANSI-safe miss →
+    * 0); integer-valued doubles keep the dot exact below 2^53, and dot /
+    * (‖a‖·‖b‖) has one shared evaluation order, so the decimal round
+    * pins equality. The oracle replays the same construction with DuckDB
+    * list comprehensions (it has no ergonomic map type at 1.0). Narrow
+    * per-row compute, no exchange — O(distinct·len) per document, the
+    * sparse-map shape Presto's own cosine_similarity assumes. */
+  private val mapCosine = Q(
+    "q_map_cosine",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n", size(col("ws")))
+        .filter(col("n") >= 4)
+        .withColumn("h1", expr("slice(ws, 1, n div 2)"))
+        .withColumn("h2", expr("slice(ws, n div 2 + 1, n - n div 2)"))
+        .withColumn("m1", expr(
+          "map_from_entries(transform(array_distinct(h1), w -> struct(w, double(size(filter(h1, x -> x = w))))))"))
+        .withColumn("m2", expr(
+          "map_from_entries(transform(array_distinct(h2), w -> struct(w, double(size(filter(h2, x -> x = w))))))"))
+        .select(
+          col("doc_id"), col("n").cast("long").as("n"),
+          round(expr(
+            """aggregate(map_keys(m1), 0D,
+                 (acc, k) -> acc + element_at(m1, k) * coalesce(try_element_at(m2, k), 0D))
+               / (sqrt(aggregate(map_values(m1), 0D, (acc, v) -> acc + v * v))
+                  * sqrt(aggregate(map_values(m2), 0D, (acc, v) -> acc + v * v)))""")
+            .cast("decimal(24,8)"), 6).cast("double").as("self_sim"))
+        .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       s AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) >= 4),
+       h AS (SELECT doc_id, n, ws[1:n//2] AS h1, ws[n//2+1:n] AS h2 FROM s),
+       c AS (SELECT doc_id, n,
+         list_sum([len(list_filter(h1, x -> x = w)) * len(list_filter(h2, y -> y = w))
+                   FOR w IN list_distinct(h1)]) AS dot,
+         list_sum([len(list_filter(h1, x -> x = w)) * len(list_filter(h1, y -> y = w))
+                   FOR w IN list_distinct(h1)]) AS s1,
+         list_sum([len(list_filter(h2, x -> x = w)) * len(list_filter(h2, y -> y = w))
+                   FOR w IN list_distinct(h2)]) AS s2
+        FROM h)
+      SELECT doc_id, CAST(n AS BIGINT) AS n,
+        CAST(round(CAST(dot / (sqrt(s1) * sqrt(s2)) AS DECIMAL(24,8)), 6) AS DOUBLE)
+          AS self_sim
+      FROM c ORDER BY doc_id"""))
+
   /** Exact dedup: group identical text, keep the smallest doc_id. At 100 TB
     * group by a 64-bit content hash instead of the full text to shrink
     * shuffle payload (the text column never needs to move). */
@@ -1730,5 +1781,5 @@ object TextQueries {
     perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
     nbClassifier, perplexity3, perplexity5, topics, mixQuality, bpeTrain256,
     lexDiversity, unigramTrain, unigramApply, textChunking, textPacking,
-    invertedIndex)
+    invertedIndex, mapCosine)
 }

@@ -126,7 +126,9 @@ object ScaleProbe {
     "q_string_metrics", "q_agg_reduce", "q_events_ewma",
     // r14 fourth wave: geometric_mean + entropy aggregates (orders),
     // Presto ngrams (part)
-    "q_agg_entropy", "q_array_ngrams")
+    "q_agg_entropy", "q_array_ngrams",
+    // r14 fifth wave: sparse-map cosine self-similarity (documents)
+    "q_map_cosine")
 
   private val ReplicaIdOffset = 10000000L
 
