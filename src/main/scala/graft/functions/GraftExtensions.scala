@@ -159,6 +159,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "jaro_winkler_similarity(s1, s2) - Jaro-Winkler similarity in [0,1] " +
           "(boost threshold 0.7, prefix cap 4, scale 0.1; empty operands score 0)"),
       (children: Seq[Expression]) => JaroWinklerSim(children(0), children(1))))
+    // date_parse(str, '%Y-%m-%d ...'): Presto's MYSQL-dialect parse — the
+    // highest-traffic Athena datetime call after date_format. Spark has no
+    // date_parse name, so registration is conflict-free; Presto's
+    // %-dialect date_format CANNOT be registered the same way (the name
+    // would shadow Spark's java-pattern built-in of the same arity —
+    // DOCUMENTED DEVIATION: a pasted %-pattern date_format should move to
+    // format_datetime/Joda or Spark's native date_format patterns).
+    def mysqlLit(e: Expression): Expression = e match {
+      case Literal(p: org.apache.spark.unsafe.types.UTF8String, org.apache.spark.sql.types.StringType) =>
+        Literal(TextOps.mysqlToJava(p.toString))
+      case _ => throw new IllegalArgumentException(
+        "date_parse requires a literal MySQL pattern (Presto queries write it inline)")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("date_parse"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.ParseToTimestamp], "date_parse",
+        "date_parse(str, pattern) - Presto MySQL-%-pattern timestamp parse; " +
+          "lowers to to_timestamp with the translated pattern (session UTC)"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(
+          children(0), mysqlLit(children(1)))))
     ext.injectFunction((
       new FunctionIdentifier("parse_datetime"),
       info(classOf[org.apache.spark.sql.catalyst.expressions.ParseToTimestamp], "parse_datetime",

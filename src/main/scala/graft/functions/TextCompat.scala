@@ -23,6 +23,59 @@ object TextOps {
       java.text.Normalizer.normalize(
         s.toString, java.text.Normalizer.Form.valueOf(form.toString.toUpperCase)))
 
+  /** Translate a MySQL %-pattern (Presto's `date_parse`/`date_format`
+    * dialect — the OTHER Presto datetime pattern language beside Joda;
+    * Athena queries use date_parse constantly) to Spark's dialect.
+    * Unsupported MySQL fields (week-based %U/%u/%V/%v/%X/%x, ordinal %D)
+    * reject by name; `%%` is a literal percent; any non-% text passes
+    * through, quoted if it contains pattern letters. */
+  def mysqlToJava(pattern: String): String = {
+    val out = new StringBuilder(pattern.length)
+    def lit(c: Char): Unit =
+      if (c.isLetter) out.append('\'').append(c).append('\'')
+      else if (c == '\'') out.append("''")
+      else out.append(c)
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == '%' && i + 1 < pattern.length) {
+        val m = pattern.charAt(i + 1) match {
+          case 'Y' => "yyyy"
+          case 'y' => "yy"
+          case 'm' => "MM"
+          case 'c' => "M"
+          case 'd' => "dd"
+          case 'e' => "d"
+          case 'H' => "HH"
+          case 'k' => "H"
+          case 'h' | 'I' => "hh"
+          case 'l' => "h"
+          case 'i' => "mm" // MySQL minutes
+          case 's' | 'S' => "ss"
+          case 'f' => "SSSSSS"
+          case 'p' => "a"
+          case 'W' => "EEEE"
+          case 'a' => "EEE"
+          case 'b' => "MMM"
+          case 'M' => "MMMM" // MySQL full month NAME (not minutes!)
+          case 'j' => "DDD"
+          case 'T' => "HH:mm:ss"
+          case 'r' => "hh:mm:ss a"
+          case '%' => "%"
+          case bad @ ('U' | 'u' | 'V' | 'v' | 'X' | 'x' | 'D') =>
+            throw new IllegalArgumentException(
+              s"MySQL pattern %$bad (week-based/ordinal field) has no Spark " +
+                "datetime-pattern equivalent; rewrite with %Y/%m/%d/%j")
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported MySQL pattern %$other in '$pattern'")
+        }
+        out.append(m); i += 2
+      } else { lit(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Translate a Joda-Time pattern (Presto's `format_datetime`/
     * `parse_datetime` dialect) to Spark's datetime pattern dialect.
     *
@@ -203,6 +256,11 @@ object TextFunctions {
   def parseDatetime(str: Column, jodaPattern: String): Column =
     graftshim.column(new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(
       graftshim.expression(str), Literal(TextOps.jodaToJava(jodaPattern))))
+
+  /** Presto date_parse(str, mysqlPattern) as a Column (native to_timestamp). */
+  def dateParse(str: Column, mysqlPattern: String): Column =
+    graftshim.column(new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(
+      graftshim.expression(str), Literal(TextOps.mysqlToJava(mysqlPattern))))
 
   /** Jaro-Winkler similarity (codegen'd; see [[JaroWinklerSim]]). */
   def jaroWinkler(a: Column, b: Column): Column =

@@ -1871,6 +1871,48 @@ object Relational {
         'fi' || p_brand AS nfkc_demo
       FROM r ORDER BY p_partkey"""))
 
+  /** Presto `date_parse(str, '%Y-%m-%d...')` — the MYSQL %-pattern dialect,
+    * the highest-traffic Athena datetime parse (a DIFFERENT pattern
+    * language from the Joda pair q_date_presto_fmt covers). The translator
+    * (TextOps.mysqlToJava) maps %i→minutes vs %M→month NAME (the classic
+    * MySQL trap), composite %T/%r, and rejects week-based fields by name;
+    * the call lowers onto the native codegen'd to_timestamp.
+    * DOCUMENTED DEVIATION (GraftExtensions): Presto's %-dialect
+    * date_format is NOT registered — the name would shadow Spark's
+    * java-pattern built-in of the same arity; migrants use
+    * format_datetime (Joda) or native patterns. The row renders strings
+    * with NATIVE date_format (java patterns), parses them back through
+    * three MySQL pattern shapes (ISO with %i/%s, month-name %M, composite
+    * %T), and asserts the round trips; the oracle replays with DuckDB
+    * strptime %-codes (hand-mapped: DuckDB %M is MINUTES, MySQL %M is
+    * month name). Narrow projection, no exchange. */
+  private val dateParse = Q(
+    "q_date_parse",
+    (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("ts"))
+        .select(
+          col("o_orderkey"),
+          TF.dateParse(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            "%Y-%m-%d %H:%i:%s").as("iso_parsed"),
+          TF.dateParse(date_format(col("ts"), "MMMM dd, yyyy"),
+            "%M %d, %Y").as("texty_parsed"),
+          (TF.dateParse(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            "%Y-%m-%d %T") === col("ts")).as("t_ok"),
+          (TF.dateParse(date_format(col("ts"), "MMMM dd, yyyy"),
+            "%M %d, %Y") === col("ts")).as("texty_ok"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        strptime(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+                 '%Y-%m-%d %H:%M:%S') AS iso_parsed,
+        strptime(strftime(CAST(o_orderdate AS TIMESTAMP), '%B %d, %Y'),
+                 '%B %d, %Y') AS texty_parsed,
+        strptime(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+                 '%Y-%m-%d %H:%M:%S') = CAST(o_orderdate AS TIMESTAMP) AS t_ok,
+        strptime(strftime(CAST(o_orderdate AS TIMESTAMP), '%B %d, %Y'),
+                 '%B %d, %Y') = CAST(o_orderdate AS TIMESTAMP) AS texty_ok
+      FROM orders ORDER BY o_orderkey"""))
+
   /** Record-linkage string metrics beside levenshtein: Jaro-Winkler
     * similarity (the fuzzy-join family's scoring metric — codegen'd
     * expression, TextCompat.scala; variant matches DuckDB's exactly:
@@ -2721,7 +2763,7 @@ object Relational {
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
     condFns, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
     stringNormalize, stringMetrics,
-    dateFns, dateFns2, dateTz, datePrestoFmt, mathFns, mathFns2,
+    dateFns, dateFns2, dateTz, datePrestoFmt, dateParse, mathFns, mathFns2,
     aggWidthBucket, arrayFns, arrayLambda, arraySortLambda, arrayQuantifiers, arrayNgrams,
     mapFns, mapLambda, mapParse, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti, tryFns,
     urlFns, bitwiseFns,

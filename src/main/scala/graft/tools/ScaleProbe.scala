@@ -127,8 +127,9 @@ object ScaleProbe {
     // r14 fourth wave: geometric_mean + entropy aggregates (orders),
     // Presto ngrams (part)
     "q_agg_entropy", "q_array_ngrams",
-    // r14 fifth wave: sparse-map cosine self-similarity (documents)
-    "q_map_cosine")
+    // r14 fifth wave: sparse-map cosine self-similarity (documents),
+    // MySQL-dialect date_parse (orders)
+    "q_map_cosine", "q_date_parse")
 
   private val ReplicaIdOffset = 10000000L
 

@@ -278,7 +278,8 @@ FROM "defenda_data_lake"."events"
                  normalize('\ufb01x', 'NFKC') AS n2,
                  format_datetime(TIMESTAMP '2024-03-05 07:08:09', 'yyyy-MM-dd HH:mm') AS f,
                  format_datetime(TIMESTAMP '2024-12-30 00:00:00', 'Y') AS yoe,
-                 parse_datetime('2024-03-05 07:08:09', 'yyyy-MM-dd HH:mm:ss') AS p""")
+                 parse_datetime('2024-03-05 07:08:09', 'yyyy-MM-dd HH:mm:ss') AS p,
+                 date_parse('March 05, 2024 07:08', '%M %d, %Y %H:%i') AS dp""")
       .collect()(0)
     assert(r.getString(0) == "caf\u00e9")
     assert(r.getString(1) == "fix")
@@ -286,6 +287,8 @@ FROM "defenda_data_lake"."events"
     // the Joda-Y hazard: java week-based Y would say "2025" for Dec 30 2024
     assert(r.getString(3) == "2024")
     assert(r.getTimestamp(4).toInstant.toString == "2024-03-05T07:08:09Z")
+    // MySQL-dialect date_parse: %M is month NAME, %i is minutes
+    assert(r.getTimestamp(5).toInstant.toString == "2024-03-05T07:08:00Z")
     // a non-literal pattern must throw a NAMED error, never misformat
     val err = intercept[Exception](
       spark.sql("SELECT format_datetime(TIMESTAMP '2024-01-01', substring('yy', 1, 2))").collect())

@@ -50,6 +50,23 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("unsupported"))
   }
 
+  test("TextOps.mysqlToJava: %i is minutes, %M is month name, week fields reject (pure JVM)") {
+    import graft.functions.TextOps.mysqlToJava
+    assert(mysqlToJava("%Y-%m-%d %H:%i:%s") == "yyyy-MM-dd HH:mm:ss")
+    // the classic MySQL trap pair: %i = minutes, %M = full month NAME
+    assert(mysqlToJava("%M %d, %Y") == "MMMM dd, yyyy")
+    // composite forms + literal percent + non-letter passthrough
+    assert(mysqlToJava("%Y-%m-%dT%T") == "yyyy-MM-dd'T'HH:mm:ss")
+    assert(mysqlToJava("%h:%i %p") == "hh:mm a")
+    assert(mysqlToJava("100%%") == "100%")
+    // bare letters outside % groups must be QUOTED, never pattern letters
+    assert(mysqlToJava("%Yy") == "yyyy'y'")
+    for (bad <- Seq("%U", "%u", "%V", "%v", "%X", "%x", "%D"))
+      assert(intercept[IllegalArgumentException](mysqlToJava(bad))
+        .getMessage.contains("week-based"), s"expected rejection for '$bad'")
+    intercept[IllegalArgumentException](mysqlToJava("%Q"))
+  }
+
   test("TextOps.normalize: NFC composes, NFD decomposes, NFKC folds compatibility chars (pure JVM)") {
     import graft.functions.TextOps.normalize
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
