@@ -73,39 +73,53 @@ for name in out_dirs:
         import threading
         _done = threading.Event()
         _lock = threading.Lock()
+        _fired = [False]  # the killer ACTUALLY interrupted (set under _lock)
         _TO = float(os.environ.get("ORACLE_TIMEOUT_SEC", "900"))
         # The killer re-checks _done UNDER THE LOCK before interrupting, and
         # the query thread sets _done under the same lock the moment
-        # fetchdf() returns — so an interrupt can never fire after this
-        # oracle completed and abort/taint the NEXT oracle on the shared
-        # connection (r13 ADVICE: the old Event-only handshake had a window
-        # between fetchdf() returning and _done.set()).
+        # fetchdf() returns (r13 ADVICE: the old Event-only handshake had a
+        # window between fetchdf() returning and _done.set()). That narrows
+        # but does not CLOSE the race — _done is only set after control
+        # reaches the finally block, so the killer can still interrupt a
+        # query that already completed (r14 ADVICE). The handshake therefore
+        # also RECORDS whether the killer fired (_fired, under the lock);
+        # whenever it did — timeout, late interrupt after success, anything —
+        # the shared connection is rebuilt below so a lingering cancel flag
+        # can never abort the NEXT oracle.
         def _killer():
             if not _done.wait(_TO):
                 with _lock:
                     if not _done.is_set():
+                        _fired[0] = True
                         try: con.interrupt()
                         except Exception: pass
         threading.Thread(target=_killer, daemon=True).start()
+        # the oracle clock starts HERE, not at _t0: _t0 predates the
+        # pd.read_parquet of the Spark output, and on big gate corpora a
+        # slow parquet read would inflate the elapsed time and misclassify
+        # a genuine oracle error as ORACLE-TIMEOUT (r14 ADVICE)
+        _q0 = time.time()
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
         finally:
             with _lock:
                 _done.set()
+            if _fired[0]:
+                # the interrupt went out (whether or not the query beat it):
+                # rebuild the connection so no lingering cancel can taint
+                # the next oracle (r14 ADVICE — previously only the
+                # ORACLE-TIMEOUT classification path rebuilt)
+                try: con.close()
+                except Exception: pass
+                con = _connect()
     except Exception as e:
-        # classify by ELAPSED TIME, not by substring-matching the message
-        # (r13 ADVICE): any exception surfacing after the deadline on this
-        # connection is the interrupt; anything earlier is a real failure.
-        kind = "ORACLE-TIMEOUT" if time.time() - _t0 >= _TO \
+        # classify by ELAPSED TIME from the oracle start, not by
+        # substring-matching the message (r13 ADVICE): any exception
+        # surfacing after the deadline on this connection is the interrupt;
+        # anything earlier is a real failure.
+        kind = "ORACLE-TIMEOUT" if time.time() - _q0 >= _TO \
             else f"ORACLE-FAIL {type(e).__name__}"
         results[name] = f"{kind}: {str(e)[:200]}"
-        if kind == "ORACLE-TIMEOUT":
-            # belt-and-braces: rebuild the shared connection after an
-            # interrupt so no lingering cancel flag can abort the next
-            # oracle even if the handshake above ever misses
-            try: con.close()
-            except Exception: pass
-            con = _connect()
         continue
     s = spark_df[sorted(spark_df.columns)]
     d = duck_df[sorted(duck_df.columns)]

@@ -111,10 +111,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Spark has no spelling at all. Codegen'd expression over the JDK
     // normalizer (TextCompat.scala) — the canonicalize-before-dedup-key
     // idiom q_string_normalize declares.
+    // DOCUMENTED DEVIATION (r14 ADVICE): Presto's grammar accepts the form
+    // as a BARE KEYWORD — normalize(s, NFD) — which Spark's parser can only
+    // resolve as a column reference, so a verbatim-pasted bare-keyword call
+    // fails loudly with an unresolved-column error. The form must be a
+    // string literal here: normalize(s, 'NFD'). One pair of quotes in the
+    // pasted query; semantics identical.
     ext.injectFunction((
       new FunctionIdentifier("normalize"),
       info(classOf[UnicodeNormalize], "normalize",
-        "normalize(s[, form]) - Presto Unicode normalization; form in NFC (default), NFD, NFKC, NFKD"),
+        "normalize(s[, form]) - Presto Unicode normalization; form in NFC (default), NFD, NFKC, NFKD. " +
+          "Deviation: the form must be a STRING LITERAL ('NFD'); Presto's bare-keyword " +
+          "spelling (NFD) fails with an unresolved-column error here"),
       (children: Seq[Expression]) => children match {
         case Seq(s)    => UnicodeNormalize(s, Literal("NFC"))
         case Seq(s, f) => UnicodeNormalize(s, f)
@@ -162,10 +170,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // date_parse(str, '%Y-%m-%d ...'): Presto's MYSQL-dialect parse — the
     // highest-traffic Athena datetime call after date_format. Spark has no
     // date_parse name, so registration is conflict-free; Presto's
-    // %-dialect date_format CANNOT be registered the same way (the name
+    // %-dialect date_format CANNOT be registered under its own name (it
     // would shadow Spark's java-pattern built-in of the same arity —
-    // DOCUMENTED DEVIATION: a pasted %-pattern date_format should move to
-    // format_datetime/Joda or Spark's native date_format patterns).
+    // DOCUMENTED DEVIATION: a pasted %-pattern date_format renames to
+    // presto_date_format below, or moves to format_datetime/Joda).
     def mysqlLit(e: Expression): Expression = e match {
       case Literal(p: org.apache.spark.unsafe.types.UTF8String, org.apache.spark.sql.types.StringType) =>
         Literal(TextOps.mysqlToJava(p.toString))
@@ -188,5 +196,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(
           children(0), jodaLit(children(1), "parse_datetime"))))
+    // presto_date_format(ts, '%Y-%m-%d'): the FORMAT direction of Presto's
+    // MySQL %-pattern dialect (date_parse closed the parse direction in
+    // r14). Presto's own spelling is date_format — which here would shadow
+    // Spark's java-pattern built-in of the same arity, so the registration
+    // is NON-SHADOWING under the presto_ prefix (documented deviation: a
+    // pasted query renames one identifier, the %-pattern stays verbatim).
+    // Same lowering discipline as date_parse: the pattern translates once
+    // at resolution (TextOps.mysqlToJava), the hot path is exactly the
+    // native codegen'd date_format.
+    ext.injectFunction((
+      new FunctionIdentifier("presto_date_format"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.DateFormatClass], "presto_date_format",
+        "presto_date_format(ts, pattern) - Presto (MySQL-%-pattern) date_format under a " +
+          "non-shadowing name; lowers to date_format with the translated pattern"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+          Cast(children(0), TimestampType), mysqlLit(children(1)))))
+    // ---- Presto URL dissection family ------------------------------------
+    // url_extract_host/path/query/parameter/protocol/fragment: Presto's URL
+    // accessors, constant in security-log queries (the reference's
+    // cloudfront sample carries request URIs). Spark's codegen'd ParseUrl
+    // has the exact semantics under positional part keywords, so each
+    // spelling is a thin resolution-time alias — no new runtime logic, the
+    // hot path IS parse_url. (url_extract_port has no ParseUrl part — a
+    // pasted call should split AUTHORITY; not registered.)
+    def parseUrl(args: Expression*): Expression =
+      org.apache.spark.sql.catalyst.expressions.ParseUrl(args)
+    def urlAlias(name: String, part: String): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        info(classOf[org.apache.spark.sql.catalyst.expressions.ParseUrl], name,
+          s"$name(url) - Presto URL accessor; lowers to parse_url(url, '$part')"),
+        (children: Seq[Expression]) => parseUrl(children(0), Literal(part))))
+    urlAlias("url_extract_host", "HOST")
+    urlAlias("url_extract_path", "PATH")
+    urlAlias("url_extract_query", "QUERY")
+    urlAlias("url_extract_protocol", "PROTOCOL")
+    urlAlias("url_extract_fragment", "REF")
+    ext.injectFunction((
+      new FunctionIdentifier("url_extract_parameter"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.ParseUrl], "url_extract_parameter",
+        "url_extract_parameter(url, name) - first value of a query parameter; " +
+          "lowers to parse_url(url, 'QUERY', name)"),
+      (children: Seq[Expression]) =>
+        parseUrl(children(0), Literal("QUERY"), children(1))))
   }
 }

@@ -140,7 +140,15 @@ object TextOps {
   * oracle and the engine can never disagree on degenerate rows). */
 object StringMetrics {
 
-  /** Jaro similarity (match window + transposition count). */
+  /** Jaro similarity (match window + transposition count).
+    *
+    * Documented deviation (r14 ADVICE): positions are UTF-16 code units,
+    * exactly as DuckDB's variant walks its input — the two engines agree
+    * by construction on BMP text (all of the corpus); a supplementary-
+    * plane character counts as two positions in both. Presto's own
+    * implementation is code-point based, so jaro_winkler scores on
+    * supplementary-plane text can differ from Presto — BMP-only
+    * compatibility, like the other documented dialect deviations. */
   def jaro(a: String, b: String): Double = {
     if (a.isEmpty || b.isEmpty) return 0.0
     if (a == b) return 1.0
@@ -193,16 +201,28 @@ object StringMetrics {
   }
 
   /** Presto `hamming_distance(s1, s2)`: positions where equal-length
-    * strings differ; throws on a length mismatch (Presto behavior). */
+    * strings differ; throws on a length mismatch (Presto behavior).
+    * Presto defines both the positions and the length check over CODE
+    * POINTS, so the walk is codePointAt-based — a supplementary-plane
+    * character is one position, not two UTF-16 units (r14 ADVICE). */
   def hamming(a: UTF8String, b: UTF8String): Long = {
     val sa = a.toString
     val sb = b.toString
-    if (sa.length != sb.length)
+    val na = sa.codePointCount(0, sa.length)
+    val nb = sb.codePointCount(0, sb.length)
+    if (na != nb)
       throw new IllegalArgumentException(
-        s"hamming_distance requires equal-length strings (${sa.length} vs ${sb.length})")
+        s"hamming_distance requires equal-length strings ($na vs $nb code points)")
     var d = 0L
     var i = 0
-    while (i < sa.length) { if (sa.charAt(i) != sb.charAt(i)) d += 1; i += 1 }
+    var j = 0
+    while (i < sa.length) {
+      val ca = sa.codePointAt(i)
+      val cb = sb.codePointAt(j)
+      if (ca != cb) d += 1
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
     d
   }
 }
@@ -261,6 +281,13 @@ object TextFunctions {
   def dateParse(str: Column, mysqlPattern: String): Column =
     graftshim.column(new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(
       graftshim.expression(str), Literal(TextOps.mysqlToJava(mysqlPattern))))
+
+  /** Presto %-dialect date_format as a Column (the SQL spelling is the
+    * non-shadowing `presto_date_format` in [[GraftExtensions]]) — the
+    * pattern translates ONCE here, then the call is a native date_format. */
+  def prestoDateFormat(ts: Column, mysqlPattern: String): Column =
+    graftshim.column(org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+      graftshim.expression(ts), Literal(TextOps.mysqlToJava(mysqlPattern))))
 
   /** Jaro-Winkler similarity (codegen'd; see [[JaroWinklerSim]]). */
   def jaroWinkler(a: Column, b: Column): Column =

@@ -898,6 +898,48 @@ object Relational {
         count(*) AS n_keys
       FROM kv GROUP BY prio ORDER BY prio"""))
 
+  /** Presto `map_union(m)` — the map-MERGE aggregate completing the map
+    * collection family (r14 verdict missing #3; map_agg/histogram/
+    * multimap_agg are q_agg_histogram/q_agg_multimap's). The row builds
+    * per-(prio, status) count maps — each a single-entry map(status →
+    * count), the canonical partial-histogram shape map_union merges —
+    * then unions them per prio into one REAL map column
+    * (map_from_entries over the sorted entry collect, so key order is
+    * deterministic by the q_agg_multimap sorted-collect convention; keys
+    * are distinct by construction, so Presto's arbitrary-choice-on-
+    * duplicate-keys caveat never fires and the result is well-defined on
+    * any engine). The map is then CONSUMED as a map — serialized from
+    * map_entries and totaled with an aggregate() HOF fold over
+    * map_values — so the declared row proves the round trip through the
+    * map type, not just a string of it (the driver gate cannot sort+hash
+    * a map column, hence the serialized output). Scale shape: two
+    * exchanges, both on grouping keys, partial aggregation on each; the
+    * per-group map is bounded by the status-key cardinality. */
+  private val aggMapUnion = Q(
+    "q_agg_map_union",
+    (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("prio")
+        .agg(map_from_entries(array_sort(collect_list(struct(col("status"), col("cnt")))))
+          .as("m"))
+        .select(
+          col("prio"),
+          array_join(expr("transform(map_entries(m), e -> concat(e.key, ':', e.value))"), ",")
+            .as("mu"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"),
+          expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("total"))
+        .orderBy("prio"),
+    Some("""WITH kv AS (
+        SELECT o_orderpriority AS prio, o_orderstatus AS status, count(*) AS cnt
+        FROM orders GROUP BY 1, 2)
+      SELECT prio,
+        string_agg(status || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY status) AS mu,
+        count(*) AS n_keys,
+        CAST(sum(cnt) AS BIGINT) AS total
+      FROM kv GROUP BY prio ORDER BY prio"""))
+
   /** Presto `numeric_histogram(b, v)` semantics — an EQUI-HEIGHT histogram
     * — in the scale-safe two-pass form: pass 1 computes the 7 inner
     * boundaries as EXACT interpolated percentiles (Spark's `percentile`
@@ -1307,8 +1349,13 @@ object Relational {
     *   peer aggregates    sum/count over (part, v) — the unordered peer window
     *   EXCLUDE GROUP      frame_sum − peer_sum     (NULL when frame == peers)
     *   EXCLUDE TIES       frame_sum − peer_sum + x (current row stays)
-    *   EXCLUDE CURRENT    frame_sum − x            (NULL when frame == {row};
-    *                      impossible here — peers ⊆ frame — so no guard)
+    *   EXCLUDE CURRENT    frame_sum − x            (NULL when frame == {row}:
+    *                      a row alone in its peer group with no partition
+    *                      rows within RANGE 2 PRECEDING has exactly that
+    *                      frame, so the guard is required — whether it fires
+    *                      is data-dependent on ORDER-BY-value density, and
+    *                      an unguarded subtraction would yield 0 where the
+    *                      native spelling yields NULL; r14 ADVICE)
     *   EXCLUDE NO OTHERS  frame_sum                (the default, declared to
     *                      pin that the matrix is mutually consistent)
     *
@@ -1345,7 +1392,8 @@ object Relational {
           when(col("f_n") > col("p_n"), col("f_sum") - col("p_sum"))
             .as("excl_group"),
           (col("f_sum") - col("p_sum") + col("o_custkey")).as("excl_ties"),
-          (col("f_sum") - col("o_custkey")).as("excl_current"),
+          when(col("f_n") > 1, col("f_sum") - col("o_custkey"))
+            .as("excl_current"),
           col("f_sum").as("excl_none"))
         .orderBy("o_orderkey")
     },
@@ -1662,6 +1710,57 @@ object Relational {
         regexp_extract(url, '[?&]n=([^&#]*)', 1) AS n_param
       FROM u ORDER BY c_custkey"""))
 
+  /** Presto's url_extract_* SPELLINGS (r14 verdict missing #2 —
+    * q_string_url covers the semantics through parse_url; this row lands
+    * beside the GraftExtensions registrations of url_extract_host/path/
+    * query/parameter/protocol/fragment so a pasted Athena query resolves
+    * verbatim; EngineSpec pins each SQL spelling == its parse_url
+    * lowering). Runs over the documents corpus (URLs constructed from
+    * source/lang/doc_id — the synthetic tables carry no URL column) and
+    * exercises the edges q_string_url doesn't: PROTOCOL, the #fragment
+    * (REF), and a MISSING query parameter, where parse_url returns NULL —
+    * the oracle regexes return NULL through an explicit CASE, so the two
+    * engines' miss conventions are aligned by construction rather than by
+    * luck. Narrow projection, no exchange; the declared form uses
+    * parse_url directly (injected spellings are invisible to plain
+    * driver sessions — the lowering is identity). */
+  private val urlExtract = Q(
+    "q_string_url_extract",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://cdn-"), col("source"), lit(".example.org/docs/"),
+            col("lang"), lit("/"), col("doc_id"), lit("?lang="), col("lang"),
+            when(col("doc_id") % 3 === 0, concat(lit("&trk=t"), col("doc_id") % 5))
+              .otherwise(lit("")),
+            lit("#p"), col("doc_id") % 7).as("url"))
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'PROTOCOL')").as("proto"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"),
+          expr("parse_url(url, 'QUERY', 'trk')").as("trk_param"),
+          expr("parse_url(url, 'REF')").as("fragment"))
+        .orderBy("doc_id"),
+    Some("""WITH u AS (
+        SELECT doc_id,
+               'https://cdn-' || source || '.example.org/docs/' || lang || '/'
+                 || doc_id || '?lang=' || lang
+                 || CASE WHEN doc_id % 3 = 0 THEN '&trk=t' || (doc_id % 5) ELSE '' END
+                 || '#p' || (doc_id % 7) AS url
+        FROM documents)
+      SELECT doc_id, url,
+        regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        regexp_extract(url, '\?([^#]*)', 1) AS query,
+        regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+        CASE WHEN url LIKE '%trk=%'
+             THEN regexp_extract(url, '[?&]trk=([^&#]*)', 1) END AS trk_param,
+        regexp_extract(url, '#(.*)$', 1) AS fragment
+      FROM u ORDER BY doc_id"""))
+
   /** Bitwise function family — bitwise_and/or/xor and shifts (Presto
     * spells them as functions, Spark as operators; same two's-complement
     * BIGINT semantics, integer-exact on both engines). */
@@ -1911,6 +2010,45 @@ object Relational {
                  '%Y-%m-%d %H:%M:%S') = CAST(o_orderdate AS TIMESTAMP) AS t_ok,
         strptime(strftime(CAST(o_orderdate AS TIMESTAMP), '%B %d, %Y'),
                  '%B %d, %Y') = CAST(o_orderdate AS TIMESTAMP) AS texty_ok
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** The FORMAT direction of Presto's MySQL %-pattern dialect
+    * (r14 verdict missing #1 — q_date_parse closed the parse direction;
+    * this row closes the asymmetry). Presto's own spelling is
+    * `date_format`, which would shadow Spark's java-pattern built-in of
+    * the same arity, so the SQL registration is the NON-SHADOWING
+    * `presto_date_format` (GraftExtensions; EngineSpec pins the SQL
+    * spelling) over the same TextOps.mysqlToJava translator — including
+    * the %i-minutes/%M-month-name trap, now exercised in BOTH directions,
+    * and composite %T. Declared as parse→format→parse round trips so a
+    * translator asymmetry cannot pass: rt_ok pins
+    * date_parse(presto_date_format(ts, p), p) == ts row-for-row. The
+    * oracle replays with DuckDB strftime %-codes (hand-mapped: DuckDB %M
+    * is MINUTES where MySQL %M is month name; %B is the month-name
+    * spelling). Narrow projection, no exchange. */
+  private val datePrestoRoundtrip = Q(
+    "q_date_presto_roundtrip",
+    (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("ts"))
+        .select(
+          col("o_orderkey"),
+          TF.prestoDateFormat(col("ts"), "%Y-%m-%d %H:%i:%s").as("iso_s"),
+          TF.prestoDateFormat(col("ts"), "%M %d, %Y").as("texty_s"),
+          TF.prestoDateFormat(col("ts"), "%j/%Y %T").as("doy_s"),
+          (TF.dateParse(TF.prestoDateFormat(col("ts"), "%Y-%m-%d %H:%i:%s"),
+            "%Y-%m-%d %H:%i:%s") === col("ts")).as("rt_iso_ok"),
+          (TF.dateParse(TF.prestoDateFormat(col("ts"), "%M %d, %Y"),
+            "%M %d, %Y") === col("ts")).as("rt_texty_ok"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS iso_s,
+        strftime(CAST(o_orderdate AS TIMESTAMP), '%B %d, %Y') AS texty_s,
+        strftime(CAST(o_orderdate AS TIMESTAMP), '%j/%Y %H:%M:%S') AS doy_s,
+        strptime(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+                 '%Y-%m-%d %H:%M:%S') = CAST(o_orderdate AS TIMESTAMP) AS rt_iso_ok,
+        strptime(strftime(CAST(o_orderdate AS TIMESTAMP), '%B %d, %Y'),
+                 '%B %d, %Y') = CAST(o_orderdate AS TIMESTAMP) AS rt_texty_ok
       FROM orders ORDER BY o_orderkey"""))
 
   /** Record-linkage string metrics beside levenshtein: Jaro-Winkler
@@ -2755,7 +2893,7 @@ object Relational {
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
     joinTheta, joinBucketed, joinFuzzy, joinFuzzyVarlen, joinLateral, joinNullsafe,
     joinStar, joinSalted,
-    aggListagg, aggMultimap, aggEquiheight, aggReduce, aggEntropy,
+    aggListagg, aggMultimap, aggMapUnion, aggEquiheight, aggReduce, aggEntropy,
     windowTopkPerGroup, windowLagRunsum, windowRanks, windowRange, windowDist,
     windowFrames, windowGroups, windowExclude, windowExcludeModes,
     sortTopk, sortNullsOffset,
@@ -2763,9 +2901,10 @@ object Relational {
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
     condFns, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
     stringNormalize, stringMetrics,
-    dateFns, dateFns2, dateTz, datePrestoFmt, dateParse, mathFns, mathFns2,
+    dateFns, dateFns2, dateTz, datePrestoFmt, dateParse, datePrestoRoundtrip,
+    mathFns, mathFns2,
     aggWidthBucket, arrayFns, arrayLambda, arraySortLambda, arrayQuantifiers, arrayNgrams,
     mapFns, mapLambda, mapParse, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti, tryFns,
-    urlFns, bitwiseFns,
+    urlFns, urlExtract, bitwiseFns,
     subqueryIn, subqueryScalar, subqueryExists)
 }

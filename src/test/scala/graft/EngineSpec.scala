@@ -294,4 +294,38 @@ FROM "defenda_data_lake"."events"
       spark.sql("SELECT format_datetime(TIMESTAMP '2024-01-01', substring('yy', 1, 2))").collect())
     assert(err.getMessage.contains("literal Joda pattern"), err.getMessage)
   }
+
+  test("Presto presto_date_format / url_extract_* resolve as SQL spellings") {
+    // presto_date_format: the FORMAT direction of the MySQL %-dialect under
+    // its non-shadowing name (q_date_presto_roundtrip semantics) — and the
+    // %-trap pair: %M month NAME, %i minutes
+    val r = spark.sql(
+      """SELECT presto_date_format(TIMESTAMP '2024-03-05 07:08:09', '%Y-%m-%d %H:%i:%s') AS f1,
+                presto_date_format(TIMESTAMP '2024-03-05 07:08:09', '%M %d, %Y') AS f2,
+                date_parse(presto_date_format(TIMESTAMP '2024-03-05 07:08:09',
+                  '%Y-%m-%d %T'), '%Y-%m-%d %T') AS rt""").collect()(0)
+    assert(r.getString(0) == "2024-03-05 07:08:09")
+    assert(r.getString(1) == "March 05, 2024")
+    assert(r.getTimestamp(2).toInstant.toString == "2024-03-05T07:08:09Z")
+    // Spark's own date_format must NOT be shadowed (java patterns intact)
+    assert(spark.sql("SELECT date_format(TIMESTAMP '2024-03-05', 'yyyy-MM')")
+      .collect()(0).getString(0) == "2024-03")
+    // url_extract_*: each spelling == its parse_url lowering
+    val u = "https://h.example.com:8080/a/b?x=1&y=2#frag"
+    val ur = spark.sql(
+      s"""SELECT url_extract_protocol('$u') AS proto,
+                 url_extract_host('$u') AS host,
+                 url_extract_path('$u') AS path,
+                 url_extract_query('$u') AS q,
+                 url_extract_parameter('$u', 'y') AS py,
+                 url_extract_parameter('$u', 'zz') AS pmiss,
+                 url_extract_fragment('$u') AS frag""").collect()(0)
+    assert(ur.getString(0) == "https")
+    assert(ur.getString(1) == "h.example.com")
+    assert(ur.getString(2) == "/a/b")
+    assert(ur.getString(3) == "x=1&y=2")
+    assert(ur.getString(4) == "2")
+    assert(ur.isNullAt(5), "missing parameter must be NULL (Presto convention)")
+    assert(ur.getString(6) == "frag")
+  }
 }

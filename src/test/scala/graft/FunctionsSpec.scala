@@ -105,6 +105,13 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hamming(u("duck"), u("luck")) == 1L)
     assert(hamming(u("abc"), u("abc")) == 0L)
     intercept[IllegalArgumentException](hamming(u("ab"), u("abc")))
+    // hamming is CODE-POINT based (r14 ADVICE): a supplementary-plane
+    // character (two UTF-16 units) is ONE position — "𝕏a" vs "𝕏b" differs
+    // in one position of two, and "𝕏𝕐" (4 UTF-16 units) is length-equal
+    // to "ab" (2 units) because both are 2 code points
+    assert(hamming(u("𝕏a"), u("𝕏b")) == 1L)
+    assert(hamming(u("𝕏𝕐"), u("ab")) == 2L)
+    intercept[IllegalArgumentException](hamming(u("𝕏"), u("ab")))
   }
 
   test("parse_datetime/format_datetime round-trip through the Column API (session UTC)") {
@@ -118,6 +125,26 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = df.collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("2024-03-05 07:08:09", "1995-12-31 23:59:59"))
     assert(rows.map(_.getString(1)).toSeq == Seq("Tue", "Sun"))
+  }
+
+  test("presto_date_format/date_parse %-dialect round-trip through the Column API (r14 verdict task 3)") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    // parse → format → parse with the SAME %-pattern must be the identity,
+    // including the %M/%i trap (month NAME vs minutes) and composite %T
+    val df = Seq("2024-03-05 07:08:09", "1995-12-31 23:59:59").toDF("raw")
+      .select(TF.dateParse(col("raw"), "%Y-%m-%d %H:%i:%s").as("ts"))
+      .select(
+        TF.prestoDateFormat(col("ts"), "%Y-%m-%d %H:%i:%s").as("iso"),
+        TF.prestoDateFormat(col("ts"), "%M %d, %Y").as("texty"),
+        TF.dateParse(TF.prestoDateFormat(col("ts"), "%Y-%m-%d %T"),
+          "%Y-%m-%d %T").as("rt"))
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("2024-03-05 07:08:09", "1995-12-31 23:59:59"))
+    assert(rows.map(_.getString(1)).toSeq == Seq("March 05, 2024", "December 31, 1995"))
+    assert(rows.map(_.getTimestamp(2).toInstant.toString).toSeq ==
+      Seq("2024-03-05T07:08:09Z", "1995-12-31T23:59:59Z"))
   }
 
   test("VectorOps.dot and norm (pure JVM)") {
