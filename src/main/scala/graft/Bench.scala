@@ -39,6 +39,37 @@ object Bench {
     Thread.sleep(500)
   }
 
+  /** Fixed machine-speed calibration (r14 verdict task 2): BENCH_r14 came
+    * in uniformly 15-25% above r13 on UNTOUCHED code and nothing in the
+    * artifact could prove it was machine load rather than a plan
+    * regression — the driver regression series was uncontaminatable only
+    * by cross-referencing builder-box runs. This is a CONSTANT synthetic
+    * workload (corpus-independent: a codegen'd hash reduction plus one
+    * small shuffle — the two cost classes every suite query mixes) timed
+    * once before the warmup (quiet point) and once per timed pass, with
+    * the OS load average sampled alongside. A future reader normalizes a
+    * driver-to-driver total by the calibration ratio, or flags the run
+    * when calib/load says the box was busy; identical code on an idle box
+    * repeats within a few percent. */
+  private def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    // pure-CPU leg: codegen'd hash chain over a fixed range (no I/O)
+    spark.range(0, 200000000L, 1, 32)
+      .select(sum(xxhash64(col("id"), xxhash64(col("id") + 1))).as("h"))
+      .write.format("noop").mode("overwrite").save()
+    // shuffle leg: fixed-size exchange + aggregation
+    spark.range(0, 8000000L, 1, 32)
+      .groupBy(pmod(hash(col("id")), lit(4096)).as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -102,14 +133,25 @@ object Bench {
     // scale all of that amortizes to zero; in a 600k-row local run it would
     // otherwise dominate several queries.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // quiet-point calibration: run the fixed workload TWICE pre-suite (the
+    // first invocation carries its own codegen/JIT warmup; the second is
+    // the number) and sample the load average before any suite work
+    val loadPre = loadAvg()
+    calibrate(spark)
+    val calibPre = calibrate(spark)
+    System.err.println(f"[bench] calibration pre-suite: $calibPre%.2f s, loadavg $loadPre%.1f")
     ordered.foreach { case (name, fn) =>
       try {
         spark.catalog.clearCache()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") }
     }
+    val calibPass = collection.mutable.ArrayBuffer[Double]()
+    val loadPass = collection.mutable.ArrayBuffer[Double]()
     val samples: Seq[Map[String, Double]] = (1 to TimedRuns).map { _ =>
       gcSettle() // start each pass from a clean heap
+      loadPass += loadAvg()
+      calibPass += calibrate(spark)
       ordered.map { case (name, fn) =>
         // caches are per-query working sets; dropping them between queries
         // keeps the block manager from filling up and adding eviction/GC
@@ -180,9 +222,18 @@ object Bench {
     // medians, trimmed until the line is guaranteed to fit the window with
     // room for sbt's trailing "[success]" line.
     val byCost = names.sortBy(n => -stat(n)._1)
+    // calibration fields (r14 task 2): pre-suite quiet number, per-pass
+    // series, load averages — enough for any future reader to normalize or
+    // flag a driver-to-driver comparison without builder-box forensics
+    val calibJson =
+      f""""calib_pre_sec":$calibPre%.2f,"calib_pass_sec":[${
+        calibPass.map(c => f"$c%.2f").mkString(",")}],""" +
+        f""""loadavg_pre":$loadPre%.1f,"loadavg_pass":[${
+          loadPass.map(l => f"$l%.1f").mkString(",")}],"""
     def compact(k: Int): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$TimedRuns,""" +
         f""""stream_e2e_latency_sec":$streamLatency%.1f,"sf":"$sfDir",""" +
+        calibJson +
         s""""n_queries":${names.size},"queries":""" +
         byCost.take(k).sorted
           .map(n => "\"" + n + f"""":${stat(n)._1}%.2f""").mkString("{", ",", "}") +

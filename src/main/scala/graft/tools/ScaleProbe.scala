@@ -129,7 +129,10 @@ object ScaleProbe {
     "q_agg_entropy", "q_array_ngrams",
     // r14 fifth wave: sparse-map cosine self-similarity (documents),
     // MySQL-dialect date_parse (orders)
-    "q_map_cosine", "q_date_parse")
+    "q_map_cosine", "q_date_parse",
+    // r15: %-dialect date_format round-trip (orders), Presto url_extract_*
+    // spellings (documents), map_union aggregate (orders)
+    "q_date_presto_roundtrip", "q_string_url_extract", "q_agg_map_union")
 
   private val ReplicaIdOffset = 10000000L
 

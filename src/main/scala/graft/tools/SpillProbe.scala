@@ -64,6 +64,100 @@ object SpillProbe {
     }
   }
 
+  /** `SpillProbe stores [outBase] [stores]` — the persisted-store twin of
+    * the query sweep (r15 verdict task 6): drive each store's micro-batch
+    * fold under the constrained heap with the same listener. SpillProbe
+    * covered only BATCH queries in r14; StoreProbe ran unconstrained — so
+    * the store folds (CDC full-outer merge, SCD2 window, pack prefix-sum,
+    * signature staging, IVFPQ assign) had never been squeezed. Deltas are
+    * probe-sized UP (50k rows vs StoreProbe's 5k) so the per-batch state
+    * is actually pressured at 2 GiB. */
+  private def storeSweep(spark: SparkSession, listener: SpillListener,
+      outBase: String, only: Option[Set[String]]): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val fs = new org.apache.hadoop.fs.Path(outBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(outBase), true)
+    val delta = 50000
+    val batches = 20
+    def feed(name: String)(body: Int => Unit): Option[String] =
+      if (!only.forall(_.contains(name))) None
+      else {
+        spark.catalog.clearCache()
+        System.gc()
+        listener.reset()
+        val t0 = System.nanoTime()
+        val outcome =
+          try { (0 until batches).foreach(body); "completed" }
+          catch {
+            case e: Throwable =>
+              val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq.last
+              s"FAILED ${root.getClass.getSimpleName}"
+          }
+        val wall = (System.nanoTime() - t0) / 1e9
+        settle(listener)
+        val line =
+          f"""{"store":"$name","outcome":"$outcome","batches":$batches,""" +
+            f""""delta_rows":$delta,"wall_sec":$wall%.1f,""" +
+            s""""mem_spilled_mb":${listener.memSpilled.get / 1024 / 1024},""" +
+            s""""disk_spilled_mb":${listener.diskSpilled.get / 1024 / 1024},""" +
+            s""""peak_task_exec_mb":${listener.peakExecMem.get / 1024 / 1024},""" +
+            s""""tasks":${listener.tasksDone.get},"task_failures":${listener.tasksFailed.get}}"""
+        System.err.println(s"[spillprobe] $line")
+        Some(line)
+      }
+    Seq(
+      feed("snapshot") { b =>
+        val changes = spark.range(delta).select(
+          (((col("id") * 7 + lit(b * 13)) % (delta * 10)) + 1).as("k"),
+          (lit(b.toLong * delta) + col("id")).as("seq"),
+          when((col("id") + b) % 10 === 0, "D").otherwise("U").as("op"),
+          concat(lit("payload-"), col("id") + lit(b)).as("v"))
+        graft.operators.SnapshotStore(spark, changes, s"$outBase/snapshot",
+          batchId = b, keyCol = "k")
+      },
+      feed("history") { b =>
+        val ev = spark.range(delta).select(
+          (col("id") % 5000).as("user_id"),
+          timestamp_micros(lit(b.toLong * delta * 1000000L) + col("id") * 1000000L).as("ts"),
+          (lit(b.toLong * delta) + col("id")).as("event_id"),
+          concat(lit("t"), (col("id") + lit(b)) % 3).as("event_type"))
+        graft.operators.HistoryStore.append(spark, ev, s"$outBase/history", batchId = b)
+      },
+      feed("packing") { b =>
+        val docs = spark.range(delta).select(
+          (lit(b.toLong * delta) + col("id")).as("doc_id"),
+          concat(lit("lang"), col("id") % 4).as("lang"),
+          concat_ws(" ", (0 until 40).map(i => concat(lit(s"w$i"), col("id") % 97)): _*)
+            .as("text"))
+        graft.operators.PackingStore.append(spark, docs, s"$outBase/packing", batchId = b)
+      },
+      feed("signature") { b =>
+        val sigs = spark.range(delta).select(
+          (lit(b.toLong * delta) + col("id")).as("doc_id"),
+          (col("id") % 8).as("band"),
+          xxhash64(col("id") + lit(b)).as("bh"))
+        if (b == 0) graft.operators.SignatureStore.build(spark, sigs, s"$outBase/signature")
+        else graft.operators.SignatureStore.append(spark, sigs, s"$outBase/signature",
+          batchId = Some(b.toLong))
+      },
+      feed("vector_index") { b =>
+        val vdelta = 2500
+        val vecSf = s"$outBase/vecsf"
+        def vecs = spark.range(vdelta).select(
+          (lit(b.toLong * vdelta) + col("id")).as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            d => sin((col("id") + lit(b * 31) + 1) * (d + 1)).cast("float")).as("embedding"),
+          (col("id") % 10).cast("int").as("label"))
+        vecs.write.mode(if (b == 0) "overwrite" else "append")
+          .parquet(s"$vecSf/embeddings.parquet")
+        if (b == 0) graft.operators.VectorIndex.buildIvfPq(spark, vecSf, s"$outBase/vecindex")
+        else graft.operators.VectorIndex.appendIvfPq(spark, vecSf, s"$outBase/vecindex",
+          minVecId = b.toLong * vdelta)
+      }
+    ).flatten
+  }
+
   def main(args: Array[String]): Unit = {
     val corpus = args.headOption.getOrElse("/tmp/graft_gate10x")
     val queries = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq(
@@ -86,6 +180,16 @@ object SpillProbe {
     spark.sparkContext.setLogLevel("WARN")
     val listener = new SpillListener
     spark.sparkContext.addSparkListener(listener)
+    if (corpus == "stores") {
+      // store-sweep mode: SpillProbe stores [outBase] [store-subset]
+      val outBase = args.lift(1).getOrElse("/tmp/graft_spillstores")
+      val only = args.lift(2).map(_.split(",").toSet)
+      println(s"""{"probe":"spill_stores","heap_bytes":$heap,"stores":[""")
+      println(storeSweep(spark, listener, outBase, only).mkString(",\n"))
+      println("]}")
+      spark.stop()
+      return
+    }
     println(s"""{"probe":"spill","corpus":"$corpus","heap_bytes":$heap,"queries":[""")
     val lines = queries.map { q =>
       spark.catalog.clearCache()

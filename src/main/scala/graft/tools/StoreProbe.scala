@@ -117,13 +117,18 @@ object StoreProbe {
       }),
       // SignatureStore: fresh doc_id signatures per batch (band, bh rows);
       // batch 0 is the build (append requires a readable store root).
+      // Appends carry the batchId — the streaming feed contract (append-
+      // only, batch-deduplicated), which is the O(delta) path the r15
+      // bucketed layout makes flat; the no-batchId ad-hoc form keeps the
+      // O(store)-read anti-join and is NOT the per-batch shape.
       ifWanted("signature")(series("signature", spark, s"$base/signature", batches) { b =>
         val sigs = spark.range(delta).select(
           (lit(b.toLong * delta) + col("id")).as("doc_id"),
           (col("id") % 8).as("band"),
           xxhash64(col("id") + lit(b)).as("bh"))
         if (b == 0) graft.operators.SignatureStore.build(spark, sigs, s"$base/signature")
-        else graft.operators.SignatureStore.append(spark, sigs, s"$base/signature")
+        else graft.operators.SignatureStore.append(spark, sigs, s"$base/signature",
+          batchId = Some(b.toLong))
       }),
       // VectorIndex (IVFPQ): growing embeddings table, per-batch delta
       // append — codebooks train once on batch 0, appends are
