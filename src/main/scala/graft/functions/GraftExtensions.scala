@@ -241,5 +241,162 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "lowers to parse_url(url, 'QUERY', name)"),
       (children: Seq[Expression]) =>
         parseUrl(children(0), Literal("QUERY"), children(1))))
+
+    // ---- Presto dialect tail (r14 verdict missing #4 + the alias sweep) --
+    // Every registration below is a RESOLUTION-TIME alias onto a native
+    // codegen'd Catalyst expression (or one of this repo's codegen'd
+    // expressions) — zero new runtime logic in the hot path. Each spelling
+    // was checked FREE in Spark 4.1's registry first (no shadowing);
+    // EngineSpec pins each one against its native lowering.
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def alias1(name: String, usage: String, build: Expression => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        info(classOf[ce.Expression], name, usage),
+        (children: Seq[Expression]) => build(children(0))))
+
+    // strings ---------------------------------------------------------------
+    ext.injectFunction((
+      new FunctionIdentifier("strpos"),
+      info(classOf[ce.StringLocate], "strpos",
+        "strpos(string, substring[, instance]) - Presto 1-based position of the " +
+          "instance-th occurrence (default 1; negative counts from the end; 0 when " +
+          "absent); 2-arg lowers to locate, 3-arg is the codegen'd StrPosInstance"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, sub)    => ce.StringLocate(sub, s, Literal(1))
+        case Seq(s, sub, n) =>
+          StrPosInstance(s, sub, Cast(n, org.apache.spark.sql.types.IntegerType))
+        case _ => throw new IllegalArgumentException(
+          s"strpos expects 2 or 3 arguments, got ${children.size}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_stem"),
+      info(classOf[WordStem], "word_stem",
+        "word_stem(word[, lang]) - Porter stem of an English word (only 'en' is " +
+          "supported; the 1980 rule set — see graft.functions.Porter)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(w)    => WordStem(w, Literal("en"))
+        case Seq(w, l) => WordStem(w, l)
+        case _ => throw new IllegalArgumentException(
+          s"word_stem expects 1 or 2 arguments, got ${children.size}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("levenshtein_distance"),
+      info(classOf[ce.Levenshtein], "levenshtein_distance",
+        "levenshtein_distance(a, b) - Presto spelling of levenshtein"),
+      (children: Seq[Expression]) => ce.Levenshtein(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("split_to_map"),
+      info(classOf[ce.StringToMap], "split_to_map",
+        "split_to_map(s, entryDelim, kvDelim) - Presto map parse; lowers to " +
+          "str_to_map (same arg order; duplicate keys error under Spark's default " +
+          "EXCEPTION dedup policy, matching Presto)"),
+      (children: Seq[Expression]) =>
+        ce.StringToMap(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("format"),
+      info(classOf[ce.FormatString], "format",
+        "format(fmt, args...) - Presto printf-style formatting; lowers to format_string"),
+      (children: Seq[Expression]) => ce.FormatString(children: _*)))
+
+    // temporal ---------------------------------------------------------------
+    alias1("to_unixtime",
+      "to_unixtime(ts) - Presto epoch seconds as DOUBLE (fractional part kept); " +
+        "lowers to a double cast",
+      c => Cast(Cast(c, TimestampType), org.apache.spark.sql.types.DoubleType))
+    alias1("to_iso8601",
+      "to_iso8601(ts) - ISO-8601 text of a timestamp (millisecond precision, " +
+        "session-UTC, no zone suffix — Presto's timestamp-without-zone form); " +
+        "lowers to date_format",
+      c => ce.DateFormatClass(Cast(c, TimestampType), Literal("yyyy-MM-dd'T'HH:mm:ss.SSS")))
+    alias1("from_iso8601_date",
+      "from_iso8601_date(s) - ISO-8601 date parse; lowers to a date cast",
+      c => Cast(c, org.apache.spark.sql.types.DateType))
+    alias1("day_of_week",
+      "day_of_week(d) - ISO day of week, Monday=1..Sunday=7 (Presto/dow numbering; " +
+        "Spark's dayofweek is Sunday=1); lowers to weekday(d)+1",
+      c => ce.Add(ce.WeekDay(c), Literal(1)))
+    alias1("dow",
+      "dow(d) - Presto alias of day_of_week (ISO Monday=1)",
+      c => ce.Add(ce.WeekDay(c), Literal(1)))
+    alias1("day_of_year",
+      "day_of_year(d) - Presto spelling of dayofyear", c => ce.DayOfYear(c))
+    alias1("doy",
+      "doy(d) - Presto alias of day_of_year", c => ce.DayOfYear(c))
+    alias1("week_of_year",
+      "week_of_year(d) - Presto spelling of weekofyear (ISO week)", c => ce.WeekOfYear(c))
+    alias1("year_of_week",
+      "year_of_week(d) - ISO week-numbering year (Presto yow)", c => ce.YearOfWeek(c))
+    alias1("yow",
+      "yow(d) - Presto alias of year_of_week", c => ce.YearOfWeek(c))
+    alias1("last_day_of_month",
+      "last_day_of_month(d) - Presto spelling of last_day", c => ce.LastDay(c))
+
+    // binary / encoding -------------------------------------------------------
+    alias1("to_hex", "to_hex(bin) - Presto spelling of hex (uppercase digits)",
+      c => ce.Hex(c))
+    alias1("from_hex", "from_hex(s) - Presto spelling of unhex", c => ce.Unhex(c))
+    alias1("to_base64", "to_base64(bin) - Presto spelling of base64", c => ce.Base64(c))
+    alias1("from_base64", "from_base64(s) - Presto spelling of unbase64",
+      c => ce.UnBase64(c))
+    alias1("to_utf8", "to_utf8(s) - UTF-8 bytes of a string; lowers to encode",
+      c => ce.Encode(c, Literal("UTF-8")))
+    alias1("from_utf8",
+      "from_utf8(bin) - string from UTF-8 bytes (invalid sequences replaced with " +
+        "U+FFFD, the JDK and Presto default); lowers to decode",
+      c => ce.StringDecode(c, Literal("UTF-8")))
+
+    // math ---------------------------------------------------------------------
+    alias1("truncate",
+      "truncate(x) - round a double toward zero (Presto single-arg form; the " +
+        "two-arg decimal form is not implemented); lowers to x - (x % 1.0)",
+      c => {
+        val d = Cast(c, org.apache.spark.sql.types.DoubleType)
+        ce.Subtract(d, ce.Remainder(d, Literal(1.0d)))
+      })
+    alias1("is_nan", "is_nan(x) - Presto spelling of isnan", c => ce.IsNaN(c))
+    def absD(c: Expression): Expression =
+      ce.Abs(Cast(c, org.apache.spark.sql.types.DoubleType))
+    alias1("is_infinite",
+      "is_infinite(x) - true when x is +/-Infinity (false for NaN)",
+      c => ce.EqualTo(absD(c), Literal(Double.PositiveInfinity)))
+    alias1("is_finite",
+      "is_finite(x) - true when x is neither NaN nor +/-Infinity",
+      c => ce.And(ce.Not(ce.IsNaN(c)),
+        ce.Not(ce.EqualTo(absD(c), Literal(Double.PositiveInfinity)))))
+    ext.injectFunction((
+      new FunctionIdentifier("infinity"),
+      info(classOf[ce.Literal], "infinity", "infinity() - the double +Infinity"),
+      (_: Seq[Expression]) => Literal(Double.PositiveInfinity)))
+    ext.injectFunction((
+      new FunctionIdentifier("nan"),
+      info(classOf[ce.Literal], "nan", "nan() - the double NaN"),
+      (_: Seq[Expression]) => Literal(Double.NaN)))
+
+    // aggregates ----------------------------------------------------------------
+    // Builders may return a bare AggregateFunction: the analyzer's function
+    // resolution wraps it in an AggregateExpression exactly as it does for
+    // the built-in registry (sum/avg are registered the same way upstream).
+    alias1("arbitrary",
+      "arbitrary(x) - Presto spelling of any_value (some non-null value of the group)",
+      c => new ce.aggregate.AnyValue(c))
+    alias1("bitwise_and_agg",
+      "bitwise_and_agg(x) - Presto spelling of bit_and",
+      c => ce.aggregate.BitAndAgg(c))
+    alias1("bitwise_or_agg",
+      "bitwise_or_agg(x) - Presto spelling of bit_or",
+      c => ce.aggregate.BitOrAgg(c))
+    // DOCUMENTED DEVIATION: Presto's checksum() is an order-insensitive
+    // 8-byte digest whose exact VALUE is a Presto-internal convention (it
+    // is only ever compared against another Presto checksum). This engine
+    // keeps the contract (order-insensitive, null-sensitive, 8 bytes) with
+    // its own convention: bit_xor of xxhash64(x) — XOR is commutative, so
+    // row order and partitioning cannot change the digest. Cross-engine
+    // checksum VALUES differ; within-engine comparisons (the only use) hold.
+    alias1("checksum",
+      "checksum(x) - order-insensitive 64-bit digest of a group (bit_xor of " +
+        "xxhash64; deviation: the digest convention differs from Presto's, " +
+        "order-insensitivity and within-engine comparability are preserved)",
+      c => ce.aggregate.BitXorAgg(new ce.XxHash64(Seq(c))))
   }
 }

@@ -296,6 +296,16 @@ object TextFunctions {
   /** Presto hamming_distance (codegen'd; see [[HammingDistance]]). */
   def hammingDistance(a: Column, b: Column): Column =
     graftshim.column(HammingDistance(graftshim.expression(a), graftshim.expression(b)))
+
+  /** Presto word_stem (English Porter; codegen'd — see [[Porter]]). */
+  def wordStem(w: Column): Column =
+    graftshim.column(WordStem(graftshim.expression(w), Literal("en")))
+
+  /** Presto strpos(string, substring, instance) (codegen'd; see
+    * [[StrPosInstance]] — negative instance counts from the end). */
+  def strposInstance(str: Column, sub: Column, instance: Int): Column =
+    graftshim.column(StrPosInstance(
+      graftshim.expression(str), graftshim.expression(sub), Literal(instance)))
 }
 
 /** Presto `normalize(s [, form])` — Unicode normalization (default NFC).

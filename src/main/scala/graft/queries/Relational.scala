@@ -1761,6 +1761,171 @@ object Relational {
         regexp_extract(url, '#(.*)$', 1) AS fragment
       FROM u ORDER BY doc_id"""))
 
+  /** Presto strpos/split_part/levenshtein_distance/format/split_to_map
+    * edges (r14 verdict missing #4's split_part half + the alias sweep's
+    * string spellings, each registered in GraftExtensions; the declared
+    * forms below are the native/Column lowerings so a plain driver session
+    * runs them). The load-bearing edges: strpos with an INSTANCE argument
+    * (incl. negative = count from the end — the codegen'd StrPosInstance),
+    * split_part with negative and OVERSIZE indexes (both engines return ''
+    * out of range, '' handled identically), and printf-style format. The
+    * oracle replays the nth-occurrence position with DuckDB's split/rejoin
+    * identity (prefix length before the nth delimiter occurrence), an
+    * independent construction of the same semantics. Narrow projection,
+    * no exchange. */
+  private val stringStrpos = Q(
+    "q_string_strpos",
+    (s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          instr(col("p_name"), "d").cast("long").as("pos1"),
+          graft.functions.TextFunctions.strposInstance(col("p_name"), lit("d"), 2)
+            .cast("long").as("pos2"),
+          graft.functions.TextFunctions.strposInstance(col("p_name"), lit("d"), -1)
+            .cast("long").as("pos_last"),
+          instr(col("p_name"), "zz").cast("long").as("pos_miss"),
+          split_part(col("p_name"), lit(" "), lit(2)).as("sp2"),
+          split_part(col("p_name"), lit(" "), lit(-2)).as("spneg"),
+          split_part(col("p_name"), lit(" "), lit(5)).as("spover"),
+          levenshtein(col("p_name"), col("p_type")).cast("long").as("lev"),
+          format_string("%s#%d", col("p_brand"), col("p_partkey")).as("fmt"),
+          element_at(
+            str_to_map(concat(lit("brand="), col("p_brand"), lit("&type="), col("p_type")),
+              lit("&"), lit("=")),
+            lit("type")).as("type_v"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+        CAST(strpos(p_name, 'd') AS BIGINT) AS pos1,
+        CAST(CASE WHEN len(string_split(p_name, 'd')) > 2
+             THEN length(array_to_string(list_slice(string_split(p_name, 'd'), 1, 2), 'd')) + 1
+             ELSE 0 END AS BIGINT) AS pos2,
+        CAST(CASE WHEN len(string_split(p_name, 'd')) >= 2
+             THEN length(array_to_string(list_slice(string_split(p_name, 'd'), 1,
+                    len(string_split(p_name, 'd')) - 1), 'd')) + 1
+             ELSE 0 END AS BIGINT) AS pos_last,
+        CAST(strpos(p_name, 'zz') AS BIGINT) AS pos_miss,
+        split_part(p_name, ' ', 2) AS sp2,
+        split_part(p_name, ' ', -2) AS spneg,
+        split_part(p_name, ' ', 5) AS spover,
+        CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev,
+        printf('%s#%d', p_brand, p_partkey) AS fmt,
+        p_type AS type_v
+      FROM part ORDER BY p_partkey"""))
+
+  /** Presto ISO-calendar + epoch spellings (day_of_week ISO Monday=1,
+    * day_of_year, year_of_week — the ISO WEEK-NUMBERING year, which
+    * differs from year() around Jan 1 — to_unixtime as DOUBLE seconds,
+    * to_iso8601, from_iso8601_date; all registered as SQL spellings in
+    * GraftExtensions, declared here through their native lowerings).
+    * The Jan-1 rows in the orders corpus are the interesting ones:
+    * iso_year != year exactly when the week belongs to the prior ISO
+    * year, and the oracle's isoyear() is DuckDB's own independent ISO
+    * implementation. Narrow projection, no exchange. */
+  private val datePrestoIso = Q(
+    "q_date_presto_iso",
+    (s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          (weekday(col("o_orderdate")) + 1).cast("long").as("iso_dow"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          expr("extract(YEAROFWEEK FROM o_orderdate)").cast("long").as("iso_year"),
+          col("o_orderdate").cast("timestamp").cast("double").as("epoch_d"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSS").as("iso_ts"),
+          date_format(date_format(col("o_orderdate"), "yyyy-MM-dd").cast("date"),
+            "yyyy-MM-dd").as("iso_date_rt"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+        CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+        CAST(epoch(o_orderdate) AS DOUBLE) AS epoch_d,
+        strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') AS iso_ts,
+        strftime(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS iso_date_rt
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Presto binary-encoding spellings: to_hex/from_hex, to_base64/
+    * from_base64, to_utf8/from_utf8 (registered in GraftExtensions; the
+    * declared forms are the native hex/unhex/base64/unbase64/encode/decode
+    * lowerings). Each pair round-trips through its inverse so BOTH
+    * directions are in the hash — the oracle computes the forward
+    * direction with DuckDB's own hex/to_base64 and pins the round trip to
+    * the identity. Byte length via octet_length keeps the UTF-8-bytes
+    * (not chars) contract of to_utf8 in the row. Narrow projection, no
+    * exchange. */
+  private val encodingPresto = Q(
+    "q_encoding_presto",
+    (s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          hex(encode(col("p_name"), "UTF-8")).as("hx"),
+          decode(unhex(hex(encode(col("p_name"), "UTF-8"))), "UTF-8").as("hx_rt"),
+          base64(encode(col("p_name"), "UTF-8")).as("b64"),
+          decode(unbase64(base64(encode(col("p_name"), "UTF-8"))), "UTF-8").as("b64_rt"),
+          length(encode(col("p_name"), "UTF-8")).cast("long").as("n_bytes"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+        hex(p_name) AS hx,
+        p_name AS hx_rt,
+        to_base64(p_name::BLOB) AS b64,
+        p_name AS b64_rt,
+        CAST(octet_length(p_name::BLOB) AS BIGINT) AS n_bytes
+      FROM part ORDER BY p_partkey"""))
+
+  /** Presto numeric-classification + misc-aggregate spellings: truncate
+    * (toward zero — declared as its x - x%1 lowering, exact for doubles),
+    * is_nan / is_infinite / is_finite over a column with PLANTED NaN and
+    * +/-Infinity rows (the classification trio is pointless on a corpus
+    * that never produces specials), plus bitwise_and_agg/bitwise_or_agg
+    * (bit_and/bit_or lowerings) and arbitrary (any_value — made
+    * deterministic by aggregating the GROUP KEY, the only value any_value
+    * can return). checksum() is registered too but deliberately NOT in
+    * this row: its digest convention is engine-internal (documented
+    * deviation in GraftExtensions), so its contract — order-insensitivity
+    * — is pinned in EngineSpec instead of hash-compared cross-engine.
+    * One partial-aggregate exchange. */
+  private val mathPresto = Q(
+    "q_math_presto",
+    (s, d) => {
+      val k = col("c_custkey") % 7
+      val v = when(k === 0, lit(Double.NaN))
+        .when(k === 1, lit(Double.PositiveInfinity))
+        .when(k === 2, lit(Double.NegativeInfinity))
+        .otherwise(col("c_acctbal") - lit(4500.0d))
+      val isInf = abs(col("v")) === lit(Double.PositiveInfinity)
+      val isFinite = !isnan(col("v")) && !isInf
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), v.as("v"))
+        .groupBy(col("c_nationkey").cast("long").as("nation"))
+        .agg(
+          count(when(isnan(col("v")), 1)).as("n_nan"),
+          count(when(isInf, 1)).as("n_inf"),
+          count(when(isFinite, 1)).as("n_finite"),
+          sum(when(isFinite, col("v") - (col("v") % lit(1.0d)))).as("sum_trunc"),
+          expr("bit_and(c_custkey)").as("ba"),
+          expr("bit_or(c_custkey)").as("bo"),
+          expr("any_value(c_nationkey)").cast("long").as("av"))
+        .orderBy("nation")
+    },
+    Some("""WITH x AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'NaN'::DOUBLE
+                    WHEN c_custkey % 7 = 1 THEN 'Infinity'::DOUBLE
+                    WHEN c_custkey % 7 = 2 THEN '-Infinity'::DOUBLE
+                    ELSE c_acctbal - 4500.0 END AS v
+        FROM customer)
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        count(*) FILTER (WHERE isnan(v)) AS n_nan,
+        count(*) FILTER (WHERE isinf(v)) AS n_inf,
+        count(*) FILTER (WHERE isfinite(v)) AS n_finite,
+        sum(trunc(v)) FILTER (WHERE isfinite(v)) AS sum_trunc,
+        bit_and(c_custkey) AS ba,
+        bit_or(c_custkey) AS bo,
+        CAST(any_value(c_nationkey) AS BIGINT) AS av
+      FROM x GROUP BY c_nationkey ORDER BY nation"""))
+
   /** Bitwise function family — bitwise_and/or/xor and shifts (Presto
     * spells them as functions, Spark as operators; same two's-complement
     * BIGINT semantics, integer-exact on both engines). */
@@ -2900,8 +3065,9 @@ object Relational {
     recursiveCte,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
     condFns, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
-    stringNormalize, stringMetrics,
+    stringNormalize, stringMetrics, stringStrpos, encodingPresto, mathPresto,
     dateFns, dateFns2, dateTz, datePrestoFmt, dateParse, datePrestoRoundtrip,
+    datePrestoIso,
     mathFns, mathFns2,
     aggWidthBucket, arrayFns, arrayLambda, arraySortLambda, arrayQuantifiers, arrayNgrams,
     mapFns, mapLambda, mapParse, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti, tryFns,

@@ -328,4 +328,99 @@ FROM "defenda_data_lake"."events"
     assert(ur.isNullAt(5), "missing parameter must be NULL (Presto convention)")
     assert(ur.getString(6) == "frag")
   }
+
+  test("Presto dialect tail: string/temporal/encoding/math spellings resolve and lower correctly") {
+    // strings
+    val sr = spark.sql(
+      """SELECT strpos('xabcabc', 'abc') AS p1,
+                strpos('xabcabc', 'abc', 2) AS p2,
+                strpos('xabcabc', 'abc', -1) AS pneg,
+                strpos('xabcabc', 'zz') AS pmiss,
+                word_stem('generalization') AS stem1,
+                word_stem('caresses', 'en') AS stem2,
+                levenshtein_distance('kitten', 'sitting') AS lev,
+                format('%s|%d', 'x', 7) AS fmt,
+                split_part('a,b,c', ',', -1) AS sp""").collect()(0)
+    assert(sr.getInt(0) == 2)
+    assert(sr.getInt(1) == 5)
+    assert(sr.getInt(2) == 5)
+    assert(sr.getInt(3) == 0)
+    assert(sr.getString(4) == "gener")
+    assert(sr.getString(5) == "caress")
+    assert(sr.getInt(6) == 3)
+    assert(sr.getString(7) == "x|7")
+    assert(sr.getString(8) == "c")
+    // split_to_map == str_to_map lowering (sorted entries for determinism)
+    val mr = spark.sql(
+      "SELECT map_entries(split_to_map('a=1&b=2', '&', '=')) AS e").collect()(0)
+    assert(mr.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getString(1)))
+      == Seq(("a", "1"), ("b", "2")))
+    // word_stem: non-'en' language must throw a NAMED error
+    val langErr = intercept[Exception](
+      spark.sql("SELECT word_stem('chats', 'fr')").collect())
+    assert(langErr.getMessage.contains("word_stem"), langErr.getMessage)
+    // strpos: instance 0 must throw, per Presto
+    val instErr = intercept[Exception](
+      spark.sql("SELECT strpos('abc', 'a', 0)").collect())
+    assert(instErr.getMessage.contains("instance"), instErr.getMessage)
+
+    // temporal: ISO dow Monday=1 (Spark's dayofweek says 6 for a Friday),
+    // ISO week fields, epoch double with fraction, iso8601 round trip
+    val tr = spark.sql(
+      """SELECT day_of_week(DATE '2024-08-16') AS dw,
+                dow(DATE '2024-08-16') AS dw2,
+                day_of_year(DATE '2024-08-16') AS dy,
+                week_of_year(DATE '2021-01-01') AS wk,
+                year_of_week(DATE '2021-01-01') AS yw,
+                last_day_of_month(DATE '2024-02-05') AS ld,
+                to_unixtime(TIMESTAMP '2024-01-01 00:00:00.5') AS ut,
+                to_iso8601(TIMESTAMP '2024-01-02 03:04:05.678') AS iso,
+                from_iso8601_date('2024-08-16') AS fd""").collect()(0)
+    assert(tr.getInt(0) == 5 && tr.getInt(1) == 5)
+    assert(tr.getInt(2) == 229)
+    assert(tr.getInt(3) == 53 && tr.getInt(4) == 2020) // ISO week 53 of 2020
+    assert(tr.getDate(5).toString == "2024-02-29")
+    assert(tr.getDouble(6) == 1.7040672005e9)
+    assert(tr.getString(7) == "2024-01-02T03:04:05.678")
+    assert(tr.getDate(8).toString == "2024-08-16")
+
+    // encoding: each Presto spelling == its native lowering, round-tripping
+    val er = spark.sql(
+      """SELECT to_hex(to_utf8('z')) AS h,
+                from_utf8(from_hex('7A')) AS hz,
+                to_base64(to_utf8('ab')) AS b,
+                from_utf8(from_base64('YWI=')) AS bz""").collect()(0)
+    assert(er.getString(0) == "7A")
+    assert(er.getString(1) == "z")
+    assert(er.getString(2) == "YWI=")
+    assert(er.getString(3) == "ab")
+
+    // math: truncate toward zero; NaN/Infinity classification trio
+    val xr = spark.sql(
+      """SELECT truncate(1.7D) AS t1, truncate(-1.7D) AS t2,
+                is_nan(nan()) AS n1, is_nan(1.0D) AS n2,
+                is_infinite(infinity()) AS i1, is_infinite(-infinity()) AS i2,
+                is_infinite(nan()) AS i3,
+                is_finite(1.0D) AS f1, is_finite(nan()) AS f2,
+                is_finite(infinity()) AS f3""").collect()(0)
+    assert(xr.getDouble(0) == 1.0 && xr.getDouble(1) == -1.0)
+    assert(xr.getBoolean(2) && !xr.getBoolean(3))
+    assert(xr.getBoolean(4) && xr.getBoolean(5) && !xr.getBoolean(6))
+    assert(xr.getBoolean(7) && !xr.getBoolean(8) && !xr.getBoolean(9))
+
+    // aggregates: arbitrary/bitwise_*_agg resolve as aggregates; checksum is
+    // ORDER-INSENSITIVE (the Presto contract) — reversed input, same digest
+    val ar = spark.sql(
+      """SELECT arbitrary(v) AS av, bitwise_and_agg(v) AS ba, bitwise_or_agg(v) AS bo
+         FROM VALUES (12), (12), (12) AS t(v)""").collect()(0)
+    assert(ar.getInt(0) == 12 && ar.getInt(1) == 12 && ar.getInt(2) == 12)
+    val c1 = spark.sql(
+      "SELECT checksum(v) FROM VALUES (1), (2), (3), (4) AS t(v)").collect()(0).getLong(0)
+    val c2 = spark.sql(
+      "SELECT checksum(v) FROM VALUES (4), (3), (2), (1) AS t(v)").collect()(0).getLong(0)
+    val c3 = spark.sql(
+      "SELECT checksum(v) FROM VALUES (4), (3), (2), (9) AS t(v)").collect()(0).getLong(0)
+    assert(c1 == c2, "checksum must be order-insensitive")
+    assert(c1 != c3, "checksum must discriminate different multisets")
+  }
 }

@@ -845,4 +845,81 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (ty, sc, t.split(" ", -1).length.toLong) }
     assert(kernel == expectedWithN)
   }
+
+  test("Porter stemmer: the 1980 paper's vectors, step interactions, pass-throughs (pure JVM)") {
+    import graft.functions.Porter.stemWord
+    // step 1a (paper examples, full-pipeline fixpoints)
+    assert(stemWord("caresses") == "caress")
+    assert(stemWord("ponies") == "poni")
+    assert(stemWord("ties") == "ti")
+    assert(stemWord("caress") == "caress")
+    assert(stemWord("cats") == "cat")
+    // step 1b incl. the cleanup branches (AT->ATE, BL->BLE, IZ->IZE,
+    // double-consonant undoubling, the m=1 *o +E repair)
+    assert(stemWord("feed") == "feed")       // eed with m=0 stays
+    assert(stemWord("agreed") == "agre")     // eed -> ee, then step5a drops e
+    assert(stemWord("plastered") == "plaster")
+    assert(stemWord("bled") == "bled")       // no vowel in stem -> untouched
+    assert(stemWord("motoring") == "motor")
+    assert(stemWord("sing") == "sing")
+    assert(stemWord("conflated") == "conflat") // at->ate, step5a drops e (m=2)
+    assert(stemWord("troubled") == "troubl")   // bl->ble, step5a drops e
+    assert(stemWord("sized") == "size")        // iz->ize, step5a KEEPS e (m=1, *o)
+    assert(stemWord("hopping") == "hop")       // pp -> p
+    assert(stemWord("tanned") == "tan")
+    assert(stemWord("falling") == "fall")      // ll exempt from undoubling
+    assert(stemWord("hissing") == "hiss")      // ss exempt
+    assert(stemWord("fizzed") == "fizz")       // zz exempt
+    assert(stemWord("failing") == "fail")      // no repair (m=1 but not *o: ends vowel+l? fai-l is vc, 'ail' not cvc)
+    assert(stemWord("filing") == "file")       // the m=1 *o +E repair
+    // step 1c
+    assert(stemWord("happy") == "happi")
+    assert(stemWord("sky") == "sky")           // no vowel in stem 'sk'
+    // steps 2-4 chains (traced by hand through the full pipeline)
+    assert(stemWord("relational") == "relat")      // ational->ate, then 5a
+    assert(stemWord("conditional") == "condit")    // tional->tion, 4 drops ion
+    assert(stemWord("rational") == "ration")       // ational stem 'r' m=0; step4 drops al
+    assert(stemWord("electrical") == "electr")     // ical->ic, step4 drops ic
+    assert(stemWord("hopefulness") == "hope")      // fulness->ful, ful->'', 5a keeps e (*o)
+    assert(stemWord("generalization") == "gener")  // ization->ize, alize->al, 4 drops al
+    assert(stemWord("operator") == "oper")         // ator->ate, 4 drops ate
+    assert(stemWord("sensibiliti") == "sensibl")   // biliti->ble, 5a drops e
+    assert(stemWord("adjustment") == "adjust")
+    assert(stemWord("adoption") == "adopt")        // ion with stem ending t
+    assert(stemWord("region") == "region")         // ion but m(reg)=1, kept
+    // step 5
+    assert(stemWord("probate") == "probat")
+    assert(stemWord("rate") == "rate")
+    assert(stemWord("cease") == "ceas")
+    assert(stemWord("controll") == "control")
+    assert(stemWord("roll") == "roll")
+    // guards: short words and non-lowercase-ASCII pass through unchanged
+    assert(stemWord("is") == "is")
+    assert(stemWord("a") == "a")
+    assert(stemWord("Cars") == "Cars")
+    assert(stemWord("x23s") == "x23s")
+    assert(stemWord("cafés") == "cafés")
+    assert(stemWord("") == "")
+  }
+
+  test("StrPosInstance: Presto occurrence semantics incl. negative instance (pure JVM)") {
+    import graft.functions.StrPosInstance.strpos
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(strpos(u("xabcabc"), u("abc"), 1) == 2)
+    assert(strpos(u("xabcabc"), u("abc"), 2) == 5)
+    assert(strpos(u("xabcabc"), u("abc"), 3) == 0)   // only two occurrences
+    assert(strpos(u("xabcabc"), u("abc"), -1) == 5)
+    assert(strpos(u("xabcabc"), u("abc"), -2) == 2)
+    assert(strpos(u("xabcabc"), u("abc"), -3) == 0)
+    assert(strpos(u("xabcabc"), u("zz"), 1) == 0)
+    // non-overlapping scan: 'aaaa' has TWO occurrences of 'aa', not three
+    assert(strpos(u("aaaa"), u("aa"), 2) == 3)
+    assert(strpos(u("aaaa"), u("aa"), 3) == 0)
+    // empty needle: matches at position 1 (Presto), once
+    assert(strpos(u("abc"), u(""), 1) == 1)
+    assert(strpos(u("abc"), u(""), 2) == 0)
+    // positions count CODE POINTS: the astral char is one position
+    assert(strpos(u("😀abc"), u("abc"), 1) == 2)
+    intercept[IllegalArgumentException](strpos(u("abc"), u("a"), 0))
+  }
 }

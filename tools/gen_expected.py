@@ -132,6 +132,127 @@ def spark_xxhash64_str_int(word: str, i: int) -> int:
     return _signed(h)
 
 
+def porter_stem(word: str) -> str:
+    """Porter 1980 ("An algorithm for suffix stripping"), written from the
+    paper's rule tables — the independent twin of graft.functions.Porter
+    (Scala). Same dialect decisions: the original 20-rule step 2 (no later
+    LOGI/BLI revisions), words of length <= 2 unchanged, only [a-z]+ tokens
+    stemmed (everything else passes through)."""
+    if len(word) <= 2 or not word.isascii() or not word.isalpha() or not word.islower():
+        return word
+
+    def is_cons(w, i):
+        c = w[i]
+        if c in "aeiou":
+            return False
+        if c == "y":
+            return True if i == 0 else not is_cons(w, i - 1)
+        return True
+
+    def measure(stem):
+        n = len(stem)
+        m = 0
+        i = 0
+        while i < n and is_cons(stem, i):
+            i += 1
+        while i < n:
+            while i < n and not is_cons(stem, i):
+                i += 1
+            if i >= n:
+                return m
+            m += 1
+            while i < n and is_cons(stem, i):
+                i += 1
+        return m
+
+    def has_vowel(stem):
+        return any(not is_cons(stem, i) for i in range(len(stem)))
+
+    def ends_double_cons(stem):
+        return len(stem) >= 2 and stem[-1] == stem[-2] and is_cons(stem, len(stem) - 1)
+
+    def ends_cvc(stem):
+        n = len(stem)
+        if n < 3:
+            return False
+        return (is_cons(stem, n - 1) and not is_cons(stem, n - 2)
+                and is_cons(stem, n - 3) and stem[-1] not in "wxy")
+
+    w = word
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        stem = None
+        if w.endswith("ed") and has_vowel(w[:-2]):
+            stem = w[:-2]
+        elif w.endswith("ing") and has_vowel(w[:-3]):
+            stem = w[:-3]
+        if stem is not None:
+            if stem.endswith(("at", "bl", "iz")):
+                w = stem + "e"
+            elif ends_double_cons(stem) and stem[-1] not in "lsz":
+                w = stem[:-1]
+            elif measure(stem) == 1 and ends_cvc(stem):
+                w = stem + "e"
+            else:
+                w = stem
+    # step 1c
+    if w.endswith("y") and has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    def table(w, rules, min_m):
+        for suffix, repl in rules:
+            if w.endswith(suffix):
+                stem = w[: -len(suffix)]
+                return stem + repl if measure(stem) > min_m else w
+        return w
+
+    w = table(w, [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+                  ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+                  ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+                  ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+                  ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+                  ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+                  ("iviti", "ive"), ("biliti", "ble")], 0)
+    w = table(w, [("icate", "ic"), ("ative", ""), ("alize", "al"),
+                  ("iciti", "ic"), ("ical", "ic"), ("ful", ""),
+                  ("ness", "")], 0)
+    # step 4
+    for suffix in ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+                   "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+                   "ous", "ive", "ize"):
+        if w.endswith(suffix):
+            stem = w[: -len(suffix)]
+            if measure(stem) > 1 and (suffix != "ion" or (stem and stem[-1] in "st")):
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = measure(stem)
+        if m > 1 or (m == 1 and not ends_cvc(stem)):
+            w = stem
+    # step 5b
+    if w.endswith("ll") and measure(w[:-1]) > 1:
+        w = w[:-1]
+    return w
+
+
+def stem_text(text: str) -> str:
+    return " ".join(porter_stem(w) for w in text.split(" "))
+
+
 def minhash_keep_list(texts, perms=32, rows=8, bands=4, threshold=0.9):
     """From-spec replica of q_dedup_minhash: distinct word sets -> minhash
     signature (min of signed hashes) -> 8x4 band hashes (xxhash64 of the
@@ -280,8 +401,16 @@ def main():
         mh["canonical_id"] = mh["canonical_id"].astype("int64")
         mh["is_dup"] = mh["canonical_id"] < mh["doc_id"]
         mh.to_parquet(os.path.join(outdir, f"minhash_keep_{sf}.parquet"), index=False)
+
+        st = pd.DataFrame({
+            "doc_id": docs["doc_id"].astype("int64"),
+            "text_md5": md5,
+            "stemmed": docs["text"].map(stem_text),
+        })
+        st.to_parquet(os.path.join(outdir, f"stem_{sf}.parquet"), index=False)
         print(sf, "docs:", n, "simhash pairs:", len(sh),
-              "minhash dups:", int(mh["is_dup"].sum()))
+              "minhash dups:", int(mh["is_dup"].sum()),
+              "stem changed:", int((st["stemmed"] != docs["text"]).sum()))
 
 
 if __name__ == "__main__":
