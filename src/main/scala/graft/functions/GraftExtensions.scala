@@ -398,5 +398,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "xxhash64; deviation: the digest convention differs from Presto's, " +
         "order-insensitivity and within-engine comparability are preserved)",
       c => ce.aggregate.BitXorAgg(new ce.XxHash64(Seq(c))))
+
+    // lambda predicates ----------------------------------------------------------
+    // Presto's array-predicate spellings over Spark's exists/forall
+    // expressions. Three-valued logic matches: Presto's any_match returns
+    // NULL when no element matches but some predicate result is NULL, which
+    // is exactly ArrayExists' default followThreeValuedLogic behavior (and
+    // De Morgan keeps none_match = NOT any_match correct under it).
+    ext.injectFunction((
+      new FunctionIdentifier("any_match"),
+      info(classOf[ce.ArrayExists], "any_match",
+        "any_match(array, pred) - Presto spelling of exists(array, pred)"),
+      (children: Seq[Expression]) => ce.ArrayExists(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("all_match"),
+      info(classOf[ce.ArrayForAll], "all_match",
+        "all_match(array, pred) - Presto spelling of forall(array, pred)"),
+      (children: Seq[Expression]) => ce.ArrayForAll(children(0), children(1))))
+    // none_match cannot lower to Not(ArrayExists(...)): the analyzer requires
+    // the node RECEIVING a lambda argument to itself be a higher-order
+    // function. De Morgan instead: none_match(a, p) = all_match(a, NOT p) —
+    // the negation moves INSIDE the lambda, and ForAll's three-valued
+    // semantics (false beats NULL beats true) land exactly on Presto's
+    // "!any_match with three-valued logic" definition.
+    ext.injectFunction((
+      new FunctionIdentifier("none_match"),
+      info(classOf[ce.ArrayForAll], "none_match",
+        "none_match(array, pred) - true when no element matches (all_match of NOT pred)"),
+      (children: Seq[Expression]) => children(1) match {
+        case ce.LambdaFunction(fn, args, hidden) =>
+          ce.ArrayForAll(children(0), ce.LambdaFunction(ce.Not(fn), args, hidden))
+        case other => throw new IllegalArgumentException(
+          s"none_match expects a lambda predicate, got ${other.getClass.getSimpleName}")
+      }))
   }
 }

@@ -1304,7 +1304,100 @@ object QuantQueries {
             FROM e ev, c2 c) s
       WHERE rn = 1 ORDER BY vec_id"""))
 
+  // ---------------------------------------------------------------------------
+  // q_sim_rank_eval — graded ranking quality (nDCG@5 / first-hit rank)
+  // ---------------------------------------------------------------------------
+
+  /** nDCG@5 + MRR-style first-hit rank of the SQ8-quantized ranking against
+    * the exact cosine ranking — the eval family's graded-order complement
+    * to q_sim_recall_eval/q_sim_recall_lsh (recall counts SET overlap;
+    * nDCG scores the ORDER the user actually sees, so quantization damage
+    * that reshuffles the top without dropping it becomes visible here and
+    * nowhere else). Relevance grades come from the exact top-10 (rel =
+    * 11 - exact_rank, 0 outside), the approximate list is SQ8's own top-5
+    * ordering, and the ideal DCG is the constant best-case prefix (grades
+    * 10..6 at positions 1..5), so ndcg_bp = 10000 exactly when SQ8
+    * preserves the exact head order. first_hit_rank is the approx position
+    * of the TRUE nearest neighbor (0 = missed) — the integer MRR numerator,
+    * kept as a rank so the row stays FP-free where it can be. Audit
+    * economics as the other evals: the exact leg is ONE broadcast-query
+    * corpus pass (5 queries), the approx leg reuses the SQ8 code pipeline,
+    * and the grading joins touch only 5x(5+10) rows. Discount weights are
+    * irrational (1/log2(i+1)), so the bp rounding cannot sit on a .5
+    * boundary except at the exact 0/10000 endpoints. */
+  private val rankEval = Q(
+    "q_sim_rank_eval",
+    (s, d) => {
+      val e = normalizedEmbeddings(s, d)
+      val codes = sq8Codes(e.select(col("vec_id"), col("emb").as("de"), col("emb"))).cache()
+      val approx = sq8Search(codes)
+        .select(col("query_id"), col("neighbor_id"), col("rn").as("arn"))
+      val q = broadcast(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("eq"), col("emb").as("qemb")))
+      val w = Window.partitionBy("eq").orderBy(desc("score"), asc("en"))
+      val exact = e.join(q, col("vec_id") =!= col("eq"))
+        .select(col("eq"), col("vec_id").as("en"),
+          round(dot(col("emb"), col("qemb")), 6).as("score"))
+        .withColumn("ern", row_number().over(w))
+        .filter(col("ern") <= 10)
+        .select(col("eq"), col("en"), col("ern"))
+      val idcg = lit(10.0) / log2(lit(2.0)) + lit(9.0) / log2(lit(3.0)) +
+        lit(8.0) / log2(lit(4.0)) + lit(7.0) / log2(lit(5.0)) +
+        lit(6.0) / log2(lit(6.0))
+      approx
+        .join(exact,
+          col("query_id") === col("eq") && col("neighbor_id") === col("en"), "left")
+        .select(col("query_id"), col("arn"),
+          coalesce(lit(11) - col("ern"), lit(0)).as("rel"))
+        .groupBy("query_id")
+        .agg(
+          sum(col("rel").cast("double") / log2(col("arn") + lit(1.0))).as("dcg"),
+          count(when(col("rel") > 0, 1)).as("hits10"),
+          coalesce(min(when(col("rel") === 10, col("arn"))), lit(0L)).as("fh"))
+        .select(col("query_id"),
+          round(col("dcg") / idcg * 10000).cast("long").as("ndcg_bp"),
+          col("hits10"),
+          col("fh").cast("long").as("first_hit_rank"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH $sqlNormalized,
+      dd AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
+      dims AS (SELECT d, min(emb[d]) AS mn, max(emb[d]) AS mx FROM e, dd GROUP BY d),
+      qv AS (SELECT vec_id,
+               list(CASE WHEN mx = mn THEN mn
+                         ELSE mn + (least(255, CAST(floor((emb[d] - mn) * 256.0 / (mx - mn)) AS BIGINT)) + 0.5) * (mx - mn) / 256.0
+                    END ORDER BY d) AS dq
+             FROM e, dims GROUP BY vec_id),
+      q AS (SELECT vec_id AS query_id, dq AS qdq FROM qv WHERE vec_id < 5),
+      approx AS (
+        SELECT query_id, neighbor_id, rn FROM (
+          SELECT q.query_id, n.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(n.dq, q.qdq), 6) DESC, n.vec_id) AS rn
+          FROM qv n JOIN q ON n.vec_id <> q.query_id) sub
+        WHERE rn <= 5),
+      eq AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
+      exact AS (
+        SELECT query_id, neighbor_id, ern FROM (
+          SELECT eq.query_id, n.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY eq.query_id
+                   ORDER BY round(list_dot_product(n.emb, eq.qemb), 6) DESC, n.vec_id) AS ern
+          FROM e n JOIN eq ON n.vec_id <> eq.query_id) sub
+        WHERE ern <= 10),
+      graded AS (
+        SELECT a.query_id, a.rn AS arn, coalesce(11 - x.ern, 0) AS rel
+        FROM approx a LEFT JOIN exact x
+          ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id)
+      SELECT query_id,
+        CAST(round(sum(rel / log2(arn + 1.0))
+             / (10.0/log2(2.0) + 9.0/log2(3.0) + 8.0/log2(4.0) + 7.0/log2(5.0) + 6.0/log2(6.0))
+             * 10000) AS BIGINT) AS ndcg_bp,
+        count(*) FILTER (WHERE rel > 0) AS hits10,
+        CAST(coalesce(min(CASE WHEN rel = 10 THEN arn END), 0) AS BIGINT) AS first_hit_rank
+      FROM graded GROUP BY query_id ORDER BY query_id"""))
+
   val all: Seq[Q] = Seq(sq8Ann, kmeans, ivfTrained, pqAdc, ivfPq, ivfPqRerank,
     ivfPqResidual, indexDrift, rangeSearch, maxSim, sampleClusters, binaryAnn,
-    binaryIvf, outliers)
+    binaryIvf, outliers, rankEval)
 }

@@ -423,4 +423,30 @@ FROM "defenda_data_lake"."events"
     assert(c1 == c2, "checksum must be order-insensitive")
     assert(c1 != c3, "checksum must discriminate different multisets")
   }
+
+  test("Presto any_match/all_match/none_match resolve with three-valued logic") {
+    val r = spark.sql(
+      """SELECT any_match(array(1, 2, 3), x -> x > 2) AS a1,
+                any_match(array(1, 2, 3), x -> x > 9) AS a2,
+                all_match(array(2, 4, 6), x -> x % 2 = 0) AS m1,
+                all_match(array(2, 5, 6), x -> x % 2 = 0) AS m2,
+                none_match(array(1, 2, 3), x -> x > 9) AS n1,
+                none_match(array(1, 2, 3), x -> x > 2) AS n2,
+                -- empty array: any=false, all=true, none=true (Presto)
+                any_match(array(), x -> x > 0) AS e1,
+                all_match(array(), x -> x > 0) AS e2,
+                none_match(array(), x -> x > 0) AS e3,
+                -- three-valued: a NULL predicate result with no true match
+                -- yields NULL (and NOT NULL for none_match)
+                any_match(array(1, NULL), x -> x > 5) AS tv1,
+                any_match(array(1, NULL, 9), x -> x > 5) AS tv2,
+                none_match(array(1, NULL), x -> x > 5) AS tv3""").collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(!r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8))
+    assert(r.isNullAt(9), "NULL predicate result with no true match -> NULL")
+    assert(r.getBoolean(10), "a true match wins over a NULL result")
+    assert(r.isNullAt(11), "none_match inherits the three-valued NULL")
+  }
 }
