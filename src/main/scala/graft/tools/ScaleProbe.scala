@@ -132,7 +132,13 @@ object ScaleProbe {
     "q_map_cosine", "q_date_parse",
     // r15: %-dialect date_format round-trip (orders), Presto url_extract_*
     // spellings (documents), map_union aggregate (orders)
-    "q_date_presto_roundtrip", "q_string_url_extract", "q_agg_map_union")
+    "q_date_presto_roundtrip", "q_string_url_extract", "q_agg_map_union",
+    // r15 second wave: Porter word_stem (documents), strpos/split_part
+    // edges (part), ISO-calendar + epoch spellings (orders), encoding
+    // round-trips (part), NaN/Infinity classification aggregates
+    // (customer), SQ8-vs-exact graded rank eval (embeddings)
+    "q_text_word_stem", "q_string_strpos", "q_date_presto_iso",
+    "q_encoding_presto", "q_math_presto", "q_sim_rank_eval")
 
   private val ReplicaIdOffset = 10000000L
 
