@@ -54,9 +54,13 @@ object Bench {
   private def calibrate(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
-    // pure-CPU leg: codegen'd hash chain over a fixed range (no I/O)
+    // pure-CPU leg: codegen'd hash chain over a fixed range (no I/O).
+    // The reduction MUST be bit_xor, not sum: xxhash64 values are uniform
+    // longs, and an ANSI sum over 200M of them overflows with probability
+    // ~1 (caught live in r15 — the original sum crashed the whole bench
+    // before the first suite query).
     spark.range(0, 200000000L, 1, 32)
-      .select(sum(xxhash64(col("id"), xxhash64(col("id") + 1))).as("h"))
+      .select(expr("bit_xor(xxhash64(id, xxhash64(id + 1)))").as("h"))
       .write.format("noop").mode("overwrite").save()
     // shuffle leg: fixed-size exchange + aggregation
     spark.range(0, 8000000L, 1, 32)
