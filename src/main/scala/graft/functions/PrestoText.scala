@@ -233,11 +233,16 @@ object WordStem {
 /** Presto `strpos(string, substring, instance)` — 1-based character position
   * of the instance-th occurrence of substring (0 when absent); a NEGATIVE
   * instance counts occurrences from the end of the string. instance = 0 is
-  * an error, per Presto. Positions and occurrences are counted in Unicode
-  * code points (Presto positions are code-point based — the same convention
-  * the r14 hamming_distance fix adopted). Occurrences are non-overlapping
-  * scans from each previous match's end+1, matching Presto's behavior for
-  * self-overlapping needles. */
+  * an error, per Presto. Positions are counted in Unicode code points
+  * (Presto positions are code-point based — the same convention the r14
+  * hamming_distance fix adopted). Directionality matters for
+  * SELF-OVERLAPPING needles (Trino's model, matched here): positive
+  * instances enumerate non-overlapping matches scanning FORWARD (each next
+  * search starts past the previous match's end), negative instances
+  * enumerate non-overlapping matches scanning BACKWARD from the end (each
+  * next search ends before the previous match's start) — so
+  * strpos('aaa','aa',1) = 1 but strpos('aaa','aa',-1) = 2: the two packings
+  * pick different occurrence sets when the needle overlaps itself. */
 case class StrPosInstance(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
 
@@ -267,20 +272,35 @@ object StrPosInstance {
     // Presto: strpos(s, '') = 1 for any s (the empty needle matches at the
     // start); with instance > 1 there is no further distinct occurrence.
     if (t.isEmpty) return if (math.abs(instance) == 1) 1 else 0
-    // collect all non-overlapping occurrence start offsets (UTF-16 chars)
-    var offsets = List.empty[Int] // reverse order
-    var from = 0
-    var found = s.indexOf(t, from)
-    var count = 0
-    while (found >= 0) {
-      offsets = found :: offsets
-      count += 1
-      from = found + t.length
-      found = s.indexOf(t, from)
-    }
     val pick =
-      if (instance > 0) { if (instance > count) -1 else offsets(count - instance) }
-      else { if (-instance > count) -1 else offsets(-instance - 1) }
-    if (pick < 0) 0 else s.codePointCount(0, pick) + 1
+      if (instance > 0) {
+        // forward non-overlapping scan: next search starts past the match
+        var remaining = instance
+        var from = 0
+        var found = -1
+        while (remaining > 0) {
+          found = s.indexOf(t, from)
+          if (found < 0) return 0
+          remaining -= 1
+          from = found + t.length
+        }
+        found
+      } else {
+        // backward non-overlapping scan from the end: next search must END
+        // before this match starts (r15 review fix — the forward packing
+        // gives a DIFFERENT occurrence set for self-overlapping needles)
+        var remaining = -instance
+        var from = s.length - t.length
+        var found = -1
+        while (remaining > 0) {
+          if (from < 0) return 0
+          found = s.lastIndexOf(t, from)
+          if (found < 0) return 0
+          remaining -= 1
+          from = found - t.length
+        }
+        found
+      }
+    s.codePointCount(0, pick) + 1
   }
 }

@@ -48,6 +48,49 @@ private[operators] object BucketedRuns {
       if (fs.exists(b)) Some(b) else None
     }
 
+  /** The batch tag of a `delta-b<tag>-<i>.parquet` file name; None for
+    * base runs / build part files (which are committed by construction —
+    * compaction folds only committed content and build publishes through
+    * the whole-root swap). */
+  private def deltaBatchOf(name: String): Option[Long] =
+    if (!name.startsWith("delta-b")) None
+    else name.stripPrefix("delta-b").takeWhile(_.isDigit) match {
+      case "" => None
+      case ds => Some(ds.toLong)
+    }
+
+  /** COMMITTED-ONLY file selection (r15 review finding: delta files land in
+    * live bucket dirs BEFORE the caller's cursor swap, so a directory-level
+    * read exposes the torn window between publish and commit — and orphaned
+    * delta files from a crashed publish). Base/build files are always
+    * included; `delta-b<tag>` files only when tag <= committed. The flat
+    * (pre-bucketed) layout has no delta files and reads as itself. */
+  def committedFiles(
+      fs: FileSystem, dataRoot: Path, buckets: Int, committed: Long): Seq[Path] =
+    readableDirs(fs, dataRoot, buckets).flatMap { d =>
+      parquetFiles(fs, d).map(_.getPath).filter(p =>
+        deltaBatchOf(p.getName).forall(_ <= committed))
+    }
+
+  /** Writer-side scrub of UNCOMMITTED delta files (tag > committed) — the
+    * garbage a publish torn between delta-rename and cursor-commit leaves
+    * behind. Without this, a later append that computes the same tag hits
+    * the skip-if-exists branch against a DIFFERENT delta's file and its
+    * rows are silently swallowed (r15 review finding); with it, a replay
+    * simply recomputes and republishes the identical delta. Single-writer
+    * path only (runs recover on each touched bucket first). */
+  def scrubUncommitted(
+      fs: FileSystem, dataRoot: Path, buckets: Int, committed: Long): Unit =
+    if (fs.exists(dataRoot) && !isFlat(fs, dataRoot))
+      (0 until buckets).foreach { k =>
+        val bd = bucketDir(dataRoot, k)
+        StoreCommit.recover(fs, bd)
+        if (fs.exists(bd))
+          parquetFiles(fs, bd).map(_.getPath).foreach { p =>
+            if (deltaBatchOf(p.getName).exists(_ > committed)) fs.delete(p, false)
+          }
+      }
+
   /** The reserved store-bucket column name. Deliberately NOT `bucket` —
     * signature schemas are caller-defined and the embedding LSH band table
     * really does carry its own `bucket` column; a collision would silently

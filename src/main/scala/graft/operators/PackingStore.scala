@@ -96,11 +96,19 @@ object PackingStore {
     val dir = new Path(storeDir)
     val fs = StoreCommit.fsOf(spark, dir)
     val root = StoreCommit.readableRoot(fs, dir)
-    val dirs = BucketedRuns.readableDirs(fs, assignRoot(root), Buckets)
-    if (dirs.isEmpty)
+    // COMMITTED-ONLY selection: delta files land in live bucket dirs before
+    // the cursors swap (the commit point), so a directory-level read could
+    // return batch N's assignments while cursors() still says N-1 — the
+    // content/cursor coherence the scaladoc promises readers (r15 review
+    // finding). Gate delta files by the committed cursor; base/build files
+    // are committed by construction.
+    val committed = StoreCommit.committedBatchReadable(
+      fs, StoreCommit.readableRoot(fs, cursorDir(root)))
+    val files = BucketedRuns.committedFiles(fs, assignRoot(root), Buckets, committed)
+    if (files.isEmpty)
       // preserve the historical contract: reading a never-built store throws
       spark.read.parquet(assignRoot(dir).toString)
-    else spark.read.parquet(dirs.map(_.toString): _*)
+    else spark.read.parquet(files.map(_.toString): _*)
   }
 
   /** The per-shard running token totals. */
@@ -132,11 +140,16 @@ object PackingStore {
     val dir = new Path(storeDir)
     val fs = StoreCommit.fsOf(spark, dir)
     StoreCommit.recover(fs, dir) // writer-side whole-root crash restore
-    if (StoreCommit.committedBatch(fs, cursorDir(dir)) >= batchId) return // replay: done
+    val committed = StoreCommit.committedBatch(fs, cursorDir(dir))
+    if (committed >= batchId) return // replay: done
     if (BucketedRuns.isFlat(fs, assignRoot(dir)))
       throw new IllegalStateException(
         s"${assignRoot(dir)} holds a pre-bucketed (flat) packing store; " +
           "migrate by rebuilding (build over read) before resuming")
+    // drop uncommitted orphan delta files (a publish torn before its
+    // cursors swap) so this publish can never hit the skip-if-exists
+    // branch against a dead sibling's file (r15 review finding)
+    BucketedRuns.scrubUncommitted(fs, assignRoot(dir), Buckets, committed)
     val emptyBase = spark.range(0).select(lit("").as("lang"), lit(0L).as("base"))
     val hasStore = fs.exists(cursorDir(dir))
     if (!hasStore) {

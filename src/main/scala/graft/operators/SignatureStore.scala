@@ -86,6 +86,14 @@ object SignatureStore {
     * inside append. files ≤ Buckets × (CompactAt + 1) at all times. */
   val CompactAt = 16
 
+  /** '_'-prefixed (parquet-invisible) flag inside tombstones/: present when
+    * the committed cursor was last advanced by an AD-HOC (no-batchId)
+    * append. Ad-hoc and batch-stamped appends share one cursor, so a
+    * batch-stamped append whose id falls at/below an ad-hoc-advanced
+    * cursor is a LIVE batch about to be misread as a replay — the marker
+    * turns that silent swallow into a loud error (r15 review finding). */
+  private val AdhocMarker = "_graft_adhoc_cursor"
+
   private def fsOf(spark: SparkSession, dir: Path): FileSystem =
     FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
 
@@ -117,24 +125,33 @@ object SignatureStore {
   }
 
   /** The live signature table (for scrub/incremental-dedup joins) — ONE
-    * multi-path parquet read over every committed bucket dir. */
+    * multi-path parquet read over the COMMITTED files of every bucket dir:
+    * base/build files always, `delta-b<tag>` files only when tag is at or
+    * below the committed cursor, so neither the torn window between a
+    * delta publish and its tombstones commit nor a crashed publish's
+    * orphaned files is ever visible to a reader (r15 review finding). */
   def read(spark: SparkSession, storeDir: String): DataFrame = {
     val dir = new Path(storeDir)
     val fs = fsOf(spark, dir)
-    val dirs = BucketedRuns.readableDirs(
-      fs, sigsRoot(StoreCommit.readableRoot(fs, dir)), Buckets)
-    if (dirs.isEmpty)
+    val root = StoreCommit.readableRoot(fs, dir)
+    val committed =
+      StoreCommit.committedBatchReadable(fs, new Path(root, "tombstones"))
+    val files = BucketedRuns.committedFiles(fs, sigsRoot(root), Buckets, committed)
+    if (files.isEmpty)
       // preserve the historical contract: reading a never-built store throws
       spark.read.parquet(sigsRoot(dir).toString)
-    else spark.read.parquet(dirs.map(_.toString): _*)
+    else spark.read.parquet(files.map(_.toString): _*)
   }
 
-  /** The committed batch id (−1 before any batch-stamped append). */
+  /** The committed batch id (−1 before any batch-stamped append).
+    * Non-mutating — safe for a concurrent monitor: resolves crash asides
+    * via readableRoot instead of recover (a reader-side recover can rename
+    * the aside back inside the writer's swap window; r15 review finding). */
   def committedBatch(spark: SparkSession, storeDir: String): Long = {
     val dir = new Path(storeDir)
     val fs = fsOf(spark, dir)
-    StoreCommit.recover(fs, dir)
-    StoreCommit.committedBatch(fs, tombDir(dir))
+    val root = StoreCommit.readableRoot(fs, dir)
+    StoreCommit.committedBatchReadable(fs, new Path(root, "tombstones"))
   }
 
   /** Build (or rebuild) and atomically publish (whole-root swap — a
@@ -185,8 +202,26 @@ object SignatureStore {
     writerRoot(fs, dir)
     requireBucketed(fs, dir, "append")
     val committed = StoreCommit.committedBatch(fs, tombDir(dir))
-    if (batchId.exists(_ <= committed)) return // replay: done
+    if (batchId.exists(_ <= committed)) {
+      // A batchId at/below the cursor is a replay no-op ONLY if the cursor
+      // was advanced by batch-stamped appends. If an AD-HOC append moved it,
+      // this "replay" is actually a live batch about to be swallowed — the
+      // two modes share one counter and MUST NOT mix on a store (r15
+      // review finding). Fail loudly instead of dropping data.
+      if (fs.exists(new Path(tombDir(dir), AdhocMarker)))
+        throw new IllegalStateException(
+          s"SignatureStore.append($storeDir): batchId=${batchId.get} is at/below the " +
+            s"committed cursor $committed, but the cursor was last advanced by an " +
+            "AD-HOC append — this is a live batch, not a replay. Do not mix ad-hoc " +
+            "and batch-stamped appends on one store; rebuild or use separate stores")
+      return // replay: done
+    }
     val thisBatch = batchId.getOrElse(committed + 1)
+    // scrub orphaned UNCOMMITTED delta files (a publish torn before its
+    // commit swap) so this publish can never collide with a dead sibling's
+    // deterministic file names and silently swallow rows (r15 review
+    // finding); a true replay recomputes and republishes identically
+    BucketedRuns.scrubUncommitted(fs, sigsRoot(dir), Buckets, committed)
     val tombstones = tombstonesOf(spark, storeDir, idCol)
     val freshAll = sigs
       .join(broadcast(tombstones.select(idCol)), Seq(idCol), "left_anti")
@@ -207,6 +242,8 @@ object SignatureStore {
     fs.delete(tt, true)
     tombstones.select(idCol).write.mode(SaveMode.Overwrite).parquet(tt.toString)
     StoreCommit.writeMeta(fs, tt, thisBatch)
+    // stamp (or clear) the ad-hoc-cursor marker atomically with the cursor
+    if (batchId.isEmpty) fs.create(new Path(tt, AdhocMarker), true).close()
     StoreCommit.swap(fs, tombDir(dir), tt)
     // maintenance AFTER the commit (so a replayed batch can never observe
     // its delta file compacted away): fold buckets over the threshold
@@ -234,15 +271,20 @@ object SignatureStore {
     writerRoot(fs, dir)
     requireBucketed(fs, dir, "delete")
     val requested = ids.toDF(idCol)
-    // pin first: tombstones swap (cursor carried through)
+    // pin first: tombstones swap (cursor AND ad-hoc marker carried through)
     val committed = StoreCommit.committedBatch(fs, tombDir(dir))
+    val adhocCursor = fs.exists(new Path(tombDir(dir), AdhocMarker))
     val tt = new Path(dir.getParent, s".${dir.getName}.tombs")
     fs.delete(tt, true)
     tombstonesOf(spark, storeDir, idCol).select(idCol)
       .unionByName(requested).distinct()
       .write.mode(SaveMode.Overwrite).parquet(tt.toString)
     if (committed >= 0) StoreCommit.writeMeta(fs, tt, committed)
+    if (adhocCursor) fs.create(new Path(tt, AdhocMarker), true).close()
     StoreCommit.swap(fs, tombDir(dir), tt)
+    // drop any uncommitted orphan delta files first, so the per-bucket
+    // rewrite below can never fold a dead publish's rows into a base run
+    BucketedRuns.scrubUncommitted(fs, sigsRoot(dir), Buckets, committed)
     // scrub only the buckets the ids hash to (pure function of id)
     val touched = ids.map(id => math.floorMod(
       org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(id, 42), Buckets))
@@ -253,13 +295,17 @@ object SignatureStore {
       StoreCommit.recover(fs, bd)
       if (fs.exists(bd) && fs.listStatus(bd).exists(st =>
           st.isFile && st.getPath.getName.endsWith(".parquet"))) {
-        val stored = spark.read.parquet(bd.toString)
-        val dead = stored.join(broadcast(requested), Seq(idCol), "left_semi").count()
-        if (dead > 0) {
-          nDead += dead
-          BucketedRuns.rewriteBucket(spark, fs, dir, sigsRoot(dir), k,
-            stored.join(broadcast(requested), Seq(idCol), "left_anti"))
-        }
+        // ONE cached materialization serves both the dead-count and the
+        // anti-join rewrite (was two full bucket scans; r15 review finding)
+        val stored = spark.read.parquet(bd.toString).cache()
+        try {
+          val dead = stored.join(broadcast(requested), Seq(idCol), "left_semi").count()
+          if (dead > 0) {
+            nDead += dead
+            BucketedRuns.rewriteBucket(spark, fs, dir, sigsRoot(dir), k,
+              stored.join(broadcast(requested), Seq(idCol), "left_anti"))
+          }
+        } finally stored.unpersist()
       }
     }
     nDead

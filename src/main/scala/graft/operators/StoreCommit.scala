@@ -76,6 +76,23 @@ object StoreCommit {
     }
   }
 
+  /** READ-SIDE committed batch id: resolves through [[readableRoot]]
+    * instead of [[recover]], so a concurrent monitor/reader can poll the
+    * cursor without ever renaming anything (recover() from a reader can
+    * rename the aside back INSIDE the writer's swap window and corrupt the
+    * publish — its own scaladoc forbids it; r15 review finding). */
+  def committedBatchReadable(fs: FileSystem, dir: Path): Long = {
+    val d = readableRoot(fs, dir)
+    val p = new Path(d, MetaFile)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        .trim.toLong
+      finally in.close()
+    }
+  }
+
   /** Stamp the batch id into a not-yet-published build dir. */
   def writeMeta(fs: FileSystem, dir: Path, batchId: Long): Unit = {
     val out = fs.create(new Path(dir, MetaFile), true)

@@ -78,14 +78,28 @@ object ConcurrencyProbe {
       val t1 = System.nanoTime()
       Set12.foreach { n =>
         pool.submit(new Runnable {
-          override def run(): Unit = per.put(n, runOne(spark, sfDir, n))
+          override def run(): Unit =
+            // a swallowed exception would leave `per` missing this key and
+            // crash the report AFTER all the work (r15 review finding) —
+            // record the failure as NaN and say so
+            try per.put(n, runOne(spark, sfDir, n))
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[concprobe] $n FAILED: ${e.getMessage}")
+                per.put(n, Double.NaN)
+            }
         })
       }
       pool.shutdown()
-      pool.awaitTermination(30, TimeUnit.MINUTES)
+      if (!pool.awaitTermination(30, TimeUnit.MINUTES)) {
+        pool.shutdownNow()
+        System.err.println("[concprobe] concurrent phase TIMED OUT at 30 min")
+      }
       val concTotal = (System.nanoTime() - t1) / 1e9
       import scala.jdk.CollectionConverters._
-      (serialTotal, serialPer.toMap, concTotal, per.asScala.toMap)
+      val concPer = Set12.map(n =>
+        n -> per.asScala.getOrElse(n, Double.NaN)).toMap
+      (serialTotal, serialPer.toMap, concTotal, concPer)
     } finally spark.stop()
   }
 

@@ -915,6 +915,14 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-overlapping scan: 'aaaa' has TWO occurrences of 'aa', not three
     assert(strpos(u("aaaa"), u("aa"), 2) == 3)
     assert(strpos(u("aaaa"), u("aa"), 3) == 0)
+    // self-overlapping needle, NEGATIVE instance: the backward packing
+    // (Trino's model) picks a different occurrence set than the forward one
+    assert(strpos(u("aaa"), u("aa"), 1) == 1)
+    assert(strpos(u("aaa"), u("aa"), -1) == 2)
+    assert(strpos(u("aaa"), u("aa"), -2) == 0)
+    assert(strpos(u("aaaa"), u("aa"), -1) == 3)
+    assert(strpos(u("aaaa"), u("aa"), -2) == 1)
+    assert(strpos(u("aaaa"), u("aa"), -3) == 0)
     // empty needle: matches at position 1 (Presto), once
     assert(strpos(u("abc"), u(""), 1) == 1)
     assert(strpos(u("abc"), u(""), 2) == 0)

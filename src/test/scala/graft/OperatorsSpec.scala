@@ -810,6 +810,74 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/../.store.previous")))
   }
 
+  test("signature store: orphaned uncommitted delta is invisible to read(), scrubbed by the next append, and cannot swallow its rows (r15 review)") {
+    import graft.operators.SignatureStore
+    import graft.queries.DedupQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore_orphan").toString + "/store"
+    SignatureStore.build(spark,
+      DedupQueries.minhashBandTable(wordSets(Seq(1L -> "alpha beta gamma delta epsilon"))), dir)
+    SignatureStore.append(spark,
+      DedupQueries.minhashBandTable(wordSets(Seq(2L -> "one two three four five"))), dir)
+    val committed = SignatureStore.committedBatch(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate append A crashing AFTER its delta publish, BEFORE its commit
+    // swap: plant doc 666's rows as delta-b<committed+1>-0.parquet in the
+    // bucket doc 777's rows will also target (the name-collision scenario)
+    val k777 = math.floorMod(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(777L, 42), SignatureStore.Buckets)
+    val orphanRows = DedupQueries.minhashBandTable(wordSets(Seq(666L -> "zz yy xx ww vv")))
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/../orphan_stage")
+    orphanRows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val orphanName = f"delta-b${committed + 1}%019d-0.parquet"
+    val bucketDir = new org.apache.hadoop.fs.Path(s"$dir/sigs/graft_bucket=$k777")
+    assert(fs.rename(part, new org.apache.hadoop.fs.Path(bucketDir, orphanName)))
+    // (1) the torn window is INVISIBLE: read() gates delta files by cursor
+    assert(SignatureStore.read(spark, dir).filter(col("doc_id") === 666L).count() == 0L,
+      "uncommitted orphan delta visible to read()")
+    // (2) the next append scrubs the orphan instead of colliding with it:
+    // every row of doc 777's delta must land (old behavior: the bucket-k777
+    // file was skipped-as-existing and its rows silently swallowed)
+    val sig777 = DedupQueries.minhashBandTable(wordSets(Seq(777L -> "p q r s t")))
+    val expect777 = sig777.count()
+    SignatureStore.append(spark, sig777, dir)
+    assert(SignatureStore.read(spark, dir).filter(col("doc_id") === 777L).count()
+      == expect777, "append rows swallowed by an orphaned delta file")
+    assert(SignatureStore.read(spark, dir).filter(col("doc_id") === 666L).count() == 0L,
+      "orphan rows resurrected by a later commit")
+  }
+
+  test("signature store: ad-hoc and batch-stamped appends may not mix silently (r15 review)") {
+    import graft.operators.SignatureStore
+    import graft.queries.DedupQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore_mix").toString + "/store"
+    SignatureStore.build(spark,
+      DedupQueries.minhashBandTable(wordSets(Seq(1L -> "alpha beta gamma delta epsilon"))), dir)
+    // ad-hoc append advances the shared cursor to 0 and stamps the marker
+    SignatureStore.append(spark,
+      DedupQueries.minhashBandTable(wordSets(Seq(2L -> "one two three four five"))), dir)
+    assert(SignatureStore.committedBatch(spark, dir) == 0L)
+    // a batch-stamped append whose id the ad-hoc cursor already covers is a
+    // LIVE batch about to be swallowed as a replay — must fail loudly
+    val err = intercept[IllegalStateException](
+      SignatureStore.append(spark,
+        DedupQueries.minhashBandTable(wordSets(Seq(3L -> "red green blue yellow purple"))),
+        dir, batchId = Some(0L)))
+    assert(err.getMessage.contains("AD-HOC"), err.getMessage)
+    // a batch id ABOVE the cursor proceeds and clears the marker...
+    SignatureStore.append(spark,
+      DedupQueries.minhashBandTable(wordSets(Seq(3L -> "red green blue yellow purple"))),
+      dir, batchId = Some(1L))
+    val n = SignatureStore.read(spark, dir).count()
+    // ...after which the SAME batch id is a true replay no-op, no error
+    SignatureStore.append(spark,
+      DedupQueries.minhashBandTable(wordSets(Seq(3L -> "red green blue yellow purple"))),
+      dir, batchId = Some(1L))
+    assert(SignatureStore.read(spark, dir).count() == n)
+  }
+
   test("signature store (substring windows): shared windows survive an erase through OTHER docs only") {
     import graft.operators.SignatureStore
     import graft.queries.DedupQueries
@@ -859,6 +927,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.filter(col("vec_id") === 7L).count() == 0L, "append resurrected erased bands")
     assert(after.count() == n0 - SimilarityQueries.embedBandTable(
       raw.filter(col("vec_id") === 7L)).count(), "append replay duplicated band rows")
+  }
+
+  test("packing store: uncommitted orphan delta invisible to read(), scrubbed before the next publish (r15 review)") {
+    import graft.operators.{PackingStore, StoreCommit}
+    import org.apache.hadoop.fs.Path
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, lang: String, nWords: Int) =
+      (id, lang, Seq.fill(nWords)("w").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_orphan").toString + "/packing"
+    PackingStore.build(spark,
+      Seq(doc(1, "en", 300), doc(2, "en", 200)).toDF("doc_id", "lang", "text"), dir)
+    val fs = StoreCommit.fsOf(spark, new Path(dir))
+    // simulate batch 1 crashing between delta publish and cursors swap:
+    // plant a delta-b1 file holding doc 666's assignment rows
+    val orphan = PackingStore.read(spark, dir).limit(1)
+      .withColumn("doc_id", org.apache.spark.sql.functions.lit(666L))
+    val tmp = new Path(s"$dir/../pack_orphan_stage")
+    orphan.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val k666 = math.floorMod(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(666L, 42), PackingStore.Buckets)
+    assert(fs.rename(part,
+      new Path(s"$dir/assignments/graft_bucket=$k666/delta-b${"%019d".format(1L)}-0.parquet")))
+    // invisible to readers (cursor still at batch 0)...
+    assert(PackingStore.read(spark, dir).filter(col("doc_id") === 666L).count() == 0L,
+      "uncommitted orphan delta visible to read()")
+    // ...and scrubbed when the REAL batch 1 arrives, whose own rows all land
+    PackingStore.append(spark,
+      Seq(doc(4, "en", 150)).toDF("doc_id", "lang", "text"), dir, batchId = 1L)
+    assert(PackingStore.read(spark, dir).filter(col("doc_id") === 4L).count() == 1L,
+      "batch rows swallowed by an orphaned delta file")
+    assert(PackingStore.read(spark, dir).filter(col("doc_id") === 666L).count() == 0L,
+      "orphan rows resurrected by a later commit")
   }
 
   test("packing store: incremental appends equal the one-shot pack bit-for-bit; replay is a no-op; crash aside restores") {

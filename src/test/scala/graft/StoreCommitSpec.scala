@@ -79,4 +79,21 @@ class StoreCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StoreCommit.committedBatch(fs, dir) == -1L)
     assert(StoreCommit.readableRoot(fs, dir) == dir)
   }
+
+  test("committedBatchReadable serves the cursor from a crash aside WITHOUT mutating (r15 review)") {
+    val dir = new Path(s"$base/s4/store")
+    val fs = StoreCommit.fsOf(spark, dir)
+    writeDir(dir, "v1")
+    StoreCommit.writeMeta(fs, dir, 11L)
+    // simulate the writer's swap window: main dir moved aside
+    val aside = new Path(dir.getParent, s".${dir.getName}.previous")
+    assert(fs.rename(dir, aside))
+    // the read-side cursor resolves through the aside AND renames nothing —
+    // a reader-side recover here could corrupt a live writer's swap
+    assert(StoreCommit.committedBatchReadable(fs, dir) == 11L)
+    assert(!fs.exists(dir) && fs.exists(aside),
+      "read-side cursor lookup mutated the store (renamed the aside back)")
+    // absent store: -1, still no mutation
+    assert(StoreCommit.committedBatchReadable(fs, new Path(s"$base/s4/nope")) == -1L)
+  }
 }
