@@ -74,6 +74,56 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Executed-plan fingerprint (r15 verdict task 2): wall time is
+    * calibration-attributable, but plan SHAPE regressions — an extra
+    * exchange, a broadcast that flipped to sort-merge, a new sort — were
+    * only auditable by hand. One record per query from the FINAL adaptive
+    * plan: exchange/sort counts, join strategy counts, and spilled bytes.
+    * Diffed round-over-round against BENCH_PLANS.json; a query whose
+    * exchange or sort count GREW lands in the compact artifact's
+    * `plan_regressed` list. */
+  private case class PlanFp(
+      exchanges: Int, sorts: Int, broadcasts: Int,
+      smj: Int, shj: Int, bhj: Int, nestedLoop: Int, spillBytes: Long) {
+    def sig: String = s"x$exchanges s$sorts b$broadcasts m$smj h$shj j$bhj n$nestedLoop"
+  }
+
+  private def fingerprintOf(root: org.apache.spark.sql.execution.SparkPlan): PlanFp = {
+    import org.apache.spark.sql.execution.SparkPlan
+    val nodes = collection.mutable.ArrayBuffer[SparkPlan]()
+    def walk(p: SparkPlan): Unit = p match {
+      // unwrap AQE wrappers so the counts reflect the FINAL executed tree;
+      // a reused exchange is a reference, not a second shuffle — count the
+      // node itself (its class is ReusedExchangeExec, matching no counter)
+      // and do not descend into the shared subtree
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        nodes += r
+      case other =>
+        nodes += other
+        other.children.foreach(walk)
+    }
+    walk(root)
+    def n(pred: SparkPlan => Boolean) = nodes.count(pred)
+    val spill = nodes.flatMap(_.metrics).collect {
+      case (key, m) if key.toLowerCase.contains("spill") && m.value > 0 => m.value
+    }.sum
+    PlanFp(
+      exchanges = n(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      sorts = n(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      broadcasts = n(_.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+      smj = n(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      shj = n(_.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      bhj = n(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      nestedLoop =
+        n(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]) +
+        n(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      spillBytes = spill)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -144,10 +194,20 @@ object Bench {
     calibrate(spark)
     val calibPre = calibrate(spark)
     System.err.println(f"[bench] calibration pre-suite: $calibPre%.2f s, loadavg $loadPre%.1f")
+    // The warmup pass doubles as the PLAN-FINGERPRINT pass (r15 task 2): the
+    // physical plan is executed DIRECTLY (RDD count over the executed plan —
+    // same full-column evaluation as the noop write, same codegen units
+    // compiled, no driver-side data) so the final ADAPTIVE plan is
+    // synchronously in hand afterwards — a QueryExecutionListener would race
+    // its async bus against the loop, and a fresh df.queryExecution after a
+    // noop write never links to the executed AQE state.
+    val planFps = collection.mutable.LinkedHashMap[String, PlanFp]()
     ordered.foreach { case (name, fn) =>
       try {
         spark.catalog.clearCache()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val qe = fn(spark, sfDir).queryExecution
+        qe.executedPlan.execute().count()
+        planFps(name) = fingerprintOf(qe.executedPlan)
       } catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") }
     }
     val calibPass = collection.mutable.ArrayBuffer[Double]()
@@ -214,10 +274,38 @@ object Bench {
     val nextRunJson = hotbox.map(_._1).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
 
+    // plan-fingerprint artifact + round-over-round diff (r15 task 2): the
+    // full per-query map goes to BENCH_PLANS.json (the compact stdout line
+    // cannot fit ~280 entries); the compact line carries only the DIFF —
+    // names whose exchange or sort count GREW since the previous run.
+    val prevSigs: Map[String, (Int, Int)] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_PLANS.json")), "UTF-8")
+        """"(q_[a-z0-9_]+)":"x(\d+) s(\d+)""".r.findAllMatchIn(txt)
+          .map(m => (m.group(1), (m.group(2).toInt, m.group(3).toInt))).toMap
+      } catch { case _: Throwable => Map.empty }
+    val regressed = planFps.collect {
+      case (n, fp) if prevSigs.get(n).exists { case (px, ps) =>
+        fp.exchanges > px || fp.sorts > ps } => n
+    }.toSeq.sorted
+    val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val plansJson = planFps.toSeq.sortBy(_._1)
+      .map { case (n, fp) => "\"" + n + "\":\"" + fp.sig + "\"" }
+      .mkString("{", ",", "}")
+    val spillJson = planFps.toSeq.filter(_._2.spillBytes > 0).sortBy(_._1)
+      .map { case (n, fp) => "\"" + n + s"""":${fp.spillBytes}""" }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_PLANS.json"),
+      s"""{"sig_legend":"x=shuffle exchanges, s=sorts, b=broadcast exchanges, m=sort-merge joins, h=shuffled-hash joins, j=broadcast-hash joins, n=nested-loop/cartesian","plans":$plansJson,"spill_bytes":$spillJson,"plan_regressed":$regressedJson,"sf":"$sfDir"}""" + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_PLANS.json write failed: $e") }
+
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$TimedRuns,""" +
         f""""queries":$medians,"queries_min":$mins,"queries_max":$maxs,""" +
         f""""queries_isolated":$isolatedJson,"isolate_next_run":$nextRunJson,""" +
+        f""""plans":$plansJson,"plan_regressed":$regressedJson,""" +
         f""""stream_e2e_latency_sec":$streamLatency%.1f,"sf":"$sfDir"}""")
     // The driver records only the LAST ~2000 bytes of stdout and parses a
     // JSON line out of that window; the full line above is several KB, so
@@ -246,7 +334,8 @@ object Bench {
         // pre-suite set (the forever-hot-box escape hatch), while the
         // noisy hot-box VALUES stay out of the artifact (r12 task 8 — a
         // judge should never have to re-litigate a post-suite number).
-        s""","queries_isolated":$isolatedJson,"isolate_next_run":$nextRunJson}"""
+        s""","queries_isolated":$isolatedJson,"isolate_next_run":$nextRunJson""" +
+        s""","plan_regressed":$regressedJson}"""
     val compactLine = Iterator.range(60, 0, -5).map(compact).find(_.length <= 1800)
       .getOrElse(compact(0))
     // durable artifact the driver (or a human) can read regardless of any

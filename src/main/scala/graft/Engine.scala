@@ -34,8 +34,140 @@ object Engine {
     graft.pipeline.Ingest.eventsTable(spark, eventsDir).createOrReplaceTempView(viewName)
 
   /** "Queries can be any valid Presto SQL" (README.md:116) -> any valid
-    * Spark SQL, parsed/optimized/executed by Catalyst. */
-  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+    * Spark SQL, parsed/optimized/executed by Catalyst — plus a pre-parse
+    * rewrite of Presto's idiomatic array-flattening join (see
+    * [[rewriteUnnest]]), which Spark's grammar rejects outright. */
+  def sql(spark: SparkSession, query: String): DataFrame =
+    spark.sql(rewriteUnnest(query))
+
+  /** Pre-parse rewrite of the SIMPLE Presto `CROSS JOIN UNNEST` form — the
+    * single most common Athena spelling a migrating reference user types
+    * over `details` arrays (README.md:116 "any valid Presto SQL"):
+    *
+    *   ... CROSS JOIN UNNEST(<expr>) [AS] t(x)      -- array element
+    *   ... CROSS JOIN UNNEST(<expr>) [AS] t(k, v)   -- map entries
+    *
+    * becomes the exact Spark equivalent
+    *
+    *   ... LATERAL VIEW explode(<expr>) t AS x      / t AS k, v
+    *
+    * (inner-join semantics on both engines: empty/NULL arrays produce no
+    * rows — Presto's CROSS JOIN UNNEST drops them, as does LATERAL VIEW
+    * without OUTER). The scanner is quote-aware (no rewriting inside
+    * '...' literals or "..." identifiers) and balances nested parens in
+    * <expr>, so function-call arguments rewrite correctly.
+    *
+    * DOCUMENTED DEVIATION (beside the GROUPS/EXCLUDE notes in
+    * GraftExtensions): only the single-argument form rewrites. Presto's
+    * multi-array zip form `UNNEST(a, b)` (a top-level comma in the
+    * argument), `WITH ORDINALITY`, and `LEFT JOIN UNNEST ... ON TRUE` are
+    * left verbatim and fail LOUDLY in Spark's parser — never silently
+    * wrong. EngineSpec pins both the rewrite and the loud failures. */
+  private[graft] def rewriteUnnest(query: String): String = {
+    val n = query.length
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    // end index (exclusive) of the '...' literal or "..." identifier at i
+    def skipQuoted(i: Int): Int = {
+      val q = query.charAt(i)
+      var k = i + 1
+      while (k < n) {
+        if (query.charAt(k) == q) {
+          if (k + 1 < n && query.charAt(k + 1) == q) k += 2 // doubled-quote escape
+          else return k + 1
+        } else k += 1
+      }
+      n
+    }
+    // does the keyword start at i (case-insensitive, word-bounded)?
+    def kwAt(i: Int, kw: String): Boolean =
+      i + kw.length <= n &&
+        query.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || !isIdent(query.charAt(i - 1))) &&
+        (i + kw.length == n || !isIdent(query.charAt(i + kw.length)))
+    def skipWs(i: Int): Int = { var k = i; while (k < n && query.charAt(k).isWhitespace) k += 1; k }
+    def ident(i: Int): Option[(String, Int)] = {
+      var k = i
+      while (k < n && isIdent(query.charAt(k))) k += 1
+      if (k > i && !query.charAt(i).isDigit) Some((query.substring(i, k), k)) else None
+    }
+    val out = new StringBuilder
+    var i = 0
+    while (i < n) {
+      val c = query.charAt(i)
+      if (c == '\'' || c == '"') {
+        val e = skipQuoted(i); out.append(query.substring(i, e)); i = e
+      } else if (kwAt(i, "CROSS")) {
+        // try the full CROSS JOIN UNNEST ( expr ) [AS] alias ( col [, col] )
+        val attempt: Option[(String, Int)] = {
+          var k = skipWs(i + 5)
+          if (!kwAt(k, "JOIN")) None
+          else {
+            k = skipWs(k + 4)
+            if (!kwAt(k, "UNNEST")) None
+            else {
+              k = skipWs(k + 6)
+              if (k >= n || query.charAt(k) != '(') None
+              else {
+                // balance parens for the argument; reject top-level commas
+                // (the multi-array zip form has no explode equivalent)
+                val argStart = k + 1
+                var depth = 1; var k2 = argStart; var topComma = false
+                while (k2 < n && depth > 0) {
+                  val ch = query.charAt(k2)
+                  if (ch == '\'' || ch == '"') k2 = skipQuoted(k2)
+                  else {
+                    if (ch == '(') depth += 1
+                    else if (ch == ')') depth -= 1
+                    else if (ch == ',' && depth == 1) topComma = true
+                    k2 += 1
+                  }
+                }
+                if (depth != 0 || topComma) None
+                else {
+                  val arg = query.substring(argStart, k2 - 1)
+                  var k3 = skipWs(k2)
+                  if (kwAt(k3, "WITH")) None // WITH ORDINALITY: no rewrite
+                  else {
+                    if (kwAt(k3, "AS")) k3 = skipWs(k3 + 2)
+                    ident(k3) match {
+                      case Some((alias, k4)) =>
+                        val k5 = skipWs(k4)
+                        if (k5 >= n || query.charAt(k5) != '(') None
+                        else {
+                          var k6 = skipWs(k5 + 1)
+                          val cols = scala.collection.mutable.ArrayBuffer[String]()
+                          var ok = true; var done = false
+                          while (ok && !done) {
+                            ident(k6) match {
+                              case Some((cn, k7)) =>
+                                cols += cn
+                                val k8 = skipWs(k7)
+                                if (k8 < n && query.charAt(k8) == ',') k6 = skipWs(k8 + 1)
+                                else if (k8 < n && query.charAt(k8) == ')') { k6 = k8 + 1; done = true }
+                                else ok = false
+                              case None => ok = false
+                            }
+                          }
+                          if (ok && cols.nonEmpty && cols.size <= 2)
+                            Some((s"LATERAL VIEW explode($arg) $alias AS ${cols.mkString(", ")}", k6))
+                          else None
+                        }
+                      case None => None
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+        attempt match {
+          case Some((replacement, end)) => out.append(replacement); i = end
+          case None => out.append(c); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
   /** Full reference-client compatibility: register the events table under
     * the reference's own catalog name (`"defenda_data_lake"."events"`,

@@ -107,3 +107,127 @@ case class IsJsonComposite(child: Expression)
       case _                                  => false
     }
 }
+
+/** Presto/Trino `json_parse(text)` — validate and CANONICALIZE a JSON text.
+  * Trino's kernel (JsonFunctions.jsonParse) re-serializes through a sorted
+  * ObjectMapper (ORDER_MAP_ENTRIES_BY_KEYS): whitespace is stripped, object
+  * keys are sorted lexicographically, duplicate keys collapse last-wins —
+  * all reproduced here over the repo's JSON AST (json/JsonAst.scala, whose
+  * parser is already last-wins). Invalid JSON fails LOUDLY (Trino:
+  * INVALID_FUNCTION_ARGUMENT), never silently NULL — json_parse is the
+  * validating entry point, unlike the NULL-tolerant extract family.
+  * Deviation (documented): non-integral numbers render in this engine's
+  * float convention (JsonAst.pyFloatRepr), which can differ from Jackson's
+  * for exotic exponents; integers — the reference corpus's only JSON
+  * numbers — render identically. */
+case class JsonParseCanonical(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override protected def nullSafeEval(s: Any): Any = {
+    val v =
+      try Json.parse(s.toString)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"json_parse: invalid JSON text: ${e.getMessage}")
+      }
+    UTF8String.fromString(Json.render(JsonParseCanonical.sortKeys(v)))
+  }
+}
+
+object JsonParseCanonical {
+  def sortKeys(v: JValue): JValue = v match {
+    case JObject(fields) =>
+      JObject(fields.map { case (k, x) => (k, sortKeys(x)) }.sortBy(_._1))
+    case JArray(items) => JArray(items.map(sortKeys))
+    case other => other
+  }
+}
+
+/** Presto/Trino `json_size(json, path)` — the size of the value at a JSON
+  * path: object → number of keys, array → number of elements, scalar → 0,
+  * missing path or invalid JSON → NULL (the extract-family tolerance). The
+  * path grammar is the subset Presto documents and the reference's queries
+  * use: `$`, `.key`, `['key']`, `[index]`; a malformed path fails loudly. */
+case class JsonSizeAtPath(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override protected def nullSafeEval(json: Any, path: Any): Any =
+    Json.parseOpt(json.toString) match {
+      case None => null
+      case Some(root) =>
+        JsonPathWalk.walk(root, path.toString) match {
+          case None                 => null
+          case Some(JObject(f))     => f.size.toLong
+          case Some(JArray(items))  => items.size.toLong
+          case Some(_)              => 0L
+        }
+    }
+}
+
+/** Minimal JSONPath-subset walker shared by the json_size spelling:
+  * `$` root, `.key` member access, `['key']` quoted member, `[n]` array
+  * index. Missing hops yield None; malformed paths throw (Presto raises on
+  * an unparseable path, but tolerates a path that merely doesn't match). */
+object JsonPathWalk {
+  def walk(root: JValue, path: String): Option[JValue] = {
+    val n = path.length
+    if (n == 0 || path.charAt(0) != '$')
+      throw new IllegalArgumentException(s"json path must start with '$$': $path")
+    var cur: Option[JValue] = Some(root)
+    var i = 1
+    while (i < n && cur.isDefined) {
+      path.charAt(i) match {
+        case '.' =>
+          var j = i + 1
+          while (j < n && path.charAt(j) != '.' && path.charAt(j) != '[') j += 1
+          val key = path.substring(i + 1, j)
+          if (key.isEmpty)
+            throw new IllegalArgumentException(s"empty key segment in json path: $path")
+          cur = cur.flatMap { case o: JObject => o.get(key); case _ => None }
+          i = j
+        case '[' =>
+          val j = path.indexOf(']', i)
+          if (j < 0)
+            throw new IllegalArgumentException(s"unclosed '[' in json path: $path")
+          val seg = path.substring(i + 1, j).trim
+          if (seg.length >= 2 && (seg.charAt(0) == '\'' || seg.charAt(0) == '"') &&
+              seg.charAt(seg.length - 1) == seg.charAt(0)) {
+            val key = seg.substring(1, seg.length - 1)
+            cur = cur.flatMap { case o: JObject => o.get(key); case _ => None }
+          } else {
+            val idx =
+              try seg.toInt
+              catch {
+                case _: NumberFormatException => throw new IllegalArgumentException(
+                  s"bad array index '$seg' in json path: $path")
+              }
+            cur = cur.flatMap {
+              case JArray(items) if idx >= 0 && idx < items.size => Some(items(idx))
+              case _ => None
+            }
+          }
+          i = j + 1
+        case c =>
+          throw new IllegalArgumentException(s"unexpected '$c' in json path: $path")
+      }
+    }
+    cur
+  }
+}
+
+/** Column-level wrappers for the JSON-tail kernels, so declared queries can
+  * use them on a vanilla session (the SQL spellings json_parse/json_format/
+  * json_size need the GraftExtensions registry; these do not). */
+object PrestoJsonFunctions {
+  import org.apache.spark.sql.{graftshim, Column}
+  def jsonParse(c: Column): Column =
+    graftshim.column(JsonParseCanonical(graftshim.expression(c)))
+  def jsonSize(c: Column, path: Column): Column =
+    graftshim.column(JsonSizeAtPath(graftshim.expression(c), graftshim.expression(path)))
+}

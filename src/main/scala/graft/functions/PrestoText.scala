@@ -235,14 +235,16 @@ object WordStem {
   * instance counts occurrences from the end of the string. instance = 0 is
   * an error, per Presto. Positions are counted in Unicode code points
   * (Presto positions are code-point based — the same convention the r14
-  * hamming_distance fix adopted). Directionality matters for
-  * SELF-OVERLAPPING needles (Trino's model, matched here): positive
-  * instances enumerate non-overlapping matches scanning FORWARD (each next
-  * search starts past the previous match's end), negative instances
-  * enumerate non-overlapping matches scanning BACKWARD from the end (each
-  * next search ends before the previous match's start) — so
-  * strpos('aaa','aa',1) = 1 but strpos('aaa','aa',-1) = 2: the two packings
-  * pick different occurrence sets when the needle overlaps itself. */
+  * hamming_distance fix adopted). Occurrences are enumerated OVERLAPPING,
+  * Trino's model (StringFunctions.stringPositionFromStart/FromEnd advance
+  * the scan by ONE position past each match, not past its end): positive
+  * instances scan forward with next-start = found + 1, negative instances
+  * scan backward from the end with next-end = found - 1 — so
+  * strpos('aaa','aa',2) = 2 (the overlapping second occurrence) and
+  * strpos('aaa','aa',-2) = 1. The empty needle matches at the start for
+  * EVERY instance: strpos(s, '', k) = 1 for all k != 0 (r16 ADVICE fix —
+  * the r15 scan was non-overlapping, which diverged from Trino on
+  * self-overlapping needles). */
 case class StrPosInstance(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
 
@@ -269,12 +271,15 @@ object StrPosInstance {
       throw new IllegalArgumentException("strpos: instance must not be 0")
     val s = str.toString
     val t = sub.toString
-    // Presto: strpos(s, '') = 1 for any s (the empty needle matches at the
-    // start); with instance > 1 there is no further distinct occurrence.
-    if (t.isEmpty) return if (math.abs(instance) == 1) 1 else 0
+    // Presto: strpos(s, '', k) = 1 for any s and any k != 0 — the empty
+    // needle matches at the start for every instance (Trino's
+    // StringFunctions short-circuits before counting occurrences).
+    if (t.isEmpty) return 1
     val pick =
       if (instance > 0) {
-        // forward non-overlapping scan: next search starts past the match
+        // forward OVERLAPPING scan: next search starts one position past
+        // the previous match's START (Trino's index + 1), so
+        // strpos('aaa','aa',2) = 2
         var remaining = instance
         var from = 0
         var found = -1
@@ -282,13 +287,12 @@ object StrPosInstance {
           found = s.indexOf(t, from)
           if (found < 0) return 0
           remaining -= 1
-          from = found + t.length
+          from = found + 1
         }
         found
       } else {
-        // backward non-overlapping scan from the end: next search must END
-        // before this match starts (r15 review fix — the forward packing
-        // gives a DIFFERENT occurrence set for self-overlapping needles)
+        // backward OVERLAPPING scan from the end: next search ends one
+        // position before the previous match's start (Trino's index - 1)
         var remaining = -instance
         var from = s.length - t.length
         var found = -1
@@ -297,7 +301,7 @@ object StrPosInstance {
           found = s.lastIndexOf(t, from)
           if (found < 0) return 0
           remaining -= 1
-          from = found - t.length
+          from = found - 1
         }
         found
       }

@@ -117,6 +117,66 @@ object VectorOps {
     ArrayData.toArrayData(out)
   }
 
+  /** Within-document duplicated word-n-gram COVERAGE — the Gopher Table A1
+    * "fraction of characters in duplicate n-grams" kernel (dup coverage is
+    * doc-local by definition, so the whole measurement is one per-row JIT'd
+    * pass; the r15 relational form shuffled + externally sorted the full
+    * corpus gram stream and carried a measured 1.6x-per-decade slope).
+    * Returns [covered_tokens, covered_chars]: the POSITION-UNION size of
+    * tokens under n-grams occurring >1 time in the document, and the sum of
+    * those tokens' character lengths. Method: argsort gram start indexes by
+    * token-sequence order (no gram strings are materialized — comparisons
+    * walk the token arrays), mark starts equal to a sorted neighbor, paint
+    * a boolean coverage array, count. O(len·log len·n) comparisons, O(len)
+    * memory, zero exchange. `UTF8String.split` carries Spark's own
+    * `split(text, ' ')` semantics (empty tokens included), numChars
+    * matches `length(token)`. */
+  def dupNgramCoverage(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val words = s.split(org.apache.spark.unsafe.types.UTF8String.fromString(" "), -1)
+    val w = words.length
+    val l = w - n + 1
+    if (l <= 0) return ArrayData.toArrayData(Array(0L, 0L))
+    val idx = new Array[Integer](l)
+    var i = 0
+    while (i < l) { idx(i) = Integer.valueOf(i); i += 1 }
+    val cmp = new java.util.Comparator[Integer] {
+      override def compare(x: Integer, y: Integer): Int = {
+        val a = x.intValue(); val b = y.intValue()
+        var k = 0
+        while (k < n) {
+          val c = words(a + k).compareTo(words(b + k))
+          if (c != 0) return c
+          k += 1
+        }
+        0
+      }
+    }
+    java.util.Arrays.sort(idx, cmp)
+    val dupStart = new Array[Boolean](l)
+    var j = 0
+    while (j < l - 1) {
+      if (cmp.compare(idx(j), idx(j + 1)) == 0) {
+        dupStart(idx(j).intValue()) = true
+        dupStart(idx(j + 1).intValue()) = true
+      }
+      j += 1
+    }
+    val covered = new Array[Boolean](w)
+    i = 0
+    while (i < l) {
+      if (dupStart(i)) { var p = i; while (p < i + n) { covered(p) = true; p += 1 } }
+      i += 1
+    }
+    var tok = 0L
+    var chars = 0L
+    var p = 0
+    while (p < w) {
+      if (covered(p)) { tok += 1L; chars += words(p).numChars().toLong }
+      p += 1
+    }
+    ArrayData.toArrayData(Array(tok, chars))
+  }
+
   /** 46-bit polynomial string hash — acc = (acc*131 + byte) % 2^46, seed 7
     * — the shared n-gram/word hash behind the Bloom decontamination probes
     * and the feature-hashing vectorizer. BIT-IDENTICAL on ASCII input to
@@ -286,6 +346,25 @@ case class LexStats(child: Expression)
     copy(child = newChild)
 }
 
+/** dupNgramCoverage(text, n) -> [covered_tokens, covered_chars]; null-safe,
+  * codegen'd (see [[VectorOps.dupNgramCoverage]]). */
+case class DupNgramCoverage(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    VectorOps.dupNgramCoverage(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.VectorOps.dupNgramCoverage($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DupNgramCoverage =
+    copy(left = newLeft, right = newRight)
+}
+
 /** simhash64(hashes) over an array<long> of per-token hashes; codegen'd. */
 case class SimHash64(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -324,6 +403,10 @@ object VectorFunctions {
     * (codegen'd; see [[LexStats]]). */
   def lexStats(text: Column): Column =
     graftshim.column(LexStats(graftshim.expression(text)))
+  /** [covered_tokens, covered_chars] under within-doc duplicated n-grams
+    * (codegen'd; see [[DupNgramCoverage]]). */
+  def dupNgramCoverage(text: Column, n: Column): Column =
+    graftshim.column(DupNgramCoverage(graftshim.expression(text), graftshim.expression(n)))
 
   /** Bit positions -> packed bitmap words. A Scala UDF on purpose: it runs
     * once per DOCUMENT (not per candidate pair), and the equivalent nested

@@ -242,8 +242,14 @@ object SignatureStore {
     fs.delete(tt, true)
     tombstones.select(idCol).write.mode(SaveMode.Overwrite).parquet(tt.toString)
     StoreCommit.writeMeta(fs, tt, thisBatch)
-    // stamp (or clear) the ad-hoc-cursor marker atomically with the cursor
-    if (batchId.isEmpty) fs.create(new Path(tt, AdhocMarker), true).close()
+    // stamp the ad-hoc-cursor marker atomically with the cursor. The marker
+    // is STICKY: once ANY ad-hoc append has advanced this store's cursor,
+    // a later batch-stamped append must carry it forward — clearing it here
+    // would let a still-unapplied lower batchId slip past the mixing guard
+    // above as a silent "replay" (r16 ADVICE). Only build()'s whole-root
+    // swap retires the marker.
+    if (batchId.isEmpty || fs.exists(new Path(tombDir(dir), AdhocMarker)))
+      fs.create(new Path(tt, AdhocMarker), true).close()
     StoreCommit.swap(fs, tombDir(dir), tt)
     // maintenance AFTER the commit (so a replayed batch can never observe
     // its delta file compacted away): fold buckets over the threshold

@@ -214,6 +214,50 @@ object EventsQueries {
         CAST(json_extract_string(props_norm, '$.k') AS BIGINT) AS k2
       FROM norm ORDER BY event_id"""))
 
+  /** The Presto JSON-family tail (r15 verdict missing #3): json_parse
+    * (validate + canonicalize — minify, sort keys, last-wins dup keys;
+    * Trino's sorted-mapper kernel), json_format (serialize: identity over
+    * this engine's canonical-text JSON representation) and json_size (size
+    * of the value at a path: object → #keys, array → #elements, scalar →
+    * 0, missing → NULL). Declared through the kernels' Column wrappers
+    * (the SQL spellings are EngineSpec-pinned on an extensions-enabled
+    * session). The probe document is CONSTRUCTED per row with messy
+    * whitespace — canonicalization does real work — but with keys already
+    * sorted, because DuckDB's json() minifier preserves key order: the
+    * key-SORTING half of the kernel is pinned in EngineSpec where Trino's
+    * behavior is the only oracle. Pure projection, no exchange. */
+  private val jsonPresto = Q(
+    "q_events_json_presto",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("doc", concat(
+          lit("""{ "arr" : [ 1, 2, 3 ],  "id" : """), col("event_id").cast("string"),
+          lit(""" , "meta" : { "k" : """), get_json_object(col("props"), "$.k"),
+          lit(""" , "t" : """" ), col("event_type"), lit(""""  } }""")))
+        .select(
+          col("event_id"),
+          graft.functions.PrestoJsonFunctions.jsonParse(col("doc")).as("canon"),
+          graft.functions.PrestoJsonFunctions.jsonSize(col("doc"), lit("$")).as("sz_root"),
+          graft.functions.PrestoJsonFunctions.jsonSize(col("doc"), lit("$.meta")).as("sz_meta"),
+          graft.functions.PrestoJsonFunctions.jsonSize(col("doc"), lit("$.arr")).as("sz_arr"),
+          graft.functions.PrestoJsonFunctions.jsonSize(col("doc"), lit("$.id")).as("sz_scalar"),
+          graft.functions.PrestoJsonFunctions.jsonSize(col("doc"), lit("$.nope")).as("sz_miss"))
+        .orderBy("event_id"),
+    Some("""WITH j AS (
+        SELECT event_id,
+          '{ "arr" : [ 1, 2, 3 ],  "id" : ' || event_id ||
+          ' , "meta" : { "k" : ' || json_extract_string(props, '$.k') ||
+          ' , "t" : "' || event_type || '"  } }' AS doc
+        FROM events)
+      SELECT event_id,
+        json(doc)::VARCHAR AS canon,
+        CAST(len(json_keys(doc, '$')) AS BIGINT) AS sz_root,
+        CAST(len(json_keys(doc, '$.meta')) AS BIGINT) AS sz_meta,
+        CAST(json_array_length(doc, '$.arr') AS BIGINT) AS sz_arr,
+        CAST(0 AS BIGINT) AS sz_scalar,
+        CAST(NULL AS BIGINT) AS sz_miss
+      FROM j ORDER BY event_id"""))
+
   /** Ordered 3-step funnel (view → click → purchase): per user, the earliest
     * view, the earliest click strictly after it, the earliest purchase
     * strictly after that — the event-sequence analytics shape (who
@@ -943,7 +987,7 @@ object EventsQueries {
                         AS DECIMAL(24,8)), 6) AS DOUBLE) AS ewma
       FROM s ORDER BY user_id"""))
 
-  val all: Seq[Q] = Seq(jsonExtract, jsonRoundtrip, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple, jsonSize,
+  val all: Seq[Q] = Seq(jsonExtract, jsonRoundtrip, jsonPresto, hourlyWindow, distinctRows, perUser, typesPerUser, jsonTuple, jsonSize,
     sessionize, saltedAgg, variantExtract, funnel, retention, resample, interpolate, anomaly, markov, sliding,
     kanon, ldiversity, tcloseness, sequences, changepoint, regularity, windowSession,
     windowTimeRange, ewma)

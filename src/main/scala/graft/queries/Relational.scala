@@ -1845,6 +1845,78 @@ object Relational {
         strftime(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS iso_date_rt
       FROM orders ORDER BY o_orderkey"""))
 
+  /** The from_unixtime TYPE-divergence row (r15 verdict missing #2):
+    * Presto's from_unixtime(double) returns TIMESTAMP where Spark's
+    * same-named built-in returns a session-tz STRING — the one dialect
+    * divergence that neither fails loudly nor matches silently-identical.
+    * The Presto semantics are declared through the non-shadowing
+    * `presto_from_unixtime` lowering (`timestamp_seconds` — fractional
+    * seconds kept; deviation note + EngineSpec pin beside the
+    * registration), formatted to text per the no-raw-timestamp contract;
+    * Spark's native string-returning form rides along so the row hashes
+    * BOTH sides of the divergence. Narrow projection, no exchange. */
+  private val dateFromUnixtime = Q(
+    "q_date_from_unixtime",
+    (s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          date_format(timestamp_seconds(col("o_orderkey").cast("double") + lit(0.25d)),
+            "yyyy-MM-dd HH:mm:ss.SSS").as("presto_ts"),
+          from_unixtime(col("o_orderkey")).as("spark_str"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        strftime(to_timestamp(o_orderkey + 0.25), '%Y-%m-%d %H:%M:%S.%g') AS presto_ts,
+        strftime(to_timestamp(o_orderkey), '%Y-%m-%d %H:%M:%S') AS spark_str
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Presto `regexp_split` (r15 verdict missing #4) — declared through its
+    * native lowering split(s, pattern, -1), whose -1 limit PRESERVES
+    * trailing empty strings exactly as Presto does (and as DuckDB's
+    * string_split_regex does — the oracle is a genuine third
+    * implementation of the same contract). Output flattened to atomic
+    * columns: the joined parts, the count, and the trailing-empty witness
+    * (names ending in a vowel produce one). Narrow projection, no
+    * exchange. */
+  private val regexpSplit = Q(
+    "q_string_regexp_split",
+    (s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          array_join(split(col("p_name"), "[aeiou]+", -1), "|").as("parts"),
+          size(split(col("p_name"), "[aeiou]+", -1)).cast("long").as("n_parts"),
+          (element_at(split(col("p_name"), "[aeiou]+", -1), -1) === "").as("trail_empty"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+        array_to_string(string_split_regex(p_name, '[aeiou]+'), '|') AS parts,
+        CAST(len(string_split_regex(p_name, '[aeiou]+')) AS BIGINT) AS n_parts,
+        string_split_regex(p_name, '[aeiou]+')[-1] = '' AS trail_empty
+      FROM part ORDER BY p_partkey"""))
+
+  /** Presto `approx_distinct` (r15 verdict missing #4) — declared through
+    * its native lowering approx_count_distinct(x, 0.023) (both are HLL++;
+    * 0.023 is Presto's default standard error, pinned by the
+    * registration). Like q_agg_approx_distinct, the cross-engine check is
+    * the estimator's CONTRACT (within 5% of exact — sketches differ
+    * between engines), plus the exact count itself. One partial-agg
+    * exchange. */
+  private val aggApproxPresto = Q(
+    "q_agg_approx_presto",
+    (s, d) =>
+      t(s, d, "orders")
+        .agg(
+          countDistinct("o_custkey").as("exact_custs"),
+          approx_count_distinct(col("o_custkey"), 0.023).as("approx_raw"))
+        .select(
+          col("exact_custs"),
+          (abs(col("approx_raw") - col("exact_custs")) <
+            col("exact_custs") * 0.05).as("within_5pct")),
+    Some("""SELECT count(DISTINCT o_custkey) AS exact_custs,
+        abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+          < count(DISTINCT o_custkey) * 0.05 AS within_5pct
+      FROM orders"""))
+
   /** Presto binary-encoding spellings: to_hex/from_hex, to_base64/
     * from_base64, to_utf8/from_utf8 (registered in GraftExtensions; the
     * declared forms are the native hex/unhex/base64/unbase64/encode/decode
@@ -2791,6 +2863,29 @@ object Relational {
         FROM w) sub
       ORDER BY p_partkey, word, wlen"""))
 
+  /** Presto's idiomatic array-flattening join, VERBATIM — the single most
+    * common Athena spelling a migrating reference user types
+    * (`CROSS JOIN UNNEST(arr) AS t(x)`; README.md:116 "any valid Presto
+    * SQL"). Spark's grammar rejects UNNEST outright, so [[graft.Engine.sql]]
+    * pre-parse-rewrites the simple single-array form to
+    * `LATERAL VIEW explode` — this row drives that path end-to-end (the
+    * rewrite mechanics, quote-awareness and loud-failure edges are pinned
+    * in EngineSpec). DISTINCT makes row order unique for the compare; the
+    * generator inlines into the scan projection, no join, no exchange
+    * beyond the aggregate. */
+  private val unnestPresto = Q(
+    "q_unnest_presto",
+    (s, d) => {
+      Tables.views(s, d, "part")
+      graft.Engine.sql(s,
+        """SELECT DISTINCT p_partkey, w
+           FROM part CROSS JOIN UNNEST(split(p_name, ' ')) AS t(w)
+           ORDER BY p_partkey, w""")
+    },
+    Some("""SELECT DISTINCT p_partkey, w
+      FROM part, LATERAL unnest(string_split(p_name, ' ')) t(w)
+      ORDER BY p_partkey, w"""))
+
   // -- subqueries (via spark.sql so Catalyst does the decorrelation) -----------
 
   private val subqueryIn = Q(
@@ -3065,12 +3160,13 @@ object Relational {
     recursiveCte,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
     condFns, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
-    stringNormalize, stringMetrics, stringStrpos, encodingPresto, mathPresto,
+    stringNormalize, stringMetrics, stringStrpos, regexpSplit, encodingPresto, mathPresto,
     dateFns, dateFns2, dateTz, datePrestoFmt, dateParse, datePrestoRoundtrip,
-    datePrestoIso,
-    mathFns, mathFns2,
+    datePrestoIso, dateFromUnixtime,
+    mathFns, mathFns2, aggApproxPresto,
     aggWidthBucket, arrayFns, arrayLambda, arraySortLambda, arrayQuantifiers, arrayNgrams,
-    mapFns, mapLambda, mapParse, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti, tryFns,
+    mapFns, mapLambda, mapParse, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti,
+    unnestPresto, tryFns,
     urlFns, urlExtract, bitwiseFns,
     subqueryIn, subqueryScalar, subqueryExists)
 }

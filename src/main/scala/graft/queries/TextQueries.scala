@@ -1247,43 +1247,37 @@ object TextQueries {
     * so the same cut is conservative). Where `q_text_rep_ngrams`
     * catches one dominant phrase, this catches diffuse self-repetition —
     * coverage is a POSITION UNION (a character under three overlapping
-    * duplicated 6-grams counts once), computed relationally: duplicated
-    * window starts come from a count window over the (doc, n, gram) key
-    * (one shuffle, no self-join), expand to covered token positions,
-    * dedupe, and meet the token-position frame through a (doc, pos)
-    * equi-join to pick up character lengths. Everything is linear in
-    * corpus x len x 6 and integer basis points, so the oracle is exact. */
+    * duplicated 6-grams counts once). Every quantity here is DOC-LOCAL
+    * (duplicates are within-document by definition), so the scale-correct
+    * plan is a ZERO-EXCHANGE per-row fold, not the r15 relational shape
+    * whose `count(*) OVER (doc, n, gram)` externally sorted the full gram
+    * stream and was the suite's one measured adverse decade slope (1.6x
+    * per-row per decade; the groupBy/join-back rewrites measured 1.3-1.9
+    * — better, still shuffle-state-bound). Per (doc, n) row: build the
+    * gram array, `array_sort` it zipped with start positions (O(len log
+    * len) inside the row, Tungsten-free), mark starts whose gram equals a
+    * sorted neighbor's (= occurs >1 time), union coverage with
+    * flatten+array_distinct (an O(len) hash set), and sum word lengths by
+    * direct `element_at` into the tokens array — no join to a position
+    * frame, no aggregate, no window. The only exchange in the plan is the
+    * presentation ORDER BY; per-row cost is independent of corpus size by
+    * construction. Integer basis points keep the oracle exact. */
   private val dupNgrams = Q(
     "q_text_dup_ngrams",
-    (s, d) => {
-      val docs = t(s, d, "documents").select(
-        col("doc_id"), split(col("text"), " ").as("ws"),
-        length(col("text")).cast("long").as("n_chars"))
-      val pos = docs.select(col("doc_id"), posexplode(col("ws")))
-        .toDF("doc_id", "p0", "w")
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-          length(col("w")).cast("long").as("wlen"))
-      val grams = docs
-        .select(col("doc_id"), col("n_chars"), col("ws"),
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"),
           explode(expr("array(2, 3, 4, 5, 6)")).as("n"))
-        .filter(size(col("ws")) >= col("n"))
-        .select(col("doc_id"), col("n_chars"), col("n"),
-          posexplode(expr(
-            "transform(sequence(1, size(ws) - n + 1), i -> array_join(slice(ws, i, n), ' '))")))
-        .toDF("doc_id", "n_chars", "n", "i0", "gram")
-        .select(col("doc_id"), col("n_chars"), col("n"), (col("i0") + 1).cast("long").as("i"),
-          col("gram"))
-      val dupStarts = grams
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("doc_id", "n", "gram")))
-        .filter(col("cnt") > 1)
-      val covered = dupStarts
-        .select(col("doc_id"), col("n_chars"), col("n"),
-          explode(expr("sequence(i, i + cast(n AS bigint) - 1)")).as("pos"))
-        .distinct()
-      covered
-        .join(pos, Seq("doc_id", "pos"))
-        .groupBy("doc_id", "n_chars", "n")
-        .agg(count(lit(1)).as("covered_tokens"), sum("wlen").as("covered_chars"))
+        .withColumn("st",
+          graft.functions.VectorFunctions.dupNgramCoverage(col("text"), col("n")))
+        // a doc with no duplicated n-gram (or too few tokens) has zero
+        // coverage and produces no row — the r15 inner-join semantics
+        .filter(col("st")(0) > 0)
+        .select(
+          col("doc_id"), col("n"), col("n_chars"),
+          col("st")(0).as("covered_tokens"),
+          col("st")(1).as("covered_chars"))
         .select(
           col("doc_id"), col("n"),
           col("covered_tokens"), col("covered_chars"),
@@ -1295,8 +1289,7 @@ object TextQueries {
         // cast in a SEPARATE projection: casting n in the select whose
         // flagged threshold references it would self-shadow (EngineSpec lint)
         .withColumn("n", col("n").cast("long"))
-        .orderBy("doc_id", "n")
-    },
+        .orderBy("doc_id", "n"),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
                    CAST(length(text) AS BIGINT) AS n_chars FROM documents),
       pos AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,

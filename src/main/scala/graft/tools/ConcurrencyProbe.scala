@@ -59,9 +59,17 @@ object ConcurrencyProbe {
     s
   }
 
-  /** (serial_total, serial_per, concurrent_total, concurrent_per). */
-  private def phases(mode: String, sfDir: String, k: Int)
-      : (Double, Map[String, Double], Double, Map[String, Double]) = {
+  /** (serial_total, serial_per, concurrent_total, concurrent_per[, writer
+    * batches applied during the concurrent phase]). With `writerDir` set
+    * (r15 verdict task 8 — concurrency × stores), a MAINTENANCE-WRITER
+    * tenant runs a SignatureStore micro-batch append loop on the same
+    * session for the whole concurrent phase: the question is whether a
+    * live store writer (driver-side cursor reads, FileSystem renames,
+    * per-bucket compactions) inflates co-tenant QUERY latency beyond the
+    * pure query-vs-query number. */
+  private def phases(mode: String, sfDir: String, k: Int,
+      writerDir: Option[String] = None)
+      : (Double, Map[String, Double], Double, Map[String, Double], Int) = {
     val spark = session(mode)
     try {
       // JIT/scan warmup, untimed (the bench's discipline — without it the
@@ -75,7 +83,37 @@ object ConcurrencyProbe {
 
       val pool = Executors.newFixedThreadPool(k)
       val per = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+      // optional mixed tenant: constant-delta signature micro-batches from
+      // a dedicated thread, started with the pool, stopped when it drains
+      @volatile var writerStop = false
+      val writerBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val writer = writerDir.map { wd =>
+        import org.apache.spark.sql.functions.{col, concat, lit, xxhash64}
+        def sigs(b: Int) = spark.range(2000).select(
+          (lit(b.toLong * 2000) + col("id")).as("doc_id"),
+          (col("id") % 8).as("band"),
+          xxhash64(concat(lit(b.toString), col("id"))).as("bh"))
+        graft.operators.SignatureStore.build(spark, sigs(0), wd)
+        val th = new Thread(() => {
+          var b = 1
+          while (!writerStop) {
+            try {
+              graft.operators.SignatureStore.append(spark, sigs(b), wd,
+                batchId = Some(b.toLong))
+              writerBatches.incrementAndGet()
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[concprobe] writer tenant FAILED: ${e.getMessage}")
+                writerStop = true
+            }
+            b += 1
+          }
+        }, "graft-writer-tenant")
+        th.setDaemon(true)
+        th
+      }
       val t1 = System.nanoTime()
+      writer.foreach(_.start())
       Set12.foreach { n =>
         pool.submit(new Runnable {
           override def run(): Unit =
@@ -96,29 +134,50 @@ object ConcurrencyProbe {
         System.err.println("[concprobe] concurrent phase TIMED OUT at 30 min")
       }
       val concTotal = (System.nanoTime() - t1) / 1e9
+      writerStop = true
+      writer.foreach(_.join(120000))
       import scala.jdk.CollectionConverters._
       val concPer = Set12.map(n =>
         n -> per.asScala.getOrElse(n, Double.NaN)).toMap
-      (serialTotal, serialPer.toMap, concTotal, concPer)
+      (serialTotal, serialPer.toMap, concTotal, concPer, writerBatches.get())
     } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(4)
+    val mixed = args.contains("mixed")
 
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def fmtPer(per: Map[String, Double]): String =
       Set12.map(n => s""""$n":${f"${per(n)}%.2f"}""").mkString("{", ",", "}")
 
-    val out = Seq("FIFO", "FAIR").map { mode =>
-      val (sTot, sPer, cTot, cPer) = phases(mode, sfDir, k)
+    def block(label: String, mode: String, writerDir: Option[String]): String = {
+      val (sTot, sPer, cTot, cPer, wb) = phases(mode, sfDir, k, writerDir)
       val inf = Set12.map(n => n -> (cPer(n) / sPer(n))).sortBy(-_._2)
-      f""""${mode.toLowerCase}":{"serial_total_sec":$sTot%.2f,""" +
+      f""""$label":{"serial_total_sec":$sTot%.2f,""" +
         f""""concurrent_total_sec":$cTot%.2f,"speedup":${sTot / cTot}%.2f,""" +
         f""""inflation_median":${med(inf.map(_._2))}%.2f,""" +
         f""""inflation_max":"${inf.head._1}:${inf.head._2}%.2f",""" +
+        (if (writerDir.isDefined) s""""writer_batches_applied":$wb,""" else "") +
         s""""serial_per":${fmtPer(sPer)},"concurrent_per":${fmtPer(cPer)}}"""
+    }
+
+    if (mixed) {
+      // r15 verdict task 8: the K-way FIFO run twice — pure queries, then
+      // the same queries sharing the session with a LIVE store-maintenance
+      // writer tenant. The diff of the two inflation tables is the
+      // writer's latency tax on co-tenant queries.
+      val wd = java.nio.file.Files.createTempDirectory("graft_concwriter").toString
+      println(
+        s"""{"probe":"concurrency_mixed","k":$k,"sf":"$sfDir","n_queries":${Set12.size},""" +
+          block("fifo_plain", "FIFO", None) + "," +
+          block("fifo_with_writer", "FIFO", Some(s"$wd/signature")) + "}")
+      return
+    }
+
+    val out = Seq("FIFO", "FAIR").map { mode =>
+      block(mode.toLowerCase, mode, None)
     }
     println(
       s"""{"probe":"concurrency","k":$k,"sf":"$sfDir","n_queries":${Set12.size},""" +

@@ -169,26 +169,38 @@ object SpillProbe {
       "q_window_frames", "q_window_dist", "q_agg_collect",
       "q_agg_approx_percentile", "q_text_perplexity5"))
     val heap = Runtime.getRuntime.maxMemory()
+    // SPARK_GRAFT_PRESET=cluster-sane bundles the r15 pressure-ladder
+    // findings into one switch (r15 verdict task 5 — previously the three
+    // knobs lived only in PERF.md prose): shuffle partitions sized so
+    // reduce-side state is rows/256 not rows/32, 16 MB Tungsten pages (the
+    // default heuristic requests 1 GiB pages on small heaps), 16 MB input
+    // splits (explode-heavy scans are ~10x bytes-out per byte-in). Any
+    // individual SPARK_GRAFT_* env still overrides its preset value. This
+    // is the 100 TB operator's STARTING config — see README "Deployment
+    // profile".
+    val clusterSane = sys.env.get("SPARK_GRAFT_PRESET").contains("cluster-sane")
+    def dial(name: String, benchDefault: String, saneDefault: String): String =
+      sys.env.getOrElse(name, if (clusterSane) saneDefault else benchDefault)
     val spark = SparkSession.builder()
       // SPARK_GRAFT_CPUS dials concurrency: heap ÷ threads = per-core
       // memory, the cluster-shape invariant a pressure ladder must be able
       // to hold fixed (6 GiB/32 threads is 0.19 GB/core — below any real
       // executor; 6 GiB/8 is a plausible tight one)
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .master(s"local[${dial("SPARK_GRAFT_CPUS", "32", "8")}]")
       // SPARK_GRAFT_SHUFFLE overrides the bench default: per-task sort/agg
       // state is (rows / shuffle partitions)-bounded, so the partition
       // count is the standard cluster dial this probe must be able to turn
       // to show an operator's pressure behavior is knob-fixable rather
       // than plan-broken (the 100x dup_ngrams certification)
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+        dial("SPARK_GRAFT_SHUFFLE", "32", "256"))
       // SPARK_GRAFT_PAGESIZE caps the Tungsten page size: Spark's default
       // heuristic sizes pages off the pool and can request 1 GiB pages on
       // a small constrained heap (observed: the 100x dup_ngrams run at
       // 3 GiB died on a 1 GiB page allocation AFTER spilling correctly) —
       // a many-core/small-heap box needs the standard small-page knob
       .config("spark.buffer.pageSize",
-        sys.env.getOrElse("SPARK_GRAFT_PAGESIZE", "64m"))
+        dial("SPARK_GRAFT_PAGESIZE", "64m", "16m"))
       // SPARK_GRAFT_MAXPART shrinks input splits: an expansion-heavy scan
       // (the gram explode is ~10x bytes-out per byte-in) turns one 128 MB
       // split into >1 GB of map-side shuffle records — at tight per-core
@@ -196,7 +208,7 @@ object SpillProbe {
       // task's working set executor-sized (the brief's
       // files.maxPartitionBytes guidance, exercised)
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
+        dial("SPARK_GRAFT_MAXPART", "134217728", "16777216"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)

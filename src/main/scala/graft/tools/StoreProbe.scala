@@ -63,7 +63,101 @@ object StoreProbe {
       s"""{"store":"$name","error":"${e.getClass.getSimpleName}"}"""
   }
 
+  /** Reader-WHILE-writer consistency drive (r15 verdict task 6): the
+    * bucketed stores' crash/replay discipline is single-writer-pinned, but
+    * the committed-cursor gating at read time exists precisely so a
+    * CONCURRENT reader is safe during publishDelta and per-bucket
+    * compaction. This drives a reader thread across a writer horizon and
+    * checks every successful read equals a COMMITTED PREFIX of the feed:
+    * each batch appends exactly `delta` rows with dense doc_ids, so a
+    * consistent snapshot has count = (c+1)·delta for some batch c inside
+    * the [cursor-before, cursor-after] window of that read, and
+    * max(doc_id) = count−1 (count and max come from ONE action — two
+    * actions could legally straddle a commit). An uncommitted-delta leak
+    * (torn publish window) shows as implied > cursor-after; a lost file
+    * shows as a non-multiple or a max/count mismatch.
+    *
+    * CONTRACT NOTE (documented, measured here): the per-bucket compaction
+    * swap deletes the folded delta files after the rename, so a reader
+    * whose file listing predates the swap can fail TRANSIENTLY
+    * (vanished-file error) — a retry re-lists and lands on a newer
+    * committed prefix. The probe counts those retries separately from
+    * violations; correctness means violations = 0, with retries expected
+    * to be a small fraction of reads.
+    *
+    * Run: sbt 'runMain graft.tools.StoreProbe rw [batches] [deltaRows] [base]'
+    * Returns (reads, transient-retries, violations). */
+  def readerWriterRun(
+      spark: SparkSession, dir: String, batches: Int, delta: Int): (Int, Int, Seq[String]) = {
+    import graft.operators.SignatureStore
+    def sigs(b: Int) = spark.range(delta).select(
+      (lit(b.toLong * delta) + col("id")).as("doc_id"),
+      (col("id") % 8).as("band"),
+      xxhash64(col("id") + lit(b)).as("bh"))
+    SignatureStore.build(spark, sigs(0), dir) // reader starts on a built store
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var done = false
+    val reader = new Thread(() => {
+      while (!done) {
+        val cBefore = SignatureStore.committedBatch(spark, dir)
+        try {
+          val row = SignatureStore.read(spark, dir)
+            .agg(count(lit(1)).as("n"), max("doc_id").as("mx")).collect()(0)
+          val n = row.getLong(0)
+          val mx = if (row.isNullAt(1)) -1L else row.getLong(1)
+          val cAfter = SignatureStore.committedBatch(spark, dir)
+          reads.incrementAndGet()
+          // build alone (cursor −1) is the prefix of batch 0: one delta
+          val implied = n / delta - 1
+          val ok = n > 0 && n % delta == 0 && mx == n - 1 &&
+            implied >= math.max(cBefore, 0L) && implied <= math.max(cAfter, 0L)
+          if (!ok) violations.add(
+            s"count=$n max=$mx implied=$implied window=[$cBefore,$cAfter]")
+        } catch {
+          case _: Throwable => retries.incrementAndGet() // compaction-swap window
+        }
+      }
+    }, "graft-store-reader")
+    reader.setDaemon(true)
+    reader.start()
+    (1 until batches).foreach { b =>
+      SignatureStore.append(spark, sigs(b), dir, batchId = Some(b.toLong))
+    }
+    // let the reader land at least one more full read after the final
+    // commit (a quiescent-state read must also equal the final prefix)
+    val atEnd = reads.get()
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (reads.get() <= atEnd && System.nanoTime() < deadline) Thread.sleep(10)
+    done = true
+    reader.join(60000)
+    (reads.get(), retries.get(), violations.toArray(Array.empty[String]).toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("rw")) {
+      val batches = args.lift(1).map(_.toInt).getOrElse(60)
+      val delta = args.lift(2).map(_.toInt).getOrElse(5000)
+      val base = args.lift(3).getOrElse("/tmp/graft_storeprobe_rw")
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val (reads, retries, violations) =
+        readerWriterRun(spark, s"$base/signature", batches, delta)
+      println(s"""{"probe":"store_reader_writer","batches":$batches,"delta_rows":$delta,""" +
+        s""""reads":$reads,"transient_retries":$retries,""" +
+        s""""violations":${violations.size},"violation_samples":[${
+          violations.take(5).map("\"" + _ + "\"").mkString(",")}]}""")
+      spark.stop()
+      return
+    }
     val batches = args.headOption.map(_.toInt).getOrElse(60)
     val delta = args.lift(1).map(_.toInt).getOrElse(5000)
     val base = args.lift(2).getOrElse("/tmp/graft_storeprobe")

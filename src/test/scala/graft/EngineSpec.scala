@@ -395,6 +395,15 @@ FROM "defenda_data_lake"."events"
     assert(er.getString(2) == "YWI=")
     assert(er.getString(3) == "ab")
 
+    // from_utf8 never fails on malformed bytes (Presto): a lone 0xFF and a
+    // truncated 2-byte sequence both decode with U+FFFD replacement, where
+    // Spark 4's default decode raises MALFORMED_CHARACTER_CODING (r16 ADVICE)
+    val malf = spark.sql(
+      """SELECT from_utf8(from_hex('61FF62')) AS bad1,
+                from_utf8(from_hex('C3')) AS bad2""").collect()(0)
+    assert(malf.getString(0) == "a�b", malf.getString(0))
+    assert(malf.getString(1) == "�", malf.getString(1))
+
     // math: truncate toward zero; NaN/Infinity classification trio
     val xr = spark.sql(
       """SELECT truncate(1.7D) AS t1, truncate(-1.7D) AS t2,
@@ -407,6 +416,20 @@ FROM "defenda_data_lake"."events"
     assert(xr.getBoolean(2) && !xr.getBoolean(3))
     assert(xr.getBoolean(4) && xr.getBoolean(5) && !xr.getBoolean(6))
     assert(xr.getBoolean(7) && !xr.getBoolean(8) && !xr.getBoolean(9))
+
+    // truncate specials (r16 ADVICE — Presto's signum*floor(abs) kernel):
+    // infinities pass through (the old x - x%1.0 gave NaN), NaN stays NaN,
+    // and a negative fraction keeps its sign bit (-0.0, not +0.0)
+    val ts = spark.sql(
+      """SELECT truncate(infinity()) AS ti, truncate(-infinity()) AS tni,
+                truncate(nan()) AS tn, truncate(-0.5D) AS tz,
+                truncate(9.3e18D) AS tbig""").collect()(0)
+    assert(ts.getDouble(0) == Double.PositiveInfinity)
+    assert(ts.getDouble(1) == Double.NegativeInfinity)
+    assert(ts.getDouble(2).isNaN)
+    assert(java.lang.Double.doubleToRawLongBits(ts.getDouble(3)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0d), s"expected -0.0, got ${ts.getDouble(3)}")
+    assert(ts.getDouble(4) == 9.3e18)
 
     // aggregates: arbitrary/bitwise_*_agg resolve as aggregates; checksum is
     // ORDER-INSENSITIVE (the Presto contract) — reversed input, same digest
@@ -448,5 +471,89 @@ FROM "defenda_data_lake"."events"
     assert(r.isNullAt(9), "NULL predicate result with no true match -> NULL")
     assert(r.getBoolean(10), "a true match wins over a NULL result")
     assert(r.isNullAt(11), "none_match inherits the three-valued NULL")
+  }
+
+  test("Presto json_parse / json_format / json_size resolve with canonical semantics") {
+    val r = spark.sql(
+      """SELECT json_parse(' { "b" : 2 , "a" : [ 1 , { "z" : 1, "y" : 2 } ] } ') AS canon,
+                json_format(json_parse('[1, 2, 3]')) AS fmt,
+                json_parse('{"k": 1, "k": 2}') AS dupkeys,
+                json_size('{"a": {"x": 1, "y": 2, "z": 3}}', '$.a') AS osize,
+                json_size('{"a": [1, 2, 3]}', '$.a') AS asize,
+                json_size('{"a": [1, 2, 3]}', '$.a[1]') AS ssize,
+                json_size('{"a": 7}', '$') AS root,
+                json_size('{"a": 7}', '$.missing') AS miss,
+                json_size('not json', '$') AS invalid,
+                json_size('{"a": {"b": [10, 20]}}', '$["a"].b') AS quoted""").collect()(0)
+    // canonical: minified, keys sorted recursively
+    assert(r.getString(0) == """{"a":[1,{"y":2,"z":1}],"b":2}""", r.getString(0))
+    assert(r.getString(1) == "[1,2,3]")
+    assert(r.getString(2) == """{"k":2}""", "duplicate keys collapse last-wins")
+    assert(r.getLong(3) == 3L && r.getLong(4) == 3L && r.getLong(5) == 0L)
+    assert(r.getLong(6) == 1L)
+    assert(r.isNullAt(7), "missing path -> NULL")
+    assert(r.isNullAt(8), "invalid JSON -> NULL (extract-family tolerance)")
+    assert(r.getLong(9) == 2L)
+    // json_parse FAILS on invalid JSON (the validating entry point)
+    val err = intercept[Exception](spark.sql("SELECT json_parse('{oops')").collect())
+    assert(err.getMessage.contains("json_parse") ||
+      (err.getCause != null && err.getCause.getMessage.contains("json_parse")),
+      s"expected a json_parse failure, got: ${err.getMessage}")
+  }
+
+  test("Presto regexp_split / approx_distinct / presto_from_unixtime resolve") {
+    val r = spark.sql(
+      """SELECT regexp_split('one1two22three', '[0-9]+') AS parts,
+                regexp_split('a.b.', '\\.') AS trailing,
+                approx_distinct(v) AS ad,
+                approx_distinct(v, 0.023) AS ad2,
+                approx_count_distinct(v, 0.023) AS native
+         FROM VALUES (1), (2), (3), (2) AS t(v)""").collect()(0)
+    assert(r.getSeq[String](0) == Seq("one", "two", "three"))
+    assert(r.getSeq[String](1) == Seq("a", "b", ""), "trailing empty strings preserved")
+    assert(r.getLong(2) == 3L)
+    assert(r.getLong(3) == r.getLong(4), "approx_distinct(x, e) == approx_count_distinct(x, e)")
+    // the TYPE divergence pin: Spark's built-in from_unixtime -> STRING,
+    // presto_from_unixtime -> TIMESTAMP (Presto semantics, fraction kept)
+    val df = spark.sql(
+      """SELECT from_unixtime(0) AS spark_s,
+                presto_from_unixtime(0.5D) AS presto_ts""")
+    assert(df.schema("spark_s").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.schema("presto_ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val row = df.collect()(0)
+    assert(row.getString(0) == "1970-01-01 00:00:00")
+    assert(row.getTimestamp(1).getTime == 500L, "fractional seconds kept")
+  }
+
+  test("CROSS JOIN UNNEST pre-parse rewrite: simple forms rewrite, complex forms fail loudly") {
+    // pure-function pins
+    assert(Engine.rewriteUnnest(
+      "SELECT a, x FROM t CROSS JOIN UNNEST(arr) AS u(x)") ==
+      "SELECT a, x FROM t LATERAL VIEW explode(arr) u AS x")
+    assert(Engine.rewriteUnnest(
+      "SELECT a FROM t cross join unnest(split(s, ',')) u(x, y)") ==
+      "SELECT a FROM t LATERAL VIEW explode(split(s, ',')) u AS x, y")
+    // quote-awareness: the pattern inside a string literal is untouched
+    val lit = "SELECT 'CROSS JOIN UNNEST(a) AS t(x)' AS s FROM t"
+    assert(Engine.rewriteUnnest(lit) == lit)
+    // multi-array zip, WITH ORDINALITY: left verbatim (loud downstream)
+    val zip = "SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x, y)"
+    assert(Engine.rewriteUnnest(zip) == zip)
+    val ord = "SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, o)"
+    assert(Engine.rewriteUnnest(ord) == ord)
+    // end-to-end: array form and map form (Presto's two UNNEST shapes)
+    spark.sql("SELECT 1 AS id, array('p', 'q') AS arr, map('k1', 10, 'k2', 20) AS m")
+      .createOrReplaceTempView("unnest_probe")
+    val arr = Engine.sql(spark,
+      "SELECT id, w FROM unnest_probe CROSS JOIN UNNEST(arr) AS t(w) ORDER BY w")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(arr == Seq((1, "p"), (1, "q")))
+    val mp = Engine.sql(spark,
+      "SELECT k, v FROM unnest_probe CROSS JOIN UNNEST(m) AS t(k, v) ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(mp == Seq(("k1", 10), ("k2", 20)))
+    // the unsupported forms reach Spark's parser verbatim and fail LOUDLY
+    intercept[Exception](Engine.sql(spark,
+      "SELECT * FROM unnest_probe CROSS JOIN UNNEST(arr, arr) AS t(x, y)").collect())
   }
 }

@@ -940,20 +940,25 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strpos(u("xabcabc"), u("abc"), -2) == 2)
     assert(strpos(u("xabcabc"), u("abc"), -3) == 0)
     assert(strpos(u("xabcabc"), u("zz"), 1) == 0)
-    // non-overlapping scan: 'aaaa' has TWO occurrences of 'aa', not three
-    assert(strpos(u("aaaa"), u("aa"), 2) == 3)
-    assert(strpos(u("aaaa"), u("aa"), 3) == 0)
-    // self-overlapping needle, NEGATIVE instance: the backward packing
-    // (Trino's model) picks a different occurrence set than the forward one
+    // OVERLAPPING scan (Trino's index+1 step): 'aaaa' has THREE
+    // occurrences of 'aa' — at 1, 2 and 3 (r16 ADVICE fix)
+    assert(strpos(u("aaaa"), u("aa"), 2) == 2)
+    assert(strpos(u("aaaa"), u("aa"), 3) == 3)
+    assert(strpos(u("aaaa"), u("aa"), 4) == 0)
     assert(strpos(u("aaa"), u("aa"), 1) == 1)
+    assert(strpos(u("aaa"), u("aa"), 2) == 2)
+    // negative instance mirrors backward with index-1 steps
     assert(strpos(u("aaa"), u("aa"), -1) == 2)
-    assert(strpos(u("aaa"), u("aa"), -2) == 0)
+    assert(strpos(u("aaa"), u("aa"), -2) == 1)
+    assert(strpos(u("aaa"), u("aa"), -3) == 0)
     assert(strpos(u("aaaa"), u("aa"), -1) == 3)
-    assert(strpos(u("aaaa"), u("aa"), -2) == 1)
-    assert(strpos(u("aaaa"), u("aa"), -3) == 0)
-    // empty needle: matches at position 1 (Presto), once
+    assert(strpos(u("aaaa"), u("aa"), -2) == 2)
+    assert(strpos(u("aaaa"), u("aa"), -3) == 1)
+    assert(strpos(u("aaaa"), u("aa"), -4) == 0)
+    // empty needle: matches at position 1 (Presto) for EVERY instance
     assert(strpos(u("abc"), u(""), 1) == 1)
-    assert(strpos(u("abc"), u(""), 2) == 0)
+    assert(strpos(u("abc"), u(""), 2) == 1)
+    assert(strpos(u("abc"), u(""), -3) == 1)
     // positions count CODE POINTS: the astral char is one position
     assert(strpos(u("😀abc"), u("abc"), 1) == 2)
     intercept[IllegalArgumentException](strpos(u("abc"), u("a"), 0))

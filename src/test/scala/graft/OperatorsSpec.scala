@@ -866,16 +866,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         DedupQueries.minhashBandTable(wordSets(Seq(3L -> "red green blue yellow purple"))),
         dir, batchId = Some(0L)))
     assert(err.getMessage.contains("AD-HOC"), err.getMessage)
-    // a batch id ABOVE the cursor proceeds and clears the marker...
+    // a batch id ABOVE the cursor proceeds — and the marker stays STICKY
+    // (r16 ADVICE): on a store an ad-hoc append has ever touched, an
+    // at/below-cursor batch id is indistinguishable from a live batch
+    // being swallowed, so even a true replay fails loudly
     SignatureStore.append(spark,
       DedupQueries.minhashBandTable(wordSets(Seq(3L -> "red green blue yellow purple"))),
       dir, batchId = Some(1L))
     val n = SignatureStore.read(spark, dir).count()
-    // ...after which the SAME batch id is a true replay no-op, no error
-    SignatureStore.append(spark,
-      DedupQueries.minhashBandTable(wordSets(Seq(3L -> "red green blue yellow purple"))),
-      dir, batchId = Some(1L))
+    val err2 = intercept[IllegalStateException](
+      SignatureStore.append(spark,
+        DedupQueries.minhashBandTable(wordSets(Seq(3L -> "red green blue yellow purple"))),
+        dir, batchId = Some(1L)))
+    assert(err2.getMessage.contains("AD-HOC"), err2.getMessage)
     assert(SignatureStore.read(spark, dir).count() == n)
+    // only build()'s whole-root rebuild retires the marker: afterwards the
+    // pure batch-stamped discipline (replay = silent no-op) is back
+    SignatureStore.build(spark, SignatureStore.read(spark, dir), dir)
+    SignatureStore.append(spark,
+      DedupQueries.minhashBandTable(wordSets(Seq(4L -> "six seven eight nine ten"))),
+      dir, batchId = Some(5L))
+    val n2 = SignatureStore.read(spark, dir).count()
+    SignatureStore.append(spark,
+      DedupQueries.minhashBandTable(wordSets(Seq(4L -> "six seven eight nine ten"))),
+      dir, batchId = Some(5L))
+    assert(SignatureStore.read(spark, dir).count() == n2)
   }
 
   test("signature store (substring windows): shared windows survive an erase through OTHER docs only") {

@@ -96,4 +96,24 @@ class StoreCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     // absent store: -1, still no mutation
     assert(StoreCommit.committedBatchReadable(fs, new Path(s"$base/s4/nope")) == -1L)
   }
+
+  test("reader WHILE writer: every successful concurrent read equals a committed prefix (r15 verdict task 6)") {
+    // the probe's own kernel at a spec-sized horizon: 14 batches of 800
+    // rows drives the signature store through multiple delta publishes AND
+    // (CompactAt=16 per bucket is not reached at this size — publish
+    // windows are the target here; the 60-batch probe covers compaction
+    // windows) with a reader thread racing committedBatch/read the whole
+    // way. Violations = a read that matched NO committed prefix — the
+    // torn-read and uncommitted-leak bug classes; transient vanished-file
+    // retries are the documented compaction-window contract, tolerated.
+    val dir = s"$base/rw/signature"
+    val (reads, retries, violations) =
+      graft.tools.StoreProbe.readerWriterRun(spark, dir, batches = 14, delta = 800)
+    assert(violations.isEmpty,
+      s"non-committed-prefix reads: ${violations.take(3).mkString("; ")}")
+    assert(reads >= 2, s"reader landed only $reads reads — the race never ran")
+    // after the dust settles, the final prefix is all 14 batches
+    assert(graft.operators.SignatureStore.read(spark, dir).count() == 14L * 800)
+    assert(retries < reads + 10, "reader mostly failed - not a transient-window pattern")
+  }
 }
