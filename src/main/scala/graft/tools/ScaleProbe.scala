@@ -121,6 +121,11 @@ object ScaleProbe {
     // r14 second wave: the full EXCLUDE-mode matrix (orders), hash-rank
     // reservoir sampling (documents), equi-height histogram (orders)
     "q_window_exclude_modes", "q_sample_reservoir", "q_agg_equiheight",
+    // r16 (r15 verdict task 3): the remaining BENCH-suite top-20 head
+    // queries, so the standing decade probe covers the whole suite head —
+    // documents/embeddings/lineitem-backed, all replication-safe
+    "q_dedup_cluster_stats", "q_dedup_embed", "q_sim_neardup_pairs",
+    "q_math_fns2", "q_sim_sq8", "q_text_bm25", "q_sim_pq_adc",
     // r14 third wave: record-linkage metrics (part), reduce_agg fold
     // (orders), per-user EWMA (events)
     "q_string_metrics", "q_agg_reduce", "q_events_ewma",
