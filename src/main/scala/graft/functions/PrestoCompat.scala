@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.unsafe.types.UTF8String
 import graft.json._
+import com.fasterxml.jackson.core.{JsonParser => JacksonParser, JsonToken}
 
 /** Presto source-compatibility expressions, so the reference's published
   * queries (`/root/reference/README.md:89-109,121-136`) run VERBATIM against
@@ -121,22 +122,33 @@ case class IsJsonComposite(child: Expression)
   * for exotic exponents; integers — the reference corpus's only JSON
   * numbers — render identically. */
 case class JsonParseCanonical(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
-  override protected def nullSafeEval(s: Any): Any = {
+  override protected def nullSafeEval(s: Any): Any =
+    JsonParseCanonical.parse(s.asInstanceOf[UTF8String])
+  // codegen'd static call (r16: the CodegenFallback form broke whole-stage
+  // codegen for the containing stage — the per-row parse itself is cheap,
+  // the fallback's interpreted-projection detour was not)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.JsonParseCanonical.parse($s)")
+}
+
+object JsonParseCanonical {
+  def parse(s: UTF8String): UTF8String = {
     val v =
       try Json.parse(s.toString)
       catch {
         case e: Exception => throw new IllegalArgumentException(
           s"json_parse: invalid JSON text: ${e.getMessage}")
       }
-    UTF8String.fromString(Json.render(JsonParseCanonical.sortKeys(v)))
+    UTF8String.fromString(Json.render(sortKeys(v)))
   }
-}
 
-object JsonParseCanonical {
   def sortKeys(v: JValue): JValue = v match {
     case JObject(fields) =>
       JObject(fields.map { case (k, x) => (k, sortKeys(x)) }.sortBy(_._1))
@@ -151,37 +163,148 @@ object JsonParseCanonical {
   * path grammar is the subset Presto documents and the reference's queries
   * use: `$`, `.key`, `['key']`, `[index]`; a malformed path fails loudly. */
 case class JsonSizeAtPath(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = true
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
   override protected def nullSafeEval(json: Any, path: Any): Any =
-    Json.parseOpt(json.toString) match {
+    JsonSizeAtPath.sizeBoxed(
+      json.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
+  // codegen'd with an explicit null channel: the result is NULL for
+  // invalid JSON or a missing path even when both inputs are non-null, so
+  // the boxed static call sets isNull itself (defineCodeGen assumes
+  // non-null-from-non-null and cannot express this)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (j, p) => {
+      val tmp = ctx.freshName("jsonSize") // fresh per occurrence: the same
+      // expression can be codegen'd twice into one function
+      s"""
+      java.lang.Long $tmp = graft.functions.JsonSizeAtPath.sizeBoxed($j, $p);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $tmp.longValue();
+      }
+      """
+    })
+}
+
+object JsonSizeAtPath {
+  /** null for invalid JSON / missing path (the extract-family tolerance).
+    *
+    * STREAMING kernel: the declared row calls json_size several times per
+    * document, and an AST build per call (Json.parse allocates a JValue
+    * tree) dominated the row's cost. This walks Jackson tokens directly —
+    * navigate the path (skipChildren over non-matching subtrees), count
+    * the target (DISTINCT field names for objects, matching the AST's
+    * last-wins dup-key collapse; elements for arrays; 0 for scalars),
+    * then consume the remainder so a document with trailing garbage or a
+    * malformed tail is NULL exactly like Json.parseOpt. Duplicate keys on
+    * the PATH re-measure each match and keep the last — JObject.get's
+    * last-occurrence-wins, reproduced without rewind. The AST walker
+    * below stays as the independent oracle (FunctionsSpec pins
+    * streaming == AST on adversarial docs). */
+  def sizeBoxed(json: UTF8String, path: UTF8String): java.lang.Long = {
+    val segs = JsonPathWalk.segments(path.toString) // malformed path: loud
+    try {
+      val p = Json.streamParser(json.toString)
+      try {
+        if (p.nextToken() == null) return null // empty document
+        val res = nav(p, segs, 0)
+        if (p.nextToken() != null) null // trailing content: not a JSON doc
+        else res
+      } finally p.close()
+    } catch { case _: Exception => null } // malformed JSON anywhere
+  }
+
+  /** Entry: currentToken = first token of the current value. Exit: the
+    * current value fully consumed (currentToken = its last token). */
+  private def nav(
+      p: JacksonParser, segs: IndexedSeq[JsonPathWalk.Seg], i: Int): java.lang.Long = {
+    val t = p.currentToken()
+    if (i == segs.length) {
+      t match {
+        case JsonToken.START_OBJECT =>
+          val names = new java.util.HashSet[String]()
+          while (p.nextToken() != JsonToken.END_OBJECT) {
+            names.add(p.currentName())
+            p.nextToken()
+            p.skipChildren()
+          }
+          java.lang.Long.valueOf(names.size.toLong)
+        case JsonToken.START_ARRAY =>
+          var n = 0L
+          while (p.nextToken() != JsonToken.END_ARRAY) { p.skipChildren(); n += 1 }
+          java.lang.Long.valueOf(n)
+        case _ => java.lang.Long.valueOf(0L) // scalar: single token, consumed
+      }
+    } else segs(i) match {
+      case JsonPathWalk.Key(k) =>
+        if (t != JsonToken.START_OBJECT) { p.skipChildren(); null }
+        else {
+          var result: java.lang.Long = null
+          var matched = false
+          while (p.nextToken() != JsonToken.END_OBJECT) {
+            val name = p.currentName()
+            p.nextToken()
+            if (name == k) { matched = true; result = nav(p, segs, i + 1) }
+            else p.skipChildren()
+          }
+          if (matched) result else null
+        }
+      case JsonPathWalk.Idx(want) =>
+        if (t != JsonToken.START_ARRAY) { p.skipChildren(); null }
+        else {
+          var j = 0
+          var result: java.lang.Long = null
+          var found = false
+          while (p.nextToken() != JsonToken.END_ARRAY) {
+            if (j == want) { found = true; result = nav(p, segs, i + 1) }
+            else p.skipChildren()
+            j += 1
+          }
+          if (found) result else null
+        }
+    }
+  }
+
+  /** AST twin of [[sizeBoxed]] — the independent oracle the unit suite
+    * compares the streaming kernel against (two-implementation check). */
+  def sizeViaAst(json: String, path: String): java.lang.Long =
+    Json.parseOpt(json) match {
       case None => null
       case Some(root) =>
-        JsonPathWalk.walk(root, path.toString) match {
+        JsonPathWalk.walk(root, path) match {
           case None                 => null
-          case Some(JObject(f))     => f.size.toLong
-          case Some(JArray(items))  => items.size.toLong
-          case Some(_)              => 0L
+          case Some(JObject(f))     => java.lang.Long.valueOf(f.size.toLong)
+          case Some(JArray(items))  => java.lang.Long.valueOf(items.size.toLong)
+          case Some(_)              => java.lang.Long.valueOf(0L)
         }
     }
 }
 
-/** Minimal JSONPath-subset walker shared by the json_size spelling:
+/** Minimal JSONPath-subset grammar shared by the json_size spelling:
   * `$` root, `.key` member access, `['key']` quoted member, `[n]` array
   * index. Missing hops yield None; malformed paths throw (Presto raises on
   * an unparseable path, but tolerates a path that merely doesn't match). */
 object JsonPathWalk {
-  def walk(root: JValue, path: String): Option[JValue] = {
+  sealed trait Seg
+  final case class Key(k: String) extends Seg
+  final case class Idx(i: Int) extends Seg
+
+  /** Parse a path into segments; throws on malformed input. */
+  def segments(path: String): IndexedSeq[Seg] = {
     val n = path.length
     if (n == 0 || path.charAt(0) != '$')
       throw new IllegalArgumentException(s"json path must start with '$$': $path")
-    var cur: Option[JValue] = Some(root)
+    val out = Vector.newBuilder[Seg]
     var i = 1
-    while (i < n && cur.isDefined) {
+    while (i < n) {
       path.charAt(i) match {
         case '.' =>
           var j = i + 1
@@ -189,7 +312,7 @@ object JsonPathWalk {
           val key = path.substring(i + 1, j)
           if (key.isEmpty)
             throw new IllegalArgumentException(s"empty key segment in json path: $path")
-          cur = cur.flatMap { case o: JObject => o.get(key); case _ => None }
+          out += Key(key)
           i = j
         case '[' =>
           val j = path.indexOf(']', i)
@@ -198,8 +321,7 @@ object JsonPathWalk {
           val seg = path.substring(i + 1, j).trim
           if (seg.length >= 2 && (seg.charAt(0) == '\'' || seg.charAt(0) == '"') &&
               seg.charAt(seg.length - 1) == seg.charAt(0)) {
-            val key = seg.substring(1, seg.length - 1)
-            cur = cur.flatMap { case o: JObject => o.get(key); case _ => None }
+            out += Key(seg.substring(1, seg.length - 1))
           } else {
             val idx =
               try seg.toInt
@@ -207,14 +329,27 @@ object JsonPathWalk {
                 case _: NumberFormatException => throw new IllegalArgumentException(
                   s"bad array index '$seg' in json path: $path")
               }
-            cur = cur.flatMap {
-              case JArray(items) if idx >= 0 && idx < items.size => Some(items(idx))
-              case _ => None
-            }
+            out += Idx(idx)
           }
           i = j + 1
         case c =>
           throw new IllegalArgumentException(s"unexpected '$c' in json path: $path")
+      }
+    }
+    out.result()
+  }
+
+  /** AST navigation over pre-parsed segments (the streaming kernel's
+    * independent oracle; negative indexes never match, as before). */
+  def walk(root: JValue, path: String): Option[JValue] = {
+    var cur: Option[JValue] = Some(root)
+    segments(path).foreach { seg =>
+      cur = cur.flatMap { v =>
+        (seg, v) match {
+          case (Key(k), o: JObject) => o.get(k)
+          case (Idx(ix), JArray(items)) if ix >= 0 && ix < items.size => Some(items(ix))
+          case _ => None
+        }
       }
     }
     cur

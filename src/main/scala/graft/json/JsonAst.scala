@@ -55,6 +55,11 @@ object JArray {
 object Json {
   private val factory = new JsonFactory()
 
+  /** Raw streaming parser over a document — for token-walk kernels
+    * (e.g. json_size) that measure without building the AST. */
+  private[graft] def streamParser(s: String): JacksonParser =
+    factory.createParser(s)
+
   /** Strict parse of a complete JSON document. Throws on malformed input. */
   def parse(s: String): JValue = {
     val p = factory.createParser(s)

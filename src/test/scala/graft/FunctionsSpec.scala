@@ -963,4 +963,36 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strpos(u("😀abc"), u("abc"), 1) == 2)
     intercept[IllegalArgumentException](strpos(u("abc"), u("a"), 0))
   }
+
+  test("json_size: streaming token-walk kernel == AST walker on adversarial docs (two implementations)") {
+    import graft.functions.JsonSizeAtPath
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val docs = Seq(
+      """{"a": {"x": 1, "y": 2}, "b": [1, 2, 3]}""",
+      """{ "a" : [ [1,2], {"k": [true, null]} ] }""",
+      // duplicate keys: both on the PATH (last-wins navigation) and at the
+      // TARGET (distinct-key count)
+      """{"a": {"n": 1}, "a": {"p": 1, "q": 2, "q": 3}}""",
+      """{"a": [{"dup": 1, "dup": 2}]}""",
+      """[]""", """{}""", """7""", """"str"""", """null""", """true""",
+      """[[[[1]]]]""",
+      """{"a": "{\"not\": \"nested\"}"}""", // JSON-looking STRING scalar
+      "not json", """{"a": 1""", """{"a": 1} trailing""", "", "  ",
+      """{"😀": [1, 2], "b": {"😀": 3}}""",
+      """{"a": 1e2, "b": -0.5, "c": 123456789012345678901234567890}""")
+    val paths = Seq("$", "$.a", "$.b", "$.a.x", "$.a[0]", "$.a[1].k",
+      "$['a']", "$[\"a\"]", "$.a[5]", "$.missing", "$.a.q", "$.a[0].dup",
+      "$.😀", "$.b.😀", "$[0]", "$[0][0]")
+    for (d <- docs; p <- paths) {
+      val streaming = JsonSizeAtPath.sizeBoxed(u(d), u(p))
+      val ast = JsonSizeAtPath.sizeViaAst(d, p)
+      assert(streaming == ast,
+        s"doc=<$d> path=$p: streaming=$streaming ast=$ast")
+    }
+    // malformed PATHS fail loudly in both (Presto raises on a bad path)
+    for (bad <- Seq("a.b", "$.", "$[", "$[x]", "$x", "")) {
+      intercept[IllegalArgumentException](JsonSizeAtPath.sizeBoxed(u("{}"), u(bad)))
+      intercept[IllegalArgumentException](JsonSizeAtPath.sizeViaAst("{}", bad))
+    }
+  }
 }
