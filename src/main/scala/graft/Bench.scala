@@ -278,17 +278,29 @@ object Bench {
     // full per-query map goes to BENCH_PLANS.json (the compact stdout line
     // cannot fit ~280 entries); the compact line carries only the DIFF —
     // names whose exchange or sort count GREW since the previous run.
-    val prevSigs: Map[String, (Int, Int)] =
+    val (prevSigs, prevSpilled, prevSameSf) =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_PLANS.json")), "UTF-8")
-        """"(q_[a-z0-9_]+)":"x(\d+) s(\d+)""".r.findAllMatchIn(txt)
+        val sigs = """"(q_[a-z0-9_]+)":"x(\d+) s(\d+)""".r.findAllMatchIn(txt)
           .map(m => (m.group(1), (m.group(2).toInt, m.group(3).toInt))).toMap
-      } catch { case _: Throwable => Map.empty }
+        val spillSection = """"spill_bytes":\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        val spilled = """"(q_[a-z0-9_]+)":""".r.findAllMatchIn(spillSection)
+          .map(_.group(1)).toSet
+        val sameSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        (sigs, spilled, sameSf)
+      } catch { case _: Throwable => (Map.empty[String, (Int, Int)], Set.empty[String], false) }
     val regressed = planFps.collect {
       case (n, fp) if prevSigs.get(n).exists { case (px, ps) =>
         fp.exchanges > px || fp.sorts > ps } => n
-    }.toSeq.sorted
+      // NEW spill at the SAME corpus is a memory-shape regression even
+      // when the plan tree is unchanged (only comparable same-sf: a
+      // bigger corpus legitimately spills where a smaller one didn't)
+      case (n, fp) if prevSameSf && fp.spillBytes > 0 &&
+        prevSigs.contains(n) && !prevSpilled(n) => n
+    }.toSeq.distinct.sorted
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val plansJson = planFps.toSeq.sortBy(_._1)
       .map { case (n, fp) => "\"" + n + "\":\"" + fp.sig + "\"" }

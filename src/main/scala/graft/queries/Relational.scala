@@ -2886,6 +2886,35 @@ object Relational {
       FROM part, LATERAL unnest(string_split(p_name, ' ')) t(w)
       ORDER BY p_partkey, w"""))
 
+  /** The OUTER half of the Presto unnest-join contract, verbatim —
+    * `LEFT JOIN UNNEST(arr) AS t(x) ON TRUE` keeps rows whose array is
+    * empty (NULL element column) where the CROSS JOIN form drops them.
+    * Engine.sql rewrites it to `LATERAL VIEW OUTER explode`; every 7th
+    * part gets an empty array so the outer semantics are actually load-
+    * bearing in the hash (1/7 of output rows exist ONLY because of
+    * OUTER). The oracle is DuckDB's own outer lateral unnest — an
+    * independent third implementation of the same contract. Generator
+    * inlines into the scan, no join, no exchange beyond the sort. */
+  private val unnestOuter = Q(
+    "q_unnest_outer",
+    (s, d) => {
+      Tables.views(s, d, "part")
+      graft.Engine.sql(s,
+        """SELECT p_partkey, w
+           FROM (SELECT p_partkey,
+                        CASE WHEN p_partkey % 7 = 0 THEN array()
+                             ELSE split(p_name, ' ') END AS arr
+                 FROM part) p
+           LEFT JOIN UNNEST(arr) AS t(w) ON TRUE
+           ORDER BY p_partkey, w""")
+    },
+    Some("""WITH p AS (SELECT p_partkey,
+                   CASE WHEN p_partkey % 7 = 0 THEN []
+                        ELSE string_split(p_name, ' ') END AS arr FROM part)
+      SELECT p_partkey, w
+      FROM p LEFT JOIN LATERAL (SELECT unnest(arr) AS w) t ON TRUE
+      ORDER BY p_partkey, w"""))
+
   // -- subqueries (via spark.sql so Catalyst does the decorrelation) -----------
 
   private val subqueryIn = Q(
@@ -3166,7 +3195,7 @@ object Relational {
     mathFns, mathFns2, aggApproxPresto,
     aggWidthBucket, arrayFns, arrayLambda, arraySortLambda, arrayQuantifiers, arrayNgrams,
     mapFns, mapLambda, mapParse, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti,
-    unnestPresto, tryFns,
+    unnestPresto, unnestOuter, tryFns,
     urlFns, urlExtract, bitwiseFns,
     subqueryIn, subqueryScalar, subqueryExists)
 }

@@ -533,9 +533,28 @@ FROM "defenda_data_lake"."events"
     assert(Engine.rewriteUnnest(
       "SELECT a FROM t cross join unnest(split(s, ',')) u(x, y)") ==
       "SELECT a FROM t LATERAL VIEW explode(split(s, ',')) u AS x, y")
+    // the implicit-join comma form — Athena's most common spelling
+    assert(Engine.rewriteUnnest(
+      "SELECT a, x FROM t, UNNEST(arr) AS u(x) WHERE a > 0") ==
+      "SELECT a, x FROM t LATERAL VIEW explode(arr) u AS x WHERE a > 0")
+    // a comma NOT followed by UNNEST is untouched (projection lists, args)
+    assert(Engine.rewriteUnnest("SELECT a, b FROM t, s") ==
+      "SELECT a, b FROM t, s")
+    // LEFT [OUTER] JOIN UNNEST ... ON TRUE -> LATERAL VIEW OUTER explode
+    assert(Engine.rewriteUnnest(
+      "SELECT a, x FROM t LEFT JOIN UNNEST(arr) AS u(x) ON TRUE") ==
+      "SELECT a, x FROM t LATERAL VIEW OUTER explode(arr) u AS x")
+    assert(Engine.rewriteUnnest(
+      "SELECT a FROM t left outer join unnest(m) u(k, v) on true") ==
+      "SELECT a FROM t LATERAL VIEW OUTER explode(m) u AS k, v")
+    // a LEFT JOIN UNNEST with any other ON condition is left verbatim
+    val badOn = "SELECT a FROM t LEFT JOIN UNNEST(arr) AS u(x) ON a = 1"
+    assert(Engine.rewriteUnnest(badOn) == badOn)
     // quote-awareness: the pattern inside a string literal is untouched
     val lit = "SELECT 'CROSS JOIN UNNEST(a) AS t(x)' AS s FROM t"
     assert(Engine.rewriteUnnest(lit) == lit)
+    val lit2 = "SELECT ', UNNEST(a) AS t(x)' AS s FROM t"
+    assert(Engine.rewriteUnnest(lit2) == lit2)
     // multi-array zip, WITH ORDINALITY: left verbatim (loud downstream)
     val zip = "SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x, y)"
     assert(Engine.rewriteUnnest(zip) == zip)
@@ -552,6 +571,24 @@ FROM "defenda_data_lake"."events"
       "SELECT k, v FROM unnest_probe CROSS JOIN UNNEST(m) AS t(k, v) ORDER BY k")
       .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
     assert(mp == Seq(("k1", 10), ("k2", 20)))
+    // comma form end-to-end
+    val comma = Engine.sql(spark,
+      "SELECT id, w FROM unnest_probe, UNNEST(arr) t(w) ORDER BY w")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(comma == Seq((1, "p"), (1, "q")))
+    // LEFT JOIN ... ON TRUE: an EMPTY array keeps its row with a NULL col
+    // (inner forms drop it) — the Presto outer-unnest contract
+    spark.sql("SELECT 1 AS id, array('p') AS arr UNION ALL SELECT 2, array()")
+      .createOrReplaceTempView("unnest_outer_probe")
+    val outer = Engine.sql(spark,
+      """SELECT id, w FROM unnest_outer_probe
+         LEFT JOIN UNNEST(arr) AS t(w) ON TRUE ORDER BY id""")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(outer == Seq((1, "p"), (2, null)))
+    val inner = Engine.sql(spark,
+      "SELECT id, w FROM unnest_outer_probe CROSS JOIN UNNEST(arr) AS t(w)")
+      .collect()
+    assert(inner.length == 1, "inner unnest must drop the empty-array row")
     // the unsupported forms reach Spark's parser verbatim and fail LOUDLY
     intercept[Exception](Engine.sql(spark,
       "SELECT * FROM unnest_probe CROSS JOIN UNNEST(arr, arr) AS t(x, y)").collect())
