@@ -126,6 +126,9 @@ object ScaleProbe {
     // documents/embeddings/lineitem-backed, all replication-safe
     "q_dedup_cluster_stats", "q_dedup_embed", "q_sim_neardup_pairs",
     "q_math_fns2", "q_sim_sq8", "q_text_bm25", "q_sim_pq_adc",
+    // r16 second wave: the dialect-tail rows (part/orders/events-backed)
+    "q_unnest_presto", "q_unnest_outer", "q_events_json_presto",
+    "q_date_from_unixtime", "q_string_regexp_split", "q_agg_approx_presto",
     // r14 third wave: record-linkage metrics (part), reduce_agg fold
     // (orders), per-user EWMA (events)
     "q_string_metrics", "q_agg_reduce", "q_events_ewma",

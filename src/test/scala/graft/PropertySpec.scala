@@ -155,4 +155,31 @@ class PropertySpec extends AnyFunSuite {
         graft.operators.Multimodal.phash8(shifted), s"shift $sh moved the pHash")
     }
   }
+
+  test("rewriteUnnest: IDENTITY on arbitrary UNNEST-free SQL (every Engine.sql call flows through it)") {
+    // fragments deliberately include the scanner's trigger characters
+    // (commas, quotes with '' escapes, parens, the words CROSS/LEFT/JOIN
+    // standalone) without a rewritable UNNEST table reference — the
+    // rewrite must reproduce these byte-for-byte
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.const("SELECT a, b FROM t"),
+      Gen.const(", f(x, y)"),
+      Gen.const(" CROSS JOIN s ON a = b"),
+      Gen.const(" LEFT JOIN s ON TRUE"),
+      Gen.const(" LEFT OUTER JOIN (SELECT 1) q ON TRUE"),
+      Gen.const("'it''s a, CROSS JOIN UNNEST(lit) AS t(x)'"),
+      Gen.const("\"quoted, ident\""),
+      Gen.const(" WHERE x IN (1, 2, 3) AND unnested = 7"),
+      Gen.const(" GROUP BY cube(a, b)"),
+      Gen.const(" /* not a rewrite: UNNEST with no paren */ UNNEST"),
+      Gen.const(" ORDER BY 1, 2"),
+      Gen.alphaNumStr.map(_.take(6)))
+    forAllG(Gen.listOfN(6, frag).map(_.mkString(" "))) { q =>
+      assert(graft.Engine.rewriteUnnest(q) == q, s"not identity on <$q>")
+    }
+    // and a rewritable form embedded among the same noise still rewrites
+    val withUnnest = "SELECT a, 'x,y' FROM t, UNNEST(split(s, ',')) u(w) ORDER BY 1, 2"
+    assert(graft.Engine.rewriteUnnest(withUnnest) ==
+      "SELECT a, 'x,y' FROM t LATERAL VIEW explode(split(s, ',')) u AS w ORDER BY 1, 2")
+  }
 }
