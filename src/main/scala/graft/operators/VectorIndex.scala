@@ -296,7 +296,20 @@ object VectorIndex {
     * training/encoding cost — the expensive part — is delta-only either
     * way). */
   def appendIvfPq(
-      spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Unit = {
+      spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Unit =
+    appendIvfPqRows(spark,
+      graft.queries.Tables.t(spark, sfDir, "embeddings"), indexDir, minVecId)
+
+  /** DataFrame-based core of [[appendIvfPq]]: `rows` carries the
+    * embeddings TABLE shape (vec_id, embedding). This is the entry point
+    * the STREAMING index-maintenance twin
+    * ([[graft.streaming.StreamingIngest.startVectorIndexStream]]) feeds
+    * micro-batches into — same replay discipline as the batch form: the
+    * old side keeps only rows below `minVecId`, so an at-least-once
+    * foreachBatch replay of a monotonic append-only feed re-derives the
+    * identical delta instead of doubling it. */
+  def appendIvfPqRows(
+      spark: SparkSession, rows: DataFrame, indexDir: String, minVecId: Long): Unit = {
     val dir = new Path(indexDir)
     val fs = fsOf(spark, dir)
     StoreCommit.recover(fs, dir) // crash-windowed swap: restore before touching
@@ -315,11 +328,11 @@ object VectorIndex {
     val oldCodes = spark.read.parquet(s"$indexDir/codes").filter(col("vec_id") < minVecId)
 
     val e = notTombstoned(
-      normalizedEmbeddings(spark, sfDir).filter(col("vec_id") >= minVecId), tombstones)
+      normalizedEmbeddingRows(rows).filter(col("vec_id") >= minVecId), tombstones)
     val newCells =
       kmeansAssign(e, coarse).select(col("vec_id"), col("cent_id").as("cell")).cache()
     val em = notTombstoned(
-      microEmbeddings(spark, sfDir).filter(col("vec_id") >= minVecId), tombstones)
+      microEmbeddingRows(rows).filter(col("vec_id") >= minVecId), tombstones)
     val subs = flavor match {
       case FlavorResidual =>
         subVectors(em.join(newCells, "vec_id")
@@ -778,7 +791,15 @@ object VectorIndex {
     * boundary (the same idempotent-replay guard as [[appendIvfPq]]), and
     * republish atomically. Tombstoned ids stay excluded. */
   def appendBinary(
-      spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Unit = {
+      spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Unit =
+    appendBinaryRows(spark,
+      graft.queries.Tables.t(spark, sfDir, "embeddings"), indexDir, minVecId)
+
+  /** DataFrame-based core of [[appendBinary]] (see [[appendIvfPqRows]]):
+    * the streaming twin's O(delta) path — encode the batch's own rows
+    * instead of re-scanning the corpus directory per micro-batch. */
+  def appendBinaryRows(
+      spark: SparkSession, rows: DataFrame, indexDir: String, minVecId: Long): Unit = {
     requireFlavor(spark, indexDir, FlavorBinary, "appendBinary")
     val dir = new Path(indexDir)
     val fs = fsOf(spark, dir)
@@ -789,7 +810,7 @@ object VectorIndex {
     val tombstones = tombstonesOf(spark, indexDir).cache()
     val oldBits = spark.read.parquet(s"$indexDir/bits").filter(col("vec_id") < minVecId)
     val newBits = binaryCodes(notTombstoned(
-      normalizedEmbeddings(spark, sfDir).filter(col("vec_id") >= minVecId), tombstones))
+      normalizedEmbeddingRows(rows).filter(col("vec_id") >= minVecId), tombstones))
     oldBits.unionByName(newBits).write.mode(SaveMode.Overwrite).parquet(s"$tmp/bits")
     copyMetaIfPresent(spark, fs, indexDir, tmp)
     writeTombstonesIfAny(spark, fs, tmp, tombstones)
@@ -862,7 +883,15 @@ object VectorIndex {
     * is kept as-is (idempotent-replay guard), tombstones stay excluded,
     * and the index republishes atomically. */
   def appendSq8(
-      spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Unit = {
+      spark: SparkSession, sfDir: String, indexDir: String, minVecId: Long): Unit =
+    appendSq8Rows(spark,
+      graft.queries.Tables.t(spark, sfDir, "embeddings"), indexDir, minVecId)
+
+  /** DataFrame-based core of [[appendSq8]] (see [[appendIvfPqRows]]):
+    * the streaming twin's O(delta) path — encode the batch's own rows
+    * instead of re-scanning the corpus directory per micro-batch. */
+  def appendSq8Rows(
+      spark: SparkSession, rows: DataFrame, indexDir: String, minVecId: Long): Unit = {
     requireFlavor(spark, indexDir, FlavorSq8, "appendSq8")
     val dir = new Path(indexDir)
     val fs = fsOf(spark, dir)
@@ -875,7 +904,7 @@ object VectorIndex {
     val oldCodes = spark.read.parquet(s"$indexDir/codes").filter(col("vec_id") < minVecId)
     val newCodes = sq8Encode(
       notTombstoned(
-        normalizedEmbeddings(spark, sfDir).filter(col("vec_id") >= minVecId), tombstones)
+        normalizedEmbeddingRows(rows).filter(col("vec_id") >= minVecId), tombstones)
         .select(col("vec_id"), col("emb").as("de")),
       calib).select("vec_id", "qe")
     oldCodes.unionByName(newCodes).write.mode(SaveMode.Overwrite).parquet(s"$tmp/codes")

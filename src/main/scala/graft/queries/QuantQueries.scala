@@ -24,8 +24,15 @@ object QuantQueries {
   private def rawEmbeddings(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
 
+  /** Row-based twin of [[normalizedEmbeddings]]: `rows` carries the
+    * embeddings TABLE shape (vec_id, embedding) — the streaming index-
+    * maintenance twin feeds micro-batches here instead of a directory. */
+  private[graft] def normalizedEmbeddingRows(rows: DataFrame): DataFrame =
+    rows.select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
+      .select(col("vec_id"), l2Normalize(col("de")).as("emb"))
+
   private[graft] def normalizedEmbeddings(s: SparkSession, d: String): DataFrame =
-    rawEmbeddings(s, d).select(col("vec_id"), l2Normalize(col("de")).as("emb"))
+    normalizedEmbeddingRows(t(s, d, "embeddings"))
 
   /** DuckDB twin of [[normalizedEmbeddings]] (same left-fold norm). */
   private val sqlNormalized: String =
@@ -333,7 +340,11 @@ object QuantQueries {
     * always positive, so truncating division agrees across engines and L2
     * distances (translation-invariant) are exact BIGINT math end to end. */
   private[graft] def microEmbeddings(s: SparkSession, d: String): DataFrame =
-    normalizedEmbeddings(s, d).select(
+    microEmbeddingRows(t(s, d, "embeddings"))
+
+  /** Row-based twin of [[microEmbeddings]] (see [[normalizedEmbeddingRows]]). */
+  private[graft] def microEmbeddingRows(rows: DataFrame): DataFrame =
+    normalizedEmbeddingRows(rows).select(
       col("vec_id"),
       transform(col("emb"), x => floor((x + lit(2.0)) * lit(1000000.0)).cast("long")).as("xm"))
 

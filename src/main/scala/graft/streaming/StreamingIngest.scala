@@ -247,15 +247,21 @@ object StreamingIngest {
           val unmetered = Set(
             graft.operators.VectorIndex.FlavorBinary,
             graft.operators.VectorIndex.FlavorSq8)
+          // the appends encode the BATCH'S OWN rows (the *Rows cores, r16):
+          // the old corpus-dir form re-listed and re-scanned the whole
+          // embeddings directory every micro-batch — at 100 TB the listing
+          // alone grows with corpus age; this path is O(delta) end to end.
+          // Replay parity is unchanged: a replayed batch re-derives the
+          // identical delta against the sub-boundary old side either way.
           if (flavor == graft.operators.VectorIndex.FlavorBinary)
-            graft.operators.VectorIndex.appendBinary(
-              s, corpusDir, indexDir, rawMin.asInstanceOf[Long])
+            graft.operators.VectorIndex.appendBinaryRows(
+              s, raw, indexDir, rawMin.asInstanceOf[Long])
           else if (flavor == graft.operators.VectorIndex.FlavorSq8)
-            graft.operators.VectorIndex.appendSq8(
-              s, corpusDir, indexDir, rawMin.asInstanceOf[Long])
+            graft.operators.VectorIndex.appendSq8Rows(
+              s, raw, indexDir, rawMin.asInstanceOf[Long])
           else
-            graft.operators.VectorIndex.appendIvfPq(
-              s, corpusDir, indexDir, rawMin.asInstanceOf[Long])
+            graft.operators.VectorIndex.appendIvfPqRows(
+              s, raw, indexDir, rawMin.asInstanceOf[Long])
           if (!unmetered.contains(flavor))
             autoRebuildThreshold.foreach { threshold =>
               graft.operators.VectorIndex.trainBoundOpt(s, indexDir).foreach { bound =>
