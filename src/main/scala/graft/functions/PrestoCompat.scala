@@ -4,7 +4,6 @@ import org.apache.spark.sql.catalyst.expressions.{ArrayContains, BinaryExpressio
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.unsafe.types.UTF8String
 import graft.json._
 import com.fasterxml.jackson.core.{JsonParser => JacksonParser, JsonToken}
@@ -15,10 +14,12 @@ import com.fasterxml.jackson.core.{JsonParser => JacksonParser, JsonToken}
   * '7.1.14.12')` and friends. Registered as SQL functions by
   * [[GraftExtensions]].
   *
-  * Both are eval-only (CodegenFallback): they exist for pasted-query
-  * compatibility. The codegen-native formulations —
+  * All expressions here generate static-call code (r16 — the original
+  * CodegenFallback forms knocked their whole stage out of whole-stage
+  * codegen). The native formulations —
   * `array_contains(from_json(get_json_object(...), 'array<string>'), x)` —
-  * remain the recommended hot-path spelling (used by q_pipeline_readme2).
+  * remain a fine hot-path spelling (used by q_pipeline_readme2), but the
+  * pasted Presto spellings now codegen too.
   */
 
 /** Presto `json_array_contains(json, value)`: true/false membership test on
@@ -26,16 +27,42 @@ import com.fasterxml.jackson.core.{JsonParser => JacksonParser, JsonToken}
   * behavior). Value may be varchar, bigint, double, or boolean; JSON numbers
   * compare numerically (2 matches 2.0). */
 case class JsonArrayContains(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
   override protected def nullSafeEval(json: Any, value: Any): Any =
+    JsonArrayContains.containsBoxed(json.asInstanceOf[UTF8String], value)
+  // codegen'd with an explicit null channel (r16): NULL for non-array
+  // input even when both operands are non-null, so the boxed static call
+  // sets isNull itself. This keeps the PASTED readme-2 spelling inside
+  // whole-stage codegen without needing the opt-in string-probe rewrite.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (j, v) => {
+      val tmp = ctx.freshName("jsonArrContains")
+      s"""
+      java.lang.Boolean $tmp =
+        graft.functions.JsonArrayContains.containsBoxed($j, (Object) $v);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $tmp.booleanValue();
+      }
+      """
+    })
+}
+
+object JsonArrayContains {
+  /** null when the input is not a JSON array (Presto behavior). */
+  def containsBoxed(json: UTF8String, value: Any): java.lang.Boolean =
     Json.parseOpt(json.toString) match {
       case Some(JArray(items)) =>
-        value match {
+        val found = value match {
           case s: UTF8String =>
             val str = s.toString
             items.exists { case JString(x) => x == str; case _ => false }
@@ -51,6 +78,7 @@ case class JsonArrayContains(left: Expression, right: Expression)
             }
           case _ => false
         }
+        java.lang.Boolean.valueOf(found)
       case _ => null
     }
 }
@@ -98,11 +126,24 @@ object RewriteJsonArrayContains extends Rule[LogicalPlan] {
   * indistinguishable from a composite after GetJsonObject unquotes it, and
   * maps to NULL here where Presto would return the string. */
 case class IsJsonComposite(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override protected def nullSafeEval(s: Any): Any =
+    IsJsonComposite.isComposite(s.asInstanceOf[UTF8String])
+  // codegen'd static call (r16): this sits under every pasted
+  // json_extract_scalar — as CodegenFallback it knocked the whole stage
+  // out of whole-stage codegen
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.IsJsonComposite.isComposite($s)")
+}
+
+object IsJsonComposite {
+  def isComposite(s: UTF8String): Boolean =
     Json.parseOpt(s.toString) match {
       case Some(_: JObject) | Some(_: JArray) => true
       case _                                  => false
