@@ -40,50 +40,93 @@ object Engine {
   def sql(spark: SparkSession, query: String): DataFrame =
     spark.sql(rewriteUnnest(query))
 
-  /** Pre-parse rewrite of the SIMPLE Presto `UNNEST` table-reference forms
-    * — the most common Athena spellings a migrating reference user types
-    * over `details` arrays (README.md:116 "any valid Presto SQL"):
+  /** Pre-parse rewrite of the Presto `UNNEST` table-reference forms — the
+    * most common Athena spellings a migrating reference user types over
+    * `details` arrays (README.md:116 "any valid Presto SQL"):
     *
     *   ... CROSS JOIN UNNEST(<expr>) [AS] t(x)        -- array element
     *   ... , UNNEST(<expr>) [AS] t(x)                 -- implicit-join comma form
     *   ... LEFT [OUTER] JOIN UNNEST(<expr>) [AS] t(x) ON TRUE  -- outer flatten
     *   ...                               [AS] t(k, v) -- map entries (any form)
+    *   ... UNNEST(<expr>) WITH ORDINALITY [AS] t(x, ord)       -- 1-based position
+    *   ... UNNEST(<e1>, <e2>, ...) [WITH ORDINALITY] [AS] t(x, y[, ord])
+    *       -- multi-array zip: lockstep expansion to the LONGEST argument,
+    *       -- shorter/NULL arrays pad with NULL (Presto's contract)
     *
-    * become the exact Spark equivalents
+    * become the exact Spark equivalents:
     *
-    *   ... LATERAL VIEW explode(<expr>) t AS x        (inner: empty/NULL
-    *       arrays produce no rows — Presto's CROSS JOIN / comma UNNEST
-    *       drop them, as does LATERAL VIEW without OUTER)
-    *   ... LATERAL VIEW OUTER explode(<expr>) t AS x  (LEFT ... ON TRUE:
-    *       empty/NULL arrays keep the row with NULL columns on both
-    *       engines)
+    *   - simple array/map: `LATERAL VIEW explode(<expr>) t AS cols` (inner:
+    *     empty/NULL arrays produce no rows — Presto's CROSS JOIN / comma
+    *     UNNEST drop them, as does LATERAL VIEW without OUTER); the
+    *     LEFT ... ON TRUE form gets `LATERAL VIEW OUTER` (empty/NULL arrays
+    *     keep the row with NULL columns on both engines);
+    *   - WITH ORDINALITY: `inline(transform(<expr>, (e, i) -> struct(e,
+    *     CAST(i + 1 AS BIGINT))))` — transform's 0-based index shifted to
+    *     Presto's 1-based BIGINT ordinal (maps go through map_entries);
+    *   - multi-array zip: `inline(transform(slice(sequence(1, greatest(N,
+    *     1)), 1, N), i -> struct(try_element_at(e1, i), ...)))` with
+    *     N = greatest over coalesce(size(ek), 0) — try_element_at NULLs
+    *     past each array's end (and on NULL arrays), reproducing Presto's
+    *     pad-to-longest; the slice guard keeps sequence() ascending when
+    *     every array is empty (sequence(1, 0) would be the DESCENDING
+    *     [1, 0]). Argument expressions appear twice in the generated text
+    *     (size + subscript) — Spark's subexpression elimination dedups the
+    *     evaluation in codegen.
     *
     * The scanner is quote-aware (no rewriting inside '...' literals or
-    * "..." identifiers) and balances nested parens in <expr>, so
-    * function-call arguments rewrite correctly.
+    * "..." identifiers, with both doubled-quote and backslash escapes
+    * tracked — Spark's lexer processes \' escapes, so the scanner mirrors
+    * it) and comment-aware (`--` line and nested bracketed comments are
+    * copied verbatim and never scanned for rewrite shapes, so an
+    * apostrophe in a comment cannot misalign the quote tracking — r16
+    * ADVICE), and balances nested parens in <expr>, so function-call
+    * arguments rewrite correctly.
     *
     * DOCUMENTED DEVIATION (beside the GROUPS/EXCLUDE notes in
-    * GraftExtensions): only the single-argument form rewrites. Presto's
-    * multi-array zip form `UNNEST(a, b)` (a top-level comma in the
-    * argument) and `WITH ORDINALITY` are left verbatim and fail LOUDLY in
-    * Spark's parser — never silently wrong. A LEFT JOIN UNNEST without ON
-    * TRUE is likewise left verbatim (Presto itself rejects other ON
-    * conditions on an unnest join). EngineSpec pins the rewrites and the
-    * loud failures. */
+    * GraftExtensions): a multi-arg UNNEST whose arguments include a MAP
+    * (Presto lets each map argument contribute two columns) is not
+    * rewritten — the column-count arithmetic is untyped here — and a LEFT
+    * JOIN UNNEST without ON TRUE is likewise left verbatim (Presto itself
+    * rejects other ON conditions on an unnest join). Both reach Spark's
+    * parser unchanged and fail LOUDLY — never silently wrong. EngineSpec
+    * pins the rewrites and the loud failures. */
   private[graft] def rewriteUnnest(query: String): String = {
     val n = query.length
     def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
-    // end index (exclusive) of the '...' literal or "..." identifier at i
+    // end index (exclusive) of the '...' literal or "..." identifier at i.
+    // Tracks BOTH escape conventions Spark's lexer accepts: doubled quotes
+    // ('it''s') and backslash escapes ('it\'s') — a \' that went untracked
+    // would flip the scanner's idea of what is code and what is literal.
     def skipQuoted(i: Int): Int = {
       val q = query.charAt(i)
       var k = i + 1
       while (k < n) {
-        if (query.charAt(k) == q) {
+        val c = query.charAt(k)
+        if (c == '\\') k += 2
+        else if (c == q) {
           if (k + 1 < n && query.charAt(k + 1) == q) k += 2 // doubled-quote escape
           else return k + 1
         } else k += 1
       }
       n
+    }
+    // end index (exclusive) of the comment starting at i, or i when i does
+    // not start one. `--` runs to end of line; bracketed comments nest
+    // (Spark's lexer nests them); an unterminated comment runs to EOF.
+    def commentEnd(i: Int): Int = {
+      if (i + 1 < n && query.charAt(i) == '-' && query.charAt(i + 1) == '-') {
+        var k = i + 2
+        while (k < n && query.charAt(k) != '\n') k += 1
+        if (k < n) k + 1 else n
+      } else if (i + 1 < n && query.charAt(i) == '/' && query.charAt(i + 1) == '*') {
+        var k = i + 2; var depth = 1
+        while (k < n && depth > 0) {
+          if (k + 1 < n && query.charAt(k) == '/' && query.charAt(k + 1) == '*') { depth += 1; k += 2 }
+          else if (k + 1 < n && query.charAt(k) == '*' && query.charAt(k + 1) == '/') { depth -= 1; k += 2 }
+          else k += 1
+        }
+        k
+      } else i
     }
     // does the keyword start at i (case-insensitive, word-bounded)?
     def kwAt(i: Int, kw: String): Boolean =
@@ -91,38 +134,64 @@ object Engine {
         query.regionMatches(true, i, kw, 0, kw.length) &&
         (i == 0 || !isIdent(query.charAt(i - 1))) &&
         (i + kw.length == n || !isIdent(query.charAt(i + kw.length)))
-    def skipWs(i: Int): Int = { var k = i; while (k < n && query.charAt(k).isWhitespace) k += 1; k }
+    // whitespace AND comments are both inter-token filler for the parser
+    def skipWs(i: Int): Int = {
+      var k = i; var moved = true
+      while (moved) {
+        moved = false
+        while (k < n && query.charAt(k).isWhitespace) { k += 1; moved = true }
+        val ce = commentEnd(k)
+        if (ce > k) { k = ce; moved = true }
+      }
+      k
+    }
     def ident(i: Int): Option[(String, Int)] = {
       var k = i
       while (k < n && isIdent(query.charAt(k))) k += 1
       if (k > i && !query.charAt(i).isDigit) Some((query.substring(i, k), k)) else None
     }
-    /** Parse `UNNEST ( expr ) [AS] alias ( col [, col] )` starting at the
-      * UNNEST keyword; None when the shape is not the simple rewritable
-      * form (zip-form top-level comma, WITH ORDINALITY, >2 columns, or a
-      * malformed tail). Returns (arg, alias, cols, endIndex). */
-    def unnestTail(at: Int): Option[(String, String, Seq[String], Int)] = {
+    /** Parse `UNNEST ( e1 [, e2 ...] ) [WITH ORDINALITY] [AS] alias
+      * ( col [, col ...] )` starting at the UNNEST keyword; None when the
+      * shape is not a rewritable form (malformed tail, or a column count
+      * that fits no arity — see the arity table in [[lateralView]]).
+      * Returns (args, ordinality, alias, cols, endIndex). */
+    def unnestTail(at: Int): Option[(Seq[String], Boolean, String, Seq[String], Int)] = {
       if (!kwAt(at, "UNNEST")) return None
       var k = skipWs(at + 6)
       if (k >= n || query.charAt(k) != '(') return None
-      // balance parens for the argument; reject top-level commas
-      // (the multi-array zip form has no explode equivalent)
+      // balance parens for the arguments; top-level commas split the
+      // multi-array zip form's argument list
       val argStart = k + 1
-      var depth = 1; var k2 = argStart; var topComma = false
+      var depth = 1; var k2 = argStart
+      val splits = scala.collection.mutable.ArrayBuffer[Int]()
       while (k2 < n && depth > 0) {
         val ch = query.charAt(k2)
         if (ch == '\'' || ch == '"') k2 = skipQuoted(k2)
         else {
-          if (ch == '(') depth += 1
-          else if (ch == ')') depth -= 1
-          else if (ch == ',' && depth == 1) topComma = true
-          k2 += 1
+          val ce = commentEnd(k2)
+          if (ce > k2) k2 = ce
+          else {
+            if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            else if (ch == ',' && depth == 1) splits += k2
+            k2 += 1
+          }
         }
       }
-      if (depth != 0 || topComma) return None
-      val arg = query.substring(argStart, k2 - 1)
+      if (depth != 0) return None
+      // each argument: [start, its closing comma) — the last runs to the ')'
+      val starts = argStart +: splits.map(_ + 1).toSeq
+      val ends = splits.toSeq :+ (k2 - 1)
+      val args = starts.zip(ends).map { case (a, b) => query.substring(a, b).trim }
+      if (args.exists(_.isEmpty)) return None
       var k3 = skipWs(k2)
-      if (kwAt(k3, "WITH")) return None // WITH ORDINALITY: no rewrite
+      var ordinality = false
+      if (kwAt(k3, "WITH")) {
+        val kk = skipWs(k3 + 4)
+        if (!kwAt(kk, "ORDINALITY")) return None
+        ordinality = true
+        k3 = skipWs(kk + 10)
+      }
       if (kwAt(k3, "AS")) k3 = skipWs(k3 + 2)
       ident(k3) match {
         case Some((alias, k4)) =>
@@ -143,37 +212,67 @@ object Engine {
                 case None => ok = false
               }
             }
-            if (ok && cols.nonEmpty && cols.size <= 2) Some((arg, alias, cols.toSeq, k6))
+            if (ok && cols.nonEmpty) Some((args, ordinality, alias, cols.toSeq, k6))
             else None
           }
         case None => None
       }
     }
-    def lateralView(outer: Boolean, arg: String, alias: String, cols: Seq[String]): String =
-      s"LATERAL VIEW ${if (outer) "OUTER " else ""}explode($arg) $alias AS ${cols.mkString(", ")}"
+    /** The Spark generator expression for one parsed UNNEST tail, or None
+      * when the (args, ordinality, cols) arity fits no rewritable shape.
+      * Arity table: 1 arg → 1 col (array) / 2 cols (map), +1 col with
+      * ordinality; k≥2 args (arrays only) → exactly k cols, +1 with
+      * ordinality. */
+    def lateralView(
+        outer: Boolean, args: Seq[String], ordinality: Boolean,
+        alias: String, cols: Seq[String]): Option[String] = {
+      val prefix = s"LATERAL VIEW ${if (outer) "OUTER " else ""}"
+      val suffix = s" $alias AS ${cols.mkString(", ")}"
+      def ord = "CAST(graft_i + 1 AS BIGINT)"
+      val gen: Option[String] = (args.size, ordinality, cols.size) match {
+        case (1, false, 1) | (1, false, 2) => Some(s"explode(${args.head})")
+        case (1, true, 2) => Some(
+          s"inline(transform(${args.head}, (graft_e, graft_i) -> struct(graft_e, $ord)))")
+        case (1, true, 3) => Some( // map entries + ordinal
+          s"inline(transform(map_entries(${args.head}), (graft_e, graft_i) -> " +
+            s"struct(graft_e.key, graft_e.value, $ord)))")
+        case (k, o, c) if k >= 2 && c == k + (if (o) 1 else 0) =>
+          // lockstep zip, padded to the longest argument with NULLs:
+          // try_element_at is 1-based and NULLs past-the-end AND on NULL
+          // arrays (ANSI-safe); the slice keeps sequence() ascending when
+          // every array is empty or NULL
+          val len = args.map(a => s"coalesce(size($a), 0)").mkString("greatest(", ", ", ", 0)")
+          val fields = args.map(a => s"try_element_at($a, graft_i)") ++
+            (if (o) Seq("CAST(graft_i AS BIGINT)") else Nil)
+          Some(s"inline(transform(slice(sequence(1, greatest($len, 1)), 1, $len), " +
+            s"graft_i -> struct(${fields.mkString(", ")})))")
+        case _ => None
+      }
+      gen.map(g => s"$prefix$g$suffix")
+    }
     val out = new StringBuilder
     var i = 0
     while (i < n) {
       val c = query.charAt(i)
       val attempt: Option[(String, Int)] =
-        if (c == '\'' || c == '"') None
+        if (c == '\'' || c == '"' || commentEnd(i) > i) None
         else if (c == ',') {
           // implicit-join comma form: `, UNNEST(e) [AS] t(x)` — the comma
           // itself is replaced (LATERAL VIEW attaches without a join)
-          unnestTail(skipWs(i + 1)).map { case (arg, alias, cols, end) =>
-            (" " + lateralView(outer = false, arg, alias, cols), end)
+          unnestTail(skipWs(i + 1)).flatMap { case (args, ord, alias, cols, end) =>
+            lateralView(outer = false, args, ord, alias, cols).map(lv => (" " + lv, end))
           }
         } else if (kwAt(i, "CROSS")) {
           val k = skipWs(i + 5)
           if (!kwAt(k, "JOIN")) None
-          else unnestTail(skipWs(k + 4)).map { case (arg, alias, cols, end) =>
-            (lateralView(outer = false, arg, alias, cols), end)
+          else unnestTail(skipWs(k + 4)).flatMap { case (args, ord, alias, cols, end) =>
+            lateralView(outer = false, args, ord, alias, cols).map((_, end))
           }
         } else if (kwAt(i, "LEFT")) {
           var k = skipWs(i + 4)
           if (kwAt(k, "OUTER")) k = skipWs(k + 5)
           if (!kwAt(k, "JOIN")) None
-          else unnestTail(skipWs(k + 4)).flatMap { case (arg, alias, cols, end) =>
+          else unnestTail(skipWs(k + 4)).flatMap { case (args, ord, alias, cols, end) =>
             // Presto requires ON TRUE on an outer unnest join; anything
             // else is not this form — leave verbatim (loud downstream)
             val k9 = skipWs(end)
@@ -181,7 +280,7 @@ object Engine {
             else {
               val k10 = skipWs(k9 + 2)
               if (!kwAt(k10, "TRUE")) None
-              else Some((lateralView(outer = true, arg, alias, cols), k10 + 4))
+              else lateralView(outer = true, args, ord, alias, cols).map((_, k10 + 4))
             }
           }
         } else None
@@ -190,7 +289,11 @@ object Engine {
         case None =>
           if (c == '\'' || c == '"') {
             val e = skipQuoted(i); out.append(query.substring(i, e)); i = e
-          } else { out.append(c); i += 1 }
+          } else {
+            val ce = commentEnd(i)
+            if (ce > i) { out.append(query.substring(i, ce)); i = ce }
+            else { out.append(c); i += 1 }
+          }
       }
     }
     out.toString

@@ -474,6 +474,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "xxhash64; deviation: the digest convention differs from Presto's, " +
         "order-insensitivity and within-engine comparability are preserved)",
       c => ce.aggregate.BitXorAgg(new ce.XxHash64(Seq(c))))
+    // Presto's map-collection aggregates (r16 verdict missing #1) — the
+    // names are free in Spark 4.1's registry; semantics and the prestodb
+    // null-key/duplicate-key pins live in MapAggregates.scala
+    def agg2(name: String, clazz: Class[_], usage: String,
+        build: (Expression, Expression) => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        info(clazz, name, usage),
+        (children: Seq[Expression]) => children match {
+          case Seq(a, b) => build(a, b)
+          case _ => throw new IllegalArgumentException(
+            s"$name expects 2 arguments, got ${children.size}")
+        }))
+    agg2("map_agg", classOf[PrestoMapAgg],
+      "map_agg(k, v) - Presto map collection aggregate: map from keys to one value " +
+        "each (first-accumulated wins on duplicates — Presto: arbitrary; NULL keys skipped)",
+      (k, v) => PrestoMapAgg(k, v))
+    agg2("multimap_agg", classOf[PrestoMultimapAgg],
+      "multimap_agg(k, v) - Presto multimap aggregate: map from keys to ALL their " +
+        "values (accumulation order; NULL keys skipped, NULL values kept)",
+      (k, v) => PrestoMultimapAgg(k, v))
+    alias1("histogram",
+      "histogram(x) - Presto value->count map aggregate (NULL inputs skipped)",
+      c => PrestoHistogramAgg(c))
+
+    // error-safe wrapper -----------------------------------------------------
+    // Presto's TRY(expr): evaluation errors become NULL. Spark's own try_*
+    // family is built on exactly this node (TryEval backs try_add/
+    // try_divide/...), so the registration lowers the generic spelling onto
+    // the native codegen'd wrapper — a pasted TRY(json_parse(x)) or
+    // TRY(CAST(s AS INT)) runs verbatim. Scope matches Presto: RUNTIME
+    // errors null out; analysis-time errors (unresolved names, type
+    // mismatches) still fail the query on both engines.
+    ext.injectFunction((
+      new FunctionIdentifier("try"),
+      info(classOf[ce.TryEval], "try",
+        "try(expr) - Presto error-safe wrapper: runtime evaluation errors yield NULL; " +
+          "lowers to the TryEval node Spark's try_* family is built on"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => ce.TryEval(c)
+        case _ => throw new IllegalArgumentException(
+          s"try expects 1 argument, got ${children.size}")
+      }))
 
     // lambda predicates ----------------------------------------------------------
     // Presto's array-predicate spellings over Spark's exists/forall
@@ -508,4 +551,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"none_match expects a lambda predicate, got ${other.getClass.getSimpleName}")
       }))
   }
+}
+
+/** Column wrapper for the TRY lowering, so declared queries can use it on a
+  * vanilla session (the SQL spelling `try(...)` needs the GraftExtensions
+  * registry; this does not). */
+object ErrorSafeFunctions {
+  import org.apache.spark.sql.{graftshim, Column}
+  def tryEval(c: Column): Column =
+    graftshim.column(
+      org.apache.spark.sql.catalyst.expressions.TryEval(graftshim.expression(c)))
 }

@@ -501,6 +501,55 @@ FROM "defenda_data_lake"."events"
       s"expected a json_parse failure, got: ${err.getMessage}")
   }
 
+  test("Presto map_agg / multimap_agg / histogram / TRY resolve as SQL spellings") {
+    // map_agg: NULL keys skipped (prestodb KeyValuePairs pin); duplicate
+    // keys keep ONE value (Presto: arbitrary — here one of the inputs)
+    val m = spark.sql(
+      """SELECT map_agg(k, v) AS m FROM VALUES
+           ('a', 1), ('b', 2), (CAST(NULL AS STRING), 99), ('a', 3) AS t(k, v)""")
+      .collect()(0).getMap[String, Int](0)
+    assert(m.keySet == Set("a", "b"), "NULL keys must be skipped, not error")
+    assert(m("b") == 2)
+    assert(Set(1, 3).contains(m("a")), "duplicate key keeps one of its values")
+    // all-NULL-keys group -> EMPTY map; empty relation -> NULL (the
+    // prestodb touched-state distinction)
+    val empty = spark.sql(
+      "SELECT map_agg(k, v) AS m FROM VALUES (CAST(NULL AS STRING), 1) AS t(k, v)")
+      .collect()(0)
+    assert(!empty.isNullAt(0) && empty.getMap[String, Int](0).isEmpty,
+      "all-NULL-key group must yield an EMPTY map, not NULL")
+    val nul = spark.sql(
+      "SELECT map_agg(k, v) FROM (SELECT 'a' AS k, 1 AS v) WHERE 1 = 0")
+      .collect()(0)
+    assert(nul.isNullAt(0), "empty-relation global aggregate must yield NULL")
+    // histogram: value -> count, NULLs skipped; grouped path exercises the
+    // partial-merge (exchange) leg
+    val h = spark.sql(
+      "SELECT histogram(x) AS h FROM VALUES ('p'), ('q'), ('p'), (CAST(NULL AS STRING)) AS t(x)")
+      .collect()(0).getMap[String, Long](0)
+    assert(h == Map("p" -> 2L, "q" -> 1L))
+    val g = spark.sql(
+      """SELECT k, histogram(v) AS h FROM VALUES
+           ('g1', 'a'), ('g1', 'a'), ('g1', 'b'), ('g2', 'c') AS t(k, v)
+         GROUP BY k ORDER BY k""").collect()
+    assert(g(0).getMap[String, Long](1) == Map("a" -> 2L, "b" -> 1L))
+    assert(g(1).getMap[String, Long](1) == Map("c" -> 1L))
+    // multimap_agg: every value kept per key
+    val mm = spark.sql(
+      "SELECT multimap_agg(k, v) AS mm FROM VALUES ('a', 1), ('a', 2), ('b', 3) AS t(k, v)")
+      .collect()(0).getMap[String, scala.collection.Seq[Int]](0)
+    assert(mm("a").toSet == Set(1, 2) && mm("b").toSeq == Seq(3))
+    // TRY: runtime errors (ANSI bad cast, invalid JSON, div by zero) -> NULL;
+    // a succeeding wrapped expression passes through
+    val t = spark.sql(
+      """SELECT try(cast('x' AS int)) AS a, try(cast('5' AS int)) AS b,
+                try(json_parse('{oops')) AS c, try(1 div 0) AS d""").collect()(0)
+    assert(t.isNullAt(0) && t.getInt(1) == 5 && t.isNullAt(2) && t.isNullAt(3))
+    // arity errors are loud at registration, matching the existing spellings
+    intercept[Exception](spark.sql("SELECT map_agg(1)").collect())
+    intercept[Exception](spark.sql("SELECT try(1, 2)").collect())
+  }
+
   test("Presto regexp_split / approx_distinct / presto_from_unixtime resolve") {
     val r = spark.sql(
       """SELECT regexp_split('one1two22three', '[0-9]+') AS parts,
@@ -555,11 +604,37 @@ FROM "defenda_data_lake"."events"
     assert(Engine.rewriteUnnest(lit) == lit)
     val lit2 = "SELECT ', UNNEST(a) AS t(x)' AS s FROM t"
     assert(Engine.rewriteUnnest(lit2) == lit2)
-    // multi-array zip, WITH ORDINALITY: left verbatim (loud downstream)
-    val zip = "SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x, y)"
-    assert(Engine.rewriteUnnest(zip) == zip)
-    val ord = "SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, o)"
-    assert(Engine.rewriteUnnest(ord) == ord)
+    // WITH ORDINALITY rewrites to inline(transform(...)) with a 1-based
+    // BIGINT ordinal (posexplode's position is 0-based — the one trap)
+    assert(Engine.rewriteUnnest(
+      "SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, o)") ==
+      "SELECT * FROM t LATERAL VIEW inline(transform(a, (graft_e, graft_i) -> " +
+        "struct(graft_e, CAST(graft_i + 1 AS BIGINT)))) u AS x, o")
+    // multi-array zip rewrites to the lockstep pad-to-longest form
+    assert(Engine.rewriteUnnest(
+      "SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x, y)") ==
+      "SELECT * FROM t LATERAL VIEW inline(transform(slice(sequence(1, " +
+        "greatest(greatest(coalesce(size(a), 0), coalesce(size(b), 0), 0), 1)), 1, " +
+        "greatest(coalesce(size(a), 0), coalesce(size(b), 0), 0)), graft_i -> " +
+        "struct(try_element_at(a, graft_i), try_element_at(b, graft_i)))) u AS x, y")
+    // a zip whose column count fits no arity (e.g. a map argument would
+    // contribute 2 columns) is left verbatim — loud downstream
+    val zipBad = "SELECT * FROM t CROSS JOIN UNNEST(a, m) AS u(x, k, v)"
+    assert(Engine.rewriteUnnest(zipBad) == zipBad)
+    // comments are inter-token filler: an apostrophe inside one must not
+    // misalign the quote tracking (r16 ADVICE), and a comment between the
+    // join keywords and UNNEST still rewrites
+    val cmt = "SELECT a FROM t -- don't rewrite 'this\n WHERE x = 1"
+    assert(Engine.rewriteUnnest(cmt) == cmt)
+    val cmtBlock = "SELECT a /* it's a, CROSS JOIN UNNEST(b) AS t(x) */ FROM t"
+    assert(Engine.rewriteUnnest(cmtBlock) == cmtBlock)
+    assert(Engine.rewriteUnnest(
+      "SELECT a, x FROM t CROSS JOIN /* flatten */ UNNEST(arr) AS u(x)") ==
+      "SELECT a, x FROM t LATERAL VIEW explode(arr) u AS x")
+    // backslash-escaped quote inside a literal: the scanner mirrors
+    // Spark's lexer, so the UNNEST-shaped text stays inside the literal
+    val esc = "SELECT 'don\\'t, CROSS JOIN UNNEST(a) AS t(x)' AS s FROM t"
+    assert(Engine.rewriteUnnest(esc) == esc)
     // end-to-end: array form and map form (Presto's two UNNEST shapes)
     spark.sql("SELECT 1 AS id, array('p', 'q') AS arr, map('k1', 10, 'k2', 20) AS m")
       .createOrReplaceTempView("unnest_probe")
@@ -589,8 +664,35 @@ FROM "defenda_data_lake"."events"
       "SELECT id, w FROM unnest_outer_probe CROSS JOIN UNNEST(arr) AS t(w)")
       .collect()
     assert(inner.length == 1, "inner unnest must drop the empty-array row")
+    // WITH ORDINALITY end-to-end: 1-based BIGINT ordinal, array and map
+    val ordRows = Engine.sql(spark,
+      """SELECT w, o FROM unnest_probe
+         CROSS JOIN UNNEST(arr) WITH ORDINALITY AS t(w, o) ORDER BY o""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ordRows == Seq(("p", 1L), ("q", 2L)))
+    val ordMap = Engine.sql(spark,
+      """SELECT k, v, o FROM unnest_probe
+         CROSS JOIN UNNEST(m) WITH ORDINALITY AS t(k, v, o) ORDER BY o""")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(ordMap == Seq(("k1", 10, 1L), ("k2", 20, 2L)))
+    // multi-array zip end-to-end: lockstep, shorter/NULL arrays pad with
+    // NULL to the LONGEST (Presto's contract); ordinality composes
+    spark.sql("""SELECT array(1, 2, 3) AS a, array('x') AS b
+                 UNION ALL SELECT array(), CAST(NULL AS ARRAY<STRING>)""")
+      .createOrReplaceTempView("unnest_zip_probe")
+    val zipRows = Engine.sql(spark,
+      """SELECT x, y, o FROM unnest_zip_probe
+         CROSS JOIN UNNEST(a, b) WITH ORDINALITY AS t(x, y, o) ORDER BY o""")
+      .collect().map(r => (
+        if (r.isNullAt(0)) -1 else r.getInt(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        r.getLong(2))).toSeq
+    assert(zipRows == Seq((1, "x", 1L), (2, null, 2L), (3, null, 3L)),
+      s"zip must pad to longest and drop the all-empty row, got $zipRows")
     // the unsupported forms reach Spark's parser verbatim and fail LOUDLY
+    // (a map inside the zip form would contribute TWO columns — untyped
+    // column arithmetic here, so it stays verbatim)
     intercept[Exception](Engine.sql(spark,
-      "SELECT * FROM unnest_probe CROSS JOIN UNNEST(arr, arr) AS t(x, y)").collect())
+      "SELECT * FROM unnest_probe CROSS JOIN UNNEST(arr, m) AS t(x, k, v)").collect())
   }
 }

@@ -172,6 +172,8 @@ class PropertySpec extends AnyFunSuite {
       Gen.const(" WHERE x IN (1, 2, 3) AND unnested = 7"),
       Gen.const(" GROUP BY cube(a, b)"),
       Gen.const(" /* not a rewrite: UNNEST with no paren */ UNNEST"),
+      Gen.const(" /* it's a block, /* nested */ comment */ x"),
+      Gen.const("'back\\'slash, CROSS JOIN UNNEST(esc) AS t(x)'"),
       Gen.const(" ORDER BY 1, 2"),
       Gen.alphaNumStr.map(_.take(6)))
     forAllG(Gen.listOfN(6, frag).map(_.mkString(" "))) { q =>
