@@ -232,6 +232,9 @@ object StreamingIngest {
         val raw = batch.toDF().dropDuplicates("vec_id").cache()
         val rawMin = raw.agg(min(col("vec_id"))).head().get(0)
         if (rawMin != null) {
+          // the mark BEFORE freshThenAdvance advances it — the feed's proven
+          // frontier, against which this batch's monotonicity is judged
+          val prevMark = graft.operators.ReplayGuard.highWaterMark(s, embDir)
           // O(delta) replay guard: the high-water mark bounds the dedup scan
           // to the one overlapping batch window (zero sink reads in the
           // normal path) instead of re-scanning every vec_id ever written
@@ -253,15 +256,39 @@ object StreamingIngest {
           // alone grows with corpus age; this path is O(delta) end to end.
           // Replay parity is unchanged: a replayed batch re-derives the
           // identical delta against the sub-boundary old side either way.
-          if (flavor == graft.operators.VectorIndex.FlavorBinary)
-            graft.operators.VectorIndex.appendBinaryRows(
-              s, raw, indexDir, rawMin.asInstanceOf[Long])
-          else if (flavor == graft.operators.VectorIndex.FlavorSq8)
-            graft.operators.VectorIndex.appendSq8Rows(
-              s, raw, indexDir, rawMin.asInstanceOf[Long])
-          else
-            graft.operators.VectorIndex.appendIvfPqRows(
-              s, raw, indexDir, rawMin.asInstanceOf[Long])
+          //
+          // The *Rows fast path is only SAFE on a monotonic feed: the old
+          // side keeps codes below rawMin and the new side encodes only
+          // this batch, so a LATE row (vec_id below the already-indexed
+          // frontier) would silently evict every indexed row above it
+          // (r16 ADVICE). The guard is the ReplayGuard mark read BEFORE
+          // this batch advanced it: rawMin above the mark is the normal
+          // monotonic case; anything else (crash replay of the last
+          // window, or genuinely late data) re-encodes from the CORPUS
+          // at the same boundary — identical result for a true replay
+          // (the corpus tail past rawMin IS the batch, still O(delta)),
+          // and for late data it re-encodes the overlap instead of
+          // dropping it, at a cost proportional to the lateness.
+          val rawMinL = rawMin.asInstanceOf[Long]
+          val monotonic = prevMark.forall(rawMinL > _)
+          if (!monotonic)
+            System.err.println(
+              s"[index-maintenance] batch min vec_id $rawMinL is at or below the " +
+                s"feed frontier ${prevMark.get} (crash replay or out-of-order feed); " +
+                "falling back to the corpus-boundary re-encode for this batch")
+          if (flavor == graft.operators.VectorIndex.FlavorBinary) {
+            if (monotonic)
+              graft.operators.VectorIndex.appendBinaryRows(s, raw, indexDir, rawMinL)
+            else graft.operators.VectorIndex.appendBinary(s, corpusDir, indexDir, rawMinL)
+          } else if (flavor == graft.operators.VectorIndex.FlavorSq8) {
+            if (monotonic)
+              graft.operators.VectorIndex.appendSq8Rows(s, raw, indexDir, rawMinL)
+            else graft.operators.VectorIndex.appendSq8(s, corpusDir, indexDir, rawMinL)
+          } else {
+            if (monotonic)
+              graft.operators.VectorIndex.appendIvfPqRows(s, raw, indexDir, rawMinL)
+            else graft.operators.VectorIndex.appendIvfPq(s, corpusDir, indexDir, rawMinL)
+          }
           if (!unmetered.contains(flavor))
             autoRebuildThreshold.foreach { threshold =>
               graft.operators.VectorIndex.trainBoundOpt(s, indexDir).foreach { bound =>

@@ -522,6 +522,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0L until 5L).foreach(i => assert(top1(i) == 10000L + i, s"query $i top1 ${top1(i)}"))
   }
 
+  test("streaming index maintenance: an out-of-order batch falls back to the corpus re-encode (no eviction)") {
+    // r16 ADVICE (medium): the O(delta) appendRows fast path keeps old codes
+    // BELOW the batch min — a late row arriving after higher ids were
+    // indexed would silently evict every indexed row above it. The guard
+    // must detect rawMin at-or-below the ReplayGuard frontier and re-encode
+    // from the corpus at that boundary instead.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = s"$base/idx_ooo_corpus"
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .write.parquet(s"$corpus/embeddings.parquet")
+    val idx = s"$corpus/index"
+    graft.operators.VectorIndex.buildIvfPq(spark, corpus, idx)
+    val nBase = spark.read.parquet(s"$corpus/embeddings.parquet").count()
+    def twin(src: Long, id: Long) = spark.read.parquet(s"$corpus/embeddings.parquet")
+      .filter(col("vec_id") === src).collect()
+      .map(r => (id, r.getSeq[Float](1), r.getInt(2))).head
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    def drain(): Unit = {
+      val q = StreamingIngest.startIndexMaintenanceStream(
+        mem.toDF().toDF("vec_id", "embedding", "label"), corpus, idx,
+        s"$base/idx_ooo_ckpt", Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    // batch 1 (monotonic): ids 10000..10004 ride the O(delta) fast path
+    mem.addData((0L until 5L).map(i => twin(i, 10000L + i)): _*)
+    drain()
+    assert(spark.read.parquet(s"$idx/cells").count() == nBase + 5)
+    // batch 2 (OUT OF ORDER): vec_id 9000 is below the 10004 frontier.
+    // Without the guard, appendRows(rawMin=9000) keeps only codes < 9000 —
+    // evicting all five rows indexed above. The fallback re-encodes the
+    // corpus tail >= 9000, so everything stays indexed.
+    mem.addData(twin(5L, 9000L), twin(6L, 10010L))
+    drain()
+    assert(spark.read.parquet(s"$corpus/embeddings.parquet").count() == nBase + 7)
+    assert(spark.read.parquet(s"$idx/cells").count() == nBase + 7,
+      "out-of-order batch must not evict previously indexed rows")
+    assert(spark.read.parquet(s"$idx/codes").count() == (nBase + 7) * 8)
+    val indexed = spark.read.parquet(s"$idx/cells")
+      .filter(col("vec_id") >= 9000L).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(indexed == Seq(9000L, 10000L, 10001L, 10002L, 10003L, 10004L, 10010L))
+  }
+
   test("streaming index maintenance: drift past the threshold triggers an in-loop rebuild") {
     val s = spark
     import s.implicits._
