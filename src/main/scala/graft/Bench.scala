@@ -82,13 +82,13 @@ object Bench {
     * Diffed round-over-round against BENCH_PLANS.json; a query whose
     * exchange or sort count GREW lands in the compact artifact's
     * `plan_regressed` list. */
-  private case class PlanFp(
+  private[graft] case class PlanFp(
       exchanges: Int, sorts: Int, broadcasts: Int,
       smj: Int, shj: Int, bhj: Int, nestedLoop: Int, spillBytes: Long) {
     def sig: String = s"x$exchanges s$sorts b$broadcasts m$smj h$shj j$bhj n$nestedLoop"
   }
 
-  private def fingerprintOf(root: org.apache.spark.sql.execution.SparkPlan): PlanFp = {
+  private[graft] def fingerprintOf(root: org.apache.spark.sql.execution.SparkPlan): PlanFp = {
     import org.apache.spark.sql.execution.SparkPlan
     val nodes = collection.mutable.ArrayBuffer[SparkPlan]()
     def walk(p: SparkPlan): Unit = p match {
@@ -108,8 +108,14 @@ object Bench {
     }
     walk(root)
     def n(pred: SparkPlan => Boolean) = nodes.count(pred)
+    // ONLY byte-valued spill metrics (metricType SIZE): nodes also expose
+    // count/time-valued spill metrics ("number of spilled partitions",
+    // "spill time") whose raw values are not bytes — summing those inflated
+    // the figure and could false-positive the new-spill regression branch
+    // (r16 ADVICE)
     val spill = nodes.flatMap(_.metrics).collect {
-      case (key, m) if key.toLowerCase.contains("spill") && m.value > 0 => m.value
+      case (key, m) if key.toLowerCase.contains("spill") &&
+        m.metricType == "size" && m.value > 0 => m.value
     }.sum
     PlanFp(
       exchanges = n(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
@@ -124,6 +130,72 @@ object Bench {
       spillBytes = spill)
   }
 
+  /** The round-over-round plan-shape diff, extracted pure so the guard can
+    * be GUARDED (r16 verdict task 6: `plan_regressed` had only ever been
+    * empty — BenchSpec injects a real regression through this function and
+    * asserts it fires). A query regresses when its exchange or sort count
+    * GREW against the previous artifact, or when it spills where it
+    * previously did not AT THE SAME CORPUS (a bigger corpus legitimately
+    * spills where a smaller one didn't — hence the sameSf gate). */
+  private[graft] def planRegressed(
+      current: collection.Map[String, PlanFp],
+      prevSigs: Map[String, (Int, Int)],
+      prevSpilled: Set[String],
+      prevSameSf: Boolean): Seq[String] =
+    current.collect {
+      case (n, fp) if prevSigs.get(n).exists { case (px, ps) =>
+        fp.exchanges > px || fp.sorts > ps } => n
+      case (n, fp) if prevSameSf && fp.spillBytes > 0 &&
+        prevSigs.contains(n) && !prevSpilled(n) => n
+    }.toSeq.distinct.sorted
+
+  /** One prior artifact's isolation signal: suite medians from its
+    * "queries" object (threshold-filtered by the caller), plus the bare
+    * NAMES from "queries_isolated_hotbox" (legacy format) and
+    * "isolate_next_run" (current format) at the threshold value — a query
+    * isolated on the hot box last run needs a quiet-box number THIS run
+    * even when the compact artifact's top-k trim dropped its median (else
+    * it re-lands in the hot-box column forever). Regexes tolerate both the
+    * compact one-line artifact and the driver's pretty-printed wrapper. */
+  private[graft] def parsePriorArtifact(path: java.nio.file.Path): Seq[(String, Double)] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      // anchor to the "queries" object ONLY: the artifact may carry other
+      // q_*:number maps (min/max/isolated columns) whose values are NOT
+      // suite medians — a query flagged off its max would waste an
+      // isolation slot on jitter (r9 ADVICE)
+      val qSection = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("")
+      val medians = """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(qSection)
+        .map(m => (m.group(1), m.group(2).toDouble)).toSeq
+      val hotSection = """"queries_isolated_hotbox"\s*:\s*\{([^}]*)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      val hotNames = """"(q_[a-z0-9_]+)"\s*:""".r.findAllMatchIn(hotSection)
+        .map(m => (m.group(1), IsolateThresholdSec)).toSeq
+      val nextSection = """"isolate_next_run"\s*:\s*\[([^\]]*)\]""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      val nextNames = """"(q_[a-z0-9_]+)"""".r.findAllMatchIn(nextSection)
+        .map(m => (m.group(1), IsolateThresholdSec)).toSeq
+      medians ++ hotNames ++ nextNames
+    } catch { case _: Throwable => Seq.empty }
+
+  /** The quiet pre-suite isolation set, from BOTH lineages (r16 verdict
+    * task 5): the committed BENCH.json (builder-close runs) AND the newest
+    * driver artifact BENCH_r{N}.json in `dir` — r16 caught 3 of 4 promoted
+    * names missing from the driver artifact because only the committed
+    * file was consulted. Union, threshold-filtered, sorted. */
+  private[graft] def isolationCandidates(dir: java.io.File): Seq[String] = {
+    val re = """BENCH_r(\d+)\.json""".r
+    val driverArtifact = Option(dir.listFiles()).toSeq.flatten
+      .flatMap(f => f.getName match {
+        case re(num) => Some((num.toInt, f.toPath))
+        case _ => None
+      }).sortBy(-_._1).headOption.map(_._2)
+    val prior = parsePriorArtifact(dir.toPath.resolve("BENCH.json")) ++
+      driverArtifact.map(parsePriorArtifact).getOrElse(Seq.empty)
+    prior.filter(_._2 >= IsolateThresholdSec).map(_._1).distinct.sorted
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -133,42 +205,13 @@ object Bench {
     // queries (minhash pass at 100 s vs 6 s standalone) however the parent
     // was sequenced — 20 minutes of full-tilt suite work leaves the machine
     // in a state the child inherits no matter who stopped what. The flagged
-    // set comes from the PREVIOUS run's BENCH.json (the compact artifact
-    // carries the most expensive suite medians — exactly the isolation
-    // candidates); a query new since the last run joins the set next run.
-    val isolated: Seq[(String, Option[Double])] = {
-      val prior =
-        try {
-          val txt = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get("BENCH.json")), "UTF-8")
-          // anchor to the "queries" object ONLY: the artifact may carry
-          // other q_*:number maps (min/max/isolated columns) whose values
-          // are NOT suite medians — a query flagged off its max would
-          // waste an isolation slot on jitter (r9 ADVICE)
-          val qSection = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-            .map(_.group(1)).getOrElse("")
-          val medians = """"(q_[a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(qSection)
-            .map(m => (m.group(1), m.group(2).toDouble)).toSeq
-          // hot-box NAMES (values unused): a query isolated on the hot box
-          // last run needs a quiet-box number THIS run, even if the compact
-          // artifact's top-k trim dropped its median from "queries" — else
-          // it re-lands in the hot-box column forever
-          val hotSection = """"queries_isolated_hotbox":\{([^}]*)\}""".r
-            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-          val hotNames = """"(q_[a-z0-9_]+)":""".r.findAllMatchIn(hotSection)
-            .map(m => (m.group(1), IsolateThresholdSec)).toSeq
-          // current format: hot-box VALUES no longer ride in the artifact
-          // (r12 verdict task 8) — promotion travels as a bare names list
-          val nextSection = """"isolate_next_run":\[([^\]]*)\]""".r
-            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-          val nextNames = """"(q_[a-z0-9_]+)"""".r.findAllMatchIn(nextSection)
-            .map(m => (m.group(1), IsolateThresholdSec)).toSeq
-          medians ++ hotNames ++ nextNames
-        } catch { case _: Throwable => Seq.empty }
-      val flagged = prior.filter(_._2 >= IsolateThresholdSec).map(_._1)
-        .filter(SparkEntry.queries.contains).distinct.sorted
-      isolateFreshJvm(flagged, sfDir, cpus)
-    }
+    // set unions the committed BENCH.json with the newest driver artifact
+    // (see isolationCandidates); a query new since the last run joins the
+    // set next run.
+    val isolated: Seq[(String, Option[Double])] =
+      isolateFreshJvm(
+        isolationCandidates(new java.io.File("."))
+          .filter(SparkEntry.queries.contains), sfDir, cpus)
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -255,6 +298,20 @@ object Bench {
       .sorted
     val hotbox = isolateFreshJvm(newlySlow, sfDir, cpus)
 
+    // artifact lineage, in-band (r16 verdict task 7): WHO produced this
+    // line and from WHICH tree — r16's 214.8-vs-269.1 ambiguity (builder's
+    // quiet close vs the driver's loaded-box run, same code) was only
+    // resolvable by forensics. producer defaults to "driver" (the driver
+    // sets no env); builder closing runs export SPARK_GRAFT_PRODUCER.
+    val producer = sys.env.getOrElse("SPARK_GRAFT_PRODUCER", "driver")
+    val commit =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD").start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
+    val lineageJson = s""""producer":"$producer","commit":"$commit","""
+
     def isoJson(xs: Seq[(String, Option[Double])]): String = xs.map {
       case (n, Some(t)) => "\"" + n + f"""":$t%.3f"""
       case (n, None) => "\"" + n + "\":null"
@@ -278,29 +335,25 @@ object Bench {
     // full per-query map goes to BENCH_PLANS.json (the compact stdout line
     // cannot fit ~280 entries); the compact line carries only the DIFF —
     // names whose exchange or sort count GREW since the previous run.
+    // query-name pattern: the FULL identifier alphabet, not just q_[a-z0-9_]
+    // — a differently-named query must not silently drop out of regression
+    // tracking (r16 ADVICE); only sig-shaped values can match the first
+    // regex, so the wider name class is safe
     val (prevSigs, prevSpilled, prevSameSf) =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_PLANS.json")), "UTF-8")
-        val sigs = """"(q_[a-z0-9_]+)":"x(\d+) s(\d+)""".r.findAllMatchIn(txt)
+        val sigs = """"([A-Za-z0-9_]+)":"x(\d+) s(\d+)""".r.findAllMatchIn(txt)
           .map(m => (m.group(1), (m.group(2).toInt, m.group(3).toInt))).toMap
         val spillSection = """"spill_bytes":\{([^}]*)\}""".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        val spilled = """"(q_[a-z0-9_]+)":""".r.findAllMatchIn(spillSection)
+        val spilled = """"([A-Za-z0-9_]+)":""".r.findAllMatchIn(spillSection)
           .map(_.group(1)).toSet
         val sameSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
           .exists(_.group(1) == sfDir)
         (sigs, spilled, sameSf)
       } catch { case _: Throwable => (Map.empty[String, (Int, Int)], Set.empty[String], false) }
-    val regressed = planFps.collect {
-      case (n, fp) if prevSigs.get(n).exists { case (px, ps) =>
-        fp.exchanges > px || fp.sorts > ps } => n
-      // NEW spill at the SAME corpus is a memory-shape regression even
-      // when the plan tree is unchanged (only comparable same-sf: a
-      // bigger corpus legitimately spills where a smaller one didn't)
-      case (n, fp) if prevSameSf && fp.spillBytes > 0 &&
-        prevSigs.contains(n) && !prevSpilled(n) => n
-    }.toSeq.distinct.sorted
+    val regressed = planRegressed(planFps, prevSigs, prevSpilled, prevSameSf)
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val plansJson = planFps.toSeq.sortBy(_._1)
       .map { case (n, fp) => "\"" + n + "\":\"" + fp.sig + "\"" }
@@ -315,6 +368,7 @@ object Bench {
 
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$TimedRuns,""" +
+        lineageJson +
         f""""queries":$medians,"queries_min":$mins,"queries_max":$maxs,""" +
         f""""queries_isolated":$isolatedJson,"isolate_next_run":$nextRunJson,""" +
         f""""plans":$plansJson,"plan_regressed":$regressedJson,""" +
@@ -336,6 +390,7 @@ object Bench {
           loadPass.map(l => f"$l%.1f").mkString(",")}],"""
     def compact(k: Int): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$TimedRuns,""" +
+        lineageJson +
         f""""stream_e2e_latency_sec":$streamLatency%.1f,"sf":"$sfDir",""" +
         calibJson +
         s""""n_queries":${names.size},"queries":""" +
