@@ -674,4 +674,16 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("\\bWindow\\b".r.findAllIn(tree).size == 1, p)
     assert(p.contains("phase"), p)
   }
+
+  test("catalog partition pruning holds on an hour-partitioned tree (PartitionProbe pin)") {
+    // the standing in-suite twin of the 10^3/10^4 PartitionProbe runs
+    // (r17 task 4): a registered reference-layout table must read exactly
+    // the matching partitions' files — probe() asserts point=1 and day=24
+    // from EXECUTED scan metrics and throws on any prune regression
+    val base = java.nio.file.Files.createTempDirectory("graft_pprobe").toString + "/tree"
+    graft.tools.PartitionProbe.buildTree(spark, base, 48)
+    val line = graft.tools.PartitionProbe.probe(spark, base, 48)
+    assert(line.contains("\"point_files_read\":1"), line)
+    assert(line.contains("\"day_files_read\":24"), line)
+  }
 }
