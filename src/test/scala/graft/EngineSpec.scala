@@ -695,4 +695,50 @@ FROM "defenda_data_lake"."events"
     intercept[Exception](Engine.sql(spark,
       "SELECT * FROM unnest_probe CROSS JOIN UNNEST(arr, m) AS t(x, k, v)").collect())
   }
+
+  test("UNNEST rewrite matrix: every join form x shape x noise executes and matches") {
+    // exhaustive execute-and-compare over the rewriter's whole input space:
+    // 3 join forms x 6 shapes x 4 noise transforms (keyword case, comments
+    // as inter-token filler, optional AS) = 72 queries, each checked
+    // against hand-computed rows — the hand-rolled scanner's contract is
+    // semantic, so the pin is semantic too
+    spark.sql(
+      """SELECT 1 AS id, array('p', 'q') AS arr, map('k1', 10, 'k2', 20) AS m,
+                array(1, 2, 3) AS za, array('x') AS zb""")
+      .createOrReplaceTempView("unnest_matrix")
+    // (tail, select expr over the unnested cols, order col, expected)
+    val shapes = Seq(
+      ("UNNEST(arr) AS t(w)", "w", "w", Seq("p", "q")),
+      ("UNNEST(m) AS t(k, v)", "concat(k, ':', v)", "k", Seq("k1:10", "k2:20")),
+      ("UNNEST(arr) WITH ORDINALITY AS t(w, o)", "concat(w, '@', o)", "o",
+        Seq("p@1", "q@2")),
+      ("UNNEST(m) WITH ORDINALITY AS t(k, v, o)", "concat(k, ':', v, '@', o)", "o",
+        Seq("k1:10@1", "k2:20@2")),
+      ("UNNEST(za, zb) AS t(x, y)", "concat(x, ':', coalesce(y, '-'))", "x",
+        Seq("1:x", "2:-", "3:-")),
+      ("UNNEST(za, zb) WITH ORDINALITY AS t(x, y, o)",
+        "concat(x, ':', coalesce(y, '-'), '@', o)", "o", Seq("1:x@1", "2:-@2", "3:-@3")))
+    val joins: Seq[String => String] = Seq(
+      t => s"unnest_matrix CROSS JOIN $t",
+      t => s"unnest_matrix, $t",
+      t => s"unnest_matrix LEFT JOIN $t ON TRUE")
+    val noises: Seq[String => String] = Seq(
+      identity,
+      _.toLowerCase, // keyword case-insensitivity (idents already lowercase)
+      _.replace("UNNEST(", "UNNEST /* it's a, comment */ (")
+        .replace("WITH ORDINALITY", "WITH -- don't\n ORDINALITY")
+        .replace("JOIN ", "JOIN /* j */ "),
+      _.replace(" AS t(", " t(")) // alias without AS
+    for {
+      (tail, sel, ord, expected) <- shapes
+      join <- joins
+      noise <- noises
+    } {
+      val q = s"SELECT $sel AS r FROM ${join(noise(tail))} ORDER BY $ord"
+      val got =
+        try Engine.sql(spark, q).collect().map(_.getString(0)).toSeq
+        catch { case e: Throwable => fail(s"<$q> failed: $e") }
+      assert(got == expected, s"<$q> gave $got, expected $expected")
+    }
+  }
 }
