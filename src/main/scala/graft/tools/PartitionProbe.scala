@@ -56,16 +56,26 @@ object PartitionProbe {
     val seedFile = fs.listStatus(seedDir)
       .map(_.getPath).find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("no seed parquet written"))
-    var t = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
-    var i = 0
-    while (i < nHours) {
-      val dir = new Path(base, f"year=${t.getYear}%04d/month=${t.getMonthValue}%02d/" +
-        f"day=${t.getDayOfMonth}%02d/hour=${t.getHour}%02d")
-      fs.mkdirs(dir)
-      FileUtil.copy(fs, seedFile, fs, new Path(dir, "part-0.parquet"), false, conf)
-      t = t.plusHours(1)
-      i += 1
-    }
+    // parallel copy fan-out: the serial loop was ~10 ms/partition (89 s at
+    // 8,760) which blocks the 10-year 87,600-partition point; local-fs
+    // FileSystem handles are thread-safe for independent target paths
+    val start = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      val futures = (0 until nHours).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val t = start.plusHours(i.toLong)
+            val dir = new Path(base,
+              f"year=${t.getYear}%04d/month=${t.getMonthValue}%02d/" +
+                f"day=${t.getDayOfMonth}%02d/hour=${t.getHour}%02d")
+            fs.mkdirs(dir)
+            FileUtil.copy(fs, seedFile, fs, new Path(dir, "part-0.parquet"), false, conf)
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
     fs.delete(seedDir, true)
   }
 
