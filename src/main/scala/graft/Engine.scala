@@ -52,6 +52,11 @@ object Engine {
     *   ... UNNEST(<e1>, <e2>, ...) [WITH ORDINALITY] [AS] t(x, y[, ord])
     *       -- multi-array zip: lockstep expansion to the LONGEST argument,
     *       -- shorter/NULL arrays pad with NULL (Presto's contract)
+    *   ... UNNEST(<array-of-rows>) [AS] t(c1, c2, c3, ...)   -- >= 3 cols:
+    *       -- row fields expand into columns (the UNNEST(zip(...)) idiom)
+    *       -- via `inline`; a TWO-field row array is untyped-ambiguous
+    *       -- with a map and stays the map rewrite (deviation: use the
+    *       -- direct multi-arg form for 2-field rows)
     *
     * become the exact Spark equivalents:
     *
@@ -231,6 +236,13 @@ object Engine {
       def ord = "CAST(graft_i + 1 AS BIGINT)"
       val gen: Option[String] = (args.size, ordinality, cols.size) match {
         case (1, false, 1) | (1, false, 2) => Some(s"explode(${args.head})")
+        // single argument, >= 3 columns: Presto's array-of-ROWS expansion
+        // (each row's fields become columns — the `UNNEST(zip(...))`
+        // idiom); unambiguous at >= 3 because a map is always exactly 2.
+        // A TWO-field row array cannot be told apart from a map without
+        // types, so 2 columns stays the map rewrite (deviation: spell a
+        // 2-field row unnest as the direct multi-arg `UNNEST(a, b)`).
+        case (1, false, c) if c >= 3 => Some(s"inline(${args.head})")
         case (1, true, 2) => Some(
           s"inline(transform(${args.head}, (graft_e, graft_i) -> struct(graft_e, $ord)))")
         case (1, true, 3) => Some( // map entries + ordinal

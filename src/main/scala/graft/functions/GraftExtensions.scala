@@ -499,6 +499,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "histogram(x) - Presto value->count map aggregate (NULL inputs skipped)",
       c => PrestoHistogramAgg(c))
 
+    // Presto zip(a1, ..., an): lockstep arrays into an array of rows,
+    // padded with NULL to the LONGEST argument — exactly Spark's
+    // arrays_zip contract (checked free in the 4.1 registry). The result's
+    // struct FIELD NAMES derive from the argument expressions here
+    // (Presto's zip rows are anonymous); the dominant consumption —
+    // `CROSS JOIN UNNEST(zip(...)) AS t(...)` — is positional through the
+    // rewriter's inline expansion, where names never matter.
+    ext.injectFunction((
+      new FunctionIdentifier("zip"),
+      info(classOf[ce.ArraysZip], "zip",
+        "zip(a1, ..., an) - Presto lockstep zip into an array of rows, NULL-padded " +
+          "to the longest; lowers to arrays_zip (field names derive from the arguments)"),
+      (children: Seq[Expression]) => {
+        if (children.size < 2) throw new IllegalArgumentException(
+          s"zip expects at least 2 arrays, got ${children.size}")
+        ce.ArraysZip(children)
+      }))
+
     // error-safe wrapper -----------------------------------------------------
     // Presto's TRY(expr): evaluation errors become NULL. Spark's own try_*
     // family is built on exactly this node (TryEval backs try_add/

@@ -3111,6 +3111,36 @@ object Relational {
       SELECT p_partkey, a[i] AS x, b[i] AS y, CAST(i AS BIGINT) AS ord
       FROM i ORDER BY p_partkey, ord"""))
 
+  /** Presto's `UNNEST(zip(...))` idiom — an array of ROWS whose fields
+    * UNNEST expands into columns. The rewrite is `inline` — unambiguous at
+    * >= 3 columns (a map is always exactly 2; the 2-field-row case is the
+    * documented deviation in Engine.rewriteUnnest's scaladoc). The row
+    * builds the rows array with the VANILLA arrays_zip spelling so it runs
+    * on the driver's extension-less sessions; the registered Presto `zip`
+    * name (identical lowering) is pinned in EngineSpec on an
+    * extensions-enabled session, the json_parse split. The oracle rebuilds
+    * the same rows from DuckDB's lockstep unnests. Generator inlines into
+    * the scan: x1 s1, presentation sort only. */
+  private val unnestRows = Q(
+    "q_unnest_rows",
+    (s, d) => {
+      Tables.views(s, d, "part")
+      graft.Engine.sql(s,
+        """SELECT p_partkey, w, CAST(wlen AS BIGINT) AS wlen, CAST(ord AS BIGINT) AS ord
+           FROM (SELECT p_partkey,
+                        arrays_zip(split(p_name, ' '),
+                                   transform(split(p_name, ' '), x -> length(x)),
+                                   sequence(1, size(split(p_name, ' ')))) AS rows_arr
+                 FROM part) p
+           CROSS JOIN UNNEST(rows_arr) AS t(w, wlen, ord)
+           ORDER BY p_partkey, ord""")
+    },
+    Some("""WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+      SELECT p_partkey, unnest(words) AS w,
+             CAST(unnest(list_transform(words, x -> length(x))) AS BIGINT) AS wlen,
+             CAST(unnest(range(1, len(words) + 1)) AS BIGINT) AS ord
+      FROM w ORDER BY p_partkey, ord"""))
+
   // -- subqueries (via spark.sql so Catalyst does the decorrelation) -----------
 
   private val subqueryIn = Q(
@@ -3392,7 +3422,7 @@ object Relational {
     mathFns, mathFns2, aggApproxPresto,
     aggWidthBucket, arrayFns, arrayLambda, arraySortLambda, arrayQuantifiers, arrayNgrams,
     mapFns, mapLambda, mapParse, arrayGen, arrayZip, explodeFn, explodePos, explodeMulti,
-    unnestPresto, unnestOuter, unnestOrdinality, unnestZip, tryFns,
+    unnestPresto, unnestOuter, unnestOrdinality, unnestZip, unnestRows, tryFns,
     urlFns, urlExtract, bitwiseFns,
     subqueryIn, subqueryScalar, subqueryExists)
 }

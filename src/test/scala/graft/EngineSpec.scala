@@ -696,6 +696,36 @@ FROM "defenda_data_lake"."events"
       "SELECT * FROM unnest_probe CROSS JOIN UNNEST(arr, m) AS t(x, k, v)").collect())
   }
 
+  test("Presto zip() + UNNEST array-of-rows expansion (>= 3 columns -> inline)") {
+    // zip resolves as a SQL name and NULL-pads to the longest argument
+    val z = spark.sql(
+      "SELECT zip(array(1, 2, 3), array('a'), array(true, false)) AS z").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(z.size == 3)
+    assert(z(0) == org.apache.spark.sql.Row(1, "a", true))
+    assert(z(2) == org.apache.spark.sql.Row(3, null, null))
+    // the idiomatic consumption: UNNEST(zip(...)) expands row fields into
+    // columns — unambiguous at >= 3 columns, rewritten to inline
+    assert(Engine.rewriteUnnest(
+      "SELECT * FROM t CROSS JOIN UNNEST(zip(a, b, c)) AS u(x, y, z)") ==
+      "SELECT * FROM t LATERAL VIEW inline(zip(a, b, c)) u AS x, y, z")
+    spark.sql("SELECT array(10, 20) AS a, array('p', 'q', 'r') AS b, array(1.5D) AS c")
+      .createOrReplaceTempView("zip_rows_probe")
+    val rows = Engine.sql(spark,
+      """SELECT x, y, z FROM zip_rows_probe
+         CROSS JOIN UNNEST(zip(a, b, c)) AS t(x, y, z) ORDER BY y""")
+      .collect().map(r => (
+        if (r.isNullAt(0)) null else r.getInt(0),
+        r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(rows == Seq((10, "p", 1.5), (20, "q", null), (null: Any, "r", null)))
+    // a 2-field row array is untyped-ambiguous with a map: the map rewrite
+    // wins and the row form fails LOUDLY (explode of array<struct> cannot
+    // take 2 aliases), never silently wrong
+    intercept[Exception](Engine.sql(spark,
+      "SELECT x, y FROM zip_rows_probe CROSS JOIN UNNEST(zip(a, b)) AS t(x, y)").collect())
+  }
+
   test("UNNEST rewrite matrix: every join form x shape x noise executes and matches") {
     // exhaustive execute-and-compare over the rewriter's whole input space:
     // 3 join forms x 6 shapes x 4 noise transforms (keyword case, comments
