@@ -331,6 +331,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[ce.FormatString], "format",
         "format(fmt, args...) - Presto printf-style formatting; lowers to format_string"),
       (children: Seq[Expression]) => ce.FormatString(children: _*)))
+    // DOCUMENTED DEVIATION #11 — split DELIMITER DIALECT: Presto's
+    // split(s, d) treats d as a LITERAL string; Spark's same-named
+    // built-in treats it as a REGEX, so a pasted split(col, '.') or
+    // split(col, '|') silently shatters every row (the one trap class
+    // worse than an error). The name cannot be shadowed without changing
+    // Spark-dialect queries, so the Presto semantics get the non-shadowing
+    // spelling: presto_split(s, d[, limit]) regex-quotes the delimiter
+    // with \Q...\E (works for RUNTIME delimiters too; a delimiter
+    // containing the literal sequence \E is the one unquotable edge —
+    // fail-safe: it splits differently, never crashes). Presto's limit
+    // semantics (last element keeps the rest) are exactly Spark's.
+    ext.injectFunction((
+      new FunctionIdentifier("presto_split"),
+      info(classOf[ce.StringSplit], "presto_split",
+        "presto_split(s, delim[, limit]) - Presto split: the delimiter is a LITERAL " +
+          "string (Spark's split treats it as a regex — deviation #11); lowers to " +
+          "split with a \\Q...\\E-quoted delimiter"),
+      (children: Seq[Expression]) => {
+        def quoted(d: Expression): Expression =
+          ce.Concat(Seq(Literal("\\Q"), d, Literal("\\E")))
+        children match {
+          case Seq(s, d)    => ce.StringSplit(s, quoted(d), Literal(-1))
+          case Seq(s, d, n) => ce.StringSplit(s, quoted(d), n)
+          case _ => throw new IllegalArgumentException(
+            s"presto_split expects 2 or 3 arguments, got ${children.size}")
+        }
+      }))
+    // DOCUMENTED DEVIATION #12 — regexp_extract DEFAULT GROUP: Presto's
+    // 2-arg regexp_extract(s, p) returns the WHOLE MATCH (group 0);
+    // Spark's same-named built-in defaults to GROUP 1 — a silent
+    // value-shift whenever the pattern has capture groups. Non-shadowing
+    // spelling with Presto's default; the 3-arg form is identical on both.
+    ext.injectFunction((
+      new FunctionIdentifier("presto_regexp_extract"),
+      info(classOf[ce.RegExpExtract], "presto_regexp_extract",
+        "presto_regexp_extract(s, p[, group]) - Presto regexp_extract: the 2-arg form " +
+          "returns the WHOLE match (Spark's defaults to group 1 — deviation #12)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, p)    => ce.RegExpExtract(s, p, Literal(0))
+        case Seq(s, p, g) => ce.RegExpExtract(s, p, g)
+        case _ => throw new IllegalArgumentException(
+          s"presto_regexp_extract expects 2 or 3 arguments, got ${children.size}")
+      }))
 
     // temporal ---------------------------------------------------------------
     alias1("to_unixtime",
@@ -569,6 +612,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"none_match expects a lambda predicate, got ${other.getClass.getSimpleName}")
       }))
   }
+}
+
+/** Column wrappers for the literal-delimiter split and whole-match
+  * regexp_extract lowerings (deviations #11/#12), so declared queries can
+  * use them on a vanilla session. */
+object PrestoStringFunctions {
+  import org.apache.spark.sql.{graftshim, Column}
+  import org.apache.spark.sql.catalyst.expressions.{Concat, Literal, RegExpExtract, StringSplit}
+  def prestoSplit(s: Column, delim: Column): Column =
+    graftshim.column(StringSplit(graftshim.expression(s),
+      Concat(Seq(Literal("\\Q"), graftshim.expression(delim), Literal("\\E"))),
+      Literal(-1)))
+  def prestoRegexpExtract(s: Column, pattern: Column): Column =
+    graftshim.column(RegExpExtract(
+      graftshim.expression(s), graftshim.expression(pattern), Literal(0)))
 }
 
 /** Column wrapper for the TRY lowering, so declared queries can use it on a

@@ -2007,6 +2007,43 @@ object Relational {
         strftime(to_timestamp(o_orderkey), '%Y-%m-%d %H:%M:%S') AS spark_str
       FROM orders ORDER BY o_orderkey"""))
 
+  /** The two SILENT split/extract dialect traps, through their
+    * non-shadowing lowerings (deviations #11/#12, README table): Presto's
+    * split treats the delimiter as a LITERAL (Spark's as a REGEX — a
+    * pasted split(col, '.') silently shatters every row), and Presto's
+    * 2-arg regexp_extract returns the WHOLE match (Spark's defaults to
+    * group 1). The '.' delimiter and a two-group pattern make both traps
+    * load-bearing in the hash: the regex reading of '.' would produce
+    * empty parts, and the group-1 reading would drop the '-URGENT' tail.
+    * DuckDB is a third implementation agreeing with Presto on both
+    * defaults (string_split literal, regexp_extract group 0). Pure
+    * projection, no exchange. */
+  private val prestoSplitRow = Q(
+    "q_string_presto_split",
+    (s, d) =>
+      t(s, d, "orders")
+        .withColumn("doc",
+          concat_ws(".", col("o_orderstatus"), col("o_orderpriority"),
+            col("o_custkey").cast("string")))
+        .select(
+          col("o_orderkey"),
+          array_join(graft.functions.PrestoStringFunctions
+            .prestoSplit(col("doc"), lit(".")), "/").as("parts"),
+          size(graft.functions.PrestoStringFunctions
+            .prestoSplit(col("doc"), lit("."))).cast("long").as("n_parts"),
+          graft.functions.PrestoStringFunctions
+            .prestoRegexpExtract(col("o_orderpriority"), lit("([0-9]+)-([A-Z]+)"))
+            .as("whole_match"))
+        .orderBy("o_orderkey"),
+    Some("""WITH d AS (SELECT o_orderkey, o_orderpriority,
+               o_orderstatus || '.' || o_orderpriority || '.' || CAST(o_custkey AS VARCHAR) AS doc
+             FROM orders)
+      SELECT o_orderkey,
+        array_to_string(string_split(doc, '.'), '/') AS parts,
+        CAST(len(string_split(doc, '.')) AS BIGINT) AS n_parts,
+        regexp_extract(o_orderpriority, '([0-9]+)-([A-Z]+)') AS whole_match
+      FROM d ORDER BY o_orderkey"""))
+
   /** Presto `regexp_split` (r15 verdict missing #4) — declared through its
     * native lowering split(s, pattern, -1), whose -1 limit PRESERVES
     * trailing empty strings exactly as Presto does (and as DuckDB's
@@ -3416,7 +3453,8 @@ object Relational {
     recursiveCte,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
     condFns, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
-    stringNormalize, stringMetrics, stringStrpos, regexpSplit, encodingPresto, mathPresto,
+    stringNormalize, stringMetrics, stringStrpos, regexpSplit, prestoSplitRow,
+    encodingPresto, mathPresto,
     dateFns, dateFns2, dateTz, datePrestoFmt, dateParse, datePrestoRoundtrip,
     datePrestoIso, dateFromUnixtime,
     mathFns, mathFns2, aggApproxPresto,

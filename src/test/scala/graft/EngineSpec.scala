@@ -696,6 +696,29 @@ FROM "defenda_data_lake"."events"
       "SELECT * FROM unnest_probe CROSS JOIN UNNEST(arr, m) AS t(x, k, v)").collect())
   }
 
+  test("presto_split / presto_regexp_extract pin the SILENT dialect traps (deviations #11/#12)") {
+    val r = spark.sql(
+      """SELECT split('a.b.c', '.') AS spark_split,
+                presto_split('a.b.c', '.') AS presto_split,
+                presto_split('a.b.c', '.', 2) AS presto_split_lim,
+                regexp_extract('1-URGENT', '([0-9]+)-([A-Z]+)') AS spark_re,
+                presto_regexp_extract('1-URGENT', '([0-9]+)-([A-Z]+)') AS presto_re,
+                presto_regexp_extract('1-URGENT', '([0-9]+)-([A-Z]+)', 2) AS presto_re_g""")
+      .collect()(0)
+    // the trap, demonstrated: Spark's regex split on '.' shatters to empties
+    assert(r.getSeq[String](0).forall(_.isEmpty), "Spark split('.') = regex — all empty")
+    assert(r.getSeq[String](1) == Seq("a", "b", "c"), "presto_split: literal delimiter")
+    assert(r.getSeq[String](2) == Seq("a", "b.c"), "limit: last element keeps the rest")
+    assert(r.getString(3) == "1", "Spark 2-arg regexp_extract defaults to group 1")
+    assert(r.getString(4) == "1-URGENT", "presto_regexp_extract: WHOLE match (group 0)")
+    assert(r.getString(5) == "URGENT")
+    // a regex-special delimiter arriving at RUNTIME still splits literally
+    val rt = spark.sql(
+      """SELECT presto_split(s, d) AS p FROM VALUES ('x|y|z', '|'), ('a+b', '+') AS t(s, d)""")
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(rt == Seq(Seq("x", "y", "z"), Seq("a", "b")))
+  }
+
   test("Presto zip() + UNNEST array-of-rows expansion (>= 3 columns -> inline)") {
     // zip resolves as a SQL name and NULL-pads to the longest argument
     val z = spark.sql(
