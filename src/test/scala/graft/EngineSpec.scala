@@ -719,6 +719,24 @@ FROM "defenda_data_lake"."events"
     assert(rt == Seq(Seq("x", "y", "z"), Seq("a", "b")))
   }
 
+  test("operator-level dialect traps pinned: integer '/' and array subscript base (deviations #14/#15)") {
+    // these are OPERATORS, not functions — no registration can intercept
+    // them, so the README table documents the edit and this pin keeps the
+    // divergence demonstrable (a Spark release changing either would
+    // surface here first)
+    val r = spark.sql(
+      """SELECT 5 / 2 AS frac, 5 div 2 AS trunc,
+                array('a', 'b', 'c')[1] AS zero_based,
+                element_at(array('a', 'b', 'c'), 1) AS one_based""").collect()(0)
+    // Presto: 5/2 = 2 (integer division). Spark's '/' is fractional for
+    // every input type; `div` is the truncating spelling.
+    assert(r.getDouble(0) == 2.5 && r.getLong(1) == 2L)
+    // Presto: arr[1] is the FIRST element. Spark's subscript is 0-based —
+    // a pasted Presto subscript silently shifts by one; element_at is
+    // 1-based on BOTH engines (the portable spelling).
+    assert(r.getString(2) == "b" && r.getString(3) == "a")
+  }
+
   test("Presto zip() + UNNEST array-of-rows expansion (>= 3 columns -> inline)") {
     // zip resolves as a SQL name and NULL-pads to the longest argument
     val z = spark.sql(
