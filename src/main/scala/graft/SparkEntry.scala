@@ -29,5 +29,11 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a rows-only check. */
   def oracleSql: Map[String, String] =
-    corpus.collect { case Q(name, _, Some(sql)) => name -> sql }.toMap
+    corpus.collect { case q if q.oracle.isDefined => q.name -> q.oracle.get }.toMap
+
+  /** Distributed plan-fingerprint stand-ins for the collect-then-localize /
+    * empty-at-small-SF queries (see [[graft.queries.Q.planProxy]]); Bench
+    * fingerprints these so `plan_regressed` covers every declared row. */
+  def planProxies: Map[String, (SparkSession, String) => DataFrame] =
+    corpus.collect { case q if q.planProxy.isDefined => q.name -> q.planProxy.get }.toMap
 }

@@ -47,9 +47,11 @@ import org.apache.spark.sql.types._
   * per-group payload is an unbounded map on ANY engine, Presto included).
   *
   * Map keys follow Spark's map-type constraint (no MapType inside a key —
-  * the same check CreateMap enforces); key equality is value equality for
-  * atomic types and binary equality for nested rows, matching Spark's own
-  * map-key semantics.
+  * the same check CreateMap enforces); key EQUALITY is canonical-binary
+  * (see canonKey): floats normalize (-0.0 ≡ 0.0, one NaN) at any nesting
+  * depth and struct/array/binary keys compare by canonical bytes — exactly
+  * Spark's own map-key semantics, regardless of which runtime
+  * representation a key arrives in.
   */
 abstract class PrestoMapAggLike extends TypedImperativeAggregate[MapAggBuffer] {
 
@@ -67,6 +69,26 @@ abstract class PrestoMapAggLike extends TypedImperativeAggregate[MapAggBuffer] {
 
   override def createAggregationBuffer(): MapAggBuffer = new MapAggBuffer
 
+  /** Canonical buffer key (r17 ADVICE): raw eval() results key the buffer
+    * by JVM equality, under which -0.0 and 0.0 doubles are DISTINCT boxed
+    * values (java.lang.Double.equals), a struct arriving as
+    * GenericInternalRow on the update path never equals the UnsafeRow the
+    * deserialize path produces, and a binary key compares by ARRAY
+    * REFERENCE — three ways to emit duplicate map keys. Every key is
+    * therefore routed through one projection: NormalizeFloatingNumbers
+    * rewrites -0.0→0.0 and canonicalizes NaN bit patterns (at any nesting
+    * depth — Spark's own map-key normalization), and the resulting
+    * one-field UnsafeRow is the buffer key — binary equality/hashCode,
+    * identical on update, merge, and deserialize paths. [[keyValue]]
+    * extracts the typed value back out for eval/serialize. */
+  @transient private lazy val keyCanonProj: UnsafeProjection = {
+    val ref = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, keyType, nullable = false)
+    UnsafeProjection.create(Array(org.apache.spark.sql.graftshim.normalizeFloats(ref)))
+  }
+  protected def canonKey(k: Any): UnsafeRow = keyCanonProj(InternalRow(k)).copy()
+  protected def keyValue(k: Any): Any = k.asInstanceOf[UnsafeRow].get(0, keyType)
+
   override def dataType: DataType = MapType(keyType, bufValueType, valueContainsNull)
   override def nullable: Boolean = true
 
@@ -83,7 +105,7 @@ abstract class PrestoMapAggLike extends TypedImperativeAggregate[MapAggBuffer] {
   override def eval(buf: MapAggBuffer): Any =
     if (!buf.touched) null
     else new ArrayBasedMapData(
-      new GenericArrayData(buf.entries.keys.toArray),
+      new GenericArrayData(buf.entries.keys.map(keyValue).toArray),
       new GenericArrayData(buf.entries.values.map(toOut).toArray))
 
   @transient private lazy val entryProjection =
@@ -95,7 +117,7 @@ abstract class PrestoMapAggLike extends TypedImperativeAggregate[MapAggBuffer] {
     dos.writeBoolean(buf.touched)
     dos.writeInt(buf.entries.size)
     buf.entries.foreach { case (k, v) =>
-      val ur = entryProjection(InternalRow(k, toSer(v)))
+      val ur = entryProjection(InternalRow(keyValue(k), toSer(v)))
       dos.writeInt(ur.getSizeInBytes)
       dos.write(ur.getBytes)
     }
@@ -115,7 +137,7 @@ abstract class PrestoMapAggLike extends TypedImperativeAggregate[MapAggBuffer] {
       dis.readFully(arr)
       val row = new UnsafeRow(2)
       row.pointTo(arr, len)
-      val k = InternalRow.copyValue(row.get(0, keyType))
+      val k = canonKey(row.get(0, keyType))
       val v = fromSer(InternalRow.copyValue(row.get(1, bufValueType)))
       buf.entries.update(k, v)
       i += 1
@@ -150,7 +172,7 @@ case class PrestoMapAgg(
     buf.touched = true
     val k = left.eval(input)
     if (k != null) {
-      val kc = InternalRow.copyValue(k)
+      val kc = canonKey(k)
       if (!buf.entries.contains(kc))
         buf.entries.update(kc, InternalRow.copyValue(right.eval(input)))
     }
@@ -190,7 +212,7 @@ case class PrestoMultimapAgg(
     buf.touched = true
     val k = left.eval(input)
     if (k != null)
-      slot(buf, InternalRow.copyValue(k)) += InternalRow.copyValue(right.eval(input))
+      slot(buf, canonKey(k)) += InternalRow.copyValue(right.eval(input))
     buf
   }
   override protected def mergeEntry(buf: MapAggBuffer, k: Any, v: Any): Unit =
@@ -231,7 +253,7 @@ case class PrestoHistogramAgg(
     buf.touched = true
     val k = child.eval(input)
     if (k != null) {
-      val kc = InternalRow.copyValue(k)
+      val kc = canonKey(k)
       buf.entries.update(kc, buf.entries.getOrElse(kc, 0L).asInstanceOf[Long] + 1L)
     }
     buf

@@ -19,7 +19,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Optional DISTRIBUTED stand-in for plan fingerprinting (r17 verdict
+      * "what's wrong" #1): queries that legitimately return a LocalRelation
+      * (bounded collect-then-localize, e.g. the iterative graph top-20s) or
+      * whose sf-dependent empty result lets AQE collapse the executed plan
+      * to an EmptyRelation expose the frame whose SHAPE the regression
+      * tracker should watch — the pre-collect pipeline. Bench fingerprints
+      * this frame (under AQEPropagateEmptyRelation exclusion, so emptiness
+      * at a small SF cannot zero the signature) while TIMING the real
+      * query unchanged. */
+    planProxy: Option[(SparkSession, String) => DataFrame] = None)
 
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -605,8 +605,11 @@ object EventsQueries {
     * the total suppression burden in basis points. One corpus aggregate on
     * the QI key (low cardinality, map-side combinable), then thresholding
     * on the bounded class table. */
-  private val kanon = Q(
-    "q_privacy_kanon",
+  // the selective class_size < 5 filter can go EMPTY at a given SF, letting
+  // AQE collapse the executed plan to an EmptyRelation and zeroing the plan
+  // fingerprint — the self-proxy below re-fingerprints the same pipeline
+  // with empty-propagation excluded (r17 verdict "what's wrong" #1)
+  private val kanonFn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
     (s, d) => {
       val classes = ev(s, d)
         .select(col("event_type"), (col("user_id") % 10).as("ubucket"),
@@ -619,7 +622,10 @@ object EventsQueries {
         .select(col("event_type"), col("ubucket"), col("hod"), col("class_size"),
           expr("class_size * 10000 div n_tot").as("suppress_bp"))
         .orderBy("event_type", "ubucket", "hod")
-    },
+    }
+  private val kanon = Q(
+    "q_privacy_kanon",
+    kanonFn,
     Some("""WITH c AS (
         SELECT event_type, user_id % 10 AS ubucket,
                CAST(extract(hour FROM ts) AS BIGINT) AS hod, count(*) AS class_size
@@ -628,7 +634,8 @@ object EventsQueries {
       SELECT event_type, ubucket, hod, CAST(class_size AS BIGINT) AS class_size,
              class_size * 10000 // n_tot AS suppress_bp
       FROM c, tot WHERE class_size < 5
-      ORDER BY event_type, ubucket, hod"""))
+      ORDER BY event_type, ubucket, hod"""),
+    planProxy = Some(kanonFn))
 
   /** l-diversity audit — k-anonymity's blind spot: a class can be large
     * (k-safe) yet still leak if every member shares the same sensitive
@@ -640,8 +647,7 @@ object EventsQueries {
     * the k-audit passes. Same scale shape as kanon: one corpus aggregate on
     * the low-cardinality QI key (count-distinct over a bounded sensitive
     * domain is map-side partial), thresholding on the bounded class table. */
-  private val ldiversity = Q(
-    "q_privacy_ldiversity",
+  private val ldiversityFn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
     (s, d) =>
       ev(s, d)
         .select(col("event_type"), (col("user_id") % 10).as("ubucket"),
@@ -650,13 +656,18 @@ object EventsQueries {
         .groupBy("event_type", "ubucket", "hod")
         .agg(count(lit(1)).as("class_size"), countDistinct("sens").as("l_distinct"))
         .filter(col("l_distinct") < 3)
-        .orderBy("event_type", "ubucket", "hod"),
+        .orderBy("event_type", "ubucket", "hod")
+  // same empty-at-SF collapse risk as kanon — self-proxy for fingerprinting
+  private val ldiversity = Q(
+    "q_privacy_ldiversity",
+    ldiversityFn,
     Some("""SELECT event_type, user_id % 10 AS ubucket,
              CAST(extract(hour FROM ts) AS BIGINT) AS hod,
              CAST(count(*) AS BIGINT) AS class_size,
              CAST(count(DISTINCT CAST(floor(value) AS BIGINT)) AS BIGINT) AS l_distinct
       FROM events GROUP BY 1, 2, 3 HAVING count(DISTINCT CAST(floor(value) AS BIGINT)) < 3
-      ORDER BY event_type, ubucket, hod"""))
+      ORDER BY event_type, ubucket, hod"""),
+    planProxy = Some(ldiversityFn))
 
   /** t-closeness audit — the distribution leak k-anonymity AND l-diversity
     * both miss: a class can be large (k-safe) and value-diverse (l-safe)

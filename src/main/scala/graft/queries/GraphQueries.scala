@@ -34,7 +34,7 @@ object GraphQueries {
     * the caller must unpersist once the result is materialized). Exposed
     * for PlansSpec, which pins the distributed plan's shape. */
   private[graft] def pagerankFrames(
-      s: org.apache.spark.sql.SparkSession, d: String)
+      s: org.apache.spark.sql.SparkSession, d: String, iters: Int = Iters)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
     val half = t(s, d, "lineitem")
       .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
@@ -59,7 +59,7 @@ object GraphQueries {
     val nF = broadcast(nodes.agg(count(lit(1)).as("n")))
     var ranks = nodes.crossJoin(nF)
       .select(col("node"), col("deg"), col("n"), expr(s"$Mass div n").as("rank"))
-    (1 to Iters).foreach { _ =>
+    (1 to iters).foreach { _ =>
       val contrib = edges
         .join(ranks.select(col("node"), expr("rank div deg").as("c")),
           col("src") === col("node"))
@@ -109,7 +109,10 @@ object GraphQueries {
         $iterCtes
         SELECT node, node % 2 AS is_supplier, CAST(rank AS BIGINT) AS rank
         FROM r$Iters ORDER BY rank DESC, node LIMIT 20"""
-    })
+    },
+    // regression-track the DISTRIBUTED pipeline, not the returned
+    // LocalRelation (r17 verdict "what's wrong" #1)
+    planProxy = Some((s, d) => pagerankFrames(s, d)._1))
 
   /** Triangle counting over a deterministic sparse "referral" graph mined
     * from orders (node universe = custkeys; each order contributes one
@@ -188,7 +191,8 @@ object GraphQueries {
       total AS (SELECT CAST(count(*) AS BIGINT) AS total_tri FROM tri)
       SELECT node, n_tri, total_tri
       FROM pernode CROSS JOIN total
-      ORDER BY n_tri DESC, node LIMIT 20"""))
+      ORDER BY n_tri DESC, node LIMIT 20"""),
+    planProxy = Some((s, d) => triangleFrames(s, d)._1))
 
   private val CcIters = 8
 
@@ -208,7 +212,7 @@ object GraphQueries {
     * large-star/small-star hops to converge in O(log n) rounds. Output is
     * bounded: top-20 component sizes + the surviving label count. */
   private[graft] def componentFrames(
-      s: org.apache.spark.sql.SparkSession, d: String)
+      s: org.apache.spark.sql.SparkSession, d: String, iters: Int = CcIters)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
     val mx = broadcast(t(s, d, "orders").agg(max("o_custkey").as("mc")))
     val raw = t(s, d, "orders").crossJoin(mx)
@@ -233,7 +237,7 @@ object GraphQueries {
       // swaps in reliable checkpoint(), same plan shape. The table is
       // |nodes| rows of two longs, so 8 retained checkpoints are noise.
       .localCheckpoint(true)
-    (1 to CcIters).foreach { _ =>
+    (1 to iters).foreach { _ =>
       val nbrMin = edges
         .join(labels.select(col("node"), col("lbl")), col("src") === col("node"))
         .groupBy("dst").agg(min("lbl").as("nmin"))
@@ -292,7 +296,8 @@ object GraphQueries {
         SELECT lbl, n_nodes, n_components
         FROM sizes CROSS JOIN nc
         ORDER BY n_nodes DESC, lbl LIMIT 20"""
-    })
+    },
+    planProxy = Some((s, d) => componentFrames(s, d)._1))
 
   val all: Seq[Q] = Seq(pagerank, triangles, components)
 }

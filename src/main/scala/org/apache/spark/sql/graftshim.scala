@@ -15,4 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object graftshim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** Spark's own float canonicalization (-0.0→0.0, one NaN, at any nesting
+    * depth) — `private[sql]`, reached here for the map-aggregate buffer-key
+    * canonicalization (graft.functions.PrestoMapAggLike.canonKey). */
+  def normalizeFloats(e: Expression): Expression =
+    catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

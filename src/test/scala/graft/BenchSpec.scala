@@ -25,6 +25,7 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -69,6 +70,66 @@ class BenchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // join reports zero even though its nodes expose count/time-valued
     // spill metrics alongside the SIZE-typed ones
     assert(fpSmj.spillBytes == 0 && fpBroadcast.spillBytes == 0)
+  }
+
+  test("planProxy fingerprints: every previously-blind row carries a non-zero " +
+      "distributed signature, and an injected regression inside the pagerank " +
+      "loop flips plan_regressed (r17 task 2)") {
+    val sf = "/root/testdata/sf0.001"
+    val proxies = SparkEntry.planProxies
+    val proxied = Seq("q_graph_pagerank", "q_graph_components", "q_graph_triangles",
+      "q_agg_heavy_hitters", "q_privacy_kanon", "q_privacy_ldiversity", "q_text_redact")
+    assert(proxied.forall(proxies.contains),
+      s"missing planProxy entries: ${proxied.filterNot(proxies.contains)}")
+    val emptyRule = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+    def proxyFp(name: String): Bench.PlanFp = {
+      // exactly the Bench warmup discipline: proxy frame, empty-propagation
+      // excluded, fingerprint the executed plan
+      spark.catalog.clearCache()
+      spark.conf.set("spark.sql.adaptive.optimizer.excludedRules", emptyRule)
+      try {
+        val qe = proxies(name)(spark, sf).queryExecution
+        qe.executedPlan.execute().count()
+        Bench.fingerprintOf(qe.executedPlan)
+      } finally spark.conf.unset("spark.sql.adaptive.optimizer.excludedRules")
+    }
+    val fps = proxied.map(n => n -> proxyFp(n)).toMap
+    fps.foreach { case (n, fp) =>
+      assert(fp.exchanges + fp.sorts + fp.broadcasts + fp.bhj + fp.smj +
+        fp.shj + fp.nestedLoop + fp.topk > 0, s"$n still fingerprints all-zero: ${fp.sig}")
+    }
+    // the two TakeOrderedAndProject rows are covered by the new t counter,
+    // not a proxy: the single-node top-k IS the wanted shape, and a
+    // regression to Sort+Exchange now shows as s/x growth
+    Seq("q_sort_topk", "q_pipeline_readme1").foreach { n =>
+      spark.catalog.clearCache()
+      val qe = SparkEntry.queries(n)(spark, sf).queryExecution
+      qe.executedPlan.execute().count()
+      val fp = Bench.fingerprintOf(qe.executedPlan)
+      assert(fp.topk > 0, s"$n: expected a t>0 top-k signature, got ${fp.sig}")
+    }
+    // injected regression INSIDE the pagerank loop: kill the per-round
+    // stats-estimated broadcasts (threshold -1) so the contribution joins
+    // degrade to shuffle joins — exchanges grow, the diff must flag
+    val healthy = fps("q_graph_pagerank")
+    assert(healthy.exchanges > 0, s"healthy pagerank proxy lost its exchanges: ${healthy.sig}")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val degraded =
+      try proxyFp("q_graph_pagerank")
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // the co-partitioned cached adjacency absorbs some exchange growth, so
+    // the degradation may surface as sort growth (each SMJ side sorts)
+    // rather than exchange growth — planRegressed watches BOTH
+    assert(degraded.exchanges > healthy.exchanges || degraded.sorts > healthy.sorts,
+      s"injected regression grew neither exchanges nor sorts: ${healthy.sig} -> ${degraded.sig}")
+    assert(degraded.smj > healthy.smj && degraded.bhj < healthy.bhj,
+      s"expected broadcast->SMJ degradation: ${healthy.sig} -> ${degraded.sig}")
+    assert(Bench.planRegressed(
+      Map("q_graph_pagerank" -> degraded),
+      Map("q_graph_pagerank" -> (healthy.exchanges, healthy.sorts)),
+      Set.empty, prevSameSf = true) == Seq("q_graph_pagerank"),
+      "a regression inside the pagerank loop must flip plan_regressed")
   }
 
   test("isolation promotion unions the committed artifact with the driver lineage (r16 task 5)") {

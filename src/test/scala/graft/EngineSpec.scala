@@ -550,6 +550,205 @@ FROM "defenda_data_lake"."events"
     intercept[Exception](spark.sql("SELECT try(1, 2)").collect())
   }
 
+  test("map-collection aggregates canonicalize keys: -0.0/0.0, struct, binary (r17 ADVICE)") {
+    // -0.0 and 0.0 double keys are ONE map entry (Spark normalizes map
+    // keys; JVM boxed equality would keep two)
+    val z = spark.sql(
+      """SELECT histogram(x) AS h FROM VALUES
+           (CAST('-0.0' AS DOUBLE)), (CAST('0.0' AS DOUBLE)), (1.0D) AS t(x)""")
+      .collect()(0).getMap[Double, Long](0)
+    assert(z.size == 2 && z(0.0d) == 2L, s"-0.0 and 0.0 must collapse, got $z")
+    // struct keys stay ONE entry across the partial/merge boundary (the
+    // update path sees GenericInternalRow, the deserialize path UnsafeRow —
+    // canonical bytes must compare equal); repartition forces real partials
+    val st = spark.sql(
+      """SELECT map_agg(named_struct('a', k), v) AS m
+         FROM (SELECT k, v FROM VALUES ('x', 1), ('x', 2), ('y', 3) AS t(k, v)
+               DISTRIBUTE BY v)""")
+      .collect()(0).getMap[org.apache.spark.sql.Row, Int](0)
+    assert(st.size == 2, s"duplicate struct keys must merge to one entry, got $st")
+    // binary keys compare by bytes, not array reference
+    val b = spark.sql(
+      """SELECT histogram(CAST(k AS BINARY)) AS h
+         FROM VALUES ('k1'), ('k1'), ('k2') AS t(k)""")
+      .collect()(0).getMap[Array[Byte], Long](0)
+    assert(b.size == 2, s"equal binary keys must merge, got ${b.size} entries")
+    assert(b.exists { case (k, n) => new String(k) == "k1" && n == 2L })
+  }
+
+  test("presto_split rejects a zero-length delimiter; NULL delimiter -> NULL (r17 ADVICE)") {
+    val ok = spark.sql("SELECT presto_split('a.b.c', '.') AS p").collect()(0).getSeq[String](0)
+    assert(ok == Seq("a", "b", "c"))
+    val nul = spark.sql("SELECT presto_split('a.b', CAST(NULL AS STRING)) AS p").collect()(0)
+    assert(nul.isNullAt(0), "NULL delimiter must yield NULL, like Presto")
+    val err = intercept[Exception](
+      spark.sql("SELECT presto_split('abc', '') AS p").collect())
+    assert(err.getMessage.contains("delimiter") ||
+      (err.getCause != null && err.getCause.getMessage.contains("delimiter")),
+      s"expected the empty-delimiter error, got: ${err.getMessage}")
+    // the Column wrapper carries the same guard
+    val werr = intercept[Exception](
+      spark.sql("SELECT 'abc' AS s").select(
+        graft.functions.PrestoStringFunctions.prestoSplit(
+          org.apache.spark.sql.functions.col("s"),
+          org.apache.spark.sql.functions.lit(""))).collect())
+    assert(werr.getMessage.contains("delimiter") ||
+      (werr.getCause != null && werr.getCause.getMessage.contains("delimiter")))
+  }
+
+  test("Presto ngrams resolves: overlapping windows, short-input contract") {
+    val r = spark.sql(
+      """SELECT ngrams(array('a','b','c','d'), 2) AS bi,
+                ngrams(array('a','b','c','d'), 3) AS tri,
+                ngrams(array('a'), 3) AS short,
+                ngrams(CAST(NULL AS ARRAY<STRING>), 2) AS nul""").collect()(0)
+    assert(r.getSeq[scala.collection.Seq[String]](0).map(_.toSeq) ==
+      Seq(Seq("a", "b"), Seq("b", "c"), Seq("c", "d")))
+    assert(r.getSeq[scala.collection.Seq[String]](1).map(_.toSeq) ==
+      Seq(Seq("a", "b", "c"), Seq("b", "c", "d")))
+    assert(r.getSeq[scala.collection.Seq[String]](2).map(_.toSeq) == Seq(Seq("a")),
+      "input shorter than n yields ONE n-gram: the whole array (Presto contract)")
+    assert(r.isNullAt(3), "NULL array -> NULL")
+    intercept[Exception](spark.sql("SELECT ngrams(array(1))").collect())
+  }
+
+  test("Presto approx_set / merge / cardinality resolve as SQL spellings (r17 task 1)") {
+    // build -> union -> estimate round trip, grouped so partials really merge
+    val est = spark.sql(
+      """WITH per AS (SELECT g, approx_set(v) AS sk FROM VALUES
+           ('a', 1), ('a', 2), ('b', 2), ('b', 3), ('b', 4) AS t(g, v) GROUP BY g)
+         SELECT cardinality(merge(sk)) AS est FROM per""").collect()(0).getLong(0)
+    assert(est == 4L, s"4 distinct values across sketches, got $est")
+    // the 2-arg error form accepts Spark's DECIMAL literal parse and maps
+    // e -> lgConfigK (coarser e -> smaller sketch, same small-input answer)
+    val est2 = spark.sql(
+      "SELECT cardinality(approx_set(v, 0.26)) AS e FROM VALUES (1), (2), (3) AS t(v)")
+      .collect()(0).getLong(0)
+    assert(est2 == 3L)
+    // shadowed cardinality still covers arrays and maps exactly like the
+    // builtin (the binary dispatch must not break the native lowering)
+    val c = spark.sql(
+      "SELECT cardinality(array(1,2,3)) AS ca, cardinality(map('x',1,'y',2)) AS cm, " +
+        "cardinality(CAST(NULL AS ARRAY<INT>)) AS cn").collect()(0)
+    assert(c.getInt(0) == 3 && c.getInt(1) == 2 && c.isNullAt(2))
+    // out-of-range error bound is loud (Presto's own bounds)
+    intercept[Exception](spark.sql("SELECT approx_set(v, 0.5) FROM VALUES (1) AS t(v)").collect())
+  }
+
+  test("Presto n-ary max/min/max_by/min_by resolve; builtin arities unchanged (r17 task 3)") {
+    val r = spark.sql(
+      """SELECT max(v) AS m1, min(v) AS n1, max_by(s, v) AS mb1, min_by(s, v) AS nb1,
+                max(v, 3) AS m3, min(v, 3) AS n3,
+                max_by(s, v, 2) AS mb2, min_by(s, v, 2) AS nb2
+         FROM VALUES (5, 'e'), (1, 'a'), (9, 'i'), (7, 'g'), (3, 'c') AS t(v, s)""")
+      .collect()(0)
+    assert(r.getInt(0) == 9 && r.getInt(1) == 1)
+    assert(r.getString(2) == "i" && r.getString(3) == "a")
+    assert(r.getSeq[Int](4) == Seq(9, 7, 5), "max(x,n): n largest, DESCENDING")
+    assert(r.getSeq[Int](5) == Seq(1, 3, 5), "min(x,n): n smallest, ASCENDING")
+    assert(r.getSeq[String](6) == Seq("i", "g"), "max_by: x of the n largest y, desc y")
+    assert(r.getSeq[String](7) == Seq("a", "c"), "min_by: x of the n smallest y, asc y")
+    // NULL order keys skipped; NULL values RIDE in the _by output; short
+    // groups yield short arrays; empty/all-null-key groups yield NULL
+    val nulls = spark.sql(
+      """SELECT max(v, 3) AS m, max_by(s, v, 3) AS mb
+         FROM VALUES (5, 'e'), (CAST(NULL AS INT), 'z'), (7, CAST(NULL AS STRING)) AS t(v, s)""")
+      .collect()(0)
+    assert(nulls.getSeq[Int](0) == Seq(7, 5), "NULL order keys must be skipped")
+    assert(nulls.getSeq[String](1) == Seq(null, "e"), "NULL values ride when their key ranks")
+    val empty = spark.sql("SELECT max(v, 3) FROM (SELECT 1 AS v) WHERE 1 = 0").collect()(0)
+    assert(empty.isNullAt(0), "empty group -> NULL, matching 1-ary max")
+    // loud failures: bad arity, non-literal n, out-of-range n
+    intercept[Exception](spark.sql("SELECT max(1, 2, 3) FROM VALUES (1) AS t(v)").collect())
+    intercept[Exception](spark.sql("SELECT max(v, v) FROM VALUES (1) AS t(v)").collect())
+    intercept[Exception](spark.sql("SELECT max(v, 0) FROM VALUES (1) AS t(v)").collect())
+  }
+
+  test("array_agg(x ORDER BY ...) pre-parse rewrite (r17 task 4)") {
+    // Spark's own grammar rejects the form — pin that, so a Spark release
+    // that adds it natively retires the rewrite
+    intercept[Exception](
+      spark.sql("SELECT array_agg(x ORDER BY x) FROM VALUES (1) AS t(x)").collect())
+    // single key ASC via Engine.sql; nulls-largest default (asc -> last)
+    val a = graft.Engine.sql(spark,
+      """SELECT array_agg(s ORDER BY v) AS a
+         FROM VALUES ('b', 2), ('a', 1), ('z', CAST(NULL AS INT)) AS t(s, v)""")
+      .collect()(0).getSeq[String](0)
+    assert(a == Seq("a", "b", "z"), s"asc + null key last, got $a")
+    // DESC flips the nulls to FIRST (nulls-largest convention), and an
+    // explicit NULLS LAST overrides it
+    val d = graft.Engine.sql(spark,
+      """SELECT array_agg(s ORDER BY v DESC) AS a,
+                array_agg(s ORDER BY v DESC NULLS LAST) AS b
+         FROM VALUES ('b', 2), ('a', 1), ('z', CAST(NULL AS INT)) AS t(s, v)""")
+      .collect()(0)
+    assert(d.getSeq[String](0) == Seq("z", "b", "a"))
+    assert(d.getSeq[String](1) == Seq("b", "a", "z"))
+    // multi-key with mixed directions; NULL VALUES are kept (Presto
+    // array_agg keeps nulls — the struct wrapping preserves them)
+    val m = graft.Engine.sql(spark,
+      """SELECT array_agg(s ORDER BY v DESC, s ASC) AS a
+         FROM VALUES ('b', 2), (CAST(NULL AS STRING), 9), ('c', 2), ('a', 2) AS t(s, v)""")
+      .collect()(0).getSeq[String](0)
+    assert(m == Seq(null, "a", "b", "c"), s"got $m")
+    // quoted text and comments are never rewritten; DISTINCT stays verbatim
+    // (and fails loudly downstream rather than silently dropping DISTINCT)
+    assert(graft.Engine.rewritePresto("SELECT 'array_agg(x ORDER BY y)' AS s FROM t")
+      .contains("'array_agg(x ORDER BY y)'"))
+    intercept[Exception](graft.Engine.sql(spark,
+      "SELECT array_agg(DISTINCT x ORDER BY x) FROM VALUES (1) AS t(x)").collect())
+    // backtick identifiers ride through every rewrite untouched, even when
+    // they contain an apostrophe or a comment opener (r17 ADVICE: the
+    // scanner must treat ` as a quote)
+    val bt = "SELECT `it's--tricky` FROM t CROSS JOIN UNNEST(xs) AS u(x)"
+    val rw = graft.Engine.rewritePresto(bt)
+    assert(rw.contains("`it's--tricky`") && rw.contains("LATERAL VIEW explode(xs) u AS x"), rw)
+    val bt2 = "SELECT `a``UNNEST(b)` FROM t"
+    assert(graft.Engine.rewritePresto(bt2) == bt2, "doubled-backtick escape must not rewrite")
+  }
+
+  test("CTAS / partitioned CTAS / INSERT INTO round-trip through Engine.sql (r17 task 6)") {
+    // the Athena materialization idiom (reference README client docs):
+    // CREATE TABLE AS over the events schema, partitioned and not, plus
+    // INSERT INTO append — all through the same sql() entry the queries use
+    val wh = java.nio.file.Files.createTempDirectory("graft_ctas").toString
+    graft.Engine.sql(spark, "DROP TABLE IF EXISTS ctas_plain")
+    graft.Engine.sql(spark, "DROP TABLE IF EXISTS ctas_part")
+    graft.Engine.sql(spark,
+      s"""CREATE TABLE ctas_plain USING parquet LOCATION '$wh/plain' AS
+          SELECT id AS eventid, CAST(id % 3 AS STRING) AS severity FROM range(30)""")
+    assert(graft.Engine.sql(spark, "SELECT count(*) AS n FROM ctas_plain")
+      .collect()(0).getLong(0) == 30L)
+    // partitioned CTAS: partition column LAST (Spark requires it; same
+    // physical layout the reference's year/month/day/hour partitions use)
+    graft.Engine.sql(spark,
+      s"""CREATE TABLE ctas_part USING parquet PARTITIONED BY (severity)
+          LOCATION '$wh/part' AS
+          SELECT id AS eventid, CAST(id % 3 AS STRING) AS severity FROM range(30)""")
+    val perPart = graft.Engine.sql(spark,
+      "SELECT severity, count(*) AS n FROM ctas_part GROUP BY severity ORDER BY severity")
+      .collect()
+    assert(perPart.map(_.getLong(1)).toSeq == Seq(10L, 10L, 10L))
+    // partition pruning reaches the scan of the CTAS output
+    val pruned = graft.Engine.sql(spark,
+      "SELECT count(*) FROM ctas_part WHERE severity = '1'")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "partition filter must reach the scan")
+    assert(pruned.collect()(0).getLong(0) == 10L)
+    // INSERT INTO appends into both layouts and is immediately queryable
+    graft.Engine.sql(spark,
+      "INSERT INTO ctas_plain SELECT 999L AS eventid, 'x' AS severity")
+    graft.Engine.sql(spark,
+      "INSERT INTO ctas_part SELECT 999L AS eventid, '1' AS severity")
+    assert(graft.Engine.sql(spark, "SELECT count(*) AS n FROM ctas_plain")
+      .collect()(0).getLong(0) == 31L)
+    assert(graft.Engine.sql(spark,
+      "SELECT count(*) AS n FROM ctas_part WHERE severity = '1'")
+      .collect()(0).getLong(0) == 11L)
+    graft.Engine.sql(spark, "DROP TABLE ctas_plain")
+    graft.Engine.sql(spark, "DROP TABLE ctas_part")
+  }
+
   test("Presto regexp_split / approx_distinct / presto_from_unixtime resolve") {
     val r = spark.sql(
       """SELECT regexp_split('one1two22three', '[0-9]+') AS parts,

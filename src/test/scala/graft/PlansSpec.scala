@@ -359,6 +359,30 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), "top-k agg must not fall back to a window")
   }
 
+  test("q_agg_approx_set: sketches cross the exchange, not rows (partial-merge shape)") {
+    val p = plan("q_agg_approx_set")
+    // the HLL build/union aggregates run as ObjectHashAggregate with a
+    // PARTIAL pass before the group exchange and a FINAL/MERGE pass after —
+    // only fixed-size sketch bytes ride the shuffle (the r17 task-1
+    // contract: pre-aggregated distinct counts without re-scanning rows)
+    assert(p.contains("ObjectHashAggregate"), p)
+    val objAggCount = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(objAggCount >= 2, s"expected partial+final ObjectHashAggregate, got $objAggCount:\n$p")
+    assert(p.contains("hll_sketch_agg") && p.contains("hll_union_agg"),
+      "the registered spellings must lower onto the native DataSketches aggregates")
+    // the merged one-row estimate attaches via broadcast, never a shuffle
+    // of the orders scan against it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_agg_nary_extrema: bounded n-row partials cross the exchange, no window fallback") {
+    val p = plan("q_agg_nary_extrema")
+    assert(p.contains("ObjectHashAggregate"), p)
+    val objAggCount = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(objAggCount >= 2, s"expected partial+final ObjectHashAggregate, got $objAggCount:\n$p")
+    assert(!p.contains("Window"), "n-ary extrema must not fall back to a window sort")
+  }
+
   test("q_sample_weighted / q_text_chunk: narrow shapes — no join anywhere") {
     assert(!plan("q_sample_weighted").contains("Join"))
     assert(!plan("q_text_chunk").contains("Join"))

@@ -184,4 +184,31 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.Engine.rewriteUnnest(withUnnest) ==
       "SELECT a, 'x,y' FROM t LATERAL VIEW explode(split(s, ',')) u AS w ORDER BY 1, 2")
   }
+
+  test("rewritePresto (full chain): IDENTITY on arbitrary rewrite-free SQL, incl. backticks") {
+    // same contract as the rewriteUnnest identity, through BOTH rewrites
+    // and with the r17 ADVICE backtick forms in the noise pool: a backtick
+    // identifier containing an apostrophe, a comment opener, or an
+    // UNNEST(-shaped / array_agg(-shaped substring must ride through
+    // byte-for-byte
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.const("SELECT a, b FROM t"),
+      Gen.const(" `it's--tricky` "),
+      Gen.const(" `weird/*ident*/` "),
+      Gen.const(" `has``UNNEST(a)``quote` "),
+      Gen.const(" `array_agg(x ORDER BY y)` "),
+      Gen.const("'array_agg(v ORDER BY k), literal'"),
+      Gen.const(" array_agg(x) "),
+      Gen.const(" array_agg(DISTINCT x ORDER BY x) "),
+      Gen.const(" -- array_agg(c ORDER BY d) in a comment\n"),
+      Gen.const(" ORDER BY 1, 2"),
+      Gen.alphaNumStr.map(_.take(6)))
+    forAllG(Gen.listOfN(6, frag).map(_.mkString(" "))) { q =>
+      assert(graft.Engine.rewritePresto(q) == q, s"not identity on <$q>")
+    }
+    // a rewritable ordered array_agg among the same noise still rewrites
+    val q = "SELECT `it's` , array_agg(x ORDER BY y) FROM t"
+    val rw = graft.Engine.rewritePresto(q)
+    assert(rw.contains("`it's`") && rw.contains("array_sort(array_agg(named_struct("), rw)
+  }
 }
