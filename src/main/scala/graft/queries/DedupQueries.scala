@@ -119,7 +119,11 @@ object DedupQueries {
       .select(col("w"), (col("off") + col("rn") - 1).cast("int").as("bit"), col("nwords"))
     sets
       .select(col("doc_id"), explode(col(setCol)).as("w"))
-      .join(broadcast(numbered), "w")
+      // no broadcast HINT on the vocabulary numbering: stats decide (the
+      // bounded-audit vocab auto-broadcasts; a forced broadcast of a
+      // budget-passing 2^18-word vocab still killed a 2 GiB driver — r18
+      // certification)
+      .join(numbered, "w")
       .groupBy("doc_id")
       .agg(collect_list(col("bit")).as("bits"), first(col("nwords")).as("nwords"))
       .select(
@@ -276,8 +280,18 @@ object DedupQueries {
     "q_dedup_minhash",
     (s, d) => {
       val docs = docWordSets(s, d).cache()
-      val banded = bandedBitmaps(docs, "ws", MinhashPerms, 8, Bands).cache()
-      val verified = verifiedPairs(banded, lit(0.9)).select(
+      // SPARSE bit-id rows (r18, caught by the 2 GiB/100x certification):
+      // the dense-bitmap path's row size rides the VOCABULARY, and its
+      // word->bit numbering was an explicit broadcast — a 100x corpus
+      // passed the 2^18-bit capacity guard yet killed a 2 GiB driver
+      // building that broadcast ("not enough memory to build and
+      // broadcast"). The sparse twin's rows ride DOC LENGTH and its
+      // numbering join shuffles — corpus-independent state, no capacity
+      // ceiling, bit-identical pair output (Jaccard is bijection-
+      // invariant; pinned by the same keep-list fixture oracle). The dense
+      // popcount kernel stays on the bounded audit row below.
+      val banded = bandedSparse(docs, "ws", MinhashPerms, 8, Bands).cache()
+      val verified = verifiedPairsSparse(banded, lit(0.9)).select(
         col("doc_a").as("src"), col("doc_b").as("dst"))
       val sym = verified
         .union(verified.select(col("dst").as("src"), col("src").as("dst")))

@@ -59,7 +59,7 @@ object GraphQueries {
     val nF = broadcast(nodes.agg(count(lit(1)).as("n")))
     var ranks = nodes.crossJoin(nF)
       .select(col("node"), col("deg"), col("n"), expr(s"$Mass div n").as("rank"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { iter =>
       val contrib = edges
         .join(ranks.select(col("node"), expr("rank div deg").as("c")),
           col("src") === col("node"))
@@ -69,6 +69,14 @@ object GraphQueries {
         .select(col("node"), col("deg"), col("n"),
           (expr(s"(15 * ($Mass div n)) div 100") +
             expr("(85 * coalesce(in_sum, 0)) div 100")).as("rank"))
+      // LINEAGE POLICY (measured, ScaleProbe lineage / PERF.md r18): the
+      // single-reference recurrence grows the plan LINEARLY, so unbroken
+      // unrolling holds to ~20 rounds at flat per-round cost, costs +30%
+      // per round by 40, and DIES at 80 with a driver StackOverflowError
+      // (Catalyst tree recursion). Break lineage every 8th round — a no-op
+      // at the declared depth (5), the survival guard at any depth; a
+      // fault-tolerant deployment swaps in reliable checkpoint().
+      if (iter % 8 == 0) ranks = ranks.localCheckpoint(true)
     }
     val out = ranks
       .select(col("node"), (col("node") % 2).as("is_supplier"), col("rank"))

@@ -390,19 +390,21 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** `ScaleProbe lineage [sfDir]` — iterative-query lineage-growth probe
-    * (r17 verdict task 8). The two fixed-point queries differ exactly in
-    * lineage discipline: pagerank unrolls its recurrence UNBROKEN (5
-    * declared rounds), components breaks lineage with an eager
-    * localCheckpoint every round. Each plan-size pathology the unbroken
-    * form can hit (re-analysis cost superlinear in depth, codegen blowup)
-    * shows up as the per-round wall LEAVING constant as depth doubles —
-    * this probe times both at 1x/2x/4x the declared depth and prints
-    * construct+execute wall per round, so the "checkpoint every ~8
-    * rounds" policy in the pagerank comment is a measured number, not an
-    * assertion. */
+  /** `ScaleProbe lineage [sfDir] [multipliers]` — iterative-query
+    * lineage-growth probe (r17 verdict task 8). The two fixed-point
+    * queries differ in lineage discipline: pagerank references its state
+    * ONCE per round (linear plan growth; guarded by a localCheckpoint
+    * every 8th round — see the measured policy comment in
+    * GraphQueries.pagerankFrames), components references it TWICE
+    * (exponential growth; checkpointed every round). Measured r18, this
+    * probe on the PRE-guard pagerank: per-round wall flat to 20 rounds
+    * (0.82→0.88 s), +30% at 40 (1.06 s), driver StackOverflowError at 80
+    * (Catalyst tree recursion) — the every-8th-round guard turned 80
+    * rounds into a 0.51 s/round completion. Defaults to 1x/2x/4x the
+    * declared depth; pass comma-separated multipliers to go deeper. */
   private def lineageMain(args: Array[String]): Unit = {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val mults = args.lift(2).map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(1, 2, 4))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -414,7 +416,7 @@ object ScaleProbe {
     def run(name: String,
         frames: (SparkSession, String, Int) => (DataFrame, Seq[DataFrame]),
         baseIters: Int): Unit =
-      Seq(1, 2, 4).foreach { mult =>
+      mults.foreach { mult =>
         val iters = baseIters * mult
         spark.catalog.clearCache()
         System.gc()
@@ -428,7 +430,7 @@ object ScaleProbe {
           f""""construct_sec":$tConstruct%.2f,"wall_sec":$wall%.2f,""" +
           f""""sec_per_round":${wall / iters}%.3f}""")
       }
-    run("pagerank_unbroken", graft.queries.GraphQueries.pagerankFrames, 5)
+    run("pagerank_guarded8", graft.queries.GraphQueries.pagerankFrames, 5)
     run("components_checkpointed", graft.queries.GraphQueries.componentFrames, 8)
     spark.stop()
   }

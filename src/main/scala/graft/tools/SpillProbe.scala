@@ -92,7 +92,8 @@ object SpillProbe {
           catch {
             case e: Throwable =>
               val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq.last
-              s"FAILED ${root.getClass.getSimpleName}"
+              s"FAILED ${root.getClass.getSimpleName}: ${Option(root.getMessage)
+                .getOrElse("").replace('"', ' ').takeWhile(_ != '\n').take(160)}"
           }
         val wall = (System.nanoTime() - t0) / 1e9
         settle(listener)
@@ -209,9 +210,19 @@ object SpillProbe {
       // files.maxPartitionBytes guidance, exercised)
       .config("spark.sql.files.maxPartitionBytes",
         dial("SPARK_GRAFT_MAXPART", "134217728", "16777216"))
+      // SPARK_GRAFT_BROADCAST caps the auto-broadcast threshold: the bench
+      // default (64 MB) assumes the 32 GiB bench heap — on a 2 GiB
+      // executor a stats-estimated 64 MB relation is several x that as
+      // built unsafe rows plus the driver-side collect, and the build dies
+      // with "not enough memory to build and broadcast" (r18 certification
+      // caught q_dedup_minhash's vocabulary join exactly this way). The
+      // cluster-sane value follows the heap-proportional rule of thumb
+      // (~heap/256): big-enough for genuine dims, never a meaningful
+      // fraction of the executor
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        dial("SPARK_GRAFT_BROADCAST", (64 * 1024 * 1024).toString, (8 * 1024 * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -242,7 +253,8 @@ object SpillProbe {
           case e: Throwable =>
             val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
               .toSeq.last
-            s"FAILED ${root.getClass.getSimpleName}"
+            s"FAILED ${root.getClass.getSimpleName}: ${Option(root.getMessage)
+                .getOrElse("").replace('"', ' ').takeWhile(_ != '\n').take(160)}"
         }
       val wall = (System.nanoTime() - t0) / 1e9
       settle(listener)
