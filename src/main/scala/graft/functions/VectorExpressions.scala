@@ -229,6 +229,26 @@ object VectorOps {
     acc
   }
 
+  /** |A intersect B| over two SORTED-ascending int-id arrays: one merge
+    * walk, O(|a|+|b|), zero allocation — the sparse-bitset twin of
+    * [[bitmapJaccard]] (r18: q_dedup_minhash's sparse verify was paying
+    * array_intersect's hash-set build + dedup + result materialization
+    * per candidate pair; the ids are distinct and sorted by construction,
+    * so a merge walk computes the same count). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val va = a.getInt(i)
+      val vb = b.getInt(j)
+      if (va == vb) { inter += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** |A intersect B| / |A union B| over packed 64-bit bitmap words. */
   def bitmapJaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
@@ -270,6 +290,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * With a small shingle vocabulary an inverted-index self-join degenerates
   * (every shingle is a hot key); packing each document's shingle set into a
   * few machine words makes even all-pairs verification a popcount loop. */
+/** sortedIntersectCount(a, b) over two sorted array<int> columns;
+  * codegen'd (see [[VectorOps.sortedIntersectCount]]). */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 case class BitmapJaccard(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
@@ -381,6 +416,10 @@ case class SimHash64(child: Expression) extends org.apache.spark.sql.catalyst.ex
 
 object VectorFunctions {
 
+  /** Merge-walk intersection count over sorted int-id arrays (codegen'd;
+    * see [[SortedIntersectCount]]). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    graftshim.column(SortedIntersectCount(graftshim.expression(a), graftshim.expression(b)))
   /** Exact set Jaccard over packed bitmaps (codegen'd; see [[BitmapJaccard]]). */
   def bitmapJaccard(a: Column, b: Column): Column =
     graftshim.column(BitmapJaccard(graftshim.expression(a), graftshim.expression(b)))

@@ -175,7 +175,12 @@ object DedupQueries {
     * (intersection cardinalities are bijection-invariant; the division and
     * round are the same IEEE ops). */
   private def verifiedPairsSparse(banded: DataFrame, threshold: Column): DataFrame = {
-    val inter = size(array_intersect(col("x.bits"), col("y.bits"))).cast("double")
+    // merge-walk kernel, not array_intersect: the bit ids are DISTINCT and
+    // SORTED by construction (packSparseBits sorts), so one O(|a|+|b|)
+    // codegen'd walk replaces array_intersect's per-pair hash-set build +
+    // dedup + array materialization — the candidate-verify hot loop (r18)
+    val inter = graft.functions.VectorFunctions
+      .sortedIntersectCount(col("x.bits"), col("y.bits")).cast("double")
     val jac = inter / (size(col("x.bits")) + size(col("y.bits")) - inter)
     banded.as("x")
       .join(banded.as("y"),

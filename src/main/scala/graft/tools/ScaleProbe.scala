@@ -146,7 +146,12 @@ object ScaleProbe {
     // round-trips (part), NaN/Infinity classification aggregates
     // (customer), SQ8-vs-exact graded rank eval (embeddings)
     "q_text_word_stem", "q_string_strpos", "q_date_presto_iso",
-    "q_encoding_presto", "q_math_presto", "q_sim_rank_eval")
+    "q_encoding_presto", "q_math_presto", "q_sim_rank_eval",
+    // r18: HLL sketch spellings + n-ary extrema + ordered array_agg
+    // (orders-backed, keys remap *mult+i), registered-ngrams trigrams
+    // (documents — suffixed replica words keep trigram sets disjoint)
+    "q_agg_approx_set", "q_agg_nary_extrema", "q_agg_array_ordered",
+    "q_string_ngrams")
 
   private val ReplicaIdOffset = 10000000L
 

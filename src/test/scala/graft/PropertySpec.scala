@@ -185,6 +185,17 @@ class PropertySpec extends AnyFunSuite {
       "SELECT a, 'x,y' FROM t LATERAL VIEW explode(split(s, ',')) u AS w ORDER BY 1, 2")
   }
 
+  test("sortedIntersectCount: merge walk equals set intersection on sorted distinct ids") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val ids: Gen[Seq[Int]] = Gen.listOf(Gen.chooseNum(0, 200)).map(_.distinct.sorted)
+    forAllG(Gen.zip(ids, ids)) { case (a, b) =>
+      val expected = a.toSet.intersect(b.toSet).size
+      val got = graft.functions.VectorOps.sortedIntersectCount(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      assert(got == expected, s"a=$a b=$b")
+    }
+  }
+
   test("rewritePresto (full chain): IDENTITY on arbitrary rewrite-free SQL, incl. backticks") {
     // same contract as the rewriteUnnest identity, through BOTH rewrites
     // and with the r17 ADVICE backtick forms in the noise pool: a backtick
