@@ -574,6 +574,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"cardinality expects 1 argument, got ${children.size}")
       }))
+    // Presto's WEIGHTED approx_percentile(x, w, percentage) — the latency-
+    // dashboard idiom (percentiles weighted by request counts). Spark's
+    // same-named 3-arg builtin means approx_percentile(x, percentage,
+    // accuracy) — a silent argument-ORDER divergence, so the shadow
+    // dispatches on the shape: a foldable percentage-like 2nd argument
+    // (number or array, all in [0, 1]) is Spark's native form and delegates
+    // to the exact builtin expression; otherwise the 2nd argument is
+    // Presto's weight column and the call lowers onto Spark's EXACT
+    // weighted Percentile(x, p, frequency=w) — an exact answer is a
+    // conformant implementation of an approximate contract. The two shapes
+    // cannot collide: Spark's accuracy argument must be an integer > 1
+    // (never percentage-like), and Presto's weight is a corpus COLUMN
+    // (never foldable) in every published use.
+    def percentageLike(e: Expression): Boolean = e.foldable && {
+      def in01(v: Any): Boolean = v match {
+        case n: java.lang.Number => n.doubleValue >= 0.0 && n.doubleValue <= 1.0
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble >= 0.0 && d.toDouble <= 1.0
+        case _ => false
+      }
+      e.eval() match {
+        case null => false
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.numElements() > 0 &&
+            (0 until a.numElements()).forall(i => in01(a.get(i, e.dataType match {
+              case org.apache.spark.sql.types.ArrayType(et, _) => et
+              case other => other
+            })))
+        case v => in01(v)
+      }
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("approx_percentile"),
+      info(classOf[ce.aggregate.ApproximatePercentile], "approx_percentile",
+        "approx_percentile(x, p[, accuracy]) - Spark's native form (delegated), or " +
+          "Presto's WEIGHTED approx_percentile(x, w, p) when the 2nd argument is a " +
+          "weight column; the weighted form lowers onto the exact percentile with " +
+          "frequency (exact satisfies the approx contract)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(x, p) => new ce.aggregate.ApproximatePercentile(x, p)
+        case Seq(x, p, acc) if percentageLike(p) =>
+          new ce.aggregate.ApproximatePercentile(x, p, acc)
+        case Seq(x, w, p) if percentageLike(p) =>
+          new ce.aggregate.Percentile(x, p, w)
+        case Seq(_, _, _) => throw new IllegalArgumentException(
+          "approx_percentile: 3-arg form must be (x, percentage, accuracy) or " +
+            "(x, weight, percentage) with a literal percentage in [0, 1]")
+        case _ => throw new IllegalArgumentException(
+          s"approx_percentile expects 2 or 3 arguments, got ${children.size}")
+      }))
     alias1("bitwise_and_agg",
       "bitwise_and_agg(x) - Presto spelling of bit_and",
       c => ce.aggregate.BitAndAgg(c))
@@ -679,6 +728,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"min_by expects 2 or 3 arguments, got ${children.size}")
       }))
+
+    // Presto cosine_similarity(map<K,double>, map<K,double>) — the sparse-
+    // vector ML spelling (q_map_cosine proved the semantics with composed
+    // HOFs; this registers the NAME onto a codegen'd one-pass kernel —
+    // hash-build over the smaller map + probe, vs the HOF fold's
+    // quadratic element_at scans). Numeric map values coerce to double.
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      info(classOf[MapCosineSim], "cosine_similarity",
+        "cosine_similarity(m1, m2) - Presto sparse-vector cosine over map<K, double>; " +
+          "NULL map values are absent, a zero-norm operand yields NaN"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) =>
+          import org.apache.spark.sql.types.{DoubleType => DT, MapType}
+          def toDoubleValues(e: Expression): Expression = e.dataType match {
+            case MapType(k, v, n) if v != DT && e.resolved => Cast(e, MapType(k, DT, n))
+            case _ => e
+          }
+          MapCosineSim(toDoubleValues(a), toDoubleValues(b))
+        case _ => throw new IllegalArgumentException(
+          s"cosine_similarity expects 2 arguments, got ${children.size}")
+      }))
+    // Presto array_sum / array_average: fold with NULL-ELEMENT SKIP
+    // semantics (Presto ignores null entries; an all-null or empty array
+    // sums to 0 / averages to NULL). Lowered onto codegen'd HOF composes
+    // over the null-stripped array.
+    def nonNull(a: Expression): Expression = {
+      val x = ce.UnresolvedNamedLambdaVariable(Seq("graft_x"))
+      ce.ArrayFilter(a, ce.LambdaFunction(ce.IsNotNull(x), Seq(x)))
+    }
+    def foldSum(a: Expression): Expression = {
+      val acc = ce.UnresolvedNamedLambdaVariable(Seq("graft_acc"))
+      val x = ce.UnresolvedNamedLambdaVariable(Seq("graft_x"))
+      ce.ArrayAggregate(
+        nonNull(a), Cast(Literal(0.0d), org.apache.spark.sql.types.DoubleType),
+        ce.LambdaFunction(ce.Add(acc, Cast(x, org.apache.spark.sql.types.DoubleType)),
+          Seq(acc, x)),
+        ce.LambdaFunction(
+          ce.UnresolvedNamedLambdaVariable(Seq("graft_s")),
+          Seq(ce.UnresolvedNamedLambdaVariable(Seq("graft_s")))))
+    }
+    alias1("array_sum",
+      "array_sum(arr) - Presto sum of array elements as double (NULL elements skipped; " +
+        "empty/all-null array sums to 0)",
+      a => foldSum(a))
+    alias1("array_average",
+      "array_average(arr) - Presto mean of the non-NULL array elements " +
+        "(NULL when none remain)",
+      a => {
+        val cnt = Cast(ce.Size(nonNull(a)), org.apache.spark.sql.types.DoubleType)
+        ce.If(ce.EqualTo(cnt, Literal(0.0d)),
+          Literal(null, org.apache.spark.sql.types.DoubleType),
+          ce.Divide(foldSum(a), cnt))
+      })
 
     // Presto ngrams(arr, n): overlapping n-element windows — the text-dedup
     // shingle builder (the exact spelling a migrating user types before
@@ -845,6 +948,18 @@ object PrestoHllFunctions {
   def hllCardinality(c: Column): Column =
     graftshim.column(
       org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(graftshim.expression(c)))
+}
+
+/** Column wrapper for the Presto weighted-percentile lowering, so the
+  * declared row runs the identical Percentile(x, p, w) expression on a
+  * vanilla session. */
+object PrestoPercentileFunctions {
+  import org.apache.spark.sql.{graftshim, Column}
+  def weightedPercentile(x: Column, w: Column, p: Double): Column =
+    graftshim.column(new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(
+      graftshim.expression(x),
+      org.apache.spark.sql.catalyst.expressions.Literal(p),
+      graftshim.expression(w)).toAggregateExpression())
 }
 
 /** Column wrapper for the TRY lowering, so declared queries can use it on a

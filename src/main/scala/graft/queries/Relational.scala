@@ -562,6 +562,42 @@ object Relational {
       FROM orders WHERE o_orderkey % 97 = 0
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Presto's WEIGHTED approx_percentile(x, w, p) — the latency-dashboard
+    * idiom — through the shadow dispatch's lowering onto Spark's EXACT
+    * Percentile-with-frequency (exact satisfies the approx contract; the
+    * Column wrapper constructs the identical expression for the vanilla
+    * Verify session, EngineSpec pins the pasted SQL shapes). The oracle
+    * reconstructs the weighted percentile from first principles: rows
+    * EXPANDED by weight, then quantile_cont — DuckDB's type-7 interpolation
+    * over the expanded multiset is exactly Percentile's
+    * sorted-with-frequencies formula. Decimal-rounded on both sides (the
+    * project's float-boundary convention). Scale shape: one
+    * ObjectHashAggregate family per group, partial-merged; weights ride as
+    * counts, never expanded rows, on the Spark side. */
+  private val aggWeightedPercentile = Q(
+    "q_agg_weighted_percentile",
+    (s, d) => {
+      import graft.functions.PrestoPercentileFunctions.weightedPercentile
+      def r2(c: org.apache.spark.sql.Column) =
+        round(c.cast("decimal(24,6)"), 2).cast("double")
+      val w = (col("o_orderkey") % 5 + 1).cast("long")
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          r2(weightedPercentile(col("o_totalprice"), w, 0.5)).as("wp50"),
+          r2(weightedPercentile(col("o_totalprice"), w, 0.9)).as("wp90"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH expanded AS (
+        SELECT o_orderpriority, o_totalprice
+        FROM (SELECT o_orderpriority, o_totalprice,
+                unnest(range(CAST(o_orderkey % 5 + 1 AS INT))) AS rep
+              FROM orders))
+      SELECT o_orderpriority,
+        CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(24,6)), 2) AS DOUBLE) AS wp50,
+        CAST(round(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(24,6)), 2) AS DOUBLE) AS wp90
+      FROM expanded GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   private val aggApproxDistinct = Q(
     // approx_count_distinct (HLL) is nondeterministic across engines, so the
     // declared check is the HLL estimate's contract: within 5% of exact.
@@ -3571,7 +3607,7 @@ object Relational {
     projFilter,
     dateIntervals,
     aggGroup, aggDistinct, aggFilteredHaving, aggRollup, aggCube, aggGroupingSets,
-    aggPivot, unpivotFn, aggPercentile, aggApproxPercentile, aggStats, aggApproxDistinct, aggHllMerge, aggApproxSet, aggNaryExtrema, aggArrayOrdered,
+    aggPivot, unpivotFn, aggPercentile, aggApproxPercentile, aggStats, aggApproxDistinct, aggHllMerge, aggApproxSet, aggNaryExtrema, aggArrayOrdered, aggWeightedPercentile,
     aggCollect, aggHistogram, aggMinMaxBy, aggRegr, aggBool, aggBitwise, aggMoments,
     aggMad,
     joinInner, joinLeft, joinRight, joinFull, joinCross, joinSemi, joinAnti,

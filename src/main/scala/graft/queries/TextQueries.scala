@@ -209,6 +209,48 @@ object TextQueries {
           AS self_sim
       FROM c ORDER BY doc_id"""))
 
+  /** The registered `cosine_similarity` KERNEL against the same
+    * first-principles DuckDB oracle as [[mapCosine]]: identical halves
+    * construction, but the cosine comes from the codegen'd one-pass
+    * hash-probe kernel (functions/VectorExpressions.MapCosineSim — the
+    * lowering behind the registered Presto name) instead of the composed
+    * HOF fold. Same independent-oracle standing, so the kernel itself is
+    * driver-gated; EngineSpec additionally pins kernel == HOF fold and
+    * the pasted SQL spelling. */
+  private val mapCosineKernel = Q(
+    "q_map_cosine_kernel",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n", size(col("ws")))
+        .filter(col("n") >= 4)
+        .withColumn("h1", expr("slice(ws, 1, n div 2)"))
+        .withColumn("h2", expr("slice(ws, n div 2 + 1, n - n div 2)"))
+        .withColumn("m1", expr(
+          "map_from_entries(transform(array_distinct(h1), w -> struct(w, double(size(filter(h1, x -> x = w))))))"))
+        .withColumn("m2", expr(
+          "map_from_entries(transform(array_distinct(h2), w -> struct(w, double(size(filter(h2, x -> x = w))))))"))
+        .select(
+          col("doc_id"), col("n").cast("long").as("n"),
+          round(graft.functions.VectorFunctions.mapCosineSim(col("m1"), col("m2"))
+            .cast("decimal(24,8)"), 6).cast("double").as("self_sim"))
+        .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       s AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) >= 4),
+       h AS (SELECT doc_id, n, ws[1:n//2] AS h1, ws[n//2+1:n] AS h2 FROM s),
+       c AS (SELECT doc_id, n,
+         list_sum([len(list_filter(h1, x -> x = w)) * len(list_filter(h2, y -> y = w))
+                   FOR w IN list_distinct(h1)]) AS dot,
+         list_sum([len(list_filter(h1, x -> x = w)) * len(list_filter(h1, y -> y = w))
+                   FOR w IN list_distinct(h1)]) AS s1,
+         list_sum([len(list_filter(h2, x -> x = w)) * len(list_filter(h2, y -> y = w))
+                   FOR w IN list_distinct(h2)]) AS s2
+        FROM h)
+      SELECT doc_id, CAST(n AS BIGINT) AS n,
+        CAST(round(CAST(dot / (sqrt(s1) * sqrt(s2)) AS DECIMAL(24,8)), 6) AS DOUBLE)
+          AS self_sim
+      FROM c ORDER BY doc_id"""))
+
   /** Exact dedup: group identical text, keep the smallest doc_id. At 100 TB
     * group by a 64-bit content hash instead of the full text to shrink
     * shuffle payload (the text column never needs to move). */
@@ -1813,5 +1855,5 @@ object TextQueries {
     perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
     nbClassifier, perplexity3, perplexity5, topics, mixQuality, bpeTrain256,
     lexDiversity, unigramTrain, unigramApply, textChunking, textPacking,
-    invertedIndex, mapCosine, wordStem)
+    invertedIndex, mapCosine, mapCosineKernel, wordStem)
 }

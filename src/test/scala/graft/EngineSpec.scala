@@ -596,6 +596,52 @@ FROM "defenda_data_lake"."events"
       (werr.getCause != null && werr.getCause.getMessage.contains("delimiter")))
   }
 
+  test("approx_percentile dispatch: Spark's (x, p, accuracy) native, Presto's (x, w, p) weighted") {
+    // native 2-arg and 3-arg (percentage-like 2nd argument) delegate to
+    // the builtin ApproximatePercentile unchanged
+    val nat = spark.sql(
+      """SELECT approx_percentile(v, 0.5) AS p50,
+                approx_percentile(v, 0.5, 10000) AS p50acc,
+                approx_percentile(v, array(0.25, 0.75)) AS pq
+         FROM VALUES (1), (2), (3), (4) AS t(v)""").collect()(0)
+    assert(nat.getInt(0) == 2 && nat.getInt(1) == 2)
+    assert(nat.getSeq[Int](2) == Seq(1, 3))
+    // Presto weighted form: a weight COLUMN in position 2. With weights
+    // (1,1,3) the expanded multiset is {1,2,3,3,3}: p50 = 3
+    val w = spark.sql(
+      """SELECT approx_percentile(v, w, 0.5) AS wp50
+         FROM VALUES (1, 1L), (2, 1L), (3, 3L) AS t(v, w)""").collect()(0)
+    assert(w.getDouble(0) == 3.0, s"weighted median over {1,2,3,3,3} must be 3, got $w")
+    // ambiguous/invalid 3-arg shapes stay loud
+    intercept[Exception](spark.sql(
+      "SELECT approx_percentile(v, v, 5) FROM VALUES (1) AS t(v)").collect())
+  }
+
+  test("Presto cosine_similarity / array_sum / array_average resolve") {
+    // kernel == the composed HOF fold, and the known-value check:
+    // m1={a:1,b:2}, m2={b:2,c:1} -> dot 4, norms sqrt5*sqrt5 -> 0.8
+    val c = spark.sql(
+      """SELECT cosine_similarity(map('a', 1D, 'b', 2D), map('b', 2D, 'c', 1D)) AS sim,
+                cosine_similarity(map('a', 1, 'b', 2), map('b', 2, 'c', 1)) AS coerced,
+                cosine_similarity(map('a', 1D), map('b', 1D)) AS disjoint,
+                isnan(cosine_similarity(map('a', 0D), map('a', 1D))) AS zero_norm""")
+      .collect()(0)
+    assert(math.abs(c.getDouble(0) - 0.8) < 1e-12, s"got ${c.getDouble(0)}")
+    assert(math.abs(c.getDouble(1) - 0.8) < 1e-12, "integer map values must coerce")
+    assert(c.getDouble(2) == 0.0)
+    assert(c.getBoolean(3), "zero-norm operand -> NaN (Presto formula)")
+    // array_sum / array_average: NULL elements skipped; empty -> 0 / NULL
+    val a = spark.sql(
+      """SELECT array_sum(array(1D, NULL, 2.5D)) AS s,
+                array_average(array(1D, NULL, 2D)) AS avg,
+                array_sum(array(CAST(NULL AS DOUBLE))) AS s_allnull,
+                array_average(array(CAST(NULL AS DOUBLE))) AS a_allnull""")
+      .collect()(0)
+    assert(a.getDouble(0) == 3.5 && a.getDouble(1) == 1.5)
+    assert(a.getDouble(2) == 0.0, "all-null array sums to 0 (Presto)")
+    assert(a.isNullAt(3), "all-null array averages to NULL (Presto)")
+  }
+
   test("Presto ngrams resolves: overlapping windows, short-input contract") {
     val r = spark.sql(
       """SELECT ngrams(array('a','b','c','d'), 2) AS bi,
