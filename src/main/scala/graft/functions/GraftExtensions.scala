@@ -819,6 +819,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ce.ArraysZip(children)
       }))
 
+    // DOCUMENTED DEVIATION #23 — greatest/least NULL semantics: Presto's
+    // greatest/least return NULL when ANY argument is NULL; Spark's (and
+    // Postgres'/DuckDB's) same-named builtins SKIP nulls — a silent value
+    // shift on any nullable argument (lag(), outer-join columns). The
+    // names cannot be shadowed without changing Spark-dialect queries, so
+    // the Presto semantics get non-shadowing spellings: the null check
+    // wraps the native codegen'd Greatest/Least.
+    def nullPropagating(
+        name: String, build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        info(classOf[ce.Greatest], name,
+          s"$name(v1, v2, ...) - Presto semantics: NULL when ANY argument is NULL " +
+            "(Spark's builtin skips nulls — deviation #23)"),
+        (children: Seq[Expression]) => {
+          if (children.size < 2) throw new IllegalArgumentException(
+            s"$name expects at least 2 arguments, got ${children.size}")
+          val anyNull = children.map(ce.IsNull(_): Expression).reduce(ce.Or(_, _))
+          ce.If(anyNull, Literal(null, org.apache.spark.sql.types.NullType), build(children))
+        }))
+    nullPropagating("presto_greatest", cs => ce.Greatest(cs))
+    nullPropagating("presto_least", cs => ce.Least(cs))
+
     // error-safe wrapper -----------------------------------------------------
     // Presto's TRY(expr): evaluation errors become NULL. Spark's own try_*
     // family is built on exactly this node (TryEval backs try_add/
@@ -948,6 +971,23 @@ object PrestoHllFunctions {
   def hllCardinality(c: Column): Column =
     graftshim.column(
       org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(graftshim.expression(c)))
+}
+
+/** Column wrappers for the null-propagating Presto greatest/least
+  * (deviation #23), so the declared row runs the identical lowering on a
+  * vanilla session. */
+object PrestoCondFunctions {
+  import org.apache.spark.sql.{graftshim, Column}
+  import org.apache.spark.sql.catalyst.expressions.{Greatest, If, IsNull, Least, Literal}
+  private def wrap(cols: Seq[Column], build: Seq[Expression] => Expression): Column = {
+    val es = cols.map(graftshim.expression)
+    val anyNull = es.map(IsNull(_): Expression).reduce(
+      org.apache.spark.sql.catalyst.expressions.Or(_, _))
+    graftshim.column(If(anyNull,
+      Literal(null, org.apache.spark.sql.types.NullType), build(es)))
+  }
+  def prestoGreatest(cols: Column*): Column = wrap(cols, es => Greatest(es))
+  def prestoLeast(cols: Column*): Column = wrap(cols, es => Least(es))
 }
 
 /** Column wrapper for the Presto weighted-percentile lowering, so the

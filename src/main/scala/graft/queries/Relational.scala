@@ -2390,6 +2390,41 @@ object Relational {
         CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END AS is_small
       FROM part ORDER BY p_partkey"""))
 
+  /** Presto's NULL-propagating greatest/least (deviation #23 — Presto
+    * returns NULL when ANY argument is NULL; Spark/Postgres/DuckDB skip
+    * nulls, a silent value shift on any nullable argument). The lag()
+    * window makes the first row of every customer genuinely NULL, so both
+    * semantics are load-bearing in the hash: the presto_ columns NULL
+    * there, the native-contrast columns keep the non-null value. The
+    * oracle spells Presto's propagation explicitly over DuckDB's
+    * skip-null builtin — an independent formulation. */
+  private val condNullExtrema = Q(
+    "q_cond_null_extrema",
+    (s, d) => {
+      import graft.functions.PrestoCondFunctions._
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          lag("o_totalprice", 1).over(w).as("prev"))
+        .select(
+          col("o_orderkey"),
+          prestoGreatest(col("o_totalprice"), col("prev")).cast("double").as("pg"),
+          prestoLeast(col("o_totalprice"), col("prev")).cast("double").as("pl"),
+          greatest(col("o_totalprice"), col("prev")).as("sg"),
+          least(col("o_totalprice"), col("prev")).as("sl"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH p AS (
+        SELECT o_orderkey, o_totalprice,
+               lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+        FROM orders)
+      SELECT o_orderkey,
+        CASE WHEN prev IS NULL THEN NULL ELSE greatest(o_totalprice, prev) END AS pg,
+        CASE WHEN prev IS NULL THEN NULL ELSE least(o_totalprice, prev) END AS pl,
+        greatest(o_totalprice, prev) AS sg,
+        least(o_totalprice, prev) AS sl
+      FROM p ORDER BY o_orderkey"""))
+
   /** Conditional-expression surface declared explicitly (if/nullif/
     * coalesce appear INSIDE many rows, but a Presto migrant types them
     * directly) plus printf-style formatting. All codegen'd projections. */
@@ -3620,7 +3655,7 @@ object Relational {
     sortTopk, sortNullsOffset,
     recursiveCte,
     setUnion, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll,
-    condFns, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
+    condFns, condNullExtrema, stringFns, stringFns2, stringHash, regexpFns, encodingFns,
     stringNormalize, stringMetrics, stringStrpos, regexpSplit, prestoSplitRow, stringNgrams,
     encodingPresto, mathPresto,
     dateFns, dateFns2, dateTz, datePrestoFmt, dateParse, datePrestoRoundtrip,

@@ -617,6 +617,20 @@ FROM "defenda_data_lake"."events"
       "SELECT approx_percentile(v, v, 5) FROM VALUES (1) AS t(v)").collect())
   }
 
+  test("presto_greatest / presto_least: NULL propagates; builtins still skip nulls") {
+    val r = spark.sql(
+      """SELECT presto_greatest(1, 2, CAST(NULL AS INT)) AS pg_null,
+                presto_least(1, 2) AS pl,
+                presto_greatest(3.5D, 1.0D) AS pg,
+                greatest(1, 2, CAST(NULL AS INT)) AS sg,
+                least(1, CAST(NULL AS INT)) AS sl""").collect()(0)
+    assert(r.isNullAt(0), "Presto semantics: NULL when ANY argument is NULL")
+    assert(r.getInt(1) == 1 && r.getDouble(2) == 3.5)
+    assert(r.getInt(3) == 2 && r.getInt(4) == 1,
+      "Spark builtins must keep their skip-null semantics (non-shadowing)")
+    intercept[Exception](spark.sql("SELECT presto_greatest(1)").collect())
+  }
+
   test("Presto cosine_similarity / array_sum / array_average resolve") {
     // kernel == the composed HOF fold, and the known-value check:
     // m1={a:1,b:2}, m2={b:2,c:1} -> dot 4, norms sqrt5*sqrt5 -> 0.8
