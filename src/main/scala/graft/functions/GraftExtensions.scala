@@ -368,6 +368,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"presto_split expects 2 or 3 arguments, got ${children.size}")
         }
       }))
+    // presto_regexp_extract_all: the SAME default-group trap as
+    // regexp_extract (deviation #12) in the _all form — Presto's 2-arg
+    // regexp_extract_all returns the WHOLE matches; Spark's same-named
+    // builtin defaults to GROUP 1 (verified live: regexp_extract_all
+    // ('a1-b2', '([a-z])([0-9])') is [a, b] on Spark, [a1, b2] on
+    // Presto/DuckDB). Non-shadowing spelling with Presto's default.
+    ext.injectFunction((
+      new FunctionIdentifier("presto_regexp_extract_all"),
+      info(classOf[ce.RegExpExtractAll], "presto_regexp_extract_all",
+        "presto_regexp_extract_all(s, p[, group]) - Presto regexp_extract_all: the " +
+          "2-arg form returns the WHOLE matches (Spark's defaults to group 1 — " +
+          "deviation #12)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, p)    => ce.RegExpExtractAll(s, p, Literal(0))
+        case Seq(s, p, g) => ce.RegExpExtractAll(s, p, g)
+        case _ => throw new IllegalArgumentException(
+          s"presto_regexp_extract_all expects 2 or 3 arguments, got ${children.size}")
+      }))
+
     // DOCUMENTED DEVIATION #12 — regexp_extract DEFAULT GROUP: Presto's
     // 2-arg regexp_extract(s, p) returns the WHOLE MATCH (group 0);
     // Spark's same-named built-in defaults to GROUP 1 — a silent
@@ -431,6 +450,73 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "yow(d) - Presto alias of year_of_week", c => ce.YearOfWeek(c))
     alias1("last_day_of_month",
       "last_day_of_month(d) - Presto spelling of last_day", c => ce.LastDay(c))
+    alias1("week",
+      "week(d) - Presto alias of week_of_year (ISO week)", c => ce.WeekOfYear(c))
+
+    // Presto to_base(x, radix) / from_base(s, radix): Spark's conv covers
+    // the digit arithmetic but treats negative longs as UNSIGNED 64-bit
+    // and uppercases — both silent divergences — so the lowerings handle
+    // the sign explicitly and lowercase (Presto's digit case). Radix
+    // bounds [2, 36] are conv's own. from_base is LENIENT on invalid
+    // digits (conv's contract: parses the valid prefix) where Presto
+    // throws — documented in the usage text; the round-trip direction is
+    // exact.
+    def convBase(x: Expression, from: Expression, to: Expression): Expression =
+      new ce.Conv(x, Cast(from, org.apache.spark.sql.types.IntegerType),
+        Cast(to, org.apache.spark.sql.types.IntegerType))
+    ext.injectFunction((
+      new FunctionIdentifier("to_base"),
+      info(classOf[ce.Conv], "to_base",
+        "to_base(x, radix) - Presto base conversion (lowercase digits, signed); " +
+          "lowers to conv with explicit sign handling"),
+      (children: Seq[Expression]) => children match {
+        case Seq(x, r) =>
+          val lx = Cast(x, org.apache.spark.sql.types.LongType)
+          ce.If(
+            ce.LessThan(lx, Literal(0L)),
+            ce.Concat(Seq(Literal("-"),
+              ce.Lower(convBase(ce.UnaryMinus(lx), Literal(10), r)))),
+            ce.Lower(convBase(lx, Literal(10), r)))
+        case _ => throw new IllegalArgumentException(
+          s"to_base expects 2 arguments, got ${children.size}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("from_base"),
+      info(classOf[ce.Conv], "from_base",
+        "from_base(s, radix) - Presto base parse (signed); lowers to conv " +
+          "(LENIENT on malformed digits — parses the valid prefix — where Presto throws)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, r) =>
+          val body = Cast(convBase(s, r, Literal(10)), org.apache.spark.sql.types.LongType)
+          val neg = Cast(convBase(
+            new ce.Substring(s, Literal(2)), r, Literal(10)),
+            org.apache.spark.sql.types.LongType)
+          ce.If(
+            ce.StartsWith(s, Literal("-")),
+            ce.UnaryMinus(neg),
+            body)
+        case _ => throw new IllegalArgumentException(
+          s"from_base expects 2 arguments, got ${children.size}")
+      }))
+
+    // Presto's HMAC family (RFC 2104 keyed digests — the security lake's
+    // payload-signing spellings; Spark ships unkeyed digests only). Binary
+    // in/out like Presto; string inputs implicit-cast to UTF-8 bytes.
+    def hmacAlias(name: String, algo: String): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        info(classOf[Hmac], name,
+          s"$name(data, key) - RFC 2104 HMAC over binary data with a binary key " +
+            s"(JCA $algo); Presto's spelling and types"),
+        (children: Seq[Expression]) => children match {
+          case Seq(d, k) => Hmac(HmacFunctions.toBin(d), HmacFunctions.toBin(k), algo)
+          case _ => throw new IllegalArgumentException(
+            s"$name expects 2 arguments, got ${children.size}")
+        }))
+    hmacAlias("hmac_md5", "HmacMD5")
+    hmacAlias("hmac_sha1", "HmacSHA1")
+    hmacAlias("hmac_sha256", "HmacSHA256")
+    hmacAlias("hmac_sha512", "HmacSHA512")
 
     // binary / encoding -------------------------------------------------------
     alias1("to_hex", "to_hex(bin) - Presto spelling of hex (uppercase digits)",
@@ -915,6 +1001,9 @@ object PrestoStringFunctions {
   }
   def prestoRegexpExtract(s: Column, pattern: Column): Column =
     graftshim.column(RegExpExtract(
+      graftshim.expression(s), graftshim.expression(pattern), Literal(0)))
+  def prestoRegexpExtractAll(s: Column, pattern: Column): Column =
+    graftshim.column(org.apache.spark.sql.catalyst.expressions.RegExpExtractAll(
       graftshim.expression(s), graftshim.expression(pattern), Literal(0)))
 }
 

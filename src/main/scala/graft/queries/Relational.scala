@@ -2172,7 +2172,17 @@ object Relational {
             .prestoSplit(col("doc"), lit("."))).cast("long").as("n_parts"),
           graft.functions.PrestoStringFunctions
             .prestoRegexpExtract(col("o_orderpriority"), lit("([0-9]+)-([A-Z]+)"))
-            .as("whole_match"))
+            .as("whole_match"),
+          // the _all form carries the SAME default-group trap (r18):
+          // Spark's 2-arg regexp_extract_all returns group 1 per match —
+          // here that would strip '-URGENT' from every match. The pattern
+          // matches every doc (one digits-dash-letters run per priority),
+          // so the engines' differing no-match conventions (Spark [] vs
+          // DuckDB NULL) stay out of play; the coalesce guards any corpus
+          // where they would not
+          coalesce(array_join(graft.functions.PrestoStringFunctions
+            .prestoRegexpExtractAll(col("doc"), lit("([0-9]+)-([A-Z]+)")), "/"), lit(""))
+            .as("whole_matches"))
         .orderBy("o_orderkey"),
     Some("""WITH d AS (SELECT o_orderkey, o_orderpriority,
                o_orderstatus || '.' || o_orderpriority || '.' || CAST(o_custkey AS VARCHAR) AS doc
@@ -2180,7 +2190,8 @@ object Relational {
       SELECT o_orderkey,
         array_to_string(string_split(doc, '.'), '/') AS parts,
         CAST(len(string_split(doc, '.')) AS BIGINT) AS n_parts,
-        regexp_extract(o_orderpriority, '([0-9]+)-([A-Z]+)') AS whole_match
+        regexp_extract(o_orderpriority, '([0-9]+)-([A-Z]+)') AS whole_match,
+        coalesce(array_to_string(regexp_extract_all(doc, '([0-9]+)-([A-Z]+)'), '/'), '') AS whole_matches
       FROM d ORDER BY o_orderkey"""))
 
   /** Presto `ngrams(arr, n)` — the shingle builder a migrating text-dedup

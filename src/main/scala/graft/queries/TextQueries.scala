@@ -209,6 +209,37 @@ object TextQueries {
           AS self_sim
       FROM c ORDER BY doc_id"""))
 
+  /** Presto's RFC 2104 HMAC family — `hmac_md5/sha1/sha256/sha512(data,
+    * key)`, the payload-signing spellings of the reference's security-lake
+    * domain (Spark ships unkeyed digests only; the registered names lower
+    * onto the codegen'd javax.crypto kernel, functions/HmacExpressions).
+    * The oracle is the committed fixture generated by the Python-stdlib
+    * hmac/hashlib twin (tools/gen_expected.py) — an independent RFC 2104
+    * implementation, the same two-implementation standing as the
+    * stem/fingerprint rows, with the same glob + (doc_id, md5(text))
+    * corpus discrimination so the row rides every scale gate directly.
+    * Narrow per-row projection, no exchange beyond the order. */
+  private val textHmac = Q(
+    "q_string_hmac",
+    (s, d) => {
+      import graft.functions.HmacFunctions._
+      val key = lit("graft-key")
+      def hx(c: org.apache.spark.sql.Column) = lower(hex(c))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          hx(hmacMd5(col("text"), key)).as("h_md5"),
+          hx(hmacSha1(col("text"), key)).as("h_sha1"),
+          hx(hmacSha256(col("text"), key)).as("h_sha256"),
+          hx(hmacSha512(col("text"), key)).as("h_sha512"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH exp AS (
+        SELECT * FROM read_parquet('/root/repo/src/test/resources/expected/hmac_*.parquet'))
+      SELECT DISTINCT d.doc_id, e.h_md5, e.h_sha1, e.h_sha256, e.h_sha512
+      FROM documents d JOIN exp e ON d.doc_id = e.doc_id AND md5(d.text) = e.text_md5
+      ORDER BY d.doc_id"""))
+
   /** The registered `cosine_similarity` KERNEL against the same
     * first-principles DuckDB oracle as [[mapCosine]]: identical halves
     * construction, but the cosine comes from the codegen'd one-pass
@@ -1855,5 +1886,5 @@ object TextQueries {
     perplexity, bpeTrain, pplGate, bm25, repNgrams, bpeApply, dupNgrams,
     nbClassifier, perplexity3, perplexity5, topics, mixQuality, bpeTrain256,
     lexDiversity, unigramTrain, unigramApply, textChunking, textPacking,
-    invertedIndex, mapCosine, mapCosineKernel, wordStem)
+    invertedIndex, mapCosine, mapCosineKernel, wordStem, textHmac)
 }

@@ -617,6 +617,35 @@ FROM "defenda_data_lake"."events"
       "SELECT approx_percentile(v, v, 5) FROM VALUES (1) AS t(v)").collect())
   }
 
+  test("hmac_* / week / to_base / from_base / presto_regexp_extract_all resolve") {
+    // RFC 4231 test case 2: key "Jefe", data "what do ya want for nothing?"
+    val h = spark.sql(
+      """SELECT lower(hex(hmac_sha256('what do ya want for nothing?', 'Jefe'))) AS s256,
+                lower(hex(hmac_sha1('what do ya want for nothing?', 'Jefe'))) AS s1""")
+      .collect()(0)
+    assert(h.getString(0) ==
+      "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843",
+      s"RFC 4231 TC2 mismatch: ${h.getString(0)}")
+    assert(h.getString(1) == "effcdf6ae5eb2fa2d27416d5f184df9c259a7c79",
+      "RFC 2202 TC2 (HMAC-SHA1) mismatch")
+    // week = ISO week_of_year
+    assert(spark.sql("SELECT week(DATE '2026-08-16') AS w").collect()(0).getInt(0) == 33)
+    // to_base/from_base: lowercase digits, SIGNED round-trip (Spark's bare
+    // conv would treat -255 as unsigned 64-bit — the trap the lowering closes)
+    val b = spark.sql(
+      """SELECT to_base(255, 16) AS h, to_base(-255, 16) AS hn,
+                from_base('ff', 16) AS v, from_base('-ff', 16) AS vn,
+                from_base(to_base(123456789, 36), 36) AS rt""").collect()(0)
+    assert(b.getString(0) == "ff" && b.getString(1) == "-ff")
+    assert(b.getLong(2) == 255L && b.getLong(3) == -255L && b.getLong(4) == 123456789L)
+    // regexp_extract_all default-group trap: Presto returns WHOLE matches
+    val r = spark.sql(
+      """SELECT presto_regexp_extract_all('a1-b2', '([a-z])([0-9])') AS p,
+                regexp_extract_all('a1-b2', '([a-z])([0-9])') AS s""").collect()(0)
+    assert(r.getSeq[String](0) == Seq("a1", "b2"), "Presto default: group 0")
+    assert(r.getSeq[String](1) == Seq("a", "b"), "Spark default stays group 1 (non-shadowing)")
+  }
+
   test("presto_greatest / presto_least: NULL propagates; builtins still skip nulls") {
     val r = spark.sql(
       """SELECT presto_greatest(1, 2, CAST(NULL AS INT)) AS pg_null,

@@ -408,6 +408,26 @@ def main():
             "stemmed": docs["text"].map(stem_text),
         })
         st.to_parquet(os.path.join(outdir, f"stem_{sf}.parquet"), index=False)
+
+        # RFC 2104 HMAC fixtures for the hmac_* spellings (r18): the
+        # Python-stdlib hmac/hashlib implementation is an independent
+        # lineage from the engine's javax.crypto runtime — same
+        # two-implementation standing as the stem/fingerprint fixtures.
+        # Key fixed to the one the declared row uses.
+        import hmac as _hmac
+        _key = b"graft-key"
+        def _h(algo):
+            return docs["text"].map(
+                lambda t: _hmac.new(_key, t.encode(), algo).hexdigest())
+        hm = pd.DataFrame({
+            "doc_id": docs["doc_id"].astype("int64"),
+            "text_md5": md5,
+            "h_md5": _h("md5"),
+            "h_sha1": _h("sha1"),
+            "h_sha256": _h("sha256"),
+            "h_sha512": _h("sha512"),
+        })
+        hm.to_parquet(os.path.join(outdir, f"hmac_{sf}.parquet"), index=False)
         print(sf, "docs:", n, "simhash pairs:", len(sh),
               "minhash dups:", int(mh["is_dup"].sum()),
               "stem changed:", int((st["stemmed"] != docs["text"]).sum()))
