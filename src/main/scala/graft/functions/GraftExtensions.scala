@@ -942,7 +942,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "try(expr) - Presto error-safe wrapper: runtime evaluation errors yield NULL; " +
           "lowers to the TryEval node Spark's try_* family is built on"),
       (children: Seq[Expression]) => children match {
-        case Seq(c) => ce.TryEval(c)
+        // exception-free strength reduction of the ANSI subtree — see
+        // ErrorSafeFunctions.tryLower (r18 optimization round)
+        case Seq(c) => ErrorSafeFunctions.tryLower(c)
         case _ => throw new IllegalArgumentException(
           s"try expects 1 argument, got ${children.size}")
       }))
@@ -1096,7 +1098,56 @@ object PrestoPercentileFunctions {
   * registry; this does not). */
 object ErrorSafeFunctions {
   import org.apache.spark.sql.{graftshim, Column}
+  import org.apache.spark.sql.catalyst.expressions._
+
+  /** Exception-free TRY lowering (r18 optimization round, guide §1.2
+    * "per-task work"). A pasted TRY(expr) arrives as TryEval(expr) whose
+    * subtree runs in ANSI mode — every failing row pays a THROWN JVM
+    * exception (message formatting + fillInStackTrace) that TryEval
+    * immediately swallows; Spark itself reimplemented try_cast/try_add/
+    * try_divide as EvalMode.TRY nodes for exactly this cost. This rewrite
+    * switches ANSI-mode Cast/arithmetic nodes to TRY mode along the
+    * NULL-PROPAGATING spine under the wrapper, keeping the TryEval
+    * (so anything not converted — UDF errors, deeper non-null-propagating
+    * shapes — still nulls out exactly as before).
+    *
+    * Semantics proof: a converted node returns NULL where ANSI threw.
+    * Conversion recurses into a node's children only when the node is
+    * `nullIntolerant` (null in → null out), so the NULL surfaces at the
+    * TryEval exactly where the exception would have been caught — same
+    * result for every row, error or not. The top node is always safe (its
+    * NULL is the TryEval result directly). Recursion stops at the first
+    * non-null-propagating ancestor (If/CaseWhen/Coalesce/...), where a
+    * child NULL could change the value — those subtrees keep ANSI + catch. */
+  private[graft] def tryLower(e: Expression): Expression = {
+    def convert(x: Expression): Expression = {
+      def tryCtx(n: NumericEvalContext): NumericEvalContext =
+        n.copy(evalMode = EvalMode.TRY)
+      val c = x match {
+        case n: Cast if n.evalMode == EvalMode.ANSI => n.copy(evalMode = EvalMode.TRY)
+        case n: Add if n.evalMode == EvalMode.ANSI =>
+          n.copy(evalContext = tryCtx(n.evalContext))
+        case n: Subtract if n.evalMode == EvalMode.ANSI =>
+          n.copy(evalContext = tryCtx(n.evalContext))
+        case n: Multiply if n.evalMode == EvalMode.ANSI =>
+          n.copy(evalContext = tryCtx(n.evalContext))
+        case n: Divide if n.evalMode == EvalMode.ANSI =>
+          n.copy(evalContext = tryCtx(n.evalContext))
+        case n: IntegralDivide if n.evalMode == EvalMode.ANSI =>
+          n.copy(evalContext = tryCtx(n.evalContext))
+        case n: Remainder if n.evalMode == EvalMode.ANSI =>
+          n.copy(evalContext = tryCtx(n.evalContext))
+        case n: Pmod if n.evalMode == EvalMode.ANSI =>
+          n.copy(evalContext = tryCtx(n.evalContext))
+        case other => other
+      }
+      if (c.nullIntolerant && c.children.nonEmpty)
+        c.withNewChildren(c.children.map(convert))
+      else c
+    }
+    TryEval(convert(e))
+  }
+
   def tryEval(c: Column): Column =
-    graftshim.column(
-      org.apache.spark.sql.catalyst.expressions.TryEval(graftshim.expression(c)))
+    graftshim.column(tryLower(graftshim.expression(c)))
 }

@@ -184,8 +184,15 @@ object JsonParseCanonical {
     val v =
       try Json.parse(s.toString)
       catch {
+        // stack-trace-free rethrow (r18 optimization round): under TRY (the
+        // dirty-data hot path) every malformed row pays for this exception
+        // and the trace is discarded unread; the message — the part a
+        // non-TRY caller actually sees — is kept verbatim. fillInStackTrace
+        // is the dominant cost of constructing a JVM exception.
         case e: Exception => throw new IllegalArgumentException(
-          s"json_parse: invalid JSON text: ${e.getMessage}")
+          s"json_parse: invalid JSON text: ${e.getMessage}") {
+          override def fillInStackTrace(): Throwable = this
+        }
       }
     UTF8String.fromString(Json.render(sortKeys(v)))
   }

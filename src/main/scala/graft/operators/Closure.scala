@@ -58,18 +58,22 @@ object Closure {
     // groupBy + two joins over the edge list ONCE, versus one edge join per
     // round. All shuffles are keyed on node ids — no broadcast assumption,
     // so the shape survives node tables too big for one executor.
+    // LAZY checkpoints (r18 optimization round): the plan-truncation they
+    // exist for happens at wrap time either way; lazy lets the
+    // contracted.isEmpty probe below materialize BOTH frames in one job
+    // instead of running two blocking materialization jobs first.
     val nbMin0 = edges.groupBy(col("src").as("id")).agg(min("dst").as("nbmin"))
     val m = nodes
       .join(nbMin0, Seq("id"), "left")
       .select(col("id"), least(col("id"), coalesce(col("nbmin"), col("id"))).as("rep"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val contracted = edges
       .join(m.select(col("id").as("src"), col("rep").as("rsrc")), "src")
       .join(m.select(col("id").as("dst"), col("rep").as("rdst")), "dst")
       .filter(col("rsrc") =!= col("rdst"))
       .select(col("rsrc").as("src"), col("rdst").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // When hooking alone already collapsed every component (contracted edge
     // set empty — the clique-heavy common case), reps ARE the final labels.
     if (contracted.isEmpty) {
@@ -84,7 +88,11 @@ object Closure {
 
   /** The min-label + pointer-jump loop over an (ideally contracted) graph. */
   private def propagate(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
-    var lab = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    // every checkpoint in this loop is LAZY (r18 optimization round): the
+    // per-round convergence probe is an action anyway, so it materializes
+    // the round's whole chain in ONE job where the eager form ran three
+    // blocking jobs per round (lab, stepped, next) before the probe.
+    var lab = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint(false)
     var converged = false
     var round = 0
     while (round < rounds && !converged) {
@@ -100,7 +108,7 @@ object Closure {
         .select(
           col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nbmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // pointer jump: adopt the label of the node the label points at.
       // Labels are node ids and only ever decrease within a component, so
       // the jump preserves membership and monotonicity while doubling the
@@ -109,7 +117,7 @@ object Closure {
       val next = stepped
         .join(parent, col("lbl") === col("p_id"), "left")
         .select(col("id"), col("prev"), coalesce(col("p_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // EARLY EXIT: the round is a deterministic monotone function of the
       // label state, so an unchanged state is a fixed point — remaining
       // rounds would be identical. The check is a filter over the frame

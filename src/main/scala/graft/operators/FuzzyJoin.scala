@@ -83,7 +83,11 @@ object FuzzyJoin {
     // high-entropy variant key, built per-partition in parallel
     va.join(vb.hint("shuffle_hash"), va("__v") === vb("__v") && pairFilter)
       .select(col(keyA), col(keyB), col(nameA), col(nameB))
-      .filter(levenshtein(col(nameA), col(nameB)) <= 1)
+      // bounded levenshtein (r18 optimization round): the 3-arg form runs
+      // the banded O(len·k) algorithm and returns -1 past the threshold,
+      // so `>= 0` ≡ the old full-matrix `<= 1` — identical predicate, and
+      // the verify is the per-candidate hot loop
+      .filter(levenshtein(col(nameA), col(nameB), 1) >= 0)
       .distinct()
   }
 }

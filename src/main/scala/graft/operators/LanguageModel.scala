@@ -39,7 +39,6 @@ object LanguageModel {
       t3: DataFrame, c2: DataFrame, t2: DataFrame, uni: DataFrame,
       total: DataFrame)
 
-  private val lgCnt: Column = (length(bin(count(lit(1)))) - 1).cast("long")
   private def lgOf(n: Column): Column = (length(bin(n)) - 1).cast("long")
 
   private def withWs(docs: DataFrame): DataFrame =
@@ -61,25 +60,47 @@ object LanguageModel {
 
   /** Train the model tables from a document table (doc_id, text). Pruning
     * happens AT the count aggregation — pruned grams never leave the
-    * shuffle that counts them. */
+    * shuffle that counts them.
+    *
+    * Shape (r18 optimization round): ONE corpus-scan 5-gram aggregation
+    * (`g5`, unpruned counts), then every lower-order table is a ROLLUP of
+    * counts already aggregated — sum over the dropped key position equals
+    * the direct positional count by commutativity, so the outputs are
+    * bit-identical while the corpus is tokenized + exploded into 5-grams
+    * once instead of once per table (7 scans → 1), and each rollup
+    * shuffles the already-aggregated gram table instead of the corpus
+    * (guide §2.3 "aggregate before you shuffle"). The unigram table
+    * likewise feeds the total (token count = Σ unigram counts), so the
+    * token stream is scanned once instead of twice. */
   def tablesFrom(trainDocs: DataFrame): LmTables = {
-    val trainToks = withWs(trainDocs)
-      .select(col("doc_id"), explode(col("ws")).as("w"))
-    val train = quintsOf(trainDocs)
-    def pruned(keys: Seq[String], out: String) =
-      train.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2)
+    val uniN = withWs(trainDocs)
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val g5 = quintsOf(trainDocs)
+      .groupBy("a", "b", "c", "d", "e").agg(count(lit(1)).as("n"))
+    def roll(src: DataFrame, keys: String*) =
+      src.groupBy(keys.map(col): _*).agg(sum("n").as("n"))
+    def prunedOf(src: DataFrame, keys: Seq[String], out: String) =
+      src.filter(col("n") >= 2)
         .select(keys.map(col) :+ lgOf(col("n")).as(out): _*)
+    def ctxOf(src: DataFrame, keys: Seq[String], out: String) =
+      src.select(keys.map(col) :+ lgOf(col("n")).as(out): _*)
+    // every rollup derives DIRECTLY from g5 (depth 2), not from each other:
+    // chained rollups would serialize the stage DAG (each level waits on
+    // the previous), while independent rollups of the one shared g5
+    // exchange run in parallel — same single corpus scan either way
     LmTables(
-      t5 = pruned(Seq("a", "b", "c", "d", "e"), "lg5"),
-      c4 = train.groupBy("a", "b", "c", "d").agg(lgCnt.as("lg_abcd")),
-      t4 = pruned(Seq("b", "c", "d", "e"), "lg_bcde"),
-      c3 = train.groupBy("b", "c", "d").agg(lgCnt.as("lg_bcd")),
-      t3 = pruned(Seq("c", "d", "e"), "lg_cde"),
-      c2 = train.groupBy("c", "d").agg(lgCnt.as("lg_cd")),
-      t2 = train.groupBy("d", "e").agg(lgCnt.as("lg_de")),
-      uni = trainToks.groupBy("w").agg(lgCnt.as("lg_u")),
-      total = trainToks.agg(lgCnt.as("lg_t")))
+      t5 = prunedOf(g5, Seq("a", "b", "c", "d", "e"), "lg5"),
+      c4 = ctxOf(roll(g5, "a", "b", "c", "d"), Seq("a", "b", "c", "d"), "lg_abcd"),
+      t4 = prunedOf(roll(g5, "b", "c", "d", "e"), Seq("b", "c", "d", "e"), "lg_bcde"),
+      c3 = ctxOf(roll(g5, "b", "c", "d"), Seq("b", "c", "d"), "lg_bcd"),
+      t3 = prunedOf(roll(g5, "c", "d", "e"), Seq("c", "d", "e"), "lg_cde"),
+      c2 = ctxOf(roll(g5, "c", "d"), Seq("c", "d"), "lg_cd"),
+      t2 = ctxOf(roll(g5, "d", "e"), Seq("d", "e"), "lg_de"),
+      uni = uniN.select(col("w"), lgOf(col("n")).as("lg_u")),
+      // coalesce keeps the empty-train edge identical to the old
+      // count(*)-based total (count of zero rows = 0, sum of zero rows = NULL)
+      total = uniN.agg(lgOf(coalesce(sum("n"), lit(0L))).as("lg_t")))
   }
 
   /** Score a document table against model tables: per-doc 5-gram count,

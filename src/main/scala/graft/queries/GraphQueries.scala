@@ -57,14 +57,21 @@ object GraphQueries {
       .select(col("src").as("node"), col("deg"))
       .cache()
     val nF = broadcast(nodes.agg(count(lit(1)).as("n")))
-    var ranks = nodes.crossJoin(nF)
+    // attach the scalar node count ONCE and cache the result: the previous
+    // shape re-ran the one-row crossJoin (a BroadcastNestedLoopJoin + a
+    // fresh broadcast build) inside EVERY round — 6 BNLJ stages and 6
+    // broadcast builds whose only job was re-attaching the same constant
+    // (r18 optimization round, guide §2.4; plan: n6 → n1, b16 → b11, same
+    // integer arithmetic bit for bit)
+    val nodesN = nodes.crossJoin(nF).cache()
+    var ranks = nodesN
       .select(col("node"), col("deg"), col("n"), expr(s"$Mass div n").as("rank"))
     (1 to iters).foreach { iter =>
       val contrib = edges
         .join(ranks.select(col("node"), expr("rank div deg").as("c")),
           col("src") === col("node"))
         .groupBy("dst").agg(sum("c").as("in_sum"))
-      ranks = nodes.crossJoin(nF)
+      ranks = nodesN
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"), col("deg"), col("n"),
           (expr(s"(15 * ($Mass div n)) div 100") +
@@ -82,7 +89,7 @@ object GraphQueries {
       .select(col("node"), (col("node") % 2).as("is_supplier"), col("rank"))
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
-    (out, Seq(edges, nodes))
+    (out, Seq(edges, nodes, nodesN))
   }
 
   private val pagerank = Q(
@@ -239,12 +246,18 @@ object GraphQueries {
       // each round references `labels` TWICE (message build + merge), so
       // an unbroken lineage doubles the plan per round — 2^8 nodes by the
       // last iteration, which costs minutes in re-analysis/re-execution
-      // (measured: 217 s vs 1.4 s with the break). Eager localCheckpoint
-      // truncates the lineage to the materialized label table each round —
-      // the standard Pregel-loop discipline; a fault-tolerant deployment
-      // swaps in reliable checkpoint(), same plan shape. The table is
-      // |nodes| rows of two longs, so 8 retained checkpoints are noise.
-      .localCheckpoint(true)
+      // (measured: 217 s vs 1.4 s with the break). localCheckpoint
+      // truncates the lineage to the label table each round — the standard
+      // Pregel-loop discipline; a fault-tolerant deployment swaps in
+      // reliable checkpoint(), same plan shape. The table is |nodes| rows
+      // of two longs, so 8 retained checkpoints are noise. LAZY (r18
+      // optimization round): eager checkpoints ran one blocking job PER
+      // ROUND (8 driver barriers whose only purpose was materialization);
+      // the lazy form still truncates the logical plan immediately but
+      // lets the final action execute all 8 rounds as one job, with each
+      // round's persisted label RDD computed once and reused by both of
+      // the next round's references.
+      .localCheckpoint(false)
     (1 to iters).foreach { _ =>
       val nbrMin = edges
         .join(labels.select(col("node"), col("lbl")), col("src") === col("node"))
@@ -252,7 +265,7 @@ object GraphQueries {
       labels = labels.join(nbrMin, col("node") === col("dst"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     val nLabels = broadcast(
       labels.agg(countDistinct("lbl").as("n_components")))

@@ -364,14 +364,36 @@ object QuantQueries {
   /** Argmin assignment of every (vector, subspace) to its nearest
     * sub-centroid — (dist, cent_id) ordering, broadcast codebook. `dist`
     * (the winning exact integer squared L2) rides along: it is the
-    * per-subspace quantization error, which the drift metric aggregates. */
+    * per-subspace quantization error, which the drift metric aggregates.
+    *
+    * Plan shape (r18 optimization round): the argmin is a per-row FOLD over
+    * the per-subspace centroid list packed into a broadcast 8-row frame —
+    * the [[graft.functions.VectorFunctions.nearestCentroid]] pattern. The
+    * previous row_number window first exploded every (vec, m) row times
+    * NCells through the broadcast join and then shuffled + sorted the
+    * blown-up frame to pick rn=1; the fold keeps the corpus rows intact and
+    * removes that exchange+sort outright (guide §2.4). Identical output:
+    * candidates iterate in cent_id order and only a STRICTLY smaller dist
+    * replaces the accumulator, so the winner is min by (dist, cent_id) —
+    * exactly the old window's ordering. */
   private[graft] def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "m").orderBy("dist", "cent_id")
-    subs.join(broadcast(cents), "m")
-      .withColumn("dist", subDist(col("sub"), col("cm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "m", "sub", "cent_id", "dist")
+    val packed = cents
+      .groupBy("m")
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cm")))).as("__cl"))
+    subs.join(broadcast(packed), "m")
+      .withColumn("__best",
+        aggregate(
+          col("__cl"),
+          struct(lit(Long.MaxValue).as("dist"), lit(-1L).as("c")),
+          (acc, ct) => {
+            val dd = subDist(col("sub"), ct.getField("cm"))
+            when(dd < acc.getField("dist"),
+              struct(dd.as("dist"), ct.getField("cent_id").as("c")))
+              .otherwise(acc)
+          }))
+      .select(col("vec_id"), col("m"), col("sub"),
+        col("__best").getField("c").as("cent_id"),
+        col("__best").getField("dist").as("dist"))
   }
 
   /** Per-(subspace, cell) integer-mean refinement of an assignment. */

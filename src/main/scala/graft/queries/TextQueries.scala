@@ -171,19 +171,44 @@ object TextQueries {
     * list comprehensions (it has no ergonomic map type at 1.0). Narrow
     * per-row compute, no exchange — O(distinct·len) per document, the
     * sparse-map shape Presto's own cosine_similarity assumes. */
+  /** Word-count map of a token-array column, built by SORTED RUN-LENGTH
+    * instead of a filter-scan per distinct word (r18 optimization round):
+    * the old `transform(array_distinct(h), w -> size(filter(h, x -> x =
+    * w)))` construction is O(distinct · len) string comparisons per row —
+    * quadratic in document length; sorting once and taking run boundaries
+    * is O(len log len). The MAP CONTENT is identical (same distinct keys,
+    * same counts — only map-entry ORDER changes, and every consumer's
+    * fold sums integer-valued doubles, exact below 2^53 in any order, so
+    * outputs are bit-identical; the driver oracle re-pins it). Stages:
+    * `srt` = sorted tokens, `st` = 1-based run-start positions, map =
+    * zip(starts, next-starts) → (word, run length). */
+  private def countMapCols(df: DataFrame, half: String, srt: String, st: String,
+      out: String): DataFrame =
+    df.withColumn(srt, expr(s"array_sort($half)"))
+      .withColumn(st, expr(
+        s"""concat(array(1),
+              filter(sequence(2, size($srt)),
+                     i -> element_at($srt, i) != element_at($srt, i - 1)))"""))
+      .withColumn(out, expr(
+        s"""map_from_entries(zip_with(
+              $st,
+              concat(slice($st, 2, size($st) - 1), array(size($srt) + 1)),
+              (st, en) -> struct(element_at($srt, st), double(en - st))))"""))
+
+  private def withHalfCountMaps(df: DataFrame): DataFrame =
+    countMapCols(
+      countMapCols(df, "h1", "srt1", "st1", "m1"),
+      "h2", "srt2", "st2", "m2")
+
   private val mapCosine = Q(
     "q_map_cosine",
     (s, d) =>
-      t(s, d, "documents")
+      withHalfCountMaps(t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .withColumn("n", size(col("ws")))
         .filter(col("n") >= 4)
         .withColumn("h1", expr("slice(ws, 1, n div 2)"))
-        .withColumn("h2", expr("slice(ws, n div 2 + 1, n - n div 2)"))
-        .withColumn("m1", expr(
-          "map_from_entries(transform(array_distinct(h1), w -> struct(w, double(size(filter(h1, x -> x = w))))))"))
-        .withColumn("m2", expr(
-          "map_from_entries(transform(array_distinct(h2), w -> struct(w, double(size(filter(h2, x -> x = w))))))"))
+        .withColumn("h2", expr("slice(ws, n div 2 + 1, n - n div 2)")))
         .select(
           col("doc_id"), col("n").cast("long").as("n"),
           round(expr(
@@ -251,16 +276,12 @@ object TextQueries {
   private val mapCosineKernel = Q(
     "q_map_cosine_kernel",
     (s, d) =>
-      t(s, d, "documents")
+      withHalfCountMaps(t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .withColumn("n", size(col("ws")))
         .filter(col("n") >= 4)
         .withColumn("h1", expr("slice(ws, 1, n div 2)"))
-        .withColumn("h2", expr("slice(ws, n div 2 + 1, n - n div 2)"))
-        .withColumn("m1", expr(
-          "map_from_entries(transform(array_distinct(h1), w -> struct(w, double(size(filter(h1, x -> x = w))))))"))
-        .withColumn("m2", expr(
-          "map_from_entries(transform(array_distinct(h2), w -> struct(w, double(size(filter(h2, x -> x = w))))))"))
+        .withColumn("h2", expr("slice(ws, n div 2 + 1, n - n div 2)")))
         .select(
           col("doc_id"), col("n").cast("long").as("n"),
           round(graft.functions.VectorFunctions.mapCosineSim(col("m1"), col("m2"))
@@ -615,10 +636,12 @@ object TextQueries {
   private def unigramScores(s: SparkSession, d: String) = {
     val tokens = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val lg = tokens.groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("w"), (length(bin(col("cnt"))) - 1).cast("long").as("lg"))
-    val total = tokens.agg(
-      (length(bin(count(lit(1)))) - 1).cast("long").as("lg_total"))
+    // one token scan feeds the unigram table AND the total (token count =
+    // Σ unigram counts — r18 optimization round, guide §2.3)
+    val uniN = tokens.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val lg = uniN.select(col("w"), (length(bin(col("cnt"))) - 1).cast("long").as("lg"))
+    val total = uniN.agg(
+      (length(bin(coalesce(sum("cnt"), lit(0L)))) - 1).cast("long").as("lg_total"))
     tokens.join(lg, "w")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
@@ -703,12 +726,14 @@ object TextQueries {
   private def bigramScores(s: SparkSession, d: String) = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val toks = docs.select(col("doc_id"), explode(col("ws")).as("w"))
-    val trainToks = toks.filter(col("doc_id") % 2 === 0)
-    val uni = trainToks.groupBy("w")
-      .agg((length(bin(count(lit(1)))) - 1).cast("long").as("lg_u"))
-    val total = trainToks.agg(
-      (length(bin(count(lit(1)))) - 1).cast("long").as("lg_t"))
+    // one token scan feeds unigrams AND the total (r18 optimization round,
+    // guide §2.3 — token count = Σ unigram counts)
+    val uniN = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val uni = uniN.select(col("w"), (length(bin(col("n"))) - 1).cast("long").as("lg_u"))
+    val total = uniN.agg(
+      (length(bin(coalesce(sum("n"), lit(0L)))) - 1).cast("long").as("lg_t"))
     val pairs = docs.filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("ws")) - 1),
@@ -1272,22 +1297,40 @@ object TextQueries {
   private val repNgrams = Q(
     "q_text_rep_ngrams",
     (s, d) => {
+      // ZERO-EXCHANGE per-row fold (r18 optimization round): the top n-gram
+      // is DOC-LOCAL by definition, so shuffling the corpus x len gram
+      // STRINGS through a groupBy + window (the r15 shape: one corpus-keyed
+      // count exchange plus a (doc, n) window sort) paid two exchanges for
+      // a per-document argmax — the same adverse decade slope the companion
+      // q_text_rep_dupcov measured and fixed with its in-row kernel. Per
+      // (doc, n) row: build the gram array, array_sort it (grams of n >= 2
+      // always contain a space, so '' is a safe sentinel), and one linear
+      // fold counts runs and keeps the best (count DESC, gram ASC) — a run
+      // only replaces the incumbent when STRICTLY longer, and grams arrive
+      // in ascending order, so ties keep the lexicographically smallest
+      // gram: exactly the old window's (cnt DESC, gram ASC) rn=1 row. The
+      // only exchange left in the plan is the presentation sort.
       val docs = t(s, d, "documents").select(
         col("doc_id"), split(col("text"), " ").as("ws"),
         length(col("text")).cast("long").as("n_chars"))
-      val grams = docs
+      docs
         .select(col("doc_id"), col("n_chars"), col("ws"),
           explode(expr("array(2, 3, 4)")).as("n"))
         .filter(size(col("ws")) >= col("n"))
-        .select(col("doc_id"), col("n_chars"), col("n"),
-          explode(expr(
-            "transform(sequence(1, size(ws) - n + 1), i -> array_join(slice(ws, i, n), ' '))"))
-            .as("gram"))
-      val counts = grams.groupBy("doc_id", "n_chars", "n", "gram").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("doc_id", "n").orderBy(desc("cnt"), asc("gram"))
-      counts
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .withColumn("gs", expr(
+          "array_sort(transform(sequence(1, size(ws) - n + 1), i -> array_join(slice(ws, i, n), ' ')))"))
+        .withColumn("best", expr(
+          """aggregate(gs,
+               named_struct('prev', '', 'run', 0L, 'bg', '', 'bc', 0L),
+               (acc, g) -> named_struct(
+                 'prev', g,
+                 'run', IF(g = acc.prev, acc.run + 1L, 1L),
+                 'bg', IF(IF(g = acc.prev, acc.run + 1L, 1L) > acc.bc, g, acc.bg),
+                 'bc', IF(IF(g = acc.prev, acc.run + 1L, 1L) > acc.bc,
+                          IF(g = acc.prev, acc.run + 1L, 1L), acc.bc)))"""))
+        .select(col("doc_id"), col("n"), col("n_chars"),
+          col("best").getField("bg").as("gram"),
+          col("best").getField("bc").as("cnt"))
         .select(
           col("doc_id"), col("n"),
           col("gram").as("top_gram"), col("cnt").as("top_cnt"),
@@ -1437,11 +1480,18 @@ object TextQueries {
     val counts = train.groupBy("w").agg(
       lgOf(sum(when(col("is_curated"), 1L).otherwise(0L))).as("lg_cur"),
       lgOf(sum(when(col("is_curated"), 0L).otherwise(1L))).as("lg_web"))
-    val totals = train.agg(
-      lgOf(sum(when(col("is_curated"), 1L).otherwise(0L))).as("lg_t_cur"),
-      lgOf(sum(when(col("is_curated"), 0L).otherwise(1L))).as("lg_t_web"),
-      lgOf(count_distinct(when(col("is_curated"), col("doc_id")))).as("lg_n_cur"),
-      lgOf(count_distinct(when(!col("is_curated"), col("doc_id")))).as("lg_n_web"))
+    // class totals from the DOCS frame, not a second token explode: the
+    // class token count is Σ size(ws) over its train docs and the class doc
+    // count is a plain conditional count (docs are one row per doc_id), so
+    // the values are identical while the pass is a narrow column-pruned
+    // scan (r18 optimization round, guide §2.3)
+    val totals = docs.filter(col("doc_id") % 2 === 0).agg(
+      lgOf(sum(when(col("is_curated"), size(col("ws")).cast("long")).otherwise(0L)))
+        .as("lg_t_cur"),
+      lgOf(sum(when(col("is_curated"), 0L).otherwise(size(col("ws")).cast("long"))))
+        .as("lg_t_web"),
+      lgOf(sum(when(col("is_curated"), 1L).otherwise(0L))).as("lg_n_cur"),
+      lgOf(sum(when(!col("is_curated"), 1L).otherwise(0L))).as("lg_n_web"))
     toks
       .join(counts, Seq("w"), "left")
       .crossJoin(broadcast(totals))
@@ -1469,11 +1519,15 @@ object TextQueries {
   private def trigramScores(s: SparkSession, d: String) = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val toks = docs.select(col("doc_id"), explode(col("ws")).as("w"))
-    val trainToks = toks.filter(col("doc_id") % 2 === 0)
-    val lgCnt = (length(bin(count(lit(1)))) - 1).cast("long")
-    val uni = trainToks.groupBy("w").agg(lgCnt.as("lg_u"))
-    val total = trainToks.agg(lgCnt.as("lg_t"))
+    // one token-explode scan feeds unigrams AND the total (token count =
+    // Σ unigram counts — r18 optimization round, same stance as
+    // operators.LanguageModel.tablesFrom)
+    val uniN = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val uni = uniN.select(col("w"), (length(bin(col("n"))) - 1).cast("long").as("lg_u"))
+    val total = uniN.agg(
+      (length(bin(coalesce(sum("n"), lit(0L)))) - 1).cast("long").as("lg_t"))
     val triples = docs.filter(size(col("ws")) >= 3)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("ws")) - 2),
@@ -1482,10 +1536,18 @@ object TextQueries {
             element_at(col("ws"), i + 1).as("b"),
             element_at(col("ws"), i + 2).as("c")))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"), col("p.c").as("c"))
-    val trainTriples = triples.filter(col("doc_id") % 2 === 0)
-    val bi = trainTriples.groupBy("b", "c").agg(lgCnt.as("lg_bc"))
-    val biCtx = trainTriples.groupBy("a", "b").agg(lgCnt.as("lg_ab"))
-    val tri = trainTriples.groupBy("a", "b", "c").agg(lgCnt.as("lg_abc"))
+    // ONE corpus-scan trigram aggregation; the bigram tables are rollups of
+    // its counts (sum over the dropped end = the direct positional count),
+    // so the train slice is exploded into trigrams once instead of three
+    // times and the rollups shuffle the shrinking gram table
+    // (r18 optimization round, guide §2.3 — the 5-gram twin in
+    // operators.LanguageModel.tablesFrom documents the equivalence)
+    val g3 = triples.filter(col("doc_id") % 2 === 0)
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+    val lgOf = (n: Column) => (length(bin(n)) - 1).cast("long")
+    val bi = g3.groupBy("b", "c").agg(lgOf(sum("n")).as("lg_bc"))
+    val biCtx = g3.groupBy("a", "b").agg(lgOf(sum("n")).as("lg_ab"))
+    val tri = g3.select(col("a"), col("b"), col("c"), lgOf(col("n")).as("lg_abc"))
     triples
       .join(tri, Seq("a", "b", "c"), "left")
       .join(biCtx, Seq("a", "b"), "left")
