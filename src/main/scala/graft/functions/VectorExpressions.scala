@@ -117,6 +117,47 @@ object VectorOps {
     ArrayData.toArrayData(out)
   }
 
+  /** The MOST-FREQUENT word n-gram of a token array with (count DESC,
+    * gram ASC) tie-break — the Gopher top-n-gram repetition kernel
+    * (`q_text_rep_ngrams`), doc-local by definition so the whole argmax is
+    * one per-row JIT'd pass (r18 optimization round; the r15 relational
+    * form shuffled the corpus × len gram STRINGS through a count exchange
+    * plus a window sort, and the interim HOF fold rewrite evaluated an
+    * interpreted lambda per gram). Returns struct(gram, cnt). Grams are
+    * space-joined (`concatWs`), sorted with UTF8String's binary comparator
+    * — exactly Spark's string ordering, so the winner equals the old
+    * `row_number() OVER (ORDER BY cnt DESC, gram)` rn=1 row: a run only
+    * replaces the incumbent when STRICTLY longer, and runs arrive in
+    * ascending gram order. O(len·log len) comparisons, zero exchange. */
+  def topNGram(words: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val w = words.numElements()
+    val l = w - n + 1
+    if (l <= 0) return null
+    val space = UTF8String.fromString(" ")
+    val grams = new Array[UTF8String](l)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < l) {
+      var j = 0
+      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      grams(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+    var bestG = grams(0)
+    var bestC = 1L
+    var run = 1L
+    i = 1
+    while (i < l) {
+      if (grams(i).equals(grams(i - 1))) run += 1 else run = 1
+      if (run > bestC) { bestC = run; bestG = grams(i) }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestG, bestC))
+  }
+
   /** Within-document duplicated word-n-gram COVERAGE — the Gopher Table A1
     * "fraction of characters in duplicate n-grams" kernel (dup coverage is
     * doc-local by definition, so the whole measurement is one per-row JIT'd
@@ -477,6 +518,37 @@ case class DupNgramCoverage(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Most-frequent n-gram of a token array, (count DESC, gram ASC) — struct
+  * (gram, cnt); codegen'd (see [[VectorOps.topNGram]]). Nullable: a
+  * too-short array yields NULL (callers filter size >= n first). */
+case class TopNGram(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField(
+        "gram", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "cnt", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(words: Any, n: Any): Any =
+    VectorOps.topNGram(words.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  // explicit null channel (the defineCodeGen helper assumes
+  // non-null-from-non-null; a too-short array must yield NULL)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (wd, n) => {
+      s"""
+         |${ev.value} = graft.functions.VectorOps.topNGram($wd, $n);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopNGram =
+    copy(left = newLeft, right = newRight)
+}
+
 /** simhash64(hashes) over an array<long> of per-token hashes; codegen'd. */
 case class SimHash64(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -526,6 +598,10 @@ object VectorFunctions {
     * (codegen'd; see [[DupNgramCoverage]]). */
   def dupNgramCoverage(text: Column, n: Column): Column =
     graftshim.column(DupNgramCoverage(graftshim.expression(text), graftshim.expression(n)))
+  /** struct(gram, cnt) of the most-frequent n-gram, (count DESC, gram ASC)
+    * (codegen'd; see [[TopNGram]]). */
+  def topNGram(words: Column, n: Column): Column =
+    graftshim.column(TopNGram(graftshim.expression(words), graftshim.expression(n)))
 
   /** Bit positions -> packed bitmap words. A Scala UDF on purpose: it runs
     * once per DOCUMENT (not per candidate pair), and the equivalent nested

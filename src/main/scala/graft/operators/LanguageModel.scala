@@ -73,11 +73,21 @@ object LanguageModel {
     * likewise feeds the total (token count = Σ unigram counts), so the
     * token stream is scanned once instead of twice. */
   def tablesFrom(trainDocs: DataFrame): LmTables = {
+    // CACHED, not merely shared: the scoring joins push per-branch
+    // isnotnull filters down into each rollup's copy of this subtree,
+    // which de-canonicalizes the otherwise-identical g5 exchanges and
+    // defeats exchange reuse (measured: x11 → x17 executed exchanges
+    // without the cache). The InMemoryRelation pins compute-once; the
+    // pushed filters were data-no-ops anyway (split() never yields null
+    // tokens). At 100 TB this is the distinct-5-gram table — disk-backed
+    // cache or an explicit materialization, either way paid once.
     val uniN = withWs(trainDocs)
       .select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
+      .cache()
     val g5 = quintsOf(trainDocs)
       .groupBy("a", "b", "c", "d", "e").agg(count(lit(1)).as("n"))
+      .cache()
     def roll(src: DataFrame, keys: String*) =
       src.groupBy(keys.map(col): _*).agg(sum("n").as("n"))
     def prunedOf(src: DataFrame, keys: Seq[String], out: String) =

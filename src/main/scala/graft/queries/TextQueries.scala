@@ -1297,19 +1297,19 @@ object TextQueries {
   private val repNgrams = Q(
     "q_text_rep_ngrams",
     (s, d) => {
-      // ZERO-EXCHANGE per-row fold (r18 optimization round): the top n-gram
-      // is DOC-LOCAL by definition, so shuffling the corpus x len gram
-      // STRINGS through a groupBy + window (the r15 shape: one corpus-keyed
-      // count exchange plus a (doc, n) window sort) paid two exchanges for
-      // a per-document argmax — the same adverse decade slope the companion
-      // q_text_rep_dupcov measured and fixed with its in-row kernel. Per
-      // (doc, n) row: build the gram array, array_sort it (grams of n >= 2
-      // always contain a space, so '' is a safe sentinel), and one linear
-      // fold counts runs and keeps the best (count DESC, gram ASC) — a run
-      // only replaces the incumbent when STRICTLY longer, and grams arrive
-      // in ascending order, so ties keep the lexicographically smallest
-      // gram: exactly the old window's (cnt DESC, gram ASC) rn=1 row. The
-      // only exchange left in the plan is the presentation sort.
+      // ZERO-EXCHANGE per-row kernel (r18 optimization round): the top
+      // n-gram is DOC-LOCAL by definition, so shuffling the corpus x len
+      // gram STRINGS through a groupBy + window (the r15 shape: one
+      // corpus-keyed count exchange plus a (doc, n) window sort) paid two
+      // exchanges for a per-document argmax — the same adverse decade
+      // slope the companion q_text_rep_dupcov measured and fixed with its
+      // in-row kernel. The codegen'd TopNGram kernel (equivalence to the
+      // windowed form argued + pinned at functions/VectorExpressions and
+      // FunctionsSpec) sorts the grams and keeps the longest run with the
+      // (count DESC, gram ASC) tie-break in one JIT'd pass; an interim HOF
+      // fold measured ~3.5 s here because higher-order lambdas evaluate
+      // interpreted per element. The only exchange left in the plan is the
+      // presentation sort.
       val docs = t(s, d, "documents").select(
         col("doc_id"), split(col("text"), " ").as("ws"),
         length(col("text")).cast("long").as("n_chars"))
@@ -1317,20 +1317,11 @@ object TextQueries {
         .select(col("doc_id"), col("n_chars"), col("ws"),
           explode(expr("array(2, 3, 4)")).as("n"))
         .filter(size(col("ws")) >= col("n"))
-        .withColumn("gs", expr(
-          "array_sort(transform(sequence(1, size(ws) - n + 1), i -> array_join(slice(ws, i, n), ' ')))"))
-        .withColumn("best", expr(
-          """aggregate(gs,
-               named_struct('prev', '', 'run', 0L, 'bg', '', 'bc', 0L),
-               (acc, g) -> named_struct(
-                 'prev', g,
-                 'run', IF(g = acc.prev, acc.run + 1L, 1L),
-                 'bg', IF(IF(g = acc.prev, acc.run + 1L, 1L) > acc.bc, g, acc.bg),
-                 'bc', IF(IF(g = acc.prev, acc.run + 1L, 1L) > acc.bc,
-                          IF(g = acc.prev, acc.run + 1L, 1L), acc.bc)))"""))
+        .withColumn("best",
+          graft.functions.VectorFunctions.topNGram(col("ws"), col("n")))
         .select(col("doc_id"), col("n"), col("n_chars"),
-          col("best").getField("bg").as("gram"),
-          col("best").getField("bc").as("cnt"))
+          col("best").getField("gram").as("gram"),
+          col("best").getField("cnt").as("cnt"))
         .select(
           col("doc_id"), col("n"),
           col("gram").as("top_gram"), col("cnt").as("top_cnt"),
@@ -1544,6 +1535,10 @@ object TextQueries {
     // operators.LanguageModel.tablesFrom documents the equivalence)
     val g3 = triples.filter(col("doc_id") % 2 === 0)
       .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+      // cached for the same reason as LanguageModel.tablesFrom's g5: the
+      // scoring joins' per-branch isnotnull pushdown would otherwise
+      // de-canonicalize the shared subtree and defeat exchange reuse
+      .cache()
     val lgOf = (n: Column) => (length(bin(n)) - 1).cast("long")
     val bi = g3.groupBy("b", "c").agg(lgOf(sum("n")).as("lg_bc"))
     val biCtx = g3.groupBy("a", "b").agg(lgOf(sum("n")).as("lg_ab"))

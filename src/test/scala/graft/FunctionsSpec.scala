@@ -995,4 +995,141 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       intercept[IllegalArgumentException](JsonSizeAtPath.sizeViaAst("{}", bad))
     }
   }
+
+  test("TopNGram kernel == windowed count argmax on random corpora (r18 optimization)") {
+    // the kernel replaced q_text_rep_ngrams' corpus-wide groupBy+window;
+    // pin it against an independent reference: per (doc, n), group grams,
+    // order by (count DESC, gram ASC), take 1 — the OLD declared plan.
+    val rnd = new scala.util.Random(20260818)
+    val vocab = Vector("aa", "b", "cc c", "d", "e", "ff", "g", "aa") // incl. a control char
+    val docs = (0 until 60).map { i =>
+      val len = 2 + rnd.nextInt(40)
+      (i.toLong, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val sp = spark; import sp.implicits._
+    val df = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), explode(expr("array(2, 3, 4)")).as("n"))
+      .filter(size(col("ws")) >= col("n"))
+    val kernel = df
+      .select(col("doc_id"), col("n"),
+        VectorFunctions.topNGram(col("ws"), col("n")).as("best"))
+      .select(col("doc_id"), col("n"),
+        col("best.gram").as("gram"), col("best.cnt").as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "n").orderBy(desc("cnt"), asc("gram"))
+    val reference = df
+      .select(col("doc_id"), col("n"), explode(expr(
+        "transform(sequence(1, size(ws) - n + 1), i -> array_join(slice(ws, i, n), ' '))"))
+        .as("gram"))
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "n", "gram", "cnt")
+    assert(kernel.exceptAll(reference).isEmpty && reference.exceptAll(kernel).isEmpty)
+    // too-short array -> NULL struct (the query filters first; stay total)
+    val short = spark.sql("SELECT array('x') AS ws")
+      .select(VectorFunctions.topNGram(col("ws"), lit(3)).as("b")).head()
+    assert(short.isNullAt(0))
+  }
+
+  test("tryLower: TRY-mode strength reduction preserves TryEval semantics (r18 optimization)") {
+    import graft.functions.ErrorSafeFunctions.tryEval
+    def rawTry(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftshim.column(
+        org.apache.spark.sql.catalyst.expressions.TryEval(
+          org.apache.spark.sql.graftshim.expression(c)))
+    val sp = spark; import sp.implicits._
+    val df = Seq("7", "1-URGENT", " 8 ", "9999999999999999999999", "x")
+      .toDF("s").withColumn("k", monotonically_increasing_id())
+    // failing/succeeding casts, a cast under a null-propagating round, a
+    // divide-by-zero, and a NON-null-propagating coalesce (recursion must
+    // stop there): lowered and raw wrappers must agree row for row
+    val cases = Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      c => expr("cast(s AS int)"),
+      c => expr("round(cast(s AS decimal(24,6)), 2)"),
+      c => expr("cast(s AS bigint) + 1"),
+      c => expr("1 div (cast(s AS bigint) - 7)"),
+      c => expr("coalesce(cast(s AS int), -1)"))
+    cases.zipWithIndex.foreach { case (mk, i) =>
+      val a = df.select(col("k"), tryEval(mk(col("s"))).as("v")).collect().toSeq
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString)))
+      val b = df.select(col("k"), rawTry(mk(col("s"))).as("v")).collect().toSeq
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString)))
+      assert(a.sortBy(_._1) == b.sortBy(_._1), s"case $i diverged")
+    }
+  }
+
+  test("count-map run-length construction == filter-count construction (r18 optimization)") {
+    // q_map_cosine's sorted run-length count maps must carry the same
+    // (word -> count) content as the old filter-per-distinct-word form
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("x", "yy", "z z", "w", "v")
+    val sp = spark; import sp.implicits._
+    val df = (0 until 40).map { i =>
+      (i.toLong, (0 until (4 + rnd.nextInt(30))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("h1"))
+    val newMap = df
+      .withColumn("srt", expr("array_sort(h1)"))
+      .withColumn("st", expr(
+        """concat(array(1), filter(sequence(2, size(srt)),
+                 i -> element_at(srt, i) != element_at(srt, i - 1)))"""))
+      .withColumn("m", expr(
+        """map_from_entries(zip_with(
+             st, concat(slice(st, 2, size(st) - 1), array(size(srt) + 1)),
+             (st, en) -> struct(element_at(srt, st), double(en - st))))"""))
+    val oldMap = df.withColumn("m", expr(
+      "map_from_entries(transform(array_distinct(h1), w -> struct(w, double(size(filter(h1, x -> x = w))))))"))
+    def entries(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), explode(col("m")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(entries(newMap) == entries(oldMap))
+  }
+
+  test("LM tablesFrom rollups == direct positional counts (r18 optimization)") {
+    // the one-scan g5 cascade must produce the same gram tables as
+    // counting each order directly from the quint frame
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    val sp = spark; import sp.implicits._
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until (5 + rnd.nextInt(30))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val m = graft.operators.LanguageModel.tablesFrom(docs)
+    val q = graft.operators.LanguageModel.quintsOf(docs)
+    val lg = (c: org.apache.spark.sql.Column) => (length(bin(c)) - 1).cast("long")
+    def direct(keys: Seq[String], out: String, prune: Boolean) = {
+      val g = q.groupBy(keys.map(col): _*).agg(count(lit(1)).as("nn"))
+      (if (prune) g.filter(col("nn") >= 2) else g)
+        .select(keys.map(col) :+ lg(col("nn")).as(out): _*)
+    }
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(same(m.t5, direct(Seq("a", "b", "c", "d", "e"), "lg5", prune = true)), "t5")
+    assert(same(m.c4, direct(Seq("a", "b", "c", "d"), "lg_abcd", prune = false)), "c4")
+    assert(same(m.t4, direct(Seq("b", "c", "d", "e"), "lg_bcde", prune = true)), "t4")
+    assert(same(m.c3, direct(Seq("b", "c", "d"), "lg_bcd", prune = false)), "c3")
+    assert(same(m.t3, direct(Seq("c", "d", "e"), "lg_cde", prune = true)), "t3")
+    assert(same(m.c2, direct(Seq("c", "d"), "lg_cd", prune = false)), "c2")
+    assert(same(m.t2, direct(Seq("d", "e"), "lg_de", prune = false)), "t2")
+    val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+    assert(same(m.uni, toks.groupBy("w").agg(lg(count(lit(1))).as("lg_u"))), "uni")
+    assert(same(m.total, toks.agg(lg(count(lit(1))).as("lg_t"))), "total")
+    spark.catalog.clearCache() // tablesFrom caches g5/uniN
+  }
+
+  test("pqAssign fold: argmin matches the windowed (dist, cent_id) ordering incl. ties (r18)") {
+    val sp = spark; import sp.implicits._
+    // two centroids at EQUAL distance from the vector: the fold must keep
+    // the smaller cent_id, exactly the old row_number tie-break
+    val subs = Seq((1L, 0, Seq(0L, 0L))).toDF("vec_id", "m", "sub")
+    val cents = Seq(
+      (0, 7L, Seq(1L, 0L)), // dist 1
+      (0, 3L, Seq(0L, 1L)), // dist 1 (tie — smaller id must win)
+      (0, 9L, Seq(2L, 0L))  // dist 4
+    ).toDF("m", "cent_id", "cm")
+    val got = graft.queries.QuantQueries.pqAssign(subs, cents)
+      .select("vec_id", "m", "cent_id", "dist").head()
+    assert((got.getLong(0), got.getInt(1), got.getLong(2), got.getLong(3)) == ((1L, 0, 3L, 1L)))
+  }
 }
