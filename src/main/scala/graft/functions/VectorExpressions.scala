@@ -330,6 +330,81 @@ object VectorOps {
     inter
   }
 
+  /** Exact integer squared L2 between two micro-fixed-point sub-vectors —
+    * the codegen'd twin of the declarative fold
+    * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0L, +)` over
+    * EQUAL-LENGTH arrays (every graft call site slices/means fixed
+    * [[graft.queries.QuantQueries.PqSubDim]]-wide sub-vectors; zip_with's
+    * null-padding on a length mismatch cannot arise). One JIT'd loop per
+    * row instead of an interpreted lambda tree per element. */
+  def l2sq(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var s = 0L
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Argmin assignment against a PACKED sub-codebook: `cands` is a
+    * cent_id-ASCENDING array<struct<cent_id: long, cm: array<long>>> and the
+    * winner is min by (l2sq dist, cent_id) — the loop replaces the incumbent
+    * only on a STRICTLY smaller distance, exactly the
+    * `aggregate(...when(dd < acc.dist...))` fold it supersedes (r18 shipped
+    * that fold to kill the corpus x NCells argmin shuffle, but Catalyst
+    * higher-order functions are CodegenFallback: every row paid an
+    * interpreted candidate x sub-dim lambda walk plus per-step struct
+    * allocation — the r18 verdict's measured 6-31% wall regression across
+    * the PQ family). Returns struct(dist, c); empty candidate array yields
+    * (Long.MaxValue, -1), the fold's initial accumulator. */
+  def pqArgmin(sub: ArrayData, cands: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val k = cands.numElements()
+    var bestD = Long.MaxValue
+    var bestC = -1L
+    var i = 0
+    while (i < k) {
+      val row = cands.getStruct(i, 2)
+      val d = l2sq(sub, row.getArray(1))
+      if (d < bestD) { bestD = d; bestC = row.getLong(0) }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestC))
+  }
+
+  /** Spark's `round(x, 6)` for doubles, bit for bit (RoundBase: NaN and
+    * infinities pass through; otherwise decimal-string HALF_UP at scale 6). */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Argmax cosine assignment against a PACKED centroid table: `cands` is a
+    * cent_id-ASCENDING array<struct<cent_id: long, cemb: array<double>>>,
+    * score is `round(dot(emb, cemb), 6)` (the [[round6]] device — identical
+    * to the SQL round both engines hash), and the winner is max by
+    * (score, -cent_id): the loop replaces only on a STRICTLY greater score
+    * under Spark's NaN-greatest double ordering (SQLOrderingUtil), exactly
+    * the `aggregate(...when(sim > acc.s...))` fold it supersedes (same
+    * interpreted-HOF disease as [[pqArgmin]]; q_sim_kmeans drifted
+    * 1.07 -> 1.30 isolated on it, r18 verdict). Returns struct(s, c);
+    * empty candidates yield (-2.0, -1), the fold's initial accumulator. */
+  def centArgmax(emb: ArrayData, cands: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val k = cands.numElements()
+    var bestS = -2.0
+    var bestC = -1L
+    var i = 0
+    while (i < k) {
+      val row = cands.getStruct(i, 2)
+      val sim = round6(dot(emb, row.getArray(1)))
+      if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(sim, bestS) > 0) {
+        bestS = sim; bestC = row.getLong(0)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestS, bestC))
+  }
+
   /** |A intersect B| / |A union B| over packed 64-bit bitmap words. */
   def bitmapJaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
@@ -549,6 +624,63 @@ case class TopNGram(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** l2sq(a, b) over two equal-length array<long> columns; codegen'd (see
+  * [[VectorOps.l2sq]]). */
+case class L2SqDist(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.l2sq($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): L2SqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+/** pqArgmin(sub, packed_codebook) -> struct(dist, c); codegen'd (see
+  * [[VectorOps.pqArgmin]]). */
+case class PqArgmin(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField(
+        "dist", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "c", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override protected def nullSafeEval(sub: Any, cands: Any): Any =
+    VectorOps.pqArgmin(sub.asInstanceOf[ArrayData], cands.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, c) => s"graft.functions.VectorOps.pqArgmin($s, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqArgmin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** centArgmax(emb, packed_centroids) -> struct(s, c); codegen'd (see
+  * [[VectorOps.centArgmax]]). */
+case class CentArgmax(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField(
+        "s", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "c", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override protected def nullSafeEval(emb: Any, cands: Any): Any =
+    VectorOps.centArgmax(emb.asInstanceOf[ArrayData], cands.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, c) => s"graft.functions.VectorOps.centArgmax($e, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentArgmax =
+    copy(left = newLeft, right = newRight)
+}
+
 /** simhash64(hashes) over an array<long> of per-token hashes; codegen'd. */
 case class SimHash64(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -602,6 +734,18 @@ object VectorFunctions {
     * (codegen'd; see [[TopNGram]]). */
   def topNGram(words: Column, n: Column): Column =
     graftshim.column(TopNGram(graftshim.expression(words), graftshim.expression(n)))
+  /** Exact integer squared L2 over equal-length array<long> sub-vectors
+    * (codegen'd; see [[L2SqDist]]). */
+  def l2sqDist(a: Column, b: Column): Column =
+    graftshim.column(L2SqDist(graftshim.expression(a), graftshim.expression(b)))
+  /** struct(dist, c) argmin over a packed PQ sub-codebook (codegen'd; see
+    * [[PqArgmin]]). */
+  def pqArgmin(sub: Column, cands: Column): Column =
+    graftshim.column(PqArgmin(graftshim.expression(sub), graftshim.expression(cands)))
+  /** struct(s, c) rounded-cosine argmax over packed centroids (codegen'd;
+    * see [[CentArgmax]]). */
+  def centArgmax(emb: Column, cands: Column): Column =
+    graftshim.column(CentArgmax(graftshim.expression(emb), graftshim.expression(cands)))
 
   /** Bit positions -> packed bitmap words. A Scala UDF on purpose: it runs
     * once per DOCUMENT (not per candidate pair), and the equivalent nested
@@ -650,16 +794,15 @@ object VectorFunctions {
     val packed = cents.agg(
       sort_array(collect_list(struct(col("cent_id"), col("cemb")))).as("__cents"))
     corpus.crossJoin(broadcast(packed))
-      .withColumn("__best",
-        aggregate(
-          col("__cents"),
-          struct(lit(-2.0).as("s"), lit(-1L).as("c")),
-          (acc, ct) => {
-            val sim = round(dot(col("emb"), ct.getField("cemb")), 6)
-            when(sim > acc.getField("s"),
-              struct(sim.as("s"), ct.getField("cent_id").as("c")))
-              .otherwise(acc)
-          }))
+      // r19: the higher-order `aggregate` fold that lived here was
+      // CodegenFallback — every corpus row paid an interpreted NCells x Dim
+      // lambda walk with per-step struct allocation (the r18 verdict's
+      // measured kmeans/IVF regression). CentArgmax is its codegen'd twin:
+      // same round(dot, 6) score (VectorOps.round6 = RoundBase's
+      // BigDecimal HALF_UP; same Spark double ordering via
+      // SQLOrderingUtil), same strict-improvement lowest-cent_id tiebreak,
+      // same (-2.0, -1) empty-candidates accumulator.
+      .withColumn("__best", centArgmax(col("emb"), col("__cents")))
       .withColumn("cent_id", col("__best").getField("c"))
       .withColumn("csim", col("__best").getField("s"))
       .drop("__cents", "__best")

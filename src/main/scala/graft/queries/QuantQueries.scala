@@ -357,9 +357,14 @@ object QuantQueries {
           m => slice(col("xm"), m * PqSubDim + 1, lit(PqSubDim)))))
       .toDF("vec_id", "m", "sub")
 
-  /** Exact integer squared L2 between two micro sub-vectors. */
+  /** Exact integer squared L2 between two micro sub-vectors. r19: was the
+    * declarative fold `aggregate(zip_with(a,b,(x,y)->(x-y)*(x-y)), 0L, +)` —
+    * higher-order functions are CodegenFallback, so each ADC-table row paid
+    * an interpreted per-element lambda walk; the codegen'd kernel is one
+    * JIT'd loop (both sides are fixed [[PqSubDim]]-wide slices, so
+    * zip_with's unequal-length null-padding cannot arise). */
   private[graft] def subDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.l2sqDist(a, b)
 
   /** Argmin assignment of every (vector, subspace) to its nearest
     * sub-centroid — (dist, cent_id) ordering, broadcast codebook. `dist`
@@ -381,16 +386,14 @@ object QuantQueries {
       .groupBy("m")
       .agg(sort_array(collect_list(struct(col("cent_id"), col("cm")))).as("__cl"))
     subs.join(broadcast(packed), "m")
+      // r19: the r18 higher-order `aggregate` fold here was CodegenFallback
+      // — every (vec, m) row paid an interpreted NCells x PqSubDim lambda
+      // walk with per-step struct allocation (the verdict's measured 6-31%
+      // PQ-family wall regression). PqArgmin is its codegen'd twin: same
+      // cent_id-ascending candidate order, same strictly-smaller-dist
+      // replacement, same (Long.MaxValue, -1) empty accumulator.
       .withColumn("__best",
-        aggregate(
-          col("__cl"),
-          struct(lit(Long.MaxValue).as("dist"), lit(-1L).as("c")),
-          (acc, ct) => {
-            val dd = subDist(col("sub"), ct.getField("cm"))
-            when(dd < acc.getField("dist"),
-              struct(dd.as("dist"), ct.getField("cent_id").as("c")))
-              .otherwise(acc)
-          }))
+        graft.functions.VectorFunctions.pqArgmin(col("sub"), col("__cl")))
       .select(col("vec_id"), col("m"), col("sub"),
         col("__best").getField("c").as("cent_id"),
         col("__best").getField("dist").as("dist"))

@@ -1132,4 +1132,94 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("vec_id", "m", "cent_id", "dist").head()
     assert((got.getLong(0), got.getInt(1), got.getLong(2), got.getLong(3)) == ((1L, 0, 3L, 1L)))
   }
+
+  test("PqArgmin / L2SqDist kernels == interpreted aggregate folds on random data (r19)") {
+    // the codegen'd kernels replaced the CodegenFallback higher-order folds
+    // (r18's measured PQ-family regression); pin them against the EXACT old
+    // fold expressions, ties and empty-candidates included
+    val rnd = new scala.util.Random(20260818)
+    val sp = spark; import sp.implicits._
+    val rows = (0 until 80).map { i =>
+      val sub = Seq.fill(8)(rnd.nextInt(21).toLong - 10)
+      // duplicated coordinates force distance TIES between candidates
+      val k = rnd.nextInt(5) // 0 candidates sometimes
+      val cands = (0 until k).map { j =>
+        (rnd.nextInt(6).toLong * 3 + j % 2, Seq.fill(8)(rnd.nextInt(5).toLong - 2))
+      }
+      (i.toLong, sub, cands)
+    }
+    val df = rows.toDF("id", "sub", "raw")
+      .withColumn("cl", sort_array(col("raw"))) // cent_id-ascending packed list
+    val oldFold = aggregate(
+      col("cl"),
+      struct(lit(Long.MaxValue).as("dist"), lit(-1L).as("c")),
+      (acc, ct) => {
+        val dd = aggregate(
+          zip_with(col("sub"), ct.getField("_2"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v)
+        when(dd < acc.getField("dist"),
+          struct(dd.as("dist"), ct.getField("_1").as("c"))).otherwise(acc)
+      })
+    val cands2 = transform(col("cl"),
+      ct => struct(ct.getField("_1").as("cent_id"), ct.getField("_2").as("cm")))
+    val cmp = df.select(col("id"),
+        VectorFunctions.pqArgmin(col("sub"), cands2).as("k"),
+        oldFold.as("o"),
+        VectorFunctions.l2sqDist(col("sub"), col("sub")).as("zero"))
+      .collect()
+    cmp.foreach { r =>
+      val k = r.getStruct(1); val o = r.getStruct(2)
+      assert(k.getLong(0) == o.getLong(0) && k.getLong(1) == o.getLong(1),
+        s"id=${r.getLong(0)}: kernel=(${k.getLong(0)},${k.getLong(1)}) fold=(${o.getLong(0)},${o.getLong(1)})")
+      assert(r.getLong(3) == 0L)
+    }
+    // l2sqDist == zip_with fold on independent pairs
+    val pairs = (0 until 50).map { _ =>
+      (Seq.fill(8)(rnd.nextLong() % 1000), Seq.fill(8)(rnd.nextLong() % 1000))
+    }.toDF("a", "b")
+    val dd = pairs.select(
+      VectorFunctions.l2sqDist(col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v).as("o")).collect()
+    dd.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("CentArgmax kernel == interpreted round(dot,6) argmax fold incl. NaN/ties (r19)") {
+    val rnd = new scala.util.Random(7)
+    val sp = spark; import sp.implicits._
+    val rows = (0 until 80).map { i =>
+      val dim = 6
+      // NaN rows: a NaN coordinate makes every dot NaN — Spark double
+      // ordering (NaN greatest) must pick cent_id-ascending first candidate
+      val emb = Seq.fill(dim)(if (i % 17 == 0) Double.NaN else rnd.nextDouble() * 2 - 1)
+      val k = rnd.nextInt(5)
+      // coarse 1-decimal coordinates force rounded-score TIES
+      val cands = (0 until k).map { j =>
+        (j.toLong * 2 + i % 2, Seq.fill(dim)(rnd.nextInt(3).toDouble / 2 - 0.5))
+      }
+      (i.toLong, emb, cands)
+    }
+    val df = rows.toDF("id", "emb", "raw")
+      .withColumn("cl", sort_array(col("raw")))
+    val oldFold = aggregate(
+      col("cl"),
+      struct(lit(-2.0).as("s"), lit(-1L).as("c")),
+      (acc, ct) => {
+        val sim = round(VectorFunctions.dot(col("emb"), ct.getField("_2")), 6)
+        when(sim > acc.getField("s"),
+          struct(sim.as("s"), ct.getField("_1").as("c"))).otherwise(acc)
+      })
+    val cands2 = transform(col("cl"),
+      ct => struct(ct.getField("_1").as("cent_id"), ct.getField("_2").as("cemb")))
+    val cmp = df.select(col("id"),
+        VectorFunctions.centArgmax(col("emb"), cands2).as("k"),
+        oldFold.as("o")).collect()
+    cmp.foreach { r =>
+      val k = r.getStruct(1); val o = r.getStruct(2)
+      val sEq = (k.getDouble(0) == o.getDouble(0)) ||
+        (k.getDouble(0).isNaN && o.getDouble(0).isNaN)
+      assert(sEq && k.getLong(1) == o.getLong(1),
+        s"id=${r.getLong(0)}: kernel=(${k.getDouble(0)},${k.getLong(1)}) fold=(${o.getDouble(0)},${o.getLong(1)})")
+    }
+  }
 }
