@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, GetJsonObject, If, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{StringType, TimestampType}
 
 /** SparkSessionExtensions hook: registers the custom codegen'd expressions
@@ -1093,6 +1094,116 @@ object PrestoPercentileFunctions {
       graftshim.expression(w)).toAggregateExpression())
 }
 
+/** Exception-free scanning helper for [[TryCastIntegral]]. */
+object TryCastOps {
+  /** True iff the raw byte 0x2E ('.') occurs anywhere. A '.' can never be
+    * a UTF-8 continuation byte (those are 0x80-0xBF) nor whitespace-trimmed
+    * (trim strips bytes <= 0x20 only), so a hit is always a real decimal
+    * separator in the number region. */
+  def hasDotByte(s: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) { if (s.getByte(i) == '.') return true; i += 1 }
+    false
+  }
+}
+
+/** Exception-free `try_cast(<string> AS <integral>)`. Spark's own TRY-mode
+  * Cast for string -> integral still routes through the THROWING parser
+  * (`UTF8String.toLongExact` = `toLong(w, allowDecimal = false)` + throw;
+  * `Cast.canUseLegacyCastForTryCast` excludes integral targets because the
+  * legacy parser accepts "1.5"), so every failing row pays exception
+  * construction that the TRY wrapper immediately discards — the r18 round's
+  * documented remainder on q_try_presto/q_try_fns.
+  *
+  * This node delegates to the SAME parser, exception-free: the exact
+  * grammar accepted by `toLongExact` is precisely "accepted by the public
+  * boolean `toLong(LongWrapper)` AND contains no '.' byte" — the two
+  * overloads differ ONLY in the allowDecimal separator branch (verified
+  * against the shipped bytecode; pinned by the fuzz rig in FunctionsSpec).
+  * Sub-long widths add the same truncate-and-compare range check
+  * `toShortExact`/`toByteExact` perform on the parsed value. No grammar is
+  * reimplemented, so whitespace trimming, signs, overflow boundaries and
+  * non-ASCII rejection cannot drift from Spark's. */
+case class TryCastIntegral(child: Expression, dataType: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType] &&
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"try_cast_integral: string input and integral target required, " +
+        s"got ${child.dataType} -> $dataType")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val s = v.asInstanceOf[UTF8String]
+    if (TryCastOps.hasDotByte(s)) return null
+    dataType match {
+      case LongType =>
+        val w = new UTF8String.LongWrapper
+        if (s.toLong(w)) w.value else null
+      case _ =>
+        val w = new UTF8String.IntWrapper
+        if (!s.toInt(w)) null
+        else dataType match {
+          case IntegerType => w.value
+          case ShortType =>
+            val t = w.value.toShort; if (t.toInt == w.value) t else null
+          case ByteType =>
+            val t = w.value.toByte; if (t.toInt == w.value) t else null
+        }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wCls = dataType match {
+      case LongType => "org.apache.spark.unsafe.types.UTF8String.LongWrapper"
+      case _ => "org.apache.spark.unsafe.types.UTF8String.IntWrapper"
+    }
+    val wrapper = ctx.addMutableState(wCls, "tryCastWrapper",
+      v => s"$v = new $wCls();")
+    nullSafeCodeGen(ctx, ev, c => {
+      val parse = dataType match {
+        case LongType =>
+          s"""if (graft.functions.TryCastOps.hasDotByte($c) || !$c.toLong($wrapper)) {
+             |  ${ev.isNull} = true;
+             |} else {
+             |  ${ev.value} = $wrapper.value;
+             |}""".stripMargin
+        case IntegerType =>
+          s"""if (graft.functions.TryCastOps.hasDotByte($c) || !$c.toInt($wrapper)) {
+             |  ${ev.isNull} = true;
+             |} else {
+             |  ${ev.value} = $wrapper.value;
+             |}""".stripMargin
+        case st =>
+          val (jt, cast) = st match {
+            case ShortType => ("short", "(short)")
+            case ByteType => ("byte", "(byte)")
+          }
+          s"""if (graft.functions.TryCastOps.hasDotByte($c) || !$c.toInt($wrapper)) {
+             |  ${ev.isNull} = true;
+             |} else {
+             |  $jt __t = $cast $wrapper.value;
+             |  if (((int) __t) == $wrapper.value) { ${ev.value} = __t; }
+             |  else { ${ev.isNull} = true; }
+             |}""".stripMargin
+      }
+      parse
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TryCastIntegral =
+    copy(child = newChild)
+}
+
 /** Column wrapper for the TRY lowering, so declared queries can use it on a
   * vanilla session (the SQL spelling `try(...)` needs the GraftExtensions
   * registry; this does not). */
@@ -1124,6 +1235,17 @@ object ErrorSafeFunctions {
       def tryCtx(n: NumericEvalContext): NumericEvalContext =
         n.copy(evalMode = EvalMode.TRY)
       val c = x match {
+        // string -> integral: even TRY-mode Cast still parses via the
+        // THROWING toLongExact (legacy-for-try is excluded for integral
+        // targets); route through the exception-free twin instead (r19)
+        case n: Cast
+            if (n.evalMode == EvalMode.ANSI || n.evalMode == EvalMode.TRY) &&
+              n.childrenResolved &&
+              n.child.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] &&
+              Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+                org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+                .contains(n.dataType) =>
+          TryCastIntegral(n.child, n.dataType)
         case n: Cast if n.evalMode == EvalMode.ANSI => n.copy(evalMode = EvalMode.TRY)
         case n: Add if n.evalMode == EvalMode.ANSI =>
           n.copy(evalContext = tryCtx(n.evalContext))
@@ -1148,6 +1270,55 @@ object ErrorSafeFunctions {
     TryEval(convert(e))
   }
 
+  /** Deferred TRY lowering (r19). A Column built from `expr("...")` on
+    * Spark 4 is a lazy SqlExpression COLUMN NODE: at construction time
+    * `graftshim.expression(c)` yields an opaque ColumnNodeExpression
+    * placeholder, so applying [[tryLower]] eagerly rewrote NOTHING — every
+    * `tryE(expr("cast(...)"))` in the declared queries still ran the
+    * throwing ANSI cast under TryEval (found by reading the executed plan,
+    * which printed `cast`, not `try_cast`). This RuntimeReplaceable defers
+    * the rewrite to the optimizer's ReplaceExpressions pass, where the
+    * subtree is RESOLVED and the Cast/arithmetic nodes are real — the only
+    * point in a Column's life where the spine conversion can actually see
+    * them. Works on any session (the node carries its own rewrite; no
+    * extension or optimizer-rule injection needed). */
+  case class TryLowered(child: Expression)
+      extends Expression with RuntimeReplaceable
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    override lazy val replacement: Expression = tryLower(child)
+    override protected def withNewChildInternal(newChild: Expression): TryLowered =
+      copy(child = newChild)
+  }
+
   def tryEval(c: Column): Column =
-    graftshim.column(tryLower(graftshim.expression(c)))
+    graftshim.column(TryLowered(graftshim.expression(c)))
+
+  /** Pure strength reduction for expressions that are ALREADY error-safe
+    * (the parser's try_cast spelling, r19): rewrites every TRY-mode
+    * string→integral Cast in the tree to the exception-free
+    * [[TryCastIntegral]] kernel and nothing else — no ANSI nodes are
+    * touched and no TryEval wrapper is added, so the semantic surface is
+    * exactly the fuzz-rig-pinned kernel == try_cast equivalence. Deferred
+    * via RuntimeReplaceable for the same Spark 4 lazy-column-node reason
+    * as [[TryLowered]]. */
+  private[graft] def tryFastLower(e: Expression): Expression = e.transform {
+    case n: Cast
+        if n.evalMode == EvalMode.TRY && n.childrenResolved &&
+          n.child.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] &&
+          Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+            .contains(n.dataType) =>
+      TryCastIntegral(n.child, n.dataType)
+  }
+
+  case class TryFastLowered(child: Expression)
+      extends Expression with RuntimeReplaceable
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    override lazy val replacement: Expression = tryFastLower(child)
+    override protected def withNewChildInternal(newChild: Expression): TryFastLowered =
+      copy(child = newChild)
+  }
+
+  def tryFast(c: Column): Column =
+    graftshim.column(TryFastLowered(graftshim.expression(c)))
 }

@@ -1895,16 +1895,23 @@ object Relational {
     * mirrors with TRY_CAST and an explicit zero guard. */
   private val tryFns = Q(
     "q_try_fns",
-    (s, d) =>
+    (s, d) => {
+      // tryFast = exception-free twin of the TRY-mode string→integral cast
+      // (r19): Spark's own try_cast still parses via the THROWING
+      // toLongExact, so bad_cast paid exception construction on EVERY row
+      // ("1-URGENT" never parses). Same results by the fuzz-rig pin in
+      // FunctionsSpec + the oracle hash; the try_cast spelling stays.
+      val fastE = graft.functions.ErrorSafeFunctions.tryFast _
       t(s, d, "orders")
         .select(
           col("o_orderkey"),
-          expr("try_cast(o_orderpriority as int)").as("bad_cast"),
-          expr("try_cast(substr(o_orderpriority, 1, 1) as bigint)").as("prio_num"),
+          fastE(expr("try_cast(o_orderpriority as int)")).as("bad_cast"),
+          fastE(expr("try_cast(substr(o_orderpriority, 1, 1) as bigint)")).as("prio_num"),
           expr("try_cast(o_orderstatus as timestamp)").cast("string").as("bad_ts"),
           expr("""round(cast(try_divide(o_totalprice, o_custkey % 3) as decimal(24,6)), 2)
                   """).cast("double").as("safe_div"))
-        .orderBy("o_orderkey"),
+        .orderBy("o_orderkey")
+    },
     Some("""SELECT o_orderkey,
         TRY_CAST(o_orderpriority AS INT) AS bad_cast,
         TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,

@@ -1184,6 +1184,53 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     dd.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("TryCastIntegral == Spark try_cast over the full string space (r19 fuzz rig)") {
+    import graft.functions.TryCastIntegral
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val rnd = new scala.util.Random(20260818)
+    // directed cases: signs, whitespace (incl. control bytes and non-ASCII
+    // spaces), overflow boundaries for every width, decimal separators in
+    // every position, non-ASCII digits, exponents, empty/blank
+    val directed = Seq(
+      "", " ", "  ", "\t", "\n 12 \t", "+", "-", "+-1", "--1", "1-", "1+",
+      "0", "-0", "+0", "007", " 42", "42 ", " 42 ", "4 2",
+      "127", "128", "-128", "-129", "32767", "32768", "-32768", "-32769",
+      "2147483647", "2147483648", "-2147483648", "-2147483649",
+      "9223372036854775807", "9223372036854775808",
+      "-9223372036854775808", "-9223372036854775809",
+      "99999999999999999999999999", "-99999999999999999999999999",
+      "1.5", "1.", ".5", "-1.0", "+2.", "1..2", ".", "-.", "1.5.6",
+      "1e5", "1E5", "0x1f", "Infinity", "NaN", "null",
+      "١٢٣", "１２３", "𝟙𝟚", " 12", "12 ", "​42",
+      "abc", "12a", "a12", "1 2", "+ 1", "- 1")
+    val charsets = Seq("0123456789", "0123456789+- .\t", "0123456789+-.eE xX",
+      "0123456789٠١٢٣４５", " +-.0189 ")
+    val fuzz = (0 until 4000).map { i =>
+      val cs = charsets(i % charsets.size)
+      val len = 1 + rnd.nextInt(24)
+      (0 until len).map(_ => cs(rnd.nextInt(cs.length))).mkString
+    }
+    val sp = spark; import sp.implicits._
+    val df = (directed ++ fuzz).zipWithIndex.map(_.swap).toDF("k", "s")
+    for ((t, sql) <- Seq(
+        (ByteType, "tinyint"), (ShortType, "smallint"),
+        (IntegerType, "int"), (LongType, "bigint"))) {
+      val kernel = org.apache.spark.sql.graftshim.column(
+        TryCastIntegral(org.apache.spark.sql.graftshim.expression(col("s")), t))
+      val rows = df.select(col("k"), kernel.as("a"),
+        expr(s"try_cast(s AS $sql)").as("b")).collect()
+      rows.foreach { r =>
+        assert(r.get(1) == r.get(2),
+          s"$sql diverged on <${directed.lift(r.getInt(0)).getOrElse("fuzz")}" +
+            s"#${r.getInt(0)}>: kernel=${r.get(1)} try_cast=${r.get(2)}")
+      }
+      // NULL input -> NULL (null-intolerant contract)
+      val nullRow = Seq((0, null: String)).toDF("k", "s")
+        .select(kernel.as("a")).head()
+      assert(nullRow.isNullAt(0))
+    }
+  }
+
   test("CentArgmax kernel == interpreted round(dot,6) argmax fold incl. NaN/ties (r19)") {
     val rnd = new scala.util.Random(7)
     val sp = spark; import sp.implicits._
