@@ -73,21 +73,26 @@ object LanguageModel {
     * likewise feeds the total (token count = Σ unigram counts), so the
     * token stream is scanned once instead of twice. */
   def tablesFrom(trainDocs: DataFrame): LmTables = {
-    // CACHED, not merely shared: the scoring joins push per-branch
-    // isnotnull filters down into each rollup's copy of this subtree,
-    // which de-canonicalizes the otherwise-identical g5 exchanges and
-    // defeats exchange reuse (measured: x11 → x17 executed exchanges
-    // without the cache). The InMemoryRelation pins compute-once; the
-    // pushed filters were data-no-ops anyway (split() never yields null
-    // tokens). At 100 TB this is the distinct-5-gram table — disk-backed
-    // cache or an explicit materialization, either way paid once.
+    // NOT cached, but still computed once (r19): the scoring joins push
+    // per-branch isnotnull filters down into each rollup's copy of this
+    // subtree, which would de-canonicalize the otherwise-identical g5
+    // exchanges and defeat exchange reuse (r18 measured x11 → x17 executed
+    // exchanges). r18 fixed that with .cache(), but materializing the
+    // unpruned distinct-5-gram InMemoryRelation cost MORE than the saved
+    // scans (q_text_perplexity5 isolated 2.6 → 4.6 s, r18 verdict). The
+    // no-op isnotnull pre-filter below (split() never yields null tokens)
+    // plants the same constraint in EVERY branch, so the pushed per-branch
+    // filters are pruned as implied and the branches stay canonical —
+    // exchange reuse computes the 5-gram shuffle once with zero
+    // materialization and nothing left pinned in the storage pool.
     val uniN = withWs(trainDocs)
       .select(explode(col("ws")).as("w"))
+      .filter(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .cache()
     val g5 = quintsOf(trainDocs)
+      .filter(col("a").isNotNull && col("b").isNotNull && col("c").isNotNull &&
+        col("d").isNotNull && col("e").isNotNull)
       .groupBy("a", "b", "c", "d", "e").agg(count(lit(1)).as("n"))
-      .cache()
     def roll(src: DataFrame, keys: String*) =
       src.groupBy(keys.map(col): _*).agg(sum("n").as("n"))
     def prunedOf(src: DataFrame, keys: Seq[String], out: String) =

@@ -181,7 +181,15 @@ object TextQueries {
     * fold sums integer-valued doubles, exact below 2^53 in any order, so
     * outputs are bit-identical; the driver oracle re-pins it). Stages:
     * `srt` = sorted tokens, `st` = 1-based run-start positions, map =
-    * zip(starts, next-starts) → (word, run length). */
+    * zip(starts, next-starts) → (word, run length).
+    *
+    * PRECONDITION: size(`half`) >= 2. On a 1-element array
+    * `sequence(2, size)` yields the DESCENDING [2,1] and the filter lambda
+    * evaluates element_at(srt, 0) — INVALID_INDEX_OF_ZERO regardless of
+    * ANSI mode (r19 ADVICE). Both callers sit behind the `n >= 4` length
+    * filter, which guarantees each half has >= 2 tokens; a new caller must
+    * keep an equivalent guard (a runtime branch here would tax the hot
+    * per-row path every existing caller pays). */
   private def countMapCols(df: DataFrame, half: String, srt: String, st: String,
       out: String): DataFrame =
     df.withColumn(srt, expr(s"array_sort($half)"))
@@ -638,7 +646,12 @@ object TextQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     // one token scan feeds the unigram table AND the total (token count =
     // Σ unigram counts — r18 optimization round, guide §2.3)
-    val uniN = tokens.groupBy("w").agg(count(lit(1)).as("cnt"))
+    // no-op isnotnull (split() never yields null tokens): the inner join
+    // below pushes isnotnull(w) into lg's copy of this subtree but not
+    // into total's — planting it here keeps both branches canonical so the
+    // wordcount exchange is computed once (r19 exchange-reuse fix)
+    val uniN = tokens.filter(col("w").isNotNull)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
     val lg = uniN.select(col("w"), (length(bin(col("cnt"))) - 1).cast("long").as("lg"))
     val total = uniN.agg(
       (length(bin(coalesce(sum("cnt"), lit(0L)))) - 1).cast("long").as("lg_total"))
@@ -730,6 +743,12 @@ object TextQueries {
     // guide §2.3 — token count = Σ unigram counts)
     val uniN = docs.filter(col("doc_id") % 2 === 0)
       .select(explode(col("ws")).as("w"))
+      // no-op isnotnull (split() never yields null tokens): the scoring
+      // joins push isnotnull(w) into the uni branches but not into total's
+      // — planting it here keeps every branch canonical so the
+      // unigram-count exchange is computed once (r19 exchange-reuse fix,
+      // same stance as operators.LanguageModel.tablesFrom)
+      .filter(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("n"))
     val uni = uniN.select(col("w"), (length(bin(col("n"))) - 1).cast("long").as("lg_u"))
     val total = uniN.agg(
@@ -1515,6 +1534,12 @@ object TextQueries {
     // operators.LanguageModel.tablesFrom)
     val uniN = docs.filter(col("doc_id") % 2 === 0)
       .select(explode(col("ws")).as("w"))
+      // no-op isnotnull (split() never yields null tokens): the scoring
+      // joins push isnotnull(w) into the uni branches but not into total's
+      // — planting it here keeps every branch canonical so the
+      // unigram-count exchange is computed once (r19 exchange-reuse fix,
+      // same stance as operators.LanguageModel.tablesFrom)
+      .filter(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("n"))
     val uni = uniN.select(col("w"), (length(bin(col("n"))) - 1).cast("long").as("lg_u"))
     val total = uniN.agg(
@@ -1533,12 +1558,16 @@ object TextQueries {
     // times and the rollups shuffle the shrinking gram table
     // (r18 optimization round, guide §2.3 — the 5-gram twin in
     // operators.LanguageModel.tablesFrom documents the equivalence)
+    // no-op isnotnull pre-filter, NOT a cache (r19, same treatment as
+    // LanguageModel.tablesFrom's g5): planting the constraint in every
+    // branch keeps the scoring joins' per-branch isnotnull pushdown from
+    // de-canonicalizing the shared subtree, so exchange reuse computes the
+    // trigram shuffle once with zero materialization (r18's .cache() fixed
+    // the reuse but the InMemoryRelation materialization cost more than
+    // the saved scans — q_text_perplexity5's measured lesson)
     val g3 = triples.filter(col("doc_id") % 2 === 0)
+      .filter(col("a").isNotNull && col("b").isNotNull && col("c").isNotNull)
       .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
-      // cached for the same reason as LanguageModel.tablesFrom's g5: the
-      // scoring joins' per-branch isnotnull pushdown would otherwise
-      // de-canonicalize the shared subtree and defeat exchange reuse
-      .cache()
     val lgOf = (n: Column) => (length(bin(n)) - 1).cast("long")
     val bi = g3.groupBy("b", "c").agg(lgOf(sum("n")).as("lg_bc"))
     val biCtx = g3.groupBy("a", "b").agg(lgOf(sum("n")).as("lg_ab"))
