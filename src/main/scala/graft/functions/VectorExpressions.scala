@@ -140,7 +140,15 @@ object VectorOps {
     var i = 0
     while (i < l) {
       var j = 0
-      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      // null tokens substitute as empty strings (r19 ADVICE hardening: the
+      // split()-fed query path never produces them, but the kernel is
+      // exposed generically via VectorFunctions.topNGram and concatWs/sort
+      // would NPE on a null element)
+      while (j < n) {
+        val t = words.getUTF8String(i + j)
+        parts(j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        j += 1
+      }
       grams(i) = UTF8String.concatWs(space, parts: _*)
       i += 1
     }
@@ -156,6 +164,36 @@ object VectorOps {
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bestG, bestC))
+  }
+
+  /** ALL stride-1 word n-grams of a token array, space-joined, position
+    * order — BIT-IDENTICAL to the declarative
+    * `transform(sequence(0, size(ws) - n), i -> array_join(slice(ws, i + 1,
+    * n), " "))` (and its 1-based `sequence(1, size - (n-1))`/`slice(ws, i,
+    * n)` spelling) including null-element skipping (concatWs and
+    * array_join both drop nulls without a separator), but one JIT'd loop
+    * instead of ~len interpreted array_join+slice lambda trees per row
+    * (r19; transform is CodegenFallback, so every gram paid interpreted
+    * evaluation + two array allocations). For arrays shorter than n the
+    * kernel returns an EMPTY array, where the raw declarative form would
+    * error on the descending sequence — every graft call site guards that
+    * case to empty/"" anyway, so the kernel absorbs the guard. */
+  def wordNgrams(words: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val w = words.numElements()
+    val l = w - n + 1
+    if (l <= 0) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val space = UTF8String.fromString(" ")
+    val out = new Array[AnyRef](l)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < l) {
+      var j = 0
+      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
   }
 
   /** Within-document duplicated word-n-gram COVERAGE — the Gopher Table A1
@@ -330,6 +368,30 @@ object VectorOps {
     inter
   }
 
+  /** |A intersect B| over two SORTED-ascending (UTF8String binary order —
+    * what `sort_array` produces for StringType) string arrays: the string
+    * twin of [[sortedIntersectCount]] (r19). Comparing the words directly
+    * removes the entire word->bit-id vocabulary-numbering subplan
+    * (explode + distinct + window rank + numbering join + collect_list —
+    * 6+ exchanges per banded table) that existed only to hand the verify
+    * int ids; set-intersection cardinality is invariant to the encoding,
+    * so Jaccard values are bit-identical. Null elements (sorted first by
+    * sort_array) are skipped — a null is not a set member. */
+  def sortedIntersectCountStr(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && a.isNullAt(i)) i += 1
+    while (j < nb && b.isNullAt(j)) j += 1
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** Exact integer squared L2 between two micro-fixed-point sub-vectors —
     * the codegen'd twin of the declarative fold
     * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0L, +)` over
@@ -483,6 +545,21 @@ case class MapCosineSim(left: Expression, right: Expression) extends BinaryExpre
     copy(left = newLeft, right = newRight)
 }
 
+/** sortedIntersectCountStr(a, b) over two sorted array<string> columns;
+  * codegen'd (see [[VectorOps.sortedIntersectCountStr]]). */
+case class SortedIntersectCountStr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sortedIntersectCountStr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.sortedIntersectCountStr($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCountStr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** sortedIntersectCount(a, b) over two sorted array<int> columns;
   * codegen'd (see [[VectorOps.sortedIntersectCount]]). */
 case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
@@ -542,6 +619,24 @@ case class DistinctBigrams(child: Expression)
     defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.distinctBigrams($a)")
 
   override protected def withNewChildInternal(newChild: Expression): DistinctBigrams =
+    copy(child = newChild)
+}
+
+/** wordNgrams(ws, n) — all space-joined stride-1 n-grams of an
+  * array<string> column; null-safe, codegen'd (see
+  * [[VectorOps.wordNgrams]]). */
+case class WordNgrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.wordNgrams(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.wordNgrams($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
 }
 
@@ -704,6 +799,10 @@ object VectorFunctions {
     * see [[SortedIntersectCount]]). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     graftshim.column(SortedIntersectCount(graftshim.expression(a), graftshim.expression(b)))
+  /** Merge-walk intersection count over sorted string arrays (codegen'd;
+    * see [[SortedIntersectCountStr]]). */
+  def sortedIntersectCountStr(a: Column, b: Column): Column =
+    graftshim.column(SortedIntersectCountStr(graftshim.expression(a), graftshim.expression(b)))
   /** Exact set Jaccard over packed bitmaps (codegen'd; see [[BitmapJaccard]]). */
   def bitmapJaccard(a: Column, b: Column): Column =
     graftshim.column(BitmapJaccard(graftshim.expression(a), graftshim.expression(b)))
@@ -719,6 +818,9 @@ object VectorFunctions {
   /** Distinct bigram shingles of a token array (codegen'd; see [[DistinctBigrams]]). */
   def distinctBigrams(words: Column): Column =
     graftshim.column(DistinctBigrams(graftshim.expression(words)))
+  /** All space-joined stride-1 word n-grams (codegen'd; see [[WordNgrams]]). */
+  def wordNgrams(words: Column, n: Int): Column =
+    graftshim.column(WordNgrams(graftshim.expression(words), n))
   /** 46-bit polynomial string hash (codegen'd; see [[PolyHash46]]). */
   def polyHash(s: Column): Column =
     graftshim.column(PolyHash46(graftshim.expression(s)))

@@ -40,10 +40,11 @@ object Decontamination {
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
+      // codegen'd n-gram kernel (r19): the transform/array_join/slice HOF
+      // chain evaluated an interpreted lambda + two array allocations per
+      // gram (bit-parity pinned in FunctionsSpec)
       .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), size(col("toks")) - n, lit(1)),
-          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("ng"))
+        explode(graft.functions.VectorFunctions.wordNgrams(col("toks"), n)).as("ng"))
       .distinct()
 
   /** 46-bit polynomial hash of an (ASCII) n-gram — every step integer and

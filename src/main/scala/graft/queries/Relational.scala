@@ -3124,21 +3124,15 @@ object Relational {
           split(concat(col("p_name"), lit(" "), col("p_type")), " ").as("ws"))
         .select(
           col("p_partkey"),
-          // size guards on BOTH grams: Spark's sequence(0, n) DESCENDS
-          // when n < 0 (step inferred -1), so an unguarded 1-word name
-          // would fabricate ngrams from negative starts
-          when(size(col("ws")) >= 2,
-            array_join(
-              transform(
-                sequence(lit(0), size(col("ws")) - 2),
-                i => array_join(slice(col("ws"), i + 1, lit(2)), " ")), "|"))
-            .otherwise("").as("bigrams"),
-          when(size(col("ws")) >= 3,
-            array_join(
-              transform(
-                sequence(lit(0), size(col("ws")) - 3),
-                i => array_join(slice(col("ws"), i + 1, lit(3)), " ")), "|"))
-            .otherwise("").as("trigrams"),
+          // codegen'd n-gram kernel (r19): it returns an EMPTY array below
+          // n tokens — array_join then yields the same '' the old
+          // when(size >= n)...otherwise('') guard produced (the guard
+          // existed because Spark's sequence(0, n) DESCENDS when n < 0 and
+          // would fabricate ngrams from negative starts)
+          array_join(
+            graft.functions.VectorFunctions.wordNgrams(col("ws"), 2), "|").as("bigrams"),
+          array_join(
+            graft.functions.VectorFunctions.wordNgrams(col("ws"), 3), "|").as("trigrams"),
           greatest(size(col("ws")) - 1, lit(0)).cast("long").as("n_bigrams"))
         .orderBy("p_partkey"),
     Some("""WITH w AS (SELECT p_partkey,

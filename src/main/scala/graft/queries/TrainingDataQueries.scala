@@ -75,10 +75,9 @@ object TrainingDataQueries {
       val grams = docs.select(
         col("doc_id"),
         col("split"),
-        explode(
-          transform(
-            sequence(lit(0), org.apache.spark.sql.functions.size(col("toks")) - n, lit(1)),
-            i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("ng"))
+        // codegen'd n-gram kernel (r19): the transform/array_join/slice
+        // HOF chain evaluated an interpreted lambda per gram
+        explode(graft.functions.VectorFunctions.wordNgrams(col("toks"), n)).as("ng"))
       val trainG = grams.filter(col("split") === "train").select("ng").distinct()
       val evalG = grams.filter(col("split") === "eval").select("doc_id", "ng").distinct()
       val totals = evalG.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))

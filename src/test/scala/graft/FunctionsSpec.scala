@@ -224,6 +224,33 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("WordNgrams kernel is bit-identical to the transform/array_join/slice form (r19)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 200).map { i =>
+      val n = if (i < 10) i else rng.nextInt(40)
+      // empty tokens included: split() can yield "" and array_join/concatWs
+      // must agree on them too
+      (i.toLong, Seq.fill(n)(if (rng.nextInt(8) == 0) "" else s"w${rng.nextInt(6)}"))
+    }
+    val df = rows.toDF("id", "words")
+    for (n <- Seq(2, 3, 4, 8)) {
+      val out = df.select(
+        col("id"),
+        VectorFunctions.wordNgrams(col("words"), n).as("kernel"),
+        when(size(col("words")) >= n,
+          transform(
+            sequence(lit(0), size(col("words")) - n),
+            i => array_join(slice(col("words"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")).as("declarative"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2), s"n=$n id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("SimHash64 kernel equals the declarative vote formula") {
     val s = spark
     import s.implicits._
