@@ -166,6 +166,161 @@ object VectorOps {
       Array[Any](bestG, bestC))
   }
 
+  /** SQ8 int8 encoding of an array<double> against a per-dimension
+    * (d, mn, mx) calibration struct array — BIT-IDENTICAL to the
+    * declarative `transform(de, (x, i) -> when(mx = mn, 0L)
+    * .otherwise(least(255L, floor((x - mn) * 256.0 / (mx - mn)))))` with
+    * `element_at(mm, i+1)` field extraction (r19): the transform is
+    * CodegenFallback, so every component paid an interpreted lambda plus
+    * an element_at struct walk. floor(double).toLong and min(255, _) are
+    * exactly what Spark's Floor/Least lower to, including the NaN→0 and
+    * ±Infinity saturation edges. Precondition: mm has >= as many entries
+    * as de (the calibration row always carries all Dim dimensions). */
+  def sq8EncodeCodes(de: ArrayData, mm: ArrayData): ArrayData = {
+    val n = de.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val m = mm.getStruct(i, 3)
+      val mn = m.getDouble(1)
+      val mx = m.getDouble(2)
+      out(i) =
+        if (mx == mn) 0L
+        else math.min(255L, math.floor((de.getDouble(i) - mn) * 256.0 / (mx - mn)).toLong)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** SQ8 midpoint reconstruction of an int8 code array against the same
+    * calibration row — BIT-IDENTICAL to `transform(qe, (c, i) ->
+    * when(mx = mn, mn).otherwise(mn + (c + 0.5) * (mx - mn) / 256.0))`
+    * (same IEEE op order: ((c + 0.5) * (mx - mn)) / 256.0, then + mn). */
+  def sq8Dequant(qe: ArrayData, mm: ArrayData): ArrayData = {
+    val n = qe.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val m = mm.getStruct(i, 3)
+      val mn = m.getDouble(1)
+      val mx = m.getDouble(2)
+      out(i) = if (mx == mn) mn else mn + (qe.getLong(i) + 0.5) * (mx - mn) / 256.0
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** All hyperplane-LSH bucket values of a vector in one JIT'd pass —
+    * BIT-IDENTICAL to the declarative
+    * `transform(sequence(0, tables-1), t -> aggregate(sequence(0, k-1), 0L,
+    * (acc, j) -> acc + when(dot(emb, planes[t*k+j+1]) > 0, 1L << j)
+    * .otherwise(0L)))`: same sign test (> 0, so a 0.0 or NaN dot clears
+    * the bit), same bit weights, and VectorOps.dot is the same
+    * accumulation the Column-level kernel runs. The HOF form is
+    * CodegenFallback and paid k x tables interpreted fold steps per row
+    * on the LSH banding entry path (r19). `planes` is the flat
+    * plane-list array; tables = planes.length / k. */
+  def lshBuckets(emb: ArrayData, planes: ArrayData, k: Int): ArrayData = {
+    val tables = planes.numElements() / k
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < k) {
+        if (dot(emb, planes.getArray(t * k + j)) > 0) bucket |= 1L << j
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Σ|a_i - b_i| over two array<long> columns in one JIT'd loop —
+    * BIT-IDENTICAL to `aggregate(zip_with(a, b, (x, y) -> abs(x - y)),
+    * 0L, +)` over EQUAL-LENGTH arrays (zip_with's null-padding on a
+    * length mismatch cannot arise at the call sites — every frame vector
+    * is the same fixed pixel count). The HOF form interpreted a lambda
+    * tree per element per row (r19; the scene-cut SAD hot path). */
+  def l1Dist(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var s = 0L
+    while (i < n) { s += math.abs(a.getLong(i) - b.getLong(i)); i += 1 }
+    s
+  }
+
+  /** Chained xxhash64 fold over a token array — BIT-IDENTICAL to
+    * `aggregate(ws, 0L, (acc, w) -> xxhash64(acc, w))` (r19): Spark's
+    * two-argument xxhash64 hashes the long accumulator (XXH64.hashLong
+    * with seed 42) then the string bytes with the intermediate as seed,
+    * and the fold threads the result as the next accumulator. One JIT'd
+    * loop instead of one interpreted lambda + hash-expression tree per
+    * token per row (q_text_fingerprint's whole computation). Null tokens
+    * cannot arise from split(); a null element keeps the accumulator
+    * (matching xxhash64's skip-null-child behavior). */
+  def xxhashChain(ws: ArrayData): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = ws.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!ws.isNullAt(i)) {
+        val w = ws.getUTF8String(i)
+        val h = XXH64.hashLong(acc, 42L)
+        acc = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes(), h)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  /** Packed sign words [w0, w1] of a 64-dim array<double>: bit j of w0 set
+    * iff emb[j] > 0 for j in 0..31, bit j-32 of w1 for j in 32..63 —
+    * BIT-IDENTICAL to the two `aggregate(sequence(...), 0L, (acc, j) ->
+    * acc + IF(element_at(emb, j+1) > 0D, shiftleft(1L, j), 0L))` folds
+    * (same strict > 0 test: -0.0 and NaN clear the bit), one JIT'd pass
+    * instead of 64 interpreted fold steps per row (r19; the binary-code
+    * quantization family). */
+  def signWords(emb: ArrayData): ArrayData = {
+    val n = math.min(64, emb.numElements())
+    var w0 = 0L
+    var w1 = 0L
+    var j = 0
+    while (j < n) {
+      if (emb.getDouble(j) > 0) {
+        if (j < 32) w0 |= 1L << j else w1 |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    ArrayData.toArrayData(Array(w0, w1))
+  }
+
+  /** Unit-L2 normalization of an array<double> in one JIT'd pass —
+    * BIT-IDENTICAL to the declarative
+    * `transform(a, x -> x / sqrt(aggregate(transform(a, x -> x*x), 0.0, +)))`:
+    * the sum of squares accumulates left-to-right exactly like the fold
+    * (same IEEE addition order), `java.lang.Math.sqrt` is what Spark's
+    * Sqrt lowers to, and the division is the same IEEE op. DOCUMENTED
+    * DIVERGENCE: an ALL-ZERO vector — ANSI-mode Divide raises
+    * DIVIDE_BY_ZERO even for doubles, where this kernel returns the IEEE
+    * 0/0 = NaN fill (no graft corpus produces a zero embedding; the full
+    * oracle run pins that, and the pin test asserts the NaN fill).
+    * Precondition: null-free elements (every call site feeds parquet
+    * doubles or arithmetic over them). */
+  def l2normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    val nrm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = a.getDouble(i) / nrm; i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** ALL stride-1 word n-grams of a token array, space-joined, position
     * order — BIT-IDENTICAL to the declarative
     * `transform(sequence(0, size(ws) - n), i -> array_join(slice(ws, i + 1,
@@ -622,6 +777,119 @@ case class DistinctBigrams(child: Expression)
     copy(child = newChild)
 }
 
+/** sq8EncodeCodes(de, mm) — int8 SQ codes against a calibration struct
+  * array; codegen'd (see [[VectorOps.sq8EncodeCodes]]). */
+case class Sq8EncodeCodes(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sq8EncodeCodes(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.sq8EncodeCodes($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Sq8EncodeCodes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sq8Dequant(qe, mm) — midpoint reconstructions of SQ8 codes; codegen'd
+  * (see [[VectorOps.sq8Dequant]]). */
+case class Sq8Dequant(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sq8Dequant(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.sq8Dequant($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Sq8Dequant =
+    copy(left = newLeft, right = newRight)
+}
+
+/** lshBuckets(emb, planes, k) — per-table hyperplane sign buckets;
+  * codegen'd (see [[VectorOps.lshBuckets]]). */
+case class LshBuckets(left: Expression, right: Expression, k: Int) extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.lshBuckets(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.lshBuckets($a, $b, $k)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LshBuckets =
+    copy(left = newLeft, right = newRight)
+}
+
+/** l1Dist(a, b) — exact integer L1 distance over array<long> columns;
+  * codegen'd (see [[VectorOps.l1Dist]]). */
+case class L1Dist(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.l1Dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.l1Dist($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): L1Dist =
+    copy(left = newLeft, right = newRight)
+}
+
+/** xxhashChain(ws) — chained xxhash64 fold over a token array; codegen'd
+  * (see [[VectorOps.xxhashChain]]). */
+case class XxhashChain(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.xxhashChain(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.xxhashChain($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): XxhashChain =
+    copy(child = newChild)
+}
+
+/** signWords(emb) — packed [w0, w1] sign words of a 64-dim vector;
+  * codegen'd (see [[VectorOps.signWords]]). */
+case class SignWords(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.signWords(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.signWords($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SignWords =
+    copy(child = newChild)
+}
+
+/** l2normalize(a) over an array<double> column; null-safe on the array,
+  * codegen'd (see [[VectorOps.l2normalize]]). */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.l2normalize(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.l2normalize($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
 /** wordNgrams(ws, n) — all space-joined stride-1 n-grams of an
   * array<string> column; null-safe, codegen'd (see
   * [[VectorOps.wordNgrams]]). */
@@ -821,6 +1089,26 @@ object VectorFunctions {
   /** All space-joined stride-1 word n-grams (codegen'd; see [[WordNgrams]]). */
   def wordNgrams(words: Column, n: Int): Column =
     graftshim.column(WordNgrams(graftshim.expression(words), n))
+  /** SQ8 int8 codes against a calibration struct array (codegen'd; see
+    * [[Sq8EncodeCodes]]). */
+  def sq8EncodeCodes(de: Column, mm: Column): Column =
+    graftshim.column(Sq8EncodeCodes(graftshim.expression(de), graftshim.expression(mm)))
+  /** SQ8 midpoint reconstructions (codegen'd; see [[Sq8Dequant]]). */
+  def sq8Dequant(qe: Column, mm: Column): Column =
+    graftshim.column(Sq8Dequant(graftshim.expression(qe), graftshim.expression(mm)))
+  /** Hyperplane-LSH per-table sign buckets (codegen'd; see [[LshBuckets]]). */
+  def lshBuckets(emb: Column, planes: Column, k: Int): Column =
+    graftshim.column(LshBuckets(graftshim.expression(emb), graftshim.expression(planes), k))
+  /** Exact integer L1 distance over array<long> (codegen'd; see [[L1Dist]]). */
+  def l1Dist(a: Column, b: Column): Column =
+    graftshim.column(L1Dist(graftshim.expression(a), graftshim.expression(b)))
+  /** Chained xxhash64 token fold (codegen'd; see [[XxhashChain]]). */
+  def xxhashChain(ws: Column): Column =
+    graftshim.column(XxhashChain(graftshim.expression(ws)))
+  /** Packed [w0, w1] sign words of a 64-dim vector (codegen'd; see
+    * [[SignWords]]). */
+  def signWords(emb: Column): Column =
+    graftshim.column(SignWords(graftshim.expression(emb)))
   /** 46-bit polynomial string hash (codegen'd; see [[PolyHash46]]). */
   def polyHash(s: Column): Column =
     graftshim.column(PolyHash46(graftshim.expression(s)))
@@ -863,12 +1151,18 @@ object VectorFunctions {
   /** Cosine similarity of two PRE-NORMALIZED vectors is just their dot. For
     * raw vectors use `dot(a,b) / (norm(a)*norm(b))` — but normalize once at
     * scan time instead of per candidate pair: at k queries x n corpus pairs
-    * that turns 3 kernel passes per pair into 1. */
-  def l2Normalize(a: Column): Column = {
-    import org.apache.spark.sql.functions._
-    val nrm = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    transform(a, x => x / nrm)
-  }
+    * that turns 3 kernel passes per pair into 1.
+    *
+    * Codegen'd kernel (r19): the previous declarative form —
+    * `transform(a, x -> x / sqrt(aggregate(transform(a, x -> x*x), 0.0, +)))`
+    * — is a CodegenFallback HOF whose norm subtree sits INSIDE the
+    * per-element lambda, so interpretation re-evaluated the whole
+    * O(dim) sum-of-squares fold for EVERY element: O(dim²) interpreted
+    * expression nodes per row, on the entry path of every similarity
+    * query (FunctionsSpec pins kernel == declarative bit-for-bit,
+    * including the zero-vector 0/0 and x/0 IEEE edges). */
+  def l2Normalize(a: Column): Column =
+    graftshim.column(L2Normalize(graftshim.expression(a)))
 
   /** Shuffle-FREE nearest-centroid assignment, shared by the whole IVF /
     * kmeans / outlier family.

@@ -312,9 +312,11 @@ object MultimodalQueries {
       Multimodal.videoFramesTable(Multimodal.syntheticVideosScenes(s, d))
         .withColumn("prev", lag("p", 1).over(w))
         .withColumn("sad",
+          // codegen'd L1 kernel (r19): the zip_with+aggregate fold
+          // interpreted a lambda per pixel per frame (bit-parity pinned in
+          // FunctionsSpec)
           when(col("prev").isNull, lit(0L)).otherwise(
-            aggregate(zip_with(col("p"), col("prev"), (a, b) => abs(a - b)),
-              lit(0L), (acc, x) => acc + x)))
+            graft.functions.VectorFunctions.l1Dist(col("p"), col("prev"))))
         .withColumn("is_cut", col("sad") > 1000)
         .withColumn("scene_id",
           sum(when(col("sad") > 1000, 1L).otherwise(0L)).over(w))

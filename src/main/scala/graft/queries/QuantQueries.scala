@@ -62,21 +62,6 @@ object QuantQueries {
       .groupBy()
       .agg(array_sort(collect_list(struct(col("d"), col("mn"), col("mx")))).as("mm"))
 
-  /** int8 code for one component: least(255, floor((x - mn) * 256 / (mx -
-    * mn))) — floor (not round) so both engines truncate identically; x = mx
-    * lands on 256 and clamps. A degenerate (constant) dim codes to 0. */
-  private def sq8Code(x: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
-      mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(mx === mn, lit(0L)).otherwise(least(lit(255L), floor((x - mn) * lit(256.0) / (mx - mn))))
-
-  /** Reconstruction of a code at its cell midpoint: mn + (code + 0.5) *
-    * (mx - mn) / 256 — the asymmetric-distance dequantization every SQ
-    * index scores with. The op sequence is mirrored verbatim in the oracle
-    * SQL, so both engines produce the identical IEEE double. */
-  private def sq8Dequant(code: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
-      mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(mx === mn, mn).otherwise(mn + (code + lit(0.5)) * (mx - mn) / lit(256.0))
-
   /** Corpus as int8 codes (array<long> — parquet/arrow has no unsigned
     * byte; the 8-bit range is the memory story: 64 bytes/vector instead of
     * 512) PLUS the midpoint reconstruction used for scoring. Dequantization
@@ -88,28 +73,23 @@ object QuantQueries {
     * use the calibration TRAINED AT BUILD TIME (FAISS SQ semantics;
     * out-of-range components clamp to the trained range). */
   private[graft] def sq8Encode(e: DataFrame, calib: DataFrame): DataFrame =
+    // codegen'd kernel (r19): the transform/element_at lambda evaluated
+    // interpreted per COMPONENT (64x per vector), walking the calibration
+    // struct array each time — bit-parity pinned in FunctionsSpec against
+    // the exact old per-element expression (incl. mx == mn and clamp edges)
     e.crossJoin(broadcast(calib))
       .select(
         col("vec_id"),
-        transform(
-          col("de"),
-          (x, i) => {
-            val m = element_at(col("mm"), (i + 1).cast("int"))
-            sq8Code(x, m.getField("mn"), m.getField("mx"))
-          }).as("qe"),
+        graft.functions.VectorFunctions.sq8EncodeCodes(col("de"), col("mm")).as("qe"),
         col("mm"))
 
   /** Midpoint reconstructions added to a (vec_id, qe, mm) frame — the
-    * decode side of the same split. */
+    * decode side of the same split (codegen'd kernel, r19 — see
+    * [[sq8Encode]]). */
   private[graft] def sq8WithDq(codesWithMm: DataFrame): DataFrame =
     codesWithMm.select(
       col("vec_id"), col("qe"),
-      transform(
-        col("qe"),
-        (c, i) => {
-          val m = element_at(col("mm"), (i + 1).cast("int"))
-          sq8Dequant(c, m.getField("mn"), m.getField("mx"))
-        }).as("dq"))
+      graft.functions.VectorFunctions.sq8Dequant(col("qe"), col("mm")).as("dq"))
 
   private def sq8Codes(e: DataFrame): DataFrame =
     sq8WithDq(sq8Encode(e, sq8Calibration(e)))
@@ -1150,11 +1130,14 @@ object QuantQueries {
   /** Adds the packed sign words (w0, w1) to any frame carrying an `emb`
     * column — the narrow fold rides whatever scan produced the frame. */
   private[graft] def withBinaryWords(df: DataFrame): DataFrame =
+    // codegen'd sign-words kernel (r19): the two aggregate folds
+    // interpreted 64 lambda steps per row (bit-parity pinned in
+    // FunctionsSpec, incl. the strict > 0 test on -0.0)
     df
-      .withColumn("w0", expr("""aggregate(sequence(0, 31), 0L,
-        (acc, j) -> acc + IF(element_at(emb, j + 1) > 0D, shiftleft(1L, j), 0L))"""))
-      .withColumn("w1", expr("""aggregate(sequence(32, 63), 0L,
-        (acc, j) -> acc + IF(element_at(emb, j + 1) > 0D, shiftleft(1L, j - 32), 0L))"""))
+      .withColumn("sw_", graft.functions.VectorFunctions.signWords(col("emb")))
+      .withColumn("w0", element_at(col("sw_"), 1))
+      .withColumn("w1", element_at(col("sw_"), 2))
+      .drop("sw_")
 
   private[graft] def binaryCodes(e: DataFrame): DataFrame =
     withBinaryWords(e).select("vec_id", "w0", "w1")

@@ -92,14 +92,12 @@ object SimilarityQueries {
     s"pl AS (SELECT CAST(${sqlPlanesLiteral(planes)} AS DOUBLE[][]) AS planes)"
 
   /** Spark twin of [[sqlBucketExpr]]: k sign bits of emb against the flat
-    * plane-list column, for LSH table `tableIdx`. */
-  private def bucketBits(emb: Column, planesCol: Column, tableIdx: Column, k: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(k - 1)),
-      lit(0L),
-      (acc, j) => acc + when(
-        dot(emb, element_at(planesCol, (tableIdx * k + j + 1).cast("int"))) > 0,
-        call_function("shiftleft", lit(1L), j)).otherwise(0L))
+    * plane-list column, for every LSH table at once — the codegen'd
+    * [[graft.functions.VectorOps.lshBuckets]] kernel (r19: the previous
+    * aggregate-over-sequence fold was CodegenFallback and interpreted
+    * k × tables fold steps per row; bit-parity pinned in FunctionsSpec). */
+  private def allBucketBits(emb: Column, planesCol: Column, k: Int): Column =
+    graft.functions.VectorFunctions.lshBuckets(emb, planesCol, k)
 
   /** Deterministic hyperplanes: `count` flat vectors of `dim` gaussians. */
   private def gaussianPlanes(seed: Long, count: Int, dim: Int): Seq[Seq[Double]] = {
@@ -146,9 +144,7 @@ object SimilarityQueries {
     val planesCol = typedlit(planes)
     corpus.select(
       col("vec_id"), col("emb"),
-      posexplode(transform(
-        sequence(lit(0), lit(tables - 1)),
-        tIdx => bucketBits(col("emb"), planesCol, tIdx, k))))
+      posexplode(allBucketBits(col("emb"), planesCol, k)))
       .toDF("vec_id", "emb", "tbl", "bucket")
   }
 
@@ -408,7 +404,8 @@ object SimilarityQueries {
       // corpus), and the sign-bit HOF is the query's dominant per-row cost
       // — uncached it evaluates twice per run
       val e = normalizedEmbeddings(s, d)
-        .withColumn("bucket", bucketBits(col("emb"), planesCol, lit(0), 6))
+        .withColumn("bucket",
+          element_at(allBucketBits(col("emb"), planesCol, 6), 1))
         .cache()
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("bucket"))
@@ -749,7 +746,8 @@ object SimilarityQueries {
     (s, d) => {
       val planesCol = typedlit(lshAnnPlanes)
       val e = normalizedEmbeddings(s, d)
-        .withColumn("bucket", bucketBits(col("emb"), planesCol, lit(0), 6))
+        .withColumn("bucket",
+          element_at(allBucketBits(col("emb"), planesCol, 6), 1))
         .cache()
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"),

@@ -106,10 +106,11 @@ object TextQueries {
       t(s, d, "documents")
         .select(
           col("doc_id"),
-          aggregate(
-            split(col("text"), " "),
-            lit(0L),
-            (acc, w) => xxhash64(acc, w)).as("fingerprint"))
+          // codegen'd chain kernel (r19): the aggregate fold interpreted a
+          // lambda + hash tree per token (bit-parity pinned in
+          // FunctionsSpec; the committed fixture oracle re-pins end to end)
+          graft.functions.VectorFunctions.xxhashChain(split(col("text"), " "))
+            .as("fingerprint"))
         .orderBy("doc_id"),
     // DuckDB has no xxHash64, so the oracle is a committed expected table
     // generated by an INDEPENDENT from-spec Python XXH64 implementation

@@ -251,6 +251,174 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("L2Normalize kernel is bit-identical to the declarative HOF form incl. zero vector (r19)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 200).map { i =>
+      val n = if (i == 0) 0 else 1 + rng.nextInt(80)
+      // row 2 = single huge component (norm overflow headroom)
+      val v =
+        if (i == 2) 1e154 +: Seq.fill(15)(0.0)
+        else Seq.fill(n)(rng.nextGaussian() * math.pow(10, rng.nextInt(7) - 3))
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "v")
+    val nrm = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val out = df.select(
+      col("id"),
+      VectorFunctions.l2Normalize(col("v")).as("kernel"),
+      transform(col("v"), x => x / nrm).as("declarative"))
+      .collect()
+    out.foreach { r =>
+      val k = r.getSeq[Double](1).map(java.lang.Double.doubleToRawLongBits)
+      val d = r.getSeq[Double](2).map(java.lang.Double.doubleToRawLongBits)
+      assert(k == d, s"id=${r.getLong(0)}")
+    }
+    // DOCUMENTED DIVERGENCE: the all-zero vector. The declarative form
+    // THROWS under ANSI (double division by a 0.0 norm raises
+    // DIVIDE_BY_ZERO); the kernel returns the IEEE 0/0 = NaN fill. No
+    // graft corpus produces a zero embedding (the full oracle run pins
+    // that), and NaN-fill is the saner generic-surface behavior.
+    val z = Seq((0L, Seq.fill(8)(0.0))).toDF("id", "v")
+      .select(VectorFunctions.l2Normalize(col("v")).as("k")).head()
+    assert(z.getSeq[Double](0).forall(_.isNaN))
+  }
+
+  test("Sq8 encode/dequant kernels are bit-identical to the old transform lambdas (r19)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(37)
+    val dim = 16
+    val rows = (0 until 150).map { i =>
+      // component 0 forced DEGENERATE (mx == mn) across the corpus;
+      // component 1 hits the x == mx clamp on row 0
+      val v = (0 until dim).map {
+        case 0 => 0.25
+        case j => rng.nextGaussian() * (j + 1)
+      }
+      (i.toLong, v)
+    }
+    val e = rows.toDF("vec_id", "de")
+    val calib = e.select(posexplode(col("de"))).toDF("d", "x")
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .groupBy().agg(array_sort(collect_list(struct(col("d"), col("mn"), col("mx")))).as("mm"))
+    def oldCode(x: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column, mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(mx === mn, lit(0L)).otherwise(least(lit(255L), floor((x - mn) * lit(256.0) / (mx - mn))))
+    def oldDq(c: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column, mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(mx === mn, mn).otherwise(mn + (c + lit(0.5)) * (mx - mn) / lit(256.0))
+    val out = e.crossJoin(broadcast(calib))
+      .select(
+        col("vec_id"),
+        VectorFunctions.sq8EncodeCodes(col("de"), col("mm")).as("qk"),
+        transform(col("de"), (x, i) => {
+          val m = element_at(col("mm"), (i + 1).cast("int"))
+          oldCode(x, m.getField("mn"), m.getField("mx"))
+        }).as("qd"),
+        col("mm"))
+      .select(
+        col("vec_id"), col("qk"), col("qd"),
+        VectorFunctions.sq8Dequant(col("qk"), col("mm")).as("dk"),
+        transform(col("qk"), (c, i) => {
+          val m = element_at(col("mm"), (i + 1).cast("int"))
+          oldDq(c, m.getField("mn"), m.getField("mx"))
+        }).as("dd"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"codes diverge at vec ${r.getLong(0)}")
+      val k = r.getSeq[Double](3).map(java.lang.Double.doubleToRawLongBits)
+      val d = r.getSeq[Double](4).map(java.lang.Double.doubleToRawLongBits)
+      assert(k == d, s"dequant diverges at vec ${r.getLong(0)}")
+    }
+  }
+
+  test("LshBuckets kernel is bit-identical to the aggregate-fold bucket form (r19)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(41)
+    val k = 5
+    val tables = 4
+    val planes = Seq.fill(k * tables)(Seq.fill(8)(rng.nextGaussian()))
+    val rows = (0 until 100).map(i => (i.toLong, Seq.fill(8)(rng.nextGaussian())))
+    val df = rows.toDF("vec_id", "emb")
+    val planesCol = typedlit(planes)
+    def oldBucket(tIdx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(
+        sequence(lit(0), lit(k - 1)),
+        lit(0L),
+        (acc, j) => acc + when(
+          VectorFunctions.dot(col("emb"),
+            element_at(planesCol, (tIdx * k + j + 1).cast("int"))) > 0,
+          call_function("shiftleft", lit(1L), j)).otherwise(0L))
+    val out = df.select(
+      col("vec_id"),
+      VectorFunctions.lshBuckets(col("emb"), planesCol, k).as("kernel"),
+      transform(sequence(lit(0), lit(tables - 1)), t => oldBucket(t)).as("declarative"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("L1Dist kernel equals the zip_with abs fold (r19)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(43)
+    val rows = (0 until 100).map { i =>
+      val n = 1 + rng.nextInt(64)
+      (i.toLong, Seq.fill(n)(rng.nextInt(255).toLong), Seq.fill(n)(rng.nextInt(255).toLong))
+    }
+    val out = rows.toDF("id", "a", "b").select(
+      col("id"),
+      VectorFunctions.l1Dist(col("a"), col("b")).as("kernel"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => abs(x - y)),
+        lit(0L), (acc, x) => acc + x).as("declarative"))
+      .collect()
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
+  }
+
+  test("XxhashChain kernel equals the aggregate xxhash64 fold (r19)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(47)
+    val rows = (0 until 100).map { i =>
+      val n = rng.nextInt(30)
+      (i.toLong, (0 until n).map(_ => s"w${rng.nextInt(9)}").mkString(" "))
+    }
+    val out = rows.toDF("id", "text").select(
+      col("id"),
+      VectorFunctions.xxhashChain(split(col("text"), " ")).as("kernel"),
+      aggregate(split(col("text"), " "), lit(0L),
+        (acc, w) => xxhash64(acc, w)).as("declarative"))
+      .collect()
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
+  }
+
+  test("SignWords kernel equals the two aggregate sign folds incl. -0.0 (r19)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(53)
+    val rows = (0 until 100).map { i =>
+      val v = (0 until 64).map { j =>
+        if (i == 0 && j == 0) -0.0
+        else if (i == 0 && j == 1) 0.0
+        else rng.nextGaussian()
+      }
+      (i.toLong, v)
+    }
+    val out = rows.toDF("id", "emb").select(
+      col("id"),
+      VectorFunctions.signWords(col("emb")).as("kernel"),
+      expr("""aggregate(sequence(0, 31), 0L,
+        (acc, j) -> acc + IF(element_at(emb, j + 1) > 0D, shiftleft(1L, j), 0L))""").as("w0"),
+      expr("""aggregate(sequence(32, 63), 0L,
+        (acc, j) -> acc + IF(element_at(emb, j + 1) > 0D, shiftleft(1L, j - 32), 0L))""").as("w1"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) == Seq(r.getLong(2), r.getLong(3)), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("SimHash64 kernel equals the declarative vote formula") {
     val s = spark
     import s.implicits._
